@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Session façade — the Spark-native analog of the reference gateway's
+  * connection lifecycle (SURVEY.md §2A, §3.4).
+  *
+  * The reference routes a client by splitting the MySQL username at the first
+  * `.` into `(clusterId, user)` and resolving the cluster id case-insensitively
+  * against its backend table (/root/reference/gateway/gateway.go:253-267,
+  * /root/reference/gateway/config.go:28-35). Here the "backend clusters" are
+  * data namespaces (fixture scale-factor directories / databases) bound into a
+  * per-client `SparkSession.newSession()`; the relay fast path
+  * (/root/reference/gateway/relay.go:12-30) becomes `session.sql(...)` —
+  * Catalyst replaces "copy bytes" with "run the plan".
+  */
+object Engine {
+
+  /** Structured engine error — analog of the gateway's ERR packet
+    * (code 1105, SQLSTATE "08S01", /root/reference/gateway/gateway.go:242-251,
+    * /root/reference/mysql/packet_err.go:13-21). */
+  final case class EngineError(code: Int, sqlState: String, message: String)
+      extends RuntimeException(s"ERROR $code ($sqlState): $message")
+
+  /** Engine identity string — analog of the server-version the gateway greets
+    * with ("5.7.25-TiDB…", /root/reference/gateway/gateway.go:183-195). */
+  val version = "graft-0.1-spark"
+
+  /** Build the shared SparkSession with the engine's pinned defaults: UTC
+    * session time zone + binary (codepoint) string comparison, matching the
+    * reference's utf8mb4_bin default collation
+    * (/root/reference/mysql/constants.go:6). AQE on for runtime re-planning at
+    * scale (skew joins, shuffle coalescing). */
+  def build(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(version)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** A routed client session: isolated temp-view namespace over a shared
+    * SparkContext — the analog of one relayed connection
+    * (goroutine-per-connection, /root/reference/gateway/gateway.go:63-64). */
+  final class Session private[Engine] (val spark: SparkSession, val clusterId: String) {
+    /** The "relay": execute SQL against the routed namespace. */
+    def sql(query: String): DataFrame = spark.sql(query)
+    def table(name: String): DataFrame = spark.table(name)
+    def close(): Unit = () // temp views die with the session wrapper
+  }
+
+  /** Routing table: cluster id → data directory. The reference falls through
+    * silently on unknown ids (treats the id as a literal address,
+    * /root/reference/gateway/config.go:28-35); we tighten that to a structured
+    * error per SURVEY.md §2A A5. Lookup is case-insensitive like the
+    * reference's `strings.EqualFold`. */
+  def connect(shared: SparkSession, clusterId: String,
+      backends: Map[String, String]): Session = {
+    val dir = backends.collectFirst {
+      case (id, d) if id.equalsIgnoreCase(clusterId) => d
+    }.getOrElse(throw EngineError(1105, "08S01",
+      s"unknown cluster id: $clusterId"))
+    val sess = shared.newSession()
+    Tables.register(sess, dir)
+    new Session(sess, clusterId)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{Canon, GraftQuery, QueryModule}
+import graft.api.Canon.Oracle
+
+/** Aggregation surface: distinct aggs, rollup/cube/grouping sets, HAVING,
+  * stat aggregates, exact percentile, ordered string_agg (MySQL
+  * `group_concat` semantics re-expressed). SURVEY.md §2B "Aggregations".
+  * All money maths follows Canon (exact decimal pre-cast).
+  */
+object AggregateQueries extends QueryModule {
+  import Canon._
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // COUNT(DISTINCT) + SUM(DISTINCT) (distinct set cast exact before sum).
+    q("q21_agg_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_dist_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          sum_distinct(dec4($"l_quantity")).cast(out284).as("sum_dist_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ROLLUP with grouping indicators; NULLS FIRST pinned on both engines.
+    q("q22_rollup",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+         |  ${Oracle.sum4("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping($"l_returnflag").cast(IntegerType).as("g_flag"),
+          grouping($"l_linestatus").cast(IntegerType).as("g_status"),
+          sum4($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // CUBE.
+    q("q23_cube",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping($"l_returnflag").cast(IntegerType).as("g_flag"),
+          grouping($"l_linestatus").cast(IntegerType).as("g_status"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // GROUPING SETS (explicit set list).
+    q("q24_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${Oracle.sum4("l_extendedprice")} AS total
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { spark =>
+      spark.sql(
+        s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |  ${Oracle.sum4("l_extendedprice")} AS total
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // HAVING (post-aggregation filter).
+    q("q25_having",
+      s"""SELECT l_partkey, COUNT(*) AS n, ${Oracle.sum4("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY l_partkey
+         |HAVING COUNT(*) >= 40
+         |ORDER BY l_partkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n"), sum4($"l_quantity").as("qty"))
+        .filter($"n" >= 40)
+        .orderBy($"l_partkey")
+    },
+
+    // Stat aggregates on small-magnitude columns (rounded far above the
+    // merge-order error bound — SURVEY.md §7.4 hazard 1).
+    q("q26_stats",
+      """SELECT l_returnflag,
+        |  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+        |  ROUND(VAR_SAMP(l_discount), 8) AS var_disc,
+        |  ROUND(CORR(l_quantity, l_discount), 6) AS corr_qd,
+        |  ROUND(MIN(l_quantity), 2) AS min_q, ROUND(MAX(l_quantity), 2) AS max_q
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+          round(var_samp($"l_discount"), 8).as("var_disc"),
+          round(corr($"l_quantity", $"l_discount"), 6).as("corr_qd"),
+          round(min($"l_quantity"), 2).as("min_q"),
+          round(max($"l_quantity"), 2).as("max_q"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Exact percentile (interpolated median & p90 over integral quantities).
+    q("q27_percentile",
+      """SELECT l_returnflag,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          // Spark `percentile` is the exact interpolated quantile — same
+          // semantics as DuckDB QUANTILE_CONT (not percentile_approx).
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // MySQL group_concat re-expressed deterministically: ordered string agg.
+    q("q28_group_concat",
+      """SELECT c_nationkey, STRING_AGG(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("customer")
+        .filter($"c_custkey" <= 200)
+        .groupBy($"c_nationkey")
+        .agg(concat_ws(",", sort_array(collect_list($"c_name"))).as("names"))
+        .orderBy($"c_nationkey")
+    },
+
+    // Approx distinct: non-exact → rows-only gate; spec asserts error bound.
+    qRowsOnly("q29_approx_distinct") { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy($"l_returnflag")
+    })
+}

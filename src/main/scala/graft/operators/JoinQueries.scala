@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{Canon, GraftQuery, QueryModule}
+import graft.api.Canon.Oracle
+
+/** Every §2B join type: inner/outer/semi/anti/cross/theta/self plus the
+  * multi-way star join. Grounding: relayed surface
+  * (/root/reference/gateway/relay.go:47-99). Scale notes per query: dims
+  * (region/nation/customer/supplier/part) are broadcast; the only big-big
+  * shuffle is lineitem⋈orders, which AQE handles (sort-merge, skew split).
+  */
+object JoinQueries extends QueryModule {
+  import Canon._
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Big-big inner equi-join (lineitem ⋈ orders) + aggregation.
+    q("q11_join_inner",
+      s"""SELECT o_orderpriority,
+         |  ${Oracle.sum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus <> 'F'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { spark =>
+      import spark.implicits._
+      val li = spark.table("lineitem")
+      val o = spark.table("orders").filter($"o_orderstatus" =!= "F")
+      li.join(o, $"l_orderkey" === $"o_orderkey", "inner")
+        .groupBy($"o_orderpriority")
+        .agg(sum6($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // Left outer join: customers (incl. those without orders) → order counts.
+    q("q12_join_left",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("customer")
+        .join(spark.table("orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    },
+
+    // Right outer join (same semantics from the other side).
+    q("q13_join_right",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("orders")
+        .join(spark.table("customer"), $"o_custkey" === $"c_custkey", "right_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    },
+
+    // Full outer join of two per-nation aggregates (null-extending both sides).
+    q("q14_join_full",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin) { spark =>
+      import spark.implicits._
+      val c = spark.table("customer").groupBy($"c_nationkey".as("cnk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val s = spark.table("supplier").groupBy($"s_nationkey".as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(s, $"cnk" === $"snk", "full_outer")
+        .select(coalesce($"cnk", $"snk").as("nationkey"), $"n_cust", $"n_supp")
+        .orderBy($"nationkey")
+    },
+
+    // Left semi join (EXISTS): lineitems whose order is open.
+    q("q15_join_semi",
+      """SELECT l_returnflag, COUNT(*) AS n
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'O')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      val open = spark.table("orders").filter($"o_orderstatus" === "O")
+      spark.table("lineitem")
+        .join(open, $"l_orderkey" === $"o_orderkey", "left_semi")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Left anti join (NOT EXISTS): customers with no orders.
+    q("q16_join_anti",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("customer")
+        .join(spark.table("orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // Cross join (both sides tiny — BroadcastNestedLoop).
+    q("q17_join_cross",
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("region").crossJoin(spark.table("nation"))
+        .select($"r_name", $"n_name")
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // Theta (non-equi) join: supplier×customer on acctbal inequality.
+    // BroadcastNestedLoopJoin with the 100-row supplier side broadcast.
+    q("q18_join_theta",
+      """SELECT s_suppkey, COUNT(*) AS n_richer
+        |FROM supplier JOIN customer ON s_acctbal > c_acctbal
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin) { spark =>
+      import spark.implicits._
+      broadcast(spark.table("supplier"))
+        .join(spark.table("customer"), $"s_acctbal" > $"c_acctbal")
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_richer"))
+        .orderBy($"s_suppkey")
+    },
+
+    // 5-way star join (TPC-H Q5 shape): fact shuffled once, dims broadcast.
+    q("q19_star_join",
+      s"""SELECT n_name,
+         |  ${Oracle.sum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin) { spark =>
+      import spark.implicits._
+      val li = spark.table("lineitem")
+      val o = spark.table("orders")
+        .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast(TimestampType)
+          && $"o_orderdate" < lit("1998-01-01 00:00:00").cast(TimestampType))
+      val c = spark.table("customer")
+      val n = spark.table("nation")
+      val r = spark.table("region").filter($"r_name".isin("ASIA", "EUROPE"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum6($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .orderBy($"n_name")
+    },
+
+    // Self join: nation pairs within the same region.
+    q("q20_self_join",
+      """SELECT a.n_name AS nation_a, b.n_name AS nation_b
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+        |ORDER BY nation_a, nation_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val a = spark.table("nation").select($"n_name".as("nation_a"), $"n_regionkey".as("rk_a"))
+      val b = spark.table("nation").select($"n_name".as("nation_b"), $"n_regionkey".as("rk_b"))
+      a.join(b, $"rk_a" === $"rk_b" && $"nation_a" < $"nation_b")
+        .select($"nation_a", $"nation_b")
+        .orderBy($"nation_a", $"nation_b")
+    })
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.{Canon, GraftQuery, QueryModule}
+
+/** Window-function surface: ranking, analytic, running aggregates, frame
+  * specs, top-k per group. SURVEY.md §2B "Window functions". Every window
+  * ORDER BY ends in a unique key so ranks are total-order deterministic
+  * (§7.4 hazard 3); running sums are exact-decimal per Canon.
+  *
+  * Scale note: a window over `partitionBy(k)` is one shuffle on k, then a
+  * per-partition sort — same cost shape as a groupBy; no driver
+  * materialization anywhere.
+  */
+object WindowQueries extends QueryModule {
+  import Canon._
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Top-k per group via ROW_NUMBER (the scalable "k rows per key" idiom).
+    q("q31_topk_per_group",
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 10
+        |ORDER BY o_orderstatus, rn""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      spark.table("orders")
+        .select($"o_orderstatus", $"o_orderkey",
+          $"o_totalprice".cast(Canon.dec184.copy(scale = 2)).as("price"),
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 10)
+        .orderBy($"o_orderstatus", $"rn")
+    },
+
+    // RANK / DENSE_RANK over a tie-bearing order (deterministic under ties —
+    // equal keys get equal ranks), NTILE over a total order. Runs on `orders`
+    // because o_orderkey is a genuine unique row id in the fixtures
+    // ((l_orderkey, l_linenumber) is not).
+    q("q32_rank_dense_ntile",
+      """SELECT o_orderkey,
+        |  RANK()       OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS drnk,
+        |  NTILE(4)     OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY o_orderdate, o_orderkey) AS quartile
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { spark =>
+      import spark.implicits._
+      val byDate = Window.partitionBy($"o_orderstatus").orderBy($"o_orderdate")
+      val total = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      spark.table("orders")
+        .select($"o_orderkey",
+          rank().over(byDate).as("rnk"),
+          dense_rank().over(byDate).as("drnk"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy($"o_orderkey")
+    },
+
+    // LAG / LEAD per user over the event sequence.
+    q("q33_lag_lead",
+      """SELECT event_id, user_id,
+        |  ROUND(value - COALESCE(LAG(value)  OVER w, 0.0), 2) AS delta_prev,
+        |  ROUND(COALESCE(LEAD(value) OVER w, 0.0) - value, 2) AS delta_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      spark.table("events")
+        .select($"event_id", $"user_id",
+          round($"value" - coalesce(lag($"value", 1).over(w), lit(0.0)), 2).as("delta_prev"),
+          round(coalesce(lead($"value", 1).over(w), lit(0.0)) - $"value", 2).as("delta_next"))
+        .orderBy($"event_id")
+    },
+
+    // Running total: ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW,
+    // exact decimal accumulation.
+    q("q34_running_sum",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,4)) AS running_value
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spark.table("events")
+        .select($"event_id", $"user_id",
+          sum(dec4($"value")).over(w).cast(out284).as("running_value"))
+        .orderBy($"event_id")
+    },
+
+    // RANGE frame on a numeric order key (value-defined window, tie-safe).
+    q("q35_range_frame",
+      """SELECT event_id, event_type,
+        |  COUNT(*) OVER (PARTITION BY event_type ORDER BY event_id
+        |                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_last_100_ids
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"event_id")
+        .rangeBetween(-100, Window.currentRow)
+      spark.table("events")
+        .select($"event_id", $"event_type",
+          count(lit(1)).over(w).as("n_last_100_ids"))
+        .orderBy($"event_id")
+    },
+
+    // FIRST_VALUE / LAST_VALUE over the full partition frame.
+    q("q36_first_last_value",
+      """SELECT event_id, user_id,
+        |  FIRST_VALUE(event_id) OVER w AS first_event,
+        |  LAST_VALUE(event_id)  OVER w AS last_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      spark.table("events")
+        .select($"event_id", $"user_id",
+          first($"event_id").over(w).as("first_event"),
+          last($"event_id").over(w).as("last_event"))
+        .orderBy($"event_id")
+    })
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Fixed, declared schemas for every fixture table (FIXTURES.md).
+  *
+  * Mirrors the reference's fixed-schema relational model — the gateway
+  * advertises database-scoped typed tables via `ClientConnectWithDB`
+  * (/root/reference/mysql/constants.go:44) and relays MySQL's declared-schema
+  * result sets verbatim (/root/reference/gateway/relay.go:68-99). We therefore
+  * never infer schemas at read time: every scan declares its StructType, which
+  * also lets Spark skip parquet footer merging and plan column pruning exactly.
+  *
+  * Scale note: `spark.read.schema(s).parquet(path)` is the 100 TB path — the
+  * scan is split across executors by parquet row groups; nothing here touches
+  * the driver beyond the plan.
+  */
+object Tables {
+
+  val lineitem: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val orders: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val customer: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplier: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val part: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val nation: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val region: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType), // parquet ns → Spark truncates to µs; oracle queries bucket ≥ms
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType))) // JSON string
+
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  val all: Seq[(String, StructType)] = Seq(
+    "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "nation" -> nation,
+    "region" -> region, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
+
+  /** Load one fixture as a DataFrame with its declared schema. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = all.collectFirst { case (`name`, s) => s }
+      .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every fixture under its table name as a temp view (the analog
+    * of the gateway binding a routed backend's database into the session,
+    * /root/reference/gateway/gateway.go:111-130). */
+  def register(spark: SparkSession, dir: String): Unit =
+    all.foreach { case (name, schema) =>
+      spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+        .createOrReplaceTempView(name)
+    }
+}
