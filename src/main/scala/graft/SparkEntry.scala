@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.GraftQuery
+import graft.functions.FunctionQueries
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +20,8 @@ object SparkEntry {
     JoinQueries,
     AggregateQueries,
     WindowQueries,
-    SetOpQueries)
+    SetOpQueries,
+    FunctionQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,290 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Scalar-function families (SURVEY.md §2B "Scalar functions"): string,
+  * date/time, math, conditional/null (incl. the MySQL dialect spellings
+  * IFNULL/NVL the reference's clients would use), cast, json, array (incl.
+  * higher-order), map. Each family is one declared query pair; the oracle
+  * side uses the documented DuckDB spelling deltas (instr→strpos,
+  * split→string_split, explode→unnest, dayofweek 1-based→0-based, …).
+  *
+  * All functions here are Spark built-ins → whole-stage-codegen'd; no UDFs
+  * in any hot path (100 TB rule).
+  */
+object FunctionQueries extends QueryModule {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    q("q51_string_funcs",
+      """SELECT c_custkey,
+        |  CONCAT(c_mktsegment, ':', c_name) AS tagged,
+        |  SUBSTRING(c_name, 10, 5) AS sub5,
+        |  LENGTH(c_name) AS name_len,
+        |  LOWER(c_name) AS lo, UPPER(c_mktsegment) AS up,
+        |  TRIM(RPAD(c_name, 25, ' ')) AS trimmed,
+        |  REPLACE(c_name, 'Customer#', 'C') AS short_name,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  STRPOS(c_name, '#') AS hash_pos,
+        |  LEFT(c_name, 8) AS l8, RIGHT(c_name, 4) AS r4,
+        |  STRING_SPLIT(c_name, '#') AS parts,
+        |  REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+        |  REGEXP_REPLACE(c_name, '0+', '0', 'g') AS squeezed,
+        |  (c_name LIKE 'Customer%') AS is_cust,
+        |  (c_name ILIKE 'CUSTOMER%') AS is_cust_i
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("customer").select(
+        $"c_custkey",
+        concat($"c_mktsegment", lit(":"), $"c_name").as("tagged"),
+        substring($"c_name", 10, 5).as("sub5"),
+        length($"c_name").as("name_len"),
+        lower($"c_name").as("lo"), upper($"c_mktsegment").as("up"),
+        trim(rpad($"c_name", 25, " ")).as("trimmed"),
+        regexp_replace($"c_name", lit("Customer#"), lit("C")).as("short_name"),
+        lpad($"c_custkey".cast(StringType), 8, "0").as("padded"),
+        instr($"c_name", "#").as("hash_pos"),
+        expr("left(c_name, 8)").as("l8"), expr("right(c_name, 4)").as("r4"),
+        split($"c_name", "#").as("parts"),
+        regexp_extract($"c_name", "([0-9]+)", 1).as("digits"),
+        regexp_replace($"c_name", "0+", "0").as("squeezed"),
+        $"c_name".like("Customer%").as("is_cust"),
+        $"c_name".ilike("CUSTOMER%").as("is_cust_i"))
+        .orderBy($"c_custkey")
+    },
+
+    // Date/time family. DuckDB's dayofweek is 0-based (Sunday=0); Spark's is
+    // 1-based (Sunday=1) — oracle adds 1. date_add result pinned to DATE.
+    q("q52_date_funcs",
+      """SELECT o_orderkey,
+        |  YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+        |  QUARTER(o_orderdate) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS minus7,
+        |  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec,
+        |  CAST(o_orderdate AS DATE) AS as_date
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("orders")
+        .filter($"o_orderkey" < 1000)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("y"), month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("d"),
+          quarter($"o_orderdate").as("q"),
+          dayofweek($"o_orderdate").as("dow"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          date_add(to_date($"o_orderdate"), 30).as("plus30"),
+          date_sub(to_date($"o_orderdate"), 7).as("minus7"),
+          datediff($"o_orderdate", lit("1995-01-01 00:00:00").cast(TimestampType))
+            .cast(LongType).as("days_since"),
+          last_day(to_date($"o_orderdate")).as("month_end"),
+          unix_timestamp($"o_orderdate").as("unix_sec"),
+          to_date($"o_orderdate").as("as_date"))
+        .orderBy($"o_orderkey")
+    },
+
+    // Math family. Transcendentals (exp/ln/log10/power) rounded at 6 — far
+    // above any libm last-ulp divergence between JVM and DuckDB.
+    q("q53_math_funcs",
+      """SELECT p_partkey,
+        |  ABS(p_size - 25) AS dist25,
+        |  CAST(CEIL(p_retailprice / 100) AS BIGINT) AS price_ceil,
+        |  CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_floor,
+        |  ROUND(p_retailprice / 7, 2) AS price_div,
+        |  ROUND(POWER(p_size, 2), 6) AS size_sq,
+        |  ROUND(SQRT(p_size), 6) AS size_sqrt,
+        |  ROUND(EXP(p_size / 10.0), 6) AS e_pow,
+        |  ROUND(LN(p_retailprice), 6) AS log_price,
+        |  ROUND(LOG10(p_retailprice), 6) AS log10_price,
+        |  p_partkey % 7 AS key_mod,
+        |  CAST(SIGN(p_size - 25) AS INT) AS size_sign,
+        |  GREATEST(p_size, 10) AS g10, LEAST(p_size, 40) AS l40
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("part").select(
+        $"p_partkey",
+        abs($"p_size" - 25).as("dist25"),
+        ceil($"p_retailprice" / 100).as("price_ceil"),
+        floor($"p_retailprice" / 100).as("price_floor"),
+        round($"p_retailprice" / 7, 2).as("price_div"),
+        round(pow($"p_size", 2), 6).as("size_sq"),
+        round(sqrt($"p_size"), 6).as("size_sqrt"),
+        round(exp($"p_size" / 10.0), 6).as("e_pow"),
+        round(log($"p_retailprice"), 6).as("log_price"),
+        round(log10($"p_retailprice"), 6).as("log10_price"),
+        ($"p_partkey" % 7).as("key_mod"),
+        signum($"p_size" - 25).cast(IntegerType).as("size_sign"),
+        greatest($"p_size", lit(10)).as("g10"),
+        least($"p_size", lit(40)).as("l40"))
+        .orderBy($"p_partkey")
+    },
+
+    // Conditional / null family — exercised through the MySQL dialect
+    // spellings Spark carries natively (IFNULL, NVL, IF); DuckDB oracle uses
+    // the ANSI spellings (COALESCE, CASE WHEN).
+    q("q54_cond_null",
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), c_name) AS ifnull_demo,
+        |  COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'fallback') AS nvl_demo,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS if_demo,
+        |  (NULLIF(c_mktsegment, 'BUILDING') IS NULL) AS was_building,
+        |  (NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL) AS not_building
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      // Spark SQL natively accepts the MySQL spellings — declared here as the
+      // dialect-compat surface (SURVEY.md §7.3 "dialect shims").
+      spark.sql(
+        """SELECT c_custkey,
+          |  IFNULL(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+          |  IFNULL(NULLIF(c_mktsegment, 'BUILDING'), c_name) AS ifnull_demo,
+          |  NVL(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'fallback') AS nvl_demo,
+          |  IF(c_acctbal < 0, 'debt', 'credit') AS if_demo,
+          |  ISNULL(NULLIF(c_mktsegment, 'BUILDING')) AS was_building,
+          |  ISNOTNULL(NULLIF(c_mktsegment, 'BUILDING')) AS not_building
+          |FROM customer
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // CAST across the §1.3 type lattice.
+    q("q55_casts",
+      """SELECT s_suppkey,
+        |  CAST(s_suppkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        |  CAST(s_acctbal AS DECIMAL(18,2)) AS bal_dec,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_back,
+        |  CAST(s_suppkey AS SMALLINT) AS key_i16,
+        |  CAST(s_suppkey AS INT) AS key_i32,
+        |  CAST(s_suppkey % 2 AS BOOLEAN) AS key_odd,
+        |  CAST('1996-03-15' AS DATE) AS lit_date,
+        |  CAST('1996-03-15 12:30:00' AS TIMESTAMP) AS lit_ts
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("supplier").select(
+        $"s_suppkey",
+        $"s_suppkey".cast(StringType).as("key_str"),
+        $"s_suppkey".cast(StringType).cast(LongType).as("key_roundtrip"),
+        $"s_acctbal".cast(DecimalType(18, 2)).as("bal_dec"),
+        $"s_acctbal".cast(DecimalType(18, 2)).cast(DoubleType).as("bal_back"),
+        $"s_suppkey".cast(ShortType).as("key_i16"),
+        $"s_suppkey".cast(IntegerType).as("key_i32"),
+        ($"s_suppkey" % 2).cast(BooleanType).as("key_odd"),
+        lit("1996-03-15").cast(DateType).as("lit_date"),
+        lit("1996-03-15 12:30:00").cast(TimestampType).as("lit_ts"))
+        .orderBy($"s_suppkey")
+    },
+
+    // JSON family over events.props (TiDB JSON column analog, SURVEY.md §1.3).
+    q("q56_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_big,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events").select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast(LongType).as("k_int"),
+        (get_json_object($"props", "$.k").cast(LongType) > 50).as("k_big"),
+        get_json_object($"props", "$.missing").as("absent"))
+        .orderBy($"event_id")
+    },
+
+    // from_json with a declared schema → typed struct field access.
+    q("q56b_from_json_schema",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 20
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      spark.table("events")
+        .select($"event_id", from_json($"props", schema).getField("k").as("k"))
+        .filter($"k".between(10, 20))
+        .orderBy($"event_id")
+    },
+
+    // Array family incl. higher-order functions, over the embedding vectors.
+    // Element maths forced to DOUBLE before folding; fold is left-to-right in
+    // both engines; rounded at 5 (values ~N(0,0.1), error bound ~1e-13).
+    q("q57_array_funcs",
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+        |  ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                    (a, b) -> a + b), 5) AS vec_sum,
+        |  ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+        |                    (a, b) -> a + b), 5) AS vec_sumsq,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_elem
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("embeddings").select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        round(element_at($"embedding", 1).cast(DoubleType), 6).as("first_val"),
+        round(element_at($"embedding", -1).cast(DoubleType), 6).as("last_val"),
+        round(aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType)), 5).as("vec_sum"),
+        round(aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 5).as("vec_sumsq"),
+        size(filter($"embedding", x => x > 0f)).as("n_pos"),
+        round(element_at(sort_array($"embedding"), 1).cast(DoubleType), 6).as("min_elem"))
+        .orderBy($"vec_id")
+    },
+
+    // explode / posexplode (UNNEST): vector → element rows.
+    q("q58_explode",
+      """SELECT vec_id, pos, ROUND(CAST(val AS DOUBLE), 6) AS val
+        |FROM (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding) AS val
+        |  FROM embeddings
+        |  WHERE vec_id < 20) t
+        |ORDER BY vec_id, pos""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("embeddings")
+        .filter($"vec_id" < 20)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", $"pos", round($"v".cast(DoubleType), 6).as("val"))
+        .orderBy($"vec_id", $"pos")
+    },
+
+    // Map family: construction, key/value extraction (scalars out — map
+    // column renderings differ across engines, values don't).
+    q("q59_map_funcs",
+      """SELECT c_custkey,
+        |  map(['seg', 'name'], [c_mktsegment, c_name])['seg'][1] AS seg_val,
+        |  len(map_keys(map(['seg', 'name'], [c_mktsegment, c_name]))) AS n_keys
+        |FROM customer
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      import spark.implicits._
+      val m = map(lit("seg"), $"c_mktsegment", lit("name"), $"c_name")
+      spark.table("customer")
+        .filter($"c_custkey" < 100)
+        .select($"c_custkey",
+          element_at(m, "seg").as("seg_val"),
+          size(map_keys(m)).as("n_keys"))
+        .orderBy($"c_custkey")
+    })
+}
