@@ -21,7 +21,8 @@ object SparkEntry {
     AggregateQueries,
     WindowQueries,
     SetOpQueries,
-    FunctionQueries)
+    FunctionQueries,
+    TextQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

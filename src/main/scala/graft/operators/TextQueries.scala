@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Text-analysis surface over the `documents` fixture (SURVEY.md §2C):
+  * tokenization/normalization, term/document frequencies, n-gram counts,
+  * n-gram-heuristic language scoring, quality scoring, token counting
+  * (whitespace + BPE-ish regex), canonical document fingerprinting, and
+  * lexicon-based sentiment (EDBT 2016 pattern, PAPERS.md).
+  *
+  * Scale design: every query is explode → shuffle-on-key → aggregate, the
+  * shape that partitions cleanly at 100 TB (tokens shuffle by token/doc key;
+  * no driver-side materialization). All expressions are Spark built-ins →
+  * whole-stage codegen; the only join (sentiment lexicon) is a broadcast of
+  * a constant ~10-row table.
+  */
+object TextQueries extends QueryModule {
+
+  /** Whitespace tokenizer both engines spell identically. */
+  private val tokSql = "string_split(lower(text), ' ')"
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Tokenize + normalize: doc → (doc_id, pos, token) rows. posexplode is
+    // 0-based; DuckDB generate_subscripts is 1-based → -1.
+    q("q60_tokenize",
+      s"""SELECT doc_id, pos, token FROM (
+         |  SELECT doc_id,
+         |    generate_subscripts($tokSql, 1) - 1 AS pos,
+         |    unnest($tokSql) AS token
+         |  FROM documents
+         |  WHERE doc_id < 60) t
+         |ORDER BY doc_id, pos""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .filter($"doc_id" < 60)
+        .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "token")))
+        .orderBy($"doc_id", $"pos")
+    },
+
+    // Term statistics: corpus-wide term frequency + document frequency.
+    // Classic map-side-combinable groupBy(token) — the 100 TB shape.
+    q("q61_term_stats",
+      s"""SELECT token,
+         |  COUNT(*) AS tf,
+         |  COUNT(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents) t
+         |GROUP BY token
+         |ORDER BY tf DESC, token""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+        .orderBy($"tf".desc, $"token")
+    },
+
+    // Bigram counts via higher-order functions (no UDF): consecutive-token
+    // pairs built per-row, then exploded and counted.
+    q("q62_ngram_counts",
+      s"""SELECT bigram, COUNT(*) AS n
+         |FROM (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM (SELECT $tokSql AS toks FROM documents) t1) t2
+         |GROUP BY bigram
+         |HAVING COUNT(*) >= 20
+         |ORDER BY n DESC, bigram""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = split(lower($"text"), " ")
+      spark.table("documents")
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+          .as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 20)
+        .orderBy($"n".desc, $"bigram")
+    },
+
+    // Language-ID heuristic: count marker-token occurrences (substring-count
+    // expressed as length arithmetic — identical spelling both engines), then
+    // argmax with a fixed precedence order. A real lang-id would use char
+    // n-gram profiles; the operator shape (per-row scoring, no shuffle) is
+    // what matters at scale.
+    q("q63_lang_id", {
+      def cnt(m: String) =
+        s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$m', ''))) / ${m.length}"
+      s"""SELECT doc_id, lang,
+         |  CAST(${cnt(" the ")} AS BIGINT) AS en_score,
+         |  CAST(${cnt(" a ")} AS BIGINT) AS art_score,
+         |  CASE WHEN ${cnt(" the ")} > 0 THEN 'en' ELSE 'unknown' END AS lang_guess
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      def cnt(m: String) = {
+        val padded = concat(lit(" "), lower($"text"), lit(" "))
+        ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / m.length)
+          .cast(LongType)
+      }
+      spark.table("documents")
+        .select($"doc_id", $"lang",
+          cnt(" the ").as("en_score"),
+          cnt(" a ").as("art_score"),
+          when(cnt(" the ") > 0, "en").otherwise("unknown").as("lang_guess"))
+        .orderBy($"doc_id")
+    },
+
+    // Quality scoring: length / punctuation / stopword / word-length stats →
+    // composite score. Pure per-row arithmetic (no shuffle) + final sort.
+    q("q64_quality_score",
+      s"""SELECT doc_id,
+         |  n_chars,
+         |  len($tokSql) AS n_words,
+         |  ROUND(CAST(length(text) AS DOUBLE) / len($tokSql), 4) AS avg_word_len,
+         |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+         |  len(list_filter($tokSql,
+         |      w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop,
+         |  ROUND(CAST(len(list_filter($tokSql,
+         |      w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+         |    / len($tokSql), 4) AS stop_ratio,
+         |  (length(text) BETWEEN 100 AND 500
+         |    AND len($tokSql) >= 20) AS passes_filter
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = split(lower($"text"), " ")
+      val stops = filter(toks, w => w.isin("the", "a", "of", "and", "is"))
+      spark.table("documents")
+        .select($"doc_id", $"n_chars",
+          size(toks).as("n_words"),
+          round(length($"text").cast(DoubleType) / size(toks), 4).as("avg_word_len"),
+          size(regexp_extract_all($"text", lit("[^a-z0-9 ]"), lit(0))).as("n_punct"),
+          size(stops).as("n_stop"),
+          round(size(stops).cast(DoubleType) / size(toks), 4).as("stop_ratio"),
+          (length($"text").between(100, 500) && size(toks) >= 20).as("passes_filter"))
+        .orderBy($"doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single other chars) — the tokenizer-cost
+    // estimate a training pipeline budgets by.
+    q("q65_token_count",
+      s"""SELECT doc_id,
+         |  len($tokSql) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_estimate
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .select($"doc_id",
+          size(split(lower($"text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .as("bpe_ish_tokens"),
+          ceil(length($"text") / 4.0).cast(LongType).as("byte_estimate"))
+        .orderBy($"doc_id")
+    },
+
+    // Document fingerprinting: raw md5 + an order/multiplicity-insensitive
+    // canonical fingerprint (md5 of the sorted distinct token set — the
+    // OpenRefine "fingerprint" method). md5 spells identically both engines.
+    q("q66_fingerprint",
+      s"""SELECT doc_id,
+         |  md5(text) AS raw_fp,
+         |  md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS canon_fp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .select($"doc_id",
+          md5($"text".cast(BinaryType)).as("raw_fp"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(lower($"text"), " "))))
+            .cast(BinaryType)).as("canon_fp"))
+        .orderBy($"doc_id")
+    },
+
+    // Lexicon sentiment (PAPERS.md, EDBT 2016 pattern): tokens × constant
+    // lexicon → per-doc weight sum. The lexicon is a literal inline table →
+    // Spark broadcasts it (asserted in PlanShapeSpec); docs with no hits kept
+    // via left join, scored 0.
+    q("q67_sentiment",
+      s"""SELECT d.doc_id,
+         |  COALESCE(SUM(lex.weight), 0) AS sentiment,
+         |  COUNT(lex.word) AS n_hits
+         |FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents) d
+         |LEFT JOIN (
+         |  SELECT * FROM (VALUES
+         |    ('fast', 2), ('big', 1), ('value', 1), ('merge', 1),
+         |    ('slow', -2), ('small', -1)) AS v(word, weight)) lex
+         |  ON d.token = lex.word
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val lexicon = Seq(
+        ("fast", 2), ("big", 1), ("value", 1), ("merge", 1),
+        ("slow", -2), ("small", -1)).toDF("word", "weight")
+      spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .join(broadcast(lexicon), $"token" === $"word", "left")
+        .groupBy($"doc_id")
+        .agg(
+          coalesce(sum($"weight"), lit(0)).cast(LongType).as("sentiment"),
+          count($"word").as("n_hits"))
+        .orderBy($"doc_id")
+    })
+}
