@@ -22,7 +22,8 @@ object SparkEntry {
     WindowQueries,
     SetOpQueries,
     FunctionQueries,
-    TextQueries)
+    TextQueries,
+    DedupQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

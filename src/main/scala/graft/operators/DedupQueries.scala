@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Deduplication surface over `documents` (SURVEY.md §2C): exact hash dedup,
+  * exact shingle-Jaccard (the verification baseline), deterministic MinHash
+  * signatures, MinHash-LSH band-bucket candidate pairs, and SimHash.
+  *
+  * Determinism strategy: MinHash "hash family" is `md5(shingle || ':' || i)`
+  * — md5 spells and evaluates identically in Spark and DuckDB, so signatures
+  * AND the banded LSH pair set are fully oracle-checkable (no RNG anywhere).
+  * SimHash uses Spark-native `xxhash64` (codegen'd, no oracle twin → rows +
+  * property tests in DedupSpec).
+  *
+  * Scale design: everything is explode → shuffle-by-key → aggregate. The
+  * LSH path (q73) is the 100 TB shape: candidate pairs come from equi-joins
+  * on (band, band_hash) buckets — never an all-pairs product. The exact
+  * Jaccard query (q71) deliberately bounds its input (doc_id < 100) because
+  * all-pairs-by-shingle is the quadratic baseline you only run on samples.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Distinct 3-word shingles, both engines. */
+  private val shingleSql =
+    """list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+      |  i -> string_split(lower(text), ' ')[i] || ' ' ||
+      |       string_split(lower(text), ' ')[i + 1] || ' ' ||
+      |       string_split(lower(text), ' ')[i + 2]))""".stripMargin
+
+  private def shingles(text: Column): Column = {
+    val t = split(lower(text), " ")
+    array_distinct(transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  private val numHashes = 16
+
+  /** MinHash component i: min over shingles of md5(shingle || ':' || i). */
+  private def sigCol(i: Int): Column =
+    min(md5(concat(col("shingle"), lit(s":$i")).cast(BinaryType))).as(s"sig$i")
+
+  private def sigSqlCols: String =
+    (0 until numHashes)
+      .map(i => s"  MIN(md5(shingle || ':$i')) AS sig$i")
+      .mkString(",\n")
+
+  /** doc_id → 16-column MinHash signature (shared by q72/q73). */
+  private def signatures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("documents")
+      .select($"doc_id", explode(shingles($"text")).as("shingle"))
+      .groupBy($"doc_id")
+      .agg(sigCol(0), (1 until numHashes).map(sigCol): _*)
+  }
+
+  private val signaturesSql =
+    s"""SELECT doc_id,
+       |$sigSqlCols
+       |FROM (SELECT doc_id, unnest($shingleSql) AS shingle FROM documents) t
+       |GROUP BY doc_id""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Exact dedup: sha256 content groups; keeper = lowest doc_id per group.
+    // groupBy(hash) is map-side-combinable and shuffles by digest — uniform
+    // keys, no skew, the canonical 100 TB exact-dedup plan.
+    q("q70_exact_dedup",
+      """SELECT keeper_id, dup_count FROM (
+        |  SELECT sha256(text) AS h, MIN(doc_id) AS keeper_id,
+        |         COUNT(*) AS dup_count
+        |  FROM documents GROUP BY sha256(text)) t
+        |ORDER BY keeper_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .groupBy(sha2($"text".cast(BinaryType), 256).as("h"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
+        .select($"keeper_id", $"dup_count")
+        .orderBy($"keeper_id")
+    },
+
+    // Exact n-gram (3-shingle) Jaccard over a bounded sample — the
+    // ground-truth near-dup measure the LSH path approximates.
+    q("q71_shingle_jaccard",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS shingle
+         |  FROM documents WHERE doc_id < 100),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.01
+         |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val sh = spark.table("documents").filter($"doc_id" < 100)
+        .select($"doc_id", explode(shingles($"text")).as("shingle"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("i"))
+      val jac = $"i".cast(DoubleType) /
+        ($"sa.n" + $"sb.n" - $"i").cast(DoubleType)
+      inter
+        .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
+        .join(sizes.as("sb"), $"sb.doc_id" === $"id_b")
+        .filter(jac >= 0.01)
+        .select($"id_a", $"id_b", round(jac, 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // Deterministic MinHash signatures (16 hashes). One shuffle:
+    // groupBy(doc_id) with 16 map-side-combinable MINs.
+    q("q72_minhash_signatures",
+      s"""SELECT * FROM ($signaturesSql) s ORDER BY doc_id""") { spark =>
+      import spark.implicits._
+      signatures(spark).orderBy($"doc_id")
+    },
+
+    // MinHash-LSH candidate pairs: 4 bands × 4 rows. Docs agreeing on all 4
+    // signature components of any band land in the same (band, hash) bucket;
+    // pairs come from within-bucket equi-joins — the linear-shuffle near-dup
+    // plan that replaces the quadratic q71 at 100 TB.
+    q("q73_minhash_band_pairs", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val sigs = signatures(spark)
+      val bands = (0 until 4).map { b =>
+        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
+        sigs.select($"doc_id", lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+      }.reduce(_ unionAll _)
+      bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .distinct()
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // SimHash: 64-bit signature from xxhash64(token) bit votes, built with
+    // higher-order functions only (per-row, zero shuffle, codegen'd) — no
+    // oracle twin (hash is Spark-native); DedupSpec property-tests it.
+    qRowsOnly("q74_simhash") { spark =>
+      import spark.implicits._
+      val toks = array_distinct(split(lower($"text"), " "))
+      val bitIdx = sequence(lit(0), lit(63))
+      // votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1)
+      val votes = aggregate(toks, array_repeat(lit(0L), 64),
+        (acc, t) => zip_with(acc,
+          transform(bitIdx, b =>
+            call_function("shiftright", xxhash64(t), b.cast(IntegerType))
+              .bitwiseAND(1L) * 2 - 1),
+          (a, v) => a + v))
+      // simhash = Σ_b (votes[b] > 0) << b
+      val sim = aggregate(zip_with(votes, bitIdx,
+          (v, b) => when(v > 0,
+            call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)),
+        lit(0L), (a, x) => a + x)
+      spark.table("documents")
+        .select($"doc_id", sim.as("simhash"))
+        .orderBy($"doc_id")
+    })
+}
