@@ -56,6 +56,35 @@ object Engine {
     def close(): Unit = () // temp views die with the session wrapper
   }
 
+  /** Multi-statement batch execution — the engine analog of the
+    * ClientMultiStatements/ClientMultiResults capability the gateway
+    * advertises and relays (/root/reference/mysql/constants.go:57-58):
+    * several ';'-separated statements in, one result set per statement out.
+    * The splitter respects quoted strings (' and ") and backtick
+    * identifiers; each statement executes eagerly in order so later
+    * statements see earlier side effects. */
+  def sqlBatch(spark: SparkSession, batch: String): Seq[DataFrame] = {
+    val stmts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < batch.length) {
+      val c = batch.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < batch.length) {
+          cur.append(batch.charAt(i + 1)); i += 1
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; cur.append(c) }
+      else if (c == ';') { stmts += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    stmts += cur.toString
+    stmts.result().map(_.trim).filter(_.nonEmpty).map(spark.sql)
+  }
+
   /** Routing table: cluster id → data directory. The reference falls through
     * silently on unknown ids (treats the id as a literal address,
     * /root/reference/gateway/config.go:28-35); we tighten that to a structured

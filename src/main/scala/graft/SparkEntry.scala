@@ -23,7 +23,12 @@ object SparkEntry {
     SetOpQueries,
     FunctionQueries,
     TextQueries,
-    DedupQueries)
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries,
+    AsofJoinQueries,
+    graft.streaming.StreamingQueries,
+    graft.sources.IngestQueries)
 
   def allQueries: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Multimodal columns (SURVEY.md §2C): image/audio/video payloads modeled as
+  * opaque `BinaryType` columns alongside a typed metadata struct, exactly the
+  * way the reference treats its payloads as opaque bytes it frames but never
+  * interprets (/root/reference/gateway/relay.go:12-30,
+  * /root/reference/mysql/conn.go:177-199).
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[MultimodalQueries.decodeStub]]);
+  * everything around it — schema, binary handling, per-partition batch
+  * iteration, frame slicing, feature vectors — is real Spark plumbing that a
+  * codec drop-in would inherit unchanged.
+  *
+  * The media "table" derives deterministically from `documents` (payload =
+  * UTF-8 bytes of `text`), so metadata queries stay oracle-checkable in
+  * DuckDB (octet_length over the same derivation).
+  *
+  * Scale design: payloads never reach the driver; feature extraction is
+  * mapPartitions (one JVM pass per parquet split, no shuffle); frame
+  * sampling is a per-row generator (explode) feeding a groupBy keyed on
+  * doc_id — uniform keys, clean shuffle.
+  */
+object MultimodalQueries extends QueryModule {
+
+  /** Typed media row: opaque payload + declared metadata (the §1.3 model:
+    * BLOB column + fixed-schema struct). */
+  final case class Media(doc_id: Long, format: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  /** === STUB === Real deployments decode payload bytes with an image/audio
+    * codec here (not present in this container). The stub derives a
+    * deterministic 16-bin byte histogram "feature vector" from the raw
+    * payload instead — same signature, same batch shape, drop-in
+    * replaceable. */
+  private def decodeStub(m: Media): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < m.payload.length) {
+      hist((m.payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val n = math.max(1, m.payload.length).toFloat
+    hist.map(_ / n)
+  }
+
+  /** documents → media table: payload = text bytes; metadata derived
+    * deterministically from doc_id (same expressions in the oracle). */
+  private def media(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("documents").select(
+      $"doc_id",
+      struct(
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          ($"doc_id" % 3 + 1).cast(IntegerType)).as("format"),
+        (lit(64) + ($"doc_id" % 7) * 32).cast(IntegerType).as("width"),
+        (lit(64) + ($"doc_id" % 5) * 32).cast(IntegerType).as("height")).as("meta"),
+      $"text".cast(BinaryType).as("payload"))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Metadata-plane query: group by format, count + payload byte volume +
+    // dimension stats. Binary column is scanned but never interpreted —
+    // the opaque-payload contract.
+    q("q90_media_meta",
+      """SELECT format, COUNT(*) AS n_media, SUM(bytes) AS total_bytes,
+        |       MIN(width) AS min_w, MAX(width) AS max_w,
+        |       MIN(height) AS min_h, MAX(height) AS max_h
+        |FROM (
+        |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |              WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |         CAST(64 + (doc_id % 7) * 32 AS INT) AS width,
+        |         CAST(64 + (doc_id % 5) * 32 AS INT) AS height,
+        |         octet_length(CAST(text AS BLOB)) AS bytes
+        |  FROM documents) m
+        |GROUP BY format
+        |ORDER BY format""".stripMargin) { spark =>
+      import spark.implicits._
+      media(spark)
+        .groupBy($"meta.format".as("format"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(length($"payload").cast(LongType)).as("total_bytes"),
+          min($"meta.width").as("min_w"), max($"meta.width").as("max_w"),
+          min($"meta.height").as("min_h"), max($"meta.height").as("max_h"))
+        .orderBy($"format")
+    },
+
+    // Decode + feature-extract over typed Dataset[Media] via mapPartitions:
+    // the real 100 TB shape (per-partition batch, zero shuffle, payloads
+    // stay on executors). Decode itself is the marked stub above.
+    qRowsOnly("q91_feature_extract") { spark =>
+      import spark.implicits._
+      val feats = media(spark)
+        .select($"doc_id", $"meta.format".as("format"), $"meta.width".as("width"),
+          $"meta.height".as("height"), $"payload")
+        .as[Media]
+        .mapPartitions { batch =>
+          batch.map { m =>
+            val f = decodeStub(m)
+            (m.doc_id, m.format, f, f.map(x => x * x).sum)
+          }
+        }
+        .toDF("doc_id", "format", "features", "feat_norm_sq")
+      feats.filter(size($"features") === 16)
+        .select($"doc_id", $"format", round($"feat_norm_sq", 4).as("norm_sq"))
+        .orderBy($"doc_id")
+    },
+
+    // Frame sampling: treat the payload as a frame container (256-byte
+    // frames), keep every 4th frame, fingerprint each kept frame. The
+    // slice→explode generator runs per-row in codegen; downstream agg
+    // shuffles on doc_id only.
+    qRowsOnly("q92_frame_sample") { spark =>
+      import spark.implicits._
+      val frameSize = 256
+      val nFrames = ceil(length($"payload") / lit(frameSize.toDouble))
+        .cast(IntegerType)
+      val frames = media(spark)
+        .select($"doc_id", $"payload",
+          explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("frame_idx"))
+        .filter($"frame_idx" % 4 === 0) // sample every 4th frame
+        .select($"doc_id", $"frame_idx",
+          substring($"payload", $"frame_idx" * frameSize + 1, lit(frameSize))
+            .as("frame"))
+      frames.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length($"frame").cast(LongType)).as("sampled_bytes"),
+          xxhash64(concat_ws(",",
+            sort_array(collect_list(xxhash64($"frame"))))).as("content_sig"))
+        .orderBy($"doc_id")
+    })
+}

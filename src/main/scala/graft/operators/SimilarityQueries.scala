@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Similarity search over `embeddings` (SURVEY.md §2C): exact cosine top-k
+  * (the ground-truth baseline), exact threshold similarity join, banded
+  * random-hyperplane LSH ANN (the 100 TB path), and IVF-style partition
+  * probing.
+  *
+  * The reference gateway relays whatever vector workload its TiDB backends
+  * speak without interpreting it (/root/reference/gateway/relay.go:12-30);
+  * this module is the driver-mandated Layer-C surface built Spark-first.
+  *
+  * Determinism: dot products fold left-to-right over the array in BOTH
+  * engines (Spark `aggregate` HOF; DuckDB `list_dot_product` over DOUBLE[]),
+  * and every scored query rounds to 4 decimals before ranking, so exact
+  * variants are fully oracle-checkable. LSH hyperplanes come from a fixed
+  * in-code LCG (no RNG at runtime) — ANN variants are rows-only + recall
+  * property tests (SimilaritySpec).
+  *
+  * Scale design: query side is always the small side → `broadcast()`; the
+  * corpus scan stays partition-parallel with no shuffle until the final
+  * per-query top-k (shuffle key = query id). The LSH variant replaces the
+  * all-pairs product with equi-joins on (band, bucket) — candidate count is
+  * per-bucket quadratic only, which is the linear-shuffle ANN plan.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** Array[Float] column → Array[Double] (cosine math in double precision,
+    * matching the oracle's CAST(embedding AS DOUBLE[])). */
+  private def toD(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Left-to-right fold dot product — same association order as DuckDB's
+    * list_dot_product, so results agree bitwise before rounding. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val cosSql = // cos(a.emb, b.emb) on pre-cast DOUBLE[] columns
+    """list_dot_product(a.emb, b.emb) /
+      |  (sqrt(list_dot_product(a.emb, a.emb)) *
+      |   sqrt(list_dot_product(b.emb, b.emb)))""".stripMargin
+
+  /** 16 fixed hyperplanes × 64 dims from a seeded LCG (build-time constant —
+    * the deterministic stand-in for the usual Gaussian draws). */
+  private val numPlanes = 16
+  private val dims = 64
+  private lazy val planes: Array[Array[Double]] = {
+    var s = 42L
+    Array.fill(numPlanes, dims) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+  }
+
+  /** Sign-bucket id for band `b` (4 planes per band): 4 sign bits packed. */
+  private def bandBucket(emb: Column, band: Int): Column =
+    (0 until 4).map { r =>
+      val p = planes(band * 4 + r)
+      val planeLit = array(p.map(lit): _*)
+      when(dot(emb, planeLit) > 0d, lit(1 << r)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def embeddingsD(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("embeddings").select($"vec_id", toD($"embedding").as("emb"))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Exact cosine top-5 neighbors for each of 10 probe vectors — the
+    // ground-truth ANN baseline. Probe side broadcast; corpus scanned once,
+    // map-side scored; the only shuffle is the per-probe top-k (key = qid).
+    q("q80_cosine_topk",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, ROUND($cosSql, 4) AS cos
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10)
+         |SELECT qid, cid, cos FROM (
+         |  SELECT qid, cid, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+         |  FROM s) t
+         |WHERE rn <= 5
+         |ORDER BY qid, cid""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = embeddingsD(spark)
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"emb".as("qemb"))
+      val scored = e.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"),
+          round(cosine($"qemb", $"emb"), 4).as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"qid", $"cid", $"cos")
+        .orderBy($"qid", $"cid")
+    },
+
+    // Exact similarity join: all pairs with cosine ≥ 0.4 — the quadratic
+    // ground truth the LSH join approximates (run on full corpus here; at
+    // 100 TB this is the bounded-sample validator, q82 is the prod path).
+    q("q81_cosine_pairs",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($cosSql, 4) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = embeddingsD(spark)
+      val a = e.select($"vec_id".as("id_a"), $"emb".as("ea"))
+      val b = e.select($"vec_id".as("id_b"), $"emb".as("eb"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b", round(cosine($"ea", $"eb"), 4).as("cos"))
+        .filter($"cos" >= 0.4)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // ANN top-5 via banded sign-LSH: 4 bands × 4 hyperplane sign bits.
+    // Candidates = corpus vectors sharing any (band, bucket) with the probe,
+    // exact-reranked. Equi-join on (band, bucket) — no all-pairs product;
+    // recall vs q80 is property-tested in SimilaritySpec.
+    qRowsOnly("q82_ann_lsh_topk") { spark =>
+      import spark.implicits._
+      val e = embeddingsD(spark)
+      def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+        (0 until 4).map { bnd =>
+          df.select(col("vec_id").as(idAs), col("emb").as(embAs),
+            lit(bnd).as("band"), bandBucket(col("emb"), bnd).as("bucket"))
+        }.reduce(_ unionAll _)
+      val corpus = banded(e, "cid", "cemb")
+      val probes = banded(e.filter($"vec_id" < 10), "qid", "qemb")
+      val cands = corpus.join(broadcast(probes),
+          Seq("band", "bucket")).filter($"cid" =!= $"qid")
+        .select($"qid", $"cid", $"qemb", $"cemb").distinct()
+      val scored = cands.select($"qid", $"cid",
+        round(cosine($"qemb", $"cemb"), 4).as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"qid", $"cid", $"cos")
+        .orderBy($"qid", $"cid")
+    },
+
+    // IVF-style ANN: coarse-quantize the corpus by per-label centroid (the
+    // inverted-file lists), probe the 3 nearest centroids per query, search
+    // only those lists. Centroids built distributively (posexplode →
+    // groupBy(label, dim) → avg → re-assemble); everything joined to the
+    // probe side via broadcast.
+    qRowsOnly("q83_ivf_topk") { spark =>
+      import spark.implicits._
+      val e = spark.table("embeddings")
+      val centroids = e
+        .select($"label", posexplode(toD($"embedding")).as(Seq("dim", "x")))
+        .groupBy($"label", $"dim").agg(avg($"x").as("cx"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
+        .select($"label", transform($"pairs", p => p("cx")).as("cemb"))
+      val probes = embeddingsD(spark).filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"emb".as("qemb"))
+      // 3 nearest centroid lists per probe
+      val wq = Window.partitionBy($"qid").orderBy($"ccos".desc, $"label".asc)
+      val probed = broadcast(probes).crossJoin(broadcast(centroids))
+        .select($"qid", $"qemb", $"label",
+          round(cosine($"qemb", $"cemb"), 6).as("ccos"))
+        .withColumn("rn", row_number().over(wq)).filter($"rn" <= 3)
+        .select($"qid", $"qemb", $"label")
+      val scored = embeddingsD(spark)
+        .join(spark.table("embeddings").select($"vec_id", $"label"), "vec_id")
+        .join(broadcast(probed), Seq("label")).filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"),
+          round(cosine($"qemb", $"emb"), 4).as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"qid", $"cid", $"cos")
+        .orderBy($"qid", $"cid")
+    })
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Ingest + sink surface (SURVEY.md §2B scans/sources/sinks): the engine-side
+  * analogs of the capabilities the gateway advertises —
+  * `LOAD DATA LOCAL INFILE` bulk CSV ingest (ClientLocalFiles,
+  * /root/reference/mysql/constants.go:48), INSERT/CTAS sinks, and
+  * multi-statement batches (ClientMultiStatements/ClientMultiResults,
+  * /root/reference/mysql/constants.go:57-58) relayed opaquely by
+  * /root/reference/gateway/relay.go:47-99.
+  *
+  * Round-trip checks write under a per-query temp dir and read back with a
+  * declared schema — distributed writers (one file per partition), no
+  * driver materialization.
+  */
+object IngestQueries extends QueryModule {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // CSV bulk ingest round-trip: export `customer` to headered CSV with
+    // explicit timestamp format, re-read with the declared schema (never
+    // inferred — fixed-schema model §1.3), prove content equality by
+    // re-aggregating the re-read side. Oracle runs the same aggregate on
+    // the original table: hash-match ⇒ lossless round trip.
+    q("q98_csv_ingest_roundtrip",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { spark =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_csv_").toString
+      spark.table("customer").write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      spark.read.schema(Tables.customer)
+        .option("header", "true").csv(dir)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"c_acctbal".cast("decimal(18,4)")).as("bal"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // INSERT-sink round-trip (CTAS + INSERT INTO … SELECT): write orders
+    // twice into a parquet sink (append mode = the INSERT path), read back,
+    // verify the doubled multiset. Oracle doubles via UNION ALL.
+    q("q99_insert_select_roundtrip",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders) t
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { spark =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_ins_").toString + "/orders"
+      val orders = spark.table("orders")
+      orders.write.mode("overwrite").parquet(dir) // CTAS
+      orders.write.mode("append").parquet(dir)    // INSERT INTO … SELECT
+      spark.read.schema(Tables.orders).parquet(dir)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,4)")).as("total"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // Multi-statement batch: several ';'-separated statements, several
+    // result sets, last one returned (ClientMultiStatements contract).
+    // Statement splitting lives in graft.Engine.sqlBatch.
+    q("q100_multi_statement",
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""") { spark =>
+      val batch = graft.Engine.sqlBatch(spark,
+        """SELECT COUNT(*) AS n FROM nation;
+          |SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin)
+      batch.last
+    })
+}

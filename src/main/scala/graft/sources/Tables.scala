@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Fixed, declared schemas for every fixture table (FIXTURES.md).
@@ -69,9 +70,15 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  val events: StructType = StructType(Seq(
+  /** `events.ts` is parquet timestamp[ns] (INT64). Spark's parquet reader
+    * has no nanosecond timestamp type, so the declared read schema takes the
+    * raw nanos as Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * every session builder) and [[table]] converts ns → µs with integer
+    * division — the same floor-truncation DuckDB applies reading ns into its
+    * µs TIMESTAMP, keeping the oracle hash-stable. */
+  val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType), // parquet ns → Spark truncates to µs; oracle queries bucket ≥ms
+    StructField("ts", LongType), // raw nanos — converted to µs timestamp in table()
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -92,22 +99,24 @@ object Tables {
   val all: Seq[(String, StructType)] = Seq(
     "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "nation" -> nation,
-    "region" -> region, "events" -> events, "documents" -> documents,
+    "region" -> region, "events" -> eventsRaw, "documents" -> documents,
     "embeddings" -> embeddings)
 
   /** Load one fixture as a DataFrame with its declared schema. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val schema = all.collectFirst { case (`name`, s) => s }
       .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
-    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    val df = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    if (name == "events") // ns → µs floor-truncation (see eventsRaw scaladoc)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 
   /** Register every fixture under its table name as a temp view (the analog
     * of the gateway binding a routed backend's database into the session,
     * /root/reference/gateway/gateway.go:111-130). */
   def register(spark: SparkSession, dir: String): Unit =
-    all.foreach { case (name, schema) =>
-      spark.read.schema(schema).parquet(s"$dir/$name.parquet")
-        .createOrReplaceTempView(name)
+    all.foreach { case (name, _) =>
+      table(spark, dir, name).createOrReplaceTempView(name)
     }
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Event-time windowing over `events` (SURVEY.md §2B streaming). The same
+  * `window`/`session_window` expressions drive Structured Streaming
+  * (`readStream` + watermark — exercised in StreamingSpec with MemoryStream);
+  * here they run in batch mode so results stay deterministic and
+  * oracle-checkable — the SURVEY §5.2.3 "streaming-vs-batch equivalence"
+  * strategy: the oracle expresses the identical bucketing in portable SQL.
+  *
+  * Money-sum columns cast to DECIMAL(18,4) before SUM (float-sum hazard,
+  * SURVEY.md §7.4). Scale: all three are single-shuffle hash aggregates on
+  * (window, key); sliding windows fan out ×(size/slide) at the map side
+  * before the shuffle — the standard cost, no driver involvement.
+  */
+object StreamingQueries extends QueryModule {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Tumbling 1-hour windows per event_type.
+    q("q95_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws, event_type""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,4)")).as("total"))
+        .select($"window.start".as("ws"), $"event_type", $"n", $"total")
+        .orderBy($"ws", $"event_type")
+    },
+
+    // Sliding 1-hour windows every 30 minutes: each event lands in 2
+    // windows. Oracle = union of the two aligned tumbling grids.
+    q("q96_sliding_window",
+      """WITH grid AS (
+        |  SELECT '1970-01-01'::TIMESTAMP +
+        |           INTERVAL (floor((epoch(ts) - off) / 3600) * 3600 + off) SECOND AS ws,
+        |         value
+        |  FROM events, (SELECT unnest([0, 1800]) AS off) offs)
+        |SELECT ws, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total
+        |FROM grid
+        |GROUP BY ws
+        |ORDER BY ws""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,4)")).as("total"))
+        .select($"window.start".as("ws"), $"n", $"total")
+        .orderBy($"ws")
+    },
+
+    // Session windows: 10-minute inactivity gap per user. Oracle =
+    // gaps-and-islands (new session when gap ≥ 10 min — Spark's session
+    // window [ts, ts+gap) does NOT merge an event at exactly prev+gap).
+    q("q97_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    })
+}
