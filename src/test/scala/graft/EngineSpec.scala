@@ -1,0 +1,48 @@
+package graft
+
+/** Session façade behavior — mirrors the reference's routing unit cases
+  * (SURVEY.md §5.2.6: username split, case-insensitive cluster lookup,
+  * unknown id, /root/reference/gateway/gateway.go:253-267) plus the
+  * multi-statement batch contract. */
+class EngineSpec extends SparkSpec {
+
+  private val backends = Map("prod" -> sf, "Staging" -> sf)
+
+  test("connect routes case-insensitively like the reference") {
+    val s = Engine.connect(spark, "PROD", backends)
+    assert(s.clusterId == "PROD")
+    assert(s.sql("SELECT COUNT(*) n FROM region").head().getLong(0) == 5)
+    val s2 = Engine.connect(spark, "staging", backends)
+    assert(s2.table("nation").count() == 25)
+  }
+
+  test("unknown cluster id raises the structured engine error") {
+    val e = intercept[Engine.EngineError] {
+      Engine.connect(spark, "nope", backends)
+    }
+    assert(e.code == 1105 && e.sqlState == "08S01")
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("sessions are isolated namespaces over one SparkContext") {
+    val a = Engine.connect(spark, "prod", backends)
+    a.spark.sql("CREATE OR REPLACE TEMP VIEW scratch AS SELECT 1 AS x")
+    val b = Engine.connect(spark, "prod", backends)
+    assert(a.spark.sparkContext eq b.spark.sparkContext)
+    intercept[Exception] { b.sql("SELECT * FROM scratch").collect() }
+  }
+
+  test("sqlBatch splits statements, respecting quotes") {
+    graft.sources.Tables.register(spark, sf)
+    val res = Engine.sqlBatch(spark,
+      "SELECT ';' AS semi; SELECT COUNT(*) AS n FROM region;  ")
+    assert(res.size == 2)
+    assert(res.head.head().getString(0) == ";")
+    assert(res.last.head().getLong(0) == 5)
+  }
+
+  test("sqlBatch single statement and trailing semicolon") {
+    assert(Engine.sqlBatch(spark, "SELECT 1 AS x;").size == 1)
+    assert(Engine.sqlBatch(spark, "SELECT 1 AS x").size == 1)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Plan-shape golden assertions (SURVEY.md §4.2 / §5.2.4): the rewrites the
+  * engine relies on at 100 TB must actually fire — filter pushdown into the
+  * parquet scan, column pruning in ReadSchema, broadcast joins for small
+  * dims, whole-stage codegen on the hot path. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    import spark.implicits._
+    val df = Tables.table(spark, sf, "lineitem")
+      .filter($"l_quantity" < 10.0)
+      .select($"l_orderkey", $"l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThan(l_quantity,10.0)"), plan)
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    import spark.implicits._
+    val df = Tables.table(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity")
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_extendedprice"), plan)
+  }
+
+  test("small-dim join broadcasts (no shuffle of the fact side)") {
+    import spark.implicits._
+    Tables.register(spark, sf)
+    val df = spark.table("lineitem")
+      .join(spark.table("supplier"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)))
+    assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
+  }
+
+  test("aggregation pipeline stays inside whole-stage codegen") {
+    import spark.implicits._
+    Tables.register(spark, sf)
+    val df = spark.table("lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(18,4)")))
+    df.collect() // AQE finalizes the physical plan only at execution
+    val plan = planOf(df)
+    // codegen'd operators print with a "*(stageId)" prefix in plan strings
+    assert(plan.contains(") HashAggregate"), plan)
+    assert(plan.contains("isFinalPlan=true"), plan)
+  }
+
+  test("partial aggregation before the shuffle (map-side combine)") {
+    import spark.implicits._
+    Tables.register(spark, sf)
+    val df = spark.table("lineitem").groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("decimal(18,4)")))
+    val plan = planOf(df)
+    // partial_sum appears below the Exchange, final above it
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("semi-join rewrite: IN (subquery) becomes a semi join, not a product") {
+    Tables.register(spark, sf)
+    val df = spark.sql(
+      """SELECT COUNT(*) FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin)
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+/** Every declared operator runs end-to-end on sf0.001 (the t1 smoke,
+  * SURVEY.md §5.2.5): plan builds, executes, and returns rows. Result
+  * *values* are covered by the DuckDB oracle gate (Verify + tools/check.py);
+  * this spec guards plan regressions per operator.
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  /** Queries whose result can legitimately be empty at sf0.001 (similarity /
+    * near-dup thresholds over ~50-row fixtures). */
+  private val mayBeEmpty = Set(
+    "q16_join_anti", // all sf0.001 customers have orders
+    "q71_shingle_jaccard", "q73_minhash_band_pairs", "q81_cosine_pairs")
+
+  test("entry returns rows (driver t1 contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql keys line up") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+    assert(qs.size == SparkEntry.allQueries.size, "duplicate query names")
+  }
+
+  SparkEntry.allQueries.foreach { gq =>
+    test(s"${gq.name} executes on sf0.001") {
+      val n = gq.run(spark, sf).count()
+      if (mayBeEmpty(gq.name)) assert(n >= 0) else assert(n > 0)
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for the randomized/approximate Layer-C operators
+  * (SURVEY.md §5.2.2): ANN recall vs the exact baseline, SimHash
+  * consistency with exact duplicates. Deterministic — LSH planes and
+  * MinHash families are fixed in code, so measured recall is a constant
+  * of the fixture. */
+class SimilarityDedupSpec extends SparkSpec {
+
+  private def queries = SparkEntry.queries
+
+  private def topkPairs(name: String): Set[(Long, Long)] =
+    queries(name)(spark, sf).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("banded sign-LSH ANN recalls a usable fraction of exact top-5") {
+    val exact = topkPairs("q80_cosine_topk")
+    val ann = topkPairs("q82_ann_lsh_topk")
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // random 64-dim unit vectors + 4 bands × 4 sign bits → measured 0.44 on
+    // the fixture; assert a margin below that to catch regressions only
+    assert(recall >= 0.25, s"LSH recall $recall")
+  }
+
+  test("IVF centroid probing recalls a usable fraction of exact top-5") {
+    val exact = topkPairs("q80_cosine_topk")
+    val ivf = topkPairs("q83_ivf_topk")
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // 3 of 10 lists probed → expected ~0.3 baseline for unclustered data
+    assert(recall >= 0.15, s"IVF recall $recall")
+  }
+
+  test("LSH candidate set is far smaller than the all-pairs product") {
+    val n = queries("q82_ann_lsh_topk")(spark, sf).count()
+    val corpus = spark.table("embeddings").count()
+    assert(n <= 10 * 5L) // top-5 for 10 probes
+    assert(corpus > 50) // sanity: non-trivial corpus
+  }
+
+  test("SimHash is deterministic and separates similar from random pairs") {
+    val run1 = queries("q74_simhash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = queries("q74_simhash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1 == run2, "SimHash must be a pure function of the text")
+
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // shingle-Jaccard-similar pairs (exact ground truth from q71) should sit
+    // closer in SimHash space than arbitrary pairs
+    val simPairs = queries("q71_shingle_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (simPairs.nonEmpty) {
+      val ids = run1.keys.toArray.sorted
+      val randomPairs = ids.take(100).map(i => (i, ids((i + ids.length / 2).toInt % ids.length)))
+      def avg(ps: Seq[(Long, Long)]): Double =
+        ps.map { case (a, b) => hamming(run1(a), run1(b)) }.sum.toDouble / ps.size
+      assert(avg(simPairs.toSeq) <= avg(randomPairs.toSeq),
+        "similar docs should not be farther in SimHash space than random pairs")
+    }
+  }
+
+  test("MinHash band pairs are a superset-biased sample of high-Jaccard pairs") {
+    import spark.implicits._
+    // every banded pair collides on ≥4 consecutive minhash components —
+    // verify the signature agreement that defines the bucket join
+    val sigs = queries("q72_minhash_signatures")(spark, sf)
+    val pairs = queries("q73_minhash_band_pairs")(spark, sf).collect()
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    pairs.foreach { r =>
+      val (a, b) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val bandMatch = (0 until 4).exists { band =>
+        (0 until 4).forall(i => a(band * 4 + i) == b(band * 4 + i))
+      }
+      assert(bandMatch, s"pair ${r.getLong(0)},${r.getLong(1)} has no full band match")
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming semantics (SURVEY.md §2B streaming, §5.2.3):
+  * streaming windowed aggregates must equal the batch expression of the same
+  * logic on the same data; stateful dedup and arbitrary per-key state run
+  * deterministically on a controlled MemoryStream (the analog of the
+  * reference's hermetic io.Pipe transport mock,
+  * /root/reference/mysql/conn_test.go:100-135). */
+class StreamingSpec extends SparkSpec {
+
+  private def sampleEvents(n: Int): Seq[(Timestamp, String, Double)] = {
+    graft.sources.Tables.table(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .limit(n).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+  }
+
+  test("streaming tumbling window agg equals the batch computation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(300)
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    ms.addData(data: _*)
+    val agg = ms.toDF().toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,4)")).as("total"))
+    val q = agg.writeStream.format("memory").queryName("t_tumbling")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("t_tumbling")
+      .select($"window.start".as("ws"), $"event_type", $"n", $"total")
+      .collect().map(_.toSeq).toSet
+    val batch = data.toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,4)")).as("total"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"total")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("watermarked stateful dedup drops within-watermark duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val ms = MemoryStream[(Long, Timestamp)]
+    val deduped = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData((1L, at(0)), (1L, at(1)), (2L, at(2)))
+      q.processAllAvailable()
+      ms.addData((1L, at(3)), (2L, at(4)), (3L, at(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("t_dedup").select($"id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), ids.mkString(","))
+  }
+
+  test("flatMapGroupsWithState maintains per-key running counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    val counted = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((key, total))
+      }
+    val q = counted.toDF("key", "running").writeStream.format("memory")
+      .queryName("t_state").outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(("a", 1), ("a", 2), ("b", 1))
+      q.processAllAvailable()
+      ms.addData(("a", 3), ("b", 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("t_state").groupBy($"key")
+      .agg(max($"running").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("a" -> 3L, "b" -> 2L), last.toString)
+  }
+
+  test("streaming session windows equal the batch session computation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    // two sessions for user 1 (gap ≥ 10 min), one for user 2
+    val data = Seq((1L, at(0)), (1L, at(5)), (1L, at(30)), (2L, at(7)))
+    val ms = MemoryStream[(Long, Timestamp)]
+    ms.addData(data: _*)
+    val agg = ms.toDF().toDF("user_id", "ts")
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("t_sessions")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_sessions")
+      .select($"user_id", $"session_window.start".as("s"), $"n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == Set((1L, at(0), 2L), (1L, at(30), 1L), (2L, at(7), 1L)), got)
+  }
+}
