@@ -31,28 +31,37 @@ object DedupQueries extends QueryModule {
       |       string_split(lower(text), ' ')[i + 1] || ' ' ||
       |       string_split(lower(text), ' ')[i + 2]))""".stripMargin
 
-  private def shingles(text: Column): Column = {
-    val t = split(lower(text), " ")
-    array_distinct(transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-  }
+  /** Shingles from a pre-split token array. Tokenization happens in its own
+    * projection (see call sites): referencing `split(lower(text))` directly
+    * here would re-evaluate it once per appearance inside the interpreted
+    * HOF lambda — no common-subexpression elimination outside codegen. */
+  private def shingles(toks: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
 
   private val numHashes = 16
 
-  /** MinHash component i: min over shingles of md5(shingle || ':' || i). */
+  /** MinHash component i. The 16-member hash family is derived from only 4
+    * md5 evaluations per shingle (md5(shingle||':k') for k=0..3, split into
+    * four 32-bit hex windows each) — 4× less hashing for the same number of
+    * signature components; 32-bit resolution keeps min-collisions negligible
+    * at realistic shingle-set sizes. Same derivation in the oracle. */
   private def sigCol(i: Int): Column =
-    min(md5(concat(col("shingle"), lit(s":$i")).cast(BinaryType))).as(s"sig$i")
+    min(substring(md5(concat(col("shingle"), lit(s":${i / 4}")).cast(BinaryType)),
+      (i % 4) * 8 + 1, 8)).as(s"sig$i")
 
   private def sigSqlCols: String =
     (0 until numHashes)
-      .map(i => s"  MIN(md5(shingle || ':$i')) AS sig$i")
+      .map(i => s"  MIN(substr(md5(shingle || ':${i / 4}'), ${(i % 4) * 8 + 1}, 8)) AS sig$i")
       .mkString(",\n")
 
   /** doc_id → 16-column MinHash signature (shared by q72/q73). */
   private def signatures(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.table("documents")
-      .select($"doc_id", explode(shingles($"text")).as("shingle"))
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("shingle"))
       .groupBy($"doc_id")
       .agg(sigCol(0), (1 until numHashes).map(sigCol): _*)
   }
@@ -102,7 +111,8 @@ object DedupQueries extends QueryModule {
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
       val sh = spark.table("documents").filter($"doc_id" < 100)
-        .select($"doc_id", explode(shingles($"text")).as("shingle"))
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -144,15 +154,26 @@ object DedupQueries extends QueryModule {
          |ORDER BY id_a, id_b""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val sigs = signatures(spark)
-      val bands = (0 until 4).map { b =>
+      // Single pass, no self-join: signatures → 4 (band, hash) rows per doc
+      // via one generator → shuffle once on the bucket key → enumerate pairs
+      // within each bucket (bucket sizes are small by LSH design, so the
+      // in-bucket product is bounded; a skewed bucket would surface here as
+      // one hot key — the place to cap/salt at 100 TB).
+      val bandStructs = array((0 until 4).map { b =>
         val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
-        sigs.select($"doc_id", lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
-      }.reduce(_ unionAll _)
-      bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+      }: _*)
+      val bands = signatures(spark)
+        .select($"doc_id", explode(bandStructs).as("bs"))
+        .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id")
+      val pairs = flatten(transform($"ids", (a, i) =>
+        transform(slice($"ids", i + 2, size($"ids")),
+          b => struct(a.as("id_a"), b.as("id_b")))))
+      bands.groupBy($"band", $"bh")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(pairs).as("p"))
+        .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
         .distinct()
         .orderBy($"id_a", $"id_b")
     },

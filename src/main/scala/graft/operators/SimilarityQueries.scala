@@ -36,17 +36,30 @@ object SimilarityQueries extends QueryModule {
   private def toD(c: Column): Column = transform(c, _.cast(DoubleType))
 
   /** Left-to-right fold dot product — same association order as DuckDB's
-    * list_dot_product, so results agree bitwise before rounding. */
+    * list_dot_product, so results agree bitwise before rounding. Native
+    * codegen'd expression (graft.functions.VectorExpressions.DotProduct);
+    * the interpreted HOF equivalent `aggregate(zip_with(a,b,_*_),0d,_+_)`
+    * computes the identical value ~10× slower. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+    graft.functions.VectorExpressions.dotd(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private val cosSql = // cos(a.emb, b.emb) on pre-cast DOUBLE[] columns
-    """list_dot_product(a.emb, b.emb) /
-      |  (sqrt(list_dot_product(a.emb, a.emb)) *
-      |   sqrt(list_dot_product(b.emb, b.emb)))""".stripMargin
+  /** Pre-normalized corpus: norms computed ONCE per vector, so the O(n²) /
+    * O(n·q) scoring stage pays one dot product per pair instead of three.
+    * Same element-wise normalize expression in the oracle → identical FP. */
+  private def normalized(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    embeddingsD(spark)
+      .withColumn("n", sqrt(dot($"emb", $"emb")))
+      .select($"vec_id", transform($"emb", x => x / $"n").as("emb"))
+  }
+
+  private val normalizedSql =
+    """SELECT vec_id,
+      |       list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS emb
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings) raw""".stripMargin
 
   /** 16 fixed hyperplanes × 64 dims from a seeded LCG (build-time constant —
     * the deterministic stand-in for the usual Gaussian draws). */
@@ -79,9 +92,10 @@ object SimilarityQueries extends QueryModule {
     // ground-truth ANN baseline. Probe side broadcast; corpus scanned once,
     // map-side scored; the only shuffle is the per-probe top-k (key = qid).
     q("q80_cosine_topk",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+      s"""WITH e AS ($normalizedSql),
          |s AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS cid, ROUND($cosSql, 4) AS cos
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |         ROUND(list_dot_product(a.emb, b.emb), 4) AS cos
          |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
          |  WHERE a.vec_id < 10)
          |SELECT qid, cid, cos FROM (
@@ -91,12 +105,12 @@ object SimilarityQueries extends QueryModule {
          |WHERE rn <= 5
          |ORDER BY qid, cid""".stripMargin) { spark =>
       import spark.implicits._
-      val e = embeddingsD(spark)
+      val e = normalized(spark)
       val probes = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"emb".as("qemb"))
       val scored = e.join(broadcast(probes), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("cid"),
-          round(cosine($"qemb", $"emb"), 4).as("cos"))
+          round(dot($"qemb", $"emb"), 4).as("cos"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"cos")
@@ -107,18 +121,19 @@ object SimilarityQueries extends QueryModule {
     // ground truth the LSH join approximates (run on full corpus here; at
     // 100 TB this is the bounded-sample validator, q82 is the prod path).
     q("q81_cosine_pairs",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+      s"""WITH e AS ($normalizedSql),
          |s AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($cosSql, 4) AS cos
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ROUND(list_dot_product(a.emb, b.emb), 4) AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
-      val e = embeddingsD(spark)
+      val e = normalized(spark)
       val a = e.select($"vec_id".as("id_a"), $"emb".as("ea"))
       val b = e.select($"vec_id".as("id_b"), $"emb".as("eb"))
       a.join(b, $"id_a" < $"id_b")
-        .select($"id_a", $"id_b", round(cosine($"ea", $"eb"), 4).as("cos"))
+        .select($"id_a", $"id_b", round(dot($"ea", $"eb"), 4).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy($"id_a", $"id_b")
     },
@@ -145,6 +160,26 @@ object SimilarityQueries extends QueryModule {
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"cos")
+        .orderBy($"qid", $"cid")
+    },
+
+    // Exact top-5 again, but through the typed Aggregator UDAF instead of a
+    // window sort: partial buffers hold ≤ k candidates, combine map-side,
+    // and shuffle k rows per probe — the aggregation-based top-k that
+    // replaces "sort the whole partition" at 100 TB. Equality with q80 is
+    // asserted in SimilarityDedupSpec.
+    qRowsOnly("q84_topk_udaf") { spark =>
+      import spark.implicits._
+      val topk = udaf(new graft.functions.TopKByScore(5))
+      val e = normalized(spark)
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"emb".as("qemb"))
+      e.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"),
+          round(dot($"qemb", $"emb"), 4).as("cos"))
+        .groupBy($"qid").agg(topk($"cid", $"cos").as("top"))
+        .select($"qid", explode($"top").as("p"))
+        .select($"qid", $"p._1".as("cid"), $"p._2".as("cos"))
         .orderBy($"qid", $"cid")
     },
 

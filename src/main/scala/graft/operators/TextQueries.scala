@@ -70,10 +70,12 @@ object TextQueries extends QueryModule {
          |HAVING COUNT(*) >= 20
          |ORDER BY n DESC, bigram""".stripMargin) { spark =>
       import spark.implicits._
-      val toks = split(lower($"text"), " ")
+      // tokenize in its own projection: interpreted HOF lambdas get no CSE,
+      // so inlining split() here would re-evaluate it per reference
       spark.table("documents")
-        .select(explode(transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .select(split(lower($"text"), " ").as("toks"))
+        .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
           .as("bigram"))
         .groupBy($"bigram").agg(count(lit(1)).as("n"))
         .filter($"n" >= 20)
@@ -127,16 +129,17 @@ object TextQueries extends QueryModule {
          |FROM documents
          |ORDER BY doc_id""".stripMargin) { spark =>
       import spark.implicits._
-      val toks = split(lower($"text"), " ")
-      val stops = filter(toks, w => w.isin("the", "a", "of", "and", "is"))
+      val stops = filter($"toks", w => w.isin("the", "a", "of", "and", "is"))
       spark.table("documents")
+        .select($"doc_id", $"n_chars", $"text",
+          split(lower($"text"), " ").as("toks"))
         .select($"doc_id", $"n_chars",
-          size(toks).as("n_words"),
-          round(length($"text").cast(DoubleType) / size(toks), 4).as("avg_word_len"),
+          size($"toks").as("n_words"),
+          round(length($"text").cast(DoubleType) / size($"toks"), 4).as("avg_word_len"),
           size(regexp_extract_all($"text", lit("[^a-z0-9 ]"), lit(0))).as("n_punct"),
           size(stops).as("n_stop"),
-          round(size(stops).cast(DoubleType) / size(toks), 4).as("stop_ratio"),
-          (length($"text").between(100, 500) && size(toks) >= 20).as("passes_filter"))
+          round(size(stops).cast(DoubleType) / size($"toks"), 4).as("stop_ratio"),
+          (length($"text").between(100, 500) && size($"toks") >= 20).as("passes_filter"))
         .orderBy($"doc_id")
     },
 

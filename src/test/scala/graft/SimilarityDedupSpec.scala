@@ -32,6 +32,14 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall")
   }
 
+  test("typed top-k Aggregator returns exactly the window-sort top-k") {
+    val viaWindow = queries("q80_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaUdaf = queries("q84_topk_udaf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaUdaf == viaWindow)
+  }
+
   test("LSH candidate set is far smaller than the all-pairs product") {
     val n = queries("q82_ann_lsh_topk")(spark, sf).count()
     val corpus = spark.table("embeddings").count()
