@@ -24,6 +24,7 @@ object SparkEntry {
     FunctionQueries,
     TextQueries,
     DedupQueries,
+    ScaleQueries,
     SimilarityQueries,
     MultimodalQueries,
     AsofJoinQueries,

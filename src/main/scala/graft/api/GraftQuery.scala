@@ -29,4 +29,11 @@ trait QueryModule {
     * randomized LSH, streaming state, …). */
   protected def qRowsOnly(name: String)(f: SparkSession => DataFrame): GraftQuery =
     GraftQuery(name, (s, dir) => { Tables.register(s, dir); f(s) }, None)
+
+  /** Oracle-checked query whose body also needs the fixture directory
+    * (sources that re-read raw files: streaming ingest, partitioned
+    * re-layout, …). */
+  protected def qDir(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, (s, dir) => { Tables.register(s, dir); f(s, dir) }, Some(oracle))
 }

@@ -1,8 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.api.{GraftQuery, QueryModule}
+import graft.sources.Tables
 
 /** Event-time windowing over `events` (SURVEY.md §2B streaming). The same
   * `window`/`session_window` expressions drive Structured Streaming
@@ -55,6 +57,33 @@ object StreamingQueries extends QueryModule {
           sum($"value".cast("decimal(18,4)")).as("total"))
         .select($"window.start".as("ws"), $"n", $"total")
         .orderBy($"ws")
+    },
+
+    // Real readStream ingest: the events parquet consumed as a file-source
+    // stream (declared schema, ns→µs conversion as in batch), aggregated
+    // with Trigger.AvailableNow into a memory sink. Complete-mode counts are
+    // exactly the batch answer — which is what the oracle asserts.
+    qDir("q94_stream_ingest",
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(18,4))) AS total
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      // the file source needs a directory; select just the events file
+      val stream = spark.readStream.schema(Tables.eventsRaw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,4)")).as("total"))
+      val q = stream.writeStream.format("memory").queryName("graft_stream_ingest")
+        .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow).start()
+      try q.awaitTermination() finally q.stop()
+      spark.table("graft_stream_ingest")
+        .select($"event_type", $"n", $"total")
+        .orderBy($"event_type")
     },
 
     // Session windows: 10-minute inactivity gap per user. Oracle =

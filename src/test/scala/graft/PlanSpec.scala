@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    Tables.table(spark, sf, "events")
+      .withColumn("event_date", $"ts".cast("date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+    val df = spark.read.parquet(outDir)
+      .filter($"event_date" === "2024-01-10")
+      .groupBy($"event_type").agg(count(lit(1)))
+    val plan = planOf(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), plan)
+    // the pruned scan reads exactly 1 of ~30 date partitions
+    assert(df.queryExecution.executedPlan.collectLeaves().toString
+      .contains("PartitionFilters"), plan)
+  }
+
   test("semi-join rewrite: IN (subquery) becomes a semi join, not a product") {
     Tables.register(spark, sf)
     val df = spark.sql(
