@@ -55,6 +55,19 @@ object Engine {
     /** The "relay": execute SQL against the routed namespace. */
     def sql(query: String): DataFrame = spark.sql(query)
     def table(name: String): DataFrame = spark.table(name)
+
+    /** Incremental result delivery — the analog of the outbound relay that
+      * buffers row packets and flushes per result set
+      * (/root/reference/gateway/relay.go:68-99): rows stream to the caller
+      * partition by partition; the driver never holds the full result. */
+    def stream(query: String): Iterator[org.apache.spark.sql.Row] = {
+      import scala.jdk.CollectionConverters._
+      sql(query).toLocalIterator().asScala
+    }
+
+    /** Multi-statement batch against this session (ClientMultiStatements). */
+    def sqlBatch(batch: String): Seq[DataFrame] = Engine.sqlBatch(spark, batch)
+
     def close(): Unit = () // temp views die with the session wrapper
   }
 

@@ -32,6 +32,13 @@ class EngineSpec extends SparkSpec {
     intercept[Exception] { b.sql("SELECT * FROM scratch").collect() }
   }
 
+  test("stream delivers rows incrementally without driver materialization") {
+    val s = Engine.connect(spark, "prod", backends)
+    val it = s.stream("SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    assert(it.take(3).map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(it.hasNext) // remaining rows still pending, not collected
+  }
+
   test("sqlBatch splits statements, respecting quotes") {
     graft.sources.Tables.register(spark, sf)
     val res = Engine.sqlBatch(spark,
