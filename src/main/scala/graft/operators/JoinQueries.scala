@@ -182,5 +182,30 @@ object JoinQueries extends QueryModule {
       a.join(b, $"rk_a" === $"rk_b" && $"nation_a" < $"nation_b")
         .select($"nation_a", $"nation_b")
         .orderBy($"nation_a", $"nation_b")
+    },
+
+    // Range join: interval predicate lo <= x < hi against a small bands
+    // table. The bands side broadcasts, so the probe is a map-side interval
+    // check — no shuffle of the fact table (the 100 TB shape for
+    // dimension-range classification).
+    q("q49_range_join",
+      """SELECT band, COUNT(*) AS n,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |FROM orders
+        |JOIN (VALUES ('low', 0, 50000), ('mid', 50000, 150000),
+        |             ('high', 150000, 1000000000)) AS b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin) { spark =>
+      import spark.implicits._
+      val bands = Seq(("low", 0, 50000), ("mid", 50000, 150000),
+        ("high", 150000, 1000000000)).toDF("band", "lo", "hi")
+      spark.table("orders")
+        .join(broadcast(bands),
+          $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,4)")).as("total"))
+        .orderBy($"band")
     })
 }
