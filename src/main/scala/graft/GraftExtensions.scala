@@ -2,21 +2,36 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, SortArray}
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.catalyst.expressions.ConcatWs
 
 import graft.functions.VectorExpressions.DotProduct
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst surface
   * (SURVEY.md §7.3), wired the idiomatic way: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` get the native functions in
-  * SQL (`SELECT graft_dot(a, b)`) as well as through the Column API
-  * (graft.functions.VectorExpressions.dotd). */
+  * SQL as well as through the Column API.
+  *
+  * Besides the vector hot-path function, this registers the MySQL-dialect
+  * spelling the reference's clients use (SURVEY.md §7.2 P6): `group_concat`
+  * — the one §2B scalar/aggregate name Spark lacks (Spark already ships
+  * `ifnull`, `nvl`, `instr`, `if` natively). `group_concat(x)` here is the
+  * deterministic ordered variant: elements sorted ascending, comma-joined
+  * (MySQL's `GROUP_CONCAT(x ORDER BY x)` default-separator form — pinned to
+  * the ordered flavor so results stay oracle-checkable). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("group_concat"),
+      new ExpressionInfo(classOf[ConcatWs].getName, "group_concat"),
+      (children: Seq[Expression]) =>
+        ConcatWs(Seq(Literal(","),
+          SortArray(CollectList(children.head).toAggregateExpression(),
+            Literal(true))))))
   }
 }

@@ -41,6 +41,30 @@ object ScaleQueries extends QueryModule {
         .orderBy($"l_returnflag")
     },
 
+    // MySQL dialect surface end-to-end through SQL text (the spellings the
+    // reference's clients send over the wire and the gateway relays,
+    // /root/reference/gateway/relay.go:17): ifnull / instr / if are Spark
+    // built-ins; group_concat is injected by GraftExtensions.
+    q("q50_mysql_dialect",
+      """SELECT r_regionkey,
+        |       COALESCE(NULLIF(MIN(n_name), ''), 'none') AS first_nation,
+        |       STRPOS(MIN(n_name), 'A') AS a_pos,
+        |       CASE WHEN COUNT(*) > 4 THEN 'big' ELSE 'small' END AS size_class,
+        |       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_regionkey
+        |ORDER BY r_regionkey""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT r_regionkey,
+          |       ifnull(nullif(MIN(n_name), ''), 'none') AS first_nation,
+          |       instr(MIN(n_name), 'A') AS a_pos,
+          |       if(COUNT(*) > 4, 'big', 'small') AS size_class,
+          |       group_concat(n_name) AS nations
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_regionkey
+          |ORDER BY r_regionkey""".stripMargin)
+    },
+
     // Partition-pruned layout: re-write events partitioned by event date
     // (the layout a 100 TB events table would ship with), then aggregate a
     // one-week slice — the scan must touch only 7 of ~30 partitions

@@ -29,4 +29,20 @@ class QueriesSmokeSpec extends SparkSpec {
       if (mayBeEmpty(gq.name)) assert(n >= 0) else assert(n > 0)
     }
   }
+
+  /** Queries whose body performs writes / starts streams — their plans are
+    * validated by their own execution above, not re-built here. */
+  private val sideEffecting =
+    Set("q93_partitioned_events", "q94_stream_ingest",
+      "q98_csv_ingest_roundtrip", "q99_insert_select_roundtrip")
+
+  test("no query plan degenerates to an unpartitioned CartesianProduct") {
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => sideEffecting(q.name) || q.name == "q17_join_cross")
+      .filter { gq =>
+        gq.run(spark, sf).queryExecution.executedPlan.toString
+          .contains("CartesianProduct")
+      }.map(_.name)
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
 }
