@@ -170,5 +170,26 @@ object AggregateQueries extends QueryModule {
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
         .orderBy($"l_returnflag")
+    },
+
+    // PIVOT: one column per l_linestatus value. The Spark pivot() API and
+    // the oracle's conditional aggregation are the same plan shape (a single
+    // hash aggregate with per-bucket conditional sums); pivot values are
+    // declared explicitly — never discovered with a driver-side pass.
+    q("q38_pivot",
+      """SELECT l_returnflag,
+        |       SUM(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS F,
+        |       SUM(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS O
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum($"l_quantity".cast("decimal(18,4)")))
+        .orderBy($"l_returnflag")
     })
 }

@@ -132,5 +132,25 @@ object WindowQueries extends QueryModule {
           first($"event_id").over(w).as("first_event"),
           last($"event_id").over(w).as("last_event"))
         .orderBy($"event_id")
+    },
+
+    // Time-interval RANGE frame: trailing 1-hour activity count per user —
+    // the event-time sliding aggregate expressed as a window frame (both
+    // engines spell the interval frame identically; Spark SQL text is used
+    // because the DataFrame rangeBetween API takes only numeric offsets).
+    q("q37_time_range_frame",
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |                           AND CURRENT ROW) AS n_last_hour
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT event_id, user_id,
+          |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+          |                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+          |                           AND CURRENT ROW) AS n_last_hour
+          |FROM events
+          |ORDER BY event_id""".stripMargin)
     })
 }
