@@ -66,6 +66,25 @@ object DedupQueries extends QueryModule {
       .agg(sigCol(0), (1 until numHashes).map(sigCol): _*)
   }
 
+  /** LSH candidate pairs from banded signatures: one generator per signature
+    * row, one shuffle on the (band, hash) bucket key, in-bucket pair
+    * enumeration (shared by q73/q75). */
+  private def bandPairs(spark: SparkSession, bandStructs: Column): DataFrame = {
+    import spark.implicits._
+    val bands = signatures(spark)
+      .select($"doc_id", explode(bandStructs).as("bs"))
+      .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id")
+    val pairs = flatten(transform($"ids", (a, i) =>
+      transform(slice($"ids", i + 2, size($"ids")),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    bands.groupBy($"band", $"bh")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(pairs).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+      .distinct()
+  }
+
   private val signaturesSql =
     s"""SELECT doc_id,
        |$sigSqlCols
@@ -163,19 +182,43 @@ object DedupQueries extends QueryModule {
         val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
         struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
       }: _*)
-      val bands = signatures(spark)
-        .select($"doc_id", explode(bandStructs).as("bs"))
-        .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id")
-      val pairs = flatten(transform($"ids", (a, i) =>
-        transform(slice($"ids", i + 2, size($"ids")),
-          b => struct(a.as("id_a"), b.as("id_b")))))
-      bands.groupBy($"band", $"bh")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .filter(size($"ids") > 1)
-        .select(explode(pairs).as("p"))
-        .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
-        .distinct()
+      bandPairs(spark, bandStructs)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // End-to-end near-dup dedup: LSH candidate pairs → greedy keep-first
+    // survivor set (a document is dropped iff some smaller-id document
+    // shares a band bucket — one anti-join). At 100 TB the pair graph's
+    // transitive closure iterates this min-propagation to fixpoint; the
+    // declared operator is the standard single-round greedy pass.
+    q("q75_neardup_dedup", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val bandStructs = array((0 until 4).map { b =>
+        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
+        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+      }: _*)
+      val dropped = bandPairs(spark, bandStructs)
+        .select($"id_b".as("doc_id")).distinct()
+      spark.table("documents")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
     },
 
     // SimHash: 64-bit signature from xxhash64(token) bit votes, built with
