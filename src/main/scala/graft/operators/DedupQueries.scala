@@ -221,6 +221,30 @@ object DedupQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Spark ML MinHashLSH variant (SURVEY.md §2C): HashingTF shingle vectors
+    // → seeded MinHashLSH → approxSimilarityJoin at Jaccard distance ≤ 0.9.
+    // Randomized-but-seeded → rows-only in the gate; DedupSpec checks its
+    // pair set overlaps the deterministic md5-family pairs (q73).
+    qRowsOnly("q76_ml_minhash") { spark =>
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      import spark.implicits._
+      val docs = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+        .groupBy($"doc_id").agg(collect_set($"shingle").as("shingles"))
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val vecs = tf.transform(docs).select($"doc_id", $"features")
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.95, "jaccard_dist")
+        .select($"datasetA.doc_id".as("id_a"), $"datasetB.doc_id".as("id_b"),
+          round($"jaccard_dist", 4).as("dist"))
+        .filter($"id_a" < $"id_b")
+        .orderBy($"id_a", $"id_b")
+    },
+
     // SimHash: 64-bit signature from xxhash64(token) bit votes, built with
     // higher-order functions only (per-row, zero shuffle, codegen'd) — no
     // oracle twin (hash is Spark-native); DedupSpec property-tests it.

@@ -11,7 +11,8 @@ class QueriesSmokeSpec extends SparkSpec {
     * near-dup thresholds over ~50-row fixtures). */
   private val mayBeEmpty = Set(
     "q16_join_anti", // all sf0.001 customers have orders
-    "q71_shingle_jaccard", "q73_minhash_band_pairs", "q81_cosine_pairs")
+    "q71_shingle_jaccard", "q73_minhash_band_pairs", "q76_ml_minhash",
+    "q81_cosine_pairs")
 
   test("entry returns rows (driver t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -69,6 +69,23 @@ class SimilarityDedupSpec extends SparkSpec {
     }
   }
 
+  test("Spark ML MinHashLSH pairs are well-formed and consistent with exact Jaccard") {
+    val mlPairs = queries("q76_ml_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    mlPairs.foreach { case (a, b, d) =>
+      assert(a < b && d >= 0.0 && d <= 1.0, s"malformed pair ($a,$b,$d)")
+    }
+    // every ML-found pair at distance ≤ 0.95 must have exact shingle
+    // Jaccard ≥ 0.01 — i.e. appear in the exact ground-truth query's domain
+    val exact = queries("q71_shingle_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inDomain = mlPairs.filter { case (a, b, _) => a < 100 && b < 100 }
+    inDomain.foreach { case (a, b, d) =>
+      if (d < 0.95) assert(exact.contains((a, b)),
+        s"ML pair ($a,$b) dist=$d missing from exact Jaccard ground truth")
+    }
+  }
+
   test("MinHash band pairs are a superset-biased sample of high-Jaccard pairs") {
     import spark.implicits._
     // every banded pair collides on ≥4 consecutive minhash components —
