@@ -138,10 +138,12 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"id_a", $"id_b")
     },
 
-    // ANN top-5 via banded sign-LSH: 4 bands × 4 hyperplane sign bits.
-    // Candidates = corpus vectors sharing any (band, bucket) with the probe,
-    // exact-reranked. Equi-join on (band, bucket) — no all-pairs product;
-    // recall vs q80 is property-tested in SimilaritySpec.
+    // ANN top-5 via banded sign-LSH: 4 bands × 4 hyperplane sign bits, with
+    // multiprobe on the query side (each probe also searches the 4
+    // Hamming-1 neighbor buckets per band — near-misses on one hyperplane
+    // are the dominant loss mode). Candidates come from equi-joins on
+    // (band, bucket) — no all-pairs product; recall vs q80 is
+    // property-tested in SimilaritySpec.
     qRowsOnly("q82_ann_lsh_topk") { spark =>
       import spark.implicits._
       val e = embeddingsD(spark)
@@ -151,7 +153,11 @@ object SimilarityQueries extends QueryModule {
             lit(bnd).as("band"), bandBucket(col("emb"), bnd).as("bucket"))
         }.reduce(_ unionAll _)
       val corpus = banded(e, "cid", "cemb")
+      // multiprobe: exact bucket + the 4 single-bit perturbations
       val probes = banded(e.filter($"vec_id" < 10), "qid", "qemb")
+        .select($"qid", $"qemb", $"band", explode(array(
+          ($"bucket" :: (0 until 4).map(r =>
+            $"bucket".bitwiseXOR(lit(1 << r))).toList): _*)).as("bucket"))
       val cands = corpus.join(broadcast(probes),
           Seq("band", "bucket")).filter($"cid" =!= $"qid")
         .select($"qid", $"cid", $"qemb", $"cemb").distinct()

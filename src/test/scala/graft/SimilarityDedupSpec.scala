@@ -19,15 +19,18 @@ class SimilarityDedupSpec extends SparkSpec {
     val exact = topkPairs("q80_cosine_topk")
     val ann = topkPairs("q82_ann_lsh_topk")
     val recall = ann.intersect(exact).size.toDouble / exact.size
-    // random 64-dim unit vectors + 4 bands × 4 sign bits → measured 0.44 on
-    // the fixture; assert a margin below that to catch regressions only
-    assert(recall >= 0.25, s"LSH recall $recall")
+    info(f"LSH multiprobe recall: $recall%.2f")
+    // random 64-dim unit vectors + 4 bands × 4 sign bits + Hamming-1
+    // multiprobe → measured 0.94 on the fixture; assert a margin below
+    // that to catch regressions only
+    assert(recall >= 0.6, s"LSH recall $recall")
   }
 
   test("IVF centroid probing recalls a usable fraction of exact top-5") {
     val exact = topkPairs("q80_cosine_topk")
     val ivf = topkPairs("q83_ivf_topk")
     val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall: $recall%.2f")
     // 3 of 10 lists probed → expected ~0.3 baseline for unclustered data
     assert(recall >= 0.15, s"IVF recall $recall")
   }
