@@ -189,6 +189,29 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"qid", $"cid")
     },
 
+    // Spark ML BucketedRandomProjectionLSH variant (SURVEY.md §2C): on
+    // unit-normalized vectors, cosine ≥ 0.4 ⇔ Euclidean distance ≤
+    // sqrt(2 − 2·0.4) ≈ 1.0954, so the seeded BRP similarity join
+    // approximates exactly the q81 pair set — recall measured in
+    // SimilarityDedupSpec. Randomized-but-seeded → rows-only in the gate.
+    qRowsOnly("q85_ml_brp_pairs") { spark =>
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.linalg.Vectors
+      import spark.implicits._
+      val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
+      val vecs = normalized(spark)
+        .select($"vec_id", toVec($"emb").as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+      val model = lsh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 1.0954, "dist")
+        .select($"datasetA.vec_id".as("id_a"), $"datasetB.vec_id".as("id_b"),
+          round(lit(1.0d) - $"dist" * $"dist" / 2.0d, 4).as("cos"))
+        .filter($"id_a" < $"id_b")
+        .orderBy($"id_a", $"id_b")
+    },
+
     // IVF-style ANN: coarse-quantize the corpus by per-label centroid (the
     // inverted-file lists), probe the 3 nearest centroids per query, search
     // only those lists. Centroids built distributively (posexplode →

@@ -35,6 +35,18 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall")
   }
 
+  test("BRP-LSH similarity join recalls most exact cosine pairs") {
+    val exact = queries("q81_cosine_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = queries("q85_ml_brp_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = approx.intersect(exact).size.toDouble / exact.size
+      info(f"BRP recall: $recall%.2f")
+      assert(recall >= 0.5, s"BRP recall $recall")
+    }
+  }
+
   test("typed top-k Aggregator returns exactly the window-sort top-k") {
     val viaWindow = queries("q80_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
