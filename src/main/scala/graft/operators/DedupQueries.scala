@@ -221,6 +221,68 @@ object DedupQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Dedup group assignment: connected components over the LSH pair graph
+    // via iterative min-label propagation (the Pregel/GraphX pattern — each
+    // round is one distributed join+aggregate; convergence in graph-diameter
+    // rounds, checked with a monotone label-sum fixpoint test). The oracle
+    // computes the same fixpoint as recursive-CTE reachability + MIN.
+    q("q77_dedup_components", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT d.doc_id,
+         |       LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component
+         |FROM documents d
+         |LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+         |  ON m.a = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val bandStructs = array((0 until 4).map { b =>
+        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
+        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+      }: _*)
+      val pairs = bandPairs(spark, bandStructs).cache()
+      val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
+        .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
+        .cache()
+      var labels = spark.table("documents")
+        .select($"doc_id", $"doc_id".as("component"))
+      var prevSum = -1L
+      var iter = 0
+      var converged = false
+      while (iter < 16 && !converged) {
+        val neighborMin = edges
+          .join(labels, $"b" === $"doc_id")
+          .groupBy($"a").agg(min($"component").as("ncomp"))
+        labels = labels
+          .join(neighborMin, $"doc_id" === $"a", "left")
+          .select($"doc_id",
+            least($"component", coalesce($"ncomp", $"component")).as("component"))
+          .localCheckpoint() // truncate the growing iterative lineage
+        val s = labels.agg(sum($"component")).head().getLong(0)
+        converged = s == prevSum // labels only decrease; equal sum = fixpoint
+        prevSum = s
+        iter += 1
+      }
+      labels.orderBy($"doc_id")
+    },
+
     // Spark ML MinHashLSH variant (SURVEY.md §2C): HashingTF shingle vectors
     // → seeded MinHashLSH → approxSimilarityJoin at Jaccard distance ≤ 0.9.
     // Randomized-but-seeded → rows-only in the gate; DedupSpec checks its
