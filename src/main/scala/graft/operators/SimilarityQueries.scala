@@ -201,9 +201,12 @@ object SimilarityQueries extends QueryModule {
       val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
       val vecs = normalized(spark)
         .select($"vec_id", toVec($"emb").as("features"))
+      // bucketLength tuned small: unit-vector projections have std ≈ 1/√d,
+      // so 0.25 splits the corpus into enough buckets that candidate volume
+      // stays near-linear while the 5 OR'd tables keep recall high
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+        .setBucketLength(0.25).setNumHashTables(5).setSeed(42L)
       val model = lsh.fit(vecs)
       model.approxSimilarityJoin(vecs, vecs, 1.0954, "dist")
         .select($"datasetA.vec_id".as("id_a"), $"datasetB.vec_id".as("id_b"),
