@@ -286,5 +286,41 @@ object FunctionQueries extends QueryModule {
           element_at(m, "seg").as("seg_val"),
           size(map_keys(m)).as("n_keys"))
         .orderBy($"c_custkey")
+    },
+
+    // Remaining declared spellings: to_timestamp, array_contains,
+    // arrays_zip, map_values, to_json (SURVEY §2B scalar families).
+    q("q68_more_funcs",
+      """SELECT doc_id,
+        |  list_contains(string_split(lower(text), ' '), 'the') AS has_the,
+        |  len(list_zip(string_split(text, ' '), string_split(lower(text), ' '))) AS zip_len,
+        |  map_values(map(['lang', 'src'], [lang, source]))[1] AS first_val,
+        |  CAST('2024-01-01 00:00:0' || CAST(doc_id % 10 AS VARCHAR) AS TIMESTAMP) AS ts10,
+        |  CAST(to_json(struct_pack(lang := lang)) AS VARCHAR) AS lang_json
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents").select(
+        $"doc_id",
+        array_contains(split(lower($"text"), " "), "the").as("has_the"),
+        size(arrays_zip(split($"text", " "), split(lower($"text"), " "))).as("zip_len"),
+        element_at(map_values(map(lit("lang"), $"lang", lit("src"), $"source")), 1)
+          .as("first_val"),
+        to_timestamp(concat(lit("2024-01-01 00:00:0"), ($"doc_id" % 10))).as("ts10"),
+        to_json(struct($"lang".as("lang"))).as("lang_json"))
+        .orderBy($"doc_id")
+    },
+
+    // json_tuple generator spelling (multi-path JSON extraction in one call).
+    q("q69_json_tuple",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k,
+        |  json_extract_string(props, '$.source') AS src
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .selectExpr("event_id", "json_tuple(props, 'k', 'source') AS (k, src)")
+        .orderBy($"event_id")
     })
 }
