@@ -93,6 +93,32 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map("a" -> 3L, "b" -> 2L), last.toString)
   }
 
+  test("append mode emits a window only after the watermark passes its end") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = ms.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("t_append")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData((at(0), 1.0), (at(5), 1.0), (at(12), 1.0))
+      q.processAllAvailable() // watermark after batch: 00:02 — nothing closed
+      assert(spark.table("t_append").count() == 0)
+      ms.addData((at(25), 1.0))
+      q.processAllAvailable() // watermark 00:15 after this batch
+      ms.addData((at(26), 1.0))
+      q.processAllAvailable() // batch starts at wm 00:15 ≥ 00:10 → emit
+      val emitted = spark.table("t_append")
+        .select($"window.start".as("s"), $"n").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(emitted == Set((at(0), 2L)), emitted)
+    } finally q.stop()
+  }
+
   test("streaming session windows equal the batch session computation") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
