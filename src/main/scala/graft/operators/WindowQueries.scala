@@ -152,5 +152,26 @@ object WindowQueries extends QueryModule {
           |                           AND CURRENT ROW) AS n_last_hour
           |FROM events
           |ORDER BY event_id""".stripMargin)
+    },
+
+    // Distribution window functions + exact per-group median.
+    q("q39_distribution",
+      """SELECT o_orderkey, o_orderstatus,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |  ROUND(MEDIAN(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS med
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val wp = Window.partitionBy($"o_orderstatus")
+      spark.table("orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(median($"o_totalprice").over(wp), 4).as("med"))
+        .orderBy($"o_orderkey")
     })
 }
