@@ -312,22 +312,54 @@ object DedupQueries extends QueryModule {
     // oracle twin (hash is Spark-native); DedupSpec property-tests it.
     qRowsOnly("q74_simhash") { spark =>
       import spark.implicits._
-      val toks = array_distinct(split(lower($"text"), " "))
-      val bitIdx = sequence(lit(0), lit(63))
-      // votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1)
-      val votes = aggregate(toks, array_repeat(lit(0L), 64),
-        (acc, t) => zip_with(acc,
-          transform(bitIdx, b =>
-            call_function("shiftright", xxhash64(t), b.cast(IntegerType))
-              .bitwiseAND(1L) * 2 - 1),
-          (a, v) => a + v))
-      // simhash = Σ_b (votes[b] > 0) << b
-      val sim = aggregate(zip_with(votes, bitIdx,
-          (v, b) => when(v > 0,
-            call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)),
-        lit(0L), (a, x) => a + x)
-      spark.table("documents")
-        .select($"doc_id", sim.as("simhash"))
-        .orderBy($"doc_id")
+      simhashes(spark).orderBy($"doc_id")
+    },
+
+    // SimHash near-dup candidates: 4 bands × 16 bits of the 64-bit
+    // signature; docs agreeing on any full band bucket become a pair —
+    // the same groupBy-bucket enumeration as the MinHash path (q73), over
+    // the per-row (shuffle-free) SimHash signatures. Rows-only (Spark
+    // xxhash64 has no oracle twin).
+    qRowsOnly("q78_simhash_band_pairs") { spark =>
+      import spark.implicits._
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftright", $"simhash", lit(16 * b))
+            .bitwiseAND(0xFFFFL).as("bh"))
+      }: _*)
+      val bands = simhashes(spark)
+        .select($"doc_id", explode(bandStructs).as("bs"))
+        .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id")
+      val pairs = flatten(transform($"ids", (a, i) =>
+        transform(slice($"ids", i + 2, size($"ids")),
+          b => struct(a.as("id_a"), b.as("id_b")))))
+      bands.groupBy($"band", $"bh")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(pairs).as("p"))
+        .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+        .distinct()
+        .orderBy($"id_a", $"id_b")
     })
+
+  /** doc_id → 64-bit SimHash from xxhash64(token) bit votes, higher-order
+    * functions only (per-row, zero shuffle). */
+  private def simhashes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val toks = array_distinct(split(lower($"text"), " "))
+    val bitIdx = sequence(lit(0), lit(63))
+    // votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1)
+    val votes = aggregate(toks, array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(bitIdx, b =>
+          call_function("shiftright", xxhash64(t), b.cast(IntegerType))
+            .bitwiseAND(1L) * 2 - 1),
+        (a, v) => a + v))
+    // simhash = Σ_b (votes[b] > 0) << b
+    val sim = aggregate(zip_with(votes, bitIdx,
+        (v, b) => when(v > 0,
+          call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    spark.table("documents").select($"doc_id", sim.as("simhash"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -179,6 +180,59 @@ object TextQueries extends QueryModule {
           md5(concat_ws(" ", array_sort(array_distinct(split(lower($"text"), " "))))
             .cast(BinaryType)).as("canon_fp"))
         .orderBy($"doc_id")
+    },
+
+    // TF-IDF: the canonical corpus-weighting op. One token explode feeds
+    // both the per-(doc, term) TF and, via a second groupBy, the DF side;
+    // idf joins back on term (shuffle key = term, uniform); top-3 terms per
+    // doc via bounded window. At 100 TB the df table is tiny relative to
+    // the corpus and broadcast-joins back.
+    q("q59b_tfidf_top_terms",
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         |SELECT doc_id, term, tfidf FROM (
+         |  SELECT doc_id, term, tfidf,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |             ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 3
+         |ORDER BY doc_id, term""".stripMargin) { spark =>
+      import spark.implicits._
+      val tok = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      val n = spark.table("documents").count() // scalar, driver-safe
+      val scored = tf.join(df, "term")
+        .select($"doc_id", $"term",
+          round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"doc_id", $"term", $"tfidf")
+        .orderBy($"doc_id", $"term")
+    },
+
+    // Deterministic hash sampling — the reproducible distributed sampling
+    // idiom (TABLESAMPLE is nondeterministic across engines): keep a doc iff
+    // its content-hash prefix falls under the rate threshold. Portable
+    // md5-hex comparison, identical sample both engines.
+    q("q59c_hash_sample",
+      """SELECT lang, COUNT(*) AS n_sampled
+        |FROM documents
+        |WHERE substr(md5(text), 1, 2) < '10'
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .filter(substring(md5($"text".cast(BinaryType)), 1, 2) < "10")
+        .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy($"lang")
     },
 
     // Lexicon sentiment (PAPERS.md, EDBT 2016 pattern): tokens × constant
