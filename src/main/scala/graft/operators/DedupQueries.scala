@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -253,34 +254,56 @@ object DedupQueries extends QueryModule {
          |ORDER BY d.doc_id""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val bandStructs = array((0 until 4).map { b =>
-        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
-        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
-      }: _*)
-      val pairs = bandPairs(spark, bandStructs).cache()
-      val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
-        .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
-        .cache()
-      var labels = spark.table("documents")
-        .select($"doc_id", $"doc_id".as("component"))
-      var prevSum = -1L
-      var iter = 0
-      var converged = false
-      while (iter < 16 && !converged) {
-        val neighborMin = edges
-          .join(labels, $"b" === $"doc_id")
-          .groupBy($"a").agg(min($"component").as("ncomp"))
-        labels = labels
-          .join(neighborMin, $"doc_id" === $"a", "left")
-          .select($"doc_id",
-            least($"component", coalesce($"ncomp", $"component")).as("component"))
-          .localCheckpoint() // truncate the growing iterative lineage
-        val s = labels.agg(sum($"component")).head().getLong(0)
-        converged = s == prevSum // labels only decrease; equal sum = fixpoint
-        prevSum = s
-        iter += 1
-      }
-      labels.orderBy($"doc_id")
+      components(spark).orderBy($"doc_id")
+    },
+
+    // Quality-aware dedup: keep the BEST document per near-dup component
+    // (not merely the lowest id) — the realistic end of a training-data
+    // pipeline: components from iterative min-propagation (q77 machinery),
+    // quality = length score (chars per doc), winner = top-1 per component
+    // by (quality DESC, doc_id). One extra shuffle on the component key.
+    q("q79_dedup_keep_best", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |         LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component,
+         |         d.n_chars
+         |  FROM documents d
+         |  LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+         |    ON m.a = d.doc_id)
+         |SELECT doc_id, component, n_chars FROM (
+         |  SELECT doc_id, component, n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY component
+         |             ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM comp) t
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val comps = components(spark)
+        .join(spark.table("documents").select($"doc_id", $"n_chars"), "doc_id")
+      val w = Window.partitionBy($"component")
+        .orderBy($"n_chars".desc, $"doc_id")
+      comps.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", $"component", $"n_chars")
+        .orderBy($"doc_id")
     },
 
     // Spark ML MinHashLSH variant (SURVEY.md §2C): HashingTF shingle vectors
@@ -341,6 +364,42 @@ object DedupQueries extends QueryModule {
         .distinct()
         .orderBy($"id_a", $"id_b")
     })
+
+  /** doc_id → near-dup component id by iterative min-label propagation over
+    * the LSH pair graph (Pregel pattern: one distributed join + groupBy-min
+    * per round; lineage truncated per round; monotone label-sum fixpoint
+    * test). Shared by q77/q79. */
+  private def components(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bandStructs = array((0 until 4).map { b =>
+      val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
+      struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+    }: _*)
+    val pairs = bandPairs(spark, bandStructs).cache()
+    val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
+      .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
+      .cache()
+    var labels = spark.table("documents")
+      .select($"doc_id", $"doc_id".as("component"))
+    var prevSum = -1L
+    var iter = 0
+    var converged = false
+    while (iter < 16 && !converged) {
+      val neighborMin = edges
+        .join(labels, $"b" === $"doc_id")
+        .groupBy($"a").agg(min($"component").as("ncomp"))
+      labels = labels
+        .join(neighborMin, $"doc_id" === $"a", "left")
+        .select($"doc_id",
+          least($"component", coalesce($"ncomp", $"component")).as("component"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val s = labels.agg(sum($"component")).head().getLong(0)
+      converged = s == prevSum // labels only decrease; equal sum = fixpoint
+      prevSum = s
+      iter += 1
+    }
+    labels
+  }
 
   /** doc_id → 64-bit SimHash from xxhash64(token) bit votes, higher-order
     * functions only (per-row, zero shuffle). */
