@@ -191,5 +191,33 @@ object AggregateQueries extends QueryModule {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum($"l_quantity".cast("decimal(18,4)")))
         .orderBy($"l_returnflag")
+    },
+
+    // Unpivot (stack): the inverse of q38 — wide per-status columns back to
+    // (key, status, value) rows via the stack generator; oracle spells it
+    // as a UNION ALL of column selects.
+    q("q40_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         SUM(CASE WHEN l_linestatus = 'F'
+        |                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qf,
+        |         SUM(CASE WHEN l_linestatus = 'O'
+        |                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qo
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, status, qty FROM (
+        |  SELECT l_returnflag, 'F' AS status, qf AS qty FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'O' AS status, qo AS qty FROM wide) u
+        |WHERE qty IS NOT NULL
+        |ORDER BY l_returnflag, status""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum($"l_quantity".cast("decimal(18,4)")))
+        .selectExpr("l_returnflag",
+          "stack(2, 'F', F, 'O', O) AS (status, qty)")
+        .filter($"qty".isNotNull)
+        .orderBy($"l_returnflag", $"status")
     })
 }
