@@ -41,6 +41,52 @@ object ScaleQueries extends QueryModule {
         .orderBy($"l_returnflag")
     },
 
+    // Distributed histogram: width_bucket binning + single groupBy — the
+    // constant-memory profile/statistics pass a pipeline runs before
+    // choosing partition bounds at scale.
+    q("q86_histogram",
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) + 1 AS bucket,
+        |       COUNT(*) AS n,
+        |       ROUND(MIN(o_totalprice), 2) AS lo,
+        |       ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("orders")
+        .groupBy(width_bucket($"o_totalprice", lit(0), lit(600000), lit(12))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"))
+        .orderBy($"bucket")
+    },
+
+    // Outer generator: explode_outer keeps rows whose array is empty (docs
+    // with no tokens after a restrictive split) — LEFT JOIN semantics for
+    // generators, spelled with an outer unnest-join in the oracle.
+    q("q87_explode_outer",
+      """SELECT d.doc_id, t.token
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '),
+        |                    w -> w = 'zzz-never-present') AS toks
+        |      FROM documents WHERE doc_id < 20) d
+        |LEFT JOIN (SELECT doc_id, unnest(toks) AS token
+        |           FROM (SELECT doc_id,
+        |                   list_filter(string_split(lower(text), ' '),
+        |                               w -> w = 'zzz-never-present') AS toks
+        |                 FROM documents WHERE doc_id < 20) x) t
+        |  ON d.doc_id = t.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents").filter($"doc_id" < 20)
+        .select($"doc_id",
+          filter(split(lower($"text"), " "), w => w === "zzz-never-present")
+            .as("toks"))
+        .select($"doc_id", explode_outer($"toks").as("token"))
+        .orderBy($"doc_id")
+    },
+
     // MySQL dialect surface end-to-end through SQL text (the spellings the
     // reference's clients send over the wire and the gateway relays,
     // /root/reference/gateway/relay.go:17): ifnull / instr / if are Spark
