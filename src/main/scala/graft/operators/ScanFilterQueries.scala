@@ -191,6 +191,23 @@ object ScanFilterQueries extends QueryModule {
         .select($"o_orderkey", nullif($"o_orderstatus", lit("O")).as("st"))
         .orderBy($"st".desc_nulls_last, $"o_orderkey")
         .limit(500)
+    },
+
+    // Correlated scalar subquery in SELECT — Catalyst decorrelates
+    // (RewriteCorrelatedScalarSubquery) into a left outer aggregate join;
+    // MAX is order-insensitive so no decimal cast is needed.
+    q("q07b_correlated_subquery",
+      """SELECT c_custkey, c_name,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT MAX(o_totalprice) FROM orders
+          |   WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer
+          |ORDER BY c_custkey""".stripMargin)
     })
 
   private def dec(s: Int)(c: org.apache.spark.sql.Column) =
