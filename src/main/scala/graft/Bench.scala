@@ -17,15 +17,26 @@ object Bench {
     // reflect steady state, and run in declaration order (stable output)
     graft.sources.Tables.register(spark, sfDir)
     spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
+    // A failed query must be visible in the emitted JSON (negative sentinel
+    // second + an errors map), never silently timed as a fast success.
     val results = SparkEntry.allQueries.map { gq =>
       val t0 = System.nanoTime()
-      try { gq.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      gq.name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { gq.run(spark, sfDir).count(); None }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAIL ${gq.name}: $t")
+          Some(t.getClass.getSimpleName)
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (gq.name, if (err.isEmpty) sec else -sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    val nFail = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,9 +11,15 @@ import org.apache.spark.sql.types._
   * association-order-dependent and would hash-mismatch vs the DuckDB oracle.
   * Rule: cast each row to an exact DECIMAL **before** aggregating (the fixture
   * values carry ≤2 decimal digits, products ≤6, so the casts are lossless),
-  * sum exactly, and pin the output scale on both engines. Derived ratios are
-  * computed from the exact decimal sums in IEEE double (bit-identical across
-  * engines) and rounded at a scale far above the error bound.
+  * sum exactly — then surface the result as ROUND(CAST(sum AS DOUBLE), s) on
+  * BOTH engines. The outward type must be DOUBLE, never DECIMAL: the driver's
+  * comparator reads both sides into pandas, where DuckDB decimals become
+  * float64 but Spark parquet decimals stay `Decimal` objects — value-equal
+  * yet hash-different (every decimal-typed output hash-mismatched in r01;
+  * every rounded-double output hashed clean). Because the exact sum has
+  * scale ≤ s, the double conversion + round is deterministic and identical
+  * across engines (a scale-s decimal is never on a round-half boundary at
+  * scale s).
   *
   * The Scala side and the `Oracle` SQL side below are the two halves of each
   * committed pair — change them together.
@@ -21,17 +27,15 @@ import org.apache.spark.sql.types._
 object Canon {
   val dec184: DecimalType = DecimalType(18, 4)
   val dec186: DecimalType = DecimalType(18, 6)
-  val out284: DecimalType = DecimalType(28, 4)
-  val out286: DecimalType = DecimalType(28, 6)
 
   def dec4(c: Column): Column = c.cast(dec184)
   def dec6(c: Column): Column = c.cast(dec186)
 
-  /** Exact SUM of a ≤4-decimal measure, output scale pinned to (28,4). */
-  def sum4(c: Column): Column = sum(dec4(c)).cast(out284)
+  /** Exact SUM of a ≤4-decimal measure, surfaced as ROUND(double, 4). */
+  def sum4(c: Column): Column = round(sum(dec4(c)).cast(DoubleType), 4)
 
-  /** Exact SUM of a ≤6-decimal per-row expression, output scale (28,6). */
-  def sum6(c: Column): Column = sum(dec6(c)).cast(out286)
+  /** Exact SUM of a ≤6-decimal per-row expression → ROUND(double, 6). */
+  def sum6(c: Column): Column = round(sum(dec6(c)).cast(DoubleType), 6)
 
   /** Deterministic AVG: exact decimal sum → IEEE double division → round(6). */
   def avg6(c: Column): Column =
@@ -40,9 +44,9 @@ object Canon {
   /** Oracle-side (DuckDB) spellings of the same canonicalizations. */
   object Oracle {
     def sum4(x: String): String =
-      s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DECIMAL(28,4))"
+      s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE), 4)"
     def sum6(x: String): String =
-      s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DECIMAL(28,6))"
+      s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE), 6)"
     def avg6(x: String): String =
       s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)"
   }

@@ -30,7 +30,7 @@ object FunctionQueries extends QueryModule {
         |  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
         |  STRPOS(c_name, '#') AS hash_pos,
         |  LEFT(c_name, 8) AS l8, RIGHT(c_name, 4) AS r4,
-        |  STRING_SPLIT(c_name, '#') AS parts,
+        |  array_to_string(string_split(c_name, '#'), '|') AS parts,
         |  REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
         |  REGEXP_REPLACE(c_name, '0+', '0', 'g') AS squeezed,
         |  (c_name LIKE 'Customer%') AS is_cust,
@@ -49,7 +49,9 @@ object FunctionQueries extends QueryModule {
         lpad($"c_custkey".cast(StringType), 8, "0").as("padded"),
         instr($"c_name", "#").as("hash_pos"),
         expr("left(c_name, 8)").as("l8"), expr("right(c_name, 4)").as("r4"),
-        split($"c_name", "#").as("parts"),
+        // joined to a scalar: the driver's comparator can't sort/hash a raw
+        // array column (r01 q51 oracle error)
+        concat_ws("|", split($"c_name", "#")).as("parts"),
         regexp_extract($"c_name", "([0-9]+)", 1).as("digits"),
         regexp_replace($"c_name", "0+", "0").as("squeezed"),
         $"c_name".like("Customer%").as("is_cust"),
@@ -163,7 +165,7 @@ object FunctionQueries extends QueryModule {
       """SELECT s_suppkey,
         |  CAST(s_suppkey AS VARCHAR) AS key_str,
         |  CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-        |  CAST(s_acctbal AS DECIMAL(18,2)) AS bal_dec,
+        |  ROUND(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 2) AS bal_dec,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_back,
         |  CAST(s_suppkey AS SMALLINT) AS key_i16,
         |  CAST(s_suppkey AS INT) AS key_i32,
@@ -177,7 +179,8 @@ object FunctionQueries extends QueryModule {
         $"s_suppkey",
         $"s_suppkey".cast(StringType).as("key_str"),
         $"s_suppkey".cast(StringType).cast(LongType).as("key_roundtrip"),
-        $"s_acctbal".cast(DecimalType(18, 2)).as("bal_dec"),
+        round($"s_acctbal".cast(DecimalType(18, 2)).cast(DoubleType), 2)
+          .as("bal_dec"),
         $"s_acctbal".cast(DecimalType(18, 2)).cast(DoubleType).as("bal_back"),
         $"s_suppkey".cast(ShortType).as("key_i16"),
         $"s_suppkey".cast(IntegerType).as("key_i32"),

@@ -21,7 +21,7 @@ object AggregateQueries extends QueryModule {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
-        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_dist_qty
+        |  ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_dist_qty
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { spark =>
@@ -31,7 +31,8 @@ object AggregateQueries extends QueryModule {
         .agg(
           countDistinct($"l_partkey").as("n_parts"),
           countDistinct($"l_suppkey").as("n_supps"),
-          sum_distinct(dec4($"l_quantity")).cast(out284).as("sum_dist_qty"))
+          round(sum_distinct(dec4($"l_quantity")).cast(DoubleType), 4)
+            .as("sum_dist_qty"))
         .orderBy($"l_returnflag")
     },
 
@@ -178,10 +179,10 @@ object AggregateQueries extends QueryModule {
     // declared explicitly — never discovered with a driver-side pass.
     q("q38_pivot",
       """SELECT l_returnflag,
-        |       SUM(CASE WHEN l_linestatus = 'F'
-        |                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS F,
-        |       SUM(CASE WHEN l_linestatus = 'O'
-        |                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS O
+        |       ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS F,
+        |       ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS O
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { spark =>
@@ -189,7 +190,7 @@ object AggregateQueries extends QueryModule {
       spark.table("lineitem")
         .groupBy($"l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum($"l_quantity".cast("decimal(18,4)")))
+        .agg(round(sum($"l_quantity".cast("decimal(18,4)")).cast(DoubleType), 4))
         .orderBy($"l_returnflag")
     },
 
@@ -199,10 +200,10 @@ object AggregateQueries extends QueryModule {
     q("q40_unpivot",
       """WITH wide AS (
         |  SELECT l_returnflag,
-        |         SUM(CASE WHEN l_linestatus = 'F'
-        |                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qf,
-        |         SUM(CASE WHEN l_linestatus = 'O'
-        |                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qo
+        |         ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS qf,
+        |         ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS qo
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, status, qty FROM (
         |  SELECT l_returnflag, 'F' AS status, qf AS qty FROM wide
@@ -214,7 +215,7 @@ object AggregateQueries extends QueryModule {
       spark.table("lineitem")
         .groupBy($"l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum($"l_quantity".cast("decimal(18,4)")))
+        .agg(round(sum($"l_quantity".cast("decimal(18,4)")).cast(DoubleType), 4))
         .selectExpr("l_returnflag",
           "stack(2, 'F', F, 'O', O) AS (status, qty)")
         .filter($"qty".isNotNull)

@@ -384,7 +384,14 @@ object DedupQueries extends QueryModule {
     var prevSum = -1L
     var iter = 0
     var converged = false
-    while (iter < 16 && !converged) {
+    // Loop to the fixpoint, not a fixed round count: label propagation needs
+    // O(component diameter) rounds, and returning early would silently
+    // diverge from the transitive-closure oracle. The cap is a loud backstop
+    // only (diameter > 64 would indicate a pathological pair graph).
+    while (!converged) {
+      if (iter >= 64)
+        throw new IllegalStateException(
+          s"components(): no fixpoint after $iter label-propagation rounds")
       val neighborMin = edges
         .join(labels, $"b" === $"doc_id")
         .groupBy($"a").agg(min($"component").as("ncomp"))
@@ -398,6 +405,8 @@ object DedupQueries extends QueryModule {
       prevSum = s
       iter += 1
     }
+    pairs.unpersist()
+    edges.unpersist()
     labels
   }
 

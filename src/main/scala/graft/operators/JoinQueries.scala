@@ -189,8 +189,8 @@ object JoinQueries extends QueryModule {
     // check — no shuffle of the fact table (the 100 TB shape for
     // dimension-range classification).
     q("q49_range_join",
-      """SELECT band, COUNT(*) AS n,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      s"""SELECT band, COUNT(*) AS n,
+        |       ${Oracle.sum4("o_totalprice")} AS total
         |FROM orders
         |JOIN (VALUES ('low', 0, 50000), ('mid', 50000, 150000),
         |             ('high', 150000, 1000000000)) AS b(band, lo, hi)
@@ -204,8 +204,7 @@ object JoinQueries extends QueryModule {
         .join(broadcast(bands),
           $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
         .groupBy($"band")
-        .agg(count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(18,4)")).as("total"))
+        .agg(count(lit(1)).as("n"), sum4($"o_totalprice").as("total"))
         .orderBy($"band")
     })
 }

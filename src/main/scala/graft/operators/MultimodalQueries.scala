@@ -70,7 +70,8 @@ object MultimodalQueries extends QueryModule {
     // dimension stats. Binary column is scanned but never interpreted —
     // the opaque-payload contract.
     q("q90_media_meta",
-      """SELECT format, COUNT(*) AS n_media, SUM(bytes) AS total_bytes,
+      """SELECT format, COUNT(*) AS n_media,
+        |       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
         |       MIN(width) AS min_w, MAX(width) AS max_w,
         |       MIN(height) AS min_h, MAX(height) AS max_h
         |FROM (

@@ -24,8 +24,8 @@ object ScaleQueries extends QueryModule {
     // Identical result to the plain GROUP BY the oracle runs.
     q("q30_salted_agg",
       """SELECT l_returnflag, COUNT(*) AS n,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |       MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS max_price
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        |       ROUND(MAX(l_extendedprice), 4) AS max_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { spark =>
@@ -37,7 +37,9 @@ object ScaleQueries extends QueryModule {
           sum($"l_quantity".cast("decimal(18,4)")).as("pq"),
           max($"l_extendedprice".cast("decimal(18,4)")).as("pm"))
       salted.groupBy($"l_returnflag")
-        .agg(sum($"pn").as("n"), sum($"pq").as("sum_qty"), max($"pm").as("max_price"))
+        .agg(sum($"pn").as("n"),
+          round(sum($"pq").cast("double"), 4).as("sum_qty"),
+          round(max($"pm").cast("double"), 4).as("max_price"))
         .orderBy($"l_returnflag")
     },
 

@@ -52,7 +52,8 @@ object ScanFilterQueries extends QueryModule {
     q("q02_project_expr",
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS BIGINT) AS qty,
-        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS net_price
+        |  ROUND(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |             AS DOUBLE), 6) AS net_price
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, qty, net_price""".stripMargin) { spark =>
       // (l_orderkey, l_linenumber) is NOT unique in the fixture data — row-level
@@ -61,7 +62,8 @@ object ScanFilterQueries extends QueryModule {
       spark.table("lineitem")
         .select($"l_orderkey", $"l_linenumber",
           $"l_quantity".cast(LongType).as("qty"),
-          dec6($"l_extendedprice" * (lit(1) - $"l_discount")).as("net_price"))
+          round(dec6($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast(DoubleType), 6).as("net_price"))
         .orderBy($"l_orderkey", $"l_linenumber", $"qty", $"net_price")
     },
 
@@ -138,14 +140,14 @@ object ScanFilterQueries extends QueryModule {
     // Scalar subquery threshold: exact decimal sum → double division keeps the
     // threshold bit-identical across engines (Canon).
     q("q07_scalar_subquery",
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_totalprice > 2 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin) { spark =>
       spark.sql(
-        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
           |FROM orders
           |WHERE o_totalprice > 2 * (
           |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -168,13 +170,13 @@ object ScanFilterQueries extends QueryModule {
 
     // Top-k: Catalyst plans TakeOrderedAndProject — no global sort at scale.
     q("q09_topk",
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin) { spark =>
       import spark.implicits._
       spark.table("orders")
-        .select($"o_orderkey", dec(2)($"o_totalprice").as("price"), $"o_totalprice")
+        .select($"o_orderkey", round($"o_totalprice", 2).as("price"), $"o_totalprice")
         .orderBy($"o_totalprice".desc, $"o_orderkey")
         .limit(100)
         .select($"o_orderkey", $"price")
@@ -209,7 +211,4 @@ object ScanFilterQueries extends QueryModule {
           |FROM customer
           |ORDER BY c_custkey""".stripMargin)
     })
-
-  private def dec(s: Int)(c: org.apache.spark.sql.Column) =
-    c.cast(DecimalType(18, s))
 }

@@ -241,7 +241,7 @@ object TextQueries extends QueryModule {
     // via left join, scored 0.
     q("q67_sentiment",
       s"""SELECT d.doc_id,
-         |  COALESCE(SUM(lex.weight), 0) AS sentiment,
+         |  CAST(COALESCE(SUM(lex.weight), 0) AS BIGINT) AS sentiment,
          |  COUNT(lex.word) AS n_hits
          |FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents) d
          |LEFT JOIN (

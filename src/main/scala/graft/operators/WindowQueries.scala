@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.api.{Canon, GraftQuery, QueryModule}
 
@@ -23,7 +24,7 @@ object WindowQueries extends QueryModule {
     q("q31_topk_per_group",
       """SELECT * FROM (
         |  SELECT o_orderstatus, o_orderkey,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    ROUND(o_totalprice, 2) AS price,
         |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
@@ -34,7 +35,7 @@ object WindowQueries extends QueryModule {
         .orderBy($"o_totalprice".desc, $"o_orderkey")
       spark.table("orders")
         .select($"o_orderstatus", $"o_orderkey",
-          $"o_totalprice".cast(Canon.dec184.copy(scale = 2)).as("price"),
+          round($"o_totalprice", 2).as("price"),
           row_number().over(w).as("rn"))
         .filter($"rn" <= 10)
         .orderBy($"o_orderstatus", $"rn")
@@ -85,9 +86,9 @@ object WindowQueries extends QueryModule {
     // exact decimal accumulation.
     q("q34_running_sum",
       """SELECT event_id, user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
         |    PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,4)) AS running_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_value
         |FROM events
         |ORDER BY event_id""".stripMargin) { spark =>
       import spark.implicits._
@@ -95,7 +96,8 @@ object WindowQueries extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spark.table("events")
         .select($"event_id", $"user_id",
-          sum(dec4($"value")).over(w).cast(out284).as("running_value"))
+          round(sum(dec4($"value")).over(w).cast(DoubleType), 4)
+            .as("running_value"))
         .orderBy($"event_id")
     },
 

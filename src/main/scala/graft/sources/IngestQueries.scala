@@ -29,7 +29,7 @@ object IngestQueries extends QueryModule {
     // the original table: hash-match ⇒ lossless round trip.
     q("q98_csv_ingest_roundtrip",
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |       SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS bal
+        |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { spark =>
@@ -41,7 +41,7 @@ object IngestQueries extends QueryModule {
         .option("header", "true").csv(dir)
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          sum($"c_acctbal".cast("decimal(18,4)")).as("bal"))
+          round(sum($"c_acctbal".cast("decimal(18,4)")).cast("double"), 4).as("bal"))
         .orderBy($"c_mktsegment")
     },
 
@@ -50,7 +50,7 @@ object IngestQueries extends QueryModule {
     // verify the doubled multiset. Oracle doubles via UNION ALL.
     q("q99_insert_select_roundtrip",
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
         |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders) t
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { spark =>
@@ -62,7 +62,7 @@ object IngestQueries extends QueryModule {
       spark.read.schema(Tables.orders).parquet(dir)
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(18,4)")).as("total"))
+          round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4).as("total"))
         .orderBy($"o_orderstatus")
     },
 

@@ -25,7 +25,8 @@ object StreamingQueries extends QueryModule {
     // Tumbling 1-hour windows per event_type.
     q("q95_tumbling_window",
       """SELECT date_trunc('hour', ts) AS ws, event_type,
-        |       COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY ws, event_type""".stripMargin) { spark =>
@@ -33,7 +34,7 @@ object StreamingQueries extends QueryModule {
       spark.table("events")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,4)")).as("total"))
+          round(sum($"value".cast("decimal(18,4)")).cast("double"), 4).as("total"))
         .select($"window.start".as("ws"), $"event_type", $"n", $"total")
         .orderBy($"ws", $"event_type")
     },
@@ -46,7 +47,8 @@ object StreamingQueries extends QueryModule {
         |           INTERVAL (floor((epoch(ts) - off) / 3600) * 3600 + off) SECOND AS ws,
         |         value
         |  FROM events, (SELECT unnest([0, 1800]) AS off) offs)
-        |SELECT ws, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS total
+        |SELECT ws, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
         |FROM grid
         |GROUP BY ws
         |ORDER BY ws""".stripMargin) { spark =>
@@ -54,7 +56,7 @@ object StreamingQueries extends QueryModule {
       spark.table("events")
         .groupBy(window($"ts", "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast("decimal(18,4)")).as("total"))
+          round(sum($"value".cast("decimal(18,4)")).cast("double"), 4).as("total"))
         .select($"window.start".as("ws"), $"n", $"total")
         .orderBy($"ws")
     },
@@ -65,7 +67,7 @@ object StreamingQueries extends QueryModule {
     // exactly the batch answer — which is what the oracle asserts.
     qDir("q94_stream_ingest",
       """SELECT event_type, COUNT(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(18,4))) AS total
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
@@ -82,7 +84,8 @@ object StreamingQueries extends QueryModule {
         .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow).start()
       try q.awaitTermination() finally q.stop()
       spark.table("graft_stream_ingest")
-        .select($"event_type", $"n", $"total")
+        .select($"event_type", $"n",
+          round($"total".cast("double"), 4).as("total"))
         .orderBy($"event_type")
     },
 

@@ -4,26 +4,57 @@ only — the Scala engine never depends on this).
 
 Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
 
-Reads <out>/<name>/ parquet (Spark result) and <out>/oracle_sql.json, runs
-each oracle against DuckDB views over the sf parquet tables, sorts columns
-by name, and compares row-by-row.
+Faithful to the driver's comparator as reverse-engineered from r01:
+  * Spark result read from parquet via pandas/pyarrow (DECIMAL columns stay
+    decimal.Decimal objects, arrays stay numpy arrays);
+  * oracle run in DuckDB and fetched via .df() (DECIMAL → float64,
+    HUGEINT → float64/object);
+  * columns sorted by name, rows sorted by all columns (raises on
+    unhashable array cells — exactly like the driver did on r01 q51);
+  * values compared by type-sensitive repr, so Decimal('1.2000') vs 1.2
+    FAILS here even though the values are equal — that is the point.
 """
-import json
+import datetime
+import glob
 import math
+import json
 import sys
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return str(v)
+    if v is None or v is pd.NaT:
+        return "None"
+    if isinstance(v, Decimal):
+        return f"Decimal:{v}"  # type-sensitive on purpose (driver hash is)
+    if isinstance(v, (float, np.floating)):
+        return "NaN" if math.isnan(v) else repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, str):
+        return f"str:{v}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    return f"{type(v).__name__}:{v}"
+
+
+def frame_rows(df):
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return cols, [[canon(v) for v in row] for row in df.itertuples(index=False)]
 
 
 def main():
@@ -31,41 +62,36 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracles):
         if only and name not in only:
             continue
-        sql = oracles[name]
         try:
-            exp = con.execute(sql).fetch_arrow_table()
+            ecols, erows = frame_rows(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out}/{name}/*.parquet'").fetch_arrow_table()
+            files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+            gcols, grows = frame_rows(
+                pd.concat([pd.read_parquet(f) for f in files]))
         except Exception as e:
-            print(f"FAIL {name}: spark result missing: {e}")
+            print(f"FAIL {name}: spark result error: {e}")
             n_bad += 1
             continue
-        ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
         if ecols != gcols:
             print(f"FAIL {name}: columns {gcols} != oracle {ecols}")
             n_bad += 1
             continue
-        erows = [[canon(x) for x in row] for row in
-                 zip(*[exp.column(c).to_pylist() for c in ecols])] if exp.num_rows else []
-        grows = [[canon(x) for x in row] for row in
-                 zip(*[got.column(c).to_pylist() for c in gcols])] if got.num_rows else []
         if len(erows) != len(grows):
             print(f"FAIL {name}: rows {len(grows)} != oracle {len(erows)}")
             n_bad += 1
             continue
-        bad = [(i, g, e) for i, (g, e) in enumerate(zip(grows, erows)) if g != e]
+        bad = [(i, g, e) for i, (g, e) in enumerate(zip(grows, erows))
+               if g != e]
         if bad:
             i, g, e = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(erows)} rows differ; "
