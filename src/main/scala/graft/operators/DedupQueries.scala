@@ -319,36 +319,54 @@ object DedupQueries extends QueryModule {
         .groupBy($"doc_id").agg(collect_set($"shingle").as("shingles"))
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
-      val vecs = tf.transform(docs).select($"doc_id", $"features")
-      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
-      val model = lsh.fit(vecs)
-      model.approxSimilarityJoin(vecs, vecs, 0.95, "jaccard_dist")
-        .select($"datasetA.doc_id".as("id_a"), $"datasetB.doc_id".as("id_b"),
-          round($"jaccard_dist", 4).as("dist"))
-        .filter($"id_a" < $"id_b")
-        .orderBy($"id_a", $"id_b")
+      // cache: the shingle explode→groupBy→HashingTF pipeline would
+      // otherwise run once per join side of approxSimilarityJoin
+      val vecs = tf.transform(docs).select($"doc_id", $"features").cache()
+      try {
+        val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(8).setSeed(42L)
+        val model = lsh.fit(vecs)
+        model.approxSimilarityJoin(vecs, vecs, 0.95, "jaccard_dist")
+          .select($"datasetA.doc_id".as("id_a"), $"datasetB.doc_id".as("id_b"),
+            round($"jaccard_dist", 4).as("dist"))
+          .filter($"id_a" < $"id_b")
+          .orderBy($"id_a", $"id_b")
+          .localCheckpoint() // materialize (small pair set), then drop caches
+      } finally vecs.unpersist()
     },
 
-    // SimHash: 64-bit signature from xxhash64(token) bit votes, built with
-    // higher-order functions only (per-row, zero shuffle, codegen'd) — no
-    // oracle twin (hash is Spark-native); DedupSpec property-tests it.
-    qRowsOnly("q74_simhash") { spark =>
+    // SimHash: 64-bit signature (as 16 hex chars) from md5(token) bit votes.
+    // Bit b of a token's vote vector is bit (b%4) of hex nibble (b/4) of
+    // md5(token); output nibble i packs the sign bits 4i..4i+3. md5 + the
+    // nibble arithmetic evaluate identically in DuckDB → fully
+    // oracle-checked (upgraded from rows-only in r01). One explode + one
+    // 64-column map-side-combinable SUM — the per-token work is codegen'd.
+    q("q74_simhash",
+      s"""SELECT doc_id, simhash FROM ($simhashSql) s
+         |ORDER BY doc_id""".stripMargin) { spark =>
       import spark.implicits._
       simhashes(spark).orderBy($"doc_id")
     },
 
-    // SimHash near-dup candidates: 4 bands × 16 bits of the 64-bit
-    // signature; docs agreeing on any full band bucket become a pair —
-    // the same groupBy-bucket enumeration as the MinHash path (q73), over
-    // the per-row (shuffle-free) SimHash signatures. Rows-only (Spark
-    // xxhash64 has no oracle twin).
-    qRowsOnly("q78_simhash_band_pairs") { spark =>
+    // SimHash near-dup candidates: 4 bands × 16 bits (= 4 hex chars) of the
+    // signature; docs agreeing on any full band bucket become a pair — the
+    // same groupBy-bucket enumeration as the MinHash path (q73), over the
+    // md5-derived SimHash signatures (oracle-checked like q74).
+    q("q78_simhash_band_pairs", {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, substr(simhash, ${4 * b + 1}, 4) AS bh FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sig AS ($simhashSql),
+         |bands AS (
+         |$bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { spark =>
       import spark.implicits._
       val bandStructs = array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          call_function("shiftright", $"simhash", lit(16 * b))
-            .bitwiseAND(0xFFFFL).as("bh"))
+        struct(lit(b).as("band"), substring($"simhash", 4 * b + 1, 4).as("bh"))
       }: _*)
       val bands = simhashes(spark)
         .select($"doc_id", explode(bandStructs).as("bs"))
@@ -410,24 +428,52 @@ object DedupQueries extends QueryModule {
     labels
   }
 
-  /** doc_id → 64-bit SimHash from xxhash64(token) bit votes, higher-order
-    * functions only (per-row, zero shuffle). */
+  /** doc_id → 64-bit SimHash as 16 hex chars, md5-nibble bit votes (the
+    * deterministic hash family both engines share — same strategy as the
+    * MinHash md5 family above). Explode → one groupBy(doc_id) with 64
+    * map-side-combinable vote SUMs; nibbles decoded once per md5 char. */
   private def simhashes(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val toks = array_distinct(split(lower($"text"), " "))
-    val bitIdx = sequence(lit(0), lit(63))
-    // votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1)
-    val votes = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(bitIdx, b =>
-          call_function("shiftright", xxhash64(t), b.cast(IntegerType))
-            .bitwiseAND(1L) * 2 - 1),
-        (a, v) => a + v))
-    // simhash = Σ_b (votes[b] > 0) << b
-    val sim = aggregate(zip_with(votes, bitIdx,
-        (v, b) => when(v > 0,
-          call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
-    spark.table("documents").select($"doc_id", sim.as("simhash"))
+    val nibs = spark.table("documents")
+      .select($"doc_id",
+        explode(array_distinct(split(lower($"text"), " "))).as("token"))
+      .select($"doc_id", md5($"token".cast(BinaryType)).as("h"))
+      .select($"doc_id" +: (0 until 16).map(i =>
+        conv(substring($"h", i + 1, 1), 16, 10).cast(IntegerType).as(s"nib$i")): _*)
+    def vote(b: Int) =
+      sum(shiftright(col(s"nib${b / 4}"), b % 4).bitwiseAND(1) * 2 - 1).as(s"v$b")
+    val votes = nibs.groupBy($"doc_id").agg(vote(0), (1 until 64).map(vote): _*)
+    val hexChars = array("0123456789abcdef".map(c => lit(c.toString)): _*)
+    val digits = (0 until 16).map { i =>
+      val v = (0 until 4).map(r =>
+        when(col(s"v${4 * i + r}") > 0, lit(1 << r)).otherwise(lit(0)))
+        .reduce(_ + _)
+      element_at(hexChars, v + 1)
+    }
+    votes.select($"doc_id", concat(digits: _*).as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhashes]] (strpos-decoded nibbles, same bit maths). */
+  private val simhashSql: String = {
+    val nibCols = (0 until 16).map(i =>
+      s"  CAST(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS INT) AS nib$i")
+      .mkString(",\n")
+    val voteCols = (0 until 64).map(b =>
+      s"  SUM(((nib${b / 4} >> ${b % 4}) & 1) * 2 - 1) AS v$b").mkString(",\n")
+    val digitExprs = (0 until 16).map { i =>
+      val v = (0 until 4).map(r =>
+        s"(CASE WHEN v${4 * i + r} > 0 THEN ${1 << r} ELSE 0 END)").mkString(" + ")
+      s"substr('0123456789abcdef', 1 + $v, 1)"
+    }.mkString(" || ")
+    s"""SELECT doc_id, $digitExprs AS simhash FROM (
+       |  SELECT doc_id,
+       |$voteCols
+       |  FROM (SELECT doc_id,
+       |$nibCols
+       |        FROM (SELECT doc_id, md5(token) AS h FROM (
+       |              SELECT doc_id,
+       |                unnest(list_distinct(string_split(lower(text), ' '))) AS token
+       |              FROM documents) t0) t1) t2
+       |  GROUP BY doc_id) v""".stripMargin
   }
 }

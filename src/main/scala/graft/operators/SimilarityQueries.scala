@@ -86,24 +86,29 @@ object SimilarityQueries extends QueryModule {
     spark.table("embeddings").select($"vec_id", toD($"embedding").as("emb"))
   }
 
+  /** Exact cosine top-5 per probe — shared by q80 (window formulation) and
+    * q84 (UDAF formulation): identical rounding, ranking and tiebreak, so
+    * both hash-match this one oracle. */
+  private val topkOracleSql =
+    s"""WITH e AS ($normalizedSql),
+       |s AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |         ROUND(list_dot_product(a.emb, b.emb), 4) AS cos
+       |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10)
+       |SELECT qid, cid, cos FROM (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+       |  FROM s) t
+       |WHERE rn <= 5
+       |ORDER BY qid, cid""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Exact cosine top-5 neighbors for each of 10 probe vectors — the
     // ground-truth ANN baseline. Probe side broadcast; corpus scanned once,
     // map-side scored; the only shuffle is the per-probe top-k (key = qid).
-    q("q80_cosine_topk",
-      s"""WITH e AS ($normalizedSql),
-         |s AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-         |         ROUND(list_dot_product(a.emb, b.emb), 4) AS cos
-         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < 10)
-         |SELECT qid, cid, cos FROM (
-         |  SELECT qid, cid, cos,
-         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
-         |  FROM s) t
-         |WHERE rn <= 5
-         |ORDER BY qid, cid""".stripMargin) { spark =>
+    q("q80_cosine_topk", topkOracleSql) { spark =>
       import spark.implicits._
       val e = normalized(spark)
       val probes = e.filter($"vec_id" < 10)
@@ -172,9 +177,10 @@ object SimilarityQueries extends QueryModule {
     // Exact top-5 again, but through the typed Aggregator UDAF instead of a
     // window sort: partial buffers hold ≤ k candidates, combine map-side,
     // and shuffle k rows per probe — the aggregation-based top-k that
-    // replaces "sort the whole partition" at 100 TB. Equality with q80 is
-    // asserted in SimilarityDedupSpec.
-    qRowsOnly("q84_topk_udaf") { spark =>
+    // replaces "sort the whole partition" at 100 TB. Same rounding/tiebreak
+    // as q80 → shares q80's oracle (upgraded from rows-only in r01);
+    // equality with q80 also asserted in SimilarityDedupSpec.
+    q("q84_topk_udaf", topkOracleSql) { spark =>
       import spark.implicits._
       val topk = udaf(new graft.functions.TopKByScore(5))
       val e = normalized(spark)
@@ -199,20 +205,24 @@ object SimilarityQueries extends QueryModule {
       import org.apache.spark.ml.linalg.Vectors
       import spark.implicits._
       val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
+      // cache: the normalize pipeline would otherwise run once per join side
       val vecs = normalized(spark)
-        .select($"vec_id", toVec($"emb").as("features"))
-      // bucketLength tuned small: unit-vector projections have std ≈ 1/√d,
-      // so 0.25 splits the corpus into enough buckets that candidate volume
-      // stays near-linear while the 5 OR'd tables keep recall high
-      val lsh = new BucketedRandomProjectionLSH()
-        .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(0.25).setNumHashTables(5).setSeed(42L)
-      val model = lsh.fit(vecs)
-      model.approxSimilarityJoin(vecs, vecs, 1.0954, "dist")
-        .select($"datasetA.vec_id".as("id_a"), $"datasetB.vec_id".as("id_b"),
-          round(lit(1.0d) - $"dist" * $"dist" / 2.0d, 4).as("cos"))
-        .filter($"id_a" < $"id_b")
-        .orderBy($"id_a", $"id_b")
+        .select($"vec_id", toVec($"emb").as("features")).cache()
+      try {
+        // bucketLength tuned small: unit-vector projections have std ≈ 1/√d,
+        // so 0.25 splits the corpus into enough buckets that candidate volume
+        // stays near-linear while the 5 OR'd tables keep recall high
+        val lsh = new BucketedRandomProjectionLSH()
+          .setInputCol("features").setOutputCol("hashes")
+          .setBucketLength(0.25).setNumHashTables(5).setSeed(42L)
+        val model = lsh.fit(vecs)
+        model.approxSimilarityJoin(vecs, vecs, 1.0954, "dist")
+          .select($"datasetA.vec_id".as("id_a"), $"datasetB.vec_id".as("id_b"),
+            round(lit(1.0d) - $"dist" * $"dist" / 2.0d, 4).as("cos"))
+          .filter($"id_a" < $"id_b")
+          .orderBy($"id_a", $"id_b")
+          .localCheckpoint() // materialize (small pair set), then drop caches
+      } finally vecs.unpersist()
     },
 
     // IVF-style ANN: coarse-quantize the corpus by per-label centroid (the

@@ -63,10 +63,12 @@ class SimilarityDedupSpec extends SparkSpec {
   }
 
   test("SimHash is deterministic and separates similar from random pairs") {
+    // signature is 16 hex chars (nibble-permuted 64 bits — hamming distance
+    // is invariant under the fixed bit permutation)
     val run1 = queries("q74_simhash")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(r.getString(1), 16)).toMap
     val run2 = queries("q74_simhash")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(r.getString(1), 16)).toMap
     assert(run1 == run2, "SimHash must be a pure function of the text")
 
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
