@@ -26,6 +26,7 @@ object FunctionQueries extends QueryModule {
         |  LENGTH(c_name) AS name_len,
         |  LOWER(c_name) AS lo, UPPER(c_mktsegment) AS up,
         |  TRIM(RPAD(c_name, 25, ' ')) AS trimmed,
+        |  LTRIM('  ' || c_name) AS lt, RTRIM(c_name || '  ') AS rt,
         |  REPLACE(c_name, 'Customer#', 'C') AS short_name,
         |  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
         |  STRPOS(c_name, '#') AS hash_pos,
@@ -45,6 +46,8 @@ object FunctionQueries extends QueryModule {
         length($"c_name").as("name_len"),
         lower($"c_name").as("lo"), upper($"c_mktsegment").as("up"),
         trim(rpad($"c_name", 25, " ")).as("trimmed"),
+        ltrim(concat(lit("  "), $"c_name")).as("lt"),
+        rtrim(concat($"c_name", lit("  "))).as("rt"),
         regexp_replace($"c_name", lit("Customer#"), lit("C")).as("short_name"),
         lpad($"c_custkey".cast(StringType), 8, "0").as("padded"),
         instr($"c_name", "#").as("hash_pos"),
@@ -94,6 +97,34 @@ object FunctionQueries extends QueryModule {
           unix_timestamp($"o_orderdate").as("unix_sec"),
           to_date($"o_orderdate").as("as_date"))
         .orderBy($"o_orderkey")
+    },
+
+    // Time-of-day family over the event stream (orders timestamps sit at
+    // midnight, so hour/minute/second need `events.ts`). DuckDB's hour()
+    // returns BIGINT → both sides pinned to INT; epoch_ms floors ns→ms the
+    // same way Spark's unix_millis floors the µs-truncated timestamp.
+    q("q52b_time_funcs",
+      """SELECT event_id,
+        |  CAST(hour(ts) AS INT) AS h,
+        |  CAST(minute(ts) AS INT) AS mi,
+        |  CAST(second(ts) AS INT) AS s,
+        |  CAST(extract(hour FROM ts) AS INT) AS ext_h,
+        |  CAST(epoch_ms(ts) AS BIGINT) AS ms,
+        |  CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_start
+        |FROM events
+        |WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .filter($"event_id" < 2000)
+        .select($"event_id",
+          hour($"ts").as("h"),
+          minute($"ts").as("mi"),
+          second($"ts").as("s"),
+          expr("extract(hour FROM ts)").cast(IntegerType).as("ext_h"),
+          unix_millis($"ts").as("ms"),
+          date_trunc("minute", $"ts").as("minute_start"))
+        .orderBy($"event_id")
     },
 
     // Math family. Transcendentals (exp/ln/log10/power) rounded at 6 — far
@@ -236,6 +267,8 @@ object FunctionQueries extends QueryModule {
         |  ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
         |                    (a, b) -> a + b), 5) AS vec_sumsq,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  ROUND(list_reduce(list_transform(embedding[3:6], x -> CAST(x AS DOUBLE)),
+        |                    (a, b) -> a + b), 5) AS slice_sum,
         |  ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_elem
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin) { spark =>
@@ -250,6 +283,8 @@ object FunctionQueries extends QueryModule {
         round(aggregate($"embedding", lit(0.0),
           (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 5).as("vec_sumsq"),
         size(filter($"embedding", x => x > 0f)).as("n_pos"),
+        round(aggregate(slice($"embedding", 3, 4), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType)), 5).as("slice_sum"),
         round(element_at(sort_array($"embedding"), 1).cast(DoubleType), 6).as("min_elem"))
         .orderBy($"vec_id")
     },

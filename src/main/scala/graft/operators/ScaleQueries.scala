@@ -4,7 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.api.{GraftQuery, QueryModule}
+import graft.api.{Canon, GraftQuery, QueryModule}
+import graft.api.Canon.Oracle
 import graft.sources.Tables
 
 /** Scale-hardening patterns as first-class, oracle-checked operators
@@ -111,6 +112,38 @@ object ScaleQueries extends QueryModule {
           |FROM nation JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_regionkey
           |ORDER BY r_regionkey""".stripMargin)
+    },
+
+    // Bucketed co-located join: write BOTH join sides bucketed (and
+    // bucket-sorted) on the join key, then join the bucketed tables — the
+    // scan-to-scan co-partitioning that removes the per-query shuffle of a
+    // repeated big-big join at 100 TB (pay the shuffle once at layout time,
+    // never per query). repartition(nBuckets, key) before the write gives
+    // exactly one file per bucket, so the bucketed SMJ needs neither
+    // exchange nor sort (asserted in PlanSpec). Oracle runs the plain join
+    // on the flat tables: hash-match ⇒ the relayout is semantics-preserving.
+    q("q88_bucketed_join",
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ${Oracle.sum4("l_quantity")} AS qty
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { spark =>
+      import spark.implicits._
+      val wh = Files.createTempDirectory("graft_bucket_").toString
+      Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
+        case (t, k) =>
+          spark.table(t).repartition(16, col(k))
+            .write.mode("overwrite")
+            .bucketBy(16, k).sortBy(k)
+            .option("path", s"$wh/$t")
+            .saveAsTable(s"graft_${t}_bucketed")
+      }
+      spark.table("graft_orders_bucketed")
+        .join(spark.table("graft_lineitem_bucketed"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Canon.sum4($"l_quantity").as("qty"))
+        .orderBy($"o_orderstatus")
     },
 
     // Partition-pruned layout: re-write events partitioned by event date

@@ -84,6 +84,33 @@ class PlanSpec extends SparkSpec {
       .contains("PartitionFilters"), plan)
   }
 
+  test("bucketed co-located join: no exchange on either bucketed side") {
+    import spark.implicits._
+    Tables.register(spark, sf)
+    val wh = java.nio.file.Files.createTempDirectory("graft_bspec_").toString
+    Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
+      case (t, k) =>
+        spark.table(t).repartition(4, col(k))
+          .write.mode("overwrite").bucketBy(4, k).sortBy(k)
+          .option("path", s"$wh/$t").saveAsTable(s"bspec_${t}")
+    }
+    // disable broadcast so the planner must pick the bucketed SMJ path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.table("bspec_orders")
+        .join(spark.table("bspec_lineitem"), $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderkey", $"l_quantity")
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // the scale win: co-partitioned scans, zero shuffle (Spark still adds
+      // a cheap per-bucket local Sort — the 4.x reader ignores bucket sort
+      // metadata — but no Exchange on either side)
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("semi-join rewrite: IN (subquery) becomes a semi join, not a product") {
     Tables.register(spark, sf)
     val df = spark.sql(
