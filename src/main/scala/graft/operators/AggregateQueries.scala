@@ -163,6 +163,35 @@ object AggregateQueries extends QueryModule {
         .orderBy($"c_nationkey")
     },
 
+    // Boolean + arg-extrema aggregates: every/any (DuckDB bool_and/bool_or),
+    // count_if, and max_by/min_by (DuckDB arg_max/arg_min) — deterministic
+    // because o_orderkey orders o_totalprice ties uniquely in the fixture
+    // (prices are distinct per status at these SFs; tiebreak guarded by
+    // taking extrema of the unique key itself for the _by columns).
+    q("q26b_bool_arg_aggs",
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_totalprice > 400000) AS any_big,
+        |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
+        |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+        |  ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          every($"o_totalprice" > 0).as("all_pos"),
+          some($"o_totalprice" > 400000).as("any_big"),
+          count_if($"o_totalprice" > 100000).as("n_big"),
+          max_by($"o_orderkey", $"o_totalprice").as("key_of_max"),
+          min_by($"o_orderkey", $"o_totalprice").as("key_of_min"),
+          round(max($"o_totalprice"), 2).as("max_price"))
+        .orderBy($"o_orderstatus")
+    },
+
     // Approx distinct: non-exact → rows-only gate; spec asserts error bound.
     qRowsOnly("q29_approx_distinct") { spark =>
       import spark.implicits._

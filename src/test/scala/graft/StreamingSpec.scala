@@ -119,6 +119,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet streaming sink round-trips the stream (append + checkpoint)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_ssink_").toString
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    val q = ms.toDF().toDF("id", "tag").writeStream
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      ms.addData((4L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")), back)
+  }
+
   test("streaming session windows equal the batch session computation") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
