@@ -438,8 +438,12 @@ object DedupQueries extends QueryModule {
       .select($"doc_id",
         explode(array_distinct(split(lower($"text"), " "))).as("token"))
       .select($"doc_id", md5($"token".cast(BinaryType)).as("h"))
-      .select($"doc_id" +: (0 until 16).map(i =>
-        conv(substring($"h", i + 1, 1), 16, 10).cast(IntegerType).as(s"nib$i")): _*)
+      .select($"doc_id" +: (0 until 16).map { i =>
+        // hex digit → nibble via ascii arithmetic ('0'..'9' → 0..9,
+        // 'a'..'f' → 10..15): pure int codegen, cheaper than string conv()
+        val a = ascii(substring($"h", i + 1, 1))
+        when(a >= 97, a - 87).otherwise(a - 48).as(s"nib$i")
+      }: _*)
     def vote(b: Int) =
       sum(shiftright(col(s"nib${b / 4}"), b % 4).bitwiseAND(1) * 2 - 1).as(s"v$b")
     val votes = nibs.groupBy($"doc_id").agg(vote(0), (1 until 64).map(vote): _*)

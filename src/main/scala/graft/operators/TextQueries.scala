@@ -207,7 +207,10 @@ object TextQueries extends QueryModule {
       val tok = spark.table("documents")
         .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      // df derives from tf (one row per (doc, term) ⇒ COUNT(*) per term ==
+      // COUNT(DISTINCT doc_id) over raw tokens) — saves a second full
+      // explode+shuffle pass over the corpus
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = spark.table("documents").count() // scalar, driver-safe
       val scored = tf.join(df, "term")
         .select($"doc_id", $"term",
