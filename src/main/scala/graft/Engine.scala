@@ -68,6 +68,15 @@ object Engine {
     /** Multi-statement batch against this session (ClientMultiStatements). */
     def sqlBatch(batch: String): Seq[DataFrame] = Engine.sqlBatch(spark, batch)
 
+    /** Prepared statement — the engine analog of COM_STMT_PREPARE/EXECUTE
+      * (the gateway tracks prepared-statement status bits and relays the
+      * binary protocol opaquely, /root/reference/mysql/constants.go:22-37):
+      * parse once, bind named parameters per execution via Spark's
+      * parameterized SQL (injection-safe, like wire-protocol binary params).
+      */
+    def prepare(query: String): Map[String, Any] => DataFrame =
+      params => spark.sql(query, params)
+
     def close(): Unit = () // temp views die with the session wrapper
   }
 

@@ -225,6 +225,35 @@ object SimilarityQueries extends QueryModule {
       } finally vecs.unpersist()
     },
 
+    // Embedding-cosine near-dup dedup: the dedup-by-meaning end of the
+    // similarity family — drop the larger id of every pair with cosine ≥
+    // 0.45 (the fixture's max pairwise cosine is ~0.51, so the threshold
+    // genuinely drops rows), keep the rest. Exact pair scoring here (the oracle-checkable
+    // baseline); at 100 TB the pair stage swaps to the banded-LSH candidates
+    // (q82 machinery) with identical downstream anti-join semantics.
+    q("q89_cosine_neardup_dedup",
+      s"""WITH e AS ($normalizedSql),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ROUND(list_dot_product(a.emb, b.emb), 4) >= 0.45)
+         |SELECT v.vec_id, v.label
+         |FROM embeddings v
+         |WHERE v.vec_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY v.vec_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = normalized(spark)
+      val a = e.select($"vec_id".as("id_a"), $"emb".as("ea"))
+      val b = e.select($"vec_id".as("id_b"), $"emb".as("eb"))
+      val dropped = a.join(b, $"id_a" < $"id_b")
+        .filter(round(dot($"ea", $"eb"), 4) >= 0.45)
+        .select($"id_b".as("vec_id")).distinct()
+      spark.table("embeddings")
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .select($"vec_id", $"label")
+        .orderBy($"vec_id")
+    },
+
     // IVF-style ANN: coarse-quantize the corpus by per-label centroid (the
     // inverted-file lists), probe the 3 nearest centroids per query, search
     // only those lists. Centroids built distributively (posexplode →

@@ -52,4 +52,15 @@ class EngineSpec extends SparkSpec {
     assert(Engine.sqlBatch(spark, "SELECT 1 AS x;").size == 1)
     assert(Engine.sqlBatch(spark, "SELECT 1 AS x").size == 1)
   }
+
+  test("prepared statement binds named parameters per execution") {
+    val s = Engine.connect(spark, "prod", backends)
+    val stmt = s.prepare(
+      "SELECT n_name FROM nation WHERE n_nationkey = :k ORDER BY n_name")
+    val first = stmt(Map("k" -> 0)).collect().map(_.getString(0)).toSeq
+    val second = stmt(Map("k" -> 3)).collect().map(_.getString(0)).toSeq
+    assert(first.size == 1 && second.size == 1 && first != second)
+    // literals bind too (scalar expression, no table)
+    assert(s.prepare("SELECT :x + 1 AS y")(Map("x" -> 41)).head().getInt(0) == 42)
+  }
 }
