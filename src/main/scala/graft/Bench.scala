@@ -30,13 +30,20 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (gq.name, if (err.isEmpty) sec else -sec, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Keep the JSON line SHORT: the driver captures only a tail buffer of
+    // the run output (BENCH_r01.json shows the line's head truncated away →
+    // "parsed": null), so seconds are rounded to 3 decimals and the errors
+    // map is emitted only when non-empty.
+    def s3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val nFail = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}""")
+    val errField = if (nFail > 0) s""","errors":$errs""" else ""
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$nFail$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
