@@ -260,38 +260,40 @@ object FunctionQueries extends QueryModule {
     q("q57_array_funcs",
       """SELECT vec_id,
         |  len(embedding) AS dim,
-        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-        |  ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) + 0 AS first_val,
+        |  ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0 AS last_val,
         |  ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-        |                    (a, b) -> a + b), 5) AS vec_sum,
+        |                    (a, b) -> a + b), 5) + 0 AS vec_sum,
         |  ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
-        |                    (a, b) -> a + b), 5) AS vec_sumsq,
+        |                    (a, b) -> a + b), 5) + 0 AS vec_sumsq,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
         |  ROUND(list_reduce(list_transform(embedding[3:6], x -> CAST(x AS DOUBLE)),
-        |                    (a, b) -> a + b), 5) AS slice_sum,
-        |  ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_elem
+        |                    (a, b) -> a + b), 5) + 0 AS slice_sum,
+        |  ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) + 0 AS min_elem
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin) { spark =>
       import spark.implicits._
       spark.table("embeddings").select(
         $"vec_id",
         size($"embedding").as("dim"),
-        round(element_at($"embedding", 1).cast(DoubleType), 6).as("first_val"),
-        round(element_at($"embedding", -1).cast(DoubleType), 6).as("last_val"),
-        round(aggregate($"embedding", lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType)), 5).as("vec_sum"),
-        round(aggregate($"embedding", lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 5).as("vec_sumsq"),
+        // "+ 0" after every round: IEEE -0.0 + 0 = +0.0 on both engines —
+        // Spark's BigDecimal round can't produce -0.0 but DuckDB's can
+        (round(element_at($"embedding", 1).cast(DoubleType), 6) + 0).as("first_val"),
+        (round(element_at($"embedding", -1).cast(DoubleType), 6) + 0).as("last_val"),
+        (round(aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType)), 5) + 0).as("vec_sum"),
+        (round(aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 5) + 0).as("vec_sumsq"),
         size(filter($"embedding", x => x > 0f)).as("n_pos"),
-        round(aggregate(slice($"embedding", 3, 4), lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType)), 5).as("slice_sum"),
-        round(element_at(sort_array($"embedding"), 1).cast(DoubleType), 6).as("min_elem"))
+        (round(aggregate(slice($"embedding", 3, 4), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType)), 5) + 0).as("slice_sum"),
+        (round(element_at(sort_array($"embedding"), 1).cast(DoubleType), 6) + 0).as("min_elem"))
         .orderBy($"vec_id")
     },
 
     // explode / posexplode (UNNEST): vector → element rows.
     q("q58_explode",
-      """SELECT vec_id, pos, ROUND(CAST(val AS DOUBLE), 6) AS val
+      """SELECT vec_id, pos, ROUND(CAST(val AS DOUBLE), 6) + 0 AS val
         |FROM (
         |  SELECT vec_id,
         |    generate_subscripts(embedding, 1) - 1 AS pos,
@@ -303,7 +305,7 @@ object FunctionQueries extends QueryModule {
       spark.table("embeddings")
         .filter($"vec_id" < 20)
         .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
-        .select($"vec_id", $"pos", round($"v".cast(DoubleType), 6).as("val"))
+        .select($"vec_id", $"pos", (round($"v".cast(DoubleType), 6) + 0).as("val"))
         .orderBy($"vec_id", $"pos")
     },
 

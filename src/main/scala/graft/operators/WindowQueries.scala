@@ -68,8 +68,8 @@ object WindowQueries extends QueryModule {
     // LAG / LEAD per user over the event sequence.
     q("q33_lag_lead",
       """SELECT event_id, user_id,
-        |  ROUND(value - COALESCE(LAG(value)  OVER w, 0.0), 2) AS delta_prev,
-        |  ROUND(COALESCE(LEAD(value) OVER w, 0.0) - value, 2) AS delta_next
+        |  ROUND(value - COALESCE(LAG(value)  OVER w, 0.0), 2) + 0 AS delta_prev,
+        |  ROUND(COALESCE(LEAD(value) OVER w, 0.0) - value, 2) + 0 AS delta_next
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin) { spark =>
@@ -77,8 +77,8 @@ object WindowQueries extends QueryModule {
       val w = Window.partitionBy($"user_id").orderBy($"event_id")
       spark.table("events")
         .select($"event_id", $"user_id",
-          round($"value" - coalesce(lag($"value", 1).over(w), lit(0.0)), 2).as("delta_prev"),
-          round(coalesce(lead($"value", 1).over(w), lit(0.0)) - $"value", 2).as("delta_next"))
+          (round($"value" - coalesce(lag($"value", 1).over(w), lit(0.0)), 2) + 0).as("delta_prev"),
+          (round(coalesce(lead($"value", 1).over(w), lit(0.0)) - $"value", 2) + 0).as("delta_next"))
         .orderBy($"event_id")
     },
 
