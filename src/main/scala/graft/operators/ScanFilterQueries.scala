@@ -195,6 +195,52 @@ object ScanFilterQueries extends QueryModule {
         .limit(500)
     },
 
+    // LATERAL correlated subquery (top-1 order per customer): Catalyst
+    // decorrelates the per-row ORDER BY…LIMIT into a ranked join — the same
+    // SQL text runs on both engines.
+    q("q06b_lateral_join",
+      """SELECT c_custkey, o_orderkey, price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT c_custkey, o_orderkey, price
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+          |  FROM orders WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          |WHERE c_custkey < 200
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop): generate the
+    // dense 0–23 hour series recursively, left-join the event hour
+    // histogram so silent hours surface as zero — same SQL both engines.
+    q("q07c_recursive_cte",
+      """WITH RECURSIVE hours(h) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT h + 1 FROM hours WHERE h < 23)
+        |SELECT h, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |FROM hours
+        |LEFT JOIN (SELECT CAST(hour(ts) AS INT) AS eh, COUNT(*) AS n
+        |           FROM events GROUP BY 1) e ON eh = h
+        |ORDER BY h""".stripMargin) { spark =>
+      spark.sql(
+        """WITH RECURSIVE hours(h) AS (
+          |  SELECT 0
+          |  UNION ALL
+          |  SELECT h + 1 FROM hours WHERE h < 23)
+          |SELECT h, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+          |FROM hours
+          |LEFT JOIN (SELECT CAST(hour(ts) AS INT) AS eh, COUNT(*) AS n
+          |           FROM events GROUP BY 1) e ON eh = h
+          |ORDER BY h""".stripMargin)
+    },
+
     // Correlated scalar subquery in SELECT — Catalyst decorrelates
     // (RewriteCorrelatedScalarSubquery) into a left outer aggregate join;
     // MAX is order-insensitive so no decimal cast is needed.
