@@ -119,6 +119,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits exactly the in-window matches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val cl = clicks.toDF().toDF("id", "cts").withWatermark("cts", "10 minutes")
+    val vw = views.toDF().toDF("vid", "vts").withWatermark("vts", "10 minutes")
+    val joined = cl.join(vw,
+      expr("id = vid AND vts BETWEEN cts AND cts + INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((1L, at(1)), (2L, at(3)), (1L, at(20)))
+      clicks.addData((1L, at(0)), (2L, at(2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ssjoin").select($"id", $"cts", $"vts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    // (1, at(20)) falls outside click@0 + 10 min → excluded
+    assert(got == Set((1L, at(0), at(1)), (2L, at(2), at(3))), got)
+  }
+
   test("parquet streaming sink round-trips the stream (append + checkpoint)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
