@@ -202,7 +202,9 @@ object FunctionQueries extends QueryModule {
         |  CAST(s_suppkey AS INT) AS key_i32,
         |  CAST(s_suppkey % 2 AS BOOLEAN) AS key_odd,
         |  CAST('1996-03-15' AS DATE) AS lit_date,
-        |  CAST('1996-03-15 12:30:00' AS TIMESTAMP) AS lit_ts
+        |  CAST('1996-03-15 12:30:00' AS TIMESTAMP) AS lit_ts,
+        |  TRY_CAST(CAST(s_suppkey AS VARCHAR) || 'x' AS BIGINT) AS try_bad,
+        |  TRY_CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT) AS try_good
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin) { spark =>
       import spark.implicits._
@@ -217,7 +219,10 @@ object FunctionQueries extends QueryModule {
         $"s_suppkey".cast(IntegerType).as("key_i32"),
         ($"s_suppkey" % 2).cast(BooleanType).as("key_odd"),
         lit("1996-03-15").cast(DateType).as("lit_date"),
-        lit("1996-03-15 12:30:00").cast(TimestampType).as("lit_ts"))
+        lit("1996-03-15 12:30:00").cast(TimestampType).as("lit_ts"),
+        expr("try_cast(concat(cast(s_suppkey AS string), 'x') AS bigint)")
+          .as("try_bad"),
+        expr("try_cast(cast(s_suppkey AS string) AS bigint)").as("try_good"))
         .orderBy($"s_suppkey")
     },
 

@@ -163,6 +163,21 @@ object AggregateQueries extends QueryModule {
         .orderBy($"c_nationkey")
     },
 
+    // GROUP BY ALL (the dialect shorthand both engines share: every
+    // non-aggregated select item becomes a grouping key) — same SQL text
+    // runs on Spark and DuckDB.
+    q("q25b_group_by_all",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY ALL
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
     // Boolean + arg-extrema aggregates: every/any (DuckDB bool_and/bool_or),
     // count_if, and max_by/min_by (DuckDB arg_max/arg_min) — deterministic
     // because o_orderkey orders o_totalprice ties uniquely in the fixture
