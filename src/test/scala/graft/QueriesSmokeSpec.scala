@@ -35,7 +35,8 @@ class QueriesSmokeSpec extends SparkSpec {
     * validated by their own execution above, not re-built here. */
   private val sideEffecting =
     Set("q93_partitioned_events", "q94_stream_ingest",
-      "q98_csv_ingest_roundtrip", "q99_insert_select_roundtrip")
+      "q98_csv_ingest_roundtrip", "q99_insert_select_roundtrip",
+      "q88_bucketed_join") // writes bucketed tables
 
   test("no query plan degenerates to an unpartitioned CartesianProduct") {
     val offenders = SparkEntry.allQueries
