@@ -148,8 +148,43 @@ object SimilarityQueries extends QueryModule {
     // Hamming-1 neighbor buckets per band — near-misses on one hyperplane
     // are the dominant loss mode). Candidates come from equi-joins on
     // (band, bucket) — no all-pairs product; recall vs q80 is
-    // property-tested in SimilaritySpec.
-    qRowsOnly("q82_ann_lsh_topk") { spark =>
+    // property-tested in SimilaritySpec. The hyperplanes are fixed in-code
+    // constants and the sign/bucket math is exact double arithmetic shared
+    // by both engines, so the whole ANN pipeline is oracle-checked (the SQL
+    // twin embeds the plane literals — Double.toString round-trips exactly).
+    q("q82_ann_lsh_topk", {
+      def planeLit(i: Int): String =
+        planes(i).map(_.toString).mkString("[", ", ", "]")
+      def bucketSql(i0: Int): String = (0 until 4).map { r =>
+        s"(CASE WHEN list_dot_product(emb, ${planeLit(i0 + r)}) > 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      val corpusSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, emb, $b AS band, ${bucketSql(b * 4)} AS bucket FROM e"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |banded AS (
+         |$corpusSelects),
+         |probes AS (
+         |  SELECT vec_id AS qid, emb AS qemb, band, xor(bucket, p.x) AS bucket
+         |  FROM banded, (SELECT unnest([0, 1, 2, 4, 8]) AS x) p
+         |  WHERE vec_id < 10),
+         |cands AS (
+         |  SELECT DISTINCT p.qid, c.vec_id AS cid, p.qemb, c.emb AS cemb
+         |  FROM banded c JOIN probes p
+         |    ON c.band = p.band AND c.bucket = p.bucket AND c.vec_id <> p.qid),
+         |scored AS (
+         |  SELECT qid, cid,
+         |         ROUND(list_dot_product(qemb, cemb) /
+         |               (sqrt(list_dot_product(qemb, qemb)) *
+         |                sqrt(list_dot_product(cemb, cemb))), 4) + 0 AS cos
+         |  FROM cands)
+         |SELECT qid, cid, cos FROM (
+         |  SELECT qid, cid, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+         |  FROM scored) t
+         |WHERE rn <= 5
+         |ORDER BY qid, cid""".stripMargin
+    }) { spark =>
       import spark.implicits._
       val e = embeddingsD(spark)
       def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
@@ -167,7 +202,7 @@ object SimilarityQueries extends QueryModule {
           Seq("band", "bucket")).filter($"cid" =!= $"qid")
         .select($"qid", $"cid", $"qemb", $"cemb").distinct()
       val scored = cands.select($"qid", $"cid",
-        round(cosine($"qemb", $"cemb"), 4).as("cos"))
+        (round(cosine($"qemb", $"cemb"), 4) + 0).as("cos"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"cos")
