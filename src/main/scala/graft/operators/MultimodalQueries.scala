@@ -117,8 +117,29 @@ object MultimodalQueries extends QueryModule {
     // Frame sampling: treat the payload as a frame container (256-byte
     // frames), keep every 4th frame, fingerprint each kept frame. The
     // slice→explode generator runs per-row in codegen; downstream agg
-    // shuffles on doc_id only.
-    qRowsOnly("q92_frame_sample") { spark =>
+    // shuffles on doc_id only. Frame fingerprints use md5 (byte-identical
+    // in DuckDB over the same BLOB slices) → the whole sampling pipeline is
+    // oracle-checked (upgraded from rows-only in r01).
+    q("q92_frame_sample",
+      // the fixture text is pure ASCII at every SF (octet_length == length,
+      // asserted over all SFs), so the oracle's VARCHAR substring slices the
+      // same bytes Spark's binary substring does
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(
+        |           CAST(ceil(length(text) / 256.0) AS INT), 1))) AS i
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |         substring(text, CAST(i * 256 + 1 AS INT), 256) AS frame
+        |  FROM idx
+        |  WHERE i % 4 = 0)
+        |SELECT doc_id, COUNT(*) AS n_sampled,
+        |       CAST(SUM(length(frame)) AS BIGINT) AS sampled_bytes,
+        |       md5(array_to_string(list_sort(list(md5(frame))), ',')) AS content_sig
+        |FROM fr
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { spark =>
       import spark.implicits._
       val frameSize = 256
       val nFrames = ceil(length($"payload") / lit(frameSize.toDouble))
@@ -133,8 +154,8 @@ object MultimodalQueries extends QueryModule {
       frames.groupBy($"doc_id")
         .agg(count(lit(1)).as("n_sampled"),
           sum(length($"frame").cast(LongType)).as("sampled_bytes"),
-          xxhash64(concat_ws(",",
-            sort_array(collect_list(xxhash64($"frame"))))).as("content_sig"))
+          md5(concat_ws(",", sort_array(collect_list(md5($"frame"))))
+            .cast(BinaryType)).as("content_sig"))
         .orderBy($"doc_id")
     })
 }
