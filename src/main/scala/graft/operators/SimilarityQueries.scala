@@ -291,15 +291,58 @@ object SimilarityQueries extends QueryModule {
 
     // IVF-style ANN: coarse-quantize the corpus by per-label centroid (the
     // inverted-file lists), probe the 3 nearest centroids per query, search
-    // only those lists. Centroids built distributively (posexplode →
-    // groupBy(label, dim) → avg → re-assemble); everything joined to the
-    // probe side via broadcast.
-    qRowsOnly("q83_ivf_topk") { spark =>
+    // only those lists. Centroid means fold a SORTED value list so the FP
+    // sum is association-order-deterministic — the oracle-determinism
+    // variant of the centroid build (at 100 TB you'd use plain avg(), which
+    // is order-dependent but statistically identical; the sorted fold here
+    // is what lets DuckDB replay the exact pipeline). Everything joined to
+    // the probe side via broadcast.
+    q("q83_ivf_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |ex AS (SELECT label, generate_subscripts(emb, 1) - 1 AS dim,
+        |              unnest(emb) AS x FROM e),
+        |cd AS (SELECT label, dim, list_sort(list(x)) AS xs
+        |       FROM ex GROUP BY label, dim),
+        |cent AS (SELECT label, dim,
+        |                list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
+        |         FROM cd),
+        |cemb AS (SELECT label,
+        |                list_transform(
+        |                  list_sort(list(struct_pack(dim := dim, cx := cx))),
+        |                  p -> p.cx) AS cemb
+        |         FROM cent GROUP BY label),
+        |probes AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+        |probed AS (
+        |  SELECT qid, qemb, label FROM (
+        |    SELECT qid, qemb, label,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |             ROUND(list_dot_product(qemb, cemb) /
+        |                   (sqrt(list_dot_product(qemb, qemb)) *
+        |                    sqrt(list_dot_product(cemb, cemb))), 6) + 0 DESC,
+        |             label) AS rn
+        |    FROM probes, cemb) t
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.qid, c.vec_id AS cid,
+        |         ROUND(list_dot_product(p.qemb, c.emb) /
+        |               (sqrt(list_dot_product(p.qemb, p.qemb)) *
+        |                sqrt(list_dot_product(c.emb, c.emb))), 4) + 0 AS cos
+        |  FROM e c JOIN probed p ON c.label = p.label AND c.vec_id <> p.qid)
+        |SELECT qid, cid, cos FROM (
+        |  SELECT qid, cid, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+        |  FROM scored) t
+        |WHERE rn <= 5
+        |ORDER BY qid, cid""".stripMargin) { spark =>
       import spark.implicits._
       val e = spark.table("embeddings")
       val centroids = e
         .select($"label", posexplode(toD($"embedding")).as(Seq("dim", "x")))
-        .groupBy($"label", $"dim").agg(avg($"x").as("cx"))
+        .groupBy($"label", $"dim")
+        .agg(sort_array(collect_list($"x")).as("xs"))
+        .select($"label", $"dim",
+          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
         .groupBy($"label")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
         .select($"label", transform($"pairs", p => p("cx")).as("cemb"))
@@ -309,14 +352,14 @@ object SimilarityQueries extends QueryModule {
       val wq = Window.partitionBy($"qid").orderBy($"ccos".desc, $"label".asc)
       val probed = broadcast(probes).crossJoin(broadcast(centroids))
         .select($"qid", $"qemb", $"label",
-          round(cosine($"qemb", $"cemb"), 6).as("ccos"))
+          (round(cosine($"qemb", $"cemb"), 6) + 0).as("ccos"))
         .withColumn("rn", row_number().over(wq)).filter($"rn" <= 3)
         .select($"qid", $"qemb", $"label")
       val scored = embeddingsD(spark)
         .join(spark.table("embeddings").select($"vec_id", $"label"), "vec_id")
         .join(broadcast(probed), Seq("label")).filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("cid"),
-          round(cosine($"qemb", $"emb"), 4).as("cos"))
+          (round(cosine($"qemb", $"emb"), 4) + 0).as("cos"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"cos")
