@@ -238,6 +238,80 @@ object TextQueries extends QueryModule {
         .orderBy($"lang")
     },
 
+    // Stratified deterministic sampling: per-language rates (domain mixing —
+    // upsample en, downsample the tail) via the same md5-prefix idiom as
+    // q59c; reproducible across engines and runs, no RNG.
+    q("q59d_stratified_sample",
+      """SELECT lang, COUNT(*) AS n_sampled
+        |FROM documents
+        |WHERE substr(md5(text), 1, 2) <
+        |      (CASE lang WHEN 'en' THEN '20' WHEN 'de' THEN '10' ELSE '08' END)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .filter(substring(md5($"text".cast(BinaryType)), 1, 2) <
+          when($"lang" === "en", "20").when($"lang" === "de", "10")
+            .otherwise("08"))
+        .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy($"lang")
+    },
+
+    // Deterministic train/val/test split (~80/10/10): content-hash bucketing
+    // so the assignment is a pure function of the text — stable across
+    // reshards, engines, and pipeline reruns (the property random split
+    // lacks).
+    q("q59e_hash_split",
+      """SELECT split, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN h < 'cc' THEN 'train'
+        |              WHEN h < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT substr(md5(text), 1, 2) AS h FROM documents) t) s
+        |GROUP BY split
+        |ORDER BY split""".stripMargin) { spark =>
+      import spark.implicits._
+      val h = substring(md5($"text".cast(BinaryType)), 1, 2)
+      spark.table("documents")
+        .select(when(h < "cc", "train").when(h < "e6", "val")
+          .otherwise("test").as("split"))
+        .groupBy($"split").agg(count(lit(1)).as("n"))
+        .orderBy($"split")
+    },
+
+    // Sequence packing: next-fit pack documents into 4096-token context
+    // bins per language (bin = floor(running-start / 4096) over a
+    // deterministic doc order) — the batch-shaping op a training pipeline
+    // runs last. One window + one groupBy, both keyed on lang.
+    q("q59f_pack_bins",
+      s"""WITH t AS (SELECT doc_id, lang, len($tokSql) AS toks FROM documents),
+         |c AS (SELECT doc_id, lang, toks,
+         |             SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT lang,
+         |       CAST(floor(CAST(cum - toks AS DOUBLE) / 4096.0) AS INT) AS bin,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS bin_tokens
+         |FROM c
+         |GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spark.table("documents")
+        .select($"doc_id", $"lang",
+          size(split(lower($"text"), " ")).as("toks"))
+        .withColumn("cum", sum($"toks").over(w))
+        .select($"lang",
+          floor(($"cum" - $"toks").cast(DoubleType) / 4096.0)
+            .cast(IntegerType).as("bin"),
+          $"toks")
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks").cast(LongType).as("bin_tokens"))
+        .orderBy($"lang", $"bin")
+    },
+
     // Lexicon sentiment (PAPERS.md, EDBT 2016 pattern): tokens × constant
     // lexicon → per-doc weight sum. The lexicon is a literal inline table →
     // Spark broadcasts it (asserted in PlanShapeSpec); docs with no hits kept
