@@ -114,9 +114,16 @@ object Tables {
 
   /** Register every fixture under its table name as a temp view (the analog
     * of the gateway binding a routed backend's database into the session,
-    * /root/reference/gateway/gateway.go:111-130). */
+    * /root/reference/gateway/gateway.go:111-130). Memoized per
+    * (session, dir): every declared query calls this, and re-building ten
+    * file indexes per query is pure fixed overhead. Re-registering the SAME
+    * session with a DIFFERENT dir still rebinds (last dir wins). */
+  private val bound =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def register(spark: SparkSession, dir: String): Unit =
-    all.foreach { case (name, _) =>
-      table(spark, dir, name).createOrReplaceTempView(name)
-    }
+    if (bound.put(spark, dir) != dir)
+      all.foreach { case (name, _) =>
+        table(spark, dir, name).createOrReplaceTempView(name)
+      }
 }
