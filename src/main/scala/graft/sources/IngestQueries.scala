@@ -66,6 +66,38 @@ object IngestQueries extends QueryModule {
         .orderBy($"o_orderstatus")
     },
 
+    // Dynamic partition overwrite — the batch-correction pattern at scale:
+    // rewrite exactly ONE date partition of the partitioned events layout
+    // (drop that day's 'click' rows), leaving every other partition's files
+    // untouched (partitionOverwriteMode=dynamic replaces only partitions
+    // present in the incoming batch). Oracle applies the same correction to
+    // the flat table: hash-match ⇒ the targeted rewrite touched nothing else.
+    qDir("q99b_partition_overwrite",
+      """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |FROM events
+        |WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-10' AND event_type = 'click')
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-11'
+        |GROUP BY 1
+        |ORDER BY d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val outDir = Files.createTempDirectory("graft_dpo_").toString + "/events"
+      val ev = Tables.table(spark, dir, "events")
+        .withColumn("event_date", $"ts".cast("date"))
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+      val prev = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode").getOrElse("STATIC")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ev.filter($"event_date" === "2024-01-10" && $"event_type" =!= "click")
+          .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+      } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.read.parquet(outDir)
+        .filter($"event_date".between("2024-01-09", "2024-01-11"))
+        .groupBy($"event_date".as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"d")
+    },
+
     // Multi-statement batch: several ';'-separated statements, several
     // result sets, last one returned (ClientMultiStatements contract).
     // Statement splitting lives in graft.Engine.sqlBatch.

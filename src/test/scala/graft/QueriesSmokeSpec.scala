@@ -36,7 +36,8 @@ class QueriesSmokeSpec extends SparkSpec {
   private val sideEffecting =
     Set("q93_partitioned_events", "q94_stream_ingest",
       "q98_csv_ingest_roundtrip", "q99_insert_select_roundtrip",
-      "q88_bucketed_join") // writes bucketed tables
+      "q99b_partition_overwrite",
+      "q88_bucketed_join") // write-path queries
 
   test("no query plan degenerates to an unpartitioned CartesianProduct") {
     val offenders = SparkEntry.allQueries
