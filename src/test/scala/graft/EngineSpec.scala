@@ -53,6 +53,16 @@ class EngineSpec extends SparkSpec {
     assert(Engine.sqlBatch(spark, "SELECT 1 AS x").size == 1)
   }
 
+  test("introspection statements relay through the session (SHOW/DESCRIBE/EXPLAIN)") {
+    val s = Engine.connect(spark, "prod", backends)
+    val shown = s.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(Set("region", "nation", "lineitem", "events").subsetOf(shown), shown)
+    val cols = s.sql("DESCRIBE region").collect().map(_.getString(0)).toSet
+    assert(cols.contains("r_regionkey") && cols.contains("r_name"), cols)
+    val plan = s.sql("EXPLAIN SELECT COUNT(*) FROM region").head().getString(0)
+    assert(plan.contains("Physical Plan"), plan)
+  }
+
   test("prepared statement binds named parameters per execution") {
     val s = Engine.connect(spark, "prod", backends)
     val stmt = s.prepare(
