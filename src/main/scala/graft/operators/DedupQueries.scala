@@ -306,6 +306,36 @@ object DedupQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Benchmark decontamination: flag corpus documents sharing any 3-token
+    // shingle with a held-out "benchmark" set (doc_id < 10 here) — the
+    // train/test-overlap scrub every LLM data pipeline runs. The benchmark
+    // shingle set is tiny → broadcast; the corpus side streams through one
+    // equi-join, no shuffle of the corpus (the 100 TB decontamination plan).
+    q("q79b_decontaminate",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS shingle FROM documents),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 10)
+         |SELECT d.lang, COUNT(*) AS n_contaminated
+         |FROM contaminated c JOIN documents d USING (doc_id)
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin) { spark =>
+      import spark.implicits._
+      val sh = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+      val bench = sh.filter($"doc_id" < 10).select($"shingle").distinct()
+      val contaminated = sh.filter($"doc_id" >= 10)
+        .join(broadcast(bench), "shingle")
+        .select($"doc_id").distinct()
+      contaminated
+        .join(spark.table("documents").select($"doc_id", $"lang"), "doc_id")
+        .groupBy($"lang").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy($"lang")
+    },
+
     // Spark ML MinHashLSH variant (SURVEY.md §2C): HashingTF shingle vectors
     // → seeded MinHashLSH → approxSimilarityJoin at Jaccard distance ≤ 0.9.
     // Randomized-but-seeded → rows-only in the gate; DedupSpec checks its

@@ -144,6 +144,32 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Repetition quality filter: most-frequent-token share per document —
+    // the boilerplate/degenerate-text detector that complements q64's
+    // length/stopword heuristics. explode → per-(doc, token) count →
+    // per-doc max/total, all map-side-combinable.
+    q("q64b_repetition",
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, MAX(c) AS mr, SUM(c) AS total FROM tc
+         |        GROUP BY doc_id)
+         |SELECT doc_id, CAST(mr AS BIGINT) AS max_rep,
+         |       ROUND(CAST(mr AS DOUBLE) / total, 4) AS rep_ratio,
+         |       (CAST(mr AS DOUBLE) / total > 0.2) AS is_repetitive
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val tc = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      tc.groupBy($"doc_id")
+        .agg(max($"c").as("max_rep"), sum($"c").as("total"))
+        .select($"doc_id", $"max_rep",
+          round($"max_rep".cast(DoubleType) / $"total", 4).as("rep_ratio"),
+          ($"max_rep".cast(DoubleType) / $"total" > 0.2).as("is_repetitive"))
+        .orderBy($"doc_id")
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
     // (letter runs / digit runs / single other chars) — the tokenizer-cost
     // estimate a training pipeline budgets by.
