@@ -113,6 +113,9 @@ object AggregateQueries extends QueryModule {
         |  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
         |  ROUND(VAR_SAMP(l_discount), 8) AS var_disc,
         |  ROUND(CORR(l_quantity, l_discount), 6) AS corr_qd,
+        |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) + 0 AS slope,
+        |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) + 0 AS icept,
+        |  ROUND(COVAR_SAMP(l_quantity, l_discount), 8) + 0 AS covar_qd,
         |  ROUND(MIN(l_quantity), 2) AS min_q, ROUND(MAX(l_quantity), 2) AS max_q
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -124,6 +127,9 @@ object AggregateQueries extends QueryModule {
           round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
           round(var_samp($"l_discount"), 8).as("var_disc"),
           round(corr($"l_quantity", $"l_discount"), 6).as("corr_qd"),
+          (round(regr_slope($"l_extendedprice", $"l_quantity"), 6) + 0).as("slope"),
+          (round(regr_intercept($"l_extendedprice", $"l_quantity"), 4) + 0).as("icept"),
+          (round(covar_samp($"l_quantity", $"l_discount"), 8) + 0).as("covar_qd"),
           round(min($"l_quantity"), 2).as("min_q"),
           round(max($"l_quantity"), 2).as("max_q"))
         .orderBy($"l_returnflag")

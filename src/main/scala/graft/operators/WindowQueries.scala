@@ -121,7 +121,8 @@ object WindowQueries extends QueryModule {
     q("q36_first_last_value",
       """SELECT event_id, user_id,
         |  FIRST_VALUE(event_id) OVER w AS first_event,
-        |  LAST_VALUE(event_id)  OVER w AS last_event
+        |  LAST_VALUE(event_id)  OVER w AS last_event,
+        |  NTH_VALUE(event_id, 2) OVER w AS second_event
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -132,7 +133,8 @@ object WindowQueries extends QueryModule {
       spark.table("events")
         .select($"event_id", $"user_id",
           first($"event_id").over(w).as("first_event"),
-          last($"event_id").over(w).as("last_event"))
+          last($"event_id").over(w).as("last_event"),
+          nth_value($"event_id", 2).over(w).as("second_event"))
         .orderBy($"event_id")
     },
 
