@@ -38,15 +38,16 @@ object MultimodalQueries extends QueryModule {
     * codec here (not present in this container). The stub derives a
     * deterministic 16-bin byte histogram "feature vector" from the raw
     * payload instead — same signature, same batch shape, drop-in
-    * replaceable. */
-  private def decodeStub(m: Media): Array[Float] = {
-    val hist = new Array[Float](16)
+    * replaceable. Double precision throughout so the DuckDB oracle replays
+    * the identical IEEE divisions/squares (q91 is hash-checked). */
+  private def decodeStub(m: Media): Array[Double] = {
+    val hist = new Array[Double](16)
     var i = 0
     while (i < m.payload.length) {
-      hist((m.payload(i) & 0xff) >> 4) += 1f
+      hist((m.payload(i) & 0xff) >> 4) += 1d
       i += 1
     }
-    val n = math.max(1, m.payload.length).toFloat
+    val n = math.max(1, m.payload.length).toDouble
     hist.map(_ / n)
   }
 
@@ -95,8 +96,31 @@ object MultimodalQueries extends QueryModule {
 
     // Decode + feature-extract over typed Dataset[Media] via mapPartitions:
     // the real 100 TB shape (per-partition batch, zero shuffle, payloads
-    // stay on executors). Decode itself is the marked stub above.
-    qRowsOnly("q91_feature_extract") { spark =>
+    // stay on executors). Decode itself is the marked stub above — whose
+    // byte-histogram maths the oracle replays bin-by-bin (ascii >> 4 over
+    // the same ASCII bytes, same double divisions, same 0..15 fold order),
+    // so even the stub pipeline is hash-checked end to end.
+    q("q91_feature_extract",
+      """WITH chars AS (
+        |  SELECT doc_id, (ascii(substring(text, i, 1)) >> 4) AS bin
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS i FROM documents) t),
+        |bins AS (SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM bins GROUP BY doc_id),
+        |parts AS (
+        |  SELECT b.doc_id,
+        |         list_sort(list(struct_pack(bin := b.bin, c := b.c))) AS bc,
+        |         MAX(t.n) AS n
+        |  FROM bins b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+        |SELECT p.doc_id,
+        |       CASE CAST(p.doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |       floor(list_reduce(
+        |         list_transform(bc, x -> (CAST(x.c AS DOUBLE) / p.n) *
+        |                                 (CAST(x.c AS DOUBLE) / p.n)),
+        |         (a, b) -> a + b) * 10000 + 0.5) / 10000 AS norm_sq
+        |FROM parts p
+        |ORDER BY p.doc_id""".stripMargin) { spark =>
       import spark.implicits._
       val feats = media(spark)
         .select($"doc_id", $"meta.format".as("format"), $"meta.width".as("width"),
@@ -110,7 +134,12 @@ object MultimodalQueries extends QueryModule {
         }
         .toDF("doc_id", "format", "features", "feat_norm_sq")
       feats.filter(size($"features") === 16)
-        .select($"doc_id", $"format", round($"feat_norm_sq", 4).as("norm_sq"))
+        // explicit floor-based round: Spark's round() rounds the double's
+        // SHORTEST DECIMAL repr while DuckDB rounds the binary value - they
+        // disagree when the shortest repr lands on a half boundary (hit at
+        // sf0.1). floor(x*1e4 + 0.5)/1e4 is identical IEEE maths on both.
+        .select($"doc_id", $"format",
+          (floor($"feat_norm_sq" * 10000 + 0.5) / 10000).as("norm_sq"))
         .orderBy($"doc_id")
     },
 
