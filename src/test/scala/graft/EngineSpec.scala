@@ -63,6 +63,22 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("Physical Plan"), plan)
   }
 
+  test("concurrent sessions execute in parallel over one SparkContext") {
+    // the gateway's connection-per-goroutine model (gateway.go:63-64):
+    // N clients, one shared engine, isolated namespaces, no interference
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 4).map { i =>
+      Future {
+        val s = Engine.connect(spark, "prod", backends)
+        s.sql(s"SELECT COUNT(*) AS n FROM nation WHERE n_nationkey < ${i * 5}")
+          .head().getLong(0)
+      }
+    }), 2.minutes)
+    assert(results == Seq(5L, 10L, 15L, 20L), results)
+  }
+
   test("prepared statement binds named parameters per execution") {
     val s = Engine.connect(spark, "prod", backends)
     val stmt = s.prepare(
