@@ -52,8 +52,18 @@ object Engine {
     * SparkContext — the analog of one relayed connection
     * (goroutine-per-connection, /root/reference/gateway/gateway.go:63-64). */
   final class Session private[Engine] (val spark: SparkSession, val clusterId: String) {
-    /** The "relay": execute SQL against the routed namespace. */
-    def sql(query: String): DataFrame = spark.sql(query)
+    /** The "relay": execute SQL against the routed namespace. Analysis and
+      * parse failures surface as the structured engine error, the way the
+      * gateway wraps any internal failure into one ERR packet
+      * (code 1105/"08S01", /root/reference/gateway/gateway.go:242-251) —
+      * execution-time failures propagate as-is (the backend's own error,
+      * relayed verbatim). */
+    def sql(query: String): DataFrame =
+      try spark.sql(query)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw EngineError(1105, "08S01", e.getMessage)
+      }
     def table(name: String): DataFrame = spark.table(name)
 
     /** Incremental result delivery — the analog of the outbound relay that

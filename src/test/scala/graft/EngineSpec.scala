@@ -63,6 +63,14 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("Physical Plan"), plan)
   }
 
+  test("analysis failures surface as the structured engine error (ERR packet analog)") {
+    val s = Engine.connect(spark, "prod", backends)
+    val e = intercept[Engine.EngineError] { s.sql("SELECT * FROM no_such_table") }
+    assert(e.code == 1105 && e.sqlState == "08S01")
+    val e2 = intercept[Engine.EngineError] { s.sql("SELEKT 1") }
+    assert(e2.code == 1105)
+  }
+
   test("concurrent sessions execute in parallel over one SparkContext") {
     // the gateway's connection-per-goroutine model (gateway.go:63-64):
     // N clients, one shared engine, isolated namespaces, no interference
