@@ -111,6 +111,35 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key owning ~90% of the left side — the shape salting/AQE
+    // exists for; with tiny skew thresholds AQE must mark and split it
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000)
+        .select(when($"id" % 10 =!= 0, 0L).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(2000).select($"id".as("k"), $"id".as("w"))
+      val joined = left.join(right, "k")
+      // drive THIS queryExecution (count() would plan its own); AQE
+      // finalizes and re-plans only at execution
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("semi-join rewrite: IN (subquery) becomes a semi join, not a product") {
     Tables.register(spark, sf)
     val df = spark.sql(
