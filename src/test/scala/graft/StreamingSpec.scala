@@ -119,6 +119,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding window agg equals the batch computation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val data = sampleEvents(300)
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    ms.addData(data: _*)
+    def slide(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = slide(ms.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("t_sliding")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_sliding").collect().map(_.toSeq).toSet
+    val batch = slide(data.toDF("ts", "event_type", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch sink applies custom batch logic per micro-batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_feb_").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "tag").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the streaming-upsert idiom: arbitrary per-batch logic (dedupe,
+        // merge, re-partition) with exactly-once file output per batch id
+        batch.select($"id", $"tag", lit(batchId).as("bid"))
+          .write.mode("append").parquet(s"$out/data")
+      }
+      .option("checkpointLocation", s"$out/chk").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() == 3)
+    assert(back.select($"bid").distinct().count() == 2) // two micro-batches
+  }
+
   test("stream-stream interval join emits exactly the in-window matches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
