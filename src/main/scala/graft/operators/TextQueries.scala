@@ -190,6 +190,35 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Document chunking: fixed 200-char windows with 50-char overlap
+    // (stride 150) — the context-window prep op (RAG / pretraining
+    // chunking). Per-row generator (explode over chunk starts) + substring
+    // slices, all codegen'd; no shuffle at all until the final ORDER BY.
+    q("q65b_chunking",
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(greatest(length(text) - 50, 1)
+        |                                   / 150.0) AS INT))) AS i
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_idx,
+        |       length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_len,
+        |       md5(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_md5
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { spark =>
+      import spark.implicits._
+      val nChunks = ceil(greatest(length($"text") - 50, lit(1))
+        .cast(DoubleType) / 150.0).cast(IntegerType)
+      spark.table("documents")
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+        .select($"doc_id", $"chunk_idx",
+          substring($"text", $"chunk_idx" * 150 + 1, lit(200)).as("chunk"))
+        .select($"doc_id", $"chunk_idx",
+          length($"chunk").as("chunk_len"),
+          md5($"chunk".cast(BinaryType)).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // Document fingerprinting: raw md5 + an order/multiplicity-insensitive
     // canonical fingerprint (md5 of the sorted distinct token set — the
     // OpenRefine "fingerprint" method). md5 spells identically both engines.
