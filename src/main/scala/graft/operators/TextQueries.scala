@@ -170,6 +170,48 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Character-entropy quality score: Shannon entropy (nats) of the
+    // per-document character distribution — low entropy flags degenerate /
+    // repetitive text, high flags noise. Sorted-bin fold + floor-round keep
+    // the FP maths identical across engines (ln differs ≤ 1 ulp per term;
+    // the 1e-4 rounding margin dwarfs the accumulated error).
+    q("q64c_char_entropy",
+      """WITH chars AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) + 1)) AS i FROM documents) t),
+        |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
+        |parts AS (
+        |  SELECT c.doc_id,
+        |         list_sort(list(struct_pack(ch := c.ch, c := c.c))) AS bc,
+        |         MAX(t.n) AS n
+        |  FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+        |SELECT doc_id,
+        |       floor(list_reduce(
+        |         list_transform(bc, x -> -(CAST(x.c AS DOUBLE) / n) *
+        |                                  ln(CAST(x.c AS DOUBLE) / n)),
+        |         (a, b) -> a + b) * 10000 + 0.5) / 10000 AS entropy
+        |FROM parts
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val cnt = spark.table("documents")
+        .select($"doc_id", $"text",
+          explode(sequence(lit(1), length($"text"))).as("i"))
+        .select($"doc_id", substring($"text", $"i", lit(1)).as("ch"))
+        .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy($"doc_id").agg(sum($"c").as("n"))
+      cnt.groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"ch", $"c"))).as("bc"))
+        .join(tot, "doc_id")
+        .select($"doc_id",
+          (floor(aggregate($"bc", lit(0.0), (acc, x) => {
+            val p = x.getField("c").cast(DoubleType) / $"n"
+            acc - p * log(p)
+          }) * 10000 + 0.5) / 10000).as("entropy"))
+        .orderBy($"doc_id")
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation
     // (letter runs / digit runs / single other chars) — the tokenizer-cost
     // estimate a training pipeline budgets by.
