@@ -146,6 +146,32 @@ object ScaleQueries extends QueryModule {
         .orderBy($"o_orderstatus")
     },
 
+    // Second MySQL-dialect slice: substring_index / repeat / reverse / elt —
+    // spellings Spark ships natively (the client-facing dialect the gateway
+    // relays); the oracle re-expresses substring_index and elt with DuckDB
+    // list ops.
+    q("q50b_mysql_dialect2",
+      """SELECT c_custkey,
+        |  array_to_string((string_split(c_name, '0'))[1:2], '0') AS before_second_zero,
+        |  repeat(c_mktsegment, 2) AS seg2,
+        |  reverse(c_name) AS rev_name,
+        |  (['alpha', 'beta', 'gamma'])[CAST(c_custkey % 3 + 1 AS INT)] AS elt_pick,
+        |  length(c_name) AS clen
+        |FROM customer
+        |WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT c_custkey,
+          |  substring_index(c_name, '0', 2) AS before_second_zero,
+          |  repeat(c_mktsegment, 2) AS seg2,
+          |  reverse(c_name) AS rev_name,
+          |  elt(CAST(c_custkey % 3 + 1 AS INT), 'alpha', 'beta', 'gamma') AS elt_pick,
+          |  char_length(c_name) AS clen
+          |FROM customer
+          |WHERE c_custkey <= 500
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // Partition-pruned layout: re-write events partitioned by event date
     // (the layout a 100 TB events table would ship with), then aggregate a
     // one-week slice — the scan must touch only 7 of ~30 partitions

@@ -111,6 +111,40 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning: join-driven pruning reaches the fact scan") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    Tables.table(spark, sf, "events")
+      .withColumn("event_date", $"ts".cast("date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+    val fact = spark.read.parquet(outDir)
+    // small parquet-backed dim carrying the date filter — DPP requires a
+    // surviving selective Filter over a real scan on the build side (an
+    // in-memory LocalRelation gets constant-folded away)
+    Seq(("2024-01-10", "keep"), ("2024-01-11", "drop"), ("2024-01-12", "drop"))
+      .toDF("ds", "tag").select($"ds".cast("date").as("d"), $"tag")
+      .write.mode("overwrite").parquet(s"$outDir/_dim")
+    val dim = spark.read.parquet(s"$outDir/_dim")
+    // at fixture scale DPP's cost heuristic would skip the filter — force
+    // the benefit estimate so the mechanism itself is exercised
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100000")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = fact.join(dim, $"event_date" === $"d" && $"tag" === "keep")
+        .groupBy($"event_type").agg(count(lit(1)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+        plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     import spark.implicits._
     // one hot key owning ~90% of the left side — the shape salting/AQE
