@@ -296,6 +296,34 @@ object FunctionQueries extends QueryModule {
         .orderBy($"vec_id")
     },
 
+    // Array set operations (union / intersect / except) between each
+    // document's head and tail token sets — compared by cardinality, which
+    // is engine-order-independent (Spark and DuckDB order set-op results
+    // differently; the set sizes are identical).
+    q("q57b_array_setops",
+      """SELECT doc_id,
+        |  len(list_distinct(list_cat(a, b))) AS n_union,
+        |  len(list_intersect(list_distinct(a), list_distinct(b))) AS n_inter,
+        |  len(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS n_except
+        |FROM (
+        |  SELECT doc_id,
+        |         string_split(lower(substring(text, 1, 100)), ' ') AS a,
+        |         string_split(lower(substring(text, greatest(length(text) - 99, 1), 100)), ' ') AS b
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .select($"doc_id",
+          split(lower(substring($"text", 1, 100)), " ").as("a"),
+          split(lower(substring($"text",
+            greatest(length($"text") - 99, lit(1)), lit(100))), " ").as("b"))
+        .select($"doc_id",
+          size(array_union($"a", $"b")).as("n_union"),
+          size(array_intersect($"a", $"b")).as("n_inter"),
+          size(array_except($"a", $"b")).as("n_except"))
+        .orderBy($"doc_id")
+    },
+
     // explode / posexplode (UNNEST): vector → element rows.
     q("q58_explode",
       """SELECT vec_id, pos, ROUND(CAST(val AS DOUBLE), 6) + 0 AS val

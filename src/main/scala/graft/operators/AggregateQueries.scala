@@ -213,6 +213,24 @@ object AggregateQueries extends QueryModule {
         .orderBy($"o_orderstatus")
     },
 
+    // Bitwise aggregates — exact, order-independent by construction.
+    q("q26c_bit_aggs",
+      """SELECT event_type,
+        |  CAST(bit_and(event_id) AS BIGINT) AS band,
+        |  CAST(bit_or(event_id) AS BIGINT) AS bor,
+        |  CAST(bit_xor(event_id) AS BIGINT) AS bxor
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .groupBy($"event_type")
+        .agg(bit_and($"event_id").as("band"),
+          bit_or($"event_id").as("bor"),
+          bit_xor($"event_id").as("bxor"))
+        .orderBy($"event_type")
+    },
+
     // Approx distinct: non-exact → rows-only gate; spec asserts error bound.
     qRowsOnly("q29_approx_distinct") { spark =>
       import spark.implicits._
