@@ -111,6 +111,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("repartitionByRange writes non-overlapping sorted file ranges") {
+    import spark.implicits._
+    // the time-series layout: range-partition + sort-within gives parquet
+    // files whose ts ranges don't overlap, so min/max row-group stats prune
+    // time-slice scans without a partition column
+    val out = java.nio.file.Files.createTempDirectory("graft_rbr_").toString
+    Tables.table(spark, sf, "events")
+      .repartitionByRange(4, $"ts")
+      .sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2, files.length.toString)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"ts"), max($"ts")).head()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }.sortBy(_._1.getTime)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(!hi.after(lo2), s"overlapping ranges: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("dynamic partition pruning: join-driven pruning reaches the fact scan") {
     import spark.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
