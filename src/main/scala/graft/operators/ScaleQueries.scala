@@ -146,6 +146,27 @@ object ScaleQueries extends QueryModule {
         .orderBy($"o_orderstatus")
     },
 
+    // Contiguous global id assignment WITHOUT a single-reducer window:
+    // range-partition on the key, sort within partitions, then RDD
+    // zipWithIndex (which adds per-partition offsets from a lightweight
+    // count job — the distributed two-phase pattern). Result provably
+    // equals ROW_NUMBER() OVER (ORDER BY doc_id) - 1, which is what the
+    // oracle runs; at 100 TB the window formulation funnels the table
+    // through one reducer, this shape never does.
+    q("q59g_global_ids",
+      """SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS gid
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val sorted = spark.table("documents").select($"doc_id").as[Long]
+        .repartitionByRange(8, $"doc_id")
+        .sortWithinPartitions($"doc_id")
+      sorted.rdd.zipWithIndex()
+        .map { case (d, i) => (d, i) }
+        .toDF("doc_id", "gid")
+        .orderBy($"doc_id")
+    },
+
     // Second MySQL-dialect slice: substring_index / repeat / reverse / elt —
     // spellings Spark ships natively (the client-facing dialect the gateway
     // relays); the oracle re-expresses substring_index and elt with DuckDB
