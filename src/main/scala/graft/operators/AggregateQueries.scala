@@ -62,6 +62,7 @@ object AggregateQueries extends QueryModule {
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
          |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
          |  COUNT(*) AS n
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -72,6 +73,9 @@ object AggregateQueries extends QueryModule {
         .agg(
           grouping($"l_returnflag").cast(IntegerType).as("g_flag"),
           grouping($"l_linestatus").cast(IntegerType).as("g_status"),
+          // composite bitmask, first grouping column = MSB (SQL standard,
+          // same convention in DuckDB's multi-arg GROUPING)
+          grouping_id().cast(IntegerType).as("gid"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
@@ -139,7 +143,8 @@ object AggregateQueries extends QueryModule {
     q("q27_percentile",
       """SELECT l_returnflag,
         |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
-        |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
+        |  ROUND(QUANTILE_DISC(l_quantity, 0.5), 4) AS median_disc
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { spark =>
@@ -150,7 +155,10 @@ object AggregateQueries extends QueryModule {
           // Spark `percentile` is the exact interpolated quantile — same
           // semantics as DuckDB QUANTILE_CONT (not percentile_approx).
           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 4)
+            .as("median_disc"))
         .orderBy($"l_returnflag")
     },
 
