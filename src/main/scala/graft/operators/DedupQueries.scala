@@ -148,6 +148,32 @@ object DedupQueries extends QueryModule {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Edit-distance fuzzy matching: Levenshtein over document heads on a
+    // bounded sample — the typo/near-variant detector that complements
+    // set-based Jaccard (q71). Quadratic by nature → sample-bounded here;
+    // at 100 TB it runs inside LSH candidate buckets (q73's pair set), not
+    // all-pairs. `levenshtein` is a shared built-in with identical
+    // semantics in both engines.
+    q("q71b_edit_distance",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(substring(a.text, 1, 40),
+        |                   substring(b.text, 1, 40)) AS dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 60 AND b.doc_id < 60
+        |  AND levenshtein(substring(a.text, 1, 40),
+        |                  substring(b.text, 1, 40)) <= 20
+        |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val d = spark.table("documents").filter($"doc_id" < 60)
+        .select($"doc_id", substring($"text", 1, 40).as("head"))
+      val a = d.select($"doc_id".as("id_a"), $"head".as("ha"))
+      val b = d.select($"doc_id".as("id_b"), $"head".as("hb"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b", levenshtein($"ha", $"hb").as("dist"))
+        .filter($"dist" <= 20)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Deterministic MinHash signatures (16 hashes). One shuffle:
     // groupBy(doc_id) with 16 map-side-combinable MINs.
     q("q72_minhash_signatures",
