@@ -170,6 +170,33 @@ object JoinQueries extends QueryModule {
         .orderBy($"n_name")
     },
 
+    // Part segmentation (TPC-H Q16 shape): brand/type slicing with negated
+    // predicates, distinct-supplier counts per segment through the lineitem
+    // fact, HAVING floor. part is a broadcast dim; the fact scans once.
+    q("q16b_part_segmentation",
+      s"""SELECT p_brand, p_type,
+         |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_items,
+         |  ${Oracle.sum4("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#4' AND p_type NOT LIKE 'SMALL%'
+         |  AND p_name NOT LIKE '%bolt%' AND p_size BETWEEN 1 AND 40
+         |GROUP BY p_brand, p_type
+         |HAVING COUNT(*) > 10
+         |ORDER BY p_brand, p_type""".stripMargin) { spark =>
+      import spark.implicits._
+      val p = spark.table("part")
+        .filter($"p_brand" =!= "Brand#4" && !$"p_type".like("SMALL%")
+          && !$"p_name".like("%bolt%") && $"p_size".between(1, 40))
+      spark.table("lineitem")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          count(lit(1)).as("n_items"),
+          sum4($"l_extendedprice").as("revenue"))
+        .filter($"n_items" > 10)
+        .orderBy($"p_brand", $"p_type")
+    },
+
     // Self join: nation pairs within the same region.
     q("q20_self_join",
       """SELECT a.n_name AS nation_a, b.n_name AS nation_b
