@@ -63,6 +63,18 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("Physical Plan"), plan)
   }
 
+  test("storage-level compression stands in for the wire compressed protocol (A13)") {
+    // the gateway's zlib wire compression maps to parquet codec config —
+    // data round-trips identically under a different codec
+    val s = Engine.connect(spark, "prod", backends)
+    val out = java.nio.file.Files.createTempDirectory("graft_zstd_").toString
+    s.table("nation").write.mode("overwrite")
+      .option("compression", "zstd").parquet(out)
+    val files = new java.io.File(out).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
+    assert(spark.read.parquet(out).count() == 25)
+  }
+
   test("analysis failures surface as the structured engine error (ERR packet analog)") {
     val s = Engine.connect(spark, "prod", backends)
     val e = intercept[Engine.EngineError] { s.sql("SELECT * FROM no_such_table") }
