@@ -142,7 +142,11 @@ object FunctionQueries extends QueryModule {
         |  ROUND(LOG10(p_retailprice), 6) AS log10_price,
         |  p_partkey % 7 AS key_mod,
         |  CAST(SIGN(p_size - 25) AS INT) AS size_sign,
-        |  GREATEST(p_size, 10) AS g10, LEAST(p_size, 40) AS l40
+        |  GREATEST(p_size, 10) AS g10, LEAST(p_size, 40) AS l40,
+        |  ROUND(SIN(p_size / 10.0), 6) + 0 AS sin_v,
+        |  ROUND(COS(p_size / 10.0), 6) + 0 AS cos_v,
+        |  ROUND(ATAN2(p_size, 25), 6) AS atan2_v,
+        |  CAST(bit_count(p_partkey) AS INT) AS popcount
         |FROM part
         |ORDER BY p_partkey""".stripMargin) { spark =>
       import spark.implicits._
@@ -160,7 +164,11 @@ object FunctionQueries extends QueryModule {
         ($"p_partkey" % 7).as("key_mod"),
         signum($"p_size" - 25).cast(IntegerType).as("size_sign"),
         greatest($"p_size", lit(10)).as("g10"),
-        least($"p_size", lit(40)).as("l40"))
+        least($"p_size", lit(40)).as("l40"),
+        (round(sin($"p_size" / 10.0), 6) + 0).as("sin_v"),
+        (round(cos($"p_size" / 10.0), 6) + 0).as("cos_v"),
+        round(atan2($"p_size".cast(DoubleType), lit(25.0)), 6).as("atan2_v"),
+        bit_count($"p_partkey").cast(IntegerType).as("popcount"))
         .orderBy($"p_partkey")
     },
 
