@@ -63,6 +63,22 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("Physical Plan"), plan)
   }
 
+  test("DDL relays through the session: CTAS, INSERT INTO, VIEW, DROP") {
+    val s = Engine.connect(spark, "prod", backends)
+    val loc = java.nio.file.Files.createTempDirectory("graft_ddl_").toString
+    s.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    s.sql(s"""CREATE TABLE graft_ddl_t USING parquet LOCATION '$loc/t'
+             |AS SELECT r_regionkey, r_name FROM region""".stripMargin)
+    s.sql("INSERT INTO graft_ddl_t VALUES (99, 'NOWHERE')")
+    assert(s.sql("SELECT COUNT(*) AS n FROM graft_ddl_t").head().getLong(0) == 6)
+    s.sql("CREATE OR REPLACE TEMP VIEW graft_ddl_v AS " +
+      "SELECT r_name FROM graft_ddl_t WHERE r_regionkey < 50")
+    assert(s.sql("SELECT COUNT(*) AS n FROM graft_ddl_v").head().getLong(0) == 5)
+    s.sql("DROP VIEW graft_ddl_v")
+    s.sql("DROP TABLE graft_ddl_t")
+    intercept[Engine.EngineError] { s.sql("SELECT * FROM graft_ddl_t") }
+  }
+
   test("storage-level compression stands in for the wire compressed protocol (A13)") {
     // the gateway's zlib wire compression maps to parquet codec config —
     // data round-trips identically under a different codec
