@@ -437,7 +437,67 @@ object DedupQueries extends QueryModule {
         .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
         .distinct()
         .orderBy($"id_a", $"id_b")
-    })
+    }) :+ pipelineQuery
+
+  /** End-to-end pipeline capstone: quality filter → LSH near-dup drop →
+    * benchmark decontamination → per-language keep report. Composes the
+    * q64/q75/q79b machinery into the actual training-data flow — one scan
+    * of documents feeding three broadcast-joinable drop sets; only the
+    * final report shuffles.
+    */
+  private def pipelineQuery: GraftQuery = q("q101_pipeline_e2e", {
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sigs AS ($signaturesSql),
+       |bands AS (
+       |$bandSelects),
+       |neardup AS (
+       |  SELECT DISTINCT b2.doc_id
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+       |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle FROM documents),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+       |contaminated AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+       |  WHERE s.doc_id >= 10),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars
+       |  FROM documents d
+       |  WHERE d.n_chars BETWEEN 100 AND 500
+       |    AND len(string_split(lower(d.text), ' ')) >= 20
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM neardup)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND d.doc_id >= 10)
+       |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       |FROM kept
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }) { spark =>
+    import spark.implicits._
+    val bandStructs = array((0 until 4).map { b =>
+      val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
+      struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+    }: _*)
+    val neardup = bandPairs(spark, bandStructs)
+      .select($"id_b".as("doc_id")).distinct()
+    val sh = spark.table("documents")
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+    val bench = sh.filter($"doc_id" < 10).select($"shingle").distinct()
+    val contaminated = sh.filter($"doc_id" >= 10)
+      .join(broadcast(bench), "shingle").select($"doc_id").distinct()
+    spark.table("documents")
+      .filter($"n_chars".between(100, 500)
+        && size(split(lower($"text"), " ")) >= 20 && $"doc_id" >= 10)
+      .join(neardup, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_chars").cast(LongType).as("kept_chars"))
+      .orderBy($"lang")
+  }
 
   /** doc_id → near-dup component id by iterative min-label propagation over
     * the LSH pair graph (Pregel pattern: one distributed join + groupBy-min
