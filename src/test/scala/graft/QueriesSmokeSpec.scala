@@ -39,6 +39,22 @@ class QueriesSmokeSpec extends SparkSpec {
       "q99b_partition_overwrite",
       "q88_bucketed_join") // write-path queries
 
+  test("approximate statistics stay within documented error bounds") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.register(spark, sf)
+    val r = spark.table("lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    // default HLL++ rsd is 5% — assert a generous 2× envelope
+    assert(math.abs(a - e).toDouble / e < 0.10, s"approx $a vs exact $e")
+    val exact = spark.table("lineitem")
+      .selectExpr("percentile(l_quantity, 0.5)").head().getDouble(0)
+    val approx = spark.table("lineitem").stat
+      .approxQuantile("l_quantity", Array(0.5), 0.01).head
+    assert(math.abs(approx - exact) <= 2.0, s"approxQuantile $approx vs $exact")
+  }
+
   test("no query plan degenerates to an unpartitioned CartesianProduct") {
     val offenders = SparkEntry.allQueries
       .filterNot(q => sideEffecting(q.name) || q.name == "q17_join_cross")
