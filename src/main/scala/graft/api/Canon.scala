@@ -41,6 +41,16 @@ object Canon {
   def avg6(c: Column): Column =
     round(sum(dec4(c)).cast(DoubleType) / count(lit(1)), 6)
 
+  /** Round a FREE double (one not derived from an exact scale-s decimal) to
+    * 4 decimals with pure IEEE maths. Spark's ROUND rounds the shortest
+    * decimal repr while DuckDB rounds the binary value, so the two diverge
+    * at half boundaries (q91 at sf0.1); floor(x*1e4 + 0.5)/1e4 is identical
+    * bit-for-bit on both engines (CLAUDE.md invariant). */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** Free-double round to 6 decimals, same IEEE-floor pattern. */
+  def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+
   /** Oracle-side (DuckDB) spellings of the same canonicalizations. */
   object Oracle {
     def sum4(x: String): String =
@@ -49,5 +59,7 @@ object Canon {
       s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE), 6)"
     def avg6(x: String): String =
       s"ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)"
+    def r4(x: String): String = s"floor($x * 10000 + 0.5) / 10000"
+    def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000"
   }
 }

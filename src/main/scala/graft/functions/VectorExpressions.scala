@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector-similarity hot path
   * (SURVEY.md §7.3: a codegen'd `Expression` beats the interpreted
@@ -23,28 +24,48 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 object VectorExpressions {
 
-  /** dot(a, b) over ArrayType(DoubleType), whole-stage-codegen'd. */
+  /** dot(a, b) over ArrayType(DoubleType) OR ArrayType(FloatType) (mixed
+    * allowed), whole-stage-codegen'd. Float elements widen to double before
+    * multiplying — an EXACT conversion, so scoring the raw parquet
+    * `array<float>` column bit-matches DuckDB's
+    * `list_dot_product(CAST(embedding AS DOUBLE[]), …)` while keeping the
+    * scan's primitive UnsafeArrayData in the hot loop (no per-row
+    * transform()-built boxed arrays — the r02 q81 regression). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
 
+    private def elemOk(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    private def isFloat(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
     override def checkInputDataTypes(): TypeCheckResult =
-      (left.dataType, right.dataType) match {
-        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-          TypeCheckResult.TypeCheckSuccess
-        case _ => TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two array<double> arguments, got " +
-            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
-      }
+      if (elemOk(left.dataType) && elemOk(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double|float> arguments, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      val lf = isFloat(left.dataType)
+      val rf = isFloat(right.dataType)
       val n = math.min(x.numElements(), y.numElements())
       var s = 0.0d
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        val xe = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val ye = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xe * ye
+        i += 1
+      }
       s
     }
 
@@ -53,11 +74,17 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
+        val xe =
+          if (isFloat(left.dataType)) s"(double) $x.getFloat($i)"
+          else s"$x.getDouble($i)"
+        val ye =
+          if (isFloat(right.dataType)) s"(double) $y.getFloat($i)"
+          else s"$y.getDouble($i)"
         s"""
            |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $x.getDouble($i) * $y.getDouble($i);
+           |  $s += $xe * $ye;
            |}
            |${ev.value} = $s;
          """.stripMargin
@@ -71,4 +98,56 @@ object VectorExpressions {
   /** Column API: dot product of two double-array columns. */
   def dotd(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** First 16 lowercase-hex chars of a digest string packed into one signed
+    * 64-bit long, nibble 0 highest: bit `(b%4)` of hex nibble `(b/4)` — the
+    * SimHash vote-bit convention — is `(packed >> ((15 - b/4)*4 + b%4)) & 1`.
+    * One pass over the string, zero allocations — replaces r02's 16
+    * `ascii(substring(h, i, 1))` slices per token (q78 regressed 1.9× on
+    * that decode, VERDICT r02 §wrong-2). Input must be lowercase hex
+    * (Spark's `md5` output); behavior on other characters is undefined. */
+  case class HexPack16(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hexpack16"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      var v = 0L
+      var i = 0
+      while (i < 16) {
+        val c = s.getByte(i)
+        v = (v << 4) | (if (c >= 'a') c - ('a' - 10) else c - '0').toLong
+        i += 1
+      }
+      v
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, h => {
+        val v = ctx.freshName("v")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        s"""
+           |long $v = 0L;
+           |for (int $i = 0; $i < 16; $i++) {
+           |  byte $c = $h.getByte($i);
+           |  $v = ($v << 4) | (long) ($c >= 97 ? $c - 87 : $c - 48);
+           |}
+           |${ev.value} = $v;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: pack the first 16 hex chars of a digest string into a long. */
+  def hexPack16(c: Column): Column =
+    Bridge.column(HexPack16(Bridge.expression(c)))
 }

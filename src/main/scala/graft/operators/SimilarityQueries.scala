@@ -46,9 +46,10 @@ object SimilarityQueries extends QueryModule {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Pre-normalized corpus: norms computed ONCE per vector, so the O(n²) /
-    * O(n·q) scoring stage pays one dot product per pair instead of three.
-    * Same element-wise normalize expression in the oracle → identical FP. */
+  /** Pre-normalized corpus (q85's Spark-ML path only — the ML VectorUDT
+    * conversion boxes anyway). The exact-scoring queries below do NOT use
+    * this: r02 fed the BNLJ `transform()`-built boxed arrays and regressed
+    * q81 6.6× (VERDICT r02 §wrong-1). */
   private def normalized(spark: SparkSession): DataFrame = {
     import spark.implicits._
     embeddingsD(spark)
@@ -56,10 +57,23 @@ object SimilarityQueries extends QueryModule {
       .select($"vec_id", transform($"emb", x => x / $"n").as("emb"))
   }
 
-  private val normalizedSql =
-    """SELECT vec_id,
-      |       list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS emb
-      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings) raw""".stripMargin
+  /** The exact-scoring hot-path shape: RAW parquet `array<float>` vectors
+    * (primitive UnsafeArrayData straight off the scan — graft_dot widens
+    * each element to double, an exact conversion) plus the norm precomputed
+    * ONCE per vector as a scalar column. Cosine of a pair is then a single
+    * codegen'd dot + one multiply/divide: `dot(a,b) / (na*nb)`. */
+  private def withNorm(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("embeddings")
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("n"))
+  }
+
+  private val withNormSql =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                             CAST(embedding AS DOUBLE[]))) AS n
+      |FROM embeddings""".stripMargin
 
   /** 16 fixed hyperplanes × 64 dims from a seeded LCG (build-time constant —
     * the deterministic stand-in for the usual Gaussian draws). */
@@ -88,12 +102,13 @@ object SimilarityQueries extends QueryModule {
 
   /** Exact cosine top-5 per probe — shared by q80 (window formulation) and
     * q84 (UDAF formulation): identical rounding, ranking and tiebreak, so
-    * both hash-match this one oracle. */
+    * both hash-match this one oracle. Cosine is a free double → rounded with
+    * the IEEE floor pattern on both engines (CLAUDE.md ROUND invariant). */
   private val topkOracleSql =
-    s"""WITH e AS ($normalizedSql),
+    s"""WITH e AS ($withNormSql),
        |s AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-       |         ROUND(list_dot_product(a.emb, b.emb), 4) AS cos
+       |         ${graft.api.Canon.Oracle.r4("(list_dot_product(a.emb, b.emb) / (a.n * b.n))")} AS cos
        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
        |  WHERE a.vec_id < 10)
        |SELECT qid, cid, cos FROM (
@@ -110,12 +125,12 @@ object SimilarityQueries extends QueryModule {
     // map-side scored; the only shuffle is the per-probe top-k (key = qid).
     q("q80_cosine_topk", topkOracleSql) { spark =>
       import spark.implicits._
-      val e = normalized(spark)
+      val e = withNorm(spark)
       val probes = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"emb".as("qemb"))
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n".as("qn"))
       val scored = e.join(broadcast(probes), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("cid"),
-          round(dot($"qemb", $"emb"), 4).as("cos"))
+          graft.api.Canon.r4(dot($"qemb", $"embedding") / ($"qn" * $"n")).as("cos"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"cos")
@@ -126,19 +141,20 @@ object SimilarityQueries extends QueryModule {
     // ground truth the LSH join approximates (run on full corpus here; at
     // 100 TB this is the bounded-sample validator, q82 is the prod path).
     q("q81_cosine_pairs",
-      s"""WITH e AS ($normalizedSql),
+      s"""WITH e AS ($withNormSql),
          |s AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         ROUND(list_dot_product(a.emb, b.emb), 4) AS cos
+         |         ${graft.api.Canon.Oracle.r4("(list_dot_product(a.emb, b.emb) / (a.n * b.n))")} AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
-      val e = normalized(spark)
-      val a = e.select($"vec_id".as("id_a"), $"emb".as("ea"))
-      val b = e.select($"vec_id".as("id_b"), $"emb".as("eb"))
+      val e = withNorm(spark)
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"n".as("na"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"n".as("nb"))
       a.join(b, $"id_a" < $"id_b")
-        .select($"id_a", $"id_b", round(dot($"ea", $"eb"), 4).as("cos"))
+        .select($"id_a", $"id_b",
+          graft.api.Canon.r4(dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy($"id_a", $"id_b")
     },
@@ -218,12 +234,12 @@ object SimilarityQueries extends QueryModule {
     q("q84_topk_udaf", topkOracleSql) { spark =>
       import spark.implicits._
       val topk = udaf(new graft.functions.TopKByScore(5))
-      val e = normalized(spark)
+      val e = withNorm(spark)
       val probes = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"emb".as("qemb"))
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n".as("qn"))
       e.join(broadcast(probes), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("cid"),
-          round(dot($"qemb", $"emb"), 4).as("cos"))
+          graft.api.Canon.r4(dot($"qemb", $"embedding") / ($"qn" * $"n")).as("cos"))
         .groupBy($"qid").agg(topk($"cid", $"cos").as("top"))
         .select($"qid", explode($"top").as("p"))
         .select($"qid", $"p._1".as("cid"), $"p._2".as("cos"))
@@ -267,21 +283,21 @@ object SimilarityQueries extends QueryModule {
     // baseline); at 100 TB the pair stage swaps to the banded-LSH candidates
     // (q82 machinery) with identical downstream anti-join semantics.
     q("q89_cosine_neardup_dedup",
-      s"""WITH e AS ($normalizedSql),
+      s"""WITH e AS ($withNormSql),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |  WHERE ROUND(list_dot_product(a.emb, b.emb), 4) >= 0.45)
+         |  WHERE ${graft.api.Canon.Oracle.r4("(list_dot_product(a.emb, b.emb) / (a.n * b.n))")} >= 0.45)
          |SELECT v.vec_id, v.label
          |FROM embeddings v
          |WHERE v.vec_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY v.vec_id""".stripMargin) { spark =>
       import spark.implicits._
-      val e = normalized(spark)
-      val a = e.select($"vec_id".as("id_a"), $"emb".as("ea"))
-      val b = e.select($"vec_id".as("id_b"), $"emb".as("eb"))
+      val e = withNorm(spark)
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"n".as("na"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"n".as("nb"))
       val dropped = a.join(b, $"id_a" < $"id_b")
-        .filter(round(dot($"ea", $"eb"), 4) >= 0.45)
+        .filter(graft.api.Canon.r4(dot($"ea", $"eb") / ($"na" * $"nb")) >= 0.45)
         .select($"id_b".as("vec_id")).distinct()
       spark.table("embeddings")
         .join(dropped, Seq("vec_id"), "left_anti")
