@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupQueries
+
+/** Hot-bucket guard behavior (DedupQueries.saltedBucketPairs): the fixture's
+  * LSH buckets never exceed 4 members, so these cases build SYNTHETIC
+  * degenerate buckets to drive the salt/overflow branch the real corpora at
+  * 100 TB would hit — the cap must bound per-group work, emit the exact
+  * chunked pair count, stay a subset of the uncapped enumeration, and be
+  * deterministic.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def bucket(band: Int, bh: String, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(id => (band, bh, id)).toDF("band", "bh", "doc_id")
+  }
+
+  private def pairs(df: DataFrame, cap: Int): Set[(Long, Long)] =
+    DedupQueries.saltedBucketPairs(df, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** f full chunks of `cap` + one remainder chunk. */
+  private def chunkedCount(n: Int, cap: Int): Long = {
+    val full = n / cap
+    val rem = n % cap
+    full.toLong * cap * (cap - 1) / 2 + rem.toLong * (rem - 1) / 2
+  }
+
+  test("degenerate bucket beyond the cap: chunked count, subset, ordering") {
+    val n = 600 // > 2 × defaultBucketCap → salt values 0, 1, 2 all occur
+    val cap = DedupQueries.defaultBucketCap
+    assert(n > 2 * cap)
+    val b = bucket(0, "hot", (1L to n).map(3 * _)) // non-contiguous ids
+    val capped = pairs(b, cap)
+    val uncapped = pairs(b, n + 1)
+    assert(uncapped.size == n.toLong * (n - 1) / 2)
+    assert(capped.size == chunkedCount(n, cap))
+    assert(capped.subsetOf(uncapped), "capped pairs must be ⊆ uncapped")
+    assert(capped.forall { case (a, c) => a < c }, "id_a < id_b invariant")
+    // salting chunks by doc_id rank, so the first `cap` ids form a complete
+    // clique in the capped output while cross-chunk pairs are dropped
+    val firstChunkTop = 3L * cap
+    assert(capped.contains((3L, firstChunkTop)))
+    assert(!capped.contains((3L, firstChunkTop + 3)),
+      "pair spanning two salt chunks must be dropped")
+  }
+
+  test("buckets at or below the cap are enumerated exhaustively") {
+    val cap = DedupQueries.defaultBucketCap
+    val small = bucket(0, "a", Seq(5L, 1L, 9L))
+      .unionAll(bucket(1, "b", (1L to cap).toSeq))
+      .unionAll(bucket(2, "c", Seq(7L))) // singleton: no pairs
+    val got = pairs(small, cap)
+    val cliqueA = Set((1L, 5L), (1L, 9L), (5L, 9L))
+    val cliqueB = (for {
+      a <- 1L to cap; b <- (a + 1) to cap
+    } yield (a, b)).toSet
+    assert(got == cliqueA ++ cliqueB)
+  }
+
+  test("salted enumeration is deterministic across runs and repartitioning") {
+    val cap = 16
+    val ids = (1L to 100L).map(7 * _)
+    val b = bucket(0, "hot", ids)
+    val r1 = pairs(b, cap)
+    val r2 = pairs(b.repartition(8), cap)
+    assert(r1 == r2, "pair set must not depend on physical partitioning")
+    assert(r1.size == chunkedCount(100, cap))
+  }
+
+  test("a doc in two band buckets pairs per-bucket, deduplicated") {
+    val cap = DedupQueries.defaultBucketCap
+    val twoBands = bucket(0, "x", Seq(1L, 2L)).unionAll(bucket(1, "y", Seq(1L, 2L)))
+    assert(pairs(twoBands, cap) == Set((1L, 2L)))
+  }
+
+  test("q73c bucket stats: fixture far below cap, dropped identically zero") {
+    val stats = SparkEntry.queries("q73c_lsh_bucket_stats")(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("bucket_size") <= DedupQueries.defaultBucketCap)
+      assert(r.getAs[Long]("pairs_dropped") == 0L)
+      assert(r.getAs[Long]("pairs_capped") == r.getAs[Long]("pairs_uncapped"))
+    }
+    // histogram accounting: Σ size·buckets = total band rows (4 per doc)
+    val totalRows = stats.map(r =>
+      r.getAs[Long]("bucket_size") * r.getAs[Long]("n_buckets")).sum
+    val nDocs = spark.table("documents").count()
+    assert(totalRows == 4 * nDocs)
+    // pair accounting: Σ pairs_uncapped ≥ distinct q73 pairs (multi-band
+    // co-occurrence makes the per-bucket sum an overcount, never an under)
+    val q73 = SparkEntry.queries("q73_minhash_band_pairs")(spark, sf).count()
+    assert(stats.map(_.getAs[Long]("pairs_uncapped")).sum >= q73)
+  }
+}
