@@ -94,14 +94,21 @@ object Engine {
     * ClientMultiStatements/ClientMultiResults capability the gateway
     * advertises and relays (/root/reference/mysql/constants.go:57-58):
     * several ';'-separated statements in, one result set per statement out.
-    * The splitter respects quoted strings (' and ") and backtick
-    * identifiers; each statement executes eagerly in order so later
-    * statements see earlier side effects. */
+    * The splitter respects quoted strings (' and "), backtick identifiers,
+    * and SQL comments — a ';' inside `-- …`, `# …` or `/* … *``/` never
+    * splits (the reference relays such batches byte-transparently,
+    * /root/reference/gateway/relay.go:17, so comment-blind splitting would
+    * break the transparency contract). `--` and block comments pass through
+    * verbatim (Spark parses them; optimizer hints in `/*+ … *``/` survive);
+    * the MySQL-only `# …` spelling is stripped like the other dialect
+    * translations (§7.2 P6) since Spark's parser rejects it. Each statement
+    * executes eagerly in order so later ones see earlier side effects. */
   def sqlBatch(spark: SparkSession, batch: String): Seq[DataFrame] = {
     val stmts = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
     var i = 0
+    def at(j: Int, c: Char): Boolean = j < batch.length && batch.charAt(j) == c
     while (i < batch.length) {
       val c = batch.charAt(i)
       if (quote != 0) {
@@ -111,6 +118,22 @@ object Engine {
           cur.append(batch.charAt(i + 1)); i += 1
         }
       } else if (c == '\'' || c == '"' || c == '`') { quote = c; cur.append(c) }
+      else if (c == '-' && at(i + 1, '-')) {
+        // line comment: copy through end-of-line (exclusive), never split
+        while (i < batch.length && batch.charAt(i) != '\n') { cur.append(batch.charAt(i)); i += 1 }
+        i -= 1
+      } else if (c == '#') {
+        // MySQL-only line comment: strip to end-of-line
+        while (i < batch.length && batch.charAt(i) != '\n') i += 1
+        i -= 1
+      } else if (c == '/' && at(i + 1, '*')) {
+        // block comment (incl. /*+ hints */): copy through the closing */
+        cur.append("/*"); i += 2
+        while (i < batch.length && !(batch.charAt(i) == '*' && at(i + 1, '/'))) {
+          cur.append(batch.charAt(i)); i += 1
+        }
+        if (i < batch.length) { cur.append("*/"); i += 1 }
+      }
       else if (c == ';') { stmts += cur.toString; cur.clear() }
       else cur.append(c)
       i += 1

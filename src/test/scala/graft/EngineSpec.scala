@@ -53,6 +53,41 @@ class EngineSpec extends SparkSpec {
     assert(Engine.sqlBatch(spark, "SELECT 1 AS x").size == 1)
   }
 
+  test("sqlBatch never splits on ';' inside comments") {
+    // -- line comment: ';' inert, comment passes through to Spark's parser
+    val dash = Engine.sqlBatch(spark,
+      "SELECT 1 AS x; -- trailing; not a split\nSELECT 2 AS y")
+    assert(dash.size == 2)
+    assert(dash.last.head().getInt(0) == 2)
+    // /* block */ with ';' inside, plus a real split after it
+    val block = Engine.sqlBatch(spark,
+      "SELECT /* one; two; three */ 3 AS z; SELECT 4 AS w")
+    assert(block.size == 2)
+    assert(block.head.head().getInt(0) == 3)
+    // MySQL '#' comment: stripped (Spark's parser rejects '#'), ';' inert
+    val hash = Engine.sqlBatch(spark,
+      "SELECT 5 AS v # tail; comment\n+ 1 AS v;SELECT 6 AS u")
+    assert(hash.size == 2)
+    assert(hash.head.head().getInt(0) == 6)
+    assert(hash.last.head().getInt(0) == 6)
+  }
+
+  test("sqlBatch keeps optimizer hints and comment-lookalike literals") {
+    // a hint is a block comment — it must survive verbatim, not be split on
+    val hinted = Engine.sqlBatch(spark,
+      "SELECT /*+ REPARTITION(2) */ 1 AS a; SELECT 2 AS b")
+    assert(hinted.size == 2 && hinted.head.head().getInt(0) == 1)
+    // '--' and '#' inside quotes are data, not comments
+    val quoted = Engine.sqlBatch(spark,
+      "SELECT '--; #not a comment' AS s; SELECT ';' AS t")
+    assert(quoted.size == 2)
+    assert(quoted.head.head().getString(0) == "--; #not a comment")
+    // multi-line block comment spanning a would-be boundary
+    val multi = Engine.sqlBatch(spark,
+      "SELECT 1 AS a /* first;\nsecond; */; SELECT 2 AS b")
+    assert(multi.size == 2 && multi.last.head().getInt(0) == 2)
+  }
+
   test("introspection statements relay through the session (SHOW/DESCRIBE/EXPLAIN)") {
     val s = Engine.connect(spark, "prod", backends)
     val shown = s.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
