@@ -95,12 +95,13 @@ object Engine {
     * advertises and relays (/root/reference/mysql/constants.go:57-58):
     * several ';'-separated statements in, one result set per statement out.
     * The splitter respects quoted strings (' and "), backtick identifiers,
-    * and SQL comments — a ';' inside `-- …`, `# …` or `/* … *``/` never
-    * splits (the reference relays such batches byte-transparently,
+    * and SQL comments — a ';' inside a `--` line comment, a `#` line
+    * comment, or a slash-star block comment never splits (the reference
+    * relays such batches byte-transparently,
     * /root/reference/gateway/relay.go:17, so comment-blind splitting would
     * break the transparency contract). `--` and block comments pass through
-    * verbatim (Spark parses them; optimizer hints in `/*+ … *``/` survive);
-    * the MySQL-only `# …` spelling is stripped like the other dialect
+    * verbatim (Spark parses them; slash-star-plus optimizer hints survive);
+    * the MySQL-only `#` spelling is stripped like the other dialect
     * translations (§7.2 P6) since Spark's parser rejects it. Each statement
     * executes eagerly in order so later ones see earlier side effects. */
   def sqlBatch(spark: SparkSession, batch: String): Seq[DataFrame] = {

@@ -66,7 +66,7 @@ class EngineSpec extends SparkSpec {
     assert(block.head.head().getInt(0) == 3)
     // MySQL '#' comment: stripped (Spark's parser rejects '#'), ';' inert
     val hash = Engine.sqlBatch(spark,
-      "SELECT 5 AS v # tail; comment\n+ 1 AS v;SELECT 6 AS u")
+      "SELECT 5 # tail; comment\n+ 1 AS v;SELECT 6 AS u")
     assert(hash.size == 2)
     assert(hash.head.head().getInt(0) == 6)
     assert(hash.last.head().getInt(0) == 6)
