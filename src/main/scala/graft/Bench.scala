@@ -34,6 +34,15 @@ object Bench {
 
   val tripwireFactor = 3.0
 
+  /** Queries whose measured min exceeds tripwireFactor × committed budget —
+    * a REAL regression (min-of-N already filtered one-off host noise).
+    * Queries without a budget entry (new since the last regeneration) are
+    * never flagged. */
+  def slowOnes(mins: Map[String, Double]): Map[String, Double] =
+    mins.filter { case (n, v) =>
+      budgets.get(n).exists(b => v > tripwireFactor * b)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,12 +97,8 @@ object Bench {
       BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.collect { case (_, v, None) => v }.sum
     val nFail = results.count(_._3.isDefined)
-    // Tripwire: per-query min over 3× its committed budget = a REAL
-    // regression (min-of-N already filtered one-off host noise).
-    val slow = results.collect {
-      case (n, v, None) if budgets.get(n).exists(b => v > tripwireFactor * b) =>
-        n -> v
-    }
+    val slow = slowOnes(
+      results.collect { case (n, v, None) => n -> v }.toMap).toSeq.sorted
     // Short key = the "qNN[letter]" prefix (unique across SparkEntry); fall
     // back to the full name if a collision ever appears.
     val shortOf: Map[String, String] = {

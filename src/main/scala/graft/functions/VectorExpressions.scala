@@ -118,6 +118,7 @@ object VectorExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String]
+      if (s.numBytes() < 16) throw HexPack16.tooShort(s.numBytes())
       var v = 0L
       var i = 0
       while (i < 16) {
@@ -134,6 +135,10 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val c = ctx.freshName("c")
         s"""
+           |if ($h.numBytes() < 16) {
+           |  throw new IllegalArgumentException(
+           |    "graft_hexpack16 requires at least 16 hex chars, got " + $h.numBytes());
+           |}
            |long $v = 0L;
            |for (int $i = 0; $i < 16; $i++) {
            |  byte $c = $h.getByte($i);
@@ -145,6 +150,15 @@ object VectorExpressions {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  object HexPack16 {
+    /** Shared by interpreted and generated code: inputs shorter than 16
+      * bytes would be an out-of-bounds unsafe read — reject them instead
+      * (the function contract is "a digest string", always ≥ 32 hex chars). */
+    def tooShort(n: Int): IllegalArgumentException =
+      new IllegalArgumentException(
+        s"graft_hexpack16 requires at least 16 hex chars, got $n")
   }
 
   /** Column API: pack the first 16 hex chars of a digest string into a long. */

@@ -150,6 +150,22 @@ class EngineSpec extends SparkSpec {
     assert(results == Seq(5L, 10L, 15L, 20L), results)
   }
 
+  test("native expressions reach the SQL surface through the extensions") {
+    val s = Engine.connect(spark, "prod", backends)
+    // graft_hexpack16: md5('x') = 9dd4e461268c8034..., first 16 nibbles
+    assert(s.sql("SELECT graft_hexpack16(md5('x')) AS v").head().getLong(0) ==
+      java.lang.Long.parseUnsignedLong("9dd4e461268c8034", 16))
+    assert(s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) == 11.0)
+    // the short-input guard raises instead of reading out of bounds
+    val e = intercept[Exception] {
+      s.sql("SELECT graft_hexpack16('abc') AS v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("at least 16 hex chars")), e.toString)
+  }
+
   test("prepared statement binds named parameters per execution") {
     val s = Engine.connect(spark, "prod", backends)
     val stmt = s.prepare(
