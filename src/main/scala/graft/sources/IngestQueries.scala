@@ -98,6 +98,59 @@ object IngestQueries extends QueryModule {
         .orderBy($"d")
     },
 
+    // MERGE INTO analog — the transactional targeted-correction pattern
+    // behind the gateway's ClientTransactions capability
+    // (/root/reference/mysql/constants.go:7-11): upsert a corrections batch
+    // (updates keyed on o_orderkey + brand-new rows) into a month-partitioned
+    // orders layout, touching ONLY the partitions the batch lands in.
+    // WHEN MATCHED THEN UPDATE ∪ WHEN NOT MATCHED THEN INSERT becomes
+    // corrections ∪ (affected-partition survivors anti-joined on the key),
+    // staged then swapped via dynamic partition overwrite (upsertPartitioned
+    // below). Oracle replays the merge as plain SQL over the source table.
+    qDir("q99c_merge_upsert",
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+        |         'CORRECTED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |corr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT * FROM corr
+        |  UNION ALL
+        |  SELECT o.* FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM corr c WHERE c.o_orderkey = o.o_orderkey))
+        |SELECT strftime(o_orderdate, '%Y-%m') AS om, o_orderstatus,
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+        |FROM merged
+        |GROUP BY 1, 2
+        |ORDER BY om, o_orderstatus""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = Files.createTempDirectory("graft_merge_").toString
+      val layout = base + "/orders"
+      val orders = Tables.table(spark, dir, "orders")
+      val withMonth = orders.withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
+      withMonth.write.mode("overwrite").partitionBy("om").parquet(layout)
+      val corrections = withMonth.filter($"o_orderkey" % 97 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 10.0)
+        .withColumn("o_orderpriority", lit("CORRECTED"))
+        .unionByName(withMonth.filter($"o_orderkey" % 89 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      upsertPartitioned(spark, layout, base + "/staging", corrections,
+        keyCol = "o_orderkey", partCol = "om")
+      spark.read.parquet(layout)
+        .groupBy($"om", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice".cast("decimal(18,4)")).cast("double"), 4).as("total"))
+        .orderBy($"om", $"o_orderstatus")
+    },
+
     // Multi-statement batch: several ';'-separated statements, several
     // result sets, last one returned (ClientMultiStatements contract).
     // Statement splitting lives in graft.Engine.sqlBatch.
@@ -108,4 +161,39 @@ object IngestQueries extends QueryModule {
           |SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin)
       batch.last
     })
+
+  /** Partition-scoped upsert (the MERGE INTO engine analog): apply a
+    * corrections batch to a partitioned parquet layout in place, rewriting
+    * ONLY the partitions the batch touches.
+    *
+    * Scale shape (100 TB): the corrections batch is the small side by
+    * nature, so both join inputs that matter are broadcast — the affected
+    * partition list prunes the existing-side scan (left-semi on the
+    * partition column over a partitioned layout ⇒ partition pruning), and
+    * the key anti-join drops superseded rows without shuffling the corpus.
+    * The merged affected partitions are STAGED to a sibling directory and
+    * then swapped in via dynamic partition overwrite — two distributed
+    * writes of just the affected partitions, never a read-and-overwrite of
+    * the same files in one job and never a driver-side materialization.
+    * Untouched partitions' files are never opened (MergeSpec asserts their
+    * files survive byte-identical). */
+  private[graft] def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+      layout: String, staging: String, corrections: org.apache.spark.sql.DataFrame,
+      keyCol: String, partCol: String): Unit = {
+    val existing = spark.read.parquet(layout)
+    val affected = corrections.select(partCol).distinct()
+    val survivors = existing
+      .join(broadcast(affected), Seq(partCol), "left_semi")
+      .join(broadcast(corrections.select(keyCol)), Seq(keyCol), "left_anti")
+    corrections.select(existing.columns.map(col): _*)
+      .unionByName(survivors.select(existing.columns.map(col): _*))
+      .write.mode("overwrite").partitionBy(partCol).parquet(staging)
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode").getOrElse("STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.read.parquet(staging)
+        .write.mode("overwrite").partitionBy(partCol).parquet(layout)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
 }
