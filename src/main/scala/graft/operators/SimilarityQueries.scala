@@ -305,80 +305,139 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"vec_id")
     },
 
-    // IVF-style ANN: coarse-quantize the corpus by per-label centroid (the
-    // inverted-file lists), probe the 3 nearest centroids per query, search
-    // only those lists. Centroid means fold a SORTED value list so the FP
-    // sum is association-order-deterministic — the oracle-determinism
-    // variant of the centroid build (at 100 TB you'd use plain avg(), which
-    // is order-dependent but statistically identical; the sorted fold here
-    // is what lets DuckDB replay the exact pipeline). Everything joined to
-    // the probe side via broadcast.
-    q("q83_ivf_topk",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
-        |           FROM embeddings),
-        |ex AS (SELECT label, generate_subscripts(emb, 1) - 1 AS dim,
-        |              unnest(emb) AS x FROM e),
-        |cd AS (SELECT label, dim, list_sort(list(x)) AS xs
-        |       FROM ex GROUP BY label, dim),
-        |cent AS (SELECT label, dim,
-        |                list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
-        |         FROM cd),
-        |cemb AS (SELECT label,
-        |                list_transform(
-        |                  list_sort(list(struct_pack(dim := dim, cx := cx))),
-        |                  p -> p.cx) AS cemb
-        |         FROM cent GROUP BY label),
-        |probes AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
-        |probed AS (
-        |  SELECT qid, qemb, label FROM (
-        |    SELECT qid, qemb, label,
-        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
-        |             ROUND(list_dot_product(qemb, cemb) /
-        |                   (sqrt(list_dot_product(qemb, qemb)) *
-        |                    sqrt(list_dot_product(cemb, cemb))), 6) + 0 DESC,
-        |             label) AS rn
-        |    FROM probes, cemb) t
-        |  WHERE rn <= 3),
-        |scored AS (
-        |  SELECT p.qid, c.vec_id AS cid,
-        |         ROUND(list_dot_product(p.qemb, c.emb) /
-        |               (sqrt(list_dot_product(p.qemb, p.qemb)) *
-        |                sqrt(list_dot_product(c.emb, c.emb))), 4) + 0 AS cos
-        |  FROM e c JOIN probed p ON c.label = p.label AND c.vec_id <> p.qid)
-        |SELECT qid, cid, cos FROM (
-        |  SELECT qid, cid, cos,
-        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
-        |  FROM scored) t
-        |WHERE rn <= 5
-        |ORDER BY qid, cid""".stripMargin) { spark =>
+    // IVF ANN with REAL learned centroids: deterministic k-means (k = 10;
+    // init = first k vectors in md5(vec_id) order — a seeded shuffle both
+    // engines replay; 3 fixed Lloyd iterations) coarse-quantizes the corpus
+    // into inverted lists; each probe searches its 3 nearest lists. Every
+    // floating-point step is association-order-pinned so DuckDB replays the
+    // whole training run bit-for-bit: assignments rank an IEEE-floor-rounded
+    // cosine (Canon.r6) with centroid-id tiebreak, and centroid means fold
+    // SORTED per-dimension value lists (at 100 TB you'd use plain avg() —
+    // order-dependent but statistically identical; the sorted fold is what
+    // makes the pipeline hash-checkable). Per iteration: one corpus pass
+    // against k broadcast centroids + one k×d-row shuffle for the means —
+    // the textbook distributed-k-means shape. localCheckpoint pins each
+    // round's 10-row centroid table (same device as components(): keeps the
+    // loop's plan linear, never materializes corpus data on the driver).
+    q("q83_ivf_topk", {
+      def cosSql(a: String, b: String): String =
+        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+          s"sqrt(list_dot_product($b, $b))))"
+      def asgnSql(name: String, cent: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, emb, cl FROM (
+           |    SELECT e.vec_id, e.emb, c.cl,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |             ${graft.api.Canon.Oracle.r6(cosSql("e.emb", "c.cemb"))} DESC,
+           |             c.cl) AS rn
+           |    FROM e, $cent c) t
+           |  WHERE rn = 1)""".stripMargin
+      def meansSql(i: Int): String =
+        s"""ex$i AS (SELECT cl, generate_subscripts(emb, 1) - 1 AS dim,
+           |              unnest(emb) AS x FROM asgn$i),
+           |cd$i AS (SELECT cl, dim, list_sort(list(x)) AS xs
+           |        FROM ex$i GROUP BY cl, dim),
+           |ct$i AS (SELECT cl, dim, list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
+           |        FROM cd$i),
+           |cent${i + 1} AS (
+           |  SELECT cl, list_transform(
+           |           list_sort(list(struct_pack(dim := dim, cx := cx))),
+           |           p -> p.cx) AS cemb
+           |  FROM ct$i GROUP BY cl)""".stripMargin
+      val iterCtes = (0 until ivfIters)
+        .map(i => asgnSql(s"asgn$i", s"cent$i") + ",\n" + meansSql(i))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent0 AS (
+         |  SELECT cl, cemb FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+         |           emb AS cemb
+         |    FROM e) t
+         |  WHERE cl < $ivfK),
+         |$iterCtes,
+         |${asgnSql("lists", s"cent$ivfIters")},
+         |probes AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+         |probed AS (
+         |  SELECT qid, qemb, cl FROM (
+         |    SELECT p.qid, p.qemb, c.cl,
+         |           ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+         |             ${graft.api.Canon.Oracle.r6(cosSql("p.qemb", "c.cemb"))} DESC,
+         |             c.cl) AS rn
+         |    FROM probes p, cent$ivfIters c) t
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.qid, l.vec_id AS cid,
+         |         ${graft.api.Canon.Oracle.r4(cosSql("p.qemb", "l.emb"))} AS cos
+         |  FROM lists l JOIN probed p ON l.cl = p.cl AND l.vec_id <> p.qid)
+         |SELECT qid, cid, cos FROM (
+         |  SELECT qid, cid, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+         |  FROM scored) t
+         |WHERE rn <= 5
+         |ORDER BY qid, cid""".stripMargin
+    }) { spark =>
       import spark.implicits._
-      val e = spark.table("embeddings")
-      val centroids = e
-        .select($"label", posexplode(toD($"embedding")).as(Seq("dim", "x")))
-        .groupBy($"label", $"dim")
-        .agg(sort_array(collect_list($"x")).as("xs"))
-        .select($"label", $"dim",
-          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
-        .select($"label", transform($"pairs", p => p("cx")).as("cemb"))
+      val cent = ivfCentroids(spark)
+      val lists = ivfAssign(spark, cent)
       val probes = embeddingsD(spark).filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"emb".as("qemb"))
-      // 3 nearest centroid lists per probe
-      val wq = Window.partitionBy($"qid").orderBy($"ccos".desc, $"label".asc)
-      val probed = broadcast(probes).crossJoin(broadcast(centroids))
-        .select($"qid", $"qemb", $"label",
-          (round(cosine($"qemb", $"cemb"), 6) + 0).as("ccos"))
+      val wq = Window.partitionBy($"qid").orderBy($"ccos".desc, $"cl".asc)
+      val probed = broadcast(probes).crossJoin(broadcast(cent))
+        .select($"qid", $"qemb", $"cl",
+          graft.api.Canon.r6(cosine($"qemb", $"cemb")).as("ccos"))
         .withColumn("rn", row_number().over(wq)).filter($"rn" <= 3)
-        .select($"qid", $"qemb", $"label")
-      val scored = embeddingsD(spark)
-        .join(spark.table("embeddings").select($"vec_id", $"label"), "vec_id")
-        .join(broadcast(probed), Seq("label")).filter($"vec_id" =!= $"qid")
+        .select($"qid", $"qemb", $"cl")
+      val scored = lists.join(broadcast(probed), Seq("cl"))
+        .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("cid"),
-          (round(cosine($"qemb", $"emb"), 4) + 0).as("cos"))
+          graft.api.Canon.r4(cosine($"qemb", $"emb")).as("cos"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
       scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"cos")
         .orderBy($"qid", $"cid")
     })
+
+  private[graft] val ivfK = 10
+  private[graft] val ivfIters = 3
+
+  /** One Lloyd assignment pass: nearest centroid per vector by IEEE-floor-
+    * rounded cosine (Canon.r6), centroid-id tiebreak → (vec_id, emb, cl).
+    * One corpus scan against the broadcast centroid table; the row_number
+    * window partitions by vec_id, so the "shuffle" is k rows per vector. */
+  private[graft] def ivfAssign(spark: SparkSession, cent: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
+    embeddingsD(spark).crossJoin(broadcast(cent))
+      .select($"vec_id", $"emb", $"cl",
+        graft.api.Canon.r6(cosine($"emb", $"cemb")).as("ccos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"emb", $"cl")
+  }
+
+  /** Deterministic k-means centroids (cl, cemb): md5-order init + ivfIters
+    * Lloyd rounds with sorted-fold means. The init's global row_number is a
+    * one-reducer window over the CORPUS at fixture scale — at 100 TB you'd
+    * rank a hash-sample instead (the init only needs k rows); the training
+    * loop itself is scan + broadcast + k×d-row shuffles, scale-clean. */
+  private[graft] def ivfCentroids(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val init = embeddingsD(spark)
+      .withColumn("h", md5($"vec_id".cast("string").cast("binary")))
+      .withColumn("cl", row_number().over(Window.orderBy($"h", $"vec_id")) - 1)
+      .filter($"cl" < ivfK).select($"cl", $"emb".as("cemb"))
+    var cent = init.localCheckpoint()
+    for (_ <- 1 to ivfIters) {
+      val means = ivfAssign(spark, cent)
+        .select($"cl", posexplode($"emb").as(Seq("dim", "x")))
+        .groupBy($"cl", $"dim")
+        .agg(sort_array(collect_list($"x")).as("xs"))
+        .select($"cl", $"dim",
+          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
+        .groupBy($"cl")
+        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
+        .select($"cl", transform($"pairs", p => p("cx")).as("cemb"))
+      cent = means.localCheckpoint()
+    }
+    cent
+  }
 }

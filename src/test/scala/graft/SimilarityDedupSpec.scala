@@ -35,6 +35,23 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall")
   }
 
+  test("k-means IVF lists are populated and balanced") {
+    import graft.operators.SimilarityQueries
+    val cent = SimilarityQueries.ivfCentroids(spark)
+    assert(cent.count() == SimilarityQueries.ivfK,
+      "an empty cluster dropped out of the centroid table")
+    val sizes = SimilarityQueries.ivfAssign(spark, cent)
+      .groupBy("cl").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    info(s"IVF list sizes: ${sizes.toSeq.sorted.mkString(", ")}")
+    val total = sizes.values.sum
+    // unclustered fixture data should spread across most lists; a single
+    // list swallowing the corpus means the training loop degenerated
+    assert(sizes.size >= SimilarityQueries.ivfK / 2, s"only ${sizes.size} non-empty lists")
+    assert(sizes.values.max <= total * 6 / 10,
+      s"one list holds ${sizes.values.max} of $total vectors")
+  }
+
   test("BRP-LSH similarity join recalls most exact cosine pairs") {
     val exact = queries("q81_cosine_pairs")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
