@@ -75,6 +75,19 @@ object SimilarityQueries extends QueryModule {
       |                             CAST(embedding AS DOUBLE[]))) AS n
       |FROM embeddings""".stripMargin
 
+  /** Input to the exact all-pairs validators (q81/q89): the full corpus by
+    * default (fixture scale), or a deterministic 1-in-`oneIn` hash sample —
+    * a scan-parallel xxhash64 filter, no shuffle, no RNG — so at 100 TB the
+    * quadratic pair stage runs over a bounded slice and stays a VALIDATOR
+    * for the LSH prod paths (q82/q75) instead of a corpus-scale job.
+    * SimilarityDedupSpec asserts the sampled pair set is the restriction of
+    * the full one. */
+  private[graft] def pairStage(spark: SparkSession, oneIn: Int = 1): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark)
+    if (oneIn <= 1) e else e.filter(pmod(xxhash64($"vec_id"), lit(oneIn)) === 0)
+  }
+
   /** 16 fixed hyperplanes × 64 dims from a seeded LCG (build-time constant —
     * the deterministic stand-in for the usual Gaussian draws). */
   private val numPlanes = 16
@@ -138,8 +151,9 @@ object SimilarityQueries extends QueryModule {
     },
 
     // Exact similarity join: all pairs with cosine ≥ 0.4 — the quadratic
-    // ground truth the LSH join approximates (run on full corpus here; at
-    // 100 TB this is the bounded-sample validator, q82 is the prod path).
+    // ground truth the LSH join approximates. pairStage bounds the input:
+    // full corpus at fixture scale, a deterministic hash sample at 100 TB
+    // (q82 is the prod path; this stays a validator).
     q("q81_cosine_pairs",
       s"""WITH e AS ($withNormSql),
          |s AS (
@@ -149,7 +163,7 @@ object SimilarityQueries extends QueryModule {
          |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
-      val e = withNorm(spark)
+      val e = pairStage(spark)
       val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"n".as("na"))
       val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"n".as("nb"))
       a.join(b, $"id_a" < $"id_b")
@@ -279,9 +293,10 @@ object SimilarityQueries extends QueryModule {
     // Embedding-cosine near-dup dedup: the dedup-by-meaning end of the
     // similarity family — drop the larger id of every pair with cosine ≥
     // 0.45 (the fixture's max pairwise cosine is ~0.51, so the threshold
-    // genuinely drops rows), keep the rest. Exact pair scoring here (the oracle-checkable
-    // baseline); at 100 TB the pair stage swaps to the banded-LSH candidates
-    // (q82 machinery) with identical downstream anti-join semantics.
+    // genuinely drops rows), keep the rest. Exact pair scoring here (the
+    // oracle-checkable baseline) over the pairStage-bounded input; at
+    // 100 TB the pair stage swaps to the banded-LSH candidates (q82
+    // machinery) with identical downstream anti-join semantics.
     q("q89_cosine_neardup_dedup",
       s"""WITH e AS ($withNormSql),
          |pairs AS (
@@ -293,7 +308,7 @@ object SimilarityQueries extends QueryModule {
          |WHERE v.vec_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY v.vec_id""".stripMargin) { spark =>
       import spark.implicits._
-      val e = withNorm(spark)
+      val e = pairStage(spark)
       val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"n".as("na"))
       val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"n".as("nb"))
       val dropped = a.join(b, $"id_a" < $"id_b")

@@ -35,6 +35,25 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall")
   }
 
+  test("pair-stage hash sample bounds the validators deterministically") {
+    import graft.operators.SimilarityQueries
+    graft.sources.Tables.register(spark, sf)
+    val full = SimilarityQueries.pairStage(spark)
+    val sampled = SimilarityQueries.pairStage(spark, oneIn = 4)
+    val nFull = full.count()
+    val nSampled = sampled.count()
+    info(s"pair-stage input: $nFull full, $nSampled at 1-in-4")
+    assert(nSampled < nFull && nSampled > 0)
+    // deterministic: same filter, same rows
+    assert(sampled.select("vec_id").collect().toSet ==
+      SimilarityQueries.pairStage(spark, oneIn = 4).select("vec_id").collect().toSet)
+    // the sampled ids are a subset of the corpus → any pair set computed on
+    // the sample is the restriction of the full pair set
+    val ids = sampled.select("vec_id").collect().map(_.getLong(0)).toSet
+    val fullIds = full.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(fullIds))
+  }
+
   test("k-means IVF lists are populated and balanced") {
     import graft.operators.SimilarityQueries
     val cent = SimilarityQueries.ivfCentroids(spark)
