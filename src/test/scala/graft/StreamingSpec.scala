@@ -2,9 +2,29 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Spark 4 arbitrary-state processor for the transformWithState case below:
+  * per-key (max, count) in a typed ValueState. Top-level class — serialized
+  * to executors, must not capture the suite. */
+class RunningMaxCount
+    extends StatefulProcessor[String, (String, Int), (String, Int, Long)] {
+  @transient private var st: ValueState[(Int, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Int, Long)]("agg",
+      Encoders.product[(Int, Long)], TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+      timers: TimerValues): Iterator[(String, Int, Long)] = {
+    var (m, c) = if (st.exists()) st.get() else (Int.MinValue, 0L)
+    rows.foreach { r => m = math.max(m, r._2); c += 1 }
+    st.update((m, c))
+    Iterator((key, m, c))
+  }
+}
 
 /** Structured Streaming semantics (SURVEY.md §2B streaming, §5.2.3):
   * streaming windowed aggregates must equal the batch expression of the same
@@ -91,6 +111,38 @@ class StreamingSpec extends SparkSpec {
       .agg(max($"running").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(last == Map("a" -> 3L, "b" -> 2L), last.toString)
+  }
+
+  test("transformWithState maintains typed per-key state (Spark 4 API)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, Int)]
+      val out = ms.toDS().groupByKey(_._1)
+        .transformWithState(new RunningMaxCount, TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF("key", "max", "n").writeStream.format("memory")
+        .queryName("t_tws").outputMode(OutputMode.Update).start()
+      try {
+        ms.addData(("a", 3), ("a", 1), ("b", 7))
+        q.processAllAvailable()
+        ms.addData(("a", 5), ("b", 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("t_tws")
+        .groupBy($"key").agg(max($"max").as("m"), max($"n").as("n")).collect()
+        .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+      // state carried across micro-batches: a saw 3 rows (max 5), b saw 2 (max 7)
+      assert(last == Map("a" -> (5, 3L), "b" -> (7, 2L)), last.toString)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("append mode emits a window only after the watermark passes its end") {
