@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupQueries, SimilarityQueries}
+
+/** Candidate-volume scale probe: the empirical backing for §2C's "candidate
+  * pairs grow near-linearly" claims. Generates deterministic synthetic
+  * corpora (no RNG — every value is a pure function of the row id) at two
+  * sizes and counts the candidate pairs each LSH path emits:
+  *
+  *   - MinHash band pairs (q73 path, salted, cap = 256)
+  *   - SimHash band pairs (q78 path, salted, 16-bit buckets)
+  *   - banded sign-LSH ANN candidates (q82 path, multiprobe)
+  *
+  * A quadratic path would grow candidates ~size²; the probe prints the
+  * measured growth factor next to the size ratio so one committed JSON line
+  * evidences near-linearity. Text corpus: clusters of 3 near-duplicate docs
+  * (27/28 shared shingles) over an id-scaled vocabulary — near-dup density
+  * stays constant as the corpus grows, the realistic LSH regime.
+  */
+object ScaleProbe {
+
+  /** (doc_id, text): doc i belongs to cluster i/3; 30 words, each picked by
+    * xxhash64(cluster, position) from a vocab of max(n, 1000) ids (hash
+    * selection keeps different clusters' token sets independent — a linear
+    * progression here would make the whole corpus token-self-similar and
+    * inflate SimHash counts). The last word varies per cluster member, so
+    * each cluster's docs share 27 of their 28 3-shingles. */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val vocab = math.max(n, 1000L)
+    val cluster = ($"id" / 3).cast("long").cast("string")
+    spark.range(n).select($"id".as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"),
+          pmod(xxhash64(cluster, lit(":"), j.cast("string"),
+            when(j === 29, pmod($"id", lit(3)).cast("string")).otherwise(lit(""))),
+            lit(vocab)))))
+        .as("text"))
+  }
+
+  /** (vec_id, emb): 64 doubles in [-1, 1), each a pure xxhash64 function of
+    * (id, dim) — the unclustered regime that spreads across LSH buckets. */
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        pmod(xxhash64($"id".cast("string"), lit(":"), d.cast("string")),
+          lit(2000L)).cast("double") / 1000.0 - 1.0).as("emb"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sizes = Seq(25000L, 100000L)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def measure(n: Long): Map[String, Long] = {
+      val docs = synthDocs(spark, n).cache()
+      try Map(
+        "minhash" -> DedupQueries.saltedBucketPairs(
+          DedupQueries.minhashBandRowsOf(docs), DedupQueries.defaultBucketCap).count(),
+        "simhash16" -> DedupQueries.saltedBucketPairs(
+          DedupQueries.simhashBandsOf(docs), DedupQueries.defaultBucketCap).count(),
+        "simhash32" -> DedupQueries.saltedBucketPairs(
+          DedupQueries.simhashBandsOf(docs, hexPerBand = 8),
+          DedupQueries.defaultBucketCap).count(),
+        "ann" -> SimilarityQueries.annCandidatesOf(synthEmbeddings(spark, n)).count())
+      finally docs.unpersist()
+    }
+
+    val results = sizes.map(n => n -> measure(n)).toMap
+    val lo = results(sizes.head)
+    val hi = results(sizes.last)
+    val sizeRatio = sizes.last.toDouble / sizes.head
+    val paths = Seq("minhash", "simhash16", "simhash32", "ann")
+    def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
+    val growth = paths
+      .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"scale_probe","sizes":[${sizes.mkString(",")}],""" +
+      s""""size_ratio":$sizeRatio,""" +
+      paths.map(p => s""""${p}_cands":${arr(p)}""").mkString(",") +
+      s""","growth":$growth}""")
+    spark.stop()
+  }
+}

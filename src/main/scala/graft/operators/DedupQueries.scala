@@ -57,14 +57,35 @@ object DedupQueries extends QueryModule {
       .map(i => s"  MIN(substr(md5(shingle || ':${i / 4}'), ${(i % 4) * 8 + 1}, 8)) AS sig$i")
       .mkString(",\n")
 
-  /** doc_id → 16-column MinHash signature (shared by q72/q73). */
-  private def signatures(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.table("documents")
+  /** doc_id → 16-column MinHash signature (shared by q72/q73); the `Of`
+    * variant runs on any (doc_id, text) frame — ScaleProbe feeds it
+    * synthetic corpora to measure candidate growth. */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id", explode(shingles($"toks")).as("shingle"))
       .groupBy($"doc_id")
       .agg(sigCol(0), (1 until numHashes).map(sigCol): _*)
+  }
+
+  private def signatures(spark: SparkSession): DataFrame =
+    signaturesOf(spark.table("documents"))
+
+  /** The 4-band (band, md5-concat bucket) struct array over sig0..sig15 —
+    * the one LSH banding used by q73/q75/q77/q79/q101 and ScaleProbe. */
+  private[graft] def minhashBandStructs: Column =
+    array((0 until 4).map { b =>
+      val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
+      struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+    }: _*)
+
+  /** (band, bh, doc_id) rows for any (doc_id, text) corpus (ScaleProbe). */
+  private[graft] def minhashBandRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    signaturesOf(docs)
+      .select($"doc_id", explode(minhashBandStructs).as("bs"))
+      .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id")
   }
 
   /** Hot-bucket guard default: buckets are capped at this many members per
@@ -441,7 +462,10 @@ object DedupQueries extends QueryModule {
     // SimHash band keys are 16-bit (≤65,536 buckets per band), so at corpus
     // scale EVERY bucket is hot — this path needs the hot-bucket cap more
     // than MinHash's 128-bit md5 buckets do (VERDICT r03: a previous inline
-    // copy here bypassed it). Unlike q73, the cap genuinely TRUNCATES at
+    // copy here bypassed it). Above ~10⁵ docs random band agreement grows
+    // ~n²/2¹⁶ (ScaleProbe measures 10.8× pairs at 4× corpus); production
+    // corpora switch to simhashBandsOf(docs, hexPerBand = 8) — 2×32-bit
+    // bands, measured 4.1× = linear — trading recall for bounded volume. Unlike q73, the cap genuinely TRUNCATES at
     // sf0.1 (max bucket ≫ 256), so the oracle replays the deterministic
     // salt itself — rank-chunked self-join — and the overflow branch is
     // hash-verified in production, not just on synthetic buckets.
@@ -510,16 +534,26 @@ object DedupQueries extends QueryModule {
       bucketStats(bandRows(spark, bandStructs))
     }) :+ pipelineQuery
 
-  /** (band, bh, doc_id) rows for the SimHash 16-bit bands (q78/q78b). */
-  private def simhashBands(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"), substring($"simhash", 4 * b + 1, 4).as("bh"))
+  /** (band, bh, doc_id) rows for the SimHash bands (q78/q78b); the `Of`
+    * variant runs on any (doc_id, text) frame (ScaleProbe). Band width is
+    * the collision-growth knob: `hexPerBand` = 4 (default) gives 4 bands of
+    * 16 bits — highest recall, but random band agreement grows ~n²/2¹⁶, the
+    * right trade below ~10⁵ docs; 8 gives 2 bands of 32 bits, whose
+    * background collisions stay negligible to ~10⁹ docs (ScaleProbe
+    * measures both growth curves). */
+  private[graft] def simhashBandsOf(docs: DataFrame, hexPerBand: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bandStructs = array((0 until 16 / hexPerBand).map { b =>
+      struct(lit(b).as("band"),
+        substring($"simhash", hexPerBand * b + 1, hexPerBand).as("bh"))
     }: _*)
-    simhashes(spark)
+    simhashesOf(docs)
       .select($"doc_id", explode(bandStructs).as("bs"))
       .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id")
   }
+
+  private def simhashBands(spark: SparkSession): DataFrame =
+    simhashBandsOf(spark.table("documents"))
 
   /** Per-band bucket-size histogram with closed-form uncapped vs capped
     * in-bucket pair counts (cap = [[defaultBucketCap]]): a bucket of n
@@ -678,9 +712,12 @@ object DedupQueries extends QueryModule {
     * then one shift+mask on that long — r02's 16 `ascii(substring)` string
     * slices per token were the q78 1.9× regression (VERDICT r02). Bit
     * (b%4) of hex nibble (b/4) lives at packed-bit ((15 − b/4)·4 + b%4). */
-  private def simhashes(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val packed = spark.table("documents")
+  private def simhashes(spark: SparkSession): DataFrame =
+    simhashesOf(spark.table("documents"))
+
+  private[graft] def simhashesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val packed = docs
       .select($"doc_id",
         explode(array_distinct(split(lower($"text"), " "))).as("token"))
       .select($"doc_id",

@@ -216,21 +216,7 @@ object SimilarityQueries extends QueryModule {
          |ORDER BY qid, cid""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val e = embeddingsD(spark)
-      def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
-        (0 until 4).map { bnd =>
-          df.select(col("vec_id").as(idAs), col("emb").as(embAs),
-            lit(bnd).as("band"), bandBucket(col("emb"), bnd).as("bucket"))
-        }.reduce(_ unionAll _)
-      val corpus = banded(e, "cid", "cemb")
-      // multiprobe: exact bucket + the 4 single-bit perturbations
-      val probes = banded(e.filter($"vec_id" < 10), "qid", "qemb")
-        .select($"qid", $"qemb", $"band", explode(array(
-          ($"bucket" :: (0 until 4).map(r =>
-            $"bucket".bitwiseXOR(lit(1 << r))).toList): _*)).as("bucket"))
-      val cands = corpus.join(broadcast(probes),
-          Seq("band", "bucket")).filter($"cid" =!= $"qid")
-        .select($"qid", $"cid", $"qemb", $"cemb").distinct()
+      val cands = annCandidatesOf(embeddingsD(spark))
       val scored = cands.select($"qid", $"cid",
         (round(cosine($"qemb", $"cemb"), 4) + 0).as("cos"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
@@ -411,6 +397,29 @@ object SimilarityQueries extends QueryModule {
         .select($"qid", $"cid", $"cos")
         .orderBy($"qid", $"cid")
     })
+
+  /** q82's candidate stage over any (vec_id, emb) corpus: banded sign-LSH
+    * equi-join with Hamming-1 multiprobe on the query side (probes =
+    * vec_id < 10), distinct (qid, cid, qemb, cemb) out. Shared by q82's
+    * scoring and ScaleProbe's candidate-volume measurement, so the probe
+    * measures the real production path. */
+  private[graft] def annCandidatesOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      (0 until 4).map { bnd =>
+        df.select(col("vec_id").as(idAs), col("emb").as(embAs),
+          lit(bnd).as("band"), bandBucket(col("emb"), bnd).as("bucket"))
+      }.reduce(_ unionAll _)
+    val corpus = banded(e, "cid", "cemb")
+    // multiprobe: exact bucket + the 4 single-bit perturbations
+    val probes = banded(e.filter($"vec_id" < 10), "qid", "qemb")
+      .select($"qid", $"qemb", $"band", explode(array(
+        ($"bucket" :: (0 until 4).map(r =>
+          $"bucket".bitwiseXOR(lit(1 << r))).toList): _*)).as("bucket"))
+    corpus.join(broadcast(probes),
+        Seq("band", "bucket")).filter($"cid" =!= $"qid")
+      .select($"qid", $"cid", $"qemb", $"cemb").distinct()
+  }
 
   private[graft] val ivfK = 10
   private[graft] val ivfIters = 3
