@@ -83,7 +83,8 @@ object IngestQueries extends QueryModule {
       val outDir = Files.createTempDirectory("graft_dpo_").toString + "/events"
       val ev = Tables.table(spark, dir, "events")
         .withColumn("event_date", $"ts".cast("date"))
-      ev.write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+      ev.repartition($"event_date")
+        .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
       val prev = spark.conf
         .getOption("spark.sql.sources.partitionOverwriteMode").getOrElse("STATIC")
       try {
@@ -135,7 +136,11 @@ object IngestQueries extends QueryModule {
       val layout = base + "/orders"
       val orders = Tables.table(spark, dir, "orders")
       val withMonth = orders.withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
-      withMonth.write.mode("overwrite").partitionBy("om").parquet(layout)
+      // cluster rows by partition value before the partitioned write: one
+      // task owns each month → one file per partition, not tasks×months
+      // tiny files (the small-files discipline any partitioned layout needs)
+      withMonth.repartition($"om")
+        .write.mode("overwrite").partitionBy("om").parquet(layout)
       val corrections = withMonth.filter($"o_orderkey" % 97 === 0)
         .withColumn("o_totalprice", $"o_totalprice" + 10.0)
         .withColumn("o_orderpriority", lit("CORRECTED"))
@@ -187,12 +192,14 @@ object IngestQueries extends QueryModule {
       .join(broadcast(corrections.select(keyCol)), Seq(keyCol), "left_anti")
     corrections.select(existing.columns.map(col): _*)
       .unionByName(survivors.select(existing.columns.map(col): _*))
+      .repartition(col(partCol)) // one writer task per affected partition
       .write.mode("overwrite").partitionBy(partCol).parquet(staging)
     val prev = spark.conf
       .getOption("spark.sql.sources.partitionOverwriteMode").getOrElse("STATIC")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       spark.read.parquet(staging)
+        .repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(layout)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
