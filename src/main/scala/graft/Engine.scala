@@ -52,6 +52,15 @@ object Engine {
     * SparkContext — the analog of one relayed connection
     * (goroutine-per-connection, /root/reference/gateway/gateway.go:63-64). */
   final class Session private[Engine] (val spark: SparkSession, val clusterId: String) {
+
+    /** Rebind this session to another data namespace — the engine analog of
+      * COM_INIT_DB / `USE db` (the runtime cousin of the handshake's
+      * ClientConnectWithDB database field,
+      * /root/reference/mysql/packet_handshake_response.go:119-129): same
+      * connection, new default schema. Unknown names raise the structured
+      * engine error like cluster routing does. */
+    def use(db: String, databases: Map[String, String]): Unit =
+      Tables.register(spark, Engine.resolve(db, databases, "database"))
     /** The "relay": execute SQL against the routed namespace. Analysis and
       * parse failures surface as the structured engine error, the way the
       * gateway wraps any internal failure into one ERR packet
@@ -143,19 +152,32 @@ object Engine {
     stmts.result().map(_.trim).filter(_.nonEmpty).map(spark.sql)
   }
 
+  /** Case-insensitive namespace lookup (the reference's `strings.EqualFold`,
+    * /root/reference/gateway/config.go:28-35) with a structured error on
+    * miss — shared by cluster routing and database selection. */
+  private[graft] def resolve(name: String, table: Map[String, String],
+      kind: String): String =
+    table.collectFirst {
+      case (id, d) if id.equalsIgnoreCase(name) => d
+    }.getOrElse(throw EngineError(1105, "08S01", s"unknown $kind: $name"))
+
   /** Routing table: cluster id → data directory. The reference falls through
     * silently on unknown ids (treats the id as a literal address,
     * /root/reference/gateway/config.go:28-35); we tighten that to a structured
     * error per SURVEY.md §2A A5. Lookup is case-insensitive like the
-    * reference's `strings.EqualFold`. */
+    * reference's `strings.EqualFold`.
+    *
+    * `db` is the ClientConnectWithDB analog: the handshake response may name
+    * an initial database (/root/reference/mysql/packet_handshake_response.go:
+    * 119-129, capability bit constants.go:44) — when present, the session
+    * opens bound to that namespace from `databases` instead of the cluster's
+    * default directory. */
   def connect(shared: SparkSession, clusterId: String,
-      backends: Map[String, String]): Session = {
-    val dir = backends.collectFirst {
-      case (id, d) if id.equalsIgnoreCase(clusterId) => d
-    }.getOrElse(throw EngineError(1105, "08S01",
-      s"unknown cluster id: $clusterId"))
+      backends: Map[String, String], db: Option[String] = None,
+      databases: Map[String, String] = Map.empty): Session = {
+    val dir = resolve(clusterId, backends, "cluster id")
     val sess = shared.newSession()
-    Tables.register(sess, dir)
+    Tables.register(sess, db.fold(dir)(resolve(_, databases, "database")))
     new Session(sess, clusterId)
   }
 }

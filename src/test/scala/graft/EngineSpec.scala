@@ -16,6 +16,26 @@ class EngineSpec extends SparkSpec {
     assert(s2.table("nation").count() == 25)
   }
 
+  test("connect-with-db binds the named namespace; use() rebinds it") {
+    // ClientConnectWithDB analog: the sf0.01 "database" has 150 customers
+    // vs sf0.001's 15, so the binding is observable through row counts
+    val dbs = Map("tiny" -> sf, "small" -> "/root/testdata/sf0.01")
+    val s = Engine.connect(spark, "prod", backends, db = Some("SMALL"),
+      databases = dbs)
+    val nSmall = s.sql("SELECT COUNT(*) n FROM customer").head().getLong(0)
+    val s2 = Engine.connect(spark, "prod", backends)
+    val nTiny = s2.sql("SELECT COUNT(*) n FROM customer").head().getLong(0)
+    assert(nSmall > nTiny, s"$nSmall vs $nTiny")
+    // COM_INIT_DB / USE analog on a live session
+    s.use("tiny", dbs)
+    assert(s.sql("SELECT COUNT(*) n FROM customer").head().getLong(0) == nTiny)
+    // unknown database: same structured error contract as cluster routing
+    val e = intercept[Engine.EngineError] {
+      Engine.connect(spark, "prod", backends, Some("nodb"), dbs)
+    }
+    assert(e.code == 1105 && e.getMessage.contains("nodb"))
+  }
+
   test("unknown cluster id raises the structured engine error") {
     val e = intercept[Engine.EngineError] {
       Engine.connect(spark, "nope", backends)
