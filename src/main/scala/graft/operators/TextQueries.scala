@@ -437,5 +437,59 @@ object TextQueries extends QueryModule {
           coalesce(sum($"weight"), lit(0)).cast(LongType).as("sentiment"),
           count($"word").as("n_hits"))
         .orderBy($"doc_id")
+    },
+
+    // PII redaction — the scrub pass every training-data pipeline runs
+    // before using a corpus. The fixture text carries no PII, so each doc is
+    // augmented with a deterministic contact line (same expression both
+    // engines), then emails, URLs and phone numbers are masked by chained
+    // regexp_replace. Patterns stay in the RE2∩Java dialect subset (explicit
+    // character classes, no lookaround); DuckDB needs the 'g' flag to match
+    // Spark's replace-all default. The redaction is verified in aggregate:
+    // per-tag hit counts plus total post-redaction chars (a checksum any
+    // divergent replacement would break). Map-side only — no shuffle until
+    // the final 1-row aggregate: the 100 TB shape of a scrub pass.
+    q("q102_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact u' || doc_id ||
+        |         '@example.com or https://ex.org/p/' || doc_id ||
+        |         ' call 555-867-5309' AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t,
+        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM aug)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS with_email,
+        |  CAST(SUM(CASE WHEN redacted LIKE '%<URL>%' THEN 1 ELSE 0 END) AS BIGINT) AS with_url,
+        |  CAST(SUM(CASE WHEN redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT) AS with_phone,
+        |  CAST(SUM(len(redacted)) AS BIGINT) AS total_chars
+        |FROM red""".stripMargin) { spark =>
+      import spark.implicits._
+      val aug = spark.table("documents").select($"doc_id",
+        concat($"text", lit(" contact u"), $"doc_id",
+          lit("@example.com or https://ex.org/p/"), $"doc_id",
+          lit(" call 555-867-5309")).as("t"))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace($"t",
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>"),
+        "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")
+      aug.select($"doc_id", redacted.as("redacted"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(when($"redacted".contains("<EMAIL>"), 1).otherwise(0))
+            .cast(LongType).as("with_email"),
+          sum(when($"redacted".contains("<URL>"), 1).otherwise(0))
+            .cast(LongType).as("with_url"),
+          sum(when($"redacted".contains("<PHONE>"), 1).otherwise(0))
+            .cast(LongType).as("with_phone"),
+          sum(length($"redacted")).cast(LongType).as("total_chars"))
     })
 }
