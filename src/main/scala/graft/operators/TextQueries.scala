@@ -439,6 +439,52 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Boilerplate detection (the C4-style line-dedup analog at shingle
+    // granularity): a 3-shingle appearing in ≥ 5 distinct documents is
+    // boilerplate; each document reports its distinct-shingle count, how
+    // many are boilerplate, and the ratio. Plan: one explode → one
+    // shuffle-by-shingle for document frequencies → the (Zipf-small)
+    // boilerplate set broadcast back onto the shingle stream — the corpus
+    // is scanned twice but never shuffled on doc_id until the final
+    // per-doc aggregate. Ratio = exact-int division, IEEE-identical both
+    // engines, surfaced through the floor-round pattern.
+    q("q103_boilerplate",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, len(string_split(lower(text), ' ')) - 1),
+        |           i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |                string_split(lower(text), ' ')[i + 1] || ' ' ||
+        |                string_split(lower(text), ' ')[i + 2]))) AS s
+        |  FROM documents),
+        |boiler AS (
+        |  SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 5)
+        |SELECT sh.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(b.s) AS BIGINT) AS n_boiler,
+        |  floor(COUNT(b.s) * 10000.0 / COUNT(*) + 0.5) / 10000 AS boiler_ratio
+        |FROM sh LEFT JOIN boiler b ON sh.s = b.s
+        |GROUP BY sh.doc_id
+        |ORDER BY sh.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val sh = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(array_distinct(transform(
+          sequence(lit(1), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i),
+            element_at($"toks", i + 1), element_at($"toks", i + 2))))).as("s"))
+      val boiler = sh.groupBy($"s")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 5).select($"s", lit(1).as("b"))
+      sh.join(broadcast(boiler), Seq("s"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+          count($"b").cast(LongType).as("n_boiler"),
+          (floor(count($"b") * 10000.0 / count(lit(1)) + 0.5) / 10000)
+            .as("boiler_ratio"))
+        .orderBy($"doc_id")
+    },
+
     // PII redaction — the scrub pass every training-data pipeline runs
     // before using a corpus. The fixture text carries no PII, so each doc is
     // augmented with a deterministic contact line (same expression both
