@@ -198,6 +198,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate flag-back join broadcasts; corpus never shuffles on doc_id until the final agg") {
+    val df = SparkEntry.queries("q103_boilerplate")(spark, sf)
+    df.collect() // AQE finalizes at execution
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("PII redaction is map-side only until the single final aggregate") {
+    val df = SparkEntry.queries("q102_pii_redact")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // exactly one Exchange: the 1-row global aggregate's partial→final hop
+    // (AQE prints the initial plan after the final one — cut it off)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$plan")
+  }
+
   test("semi-join rewrite: IN (subquery) becomes a semi join, not a product") {
     Tables.register(spark, sf)
     val df = spark.sql(
