@@ -87,6 +87,14 @@ object Engine {
     /** Multi-statement batch against this session (ClientMultiStatements). */
     def sqlBatch(batch: String): Seq[DataFrame] = Engine.sqlBatch(spark, batch)
 
+    /** Execute SQL written in the MySQL dialect the reference's clients
+      * speak: runs [[Engine.translateMySql]] (`LIMIT a,b` → `LIMIT b OFFSET
+      * a`, `#`-comment stripping) before the relay. Spark already accepts
+      * the rest of the §7.2 P6 surface natively (backtick identifiers,
+      * `ifnull`/`nvl`/`instr`/`if`, and the extension-registered
+      * `group_concat`). */
+    def sqlMySql(query: String): DataFrame = sql(Engine.translateMySql(query))
+
     /** Prepared statement — the engine analog of COM_STMT_PREPARE/EXECUTE
       * (the gateway tracks prepared-statement status bits and relays the
       * binary protocol opaquely, /root/reference/mysql/constants.go:22-37):
@@ -150,6 +158,60 @@ object Engine {
     }
     stmts += cur.toString
     stmts.result().map(_.trim).filter(_.nonEmpty).map(spark.sql)
+  }
+
+  /** Translate the two MySQL-dialect spellings Spark's parser rejects
+    * (SURVEY.md §7.2 P6) with a token-safe scan — quoted strings, backtick
+    * identifiers and comments pass through untouched, exactly like the
+    * sqlBatch splitter:
+    *
+    *   - `LIMIT a, b` → `LIMIT b OFFSET a` (every occurrence, subqueries
+    *     included; only rewritten when both operands are integer literals)
+    *   - `# line comment` → stripped (MySQL-only spelling)
+    *
+    * The reference relays these byte-transparently to a MySQL-dialect
+    * backend (/root/reference/gateway/relay.go:12-30); an engine that parses
+    * with Spark must translate to keep that client contract. */
+  def translateMySql(query: String): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def at(j: Int, c: Char): Boolean = j < query.length && query.charAt(j) == c
+    val limitRe = """(?is)^LIMIT\s+(\d+)\s*,\s*(\d+)""".r
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < query.length) {
+          out.append(query.charAt(i + 1)); i += 1
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c) }
+      else if (c == '-' && at(i + 1, '-')) {
+        while (i < query.length && query.charAt(i) != '\n') { out.append(query.charAt(i)); i += 1 }
+        i -= 1
+      } else if (c == '#') {
+        while (i < query.length && query.charAt(i) != '\n') i += 1
+        i -= 1
+      } else if (c == '/' && at(i + 1, '*')) {
+        out.append("/*"); i += 2
+        while (i < query.length && !(query.charAt(i) == '*' && at(i + 1, '/'))) {
+          out.append(query.charAt(i)); i += 1
+        }
+        if (i < query.length) { out.append("*/"); i += 1 }
+      } else if ((c == 'l' || c == 'L') &&
+          (i == 0 || !Character.isLetterOrDigit(query.charAt(i - 1)))) {
+        limitRe.findFirstMatchIn(query.substring(i)) match {
+          case Some(m) =>
+            out.append(s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+            i += m.matched.length - 1
+          case None => out.append(c)
+        }
+      }
+      else out.append(c)
+      i += 1
+    }
+    out.toString
   }
 
   /** Case-insensitive namespace lookup (the reference's `strings.EqualFold`,

@@ -193,6 +193,23 @@ object ScaleQueries extends QueryModule {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // MySQL comma-LIMIT: `LIMIT offset, count` is the dialect spelling
+    // Spark's parser rejects — Engine.translateMySql rewrites it token-
+    // safely (strings/comments untouched) to LIMIT … OFFSET …, keeping the
+    // reference's relay-transparency contract for MySQL clients. The oracle
+    // is the standard spelling directly.
+    q("q50c_mysql_limit",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 5""".stripMargin) { spark =>
+      spark.sql(graft.Engine.translateMySql(
+        """SELECT o_orderkey, o_totalprice
+          |FROM orders # MySQL-style comment
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 5, 10""".stripMargin))
+    },
+
     // Partition-pruned layout: re-write events partitioned by event date
     // (the layout a 100 TB events table would ship with), then aggregate a
     // one-week slice — the scan must touch only 7 of ~30 partitions

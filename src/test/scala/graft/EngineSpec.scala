@@ -170,6 +170,22 @@ class EngineSpec extends SparkSpec {
     assert(results == Seq(5L, 10L, 15L, 20L), results)
   }
 
+  test("MySQL dialect translation: LIMIT a,b rewrites; strings survive") {
+    val s = Engine.connect(spark, "prod", backends)
+    val rows = s.sqlMySql(
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5, 3")
+      .collect().map(_.getAs[Number](0).intValue).toSeq
+    assert(rows == Seq(5, 6, 7), rows)
+    // '#' comment stripped; LIMIT-lookalike inside a string untouched
+    assert(s.sqlMySql("SELECT 'LIMIT 1, 2' AS s # tail comment")
+      .head().getString(0) == "LIMIT 1, 2")
+    // subquery LIMITs rewrite too; plain LIMIT n unchanged
+    assert(s.sqlMySql(
+      """SELECT COUNT(*) AS n FROM (
+        |SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2, 4) t
+        |LIMIT 1""".stripMargin).head().getLong(0) == 4)
+  }
+
   test("native expressions reach the SQL surface through the extensions") {
     val s = Engine.connect(spark, "prod", backends)
     // graft_hexpack16: md5('x') = 9dd4e461268c8034..., first 16 nibbles
