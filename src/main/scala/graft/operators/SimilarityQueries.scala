@@ -396,6 +396,51 @@ object SimilarityQueries extends QueryModule {
       scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"cos")
         .orderBy($"qid", $"cid")
+    },
+
+    // Int8 embedding quantization — the storage-reduction pass an embedding
+    // pipeline runs before serving/packing: per-vector symmetric scale
+    // (127 / max|x|), values floor-rounded to int8 range. Every step is
+    // order-pinned IEEE maths (abs-max fold, scale division, floor(x·s+0.5)
+    // per element, index-ordered reconstruction-error fold), so DuckDB
+    // replays the whole quantize→dequantize round trip bit-for-bit. Purely
+    // map-side per vector — no shuffle at any corpus size.
+    q("q104_embedding_quantize",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, emb,
+         |         127.0 / list_reduce(list_transform(emb, x -> abs(x)),
+         |                             (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS scale
+         |  FROM e),
+         |qz AS (
+         |  SELECT vec_id, emb, scale,
+         |         list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+         |  FROM s)
+         |SELECT vec_id,
+         |  CAST(list_reduce(q, (a, b) -> CASE WHEN b < a THEN b ELSE a END) AS BIGINT) AS qmin,
+         |  CAST(list_reduce(q, (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS BIGINT) AS qmax,
+         |  CAST(list_reduce(q, (a, b) -> a + b) AS BIGINT) AS qsum,
+         |  ${graft.api.Canon.Oracle.r6(
+             "list_reduce(list_transform(range(1, len(emb) + 1), " +
+               "i -> (emb[i] - q[i] / scale) * (emb[i] - q[i] / scale)), (a, b) -> a + b)")} AS mse
+         |FROM qz
+         |ORDER BY vec_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = embeddingsD(spark)
+      val s = e.withColumn("scale",
+        lit(127.0) / aggregate(transform($"emb", abs(_)), lit(0.0),
+          (a, b) => greatest(a, b)))
+      val qz = s.withColumn("q",
+        transform($"emb", x => floor(x * $"scale" + 0.5).cast(LongType)))
+      qz.select($"vec_id",
+          aggregate($"q", element_at($"q", 1), (a, b) => least(a, b)).as("qmin"),
+          aggregate($"q", element_at($"q", 1), (a, b) => greatest(a, b)).as("qmax"),
+          aggregate($"q", lit(0L), (a, b) => a + b).as("qsum"),
+          graft.api.Canon.r6(aggregate(
+            zip_with($"emb", $"q", (x, qq) =>
+              (x - qq / $"scale") * (x - qq / $"scale")),
+            lit(0.0), (a, b) => a + b)).as("mse"))
+        .orderBy($"vec_id")
     })
 
   /** q82's candidate stage over any (vec_id, emb) corpus: banded sign-LSH
