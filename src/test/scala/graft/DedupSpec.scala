@@ -96,4 +96,17 @@ class DedupSpec extends SparkSpec {
     val q73 = SparkEntry.queries("q73_minhash_band_pairs")(spark, sf).count()
     assert(stats.map(_.getAs[Long]("pairs_uncapped")).sum >= q73)
   }
+
+  test("wider SimHash bands produce a subset of the 16-bit pair set") {
+    // a 32-bit band is the concatenation of two 16-bit bands: agreement on
+    // it implies agreement on both halves, so the scale-mode candidate set
+    // (hexPerBand = 8, the >10⁵-doc regime) can only shrink the default set
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+    val cap = DedupQueries.defaultBucketCap
+    val p16 = pairs(DedupQueries.simhashBandsOf(docs), cap)
+    val p32 = pairs(DedupQueries.simhashBandsOf(docs, hexPerBand = 8), cap)
+    assert(p32.subsetOf(p16), s"${(p32 -- p16).take(5)} not in 16-bit set")
+    assert(p16.nonEmpty)
+  }
 }
