@@ -28,6 +28,29 @@ object Engine {
     * with ("5.7.25-TiDB…", /root/reference/gateway/gateway.go:183-195). */
   val version = "graft-0.1-spark"
 
+  /** Per-session system-variable defaults — the variables every MySQL client
+    * touches right after the handshake the gateway relays
+    * (/root/reference/gateway/relay.go:12-30 carries these byte-
+    * transparently; the mysql CLI's first statement is
+    * `select @@version_comment limit 1`). Collation default matches the
+    * reference's utf8mb4_bin (/root/reference/mysql/constants.go:6). */
+  private[graft] val defaultSysVars: Map[String, String] = Map(
+    "version" -> version,
+    "version_comment" -> "graft Spark engine",
+    "autocommit" -> "1",
+    "sql_mode" -> "STRICT_TRANS_TABLES",
+    "character_set_client" -> "utf8mb4",
+    "character_set_connection" -> "utf8mb4",
+    "character_set_results" -> "utf8mb4",
+    "collation_connection" -> "utf8mb4_bin",
+    "time_zone" -> "UTC",
+    "max_execution_time" -> "0",
+    "sql_select_limit" -> "0",
+    "wait_timeout" -> "28800",
+    "net_write_timeout" -> "60",
+    "interactive_timeout" -> "28800",
+    "transaction_isolation" -> "REPEATABLE-READ")
+
   /** Build the shared SparkSession with the engine's pinned defaults: UTC
     * session time zone + binary (codepoint) string comparison, matching the
     * reference's utf8mb4_bin default collation
@@ -53,6 +76,21 @@ object Engine {
     * (goroutine-per-connection, /root/reference/gateway/gateway.go:63-64). */
   final class Session private[Engine] (val spark: SparkSession, val clusterId: String) {
 
+    /** MySQL session-variable state: system variables (pre-seeded with the
+      * handshake-era defaults above) and `@user` variables. Mutated only by
+      * the SET interception in [[sql]]; reads substitute into the query text
+      * before Spark parses it. */
+    private val sysVars =
+      scala.collection.mutable.Map(Engine.defaultSysVars.toSeq: _*)
+    private val userVars = scala.collection.mutable.Map.empty[String, String]
+
+    /** Current value of a system variable, if set (test/introspection hook). */
+    def variable(name: String): Option[String] = sysVars.get(name.toLowerCase)
+
+    /** COM_PING analog (/root/reference/mysql/constants.go command bytes are
+      * relayed opaquely): liveness of the routed backend. */
+    def ping(): Boolean = !spark.sparkContext.isStopped
+
     /** Rebind this session to another data namespace — the engine analog of
       * COM_INIT_DB / `USE db` (the runtime cousin of the handshake's
       * ClientConnectWithDB database field,
@@ -61,18 +99,42 @@ object Engine {
       * engine error like cluster routing does. */
     def use(db: String, databases: Map[String, String]): Unit =
       Tables.register(spark, Engine.resolve(db, databases, "database"))
-    /** The "relay": execute SQL against the routed namespace. Analysis and
-      * parse failures surface as the structured engine error, the way the
-      * gateway wraps any internal failure into one ERR packet
+    /** The "relay": execute SQL against the routed namespace. MySQL
+      * session-state statements (`SET NAMES`, `SET @@x = v`, `SET @u = v`,
+      * `SHOW VARIABLES`) are absorbed into this session's variable store —
+      * the state a real gateway connection accumulates from its client's
+      * handshake-era statements — and `@@var`/`@var` references in any other
+      * statement substitute their current values before Spark parses.
+      * Analysis and parse failures surface as the structured engine error,
+      * the way the gateway wraps any internal failure into one ERR packet
       * (code 1105/"08S01", /root/reference/gateway/gateway.go:242-251) —
       * execution-time failures propagate as-is (the backend's own error,
       * relayed verbatim). */
     def sql(query: String): DataFrame =
-      try spark.sql(query)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw EngineError(1105, "08S01", e.getMessage)
+      Engine.sessionCommand(this, query).getOrElse {
+        val q =
+          if (query.indexOf('@') >= 0)
+            Engine.substituteVars(query, sysVars.toMap, userVars.toMap)
+          else query
+        try spark.sql(q)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw EngineError(1105, "08S01", e.getMessage)
+        }
       }
+
+    private[Engine] def setSysVar(name: String, value: String): Unit = {
+      // the one variable with an engine-level effect: MySQL time_zone maps
+      // onto Spark's session time zone (offsets like '+05:30' parse in both;
+      // SYSTEM normalizes to the engine's pinned UTC default)
+      val v = if (name == "time_zone" && value.equalsIgnoreCase("SYSTEM")) "UTC"
+              else value
+      sysVars(name) = v
+      if (name == "time_zone") spark.conf.set("spark.sql.session.timeZone", v)
+    }
+    private[Engine] def setUserVar(name: String, value: String): Unit =
+      userVars(name) = value
+    private[Engine] def sysVarSnapshot: Map[String, String] = sysVars.toMap
     def table(name: String): DataFrame = spark.table(name)
 
     /** Incremental result delivery — the analog of the outbound relay that
@@ -84,8 +146,12 @@ object Engine {
       sql(query).toLocalIterator().asScala
     }
 
-    /** Multi-statement batch against this session (ClientMultiStatements). */
-    def sqlBatch(batch: String): Seq[DataFrame] = Engine.sqlBatch(spark, batch)
+    /** Multi-statement batch against this session (ClientMultiStatements);
+      * each statement runs through [[sql]], so handshake-style batches
+      * (`SET NAMES utf8mb4; SET autocommit=1; SELECT @@version`) accumulate
+      * session state exactly like a sequence of single statements. */
+    def sqlBatch(batch: String): Seq[DataFrame] =
+      Engine.splitStatements(batch).map(sql)
 
     /** Execute SQL written in the MySQL dialect the reference's clients
       * speak: runs [[Engine.translateMySql]] (`LIMIT a,b` → `LIMIT b OFFSET
@@ -121,7 +187,11 @@ object Engine {
     * the MySQL-only `#` spelling is stripped like the other dialect
     * translations (§7.2 P6) since Spark's parser rejects it. Each statement
     * executes eagerly in order so later ones see earlier side effects. */
-  def sqlBatch(spark: SparkSession, batch: String): Seq[DataFrame] = {
+  def sqlBatch(spark: SparkSession, batch: String): Seq[DataFrame] =
+    splitStatements(batch).map(spark.sql)
+
+  /** The token-safe ';' splitter behind [[sqlBatch]] (see its contract). */
+  private[graft] def splitStatements(batch: String): Seq[String] = {
     val stmts = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
@@ -157,7 +227,155 @@ object Engine {
       i += 1
     }
     stmts += cur.toString
-    stmts.result().map(_.trim).filter(_.nonEmpty).map(spark.sql)
+    stmts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  // ---- MySQL session-variable surface ------------------------------------
+
+  private val setNamesRe =
+    """(?is)^\s*SET\s+NAMES\s+['"`]?([A-Za-z0-9_]+)['"`]?(?:\s+COLLATE\s+['"`]?[A-Za-z0-9_]+['"`]?)?\s*;?\s*$""".r
+  private val showVarsRe =
+    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  private val setStmtRe = """(?is)^\s*SET\s+(.+?)\s*;?\s*$""".r
+  private val assignRe =
+    """(?is)^\s*(?:(GLOBAL|SESSION|LOCAL)\s+)?(@{0,2})(?:(session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.+?)\s*$""".r
+
+  /** Intercept MySQL session-state statements; None = relay to Spark.
+    *
+    * `SET` is shared syntax — Spark uses it for conf (`SET spark.sql.x=y`)
+    * — so a SET list is absorbed only when EVERY assignment is MySQL-shaped:
+    * `@@`/scope-prefixed, a `@user` variable, or a bare name already in the
+    * session's system-variable store. Anything else relays untouched. */
+  private[graft] def sessionCommand(s: Session, query: String): Option[DataFrame] =
+    query match {
+      case setNamesRe(cs) =>
+        Seq("character_set_client", "character_set_connection",
+          "character_set_results").foreach(s.setSysVar(_, cs))
+        Some(s.spark.emptyDataFrame)
+      case showVarsRe(like) =>
+        val re = Option(like).map(p => ("(?i)^" + java.util.regex.Pattern
+          .quote(p).replace("%", """\E.*\Q""").replace("_", """\E.\Q""") + "$").r)
+        import s.spark.implicits._
+        val rows = s.sysVarSnapshot.toSeq
+          .filter { case (n, _) => re.forall(_.matches(n)) }.sorted
+        Some(rows.toDF("Variable_name", "Value"))
+      case setStmtRe(body) =>
+        val assigns = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
+        val parsed = assigns.map {
+          case assignRe(scope, ats, dotScope, name, value) =>
+            val v = unquote(value.trim)
+            val n = name.toLowerCase
+            if (ats == "@@" || scope != null || dotScope != null)
+              Some(() => s.setSysVar(n, v))
+            else if (ats == "@") Some(() => s.setUserVar(n, v))
+            else if (s.sysVarSnapshot.contains(n)) Some(() => s.setSysVar(n, v))
+            else None
+          case _ => None
+        }
+        if (parsed.nonEmpty && parsed.forall(_.isDefined)) {
+          parsed.foreach(_.get.apply())
+          Some(s.spark.emptyDataFrame)
+        } else None
+      case _ => None
+    }
+
+  /** Split on `sep` outside quotes/backticks (SET lists with quoted values). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          cur.append(s.charAt(i + 1)); i += 1
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; cur.append(c) }
+      else if (c == sep) { parts += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    parts += cur.toString
+    parts.result()
+  }
+
+  /** Strip one level of '…'/"…" quoting; normalize switch words to 1/0. */
+  private def unquote(v: String): String = {
+    val raw =
+      if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head)
+        v.substring(1, v.length - 1)
+          .replace("\\'", "'").replace("\\\"", "\"").replace("\\\\", "\\")
+      else v
+    raw.toUpperCase match {
+      case "ON" | "TRUE" => "1"
+      case "OFF" | "FALSE" => "0"
+      case _ => raw
+    }
+  }
+
+  private val numericLit = """-?\d+(\.\d+)?""".r
+  private def sqlLiteral(v: String): String =
+    if (numericLit.matches(v)) v
+    else "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  private val varNameRe = """^(?:(session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** Substitute `@@[scope.]name` (system) and `@name` (user) references with
+    * their current values as SQL literals, token-safely — quoted strings,
+    * backtick identifiers and comments pass through untouched, exactly like
+    * [[translateMySql]]. An unknown system variable raises MySQL's
+    * ER_UNKNOWN_SYSTEM_VARIABLE (1193); an unset user variable reads as NULL
+    * (the MySQL contract). */
+  private[graft] def substituteVars(query: String, sys: Map[String, String],
+      user: Map[String, String]): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def at(j: Int, c: Char): Boolean = j < query.length && query.charAt(j) == c
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < query.length) {
+          out.append(query.charAt(i + 1)); i += 1
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c) }
+      else if (c == '-' && at(i + 1, '-')) {
+        while (i < query.length && query.charAt(i) != '\n') { out.append(query.charAt(i)); i += 1 }
+        i -= 1
+      } else if (c == '/' && at(i + 1, '*')) {
+        out.append("/*"); i += 2
+        while (i < query.length && !(query.charAt(i) == '*' && at(i + 1, '/'))) {
+          out.append(query.charAt(i)); i += 1
+        }
+        if (i < query.length) { out.append("*/"); i += 1 }
+      } else if (c == '@' && at(i + 1, '@')) {
+        varNameRe.findFirstMatchIn(query.substring(i + 2)) match {
+          case Some(m) =>
+            val name = m.group(2).toLowerCase
+            val v = sys.getOrElse(name, throw EngineError(1193, "HY000",
+              s"Unknown system variable '$name'"))
+            out.append(sqlLiteral(v))
+            i += 1 + m.matched.length
+          case None => out.append(c)
+        }
+      } else if (c == '@') {
+        varNameRe.findFirstMatchIn(query.substring(i + 1)) match {
+          case Some(m) if m.group(1) == null =>
+            out.append(user.get(m.group(2).toLowerCase).map(sqlLiteral)
+              .getOrElse("NULL"))
+            i += m.matched.length
+          case _ => out.append(c)
+        }
+      }
+      else out.append(c)
+      i += 1
+    }
+    out.toString
   }
 
   /** Translate the two MySQL-dialect spellings Spark's parser rejects

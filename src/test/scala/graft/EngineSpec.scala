@@ -202,6 +202,74 @@ class EngineSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("at least 16 hex chars")), e.toString)
   }
 
+  test("mysql-CLI handshake sequence: version_comment, SET NAMES, SHOW VARIABLES") {
+    val s = Engine.connect(spark, "prod", backends)
+    // the mysql CLI's literal first statement after connecting
+    assert(s.sql("select @@version_comment limit 1").head().getString(0) ==
+      "graft Spark engine")
+    assert(s.sql("SELECT @@version AS v").head().getString(0) == Engine.version)
+    s.sql("SET NAMES utf8mb4 COLLATE utf8mb4_bin") // absorbed, empty OK result
+    val vars = s.sql("SHOW VARIABLES LIKE 'character_set_%'")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vars("character_set_client") == "utf8mb4", vars)
+    assert(vars.size == 3, vars)
+    // full listing contains the seeded defaults
+    assert(s.sql("SHOW VARIABLES").count() >= 15)
+  }
+
+  test("system variables: SET forms, typed read-back, unknown-variable error") {
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("SET autocommit = OFF")
+    assert(s.sql("SELECT @@autocommit AS a").head().getInt(0) == 0)
+    s.sql("SET @@session.autocommit = 1, @@sql_mode = 'ANSI_QUOTES'")
+    assert(s.sql("SELECT @@autocommit AS a").head().getInt(0) == 1)
+    assert(s.sql("SELECT @@session.sql_mode AS m").head().getString(0) ==
+      "ANSI_QUOTES")
+    val e = intercept[Engine.EngineError] { s.sql("SELECT @@no_such_var") }
+    assert(e.code == 1193, e.toString)
+    // '@@' inside a string literal is data, not a variable reference
+    assert(s.sql("SELECT '@@autocommit' AS s").head().getString(0) ==
+      "@@autocommit")
+  }
+
+  test("SET time_zone maps onto the Spark session time zone, per session") {
+    val s = Engine.connect(spark, "prod", backends)
+    val other = Engine.connect(spark, "prod", backends)
+    s.sql("SET time_zone = '+02:00'")
+    assert(s.sql("SELECT hour(timestamp'2026-01-01 00:00:00Z') AS h")
+      .head().getInt(0) == 2)
+    // isolation: the second session still evaluates in UTC
+    assert(other.sql("SELECT hour(timestamp'2026-01-01 00:00:00Z') AS h")
+      .head().getInt(0) == 0)
+    s.sql("SET time_zone = SYSTEM")
+    assert(s.variable("time_zone").contains("UTC"))
+  }
+
+  test("user variables: SET @x, read-back, unset reads as NULL") {
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("SET @k = 3, @name = 'AFRICA'")
+    assert(s.sql("SELECT @k + 1 AS y").head().getInt(0) == 4)
+    assert(s.sql("SELECT r_regionkey FROM region WHERE r_name = @name")
+      .head().getAs[Number](0).intValue == 0)
+    assert(s.sql("SELECT @never_set AS v").head().isNullAt(0))
+  }
+
+  test("Spark conf SET statements relay untouched (shared SET syntax)") {
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("SET spark.sql.shuffle.partitions=7")
+    assert(s.spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    s.sql("SET spark.sql.shuffle.partitions=4")
+    // a handshake-style batch accumulates state through the session
+    val out = s.sqlBatch(
+      "SET NAMES utf8; SET autocommit=1; SELECT @@character_set_client AS c")
+    assert(out.last.head().getString(0) == "utf8")
+  }
+
+  test("ping reports backend liveness (COM_PING analog)") {
+    val s = Engine.connect(spark, "prod", backends)
+    assert(s.ping())
+  }
+
   test("prepared statement binds named parameters per execution") {
     val s = Engine.connect(spark, "prod", backends)
     val stmt = s.prepare(
