@@ -28,6 +28,7 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     AsofJoinQueries,
+    EventAnalyticsQueries,
     graft.streaming.StreamingQueries,
     graft.sources.IngestQueries)
 

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftQuery, QueryModule}
+
+/** Event-stream analytics over `events` — the funnel / retention queries a
+  * TiDB-class HTAP backend serves its product-analytics clients (the
+  * reference relays this whole query class opaquely,
+  * /root/reference/gateway/relay.go:12-30; the engine executes it).
+  *
+  * Cross-engine determinism: every time comparison runs on INTEGER
+  * MICROSECONDS (`unix_micros` in Spark after Tables.scala's ns→µs floor,
+  * `epoch_ns // 1000` in DuckDB) — never on timestamp values, whose
+  * sub-micro semantics differ between the engines' ns/µs representations.
+  *
+  * Scale design: both queries shuffle on `user_id` exactly once; the funnel's
+  * four stage computations are consecutive window functions over the SAME
+  * partitioning key, so Catalyst plans a single Exchange feeding four Window
+  * operators (asserted in PlanSpec). No collect, no join back to the fact
+  * table.
+  */
+object EventAnalyticsQueries extends QueryModule {
+
+  private val funnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Events as (user_id, event_type, tus = integer micros). */
+  private def ev(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Ordered funnel: a user reaches stage k iff events of types
+    // stage1..stagek exist at strictly increasing times (min-completion-time
+    // chaining: s1 = min signup, s2 = min view AFTER s1, ...). One shuffle:
+    // all four stage columns are windows over the same user_id partitioning.
+    q("q105_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.tus > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tus > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.tus) AS t FROM e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tus > s3.t GROUP BY e.user_id)
+        |SELECT stage_idx, stage, n_users FROM (
+        |  SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4) f
+        |ORDER BY stage_idx""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id")
+      def stageMin(stage: String, after: Option[Column]): Column =
+        min(when($"event_type" === stage &&
+          after.map($"tus" > _).getOrElse(lit(true)), $"tus")).over(w)
+      val staged = ev(spark)
+        .withColumn("s1", stageMin("signup", None))
+        .withColumn("s2", stageMin("view", Some($"s1")))
+        .withColumn("s3", stageMin("click", Some($"s2")))
+        .withColumn("s4", stageMin("purchase", Some($"s3")))
+        .groupBy($"user_id")
+        .agg(max($"s1").as("s1"), max($"s2").as("s2"),
+          max($"s3").as("s3"), max($"s4").as("s4"))
+      val counts = staged.agg(
+        count($"s1").as("c1"), count($"s2").as("c2"),
+        count($"s3").as("c3"), count($"s4").as("c4"))
+      val stages = explode(array(funnelStages.zipWithIndex.map {
+        case (name, i) =>
+          struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+            col(s"c${i + 1}").as("n_users"))
+      }: _*)).as("f")
+      counts.select(stages)
+        .select($"f.stage_idx", $"f.stage", $"f.n_users")
+        .orderBy($"stage_idx")
+    },
+
+    // Retention cohorts: cohort = a user's first active epoch-week (integer
+    // week index — pure int arithmetic, identical in both engines);
+    // n_active = distinct users from that cohort active at each week offset.
+    // Offset 0 row per cohort doubles as cohort size. One shuffle on
+    // user_id collects each user's (bounded: one entry per corpus week)
+    // distinct-week set with a map-side-combinable collect_set, then the
+    // final two-key aggregation — no separate distinct or window pass.
+    q("q106_retention_cohorts",
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_ns(ts) // 1000) // 604800000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        |       COUNT(*) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin) { spark =>
+      import spark.implicits._
+      ev(spark)
+        .select($"user_id", expr("tus div 604800000000").as("week"))
+        .groupBy($"user_id")
+        .agg(collect_set($"week").as("weeks"))
+        .select(array_min($"weeks").as("cohort_week"),
+          explode($"weeks").as("week"))
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy($"cohort_week", $"week_offset")
+    })
+}

@@ -216,6 +216,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"$exchanges exchanges:\n$plan")
   }
 
+  test("funnel: four stage windows share one user_id exchange") {
+    val df = SparkEntry.queries("q105_funnel")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    val windows = finalPlan.linesIterator.count(_.contains("Window [min"))
+    assert(windows == 4, s"$windows windows:\n$finalPlan")
+    // exchanges: one hashpartitioning(user_id) feeding all four windows,
+    // the per-user groupBy reuses it, then the global 1-row agg + the
+    // 4-row sort — never one exchange per stage
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$finalPlan")
+    val userIdExchanges = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userIdExchanges == 1, s"$userIdExchanges user_id exchanges:\n$finalPlan")
+  }
+
+  test("retention cohorts: single user_id shuffle with map-side combine") {
+    val df = SparkEntry.queries("q106_retention_cohorts")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    val userIdExchanges = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userIdExchanges == 1, s"$userIdExchanges user_id exchanges:\n$finalPlan")
+    // collect_set must partial-aggregate before that shuffle
+    assert(finalPlan.contains("partial_collect_set") ||
+      finalPlan.contains("ObjectHashAggregate"), finalPlan)
+  }
+
   test("semi-join rewrite: IN (subquery) becomes a semi join, not a product") {
     Tables.register(spark, sf)
     val df = spark.sql(
