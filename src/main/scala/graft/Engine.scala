@@ -74,7 +74,15 @@ object Engine {
   /** A routed client session: isolated temp-view namespace over a shared
     * SparkContext — the analog of one relayed connection
     * (goroutine-per-connection, /root/reference/gateway/gateway.go:63-64). */
-  final class Session private[Engine] (val spark: SparkSession, val clusterId: String) {
+  /** Monotone connection ids — the analog of the gateway's per-connection
+    * identity (goroutine per conn, /root/reference/gateway/gateway.go:63-64). */
+  private val connCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  final class Session private[Engine] (val spark: SparkSession,
+      val clusterId: String, val user: String = "") {
+
+    /** CONNECTION_ID() analog. */
+    val connectionId: Long = connCounter.incrementAndGet()
 
     /** MySQL session-variable state: system variables (pre-seeded with the
       * handshake-era defaults above) and `@user` variables. Mutated only by
@@ -113,8 +121,10 @@ object Engine {
     def sql(query: String): DataFrame =
       Engine.sessionCommand(this, query).getOrElse {
         val q =
-          if (query.indexOf('@') >= 0)
-            Engine.substituteVars(query, sysVars.toMap, userVars.toMap)
+          if (query.indexOf('@') >= 0 ||
+              Engine.clientFnDetect.findFirstIn(query).isDefined)
+            Engine.substituteVars(query, sysVars.toMap, userVars.toMap,
+              clientFnSubs)
           else query
         try spark.sql(q)
         catch {
@@ -122,6 +132,18 @@ object Engine {
             throw EngineError(1105, "08S01", e.getMessage)
         }
       }
+
+    /** MySQL client-identity function substitutions (USER() = the backend
+      * user the handshake username carried after the cluster-id split,
+      * qualified by the routed cluster the way MySQL qualifies by host). */
+    private def clientFnSubs: Map[String, String] = Map(
+      "connection_id" -> connectionId.toString,
+      "current_user" -> s"'$user@$clusterId'",
+      "session_user" -> s"'$user@$clusterId'",
+      "system_user" -> s"'$user@$clusterId'",
+      "user" -> s"'$user@$clusterId'",
+      "database" -> "current_database()",
+      "schema" -> "current_database()")
 
     private[Engine] def setSysVar(name: String, value: String): Unit = {
       // the one variable with an engine-level effect: MySQL time_zone maps
@@ -323,14 +345,26 @@ object Engine {
 
   private val varNameRe = """^(?:(session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
 
-  /** Substitute `@@[scope.]name` (system) and `@name` (user) references with
-    * their current values as SQL literals, token-safely — quoted strings,
-    * backtick identifiers and comments pass through untouched, exactly like
-    * [[translateMySql]]. An unknown system variable raises MySQL's
-    * ER_UNKNOWN_SYSTEM_VARIABLE (1193); an unset user variable reads as NULL
-    * (the MySQL contract). */
+  /** Cheap trigger for the client-identity function rewrite (CONNECTION_ID,
+    * USER, DATABASE, …) — may over-match inside strings; the token-safe scan
+    * below decides for real. */
+  private[graft] val clientFnDetect =
+    """(?i)\b(connection_id|current_user|session_user|system_user|user|database|schema)\s*\(""".r
+
+  /** Argless-call substitution targets, longest name first so the scan never
+    * matches `user` inside `current_user`. */
+  private val clientFnNames = Seq("connection_id", "current_user",
+    "session_user", "system_user", "database", "schema", "user")
+
+  /** Substitute `@@[scope.]name` (system) and `@name` (user) references —
+    * plus MySQL client-identity argless calls (`USER()`, `DATABASE()`, …)
+    * when `fns` carries replacements — with their current values as SQL
+    * literals, token-safely: quoted strings, backtick identifiers and
+    * comments pass through untouched, exactly like [[translateMySql]]. An
+    * unknown system variable raises MySQL's ER_UNKNOWN_SYSTEM_VARIABLE
+    * (1193); an unset user variable reads as NULL (the MySQL contract). */
   private[graft] def substituteVars(query: String, sys: Map[String, String],
-      user: Map[String, String]): String = {
+      user: Map[String, String], fns: Map[String, String] = Map.empty): String = {
     val out = new StringBuilder
     var quote: Char = 0
     var i = 0
@@ -369,6 +403,31 @@ object Engine {
             out.append(user.get(m.group(2).toLowerCase).map(sqlLiteral)
               .getOrElse("NULL"))
             i += m.matched.length
+          case _ => out.append(c)
+        }
+      } else if (fns.nonEmpty && Character.isLetter(c) &&
+          (i == 0 || { val p = query.charAt(i - 1)
+            !Character.isLetterOrDigit(p) && p != '_' && p != '.' })) {
+        clientFnNames.find { n =>
+          query.regionMatches(true, i, n, 0, n.length) && {
+            var j = i + n.length
+            // word boundary after the name, then an ARGLESS call
+            (j >= query.length || (!Character.isLetterOrDigit(query.charAt(j))
+              && query.charAt(j) != '_')) && {
+              while (j < query.length && query.charAt(j).isWhitespace) j += 1
+              j < query.length && query.charAt(j) == '(' && {
+                j += 1
+                while (j < query.length && query.charAt(j).isWhitespace) j += 1
+                j < query.length && query.charAt(j) == ')'
+              }
+            }
+          }
+        } match {
+          case Some(n) if fns.contains(n) =>
+            out.append(fns(n))
+            var j = i + n.length
+            while (query.charAt(j) != ')') j += 1
+            i = j
           case _ => out.append(c)
         }
       }
@@ -454,10 +513,26 @@ object Engine {
     * default directory. */
   def connect(shared: SparkSession, clusterId: String,
       backends: Map[String, String], db: Option[String] = None,
-      databases: Map[String, String] = Map.empty): Session = {
+      databases: Map[String, String] = Map.empty, user: String = ""): Session = {
     val dir = resolve(clusterId, backends, "cluster id")
     val sess = shared.newSession()
     Tables.register(sess, db.fold(dir)(resolve(_, databases, "database")))
-    new Session(sess, clusterId)
+    new Session(sess, clusterId, user)
+  }
+
+  /** Handshake-username routing — the reference splits the MySQL username at
+    * the FIRST '.' into (clusterId, backend user); a dot-less name is all
+    * cluster id with an empty backend user
+    * (/root/reference/gateway/gateway.go:253-259; the :4000 default-port
+    * append at gateway.go:261-264 has no analog here — namespaces are
+    * directories, not addresses). */
+  def login(shared: SparkSession, userName: String,
+      backends: Map[String, String], db: Option[String] = None,
+      databases: Map[String, String] = Map.empty): Session = {
+    val (clusterId, user) = userName.split("\\.", 2) match {
+      case Array(c, u) => (c, u)
+      case Array(c) => (c, "")
+    }
+    connect(shared, clusterId, backends, db, databases, user)
   }
 }

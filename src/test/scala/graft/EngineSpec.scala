@@ -270,6 +270,36 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("login splits the handshake username at the first dot (gateway.go:253)") {
+    val s = Engine.login(spark, "prod.alice", backends)
+    assert(s.clusterId == "prod" && s.user == "alice")
+    assert(s.sql("SELECT USER() AS u").head().getString(0) == "alice@prod")
+    // the remainder keeps ITS dots (SplitN(…, 2)); case-insensitive routing
+    val s2 = Engine.login(spark, "STAGING.svc.batch", backends)
+    assert(s2.user == "svc.batch")
+    // dot-less username: all cluster id, empty backend user
+    val s3 = Engine.login(spark, "prod", backends)
+    assert(s3.user == "")
+    // unknown cluster: same structured error as connect
+    intercept[Engine.EngineError] { Engine.login(spark, "nope.alice", backends) }
+  }
+
+  test("client-identity functions substitute per session") {
+    val a = Engine.login(spark, "prod.alice", backends)
+    val b = Engine.login(spark, "prod.bob", backends)
+    assert(a.sql("SELECT CURRENT_USER() AS u").head().getString(0) == "alice@prod")
+    assert(b.sql("select user() AS u").head().getString(0) == "bob@prod")
+    // distinct monotone connection ids
+    val ca = a.sql("SELECT CONNECTION_ID() AS c").head().getAs[Number](0).longValue
+    val cb = b.sql("SELECT CONNECTION_ID() AS c").head().getAs[Number](0).longValue
+    assert(ca != cb)
+    assert(a.sql("SELECT DATABASE() AS d").head().getString(0) == "default")
+    // inside a string it is data; with arguments it is not the MySQL form
+    assert(a.sql("SELECT 'USER()' AS s").head().getString(0) == "USER()")
+    // a genuine column named user survives (word used without parens)
+    assert(a.sql("SELECT 1 AS user").head().getInt(0) == 1)
+  }
+
   test("prepared statement binds named parameters per execution") {
     val s = Engine.connect(spark, "prod", backends)
     val stmt = s.prepare(
