@@ -99,6 +99,17 @@ object Engine {
       * relayed opaquely): liveness of the routed backend. */
     def ping(): Boolean = !spark.sparkContext.isStopped
 
+    /** SERVER_STATUS_IN_TRANS analog (the status bit the gateway advertises
+      * via ClientTransactions and relays on every OK packet,
+      * /root/reference/mysql/constants.go:9,23-24). BEGIN/COMMIT/ROLLBACK
+      * statements flip it in [[sql]]; Spark-side statement execution is
+      * individually atomic (the parquet/SQL commit protocols), so the flag
+      * is connection STATE faithfully tracked — not a multi-statement
+      * rollback engine, which the reference (a relay) doesn't implement
+      * either. */
+    def inTransaction: Boolean = inTrans
+    private[Engine] var inTrans = false
+
     /** Rebind this session to another data namespace — the engine analog of
       * COM_INIT_DB / `USE db` (the runtime cousin of the handshake's
       * ClientConnectWithDB database field,
@@ -262,6 +273,10 @@ object Engine {
   private val assignRe =
     """(?is)^\s*(?:(GLOBAL|SESSION|LOCAL)\s+)?(@{0,2})(?:(session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.+?)\s*$""".r
 
+  private val beginRe =
+    """(?is)^\s*(?:BEGIN|START\s+TRANSACTION(?:\s+READ\s+(?:ONLY|WRITE))?)\s*;?\s*$""".r
+  private val commitRe = """(?is)^\s*(?:COMMIT|ROLLBACK)\s*;?\s*$""".r
+
   /** Intercept MySQL session-state statements; None = relay to Spark.
     *
     * `SET` is shared syntax — Spark uses it for conf (`SET spark.sql.x=y`)
@@ -270,6 +285,8 @@ object Engine {
     * session's system-variable store. Anything else relays untouched. */
   private[graft] def sessionCommand(s: Session, query: String): Option[DataFrame] =
     query match {
+      case beginRe() => s.inTrans = true; Some(s.spark.emptyDataFrame)
+      case commitRe() => s.inTrans = false; Some(s.spark.emptyDataFrame)
       case setNamesRe(cs) =>
         Seq("character_set_client", "character_set_connection",
           "character_set_results").foreach(s.setSysVar(_, cs))

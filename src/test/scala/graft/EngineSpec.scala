@@ -270,6 +270,21 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("transaction statements flip the in-trans status bit (SERVER_STATUS_IN_TRANS)") {
+    val s = Engine.connect(spark, "prod", backends)
+    assert(!s.inTransaction)
+    s.sql("BEGIN")
+    assert(s.inTransaction)
+    s.sql("COMMIT")
+    assert(!s.inTransaction)
+    // the batch a transactional client actually sends
+    s.sqlBatch("START TRANSACTION READ ONLY; SELECT 1 AS x; ROLLBACK")
+    assert(!s.inTransaction)
+    // 'begin' as data never trips it
+    s.sql("SELECT 'BEGIN' AS w")
+    assert(!s.inTransaction)
+  }
+
   test("login splits the handshake username at the first dot (gateway.go:253)") {
     val s = Engine.login(spark, "prod.alice", backends)
     assert(s.clusterId == "prod" && s.user == "alice")
