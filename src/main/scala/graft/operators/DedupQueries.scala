@@ -659,10 +659,9 @@ object DedupQueries extends QueryModule {
       .orderBy($"lang")
   }
 
-  /** doc_id → near-dup component id by iterative min-label propagation over
-    * the LSH pair graph (Pregel pattern: one distributed join + groupBy-min
-    * per round; lineage truncated per round; monotone label-sum fixpoint
-    * test). Shared by q77/q79. */
+  /** doc_id → near-dup component id over the LSH pair graph. Shared by
+    * q77/q79/q101; the distributed fixpoint itself lives in
+    * [[propagateComponents]]. */
   private def components(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val bandStructs = array((0 until 4).map { b =>
@@ -673,35 +672,71 @@ object DedupQueries extends QueryModule {
     val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
       .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
       .cache()
-    var labels = spark.table("documents")
-      .select($"doc_id", $"doc_id".as("component"))
+    val nodes = spark.table("documents").select($"doc_id")
+    val (labels, _) = propagateComponents(nodes, edges)
+    pairs.unpersist()
+    edges.unpersist()
+    labels
+  }
+
+  /** Distributed connected components: min-label propagation with a
+    * pointer-doubling jump each round.
+    *
+    * Each round does (1) the Pregel step — every node takes the min of its
+    * neighbours' labels — and (2) a pointer jump: every node then chases its
+    * own label's label (`component → component-of-component`). Step (1)
+    * alone moves the min label one hop per round (O(diameter) rounds — a
+    * 100 TB near-dup graph can chain thousands of docs deep); step (2)
+    * halves the remaining distance each round, so convergence is
+    * O(log diameter) (the hash-to-min bound, Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). The jump join is safe
+    * because labels are always real doc_ids (initially self; every later
+    * value is some node's min), and `t_id` is unique, so the join is 1:1.
+    *
+    * Per round: one join+groupBy-min (step 1) + one unique-key self join
+    * (step 2); lineage truncated by localCheckpoint; the driver reads ONE
+    * aggregated Long per round (monotone label-sum fixpoint probe), never
+    * data. Cap 48 is a loud backstop only — log2(diameter) < 48 for any
+    * physical graph.
+    *
+    * Returns (doc_id → component labels, rounds-to-fixpoint). Exposed
+    * private[graft] so DedupSpec can drive it with a synthetic 300-deep
+    * chain — a diameter the pre-r05 pure-propagation loop could not finish
+    * inside its 64-round cap. */
+  private[graft] def propagateComponents(
+      nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    var labels = nodes.select($"doc_id", $"doc_id".as("component"))
     var prevSum = -1L
     var iter = 0
     var converged = false
-    // Loop to the fixpoint, not a fixed round count: label propagation needs
-    // O(component diameter) rounds, and returning early would silently
-    // diverge from the transitive-closure oracle. The cap is a loud backstop
-    // only (diameter > 64 would indicate a pathological pair graph).
+    // Loop to the fixpoint, not a fixed round count: returning early would
+    // silently diverge from the transitive-closure oracle.
     while (!converged) {
-      if (iter >= 64)
+      if (iter >= 48)
         throw new IllegalStateException(
-          s"components(): no fixpoint after $iter label-propagation rounds")
+          s"propagateComponents(): no fixpoint after $iter rounds")
       val neighborMin = edges
         .join(labels, $"b" === $"doc_id")
         .groupBy($"a").agg(min($"component").as("ncomp"))
-      labels = labels
+      val stepped = labels
         .join(neighborMin, $"doc_id" === $"a", "left")
         .select($"doc_id",
           least($"component", coalesce($"ncomp", $"component")).as("component"))
+      val targets = stepped
+        .select($"doc_id".as("t_id"), $"component".as("t_comp"))
+      labels = stepped
+        .join(targets, $"component" === $"t_id", "left")
+        .select($"doc_id",
+          least($"component", coalesce($"t_comp", $"component")).as("component"))
         .localCheckpoint() // truncate the growing iterative lineage
       val s = labels.agg(sum($"component")).head().getLong(0)
       converged = s == prevSum // labels only decrease; equal sum = fixpoint
       prevSum = s
       iter += 1
     }
-    pairs.unpersist()
-    edges.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** doc_id → 64-bit SimHash as 16 hex chars, md5-nibble bit votes (the

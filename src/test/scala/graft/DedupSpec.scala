@@ -97,6 +97,38 @@ class DedupSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("pairs_uncapped")).sum >= q73)
   }
 
+  test("pointer-doubling components: 300-deep chain converges in O(log d) rounds") {
+    // A path graph 0-1-2-…-300 has diameter 300: pure min-label propagation
+    // needs ~300 rounds (the pre-r05 loop capped out at 64), while the
+    // pointer-doubling jump halves the remaining distance each round. This
+    // is the 100 TB shape — near-dup chains (A≈B≈C≈…) grow with corpus size.
+    import spark.implicits._
+    val n = 300L
+    val nodes = (0L to n).toDF("doc_id")
+    val fwd = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val edges = fwd.unionAll(fwd.select($"b".as("a"), $"a".as("b")))
+    val (labels, rounds) = DedupQueries.propagateComponents(nodes, edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n + 1 && got.values.forall(_ == 0L),
+      "every chain node must resolve to component 0")
+    assert(rounds <= 16, s"expected O(log 300) ≈ ≤16 rounds, took $rounds")
+  }
+
+  test("pointer-doubling components match per-component min on a mixed graph") {
+    // Two components + isolated nodes; labels must equal each component's
+    // min doc_id and singletons must keep their own id.
+    import spark.implicits._
+    val nodes = (1L to 12L).toDF("doc_id")
+    val undirected = Seq((3L, 7L), (7L, 11L), (2L, 10L), (10L, 4L), (4L, 2L))
+    val edges = undirected.toDF("a", "b")
+      .unionAll(undirected.map(_.swap).toDF("a", "b"))
+    val (labels, _) = DedupQueries.propagateComponents(nodes, edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(3L -> 3L, 7L -> 3L, 11L -> 3L, 2L -> 2L, 10L -> 2L,
+      4L -> 2L) ++ Seq(1L, 5L, 6L, 8L, 9L, 12L).map(i => i -> i)
+    assert(got == expected)
+  }
+
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
     // a 32-bit band is the concatenation of two 16-bit bands: agreement on
     // it implies agreement on both halves, so the scale-mode candidate set
