@@ -169,6 +169,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter: selective dim predicate reaches the fact side") {
+    // At 100 TB a shuffle join of lineitem against a filtered dim must not
+    // shuffle the full fact table: Catalyst's InjectRuntimeFilter plants a
+    // bloom_filter_might_contain built from the dim's join keys in front of
+    // the fact scan. Fixture sizes are below the production thresholds, so
+    // lower them to exercise the mechanism itself (same approach as the DPP
+    // case above).
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.table(spark, sf, "lineitem")
+      val dim = Tables.table(spark, sf, "part").filter($"p_size" === 1)
+      val joined = fact.join(dim, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // build side aggregates the dim keys into the filter; probe side
+      // renders as might_contain(scalar-subquery…) in front of the fact scan
+      assert(plan.contains("bloom_filter_agg"), plan)
+      assert(plan.contains("might_contain"), plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     import spark.implicits._
     // one hot key owning ~90% of the left side — the shape salting/AQE
