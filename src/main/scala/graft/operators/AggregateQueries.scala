@@ -249,6 +249,26 @@ object AggregateQueries extends QueryModule {
         .orderBy($"l_returnflag")
     },
 
+    // Approx percentile (Greenwald-Khanna sketch): non-exact → rows-only
+    // gate, same contract as q29; AggSketchSpec asserts the rank-error
+    // bound (approx value within the exact [φ−ε, φ+ε] quantile window,
+    // ε = 1/accuracy). The sketch is the 100 TB path: one mergeable
+    // fixed-size buffer per group with map-side combine, where q27's exact
+    // percentile materializes each group's full value multiset.
+    qRowsOnly("q27b_approx_percentile") { spark =>
+      import spark.implicits._
+      spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
+            .as("approx_p50"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
+            .as("approx_p95"),
+          expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
     // PIVOT: one column per l_linestatus value. The Spark pivot() API and
     // the oracle's conditional aggregation are the same plan shape (a single
     // hash aggregate with per-bucket conditional sums); pivot values are

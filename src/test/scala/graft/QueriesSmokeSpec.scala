@@ -55,6 +55,33 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 2.0, s"approxQuantile $approx vs $exact")
   }
 
+  test("q27b approx percentile lands inside the GK rank window per group") {
+    graft.sources.Tables.register(spark, sf)
+    // Greenwald-Khanna guarantee at accuracy 10000: the result is an ACTUAL
+    // element of the group whose rank is within ε·n (ε = 1e-4) of the
+    // target rank — assert exactly that, on the group's sorted multiset
+    // (test-side collect of the tiny sf0.001 fixture only).
+    val eps = 1e-4
+    val groups = spark.table("lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    val rows = SparkEntry.queries("q27b_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val a = r.getAs[Double]("approx_p50")
+      val vs = groups(flag)
+      val n = vs.length
+      val (first, last) = (vs.indexWhere(_ == a), vs.lastIndexWhere(_ == a))
+      assert(first >= 0, s"$flag: approx p50 $a is not an element of the group")
+      val target = 0.5 * n
+      val tol = eps * n + 1 // ε·n rank error + 1 for the rank convention
+      assert(first - tol <= target && target <= last + tol,
+        s"$flag: rank window [$first, $last] of $a too far from $target (n=$n)")
+    }
+  }
+
   test("no query plan degenerates to an unpartitioned CartesianProduct") {
     val offenders = SparkEntry.allQueries
       .filterNot(q => sideEffecting(q.name) || q.name == "q17_join_cross")
