@@ -270,6 +270,34 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("metadata surface relays: SHOW TABLES / SHOW COLUMNS / DESCRIBE") {
+    // The statements a MySQL client fires right after connect (the
+    // gateway relays them to the backend byte-transparently,
+    // /root/reference/gateway/relay.go:17); here they hit the session's
+    // registered namespace.
+    val s = Engine.connect(spark, "prod", backends)
+    val tables = s.sql("SHOW TABLES").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    for (t <- Seq("lineitem", "orders", "documents", "embeddings", "events"))
+      assert(tables.contains(t), s"SHOW TABLES missing $t in $tables")
+    val cols = s.sql("SHOW COLUMNS FROM lineitem").collect()
+      .map(_.getString(0)).toSet
+    assert(cols == Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))
+    val desc = s.sql("DESCRIBE orders").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("o_orderkey") == "bigint" && desc("o_orderdate") == "timestamp")
+    // the two sessions' namespaces stay isolated: a view created in one
+    // must not appear in the other's SHOW TABLES
+    val s2 = Engine.connect(spark, "staging", backends)
+    s2.sql("CREATE OR REPLACE TEMPORARY VIEW _scratch AS SELECT 1 AS x")
+    assert(s2.sql("SHOW TABLES").collect()
+      .exists(_.getAs[String]("tableName") == "_scratch"))
+    assert(!s.sql("SHOW TABLES").collect()
+      .exists(_.getAs[String]("tableName") == "_scratch"))
+  }
+
   test("transaction statements flip the in-trans status bit (SERVER_STATUS_IN_TRANS)") {
     val s = Engine.connect(spark, "prod", backends)
     assert(!s.inTransaction)
