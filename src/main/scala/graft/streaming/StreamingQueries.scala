@@ -117,4 +117,47 @@ object StreamingQueries extends QueryModule {
           $"n_events")
         .orderBy($"user_id", $"session_start")
     })
+
+  /** Streaming incremental LSH candidate pairs: dedup an ARRIVING corpus
+    * against everything seen so far — the training-pipeline shape where
+    * crawl batches land continuously and each new document must be checked
+    * against the full history without rescanning it.
+    *
+    * Input is the banded signature stream (band, bh, doc_id) — the same
+    * rows the batch path buckets (DedupQueries.minhashBandRowsOf); state is
+    * per-(band, bh) bucket: the ids seen in that bucket, CAPPED at `cap`
+    * exactly like the batch hot-bucket guard (a degenerate bucket keeps its
+    * first `cap` members; a new doc in a full bucket still pairs against
+    * those members, so work per arrival is O(cap), never O(bucket)). Each
+    * arriving doc emits one candidate pair per stored earlier member —
+    * incremental cost O(cap · bands) per doc, state size O(buckets · cap),
+    * both independent of corpus age. Within a micro-batch, rows are
+    * processed in doc_id order so stream == batch on ordered replays
+    * (StreamingSpec asserts set equality with saltedBucketPairs).
+    *
+    * flatMapGroupsWithState (not dropDuplicates) because the semantics are
+    * "emit the COLLISION", not "drop the row" — the pair feeds the same
+    * downstream components/keep-best machinery as the batch path. */
+  private[graft] def incrementalBandPairs(
+      bands: org.apache.spark.sql.Dataset[(Int, String, Long)],
+      cap: Int): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import bands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.map(_._3).toSeq.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach(prev =>
+                out += ((math.min(prev, id), math.max(prev, id))))
+              if (seen.size < cap) seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
 }

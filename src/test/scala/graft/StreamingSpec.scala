@@ -279,4 +279,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(got == Set((1L, at(0), 2L), (1L, at(30), 1L), (2L, at(7), 1L)), got)
   }
+
+  test("streaming incremental LSH pairs equal the batch candidate set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    import graft.operators.DedupQueries
+    // banded MinHash rows for the first 120 fixture docs, computed once in
+    // batch; the stream replays them as two "crawl batches" split by doc_id
+    val docs = spark.table("documents").filter($"doc_id" < 120)
+    val bandRows = DedupQueries.minhashBandRowsOf(docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val batchPairs = DedupQueries
+      .saltedBucketPairs(DedupQueries.minhashBandRowsOf(docs),
+        DedupQueries.defaultBucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (early, late) = bandRows.partition(_._3 < 60)
+    val ms = MemoryStream[(Int, String, Long)]
+    val paired = graft.streaming.StreamingQueries.incrementalBandPairs(ms.toDS(),
+      DedupQueries.defaultBucketCap)
+    val q = paired.toDF("id_a", "id_b").writeStream.format("memory")
+      .queryName("t_inc_pairs").outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(early.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(late.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_inc_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batchPairs,
+      s"stream-only: ${(got -- batchPairs).take(5)}; " +
+        s"batch-only: ${(batchPairs -- got).take(5)}")
+    assert(batchPairs.nonEmpty, "fixture must contain planted near-dups")
+  }
 }
