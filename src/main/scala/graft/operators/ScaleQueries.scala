@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.api.{Canon, GraftQuery, QueryModule}
@@ -214,6 +215,38 @@ object ScaleQueries extends QueryModule {
     // (the layout a 100 TB events table would ship with), then aggregate a
     // one-week slice — the scan must touch only 7 of ~30 partitions
     // (asserted in PlanSpec). Oracle runs the same slice on the flat table.
+    // Z-order clustered layout: write lineitem ordered along a Morton curve
+    // over (l_partkey, l_suppkey) so every file covers a small BOX in the
+    // 2-d key space instead of a full-range stripe — at 100 TB, parquet
+    // footer min/max stats then skip the files/row-groups outside a 2-d
+    // box predicate on EITHER key (a single-column sort only helps its own
+    // column). The zvalue is pure codegen'd builtins (shift/and/or — no
+    // UDF); the write is repartitionByRange + sortWithinPartitions on it.
+    // Observable result = the box aggregate, identical on any layout (the
+    // oracle replays it on the unclustered table); the skipping evidence —
+    // z-files intersecting the box ≪ linear files — is ScaleLayoutSpec's
+    // per-file min/max assertion.
+    qDir("q107_zorder_layout",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 40 AND 120 AND l_suppkey BETWEEN 2 AND 6
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val outDir = Files.createTempDirectory("graft_zorder_").toString + "/li"
+      Tables.table(spark, dir, "lineitem")
+        .withColumn("zv", zval($"l_partkey", $"l_suppkey"))
+        .repartitionByRange(16, $"zv")
+        .sortWithinPartitions($"zv")
+        .write.mode("overwrite").parquet(outDir)
+      spark.read.parquet(outDir)
+        .filter($"l_partkey".between(40, 120) && $"l_suppkey".between(2, 6))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), Canon.sum4($"l_quantity").as("qty"))
+        .orderBy($"l_returnflag")
+    },
+
     qDir("q93_partitioned_events",
       """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
         |FROM events
@@ -231,4 +264,22 @@ object ScaleQueries extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy($"d", $"event_type")
     })
+
+  /** 64-bit Morton (Z-order) value of two non-negative 32-bit keys: bit i
+    * of `a` lands at bit 2i, bit i of `b` at 2i+1, so curve-contiguous rows
+    * are close in BOTH dimensions. The classic 5-step mask-spread, entirely
+    * in codegen'd builtin long ops. */
+  private[graft] def zval(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      val masks = Seq(
+        16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+        4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+        1 -> 0x5555555555555555L)
+      masks.foldLeft(x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+        case (acc, (s, m)) =>
+          acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
 }

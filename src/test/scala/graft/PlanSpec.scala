@@ -169,6 +169,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: 2-d box predicate intersects far fewer file stat ranges") {
+    // Per-file parquet footer [min,max] is what scan pruning consults at
+    // 100 TB; a layout is only skippable if those ranges are tight. Write
+    // the same rows 16-file linear (sorted by l_orderkey — tight on the
+    // WRONG column) and 16-file z-ordered, and count files whose
+    // (l_partkey × l_suppkey) stat box intersects q107's query box: linear
+    // stripes span the full key space (every file intersects), z-order
+    // confines the box to a fraction of the curve.
+    import spark.implicits._
+    import graft.operators.ScaleQueries
+    val base = Tables.table(spark, sf, "lineitem")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zcmp_").toString
+    base.repartitionByRange(16, $"l_orderkey").sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+    base.withColumn("zv", ScaleQueries.zval($"l_partkey", $"l_suppkey"))
+      .repartitionByRange(16, $"zv").sortWithinPartitions($"zv")
+      .write.mode("overwrite").parquet(s"$tmp/zorder")
+    def intersecting(path: String): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"l_partkey").as("p_lo"), max($"l_partkey").as("p_hi"),
+          min($"l_suppkey").as("s_lo"), max($"l_suppkey").as("s_hi"))
+      val hit = stats.filter($"p_lo" <= 120 && $"p_hi" >= 40 &&
+        $"s_lo" <= 6 && $"s_hi" >= 2).count()
+      (hit, stats.count())
+    }
+    val (linHit, linAll) = intersecting(s"$tmp/linear")
+    val (zHit, zAll) = intersecting(s"$tmp/zorder")
+    assert(linAll == 16 && zAll == 16, s"$linAll/$zAll files")
+    assert(linHit == linAll, "linear stripes must all intersect the 2-d box")
+    assert(zHit * 2 <= zAll,
+      s"z-order should confine the box to ≤half the files, hit $zHit/$zAll")
+  }
+
   test("runtime bloom filter: selective dim predicate reaches the fact side") {
     // At 100 TB a shuffle join of lineitem against a filtered dim must not
     // shuffle the full fact table: Catalyst's InjectRuntimeFilter plants a
