@@ -131,6 +131,10 @@ object Engine {
       * relayed verbatim). */
     def sql(query: String): DataFrame =
       Engine.sessionCommand(this, query).getOrElse {
+        // tag the calling thread's jobs with this connection's group so a
+        // peer's KILL QUERY <connection_id> can cancel them mid-flight
+        spark.sparkContext.setJobGroup(jobGroup, query.take(120),
+          interruptOnCancel = true)
         val q =
           if (query.indexOf('@') >= 0 ||
               Engine.clientFnDetect.findFirstIn(query).isDefined)
@@ -143,6 +147,13 @@ object Engine {
             throw EngineError(1105, "08S01", e.getMessage)
         }
       }
+
+    /** Spark job-group id carrying this connection's identity — the handle
+      * `KILL QUERY <connection_id>` cancels (COM_PROCESS_KILL analog: the
+      * gateway relays KILL to the backend byte-transparently,
+      * /root/reference/gateway/relay.go:17; here the "backend" is the
+      * shared SparkContext, so the kill maps to cancelJobGroup). */
+    def jobGroup: String = s"graft-conn-$connectionId"
 
     /** MySQL client-identity function substitutions (USER() = the backend
       * user the handshake username carried after the cluster-id split,
@@ -276,6 +287,8 @@ object Engine {
   private val beginRe =
     """(?is)^\s*(?:BEGIN|START\s+TRANSACTION(?:\s+READ\s+(?:ONLY|WRITE))?)\s*;?\s*$""".r
   private val commitRe = """(?is)^\s*(?:COMMIT|ROLLBACK)\s*;?\s*$""".r
+  private val killRe =
+    """(?is)^\s*KILL\s+(?:QUERY\s+|CONNECTION\s+)?(\d+)\s*;?\s*$""".r
 
   /** Intercept MySQL session-state statements; None = relay to Spark.
     *
@@ -287,6 +300,11 @@ object Engine {
     query match {
       case beginRe() => s.inTrans = true; Some(s.spark.emptyDataFrame)
       case commitRe() => s.inTrans = false; Some(s.spark.emptyDataFrame)
+      case killRe(connId) =>
+        // COM_PROCESS_KILL analog: cancel the target connection's in-flight
+        // jobs on the shared context (interruptOnCancel set at submission)
+        s.spark.sparkContext.cancelJobGroup(s"graft-conn-$connId")
+        Some(s.spark.emptyDataFrame)
       case setNamesRe(cs) =>
         Seq("character_set_client", "character_set_connection",
           "character_set_results").foreach(s.setSysVar(_, cs))

@@ -270,6 +270,32 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("KILL QUERY <connection_id> cancels the target session's running job") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val victim = Engine.connect(spark, "prod", backends)
+    val killer = Engine.connect(spark, "prod", backends)
+    // a deliberately huge scan the victim thread blocks on; its jobs carry
+    // the session's job group (set in Session.sql on the calling thread)
+    val running = Future {
+      victim.sql("SELECT SUM(a.id * b.id) AS s FROM range(3000000) a, " +
+        "range(3000000) b").head()
+    }
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (tracker.getJobIdsForGroup(victim.jobGroup).isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(tracker.getJobIdsForGroup(victim.jobGroup).nonEmpty,
+      "victim job never started")
+    killer.sql(s"KILL QUERY ${victim.connectionId}")
+    val err = intercept[Exception] { Await.result(running, 60.seconds) }
+    assert(err.getMessage != null && err.getMessage.toLowerCase
+      .contains("cancel"), s"expected cancellation, got: ${err.getMessage}")
+    // the killer's own session stays healthy
+    assert(killer.sql("SELECT 1 AS x").head().getInt(0) == 1)
+  }
+
   test("metadata surface relays: SHOW TABLES / SHOW COLUMNS / DESCRIBE") {
     // The statements a MySQL client fires right after connect (the
     // gateway relays them to the backend byte-transparently,
