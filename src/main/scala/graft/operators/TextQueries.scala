@@ -537,5 +537,39 @@ object TextQueries extends QueryModule {
           sum(when($"redacted".contains("<PHONE>"), 1).otherwise(0))
             .cast(LongType).as("with_phone"),
           sum(length($"redacted")).cast(LongType).as("total_chars"))
+    },
+
+    // Heavy hitters via a Misra-Gries sketch (functions/MisraGries.scala):
+    // one map-side-combinable pass with ≤ k−1 counters per partition finds
+    // the CANDIDATE set (guaranteed ⊇ every token with freq > n/k); a
+    // bounded exact recount of just those candidates then filters on the
+    // true threshold. The sketch's run-to-run candidate variance cancels —
+    // the recounted, thresholded answer is exact, which is why a sketch
+    // query can be hash-checked at all (vs q29/q27b's rows-only contract).
+    // At 100 TB this avoids ever shuffling the full token cardinality: the
+    // wide groupBy runs on candidate tokens only (the sketch row fetched to
+    // the driver is ≤ k−1 strings — control flow, not data, same contract
+    // as the components() fixpoint probe).
+    q("q108_heavy_hitters",
+      s"""WITH t AS (SELECT unnest($tokSql) AS token FROM documents)
+         |SELECT token, COUNT(*) AS n_tok
+         |FROM t
+         |GROUP BY token
+         |HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM t)
+         |ORDER BY n_tok DESC, token""".stripMargin) { spark =>
+      import spark.implicits._
+      val k = 200
+      val toks = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val mg = udaf(new graft.functions.MisraGries(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val cands = toks.agg(mg($"token").as("cands")).head().getSeq[String](0)
+      val counts = toks.filter($"token".isInCollection(cands))
+        .groupBy($"token").agg(count(lit(1)).as("n_tok"))
+      val total = toks.agg(count(lit(1)).as("_total"))
+      counts.join(broadcast(total)) // 1-row broadcast, not a cartesian
+        .filter($"n_tok" * k > $"_total")
+        .select($"token", $"n_tok")
+        .orderBy($"n_tok".desc, $"token")
     })
 }
