@@ -550,6 +550,45 @@ object TextQueries extends QueryModule {
     // wide groupBy runs on candidate tokens only (the sketch row fetched to
     // the driver is ≤ k−1 strings — control flow, not data, same contract
     // as the components() fixpoint probe).
+    // Unigram language-model score — the "perplexity filter" of a training
+    // pipeline: train token frequencies on the corpus itself (one groupBy),
+    // score each document by its average negative log-likelihood
+    // ln(N) − avg(ln(tf)). High nll = rare-token soup (drop candidates),
+    // low = common boilerplate. Determinism: per-doc ln terms are folded in
+    // sorted (token, tf) order from an identical 0-seeded left fold on both
+    // engines, and the free-double result is floor-rounded (the q64c
+    // pattern). Scale: tokens shuffle once on token (the tf join) and once
+    // on doc_id; the corpus-wide total is a 1-row broadcast.
+    q("q109_lm_score",
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
+         |tot AS (SELECT COUNT(*) AS n FROM t),
+         |d AS (SELECT t.doc_id,
+         |        list_sort(list(struct_pack(token := t.token, tf := f.tf))) AS tl
+         |      FROM t JOIN f USING (token) GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_toks,
+         |  floor((ln(CAST((SELECT n FROM tot) AS DOUBLE)) -
+         |         list_reduce(list_transform(tl, x -> ln(CAST(x.tf AS DOUBLE))),
+         |                     (a, b) -> a + b) / len(tl))
+         |        * 10000 + 0.5) / 10000 AS nll
+         |FROM d ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      val freq = toks.groupBy($"token").agg(count(lit(1)).as("tf"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks.join(freq, "token")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"token", $"tf"))).as("tl"))
+        .join(broadcast(tot)) // 1-row broadcast
+        .select($"doc_id", size($"tl").cast(LongType).as("n_toks"),
+          (floor((log($"n".cast(DoubleType)) -
+            aggregate($"tl", lit(0.0), (acc, x) =>
+              acc + log(x.getField("tf").cast(DoubleType))) / size($"tl"))
+            * 10000 + 0.5) / 10000).as("nll"))
+        .orderBy($"doc_id")
+    },
+
     q("q108_heavy_hitters",
       s"""WITH t AS (SELECT unnest($tokSql) AS token FROM documents)
          |SELECT token, COUNT(*) AS n_tok
