@@ -519,10 +519,94 @@ object Engine {
             i += m.matched.length - 1
           case None => out.append(c)
         }
+      } else if ((c == 'd' || c == 'D') &&
+          (i == 0 || !Character.isLetterOrDigit(query.charAt(i - 1)))) {
+        dateFormatRe.findFirstMatchIn(query.substring(i)) match {
+          case Some(m) =>
+            val start = i + m.matched.length // first char after '('
+            rewriteDateFormat(query, start) match {
+              case Some((rewritten, end)) =>
+                out.append(rewritten)
+                i = end // index of ')'
+              case None => out.append(c)
+            }
+          case None => out.append(c)
+        }
       }
       else out.append(c)
       i += 1
     }
+    out.toString
+  }
+
+  private val dateFormatRe = """(?is)^DATE_FORMAT\s*\(""".r
+
+  /** Rewrite one `DATE_FORMAT(expr, '%fmt')` call starting after its `(` at
+    * `start`: returns the Spark `date_format(expr, 'java-fmt')` spelling and
+    * the index of the closing `)`. None when the second argument is not a
+    * plain string literal (then the call relays untouched and Spark's own
+    * error surfaces — the transparent-relay contract). The expr argument is
+    * itself re-translated (nested dialect forms). */
+  private def rewriteDateFormat(query: String, start: Int): Option[(String, Int)] = {
+    var depth = 1
+    var quote: Char = 0
+    var topComma = -1
+    var i = start
+    while (i < query.length && depth > 0) {
+      val c = query.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`') i += 1
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 1 && topComma < 0 => topComma = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0 || topComma < 0) return None
+    val end = i - 1 // index of the matching ')'
+    val expr = query.substring(start, topComma)
+    val fmtArg = query.substring(topComma + 1, end).trim
+    if (fmtArg.length < 2 || fmtArg.head != '\'' || fmtArg.last != '\'' ||
+        fmtArg.substring(1, fmtArg.length - 1).contains('\''))
+      return None
+    val javaFmt = mysqlDateFmtToJava(fmtArg.substring(1, fmtArg.length - 1))
+    Some((s"date_format(${translateMySql(expr)}, '$javaFmt')", end))
+  }
+
+  /** MySQL `DATE_FORMAT` %-codes → Java datetime pattern letters. Unmapped
+    * literal LETTERS are single-quoted (Java patterns treat bare letters as
+    * pattern fields; MySQL treats non-% chars as literals). */
+  private[graft] def mysqlDateFmtToJava(fmt: String): String = {
+    val codes = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
+      'e' -> "d", 'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'l' -> "h",
+      'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a",
+      'W' -> "EEEE", 'a' -> "EEE", 'M' -> "MMMM", 'b' -> "MMM",
+      'j' -> "DDD", 'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a")
+    val out = new StringBuilder
+    val lit = new StringBuilder // pending literal-letter run (quoted once)
+    def flush(): Unit =
+      if (lit.nonEmpty) { out.append('\'').append(lit).append('\''); lit.clear() }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt.charAt(i + 1)
+        if (code == '%') { flush(); out.append('%') } // '%' is no pattern letter
+        else codes.get(code) match {
+          case Some(j) => flush(); out.append(j)
+          case None => lit.append(code) // unknown code: MySQL emits it literally
+        }
+        i += 1
+      } else if (Character.isLetter(c)) lit.append(c)
+      else { flush(); out.append(c) }
+      i += 1
+    }
+    flush()
     out.toString
   }
 

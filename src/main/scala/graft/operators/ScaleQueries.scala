@@ -211,6 +211,25 @@ object ScaleQueries extends QueryModule {
           |LIMIT 5, 10""".stripMargin))
     },
 
+    // MySQL DATE_FORMAT %-patterns: the dialect's formatter spelling,
+    // rewritten by Engine.translateMySql to Spark's date_format with the
+    // Java pattern equivalent (%i minutes vs %M month-name is where MySQL
+    // and C strftime diverge — the oracle uses DuckDB's strftime spelling
+    // of the same bucketing). Same hour-level truncation, both engines.
+    q("q50d_mysql_date_format",
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS bucket, event_type,
+        |       COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin) { spark =>
+      spark.sql(graft.Engine.translateMySql(
+        """SELECT DATE_FORMAT(ts, '%Y-%m-%d %H:00') AS bucket, event_type,
+          |       COUNT(*) AS n
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY bucket, event_type""".stripMargin))
+    },
+
     // Partition-pruned layout: re-write events partitioned by event date
     // (the layout a 100 TB events table would ship with), then aggregate a
     // one-week slice — the scan must touch only 7 of ~30 partitions

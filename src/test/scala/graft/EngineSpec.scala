@@ -270,6 +270,29 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("DATE_FORMAT translation maps %-codes token-safely") {
+    // pattern mapping incl. the MySQL-vs-strftime divergence (%i = minutes)
+    assert(Engine.translateMySql("SELECT DATE_FORMAT(ts, '%Y-%m-%d %H:%i:%s') FROM t")
+      == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    // literal letters are quoted as ONE run (adjacent quotes would escape)
+    assert(Engine.mysqlDateFmtToJava("%Y at %H") == "yyyy 'at' HH")
+    assert(Engine.mysqlDateFmtToJava("%%") == "%")
+    // nested expr argument is itself translated; second-arg non-literals relay
+    assert(Engine.translateMySql(
+      "SELECT DATE_FORMAT(f(a, b), '%Y')") == "SELECT date_format(f(a, b), 'yyyy')")
+    assert(Engine.translateMySql("SELECT DATE_FORMAT(ts, fmt) FROM t")
+      == "SELECT DATE_FORMAT(ts, fmt) FROM t")
+    // string-literal immunity: DATE_FORMAT as data must not rewrite
+    assert(Engine.translateMySql("SELECT 'DATE_FORMAT(ts, x)' AS s")
+      == "SELECT 'DATE_FORMAT(ts, x)' AS s")
+    // end-to-end through the session relay
+    val s = Engine.connect(spark, "prod", backends)
+    val buckets = s.sqlMySql(
+      "SELECT DATE_FORMAT(ts, '%Y-%m') AS ym, COUNT(*) AS n FROM events " +
+        "GROUP BY 1 ORDER BY 1").collect()
+    assert(buckets.nonEmpty && buckets.forall(_.getString(0).matches("\\d{4}-\\d{2}")))
+  }
+
   test("KILL QUERY <connection_id> cancels the target session's running job") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
