@@ -179,6 +179,17 @@ object Engine {
     private[Engine] def setUserVar(name: String, value: String): Unit =
       userVars(name) = value
     private[Engine] def sysVarSnapshot: Map[String, String] = sysVars.toMap
+    private[Engine] def userVar(name: String): Option[String] =
+      userVars.get(name.toLowerCase)
+
+    /** Text-protocol prepared statements (`PREPARE name FROM '…?…'`) — the
+      * SQL-level cousin of [[prepare]] (COM_STMT_PREPARE analog): the
+      * gateway relays both forms opaquely and tracks only the status bits
+      * (/root/reference/mysql/constants.go:22-37). Bound on EXECUTE with
+      * `?` placeholders replaced by USING user-variable values, token-safe
+      * and literal-escaped (injection behaves like the binary protocol). */
+    private[Engine] val prepared =
+      scala.collection.mutable.Map.empty[String, String]
     def table(name: String): DataFrame = spark.table(name)
 
     /** Incremental result delivery — the analog of the outbound relay that
@@ -289,6 +300,12 @@ object Engine {
   private val commitRe = """(?is)^\s*(?:COMMIT|ROLLBACK)\s*;?\s*$""".r
   private val killRe =
     """(?is)^\s*KILL\s+(?:QUERY\s+|CONNECTION\s+)?(\d+)\s*;?\s*$""".r
+  private val prepareRe =
+    """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+'((?:[^']|'')*)'\s*;?\s*$""".r
+  private val executeRe =
+    """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+?))?\s*;?\s*$""".r
+  private val deallocRe =
+    """(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Intercept MySQL session-state statements; None = relay to Spark.
     *
@@ -304,6 +321,28 @@ object Engine {
         // COM_PROCESS_KILL analog: cancel the target connection's in-flight
         // jobs on the shared context (interruptOnCancel set at submission)
         s.spark.sparkContext.cancelJobGroup(s"graft-conn-$connId")
+        Some(s.spark.emptyDataFrame)
+      case prepareRe(name, body) =>
+        s.prepared(name.toLowerCase) = body.replace("''", "'")
+        Some(s.spark.emptyDataFrame)
+      case executeRe(name, usingPart) =>
+        val stmt = s.prepared.getOrElse(name.toLowerCase,
+          throw EngineError(1243, "HY000",
+            s"Unknown prepared statement handler ($name) given to EXECUTE"))
+        val args = Option(usingPart).toSeq
+          .flatMap(splitTopLevel(_, ',')).map(_.trim).filter(_.nonEmpty)
+          .map { a =>
+            if (!a.startsWith("@") || a.startsWith("@@"))
+              throw EngineError(1064, "42000",
+                s"EXECUTE USING expects user variables, got '$a'")
+            s.userVar(a.stripPrefix("@")).map(sqlLiteral).getOrElse("NULL")
+          }
+        Some(s.sql(bindPositional(stmt, args)))
+      case deallocRe(name) =>
+        if (s.prepared.remove(name.toLowerCase).isEmpty)
+          throw EngineError(1243, "HY000",
+            s"Unknown prepared statement handler ($name) given to " +
+              "DEALLOCATE PREPARE")
         Some(s.spark.emptyDataFrame)
       case setNamesRe(cs) =>
         Seq("character_set_client", "character_set_connection",
@@ -359,13 +398,16 @@ object Engine {
     parts.result()
   }
 
-  /** Strip one level of '…'/"…" quoting; normalize switch words to 1/0. */
+  /** Strip one level of '…'/"…" quoting (both MySQL escapes: backslash and
+    * doubled quote); normalize switch words to 1/0. */
   private def unquote(v: String): String = {
     val raw =
-      if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head)
+      if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head) {
+        val q = v.head.toString
         v.substring(1, v.length - 1)
+          .replace(q + q, q)
           .replace("\\'", "'").replace("\\\"", "\"").replace("\\\\", "\\")
-      else v
+      } else v
     raw.toUpperCase match {
       case "ON" | "TRUE" => "1"
       case "OFF" | "FALSE" => "0"
@@ -374,6 +416,36 @@ object Engine {
   }
 
   private val numericLit = """-?\d+(\.\d+)?""".r
+  /** Replace each `?` placeholder outside quotes/comments with the next
+    * bound literal (MySQL error 1210 on arity mismatch). */
+  private[graft] def bindPositional(stmt: String, args: Seq[String]): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var n = 0
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < stmt.length) {
+          out.append(stmt.charAt(i + 1)); i += 1
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c) }
+      else if (c == '?') {
+        if (n >= args.length)
+          throw EngineError(1210, "HY000",
+            "Incorrect number of arguments to EXECUTE")
+        out.append(args(n)); n += 1
+      } else out.append(c)
+      i += 1
+    }
+    if (n != args.length)
+      throw EngineError(1210, "HY000",
+        "Incorrect number of arguments to EXECUTE")
+    out.toString
+  }
+
   private def sqlLiteral(v: String): String =
     if (numericLit.matches(v)) v
     else "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"

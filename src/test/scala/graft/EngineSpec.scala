@@ -270,6 +270,39 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("text-protocol PREPARE/EXECUTE USING/DEALLOCATE round-trips") {
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("PREPARE topn FROM 'SELECT o_orderkey FROM orders WHERE " +
+      "o_totalprice > ? ORDER BY o_orderkey LIMIT ?'")
+    s.sql("SET @p = 100000, @n = 3")
+    val rows = s.sql("EXECUTE topn USING @p, @n").collect()
+    assert(rows.length == 3)
+    // rebind with different values on the SAME handle
+    s.sql("SET @n = 1")
+    assert(s.sql("EXECUTE topn USING @p, @n").collect().length == 1)
+    // a '?' inside a string literal is data, not a placeholder
+    s.sql("PREPARE q FROM 'SELECT ''a?b'' AS v, ? AS w'")
+    val r = s.sql("EXECUTE q USING @n").head()
+    assert(r.getString(0) == "a?b" && r.getInt(1) == 1)
+    // string values bind escaped (injection-shaped input stays a literal)
+    s.sql("SET @s = 'x'' OR ''1''=''1'")
+    s.sql("PREPARE inj FROM 'SELECT ? AS v'")
+    assert(s.sql("EXECUTE inj USING @s").head().getString(0) == "x' OR '1'='1")
+    // arity mismatch and unknown handles raise MySQL-coded errors
+    assert(intercept[Engine.EngineError] {
+      s.sql("EXECUTE topn USING @p")
+    }.code == 1210)
+    s.sql("DEALLOCATE PREPARE topn")
+    assert(intercept[Engine.EngineError] {
+      s.sql("EXECUTE topn USING @p, @n")
+    }.code == 1243)
+    // handles are per-session, like the temp-view namespace
+    val s2 = Engine.connect(spark, "prod", backends)
+    assert(intercept[Engine.EngineError] {
+      s2.sql("EXECUTE q USING @n")
+    }.code == 1243)
+  }
+
   test("DATE_FORMAT translation maps %-codes token-safely") {
     // pattern mapping incl. the MySQL-vs-strftime divergence (%i = minutes)
     assert(Engine.translateMySql("SELECT DATE_FORMAT(ts, '%Y-%m-%d %H:%i:%s') FROM t")
