@@ -200,6 +200,52 @@ object DedupQueries extends QueryModule {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs family,
+    // Bayardo et al. WWW'07; Xiao et al. WWW'08): the deterministic
+    // complement to MinHash. Order each doc's distinct tokens rarest-first
+    // (global df ascending); for Jaccard ≥ τ two docs MUST share a token in
+    // their first m − ⌈τ·m⌉ + 1 tokens, so candidates come from a groupBy on
+    // prefix tokens only — rare tokens by construction, so bucket sizes stay
+    // tiny and candidate volume is near-linear where all-pairs is quadratic.
+    // Exact Jaccard then verifies candidates; unlike q73's LSH this misses
+    // NOTHING (the prefix bound is a theorem, not a probability) — PPJoinSpec
+    // asserts equality with brute force on a subset. Whole corpus, no sample
+    // bound: the prefix filter IS the scale strategy.
+    q("q110_ppjoin",
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($shingleSql) AS token
+         |  FROM documents),
+         |df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+         |sz AS (SELECT doc_id, COUNT(*) AS m FROM tok GROUP BY doc_id),
+         |ord AS (
+         |  SELECT t.doc_id, t.token, s.m,
+         |         row_number() OVER (PARTITION BY t.doc_id
+         |                            ORDER BY f.df, t.token) AS rk
+         |  FROM tok t JOIN df f USING (token) JOIN sz s USING (doc_id)),
+         |pref AS (
+         |  SELECT doc_id, token FROM ord
+         |  WHERE rk <= m - CEIL(0.6 * m) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b
+         |    ON a.token = b.token AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.id_a
+         |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(i AS DOUBLE) / (sa.m + sb.m - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      ppjoinPairs(spark.table("documents"), 0.6).orderBy($"id_a", $"id_b")
+    },
+
     // Edit-distance fuzzy matching: Levenshtein over document heads on a
     // bounded sample — the typo/near-variant detector that complements
     // set-based Jaccard (q71). Quadratic by nature → sample-bounded here;
@@ -657,6 +703,41 @@ object DedupQueries extends QueryModule {
       .agg(count(lit(1)).as("n_kept"),
         sum($"n_chars").cast(LongType).as("kept_chars"))
       .orderBy($"lang")
+  }
+
+  /** Prefix-filtered exact Jaccard join at threshold `tau` over distinct
+    * 3-shingle sets (q110; see the query comment for the PPJoin bound —
+    * shingles, not words: word sets of same-vocabulary docs overlap too
+    * much to discriminate OR to prune). Exposed
+    * private[graft] so PPJoin completeness (candidates ⊇ every pair with
+    * J ≥ τ) is assertable against brute force in SimilarityDedupSpec. */
+  private[graft] def ppjoinPairs(docs: DataFrame, tau: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("token"))
+      .distinct()
+    val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+    val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"token")
+    val pref = tok.join(dfreq, "token").join(sz, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= $"m" - ceil(lit(tau) * $"m") + 1)
+      .select($"doc_id", $"token")
+    val cand = pref.as("a").join(pref.as("b"),
+        $"a.token" === $"b.token" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+    val inter = cand
+      .join(tok.as("ta"), $"ta.doc_id" === $"id_a")
+      .join(tok.as("tb"), $"tb.doc_id" === $"id_b" && $"tb.token" === $"ta.token")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("i"))
+    val jac = $"i".cast(DoubleType) /
+      ($"sa.m" + $"sb.m" - $"i").cast(DoubleType)
+    inter
+      .join(sz.as("sa"), $"sa.doc_id" === $"id_a")
+      .join(sz.as("sb"), $"sb.doc_id" === $"id_b")
+      .filter(jac >= tau)
+      .select($"id_a", $"id_b", round(jac, 4).as("jaccard"))
   }
 
   /** doc_id → near-dup component id over the LSH pair graph. Shared by

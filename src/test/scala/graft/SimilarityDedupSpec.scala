@@ -154,4 +154,29 @@ class SimilarityDedupSpec extends SparkSpec {
       assert(bandMatch, s"pair ${r.getLong(0)},${r.getLong(1)} has no full band match")
     }
   }
+
+  test("PPJoin prefix filter is COMPLETE: equals brute-force Jaccard at τ") {
+    // the prefix bound is a theorem — unlike LSH recall, equality must be
+    // exact. Brute-force all distinct-token pairs on a subset and compare.
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents").filter($"doc_id" < 150)
+    val tau = 0.6
+    val got = DedupQueries.ppjoinPairs(docs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = docs.select($"doc_id", split(lower($"text"), " ").as("t"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      j = i.toDouble / (sets(a).size + sets(b).size - i)
+      if j >= tau
+    } yield (a, b, math.round(j * 10000).toDouble / 10000)).toSet
+    assert(got == brute,
+      s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must contain τ-similar pairs")
+  }
 }
