@@ -61,13 +61,20 @@ object Bench {
     graft.sources.Tables.register(spark, sfDir)
     spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
 
-    val names = SparkEntry.allQueries.map(_.name)
+    // dev filter: SPARK_GRAFT_ONLY=q110_ppjoin,q73_… times a subset (the
+    // committed artifact always comes from an unfiltered run — the driver
+    // sets no filter)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = SparkEntry.allQueries
+      .filter(q => only.forall(_.contains(q.name)))
+    val names = benchQueries.map(_.name)
     val times = scala.collection.mutable.Map[String, List[Double]]()
     val errors = scala.collection.mutable.Map[String, String]()
     val passTotals = scala.collection.mutable.ListBuffer[Double]()
     for (pass <- 1 to reps) {
       val p0 = System.nanoTime()
-      SparkEntry.allQueries.foreach { gq =>
+      benchQueries.foreach { gq =>
         if (!errors.contains(gq.name)) { // a failed query stays failed; don't re-throw per pass
           val t0 = System.nanoTime()
           try {

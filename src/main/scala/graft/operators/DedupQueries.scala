@@ -713,10 +713,14 @@ object DedupQueries extends QueryModule {
     * J ≥ τ) is assertable against brute force in SimilarityDedupSpec. */
   private[graft] def ppjoinPairs(docs: DataFrame, tau: Double): DataFrame = {
     import docs.sparkSession.implicits._
+    // materialize the shingle relation ONCE: it feeds df, sizes, prefixes
+    // and both verify joins — without this the parquet scan + interpreted
+    // shingle lambda + distinct shuffle would re-run five times
     val tok = docs
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id", explode(shingles($"toks")).as("token"))
       .distinct()
+      .localCheckpoint()
     val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
     val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"token")
