@@ -306,6 +306,8 @@ object Engine {
     """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+?))?\s*;?\s*$""".r
   private val deallocRe =
     """(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val processListRe =
+    """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*;?\s*$""".r
 
   /** Intercept MySQL session-state statements; None = relay to Spark.
     *
@@ -317,6 +319,10 @@ object Engine {
     query match {
       case beginRe() => s.inTrans = true; Some(s.spark.emptyDataFrame)
       case commitRe() => s.inTrans = false; Some(s.spark.emptyDataFrame)
+      case processListRe() =>
+        import s.spark.implicits._
+        Some(Engine.processList
+          .toDF("Id", "User", "Cluster", "State"))
       case killRe(connId) =>
         // COM_PROCESS_KILL analog: cancel the target connection's in-flight
         // jobs on the shared context (interruptOnCancel set at submission)
@@ -708,7 +714,26 @@ object Engine {
     val dir = resolve(clusterId, backends, "cluster id")
     val sess = shared.newSession()
     Tables.register(sess, db.fold(dir)(resolve(_, databases, "database")))
-    new Session(sess, clusterId, user)
+    val s = new Session(sess, clusterId, user)
+    registry.put(s.connectionId,
+      new java.lang.ref.WeakReference(s))
+    s
+  }
+
+  /** Live-connection registry (weak — a dropped Session disappears on GC):
+    * backs SHOW PROCESSLIST the way the gateway's goroutine-per-connection
+    * set does implicitly (/root/reference/gateway/gateway.go:63-64). */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.WeakReference[Session]]
+
+  private[graft] def processList: Seq[(Long, String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq.flatMap { case (id, ref) =>
+      Option(ref.get).map { s =>
+        val state = if (s.inTransaction) "in transaction" else "idle"
+        (id, s.user, s.clusterId, state)
+      }
+    }.sortBy(_._1)
   }
 
   /** Handshake-username routing — the reference splits the MySQL username at

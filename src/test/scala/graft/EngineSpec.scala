@@ -270,6 +270,21 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("SHOW PROCESSLIST lists live connections with their state") {
+    val a = Engine.login(spark, "prod.alice", backends)
+    val b = Engine.login(spark, "staging.bob", backends)
+    b.sql("BEGIN")
+    val rows = a.sql("SHOW PROCESSLIST").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(a.connectionId) == ((a.connectionId, "alice", "prod", "idle")))
+    assert(byId(b.connectionId) ==
+      ((b.connectionId, "bob", "staging", "in transaction")))
+    b.sql("ROLLBACK")
+    // the processlist feeds KILL: ids listed are valid cancel targets
+    assert(a.sql(s"KILL QUERY ${b.connectionId}").collect().isEmpty)
+  }
+
   test("text-protocol PREPARE/EXECUTE USING/DEALLOCATE round-trips") {
     val s = Engine.connect(spark, "prod", backends)
     s.sql("PREPARE topn FROM 'SELECT o_orderkey FROM orders WHERE " +
