@@ -13,6 +13,7 @@ import graft.operators.{DedupQueries, SimilarityQueries}
   *   - MinHash band pairs (q73 path, salted, cap = 256)
   *   - SimHash band pairs (q78 path, salted, 16-bit buckets)
   *   - banded sign-LSH ANN candidates (q82 path, multiprobe)
+  *   - PPJoin prefix-filter candidates (q110 path, τ = 0.6, exact)
   *
   * A quadratic path would grow candidates ~size²; the probe prints the
   * measured growth factor next to the size ratio so one committed JSON line
@@ -73,6 +74,8 @@ object ScaleProbe {
         "simhash32" -> DedupQueries.saltedBucketPairs(
           DedupQueries.simhashBandsOf(docs, hexPerBand = 8),
           DedupQueries.defaultBucketCap).count(),
+        "ppjoin" -> DedupQueries.ppjoinCandidates(
+          DedupQueries.ppjoinTokens(docs), 0.6).count(),
         "ann" -> SimilarityQueries.annCandidatesOf(synthEmbeddings(spark, n)).count())
       finally docs.unpersist()
     }
@@ -81,7 +84,7 @@ object ScaleProbe {
     val lo = results(sizes.head)
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
-    val paths = Seq("minhash", "simhash16", "simhash32", "ann")
+    val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

@@ -716,21 +716,9 @@ object DedupQueries extends QueryModule {
     // materialize the shingle relation ONCE: it feeds df, sizes, prefixes
     // and both verify joins — without this the parquet scan + interpreted
     // shingle lambda + distinct shuffle would re-run five times
-    val tok = docs
-      .select($"doc_id", split(lower($"text"), " ").as("toks"))
-      .select($"doc_id", explode(shingles($"toks")).as("token"))
-      .distinct()
-      .localCheckpoint()
-    val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+    val tok = ppjoinTokens(docs)
     val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
-    val w = Window.partitionBy($"doc_id").orderBy($"df", $"token")
-    val pref = tok.join(dfreq, "token").join(sz, "doc_id")
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= $"m" - ceil(lit(tau) * $"m") + 1)
-      .select($"doc_id", $"token")
-    val cand = pref.as("a").join(pref.as("b"),
-        $"a.token" === $"b.token" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+    val cand = ppjoinCandidates(tok, tau)
     val inter = cand
       .join(tok.as("ta"), $"ta.doc_id" === $"id_a")
       .join(tok.as("tb"), $"tb.doc_id" === $"id_b" && $"tb.token" === $"ta.token")
@@ -742,6 +730,34 @@ object DedupQueries extends QueryModule {
       .join(sz.as("sb"), $"sb.doc_id" === $"id_b")
       .filter(jac >= tau)
       .select($"id_a", $"id_b", round(jac, 4).as("jaccard"))
+  }
+
+  /** Distinct (doc_id, 3-shingle) rows, materialized once (q110 reuses it
+    * five times). */
+  private[graft] def ppjoinTokens(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("token"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** PPJoin candidate pairs: docs sharing ≥1 token of each other's
+    * rarest-first prefix (length m − ⌈τ·m⌉ + 1). Exposed separately so
+    * ScaleProbe can measure candidate growth without the verify stage. */
+  private[graft] def ppjoinCandidates(tok: DataFrame, tau: Double): DataFrame = {
+    import tok.sparkSession.implicits._
+    val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+    val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"token")
+    val pref = tok.join(dfreq, "token").join(sz, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= $"m" - ceil(lit(tau) * $"m") + 1)
+      .select($"doc_id", $"token")
+    pref.as("a").join(pref.as("b"),
+        $"a.token" === $"b.token" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
   }
 
   /** doc_id → near-dup component id over the LSH pair graph. Shared by
