@@ -116,6 +116,35 @@ object StreamingQueries extends QueryModule {
         .select($"user_id", $"session_window.start".as("session_start"),
           $"n_events")
         .orderBy($"user_id", $"session_start")
+    },
+
+    // Streaming exact dedup with a DETERMINISTIC keep rule: the documents
+    // parquet consumed as a file-source stream, one stateful aggregate per
+    // content hash keeping the min-doc_id owner's lang (min_by is
+    // order-insensitive where dropDuplicates' "first seen" is not — that
+    // nondeterminism is why the streaming-dedup row was unit-only until
+    // now). Complete-mode state = one row per distinct content hash; the
+    // oracle replays the identical keep rule in batch SQL.
+    qDir("q111_stream_dedup",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique
+        |FROM (
+        |  SELECT md5(text) AS h, arg_min(lang, doc_id) AS lang
+        |  FROM documents GROUP BY md5(text))
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stream = spark.readStream.schema(Tables.documents)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(md5($"text".cast("binary")).as("h"), $"lang", $"doc_id")
+        .groupBy($"h")
+        .agg(min_by($"lang", $"doc_id").as("lang"))
+      val q = stream.writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow).start()
+      try q.awaitTermination() finally q.stop()
+      spark.table("graft_stream_dedup")
+        .groupBy($"lang").agg(count(lit(1)).as("n_unique"))
+        .orderBy($"lang")
     })
 
   /** Streaming incremental LSH candidate pairs: dedup an ARRIVING corpus

@@ -35,6 +35,7 @@ class QueriesSmokeSpec extends SparkSpec {
     * validated by their own execution above, not re-built here. */
   private val sideEffecting =
     Set("q93_partitioned_events", "q107_zorder_layout", "q94_stream_ingest",
+      "q111_stream_dedup",
       "q98_csv_ingest_roundtrip", "q99_insert_select_roundtrip",
       "q99b_partition_overwrite",
       "q88_bucketed_join") // write-path queries

@@ -239,6 +239,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, at(0), at(1)), (2L, at(2), at(3))), got)
   }
 
+  test("left-outer interval join emits null matches only after the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val cl = clicks.toDF().toDF("id", "cts").withWatermark("cts", "5 minutes")
+    val vw = views.toDF().toDF("vid", "vts").withWatermark("vts", "5 minutes")
+    val joined = cl.join(vw,
+      expr("id = vid AND vts BETWEEN cts AND cts + INTERVAL 10 MINUTES"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("t_ssleft")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, at(0)), (2L, at(0))) // 2 never gets a view
+      views.addData((1L, at(4)))
+      q.processAllAvailable()
+      // unmatched click 2 cannot be emitted yet: its join window is open
+      val early = spark.table("t_ssleft").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)))).toSet
+      assert(early == Set((1L, Some(1L))),
+        s"click 2 must be withheld until the watermark passes, got $early")
+      // advance both watermarks past click@0 + 10 min + 5 min delay
+      clicks.addData((9L, at(40)))
+      views.addData((9L, at(40)))
+      q.processAllAvailable()
+      clicks.addData((8L, at(41))) // one more batch so the outer row flushes
+      views.addData((8L, at(41)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = spark.table("t_ssleft").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byId(1L) == Some(1L))
+    assert(byId.contains(2L) && byId(2L).isEmpty,
+      s"click 2 must surface with a NULL view after the watermark, got $byId")
+  }
+
   test("parquet streaming sink round-trips the stream (append + checkpoint)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
