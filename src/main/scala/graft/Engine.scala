@@ -225,7 +225,12 @@ object Engine {
     def prepare(query: String): Map[String, Any] => DataFrame =
       params => spark.sql(query, params)
 
-    def close(): Unit = () // temp views die with the session wrapper
+    /** COM_QUIT analog: cancel in-flight work and leave the processlist
+      * (temp views die with the session wrapper). */
+    def close(): Unit = {
+      spark.sparkContext.cancelJobGroup(jobGroup)
+      Engine.registry.remove(connectionId)
+    }
   }
 
   /** Multi-statement batch execution — the engine analog of the
@@ -308,6 +313,8 @@ object Engine {
     """(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val processListRe =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*;?\s*$""".r
+  private val loadDataRe =
+    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""".r
 
   /** Intercept MySQL session-state statements; None = relay to Spark.
     *
@@ -323,6 +330,24 @@ object Engine {
         import s.spark.implicits._
         Some(Engine.processList
           .toDF("Id", "User", "Cluster", "State"))
+      case loadDataRe(path, table, sep) =>
+        // LOAD DATA LOCAL INFILE — the ClientLocalFiles capability the
+        // gateway advertises and relays (/root/reference/mysql/
+        // constants.go:7-11): append a client-side delimited file into an
+        // existing session table. The target schema drives the CSV parse
+        // (MySQL's column-order contract); default separator is TAB like
+        // MySQL. The view is rebuilt as old-plan UNION ALL file-scan —
+        // lazy, distributed, no driver materialization.
+        val existing =
+          try s.spark.table(table)
+          catch { case _: Exception =>
+            throw EngineError(1146, "42S02", s"Table '$table' doesn't exist")
+          }
+        val csv = s.spark.read.schema(existing.schema)
+          .option("sep", Option(sep).getOrElse("\t"))
+          .csv(path)
+        existing.unionAll(csv).createOrReplaceTempView(table)
+        Some(s.spark.emptyDataFrame)
       case killRe(connId) =>
         // COM_PROCESS_KILL analog: cancel the target connection's in-flight
         // jobs on the shared context (interruptOnCancel set at submission)

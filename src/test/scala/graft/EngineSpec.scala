@@ -270,6 +270,35 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("LOAD DATA LOCAL INFILE appends a delimited file into a session table") {
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW stage AS " +
+      "SELECT r_regionkey, r_name FROM region WHERE 1 = 0")
+    val f = java.nio.file.Files.createTempFile("graft_load_", ".csv")
+    java.nio.file.Files.writeString(f, "7,mars\n8,venus\n")
+    s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE stage " +
+      "FIELDS TERMINATED BY ','")
+    assert(s.sql("SELECT COUNT(*) AS n FROM stage").head().getLong(0) == 2)
+    // a second load APPENDS (MySQL semantics), schema comes from the table
+    s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE stage " +
+      "FIELDS TERMINATED BY ','")
+    val rows = s.sql("SELECT r_regionkey, r_name FROM stage ORDER BY 1, 2")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((7, "mars"), (7, "mars"), (8, "venus"), (8, "venus")))
+    // unknown target table → MySQL error 1146
+    assert(intercept[Engine.EngineError] {
+      s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE nope")
+    }.code == 1146)
+  }
+
+  test("session close() leaves the processlist (COM_QUIT)") {
+    val s = Engine.connect(spark, "prod", backends)
+    val listed = () => Engine.processList.exists(_._1 == s.connectionId)
+    assert(listed())
+    s.close()
+    assert(!listed())
+  }
+
   test("SHOW PROCESSLIST lists live connections with their state") {
     val a = Engine.login(spark, "prod.alice", backends)
     val b = Engine.login(spark, "staging.bob", backends)
