@@ -539,6 +539,59 @@ object TextQueries extends QueryModule {
           sum(length($"redacted")).cast(LongType).as("total_chars"))
     },
 
+    // Bigram conditional LM score — q109's unigram NLL upgraded to
+    // transition likelihood: avg over a doc's bigram INSTANCES of
+    // −ln(c(w1 w2) / c(w1 ·)), with both counts trained on the corpus
+    // itself. Flags token-order scrambles that unigram stats cannot see
+    // (same words, impossible transitions ⇒ high score). Same determinism
+    // contract as q109: per-doc sorted struct fold, identical 0-seeded
+    // left fold, floor-rounded free double. Scale: two bigram-keyed
+    // shuffles (counts + the count join) and one doc_id shuffle.
+    q("q109b_bigram_lm_score",
+      s"""WITH bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len($tokSql)),
+         |                i -> $tokSql[i] || ' ' || $tokSql[i + 1])) AS bigram
+         |  FROM documents),
+         |c12 AS (SELECT bigram, COUNT(*) AS n12 FROM bg GROUP BY bigram),
+         |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS n1
+         |       FROM bg GROUP BY 1),
+         |d AS (
+         |  SELECT bg.doc_id,
+         |         list_sort(list(struct_pack(bigram := bg.bigram,
+         |                                    n12 := c12.n12,
+         |                                    n1 := c1.n1))) AS tl
+         |  FROM bg
+         |  JOIN c12 USING (bigram)
+         |  JOIN c1 ON c1.w1 = string_split(bg.bigram, ' ')[1]
+         |  GROUP BY bg.doc_id)
+         |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_bigrams,
+         |  floor((list_reduce(list_transform(tl,
+         |           x -> ln(CAST(x.n1 AS DOUBLE)) - ln(CAST(x.n12 AS DOUBLE))),
+         |         (a, b) -> a + b) / len(tl)) * 10000 + 0.5) / 10000 AS nll
+         |FROM d ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val bg = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"toks") - 1),
+          i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
+          .as("bigram"))
+      val c12 = bg.groupBy($"bigram").agg(count(lit(1)).as("n12"))
+      val c1 = bg.select(split($"bigram", " ").getItem(0).as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("n1"))
+      bg.join(c12, "bigram")
+        .join(c1, split(bg("bigram"), " ").getItem(0) === c1("w1"))
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"bigram", $"n12", $"n1"))).as("tl"))
+        .select($"doc_id", size($"tl").cast(LongType).as("n_bigrams"),
+          (floor((aggregate($"tl", lit(0.0), (acc, x) =>
+            acc + log(x.getField("n1").cast(DoubleType)) -
+              log(x.getField("n12").cast(DoubleType))) / size($"tl"))
+            * 10000 + 0.5) / 10000).as("nll"))
+        .orderBy($"doc_id")
+    },
+
     // Heavy hitters via a Misra-Gries sketch (functions/MisraGries.scala):
     // one map-side-combinable pass with ≤ k−1 counters per partition finds
     // the CANDIDATE set (guaranteed ⊇ every token with freq > n/k); a
