@@ -83,6 +83,28 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("fold/sketch queries are invariant to the shuffle-partition count") {
+    // the queries whose determinism rests on an argument (sorted 0-seeded
+    // folds, sketch-then-exact-recount, distributed fixpoints) must prove
+    // it: identical rows under a different partitioning, not just one
+    // lucky layout. (The driver's oracle gate runs at one partition count;
+    // this is the second.)
+    val sensitive = Seq("q108_heavy_hitters", "q109_lm_score",
+      "q109b_bigram_lm_score", "q110_ppjoin", "q77_dedup_components",
+      "q64c_char_entropy")
+    val conf = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(conf)
+    sensitive.foreach { name =>
+      val base = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+      try {
+        spark.conf.set(conf, "7")
+        val alt = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+        assert(base.sameElements(alt),
+          s"$name differs at 7 shuffle partitions (n=${base.length} vs ${alt.length})")
+      } finally spark.conf.set(conf, before)
+    }
+  }
+
   test("no query plan degenerates to an unpartitioned CartesianProduct") {
     val offenders = SparkEntry.allQueries
       .filterNot(q => sideEffecting(q.name) || q.name == "q17_join_cross")
