@@ -200,6 +200,46 @@ object DedupQueries extends QueryModule {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Near-containment detection — the ASYMMETRIC cousin of Jaccard:
+    // containment(A→B) = |A∩B| / |A| finds docs mostly CONTAINED in another
+    // (quotes, excerpts, page-of-a-book) that symmetric similarity misses
+    // when the container is much larger. Both directions of each
+    // intersecting pair, exact, whole corpus — shingle buckets keep the
+    // pair enumeration near-linear exactly as in q110's verify stage (the
+    // scale path would additionally cap per-shingle buckets à la
+    // saltedBucketPairs).
+    q("q71c_containment",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS shingle
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |                     AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(i AS DOUBLE) / sa.n, 4) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |WHERE CAST(i AS DOUBLE) / sa.n >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val sh = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val cont = $"i".cast(DoubleType) / $"sa.n".cast(DoubleType)
+      sh.as("a").join(sh.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" =!= $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
+        .filter(cont >= 0.7)
+        .select($"id_a", $"id_b", round(cont, 4).as("containment"))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs family,
     // Bayardo et al. WWW'07; Xiao et al. WWW'08): the deterministic
     // complement to MinHash. Order each doc's distinct tokens rarest-first
