@@ -279,6 +279,57 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    // MOSS algorithm): hash every POSITIONAL 3-shingle, slide a w=4 window
+    // over the hash sequence and keep each window's minimum — guarantees a
+    // shared fingerprint for any match ≥ w+k−1 tokens while storing ~2/(w+1)
+    // of the hashes. Output = per-doc fingerprint-set digest (sorted-concat
+    // md5 — a single string, the comparator-safe spelling of a set) +
+    // count. Window min is order-insensitive ⇒ deterministic under any
+    // partitioning; the windowed MIN shuffles once on doc_id.
+    q("q66b_winnowing",
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         generate_subscripts(gs, 1) - 1 AS pos,
+         |         md5(unnest(gs)) AS h,
+         |         len(gs) AS cnt
+         |  FROM (SELECT doc_id,
+         |          list_transform(range(1, len($tokSql) - 1),
+         |            i -> $tokSql[i] || ' ' || $tokSql[i + 1] || ' ' ||
+         |                 $tokSql[i + 2]) AS gs
+         |        FROM documents) t),
+         |w AS (
+         |  SELECT doc_id, pos, cnt,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+         |  FROM g),
+         |s AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos + 4 <= cnt)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |       md5(string_agg(sel, '' ORDER BY sel)) AS fp
+         |FROM s GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val g = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", transform(sequence(lit(1), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+            element_at($"toks", i + 2))).as("gs"))
+        .select($"doc_id", size($"gs").as("cnt"),
+          posexplode($"gs").as(Seq("pos", "shingle")))
+        .select($"doc_id", $"pos", $"cnt",
+          md5($"shingle".cast(BinaryType)).as("h"))
+      val win = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.currentRow, 3)
+      g.withColumn("sel", min($"h").over(win))
+        .filter($"pos" + 4 <= $"cnt")
+        .select($"doc_id", $"sel").distinct()
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_fp"),
+          md5(concat_ws("", array_sort(collect_list($"sel")))
+            .cast(BinaryType)).as("fp"))
+        .orderBy($"doc_id")
+    },
+
     // TF-IDF: the canonical corpus-weighting op. One token explode feeds
     // both the per-(doc, term) TF and, via a second groupBy, the DF side;
     // idf joins back on term (shuffle key = term, uniform); top-3 terms per
