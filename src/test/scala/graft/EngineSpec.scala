@@ -270,6 +270,30 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("malformed CSV rows: DROPMALFORMED skips, PERMISSIVE surfaces them") {
+    // ingest robustness — a 100 TB bulk load always contains broken lines;
+    // the engine must be able to either drop or quarantine them without
+    // failing the job
+    import org.apache.spark.sql.types._
+    val f = java.nio.file.Files.createTempFile("graft_bad_", ".csv")
+    java.nio.file.Files.writeString(f, "1,a\nnot_an_int,b\n3,c\n4\n")
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("tag", StringType)))
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .csv(f.toString).collect()
+    assert(dropped.map(_.getInt(0)).sorted.toSeq == Seq(1, 3),
+      "only the two well-formed rows survive DROPMALFORMED")
+    val quarantineSchema = schema.add("_corrupt_record", StringType)
+    val kept = spark.read.schema(quarantineSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(f.toString).collect()
+    assert(kept.length == 4)
+    val corrupt = kept.filter(!_.isNullAt(2)).map(_.getString(2)).toSet
+    assert(corrupt == Set("not_an_int,b", "4"),
+      s"both broken lines must land in the quarantine column, got $corrupt")
+  }
+
   test("LOAD DATA LOCAL INFILE appends a delimited file into a session table") {
     val s = Engine.connect(spark, "prod", backends)
     s.sql("CREATE OR REPLACE TEMPORARY VIEW stage AS " +
