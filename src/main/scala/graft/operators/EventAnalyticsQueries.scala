@@ -110,5 +110,38 @@ object EventAnalyticsQueries extends QueryModule {
         .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy($"cohort_week", $"week_offset")
+    },
+
+    // Per-user EWMA (α = 0.2) over the event-value series — the stateful
+    // SCAN shape (each output depends on the whole ordered prefix) that no
+    // plain window aggregate expresses. Computed as a sorted left fold per
+    // user: both engines run the identical non-reassociated IEEE sequence
+    // 0.2·v + 0.8·acc over the (tus, event_id)-sorted values, so the result
+    // is bit-deterministic and only floor-rounded at the surface. One
+    // user_id shuffle; per-user state is one double — the same O(1)-state
+    // scan a streaming `transformWithState` would run incrementally.
+    q("q112_ewma",
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) AS tus, event_id, value
+        |  FROM events),
+        |d AS (SELECT user_id,
+        |        list_sort(list(struct_pack(tus := tus, event_id := event_id,
+        |                                   v := value))) AS xs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+        |  floor(list_reduce(list_transform(xs, x -> x.v),
+        |          (a, b) -> 0.2 * b + 0.8 * a) * 10000 + 0.5) / 10000 AS ewma
+        |FROM d ORDER BY user_id""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id", $"value")
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"tus", $"event_id",
+          $"value".as("v")))).as("xs"))
+        .select($"user_id", size($"xs").cast("long").as("n_events"),
+          (floor(aggregate($"xs", lit(null).cast("double"), (acc, x) =>
+            coalesce(lit(0.2) * x.getField("v") + lit(0.8) * acc,
+              x.getField("v"))) * 10000 + 0.5) / 10000).as("ewma"))
+        .orderBy($"user_id")
     })
 }
