@@ -186,5 +186,43 @@ object MultimodalQueries extends QueryModule {
           md5(concat_ws(",", sort_array(collect_list(md5($"frame"))))
             .cast(BinaryType)).as("content_sig"))
         .orderBy($"doc_id")
+    },
+
+    // Cross-video duplicate-frame detection — multimodal dedup: fingerprint
+    // every fixed-size frame (md5 of the payload block) and find video
+    // pairs sharing frames. Same bucket-join shape as the LSH text path:
+    // pairs come from an equi-join on the fingerprint (never all-pairs), so
+    // candidate volume scales with duplication, not corpus². Catches
+    // re-uploads and shared intros/outros that metadata comparison misses.
+    q("q92b_frame_dedup",
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(
+        |           CAST(ceil(length(text) / 256.0) AS INT), 1))) AS i
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id,
+        |         md5(substring(text, CAST(i * 256 + 1 AS INT), 256)) AS fp
+        |  FROM idx)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS shared_frames
+        |FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val frameSize = 256
+      val nFrames = ceil(length($"payload") / lit(frameSize.toDouble))
+        .cast(IntegerType)
+      val fr = media(spark)
+        .select($"doc_id", $"payload",
+          explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("i"))
+        .select($"doc_id",
+          md5(substring($"payload", $"i" * frameSize + 1, lit(frameSize)))
+            .as("fp"))
+      fr.as("a").join(fr.as("b"),
+          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(countDistinct($"a.fp").cast(LongType).as("shared_frames"))
+        .orderBy($"id_a", $"id_b")
     })
 }
