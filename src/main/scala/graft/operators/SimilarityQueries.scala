@@ -441,6 +441,99 @@ object SimilarityQueries extends QueryModule {
               (x - qq / $"scale") * (x - qq / $"scale")),
             lit(0.0), (a, b) => a + b)).as("mse"))
         .orderBy($"vec_id")
+    },
+
+    // Product quantization (Jégou/Douze/Schmid, PAMI 2011): train K=8
+    // Euclidean centroids per 16-dim SUBSPACE (deterministic k-means, q83's
+    // machinery) and encode each vector as 4 one-byte codes — 64 doubles →
+    // 4 bytes, the memory-bound ANN compression at 100 TB (codebooks train
+    // on a sample; encoding is a broadcast-join scan). The oracle replays
+    // the full training run per subspace; distances are three bit-identical
+    // dot products and assignment ranks on the r6-rounded distance, so
+    // codes AND per-vector reconstruction error hash-match.
+    q("q104b_pq_codes", {
+      def sub(src: String, m: Int) =
+        s"$src[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+      def dist(a: String, b: String) =
+        s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
+          s" + list_dot_product($b, $b))"
+      def asgn(name: String, vm: String, cent: String, keepDist: Boolean) = {
+        val cols = if (keepDist) "vec_id, sub, code, cdist"
+          else "vec_id, sub, code"
+        s"""$name AS (
+           |  SELECT $cols FROM (
+           |    SELECT v.vec_id, v.sub, c.code,
+           |           ${graft.api.Canon.Oracle.r6(dist("v.sub", "c.cemb"))} AS cdist,
+           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |             ${graft.api.Canon.Oracle.r6(dist("v.sub", "c.cemb"))} ASC,
+           |             c.code) AS rn
+           |    FROM $vm v, $cent c) t
+           |  WHERE rn = 1)""".stripMargin
+      }
+      def means(m: Int, i: Int) =
+        s"""ex$m$i AS (SELECT code, generate_subscripts(sub, 1) - 1 AS dim,
+           |             unnest(sub) AS x FROM am$m$i),
+           |cd$m$i AS (SELECT code, dim, list_sort(list(x)) AS xs
+           |          FROM ex$m$i GROUP BY code, dim),
+           |ct$m$i AS (SELECT code, dim,
+           |            list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
+           |          FROM cd$m$i),
+           |cent$m${i + 1} AS (
+           |  SELECT code, list_transform(
+           |           list_sort(list(struct_pack(dim := dim, cx := cx))),
+           |           p -> p.cx) AS cemb
+           |  FROM ct$m$i GROUP BY code)""".stripMargin
+      val perM = (0 until pqM).map { m =>
+        val vm = s"v$m"
+        val init =
+          s"""$vm AS (SELECT vec_id, ${sub("emb", m)} AS sub FROM e),
+             |cent${m}0 AS (
+             |  SELECT code, cemb FROM (
+             |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+             |             vec_id) - 1 AS code,
+             |           sub AS cemb
+             |    FROM $vm) t
+             |  WHERE code < $pqK)""".stripMargin
+        val iters = (0 until pqIters).map(i =>
+          asgn(s"am$m$i", vm, s"cent$m$i", keepDist = false) + ",\n" +
+            means(m, i)).mkString(",\n")
+        s"$init,\n$iters,\n" +
+          asgn(s"f$m", vm, s"cent$m$pqIters", keepDist = true)
+      }.mkString(",\n")
+      val unions = (0 until pqM)
+        .map(m => s"SELECT vec_id, $m AS m, code, cdist FROM f$m")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |$perM,
+         |allc AS (
+         |$unions),
+         |g AS (SELECT vec_id,
+         |        list_sort(list(struct_pack(m := m, code := code,
+         |                                   cdist := cdist))) AS cs
+         |      FROM allc GROUP BY vec_id)
+         |SELECT vec_id,
+         |  array_to_string(list_transform(cs, c -> CAST(c.code AS VARCHAR)), ',')
+         |    AS codes,
+         |  floor((list_reduce(list_transform(cs, c -> c.cdist),
+         |           (a, b) -> a + b) / 64) * 1000000 + 0.5) / 1000000 AS mse
+         |FROM g ORDER BY vec_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val slices = pqSlices(spark)
+      val perM = (0 until pqM).map { m =>
+        pqAssign(slices.filter($"m" === m).select($"vec_id", $"sub"),
+            pqCodebook(spark, m))
+          .select($"vec_id", lit(m).as("m"), $"code", $"cdist")
+      }
+      perM.reduce(_ unionAll _)
+        .groupBy($"vec_id")
+        .agg(array_sort(collect_list(struct($"m", $"code", $"cdist"))).as("cs"))
+        .select($"vec_id",
+          concat_ws(",", transform($"cs", c => c("code").cast("string")))
+            .as("codes"),
+          (floor((aggregate($"cs", lit(0.0), (acc, c) => acc + c("cdist"))
+            / lit(64.0)) * 1000000 + 0.5) / 1000000).as("mse"))
+        .orderBy($"vec_id")
     })
 
   /** q82's candidate stage over any (vec_id, emb) corpus: banded sign-LSH
@@ -473,6 +566,65 @@ object SimilarityQueries extends QueryModule {
     * rounded cosine (Canon.r6), centroid-id tiebreak → (vec_id, emb, cl).
     * One corpus scan against the broadcast centroid table; the row_number
     * window partitions by vec_id, so the "shuffle" is k rows per vector. */
+  // --- Product quantization (q104b): M=4 subspaces × K=8 centroids ---
+  private val pqM = 4
+  private val pqK = 8
+  private val pqIters = 2
+  private val pqSub = 16 // 64 dims / 4 subspaces
+
+  /** Squared Euclidean via three bit-identical dot products. */
+  private def pqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** (vec_id, m, sub): the m-th 16-dim slice of every vector. */
+  private def pqSlices(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    embeddingsD(spark)
+      .select($"vec_id", $"emb",
+        explode(array((0 until pqM).map(lit): _*)).as("m"))
+      .select($"vec_id", $"m",
+        slice($"emb", $"m" * pqSub + 1, lit(pqSub)).as("sub"))
+  }
+
+  /** Nearest-centroid assignment in one subspace, rank by (r6 distance,
+    * code) — the rounding keeps the rank identical cross-engine. */
+  private def pqAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"cdist".asc, $"code".asc)
+    vecs.crossJoin(broadcast(cent))
+      .select($"vec_id", $"sub", $"code",
+        graft.api.Canon.r6(pqDist($"sub", $"cemb")).as("cdist"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"sub", $"code", $"cdist")
+  }
+
+  /** Deterministic per-subspace codebook: init = first-K slices in
+    * md5(vec_id) order, then `pqIters` Lloyd rounds with sorted-fold means
+    * (the q83 training pattern, Euclidean instead of cosine). At 100 TB
+    * codebooks train on a sample; the quantization pass itself is one
+    * broadcast-join scan. */
+  private def pqCodebook(spark: SparkSession, m: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = pqSlices(spark).filter($"m" === m).select($"vec_id", $"sub")
+    var cent = vecs
+      .withColumn("h", md5($"vec_id".cast("string").cast("binary")))
+      .withColumn("code", row_number().over(Window.orderBy($"h", $"vec_id")) - 1)
+      .filter($"code" < pqK).select($"code", $"sub".as("cemb"))
+      .localCheckpoint()
+    for (_ <- 1 to pqIters) {
+      cent = pqAssign(vecs, cent)
+        .select($"code", posexplode($"sub").as(Seq("dim", "x")))
+        .groupBy($"code", $"dim").agg(sort_array(collect_list($"x")).as("xs"))
+        .select($"code", $"dim",
+          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
+        .groupBy($"code")
+        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("ps"))
+        .select($"code", transform($"ps", p => p("cx")).as("cemb"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   private[graft] def ivfAssign(spark: SparkSession, cent: DataFrame): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
