@@ -452,59 +452,10 @@ object SimilarityQueries extends QueryModule {
     // dot products and assignment ranks on the r6-rounded distance, so
     // codes AND per-vector reconstruction error hash-match.
     q("q104b_pq_codes", {
-      def sub(src: String, m: Int) =
-        s"$src[${m * pqSub + 1}:${(m + 1) * pqSub}]"
-      def dist(a: String, b: String) =
-        s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
-          s" + list_dot_product($b, $b))"
-      def asgn(name: String, vm: String, cent: String, keepDist: Boolean) = {
-        val cols = if (keepDist) "vec_id, sub, code, cdist"
-          else "vec_id, sub, code"
-        s"""$name AS (
-           |  SELECT $cols FROM (
-           |    SELECT v.vec_id, v.sub, c.code,
-           |           ${graft.api.Canon.Oracle.r6(dist("v.sub", "c.cemb"))} AS cdist,
-           |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           |             ${graft.api.Canon.Oracle.r6(dist("v.sub", "c.cemb"))} ASC,
-           |             c.code) AS rn
-           |    FROM $vm v, $cent c) t
-           |  WHERE rn = 1)""".stripMargin
-      }
-      def means(m: Int, i: Int) =
-        s"""ex$m$i AS (SELECT code, generate_subscripts(sub, 1) - 1 AS dim,
-           |             unnest(sub) AS x FROM am$m$i),
-           |cd$m$i AS (SELECT code, dim, list_sort(list(x)) AS xs
-           |          FROM ex$m$i GROUP BY code, dim),
-           |ct$m$i AS (SELECT code, dim,
-           |            list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
-           |          FROM cd$m$i),
-           |cent$m${i + 1} AS (
-           |  SELECT code, list_transform(
-           |           list_sort(list(struct_pack(dim := dim, cx := cx))),
-           |           p -> p.cx) AS cemb
-           |  FROM ct$m$i GROUP BY code)""".stripMargin
-      val perM = (0 until pqM).map { m =>
-        val vm = s"v$m"
-        val init =
-          s"""$vm AS (SELECT vec_id, ${sub("emb", m)} AS sub FROM e),
-             |cent${m}0 AS (
-             |  SELECT code, cemb FROM (
-             |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-             |             vec_id) - 1 AS code,
-             |           sub AS cemb
-             |    FROM $vm) t
-             |  WHERE code < $pqK)""".stripMargin
-        val iters = (0 until pqIters).map(i =>
-          asgn(s"am$m$i", vm, s"cent$m$i", keepDist = false) + ",\n" +
-            means(m, i)).mkString(",\n")
-        s"$init,\n$iters,\n" +
-          asgn(s"f$m", vm, s"cent$m$pqIters", keepDist = true)
-      }.mkString(",\n")
       val unions = (0 until pqM)
         .map(m => s"SELECT vec_id, $m AS m, code, cdist FROM f$m")
         .mkString("\nUNION ALL\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |$perM,
+      s"""WITH $pqTrainSql,
          |allc AS (
          |$unions),
          |g AS (SELECT vec_id,
@@ -534,6 +485,103 @@ object SimilarityQueries extends QueryModule {
           (floor((aggregate($"cs", lit(0.0), (acc, c) => acc + c("cdist"))
             / lit(64.0)) * 1000000 + 0.5) / 1000000).as("mse"))
         .orderBy($"vec_id")
+    },
+
+    // PQ asymmetric-distance search with exact re-rank (ADC — what the
+    // codes are FOR): per probe, precompute the 4×8 table of subspace
+    // distances to every centroid (tiny, broadcast), score the WHOLE
+    // corpus by code lookup (M table hits + a 4-element sorted fold per
+    // vector — the corpus-wide pass reads 4-byte codes, not 64-double
+    // embeddings: the 64× read-volume cut of the memory-bound ANN regime),
+    // take an ADC SHORTLIST of 50, then re-rank just the shortlist with
+    // the exact distance — the standard two-stage PQ recipe: on this
+    // fixture's isotropic vectors raw ADC rank is noise-limited (recall
+    // 0.06) while shortlist+re-rank recovers the true neighbours
+    // (SimilarityDedupSpec measures the recall floor). Oracle replays
+    // training + table + lookup + re-rank identically.
+    q("q104c_pq_ann", {
+      val distTable = (0 until pqM).map(m =>
+        s"""SELECT p.qid, $m AS m, c.code,
+           |       ${graft.api.Canon.Oracle.r6(
+          pqDistSql(pqSubSql("p.qemb", m), "c.cemb"))} AS pdist
+           |FROM probes p, cent$m$pqIters c""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      val codeUnions = (0 until pqM)
+        .map(m => s"SELECT vec_id, $m AS m, code FROM f$m")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $pqTrainSql,
+         |probes AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+         |dt AS (
+         |$distTable),
+         |codes AS (
+         |$codeUnions),
+         |scored AS (
+         |  SELECT d.qid, c.vec_id AS cid,
+         |         list_sort(list(struct_pack(m := d.m, pd := d.pdist))) AS ps
+         |  FROM codes c JOIN dt d ON d.m = c.m AND d.code = c.code
+         |  WHERE c.vec_id <> d.qid
+         |  GROUP BY d.qid, c.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid,
+         |         floor(list_reduce(list_transform(ps, x -> x.pd),
+         |                 (a, b) -> a + b) * 1000000 + 0.5) / 1000000 AS adist
+         |  FROM scored),
+         |shortlist AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |                              ORDER BY adist ASC, cid) AS rn
+         |    FROM ranked) t
+         |  WHERE rn <= 50),
+         |rescored AS (
+         |  SELECT s.qid, s.cid,
+         |         ${graft.api.Canon.Oracle.r6(pqDistSql("p.qemb", "c.emb"))} AS edist
+         |  FROM shortlist s
+         |  JOIN probes p ON p.qid = s.qid
+         |  JOIN e c ON c.vec_id = s.cid)
+         |SELECT qid, cid, edist FROM (
+         |  SELECT qid, cid, edist,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY edist ASC, cid) AS rn
+         |  FROM rescored) t
+         |WHERE rn <= 5
+         |ORDER BY qid, cid""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val slices = pqSlices(spark)
+      val books = (0 until pqM).map(m => pqCodebook(spark, m))
+      val codes = (0 until pqM).map { m =>
+        pqAssign(slices.filter($"m" === m).select($"vec_id", $"sub"), books(m))
+          .select($"vec_id", lit(m).as("m"), $"code")
+      }.reduce(_ unionAll _)
+      val probeSlices = slices.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"m", $"sub".as("qsub"))
+      val dt = (0 until pqM).map { m =>
+        probeSlices.filter($"m" === m)
+          .crossJoin(broadcast(books(m)))
+          .select($"qid", $"m", $"code",
+            graft.api.Canon.r6(pqDist($"qsub", $"cemb")).as("pdist"))
+      }.reduce(_ unionAll _)
+      val wa = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
+      val shortlist = codes.join(broadcast(dt), Seq("m", "code"))
+        .filter($"vec_id" =!= $"qid")
+        .groupBy($"qid", $"vec_id".as("cid"))
+        .agg(sort_array(collect_list(struct($"m", $"pdist".as("pd")))).as("ps"))
+        .select($"qid", $"cid",
+          (floor(aggregate($"ps", lit(0.0), (acc, x) =>
+            acc + x.getField("pd")) * 1000000 + 0.5) / 1000000).as("adist"))
+        .withColumn("rn", row_number().over(wa)).filter($"rn" <= 50)
+        .select($"qid", $"cid")
+      val e = embeddingsD(spark)
+      val we = Window.partitionBy($"qid").orderBy($"edist".asc, $"cid".asc)
+      shortlist
+        .join(e.select($"vec_id".as("qid"), $"emb".as("qemb")), "qid")
+        .join(e.select($"vec_id".as("cid"), $"emb".as("cemb")), "cid")
+        .select($"qid", $"cid",
+          graft.api.Canon.r6(pqDist($"qemb", $"cemb")).as("edist"))
+        .withColumn("rn", row_number().over(we)).filter($"rn" <= 5)
+        .select($"qid", $"cid", $"edist")
+        .orderBy($"qid", $"cid")
     })
 
   /** q82's candidate stage over any (vec_id, emb) corpus: banded sign-LSH
@@ -575,6 +623,64 @@ object SimilarityQueries extends QueryModule {
   /** Squared Euclidean via three bit-identical dot products. */
   private def pqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  private def pqSubSql(src: String, m: Int) =
+    s"$src[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+  private def pqDistSql(a: String, b: String) =
+    s"(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
+      s" + list_dot_product($b, $b))"
+
+  /** Oracle WITH-body replaying the full PQ training run: defines `e`
+    * (double vectors), per-subspace `v$m`, `cent$m$i` codebooks, and the
+    * final per-subspace assignments `f$m` (vec_id, sub, code, cdist) plus
+    * trained codebooks `cent$m$pqIters`. Shared by q104b/q104c. */
+  private def pqTrainSql: String = {
+    def asgn(name: String, vm: String, cent: String, keepDist: Boolean) = {
+      val cols = if (keepDist) "vec_id, sub, code, cdist"
+        else "vec_id, sub, code"
+      s"""$name AS (
+         |  SELECT $cols FROM (
+         |    SELECT v.vec_id, v.sub, c.code,
+         |           ${graft.api.Canon.Oracle.r6(pqDistSql("v.sub", "c.cemb"))} AS cdist,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${graft.api.Canon.Oracle.r6(pqDistSql("v.sub", "c.cemb"))} ASC,
+         |             c.code) AS rn
+         |    FROM $vm v, $cent c) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    def means(m: Int, i: Int) =
+      s"""ex$m$i AS (SELECT code, generate_subscripts(sub, 1) - 1 AS dim,
+         |             unnest(sub) AS x FROM am$m$i),
+         |cd$m$i AS (SELECT code, dim, list_sort(list(x)) AS xs
+         |          FROM ex$m$i GROUP BY code, dim),
+         |ct$m$i AS (SELECT code, dim,
+         |            list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
+         |          FROM cd$m$i),
+         |cent$m${i + 1} AS (
+         |  SELECT code, list_transform(
+         |           list_sort(list(struct_pack(dim := dim, cx := cx))),
+         |           p -> p.cx) AS cemb
+         |  FROM ct$m$i GROUP BY code)""".stripMargin
+    val perM = (0 until pqM).map { m =>
+      val vm = s"v$m"
+      val init =
+        s"""$vm AS (SELECT vec_id, ${pqSubSql("emb", m)} AS sub FROM e),
+           |cent${m}0 AS (
+           |  SELECT code, cemb FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |             vec_id) - 1 AS code,
+           |           sub AS cemb
+           |    FROM $vm) t
+           |  WHERE code < $pqK)""".stripMargin
+      val iters = (0 until pqIters).map(i =>
+        asgn(s"am$m$i", vm, s"cent$m$i", keepDist = false) + ",\n" +
+          means(m, i)).mkString(",\n")
+      s"$init,\n$iters,\n" +
+        asgn(s"f$m", vm, s"cent$m$pqIters", keepDist = true)
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |$perM""".stripMargin
+  }
 
   /** (vec_id, m, sub): the m-th 16-dim slice of every vector. */
   private def pqSlices(spark: SparkSession): DataFrame = {

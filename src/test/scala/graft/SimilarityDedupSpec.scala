@@ -155,6 +155,27 @@ class SimilarityDedupSpec extends SparkSpec {
     }
   }
 
+  test("PQ asymmetric-distance top-5 recalls a usable fraction of exact Euclidean") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val approx = queries("q104c_pq_ann")(spark, sf).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force exact Euclidean top-5 per probe on the tiny fixture
+    val vecs = spark.table("embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exact = vecs.keys.filter(_ < 10).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (d2(vecs(q), vecs(c)), c)).take(5).map(q -> _)
+    }.toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // 8 centroids × 4 subspaces is a coarse quantizer — the point is the
+    // bound is MEASURED, not assumed (q85's exact-recall pattern)
+    assert(recall >= 0.30, f"PQ ADC recall $recall%.2f below floor")
+    info(f"PQ shortlist+re-rank recall: $recall%.2f")
+  }
+
   test("PPJoin prefix filter is COMPLETE: equals brute-force Jaccard at τ") {
     // the prefix bound is a theorem — unlike LSH recall, equality must be
     // exact. Brute-force all distinct-token pairs on a subset and compare.
