@@ -470,13 +470,8 @@ object SimilarityQueries extends QueryModule {
          |FROM g ORDER BY vec_id""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val slices = pqSlices(spark)
-      val perM = (0 until pqM).map { m =>
-        pqAssign(slices.filter($"m" === m).select($"vec_id", $"sub"),
-            pqCodebook(spark, m))
-          .select($"vec_id", lit(m).as("m"), $"code", $"cdist")
-      }
-      perM.reduce(_ unionAll _)
+      pqAssignAll(pqSlices(spark), pqCodebooks(spark))
+        .select($"vec_id", $"m", $"code", $"cdist")
         .groupBy($"vec_id")
         .agg(array_sort(collect_list(struct($"m", $"code", $"cdist"))).as("cs"))
         .select($"vec_id",
@@ -549,19 +544,14 @@ object SimilarityQueries extends QueryModule {
     }) { spark =>
       import spark.implicits._
       val slices = pqSlices(spark)
-      val books = (0 until pqM).map(m => pqCodebook(spark, m))
-      val codes = (0 until pqM).map { m =>
-        pqAssign(slices.filter($"m" === m).select($"vec_id", $"sub"), books(m))
-          .select($"vec_id", lit(m).as("m"), $"code")
-      }.reduce(_ unionAll _)
-      val probeSlices = slices.filter($"vec_id" < 10)
+      val books = pqCodebooks(spark)
+      val codes = pqAssignAll(slices, books)
+        .select($"vec_id", $"m", $"code")
+      val dt = slices.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"m", $"sub".as("qsub"))
-      val dt = (0 until pqM).map { m =>
-        probeSlices.filter($"m" === m)
-          .crossJoin(broadcast(books(m)))
-          .select($"qid", $"m", $"code",
-            graft.api.Canon.r6(pqDist($"qsub", $"cemb")).as("pdist"))
-      }.reduce(_ unionAll _)
+        .join(broadcast(books), "m")
+        .select($"qid", $"m", $"code",
+          graft.api.Canon.r6(pqDist($"qsub", $"cemb")).as("pdist"))
       val wa = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
       val shortlist = codes.join(broadcast(dt), Seq("m", "code"))
         .filter($"vec_id" =!= $"qid")
@@ -692,40 +682,45 @@ object SimilarityQueries extends QueryModule {
         slice($"emb", $"m" * pqSub + 1, lit(pqSub)).as("sub"))
   }
 
-  /** Nearest-centroid assignment in one subspace, rank by (r6 distance,
-    * code) — the rounding keeps the rank identical cross-engine. */
-  private def pqAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+  /** Nearest-centroid assignment across ALL subspaces at once: vecs
+    * (vec_id, m, sub) join the (m, code, cemb) codebooks on m, rank by
+    * (r6 distance, code) within (m, vec_id) — the rounding keeps the rank
+    * identical cross-engine. */
+  private def pqAssignAll(vecs: DataFrame, cent: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"cdist".asc, $"code".asc)
-    vecs.crossJoin(broadcast(cent))
-      .select($"vec_id", $"sub", $"code",
+    val w = Window.partitionBy($"m", $"vec_id").orderBy($"cdist".asc, $"code".asc)
+    vecs.join(broadcast(cent), "m")
+      .select($"m", $"vec_id", $"sub", $"code",
         graft.api.Canon.r6(pqDist($"sub", $"cemb")).as("cdist"))
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"vec_id", $"sub", $"code", $"cdist")
+      .select($"m", $"vec_id", $"sub", $"code", $"cdist")
   }
 
-  /** Deterministic per-subspace codebook: init = first-K slices in
-    * md5(vec_id) order, then `pqIters` Lloyd rounds with sorted-fold means
-    * (the q83 training pattern, Euclidean instead of cosine). At 100 TB
-    * codebooks train on a sample; the quantization pass itself is one
-    * broadcast-join scan. */
-  private def pqCodebook(spark: SparkSession, m: Int): DataFrame = {
+  /** Deterministic codebooks for ALL subspaces trained jointly — one
+    * DataFrame keyed by m, so the 4 trainings share every job instead of
+    * running 4 serial loops (init = first-K slices per m in md5(vec_id)
+    * order; `pqIters` Lloyd rounds with sorted-fold means — the q83
+    * pattern, Euclidean instead of cosine). At 100 TB codebooks train on a
+    * sample; the quantization pass itself is one broadcast-join scan. */
+  private def pqCodebooks(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val vecs = pqSlices(spark).filter($"m" === m).select($"vec_id", $"sub")
+    val vecs = pqSlices(spark)
     var cent = vecs
       .withColumn("h", md5($"vec_id".cast("string").cast("binary")))
-      .withColumn("code", row_number().over(Window.orderBy($"h", $"vec_id")) - 1)
-      .filter($"code" < pqK).select($"code", $"sub".as("cemb"))
+      .withColumn("code", row_number().over(
+        Window.partitionBy($"m").orderBy($"h", $"vec_id")) - 1)
+      .filter($"code" < pqK).select($"m", $"code", $"sub".as("cemb"))
       .localCheckpoint()
     for (_ <- 1 to pqIters) {
-      cent = pqAssign(vecs, cent)
-        .select($"code", posexplode($"sub").as(Seq("dim", "x")))
-        .groupBy($"code", $"dim").agg(sort_array(collect_list($"x")).as("xs"))
-        .select($"code", $"dim",
+      cent = pqAssignAll(vecs, cent)
+        .select($"m", $"code", posexplode($"sub").as(Seq("dim", "x")))
+        .groupBy($"m", $"code", $"dim")
+        .agg(sort_array(collect_list($"x")).as("xs"))
+        .select($"m", $"code", $"dim",
           (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
-        .groupBy($"code")
+        .groupBy($"m", $"code")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("ps"))
-        .select($"code", transform($"ps", p => p("cx")).as("cemb"))
+        .select($"m", $"code", transform($"ps", p => p("cx")).as("cemb"))
         .localCheckpoint()
     }
     cent
