@@ -250,7 +250,7 @@ object AggregateQueries extends QueryModule {
     },
 
     // Approx percentile (Greenwald-Khanna sketch): non-exact → rows-only
-    // gate, same contract as q29; AggSketchSpec asserts the rank-error
+    // gate, same contract as q29; QueriesSmokeSpec asserts the rank-error
     // bound (approx value within the exact [φ−ε, φ+ε] quantile window,
     // ε = 1/accuracy). The sketch is the 100 TB path: one mergeable
     // fixed-size buffer per group with map-side combine, where q27's exact

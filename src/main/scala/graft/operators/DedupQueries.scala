@@ -248,7 +248,7 @@ object DedupQueries extends QueryModule {
     // prefix tokens only — rare tokens by construction, so bucket sizes stay
     // tiny and candidate volume is near-linear where all-pairs is quadratic.
     // Exact Jaccard then verifies candidates; unlike q73's LSH this misses
-    // NOTHING (the prefix bound is a theorem, not a probability) — PPJoinSpec
+    // NOTHING (the prefix bound is a theorem, not a probability) — SimilarityDedupSpec
     // asserts equality with brute force on a subset. Whole corpus, no sample
     // bound: the prefix filter IS the scale strategy.
     q("q110_ppjoin",

@@ -243,7 +243,7 @@ object ScaleQueries extends QueryModule {
     // UDF); the write is repartitionByRange + sortWithinPartitions on it.
     // Observable result = the box aggregate, identical on any layout (the
     // oracle replays it on the unclustered table); the skipping evidence —
-    // z-files intersecting the box ≪ linear files — is ScaleLayoutSpec's
+    // z-files intersecting the box ≪ linear files — is PlanSpec's
     // per-file min/max assertion.
     qDir("q107_zorder_layout",
       """SELECT l_returnflag, COUNT(*) AS n,
