@@ -270,6 +270,18 @@ class EngineSpec extends SparkSpec {
     assert(s.ping())
   }
 
+  test("EXPLAIN relays through the session and returns the plan text") {
+    val s = Engine.connect(spark, "prod", backends)
+    val plan = s.sql("EXPLAIN SELECT r_name FROM region WHERE r_regionkey = 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"), plan.take(200))
+    assert(plan.toLowerCase.contains("region"))
+    // EXPLAIN EXTENDED carries the analyzed/optimized sections too
+    val ext = s.sql("EXPLAIN EXTENDED SELECT COUNT(*) FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(ext.contains("== Optimized Logical Plan =="), ext.take(200))
+  }
+
   test("malformed CSV rows: DROPMALFORMED skips, PERMISSIVE surfaces them") {
     // ingest robustness — a 100 TB bulk load always contains broken lines;
     // the engine must be able to either drop or quarantine them without
