@@ -309,24 +309,31 @@ object TextQueries extends QueryModule {
          |FROM s GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { spark =>
       import spark.implicits._
+      // Explode a cheap INDEX sequence and build each shingle AFTER the
+      // Generate from the carried token array — exploding the shingle array
+      // itself makes InferFiltersFromGenerate push a filter containing the
+      // fully-inlined interpreted transform (with split() re-evaluated per
+      // element_at) into the scan: measured 4.5 s vs ~1 s at sf0.1 for the
+      // same 260k rows.
       val g = spark.table("documents")
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", transform(sequence(lit(1), size($"toks") - 2),
-          i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
-            element_at($"toks", i + 2))).as("gs"))
-        .select($"doc_id", size($"gs").as("cnt"),
-          posexplode($"gs").as(Seq("pos", "shingle")))
-        .select($"doc_id", $"pos", $"cnt",
-          md5($"shingle".cast(BinaryType)).as("h"))
+        .select($"doc_id", $"toks",
+          explode(sequence(lit(1), size($"toks") - 2)).as("i"))
+        .select($"doc_id", ($"i" - 1).as("pos"), (size($"toks") - 2).as("cnt"),
+          md5(concat_ws(" ", element_at($"toks", $"i"),
+            element_at($"toks", $"i" + 1), element_at($"toks", $"i" + 2))
+            .cast(BinaryType)).as("h"))
       val win = Window.partitionBy($"doc_id").orderBy($"pos")
         .rowsBetween(Window.currentRow, 3)
+      // collect_set folds the dedup into the groupBy, and the groupBy key
+      // equals the window's partition key, so the whole select-dedup-digest
+      // tail runs on ONE doc_id exchange
       g.withColumn("sel", min($"h").over(win))
         .filter($"pos" + 4 <= $"cnt")
-        .select($"doc_id", $"sel").distinct()
         .groupBy($"doc_id")
-        .agg(count(lit(1)).cast(LongType).as("n_fp"),
-          md5(concat_ws("", array_sort(collect_list($"sel")))
-            .cast(BinaryType)).as("fp"))
+        .agg(sort_array(collect_set($"sel")).as("sels"))
+        .select($"doc_id", size($"sels").cast(LongType).as("n_fp"),
+          md5(concat_ws("", $"sels").cast(BinaryType)).as("fp"))
         .orderBy($"doc_id")
     },
 
