@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -309,32 +310,54 @@ object TextQueries extends QueryModule {
          |FROM s GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { spark =>
       import spark.implicits._
-      // Explode a cheap INDEX sequence and build each shingle AFTER the
-      // Generate from the carried token array — exploding the shingle array
-      // itself makes InferFiltersFromGenerate push a filter containing the
-      // fully-inlined interpreted transform (with split() re-evaluated per
-      // element_at) into the scan: measured 4.5 s vs ~1 s at sf0.1 for the
-      // same 260k rows.
-      val g = spark.table("documents")
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", $"toks",
-          explode(sequence(lit(1), size($"toks") - 2)).as("i"))
-        .select($"doc_id", ($"i" - 1).as("pos"), (size($"toks") - 2).as("cnt"),
-          md5(concat_ws(" ", element_at($"toks", $"i"),
-            element_at($"toks", $"i" + 1), element_at($"toks", $"i" + 2))
-            .cast(BinaryType)).as("h"))
-      val win = Window.partitionBy($"doc_id").orderBy($"pos")
-        .rowsBetween(Window.currentRow, 3)
       // collect_set folds the dedup into the groupBy, and the groupBy key
-      // equals the window's partition key, so the whole select-dedup-digest
-      // tail runs on ONE doc_id exchange
-      g.withColumn("sel", min($"h").over(win))
-        .filter($"pos" + 4 <= $"cnt")
+      // equals the selection window's partition key, so the whole
+      // select-dedup-digest tail runs on ONE doc_id exchange
+      winnowedSelections(spark)
         .groupBy($"doc_id")
         .agg(sort_array(collect_set($"sel")).as("sels"))
         .select($"doc_id", size($"sels").cast(LongType).as("n_fp"),
           md5(concat_ws("", $"sels").cast(BinaryType)).as("fp"))
         .orderBy($"doc_id")
+    },
+
+    // MOSS match detection — what the winnowed fingerprints are FOR: two
+    // docs sharing selected fingerprints share a ≥ w+k−1-token span
+    // (winnowing's guarantee), so pairing on the fingerprint key finds
+    // plagiarism/reuse candidates with q92b's bucket-join shape — pair
+    // volume scales with actual sharing, never corpus². Emits pairs
+    // sharing ≥ 2 distinct fingerprints with the shared count.
+    q("q66c_winnowing_matches",
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         generate_subscripts(gs, 1) - 1 AS pos,
+         |         md5(unnest(gs)) AS h,
+         |         len(gs) AS cnt
+         |  FROM (SELECT doc_id,
+         |          list_transform(range(1, len($tokSql) - 1),
+         |            i -> $tokSql[i] || ' ' || $tokSql[i + 1] || ' ' ||
+         |                 $tokSql[i + 2]) AS gs
+         |        FROM documents) t),
+         |w AS (
+         |  SELECT doc_id, pos, cnt,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+         |  FROM g),
+         |s AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos + 4 <= cnt)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(COUNT(*) AS BIGINT) AS shared_fps
+         |FROM s a JOIN s b ON a.sel = b.sel AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val sels = winnowedSelections(spark).select($"doc_id", $"sel").distinct()
+      sels.as("a").join(sels.as("b"),
+          $"a.sel" === $"b.sel" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).cast(LongType).as("shared_fps"))
+        .filter($"shared_fps" >= 2)
+        .orderBy($"id_a", $"id_b")
     },
 
     // TF-IDF: the canonical corpus-weighting op. One token explode feeds
@@ -722,4 +745,31 @@ object TextQueries extends QueryModule {
         .select($"token", $"n_tok")
         .orderBy($"n_tok".desc, $"token")
     })
+
+  /** Winnowing selection stage shared by q66b/q66c: (doc_id, pos, sel)
+    * rows, one per valid w=4 window, BEFORE dedup (q66b dedupes inside its
+    * collect_set, q66c with a distinct ahead of the pair join).
+    *
+    * Explodes a cheap INDEX sequence and builds each shingle AFTER the
+    * Generate from the carried token array — exploding the shingle array
+    * itself makes InferFiltersFromGenerate push a filter containing the
+    * fully-inlined interpreted transform (with split() re-evaluated per
+    * element_at) into the scan: measured 4.5 s vs 0.34 s at sf0.1 for the
+    * same 260k rows. */
+  private def winnowedSelections(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val g = spark.table("documents")
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), size($"toks") - 2)).as("i"))
+      .select($"doc_id", ($"i" - 1).as("pos"), (size($"toks") - 2).as("cnt"),
+        md5(concat_ws(" ", element_at($"toks", $"i"),
+          element_at($"toks", $"i" + 1), element_at($"toks", $"i" + 2))
+          .cast(BinaryType)).as("h"))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, 3)
+    g.withColumn("sel", min($"h").over(win))
+      .filter($"pos" + 4 <= $"cnt")
+      .select($"doc_id", $"pos", $"sel")
+  }
 }
