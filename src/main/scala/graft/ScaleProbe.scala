@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupQueries, SimilarityQueries}
+import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
 
 /** Candidate-volume scale probe: the empirical backing for §2C's "candidate
   * pairs grow near-linearly" claims. Generates deterministic synthetic
@@ -14,6 +14,8 @@ import graft.operators.{DedupQueries, SimilarityQueries}
   *   - SimHash band pairs (q78 path, salted, 16-bit buckets)
   *   - banded sign-LSH ANN candidates (q82 path, multiprobe)
   *   - PPJoin prefix-filter candidates (q110 path, τ = 0.6, exact)
+  *   - containment intersecting pairs (q71c path, df-capped, τ = 0)
+  *   - winnowed MOSS match pairs (q66c path, df-capped)
   *
   * A quadratic path would grow candidates ~size²; the probe prints the
   * measured growth factor next to the size ratio so one committed JSON line
@@ -76,7 +78,11 @@ object ScaleProbe {
           DedupQueries.defaultBucketCap).count(),
         "ppjoin" -> DedupQueries.ppjoinCandidates(
           DedupQueries.ppjoinTokens(docs), 0.6).count(),
-        "ann" -> SimilarityQueries.annCandidatesOf(synthEmbeddings(spark, n)).count())
+        "ann" -> SimilarityQueries.annCandidatesOf(synthEmbeddings(spark, n)).count(),
+        "containment" -> DedupQueries.containmentPairs(docs,
+          DedupQueries.hotShingleDfCap, 0.0).count(),
+        "winnow" -> TextQueries.winnowedMatches(docs,
+          TextQueries.matchDfCap).count())
       finally docs.unpersist()
     }
 
@@ -84,7 +90,8 @@ object ScaleProbe {
     val lo = results(sizes.head)
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
-    val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann")
+    val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
+      "containment", "winnow")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

@@ -51,6 +51,16 @@ object Canon {
   /** Free-double round to 6 decimals, same IEEE-floor pattern. */
   def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
 
+  /** Ascending 1..n index sequence, EMPTY when n < 1 — matching the DuckDB
+    * oracles' range(1, n+1) semantics. Spark's `sequence` DESCENDS when
+    * end < start ([1, 0] for n = 0), so the unguarded spelling feeds
+    * element_at(toks, 0) — an ANSI runtime error — for any document shorter
+    * than the n-gram width, where the oracle's range() just yields no rows
+    * (ADVICE r05). */
+  def seq1(n: Column): Column =
+    when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+
   /** Oracle-side (DuckDB) spellings of the same canonicalizations. */
   object Oracle {
     def sum4(x: String): String =

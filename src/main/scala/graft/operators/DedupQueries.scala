@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.api.{GraftQuery, QueryModule}
+import graft.api.{Canon, GraftQuery, QueryModule}
 
 /** Deduplication surface over `documents` (SURVEY.md §2C): exact hash dedup,
   * exact shingle-Jaccard (the verification baseline), deterministic MinHash
@@ -37,7 +37,7 @@ object DedupQueries extends QueryModule {
     * here would re-evaluate it once per appearance inside the interpreted
     * HOF lambda — no common-subexpression elimination outside codegen. */
   private def shingles(toks: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(toks) - 2),
+    array_distinct(transform(Canon.seq1(size(toks) - 2),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
         element_at(toks, i + 2))))
 
@@ -94,6 +94,18 @@ object DedupQueries extends QueryModule {
     * degenerate shingle bucket that would otherwise make the in-bucket
     * product quadratic on a single key at 100 TB (VERDICT r02 §wrong-3). */
   private[graft] val defaultBucketCap = 256
+
+  /** Document-frequency cap for raw-shingle pair enumerations (q71c): a
+    * 3-shingle present in more than this many documents is corpus
+    * boilerplate (the C4 class q103 measures) and is dropped BEFORE the
+    * per-shingle self-join on both engines. This bounds every join bucket
+    * at `dfCap` members — a shared page header in 10⁵ docs otherwise makes
+    * one key's in-bucket product quadratic at 100 TB (VERDICT r05 §wrong-1).
+    * Fixture liveness mirrors q78's salt cap: max shingle df is 7 at
+    * sf0.01 (guard is a no-op, oracle trivially agrees) and 25 at sf0.1
+    * (669 hot shingle keys genuinely dropped — the oracle replays the same
+    * HAVING threshold, so the guarded result is still hash-checked). */
+  private[graft] val hotShingleDfCap = 16
 
   /** In-bucket pair enumeration with deterministic overflow salting: rank
     * members within each (band, bh) bucket by id, salt = rank/cap, and
@@ -175,7 +187,7 @@ object DedupQueries extends QueryModule {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id_a, id_b,
-         |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         |  ${Canon.Oracle.r4("CAST(i AS DOUBLE) / (sa.n + sb.n - i)")} AS jaccard
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
@@ -196,7 +208,7 @@ object DedupQueries extends QueryModule {
         .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
         .join(sizes.as("sb"), $"sb.doc_id" === $"id_b")
         .filter(jac >= 0.01)
-        .select($"id_a", $"id_b", round(jac, 4).as("jaccard"))
+        .select($"id_a", $"id_b", Canon.r4(jac).as("jaccard"))
         .orderBy($"id_a", $"id_b")
     },
 
@@ -204,40 +216,34 @@ object DedupQueries extends QueryModule {
     // containment(A→B) = |A∩B| / |A| finds docs mostly CONTAINED in another
     // (quotes, excerpts, page-of-a-book) that symmetric similarity misses
     // when the container is much larger. Both directions of each
-    // intersecting pair, exact, whole corpus — shingle buckets keep the
-    // pair enumeration near-linear exactly as in q110's verify stage (the
-    // scale path would additionally cap per-shingle buckets à la
-    // saltedBucketPairs).
+    // intersecting pair, whole corpus. Shingles with document frequency
+    // above [[hotShingleDfCap]] are boilerplate and are dropped BEFORE the
+    // per-shingle self-join on BOTH engines (containment is then measured
+    // over each doc's discriminative shingle set) — the degenerate-bucket
+    // guard that keeps one shared header line from making a single join
+    // key quadratic at 100 TB. The hot set is Zipf-small → broadcast
+    // anti-join, no extra shuffle on the corpus side.
     q("q71c_containment",
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($shingleSql) AS shingle
          |  FROM documents),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |hot AS (SELECT shingle FROM sh
+         |        GROUP BY shingle HAVING COUNT(*) > $hotShingleDfCap),
+         |shf AS (SELECT doc_id, shingle FROM sh
+         |        WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-         |                     AND a.doc_id <> b.doc_id
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle
+         |                       AND a.doc_id <> b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id_a, id_b,
-         |  ROUND(CAST(i AS DOUBLE) / sa.n, 4) AS containment
+         |  ${Canon.Oracle.r4("CAST(i AS DOUBLE) / sa.n")} AS containment
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = id_a
          |WHERE CAST(i AS DOUBLE) / sa.n >= 0.7
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
-      import spark.implicits._
-      val sh = spark.table("documents")
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val cont = $"i".cast(DoubleType) / $"sa.n".cast(DoubleType)
-      sh.as("a").join(sh.as("b"),
-          $"a.shingle" === $"b.shingle" && $"a.doc_id" =!= $"b.doc_id")
-        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-        .agg(count(lit(1)).as("i"))
-        .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
-        .filter(cont >= 0.7)
-        .select($"id_a", $"id_b", round(cont, 4).as("containment"))
-        .orderBy($"id_a", $"id_b")
+      containmentPairs(spark.table("documents"), hotShingleDfCap, 0.7)
     },
 
     // Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs family,
@@ -276,7 +282,7 @@ object DedupQueries extends QueryModule {
          |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
          |  GROUP BY c.id_a, c.id_b)
          |SELECT id_a, id_b,
-         |  ROUND(CAST(i AS DOUBLE) / (sa.m + sb.m - i), 4) AS jaccard
+         |  ${Canon.Oracle.r4("CAST(i AS DOUBLE) / (sa.m + sb.m - i)")} AS jaccard
          |FROM inter
          |JOIN sz sa ON sa.doc_id = id_a
          |JOIN sz sb ON sb.doc_id = id_b
@@ -819,7 +825,37 @@ object DedupQueries extends QueryModule {
       .join(sz.as("sa"), $"sa.doc_id" === $"id_a")
       .join(sz.as("sb"), $"sb.doc_id" === $"id_b")
       .filter(jac >= tau)
-      .select($"id_a", $"id_b", round(jac, 4).as("jaccard"))
+      // free-double ratio → IEEE floor-round, not ROUND (half-boundary
+      // divergence class, CLAUDE.md invariant / ADVICE r05)
+      .select($"id_a", $"id_b", Canon.r4(jac).as("jaccard"))
+  }
+
+  /** Containment pairs over df-capped 3-shingle sets (q71c; exposed
+    * private[graft] so DedupSpec can drive a degenerate boilerplate corpus
+    * through the guard and ScaleProbe can measure candidate growth).
+    * Shingles with document frequency > `dfCap` are removed on the rarely-hit
+    * hot path (broadcast anti-join of the Zipf-small hot set) before the
+    * per-shingle self-join, so every join bucket holds ≤ dfCap members and
+    * pair enumeration stays near-linear in corpus size. */
+  private[graft] def containmentPairs(docs: DataFrame, dfCap: Int,
+      tau: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = docs
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+    val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"shingle")
+    val shf = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val cont = $"i".cast(DoubleType) / $"sa.n".cast(DoubleType)
+    shf.as("a").join(shf.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
+      .filter(cont >= tau)
+      .select($"id_a", $"id_b", Canon.r4(cont).as("containment"))
+      .orderBy($"id_a", $"id_b")
   }
 
   /** Distinct (doc_id, 3-shingle) rows, materialized once (q110 reuses it

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.api.{GraftQuery, QueryModule}
+import graft.api.{Canon, GraftQuery, QueryModule}
 
 /** Text-analysis surface over the `documents` fixture (SURVEY.md §2C):
   * tokenization/normalization, term/document frequencies, n-gram counts,
@@ -76,7 +76,7 @@ object TextQueries extends QueryModule {
       // so inlining split() here would re-evaluate it per reference
       spark.table("documents")
         .select(split(lower($"text"), " ").as("toks"))
-        .select(explode(transform(sequence(lit(1), size($"toks") - 1),
+        .select(explode(transform(Canon.seq1(size($"toks") - 1),
           i => concat(element_at($"toks", i), lit(" "), element_at($"toks", i + 1))))
           .as("bigram"))
         .groupBy($"bigram").agg(count(lit(1)).as("n"))
@@ -198,7 +198,7 @@ object TextQueries extends QueryModule {
       import spark.implicits._
       val cnt = spark.table("documents")
         .select($"doc_id", $"text",
-          explode(sequence(lit(1), length($"text"))).as("i"))
+          explode(Canon.seq1(length($"text"))).as("i"))
         .select($"doc_id", substring($"text", $"i", lit(1)).as("ch"))
         .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
       val tot = cnt.groupBy($"doc_id").agg(sum($"c").as("n"))
@@ -325,8 +325,14 @@ object TextQueries extends QueryModule {
     // docs sharing selected fingerprints share a ≥ w+k−1-token span
     // (winnowing's guarantee), so pairing on the fingerprint key finds
     // plagiarism/reuse candidates with q92b's bucket-join shape — pair
-    // volume scales with actual sharing, never corpus². Emits pairs
-    // sharing ≥ 2 distinct fingerprints with the shared count.
+    // volume scales with actual sharing, never corpus². Fingerprints
+    // selected by more than [[matchDfCap]] documents are boilerplate (min
+    // selection makes shared boilerplate MORE likely to win windows, so hot
+    // keys are winnowing's native degenerate-bucket risk) and are dropped
+    // before the self-join on BOTH engines — each join bucket then holds
+    // ≤ cap members. No-op at sf0.01 (max fingerprint df 7), genuinely
+    // truncating at sf0.1 (80 keys > 16), oracle replays the threshold.
+    // Emits pairs sharing ≥ 2 surviving fingerprints with the shared count.
     q("q66c_winnowing_matches",
       s"""WITH g AS (
          |  SELECT doc_id,
@@ -343,21 +349,17 @@ object TextQueries extends QueryModule {
          |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
          |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
          |  FROM g),
-         |s AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos + 4 <= cnt)
+         |s AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos + 4 <= cnt),
+         |hot AS (SELECT sel FROM s GROUP BY sel HAVING COUNT(*) > $matchDfCap),
+         |sf AS (SELECT doc_id, sel FROM s
+         |       WHERE sel NOT IN (SELECT sel FROM hot))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(COUNT(*) AS BIGINT) AS shared_fps
-         |FROM s a JOIN s b ON a.sel = b.sel AND a.doc_id < b.doc_id
+         |FROM sf a JOIN sf b ON a.sel = b.sel AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |HAVING COUNT(*) >= 2
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
-      import spark.implicits._
-      val sels = winnowedSelections(spark).select($"doc_id", $"sel").distinct()
-      sels.as("a").join(sels.as("b"),
-          $"a.sel" === $"b.sel" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-        .agg(count(lit(1)).cast(LongType).as("shared_fps"))
-        .filter($"shared_fps" >= 2)
-        .orderBy($"id_a", $"id_b")
+      winnowedMatches(spark.table("documents"), matchDfCap)
     },
 
     // TF-IDF: the canonical corpus-weighting op. One token explode feeds
@@ -551,7 +553,7 @@ object TextQueries extends QueryModule {
       val sh = spark.table("documents")
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", explode(array_distinct(transform(
-          sequence(lit(1), size($"toks") - 2),
+          Canon.seq1(size($"toks") - 2),
           i => concat_ws(" ", element_at($"toks", i),
             element_at($"toks", i + 1), element_at($"toks", i + 2))))).as("s"))
       val boiler = sh.groupBy($"s")
@@ -655,7 +657,7 @@ object TextQueries extends QueryModule {
       val bg = spark.table("documents")
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", explode(transform(
-          sequence(lit(1), size($"toks") - 1),
+          Canon.seq1(size($"toks") - 1),
           i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
           .as("bigram"))
       val c12 = bg.groupBy($"bigram").agg(count(lit(1)).as("n12"))
@@ -756,12 +758,15 @@ object TextQueries extends QueryModule {
     * fully-inlined interpreted transform (with split() re-evaluated per
     * element_at) into the scan: measured 4.5 s vs 0.34 s at sf0.1 for the
     * same 260k rows. */
-  private def winnowedSelections(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val g = spark.table("documents")
+  private def winnowedSelections(spark: SparkSession): DataFrame =
+    winnowedSelectionsOf(spark.table("documents"))
+
+  private[graft] def winnowedSelectionsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = docs
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id", $"toks",
-        explode(sequence(lit(1), size($"toks") - 2)).as("i"))
+        explode(Canon.seq1(size($"toks") - 2)).as("i"))
       .select($"doc_id", ($"i" - 1).as("pos"), (size($"toks") - 2).as("cnt"),
         md5(concat_ws(" ", element_at($"toks", $"i"),
           element_at($"toks", $"i" + 1), element_at($"toks", $"i" + 2))
@@ -771,5 +776,32 @@ object TextQueries extends QueryModule {
     g.withColumn("sel", min($"h").over(win))
       .filter($"pos" + 4 <= $"cnt")
       .select($"doc_id", $"pos", $"sel")
+  }
+
+  /** Document-frequency cap for the MOSS match stage (q66c): a winnowed
+    * fingerprint selected by more than this many documents is boilerplate
+    * and is dropped before the pair join — same degenerate-bucket class as
+    * DedupQueries.hotShingleDfCap, and winnowing AMPLIFIES it (a shared
+    * boilerplate span's minimum hash wins its window in every doc that
+    * contains it). */
+  private[graft] val matchDfCap = 16
+
+  /** MOSS match pairs over df-capped winnowed fingerprints (q66c; exposed
+    * private[graft] for DedupSpec's degenerate-corpus case and ScaleProbe's
+    * candidate-growth measurement). The hot set is Zipf-small → broadcast
+    * anti-join; every surviving fingerprint bucket holds ≤ dfCap docs, so
+    * pair volume is ≤ df·cap/2 per key — linear in corpus at fixed cap. */
+  private[graft] def winnowedMatches(docs: DataFrame, dfCap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sels = winnowedSelectionsOf(docs).select($"doc_id", $"sel").distinct()
+    val hot = sels.groupBy($"sel").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"sel")
+    val sf = sels.join(broadcast(hot), Seq("sel"), "left_anti")
+    sf.as("a").join(sf.as("b"),
+        $"a.sel" === $"b.sel" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).cast(LongType).as("shared_fps"))
+      .filter($"shared_fps" >= 2)
+      .orderBy($"id_a", $"id_b")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.DedupQueries
+import graft.operators.{DedupQueries, TextQueries}
 
 /** Hot-bucket guard behavior (DedupQueries.saltedBucketPairs): the fixture's
   * LSH buckets never exceed 4 members, so these cases build SYNTHETIC
@@ -127,6 +127,65 @@ class DedupSpec extends SparkSpec {
     val expected = Map(3L -> 3L, 7L -> 3L, 11L -> 3L, 2L -> 2L, 10L -> 2L,
       4L -> 2L) ++ Seq(1L, 5L, 6L, 8L, 9L, 12L).map(i => i -> i)
     assert(got == expected)
+  }
+
+  /** Boilerplate corpus for the df-cap guards: every doc opens with the same
+    * 16-word header (hot shingles/fingerprints, df = n ≫ cap) followed by
+    * doc-unique words; doc 1 is fully contained in doc 0 (same header +
+    * unique span, doc 0 carries extra trailing words). */
+  private def boilerplateDocs(n: Int): DataFrame = {
+    import spark.implicits._
+    val header = (1 to 16).map(i => s"h$i").mkString(" ")
+    (0 until n).map { i =>
+      val unique =
+        if (i == 0) (1 to 12).map(j => s"share$j").mkString(" ") + " x1 x2 x3 x4"
+        else if (i == 1) (1 to 12).map(j => s"share$j").mkString(" ")
+        else (1 to 12).map(j => s"u${i}w$j").mkString(" ")
+      (i.toLong, s"$header $unique")
+    }.toDF("doc_id", "text")
+  }
+
+  test("containment df-cap: hot boilerplate shingles can't explode the join") {
+    val docs = boilerplateDocs(100)
+    val cap = DedupQueries.hotShingleDfCap
+    // candidate volume (tau = 0 keeps every intersecting pair): the header
+    // shingles alone would make ALL 100·99 ordered pairs intersect; with the
+    // hot set dropped, only genuinely-shared rare shingles pair up
+    val cands = DedupQueries.containmentPairs(docs, cap, 0.0).count()
+    val uncapped = DedupQueries.containmentPairs(docs, 101, 0.0).count()
+    assert(uncapped == 100L * 99, "header makes every ordered pair intersect")
+    assert(cands < 50, s"guarded candidates must stay near-planted, got $cands")
+    // the planted containment survives the guard: doc 1's surviving shingle
+    // set is entirely inside doc 0's
+    val found = DedupQueries.containmentPairs(docs, cap, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 0L)), s"planted pair lost, got $found")
+  }
+
+  test("winnowing match df-cap: hot fingerprints dropped, planted match kept") {
+    val docs = boilerplateDocs(100)
+    val cap = TextQueries.matchDfCap
+    val got = TextQueries.winnowedMatches(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate-only pairs (any pair among docs 2..99) share ONLY hot
+    // fingerprints → no match rows; the planted shared span still matches
+    assert(got == Set((0L, 1L)), s"expected only the planted pair, got $got")
+    val uncapped = TextQueries.winnowedMatches(docs, 101).count()
+    assert(uncapped > 1000, "without the cap the boilerplate pairs all match")
+  }
+
+  test("seq1 n-gram guard: sub-width docs yield no rows instead of throwing") {
+    import spark.implicits._
+    // 1- and 2-token docs make sequence(1, size-2) DESCEND ([1, 0]) without
+    // the guard → element_at(toks, 0) ANSI error (ADVICE r05); the oracle's
+    // range() yields no rows, so the guarded Spark side must agree
+    val docs = Seq((0L, "only"), (1L, "two words"),
+      (2L, "a full three word document here")).toDF("doc_id", "text")
+    val conts = DedupQueries.containmentPairs(docs, 16, 0.0).count()
+    assert(conts == 0)
+    val sels = TextQueries.winnowedSelectionsOf(docs)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sels == Set(2L), "short docs drop out; the 7-token doc winnows")
   }
 
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
