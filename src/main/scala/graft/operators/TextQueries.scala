@@ -461,7 +461,11 @@ object TextQueries extends QueryModule {
     // Sequence packing: next-fit pack documents into 4096-token context
     // bins per language (bin = floor(running-start / 4096) over a
     // deterministic doc order) — the batch-shaping op a training pipeline
-    // runs last. One window + one groupBy, both keyed on lang.
+    // runs last. The oracle keeps the one-window SQL spelling; the Spark
+    // side computes the identical prefix sum with the TWO-PHASE shape (see
+    // [[packBins]]) because PARTITION BY lang alone is one task per
+    // language — with ~3 languages that is 3 tasks total no matter how big
+    // the corpus (VERDICT r05 §wrong-3).
     q("q59f_pack_bins",
       s"""WITH t AS (SELECT doc_id, lang, len($tokSql) AS toks FROM documents),
          |c AS (SELECT doc_id, lang, toks,
@@ -475,21 +479,7 @@ object TextQueries extends QueryModule {
          |FROM c
          |GROUP BY lang, bin
          |ORDER BY lang, bin""".stripMargin) { spark =>
-      import spark.implicits._
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spark.table("documents")
-        .select($"doc_id", $"lang",
-          size(split(lower($"text"), " ")).as("toks"))
-        .withColumn("cum", sum($"toks").over(w))
-        .select($"lang",
-          floor(($"cum" - $"toks").cast(DoubleType) / 4096.0)
-            .cast(IntegerType).as("bin"),
-          $"toks")
-        .groupBy($"lang", $"bin")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"toks").cast(LongType).as("bin_tokens"))
-        .orderBy($"lang", $"bin")
+      packBins(spark.table("documents"))
     },
 
     // Lexicon sentiment (PAPERS.md, EDBT 2016 pattern): tokens × constant
@@ -776,6 +766,43 @@ object TextQueries extends QueryModule {
     g.withColumn("sel", min($"h").over(win))
       .filter($"pos" + 4 <= $"cnt")
       .select($"doc_id", $"pos", $"sel")
+  }
+
+  /** Scale-safe per-language sequence packing (q59f): a distributed prefix
+    * sum in two phases instead of one `PARTITION BY lang` window (whose
+    * parallelism equals the number of languages — ~3 tasks at any corpus
+    * size). Phase 1: chunk each language by doc_id range (chunk =
+    * doc_id / chunkW, monotone in the pack order) and run the running sum
+    * inside each ≤chunkW-row (lang, chunk) window — parallelism now scales
+    * with corpus / chunkW. Phase 2: per-chunk token totals (a groupBy that
+    * reuses phase 1's (lang, chunk) partitioning) are prefix-summed into
+    * exclusive offsets — a window over only n/chunkW metadata rows — and
+    * broadcast-joined back; global cum = chunk offset + local cum, provably
+    * equal to the single-window formulation because chunk order extends
+    * doc_id order. The oracle keeps the window spelling: same bins. */
+  private[graft] def packBins(docs: DataFrame, binSize: Int = 4096,
+      chunkW: Int = 512): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = docs.select($"doc_id", $"lang",
+      size(split(lower($"text"), " ")).as("toks"),
+      floor($"doc_id" / chunkW).as("chunk"))
+    val local = Window.partitionBy($"lang", $"chunk").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prior = Window.partitionBy($"lang").orderBy($"chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy($"lang", $"chunk").agg(sum($"toks").as("ctot"))
+      .withColumn("off", coalesce(sum($"ctot").over(prior), lit(0L)))
+      .select($"lang", $"chunk", $"off")
+    t.withColumn("lcum", sum($"toks").over(local))
+      .join(broadcast(offsets), Seq("lang", "chunk"))
+      .select($"lang",
+        floor(($"off" + $"lcum" - $"toks").cast(DoubleType) / binSize)
+          .cast(IntegerType).as("bin"),
+        $"toks")
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").cast(LongType).as("bin_tokens"))
+      .orderBy($"lang", $"bin")
   }
 
   /** Document-frequency cap for the MOSS match stage (q66c): a winnowed

@@ -111,6 +111,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pack-bins prefix sum never windows the corpus by language alone") {
+    Tables.register(spark, sf)
+    val df = SparkEntry.queries("q59f_pack_bins")(spark, sf)
+    val plan = planOf(df)
+    // the degenerate shape is PARTITION BY lang ORDER BY doc_id over the
+    // full corpus — one task per language at any scale; the two-phase
+    // rewrite must window on (lang, chunk) instead, and the only
+    // lang-partitioned window (chunk-offset prefix) runs over the n/chunkW
+    // aggregated metadata rows, ordered by chunk
+    assert(!plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, doc_id#.*"),
+      plan)
+    assert(plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, chunk#.*"),
+      plan)
+  }
+
   test("repartitionByRange writes non-overlapping sorted file ranges") {
     import spark.implicits._
     // the time-series layout: range-partition + sort-within gives parquet
