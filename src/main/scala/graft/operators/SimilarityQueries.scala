@@ -353,7 +353,8 @@ object SimilarityQueries extends QueryModule {
          |  SELECT cl, cemb FROM (
          |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
          |           emb AS cemb
-         |    FROM e) t
+         |    FROM e
+         |    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '$initSampleLt') t
          |  WHERE cl < $ivfK),
          |$iterCtes,
          |${asgnSql("lists", s"cent$ivfIters")},
@@ -600,6 +601,15 @@ object SimilarityQueries extends QueryModule {
   private[graft] val ivfK = 10
   private[graft] val ivfIters = 3
 
+  /** k-means init pre-sample bound: only vectors whose md5 hex prefix is
+    * below this enter the init ranking window (~4/16 of the corpus here —
+    * the init only needs k rows, so at 100 TB you lengthen the compared
+    * prefix until the rank window sees O(k·10³) rows instead of the whole
+    * corpus; the training loop itself is already scan + broadcast).
+    * q59c's reproducible-sampling idiom, spelled identically in the
+    * oracles, so the sampled init stays fully hash-checked. */
+  private val initSampleLt = "4"
+
   /** One Lloyd assignment pass: nearest centroid per vector by IEEE-floor-
     * rounded cosine (Canon.r6), centroid-id tiebreak → (vec_id, emb, cl).
     * One corpus scan against the broadcast centroid table; the row_number
@@ -660,7 +670,8 @@ object SimilarityQueries extends QueryModule {
            |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
            |             vec_id) - 1 AS code,
            |           sub AS cemb
-           |    FROM $vm) t
+           |    FROM $vm
+           |    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '$initSampleLt') t
            |  WHERE code < $pqK)""".stripMargin
       val iters = (0 until pqIters).map(i =>
         asgn(s"am$m$i", vm, s"cent$m$i", keepDist = false) + ",\n" +
@@ -699,14 +710,16 @@ object SimilarityQueries extends QueryModule {
   /** Deterministic codebooks for ALL subspaces trained jointly — one
     * DataFrame keyed by m, so the 4 trainings share every job instead of
     * running 4 serial loops (init = first-K slices per m in md5(vec_id)
-    * order; `pqIters` Lloyd rounds with sorted-fold means — the q83
-    * pattern, Euclidean instead of cosine). At 100 TB codebooks train on a
-    * sample; the quantization pass itself is one broadcast-join scan. */
+    * order over the [[initSampleLt]] hash pre-sample, so the per-subspace
+    * rank window sees a bounded sample, never the corpus; `pqIters` Lloyd
+    * rounds with sorted-fold means — the q83 pattern, Euclidean instead of
+    * cosine). The quantization pass itself is one broadcast-join scan. */
   private def pqCodebooks(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val vecs = pqSlices(spark)
     var cent = vecs
       .withColumn("h", md5($"vec_id".cast("string").cast("binary")))
+      .filter(substring($"h", 1, 1) < initSampleLt)
       .withColumn("code", row_number().over(
         Window.partitionBy($"m").orderBy($"h", $"vec_id")) - 1)
       .filter($"code" < pqK).select($"m", $"code", $"sub".as("cemb"))
@@ -736,15 +749,17 @@ object SimilarityQueries extends QueryModule {
       .select($"vec_id", $"emb", $"cl")
   }
 
-  /** Deterministic k-means centroids (cl, cemb): md5-order init + ivfIters
-    * Lloyd rounds with sorted-fold means. The init's global row_number is a
-    * one-reducer window over the CORPUS at fixture scale — at 100 TB you'd
-    * rank a hash-sample instead (the init only needs k rows); the training
-    * loop itself is scan + broadcast + k×d-row shuffles, scale-clean. */
+  /** Deterministic k-means centroids (cl, cemb): md5-order init over the
+    * [[initSampleLt]] hash pre-sample + ivfIters Lloyd rounds with
+    * sorted-fold means. The init's global row_number window now ranks only
+    * the deterministic sample (the init needs just k rows — tune the
+    * sample bound, not the window, as the corpus grows); the training loop
+    * is scan + broadcast + k×d-row shuffles, scale-clean. */
   private[graft] def ivfCentroids(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val init = embeddingsD(spark)
       .withColumn("h", md5($"vec_id".cast("string").cast("binary")))
+      .filter(substring($"h", 1, 1) < initSampleLt)
       .withColumn("cl", row_number().over(Window.orderBy($"h", $"vec_id")) - 1)
       .filter($"cl" < ivfK).select($"cl", $"emb".as("cemb"))
     var cent = init.localCheckpoint()
