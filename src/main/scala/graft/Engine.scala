@@ -51,6 +51,21 @@ object Engine {
     "interactive_timeout" -> "28800",
     "transaction_isolation" -> "REPEATABLE-READ")
 
+  /** Map a MySQL collation name (the id↔name tables at
+    * /root/reference/mysql/constants.go:77-298, :301-522) onto the Spark 4
+    * collation with the same comparison semantics. MySQL's naming is
+    * suffix-conventional: `_bin` and `_cs`-accented collations compare
+    * case-sensitively → UTF8_BINARY (the engine's pinned default, matching
+    * the reference's utf8mb4_bin at constants.go:6); every `_ci` collation
+    * (general_ci, unicode_ci, 0900_ai_ci, …) compares case-insensitively →
+    * UTF8_LCASE, Spark's native lowercase collation. */
+  private[graft] def sparkCollation(mysqlCollation: String): String = {
+    val c = mysqlCollation.toLowerCase
+    if (c == "binary" || c.endsWith("_bin") || c.endsWith("_cs")) "UTF8_BINARY"
+    else if (c.endsWith("_ci")) "UTF8_LCASE"
+    else "UTF8_BINARY"
+  }
+
   /** Build the shared SparkSession with the engine's pinned defaults: UTC
     * session time zone + binary (codepoint) string comparison, matching the
     * reference's utf8mb4_bin default collation
@@ -94,6 +109,13 @@ object Engine {
 
     /** Current value of a system variable, if set (test/introspection hook). */
     def variable(name: String): Option[String] = sysVars.get(name.toLowerCase)
+
+    /** The Spark collation this session's MySQL `collation_connection` maps
+      * onto — what a caller passes to `COLLATE`/`functions.collate` to get
+      * the client's comparison semantics (see [[Engine.sparkCollation]]). */
+    def sparkCollation: String =
+      Engine.sparkCollation(sysVars.getOrElse("collation_connection",
+        "utf8mb4_bin"))
 
     /** COM_PING analog (/root/reference/mysql/constants.go command bytes are
       * relayed opaquely): liveness of the routed backend. */
@@ -293,7 +315,7 @@ object Engine {
   // ---- MySQL session-variable surface ------------------------------------
 
   private val setNamesRe =
-    """(?is)^\s*SET\s+NAMES\s+['"`]?([A-Za-z0-9_]+)['"`]?(?:\s+COLLATE\s+['"`]?[A-Za-z0-9_]+['"`]?)?\s*;?\s*$""".r
+    """(?is)^\s*SET\s+NAMES\s+['"`]?([A-Za-z0-9_]+)['"`]?(?:\s+COLLATE\s+['"`]?([A-Za-z0-9_]+)['"`]?)?\s*;?\s*$""".r
   private val showVarsRe =
     """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val setStmtRe = """(?is)^\s*SET\s+(.+?)\s*;?\s*$""".r
@@ -375,9 +397,15 @@ object Engine {
             s"Unknown prepared statement handler ($name) given to " +
               "DEALLOCATE PREPARE")
         Some(s.spark.emptyDataFrame)
-      case setNamesRe(cs) =>
+      case setNamesRe(cs, coll) =>
         Seq("character_set_client", "character_set_connection",
           "character_set_results").foreach(s.setSysVar(_, cs))
+        // SET NAMES resets the connection collation: the explicit COLLATE
+        // clause if present, else the engine's utf8mb4_bin default
+        // (/root/reference/mysql/constants.go:6); the id↔name tables at
+        // constants.go:77-522 are what clients name collations from
+        s.setSysVar("collation_connection",
+          Option(coll).getOrElse("utf8mb4_bin"))
         Some(s.spark.emptyDataFrame)
       case showVarsRe(like) =>
         val re = Option(like).map(p => ("(?i)^" + java.util.regex.Pattern

@@ -230,6 +230,70 @@ object ScaleQueries extends QueryModule {
           |ORDER BY bucket, event_type""".stripMargin))
     },
 
+    // Case-insensitive collation (the most-used non-default MySQL collation
+    // surface — SET NAMES … COLLATE utf8mb4_general_ci maps onto Spark 4's
+    // native UTF8_LCASE via Engine.sparkCollation). GROUP BY a collated key
+    // merges case variants WITHOUT rewriting the data; the group
+    // representative is surfaced through lower() (deterministic — every
+    // member of a CI group lowers to the same string, while "which member"
+    // is partition-order dependent). Oracle replays with DuckDB lower()
+    // twins. The mixed-case input column is derived deterministically so
+    // both engines see identical data. Collation is comparison METADATA:
+    // the scan, shuffle and agg plan is the plain string plan (CollationKey
+    // substitutes for the raw bytes as the hash/sort key).
+    q("q113_collation_group",
+      """WITH m AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg,
+        |         c_acctbal
+        |  FROM customer)
+        |SELECT lower(seg) AS seg_ci, COUNT(*) AS n,
+        |       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+        |       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
+        |FROM m
+        |GROUP BY lower(seg)
+        |ORDER BY seg_ci""".stripMargin) { spark =>
+      import spark.implicits._
+      val m = spark.table("customer")
+        .select($"c_custkey",
+          when($"c_custkey" % 2 === 0, upper($"c_mktsegment"))
+            .otherwise(lower($"c_mktsegment")).as("seg"),
+          $"c_acctbal")
+      m.groupBy(collate($"seg", "UTF8_LCASE").as("k"))
+        .agg(count(lit(1)).as("n"),
+          min($"c_custkey").cast("bigint").as("min_key"),
+          Canon.sum4($"c_acctbal").as("bal"))
+        .select(lower($"k").cast("string").as("seg_ci"), $"n", $"min_key",
+          $"bal")
+        .orderBy($"seg_ci")
+    },
+
+    // Collated equality + ORDER BY: a CI filter matches both case variants
+    // of the literal, and a CI sort interleaves them (unique c_custkey
+    // tiebreaker keeps the order total). UTF8_LCASE sorts like the binary
+    // order of the lowercased key for ASCII data — exactly DuckDB's
+    // lower() twin.
+    q("q113b_collation_filter_order",
+      """WITH m AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg
+        |  FROM customer)
+        |SELECT c_custkey, seg FROM m
+        |WHERE lower(seg) = 'automobile' AND c_custkey <= 200
+        |ORDER BY lower(seg), c_custkey""".stripMargin) { spark =>
+      import spark.implicits._
+      val m = spark.table("customer")
+        .select($"c_custkey",
+          when($"c_custkey" % 2 === 0, upper($"c_mktsegment"))
+            .otherwise(lower($"c_mktsegment")).as("seg"))
+      m.filter(collate($"seg", "UTF8_LCASE") === "automobile"
+          && $"c_custkey" <= 200)
+        .orderBy(collate($"seg", "UTF8_LCASE"), $"c_custkey")
+        .select($"c_custkey", $"seg".cast("string").as("seg"))
+    },
+
     // Partition-pruned layout: re-write events partitioned by event date
     // (the layout a 100 TB events table would ship with), then aggregate a
     // one-week slice — the scan must touch only 7 of ~30 partitions

@@ -217,6 +217,29 @@ class EngineSpec extends SparkSpec {
     assert(s.sql("SHOW VARIABLES").count() >= 15)
   }
 
+  test("SET NAMES … COLLATE maps onto the session's Spark collation") {
+    val s = Engine.connect(spark, "prod", backends)
+    // reference default: utf8mb4_bin (constants.go:6) → binary comparison
+    assert(s.variable("collation_connection").contains("utf8mb4_bin"))
+    assert(s.sparkCollation == "UTF8_BINARY")
+    assert(!s.sql("SELECT 'ABC' COLLATE UTF8_BINARY = 'abc' AS eq")
+      .head().getBoolean(0))
+    // the most common client collation: case-insensitive
+    s.sql("SET NAMES utf8mb4 COLLATE utf8mb4_general_ci")
+    assert(s.variable("collation_connection").contains("utf8mb4_general_ci"))
+    assert(s.sparkCollation == "UTF8_LCASE")
+    assert(s.sql(s"SELECT 'ABC' COLLATE ${s.sparkCollation} = 'abc' AS eq")
+      .head().getBoolean(0))
+    // MySQL 8's default and an accent/case-sensitive one
+    s.sql("SET NAMES utf8mb4 COLLATE utf8mb4_0900_ai_ci")
+    assert(s.sparkCollation == "UTF8_LCASE")
+    s.sql("SET NAMES utf8mb4 COLLATE utf8mb4_0900_as_cs")
+    assert(s.sparkCollation == "UTF8_BINARY")
+    // SET NAMES without COLLATE resets to the engine default
+    s.sql("SET NAMES utf8mb4")
+    assert(s.variable("collation_connection").contains("utf8mb4_bin"))
+  }
+
   test("system variables: SET forms, typed read-back, unknown-variable error") {
     val s = Engine.connect(spark, "prod", backends)
     s.sql("SET autocommit = OFF")
