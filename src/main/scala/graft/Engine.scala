@@ -94,7 +94,12 @@ object Engine {
   private val connCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   final class Session private[Engine] (val spark: SparkSession,
-      val clusterId: String, val user: String = "") {
+      val clusterId: String, val user: String = "",
+      /** ClientConnectAttrs analog: the key-value attributes a client sends
+        * in its handshake response (program_name, _client_version, …;
+        * /root/reference/mysql/packet_handshake_response.go:88-96). Carried
+        * for introspection — SHOW PROCESSLIST surfaces program_name. */
+      val attrs: Map[String, String] = Map.empty) {
 
     /** CONNECTION_ID() analog. */
     val connectionId: Long = connCounter.incrementAndGet()
@@ -230,6 +235,19 @@ object Engine {
     def sqlBatch(batch: String): Seq[DataFrame] =
       Engine.splitStatements(batch).map(sql)
 
+    /** Incremental multi-statement delivery — [[stream]] × [[sqlBatch]]:
+      * the analog of the gateway's flush-per-result-set outbound relay
+      * under ClientMultiResults (/root/reference/gateway/relay.go:85-99 —
+      * each result set is flushed to the client before the next statement's
+      * rows arrive). Statements execute IN ORDER as the caller reaches
+      * them (session state accumulates exactly like sequential [[sql]]
+      * calls, and a failing later statement doesn't poison earlier result
+      * sets), and each result set streams row-by-row without driver
+      * materialization. */
+    def streamBatch(batch: String): Iterator[(Int, Iterator[org.apache.spark.sql.Row])] =
+      Engine.splitStatements(batch).iterator.zipWithIndex
+        .map { case (q, i) => (i, stream(q)) }
+
     /** Execute SQL written in the MySQL dialect the reference's clients
       * speak: runs [[Engine.translateMySql]] (`LIMIT a,b` → `LIMIT b OFFSET
       * a`, `#`-comment stripping) before the relay. Spark already accepts
@@ -351,7 +369,7 @@ object Engine {
       case processListRe() =>
         import s.spark.implicits._
         Some(Engine.processList
-          .toDF("Id", "User", "Cluster", "State"))
+          .toDF("Id", "User", "Cluster", "State", "Program"))
       case loadDataRe(path, table, sep) =>
         // LOAD DATA LOCAL INFILE — the ClientLocalFiles capability the
         // gateway advertises and relays (/root/reference/mysql/
@@ -421,9 +439,10 @@ object Engine {
             val v = unquote(value.trim)
             val n = name.toLowerCase
             if (ats == "@@" || scope != null || dotScope != null)
-              Some(() => s.setSysVar(n, v))
+              Some(() => s.setSysVar(n, switchNorm(v)))
             else if (ats == "@") Some(() => s.setUserVar(n, v))
-            else if (s.sysVarSnapshot.contains(n)) Some(() => s.setSysVar(n, v))
+            else if (s.sysVarSnapshot.contains(n))
+              Some(() => s.setSysVar(n, switchNorm(v)))
             else None
           case _ => None
         }
@@ -458,30 +477,36 @@ object Engine {
   }
 
   /** Strip one level of '…'/"…" quoting (both MySQL escapes: backslash and
-    * doubled quote); normalize switch words to 1/0. */
-  private def unquote(v: String): String = {
-    val raw =
-      if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head) {
-        val q = v.head.toString
-        v.substring(1, v.length - 1)
-          .replace(q + q, q)
-          .replace("\\'", "'").replace("\\\"", "\"").replace("\\\\", "\\")
-      } else v
-    raw.toUpperCase match {
-      case "ON" | "TRUE" => "1"
-      case "OFF" | "FALSE" => "0"
-      case _ => raw
-    }
+    * doubled quote). */
+  private def unquote(v: String): String =
+    if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head) {
+      val q = v.head.toString
+      v.substring(1, v.length - 1)
+        .replace(q + q, q)
+        .replace("\\'", "'").replace("\\\"", "\"").replace("\\\\", "\\")
+    } else v
+
+  /** MySQL switch-word normalization (ON/OFF/TRUE/FALSE → 1/0) — applied to
+    * SYSTEM variable assignments only: `SET @x = 'ON'` must keep the string
+    * (ADVICE r05), while `SET autocommit = OFF` reads back as 0. */
+  private def switchNorm(v: String): String = v.toUpperCase match {
+    case "ON" | "TRUE" => "1"
+    case "OFF" | "FALSE" => "0"
+    case _ => v
   }
 
   private val numericLit = """-?\d+(\.\d+)?""".r
   /** Replace each `?` placeholder outside quotes/comments with the next
-    * bound literal (MySQL error 1210 on arity mismatch). */
+    * bound literal (MySQL error 1210 on arity mismatch). Comment spans
+    * (`--`, `#`, block comments) pass through unscanned like
+    * [[substituteVars]] — a `?` inside one is commentary, not a parameter
+    * (ADVICE r05). */
   private[graft] def bindPositional(stmt: String, args: Seq[String]): String = {
     val out = new StringBuilder
     var quote: Char = 0
     var n = 0
     var i = 0
+    def at(j: Int, c: Char): Boolean = j < stmt.length && stmt.charAt(j) == c
     while (i < stmt.length) {
       val c = stmt.charAt(i)
       if (quote != 0) {
@@ -491,7 +516,18 @@ object Engine {
           out.append(stmt.charAt(i + 1)); i += 1
         }
       } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c) }
-      else if (c == '?') {
+      else if ((c == '-' && at(i + 1, '-')) || c == '#') {
+        while (i < stmt.length && stmt.charAt(i) != '\n') {
+          out.append(stmt.charAt(i)); i += 1
+        }
+        i -= 1
+      } else if (c == '/' && at(i + 1, '*')) {
+        out.append("/*"); i += 2
+        while (i < stmt.length && !(stmt.charAt(i) == '*' && at(i + 1, '/'))) {
+          out.append(stmt.charAt(i)); i += 1
+        }
+        if (i < stmt.length) { out.append("*/"); i += 1 }
+      } else if (c == '?') {
         if (n >= args.length)
           throw EngineError(1210, "HY000",
             "Incorrect number of arguments to EXECUTE")
@@ -763,11 +799,12 @@ object Engine {
     * default directory. */
   def connect(shared: SparkSession, clusterId: String,
       backends: Map[String, String], db: Option[String] = None,
-      databases: Map[String, String] = Map.empty, user: String = ""): Session = {
+      databases: Map[String, String] = Map.empty, user: String = "",
+      attrs: Map[String, String] = Map.empty): Session = {
     val dir = resolve(clusterId, backends, "cluster id")
     val sess = shared.newSession()
     Tables.register(sess, db.fold(dir)(resolve(_, databases, "database")))
-    val s = new Session(sess, clusterId, user)
+    val s = new Session(sess, clusterId, user, attrs)
     registry.put(s.connectionId,
       new java.lang.ref.WeakReference(s))
     s
@@ -779,12 +816,19 @@ object Engine {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.WeakReference[Session]]
 
-  private[graft] def processList: Seq[(Long, String, String, String)] = {
+  private[graft] def processList: Seq[(Long, String, String, String, String)] = {
     import scala.jdk.CollectionConverters._
     registry.asScala.toSeq.flatMap { case (id, ref) =>
-      Option(ref.get).map { s =>
-        val state = if (s.inTransaction) "in transaction" else "idle"
-        (id, s.user, s.clusterId, state)
+      Option(ref.get) match {
+        case None =>
+          // prune entries whose Session was GC'd without close() — a
+          // long-lived gateway process otherwise leaks one map entry per
+          // abandoned connection (ADVICE r05)
+          registry.remove(id); None
+        case Some(s) =>
+          val state = if (s.inTransaction) "in transaction" else "idle"
+          Some((id, s.user, s.clusterId, state,
+            s.attrs.getOrElse("program_name", "")))
       }
     }.sortBy(_._1)
   }

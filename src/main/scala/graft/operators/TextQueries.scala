@@ -728,8 +728,11 @@ object TextQueries extends QueryModule {
         .select(explode(split(lower($"text"), " ")).as("token"))
       val mg = udaf(new graft.functions.MisraGries(k),
         org.apache.spark.sql.Encoders.STRING)
-      val cands = toks.agg(mg($"token").as("cands")).head().getSeq[String](0)
-      val counts = toks.filter($"token".isInCollection(cands))
+      // the ≤ k−1 Misra-Gries candidates stay a DataFrame (no .head() driver
+      // round-trip) and broadcast-semi-join the token stream for exact counts
+      val cands = toks.agg(mg($"token").as("cands"))
+        .select(explode($"cands").as("token"))
+      val counts = toks.join(broadcast(cands), Seq("token"), "left_semi")
         .groupBy($"token").agg(count(lit(1)).as("n_tok"))
       val total = toks.agg(count(lit(1)).as("_total"))
       counts.join(broadcast(total)) // 1-row broadcast, not a cartesian

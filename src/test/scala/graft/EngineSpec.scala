@@ -135,15 +135,41 @@ class EngineSpec extends SparkSpec {
   }
 
   test("storage-level compression stands in for the wire compressed protocol (A13)") {
-    // the gateway's zlib wire compression maps to parquet codec config —
-    // data round-trips identically under a different codec
+    // the gateway's zlib wire compression (/root/reference/mysql/
+    // compress.go:36-153) maps to parquet codec config: the same table
+    // written under snappy and zstd carries the codec in every column
+    // chunk's file footer, and both layouts read back to the identical
+    // aggregate — compression changes bytes on disk/wire, never results
+    import scala.jdk.CollectionConverters._
     val s = Engine.connect(spark, "prod", backends)
-    val out = java.nio.file.Files.createTempDirectory("graft_zstd_").toString
-    s.table("nation").write.mode("overwrite")
-      .option("compression", "zstd").parquet(out)
-    val files = new java.io.File(out).listFiles.map(_.getName)
-    assert(files.exists(_.endsWith(".zstd.parquet")), files.mkString(","))
-    assert(spark.read.parquet(out).count() == 25)
+    def footerCodecs(dir: String): Set[String] = {
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala).map(_.getCodec.toString)
+          finally r.close()
+        }.toSet
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_codec_").toString
+    Seq("snappy", "zstd").foreach { codec =>
+      s.table("nation").write.mode("overwrite")
+        .option("compression", codec).parquet(s"$base/$codec")
+      assert(footerCodecs(s"$base/$codec") == Set(codec.toUpperCase),
+        s"$codec footer mismatch")
+    }
+    val agg = Seq("snappy", "zstd").map { c =>
+      spark.read.parquet(s"$base/$c")
+        .agg(org.apache.spark.sql.functions.count_distinct(
+          org.apache.spark.sql.functions.col("n_nationkey")),
+          org.apache.spark.sql.functions.sum("n_regionkey"))
+        .head().toSeq
+    }
+    assert(agg.head == agg.last && spark.read.parquet(s"$base/zstd").count() == 25,
+      agg.toString)
   }
 
   test("analysis failures surface as the structured engine error (ERR packet analog)") {
@@ -348,6 +374,70 @@ class EngineSpec extends SparkSpec {
     assert(intercept[Engine.EngineError] {
       s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE nope")
     }.code == 1146)
+  }
+
+  test("connect attrs surface in SHOW PROCESSLIST's Program column") {
+    val s = Engine.connect(spark, "prod", backends,
+      attrs = Map("program_name" -> "mysqldump", "_client_version" -> "8.0"))
+    assert(s.attrs("_client_version") == "8.0")
+    val row = s.sql("SHOW PROCESSLIST").collect()
+      .find(_.getLong(0) == s.connectionId).get
+    assert(row.getString(4) == "mysqldump", row)
+    // a session with no attrs shows an empty Program
+    val bare = Engine.connect(spark, "prod", backends)
+    val bareRow = bare.sql("SHOW PROCESSLIST").collect()
+      .find(_.getLong(0) == bare.connectionId).get
+    assert(bareRow.getString(4) == "")
+    s.close(); bare.close()
+  }
+
+  test("processlist prunes registry entries for sessions GC'd without close") {
+    var s = Engine.connect(spark, "prod", backends)
+    val id = s.connectionId
+    assert(Engine.processList.exists(_._1 == id))
+    s = null // abandon without close(); the weak ref clears on GC
+    var pruned = false
+    var attempts = 0
+    while (!pruned && attempts < 40) {
+      System.gc(); Thread.sleep(25)
+      pruned = !Engine.processList.exists(_._1 == id)
+      attempts += 1
+    }
+    assert(pruned, s"registry entry for $id survived $attempts GC attempts")
+  }
+
+  test("user variables keep switch words verbatim; system variables map to 1/0") {
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("SET @sw = 'ON', @swb = 'FALSE'")
+    assert(s.sql("SELECT @sw AS v").head().getString(0) == "ON")
+    assert(s.sql("SELECT @swb AS v").head().getString(0) == "FALSE")
+    s.sql("SET autocommit = ON")
+    assert(s.sql("SELECT @@autocommit AS a").head().getInt(0) == 1)
+  }
+
+  test("EXECUTE ignores ? placeholders inside comments") {
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("SET @x = 7")
+    s.sql("PREPARE pc FROM 'SELECT ? /* not ? a param */ AS v -- ? neither\n'")
+    // one real placeholder: a single USING arg must bind cleanly (the
+    // unskipped scan consumed args for the commented ?s → spurious 1210)
+    assert(s.sql("EXECUTE pc USING @x").head().get(0).toString == "7")
+    intercept[Engine.EngineError] { s.sql("EXECUTE pc USING @x, @x") }
+  }
+
+  test("streamBatch delivers per-statement result sets lazily and in order") {
+    val s = Engine.connect(spark, "prod", backends)
+    val it = s.streamBatch(
+      "SET NAMES utf8; SELECT @@character_set_client AS c; SELECT bogus syntax")
+    // statement boundaries: each element is (index, row iterator)
+    val (i0, r0) = it.next()
+    assert(i0 == 0 && r0.isEmpty) // SET produces an empty OK result
+    val (i1, r1) = it.next()
+    // in-order execution: the second statement observes the first's state
+    assert(i1 == 1 && r1.next().getString(0) == "utf8")
+    // lazy: the malformed third statement only fails when reached
+    intercept[Engine.EngineError] { it.next() }
+    s.close()
   }
 
   test("session close() leaves the processlist (COM_QUIT)") {
