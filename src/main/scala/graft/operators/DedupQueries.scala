@@ -870,8 +870,17 @@ object DedupQueries extends QueryModule {
   }
 
   /** PPJoin candidate pairs: docs sharing ≥1 token of each other's
-    * rarest-first prefix (length m − ⌈τ·m⌉ + 1). Exposed separately so
-    * ScaleProbe can measure candidate growth without the verify stage. */
+    * rarest-first prefix (length m − ⌈τ·m⌉ + 1), tightened by the POSITIONAL
+    * filter (Xiao et al. WWW'08 §3.2): a shared prefix token at 1-based
+    * ranks (ra, rb) bounds the achievable overlap at
+    * 1 + min(m_a − ra, m_b − rb) — everything before the match in either
+    * rarest-first order can at best all match — while Jaccard ≥ τ REQUIRES
+    * overlap ≥ ⌈τ/(1+τ)·(m_a+m_b)⌉. A pair none of whose shared prefix
+    * tokens meets that bound is pruned before the verify stage ever counts
+    * its intersection; completeness stays a theorem (both bounds are
+    * worst-case), asserted against brute force in SimilarityDedupSpec.
+    * Exposed separately so ScaleProbe can measure candidate growth without
+    * the verify stage. */
   private[graft] def ppjoinCandidates(tok: DataFrame, tau: Double): DataFrame = {
     import tok.sparkSession.implicits._
     val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
@@ -880,9 +889,12 @@ object DedupQueries extends QueryModule {
     val pref = tok.join(dfreq, "token").join(sz, "doc_id")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= $"m" - ceil(lit(tau) * $"m") + 1)
-      .select($"doc_id", $"token")
+      .select($"doc_id", $"token", $"rk", $"m")
+    val alpha = ceil(lit(tau) / (1 + tau) * ($"a.m" + $"b.m"))
+    val ubound = lit(1) + least($"a.m" - $"a.rk", $"b.m" - $"b.rk")
     pref.as("a").join(pref.as("b"),
         $"a.token" === $"b.token" && $"a.doc_id" < $"b.doc_id")
+      .filter(ubound >= alpha)
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
   }
 
