@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.api.{GraftQuery, QueryModule}
+import graft.api.{Canon, GraftQuery, QueryModule}
 
 /** Event-stream analytics over `events` — the funnel / retention queries a
   * TiDB-class HTAP backend serves its product-analytics clients (the
@@ -143,5 +143,64 @@ object EventAnalyticsQueries extends QueryModule {
             coalesce(lit(0.2) * x.getField("v") + lit(0.8) * acc,
               x.getField("v"))) * 10000 + 0.5) / 10000).as("ewma"))
         .orderBy($"user_id")
+    },
+
+    // Robust outlier detection (median/MAD, the data-quality gate a metric
+    // pipeline runs before training on event values): an event is an
+    // outlier iff |value − median| > 3·MAD of its type. Mean/stddev would
+    // let the outliers drag their own threshold; the median/MAD pair is
+    // breakdown-resistant. Scale shape: the robust statistics come from a
+    // deterministic md5 pre-sample (q59c idiom — exact per-type quantiles
+    // buffer a whole type in one reducer, so at 100 TB you bound the
+    // sample, not the corpus; q27b's GK sketch is the streaming
+    // alternative), then every event scores against the broadcast
+    // (type, med, mad) table map-side — one tiny-key aggregation total.
+    // The oracle replays the same sample, so the exact quantile
+    // interpolation (identical lo + (hi−lo)·frac in both engines, proven
+    // by q27) keeps the outlier predicate bit-identical.
+    q("q115_robust_outliers",
+      """WITH s AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '4'),
+        |med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        |        FROM s GROUP BY event_type),
+        |mad AS (SELECT s.event_type,
+        |               QUANTILE_CONT(abs(s.value - m.med), 0.5) AS mad
+        |        FROM s JOIN med m USING (event_type)
+        |        GROUP BY s.event_type),
+        |scored AS (
+        |  SELECT e.event_type, m.med, d.mad,
+        |         abs(e.value - m.med) > 3 * d.mad AS is_out
+        |  FROM events e
+        |  JOIN med m USING (event_type)
+        |  JOIN mad d USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       floor(MIN(med) * 10000 + 0.5) / 10000 AS med,
+        |       floor(MIN(mad) * 10000 + 0.5) / 10000 AS mad
+        |FROM scored
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { spark =>
+      import spark.implicits._
+      val sample = spark.table("events")
+        .filter(substring(md5($"event_id".cast("string").cast("binary")),
+          1, 1) < "4")
+        .select($"event_type", $"value")
+      val med = sample.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = sample.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      spark.table("events")
+        .join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .select($"event_type", $"med", $"mad",
+          (abs($"value" - $"med") > lit(3) * $"mad").as("is_out"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"is_out", 1).otherwise(0)).cast("bigint").as("n_outliers"),
+          Canon.r4(min($"med")).as("med"),
+          Canon.r4(min($"mad")).as("mad"))
+        .orderBy($"event_type")
     })
 }

@@ -573,6 +573,51 @@ object SimilarityQueries extends QueryModule {
         .withColumn("rn", row_number().over(we)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"edist")
         .orderBy($"qid", $"cid")
+    },
+
+    // Hard-negative mining — the contrastive-training data op: for each
+    // probe, the top-3 most-cosine-similar vectors carrying a DIFFERENT
+    // label (the "looks like X, isn't X" pairs a retrieval/embedding
+    // trainer feeds back as negatives). Same exact-scoring hot path as q80
+    // (raw float arrays + precomputed norms + codegen'd graft_dot), with
+    // the label inequality fused into the broadcast join condition so
+    // same-label pairs never materialize. Corpus scanned once map-side;
+    // the only shuffle is the per-probe top-k.
+    q("q117_hard_negatives",
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS n
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS qid, a.label AS qlabel,
+         |         b.vec_id AS cid, b.label AS clabel,
+         |         ${graft.api.Canon.Oracle.r4(
+                     "(list_dot_product(a.emb, b.emb) / (a.n * b.n))")} AS cos
+         |  FROM e a JOIN e b ON a.label <> b.label
+         |  WHERE a.vec_id < 10)
+         |SELECT qid, qlabel, cid, clabel, cos FROM (
+         |  SELECT qid, qlabel, cid, clabel, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, cid) AS rn
+         |  FROM s) t
+         |WHERE rn <= 3
+         |ORDER BY qid, cid""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = spark.table("embeddings")
+        .select($"vec_id", $"label", $"embedding",
+          sqrt(dot($"embedding", $"embedding")).as("n"))
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"label".as("qlabel"),
+          $"embedding".as("qemb"), $"n".as("qn"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+      e.join(broadcast(probes), $"label" =!= $"qlabel")
+        .select($"qid", $"qlabel", $"vec_id".as("cid"), $"label".as("clabel"),
+          graft.api.Canon.r4(dot($"qemb", $"embedding") / ($"qn" * $"n"))
+            .as("cos"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"qid", $"qlabel", $"cid", $"clabel", $"cos")
+        .orderBy($"qid", $"cid")
     })
 
   /** q82's candidate stage over any (vec_id, emb) corpus: banded sign-LSH

@@ -739,6 +739,49 @@ object TextQueries extends QueryModule {
         .filter($"n_tok" * k > $"_total")
         .select($"token", $"n_tok")
         .orderBy($"n_tok".desc, $"token")
+    },
+
+    // Vocabulary build + corpus encoding — the tokenizer-construction op a
+    // training pipeline runs once per corpus: vocab = top-V tokens by
+    // frequency (deterministic tiebreak), ids assigned in rank order; the
+    // corpus is then encoded against it and each doc reports its
+    // out-of-vocabulary profile (the signal that drives vocab-size/quality
+    // decisions). V = 16 here so the fixture genuinely produces OOV tokens.
+    // Scale shape: one token-keyed count shuffle; the RANKED relation is
+    // the distinct vocabulary (≪ corpus, the only place a global order
+    // appears); encoding is a broadcast left join — map-side over the
+    // corpus. id_sum is an order-free checksum of the assignment so the
+    // oracle validates every id, not just the OOV counts.
+    q("q116_vocab_encode",
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+         |vocab AS (
+         |  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS id
+         |  FROM cnt ORDER BY n DESC, token LIMIT 16),
+         |enc AS (SELECT t.doc_id, v.id FROM tok t LEFT JOIN vocab v USING (token))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  floor(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) * 10000.0
+         |        / COUNT(*) + 0.5) / 10000 AS oov_rate,
+         |  CAST(SUM(COALESCE(id, 0)) AS BIGINT) AS id_sum
+         |FROM enc GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val tok = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      val cnt = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+      val vocab = cnt.orderBy($"n".desc, $"token").limit(16)
+        .withColumn("id",
+          row_number().over(Window.orderBy($"n".desc, $"token")) - 1)
+        .select($"token", $"id")
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_toks"),
+          sum(when($"id".isNull, 1).otherwise(0)).cast("bigint").as("n_oov"),
+          (floor(sum(when($"id".isNull, 1).otherwise(0)) * 10000.0
+            / count(lit(1)) + 0.5) / 10000).as("oov_rate"),
+          sum(coalesce($"id", lit(0))).cast("bigint").as("id_sum"))
+        .orderBy($"doc_id")
     })
 
   /** Winnowing selection stage shared by q66b/q66c: (doc_id, pos, sel)
