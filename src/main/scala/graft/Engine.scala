@@ -51,6 +51,21 @@ object Engine {
     "interactive_timeout" -> "28800",
     "transaction_isolation" -> "REPEATABLE-READ")
 
+  /** Server status bits (/root/reference/mysql/constants.go:22-37) — the
+    * flag word the gateway forwards in OK/EOF packets. The engine derives
+    * the live ones from session state ([[Session.statusFlags]]);
+    * PsOutParams is mapped for completeness but never set — it marks a
+    * stored procedure's OUT-parameter result set, a surface the engine
+    * (like the reference, which only relays it) does not originate. */
+  private[graft] object Status {
+    val InTrans = 0x0001
+    val Autocommit = 0x0002
+    val MoreResultsExists = 0x0008
+    val CursorExists = 0x0040
+    val LastRowSent = 0x0080
+    val PsOutParams = 0x1000
+  }
+
   /** Map a MySQL collation name (the id↔name tables at
     * /root/reference/mysql/constants.go:77-298, :301-522) onto the Spark 4
     * collation with the same comparison semantics. MySQL's naming is
@@ -225,7 +240,32 @@ object Engine {
       * partition by partition; the driver never holds the full result. */
     def stream(query: String): Iterator[org.apache.spark.sql.Row] = {
       import scala.jdk.CollectionConverters._
-      sql(query).toLocalIterator().asScala
+      val it = sql(query).toLocalIterator().asScala
+      openCursor = Some(it)
+      it
+    }
+
+    /** The last [[stream]] iterator handed out (cursor-state source for
+      * [[statusFlags]]) and the streamBatch more-results bit. */
+    private var openCursor: Option[Iterator[org.apache.spark.sql.Row]] = None
+    private[Engine] var moreResults = false
+
+    /** Live SERVER_STATUS word (/root/reference/mysql/constants.go:22-37):
+      * in-transaction and autocommit track session state, cursor bits track
+      * the last [[stream]] iterator (CURSOR_EXISTS while rows remain,
+      * LAST_ROW_SENT once drained), MORE_RESULTS_EXISTS is set between
+      * [[streamBatch]] result sets. */
+    def statusFlags: Int = {
+      var f = 0
+      if (inTrans) f |= Engine.Status.InTrans
+      if (sysVars.getOrElse("autocommit", "1") == "1")
+        f |= Engine.Status.Autocommit
+      if (moreResults) f |= Engine.Status.MoreResultsExists
+      openCursor.foreach { it =>
+        f |= (if (it.hasNext) Engine.Status.CursorExists
+              else Engine.Status.LastRowSent)
+      }
+      f
     }
 
     /** Multi-statement batch against this session (ClientMultiStatements);
@@ -244,9 +284,19 @@ object Engine {
       * calls, and a failing later statement doesn't poison earlier result
       * sets), and each result set streams row-by-row without driver
       * materialization. */
-    def streamBatch(batch: String): Iterator[(Int, Iterator[org.apache.spark.sql.Row])] =
-      Engine.splitStatements(batch).iterator.zipWithIndex
-        .map { case (q, i) => (i, stream(q)) }
+    def streamBatch(batch: String): Iterator[(Int, Iterator[org.apache.spark.sql.Row])] = {
+      val base = Engine.splitStatements(batch).iterator.zipWithIndex
+      new Iterator[(Int, Iterator[org.apache.spark.sql.Row])] {
+        def hasNext: Boolean = base.hasNext
+        def next(): (Int, Iterator[org.apache.spark.sql.Row]) = {
+          val (q, i) = base.next()
+          val rows = stream(q)
+          // SERVER_MORE_RESULTS_EXISTS stays up until the last result set
+          moreResults = base.hasNext
+          (i, rows)
+        }
+      }
+    }
 
     /** Execute SQL written in the MySQL dialect the reference's clients
       * speak: runs [[Engine.translateMySql]] (`LIMIT a,b` → `LIMIT b OFFSET

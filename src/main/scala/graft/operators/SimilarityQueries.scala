@@ -624,8 +624,15 @@ object SimilarityQueries extends QueryModule {
     * equi-join with Hamming-1 multiprobe on the query side (probes =
     * vec_id < 10), distinct (qid, cid, qemb, cemb) out. Shared by q82's
     * scoring and ScaleProbe's candidate-volume measurement, so the probe
-    * measures the real production path. */
-  private[graft] def annCandidatesOf(e: DataFrame): DataFrame = {
+    * measures the real production path. `probeBits` is the multiprobe
+    * knob: how many single-bit bucket perturbations each query probes in
+    * addition to its exact bucket (0 = exact-bucket only; 4 = all
+    * Hamming-1 neighbors, the q82 default). More probes buy recall with
+    * linearly more candidate volume and NO extra corpus-side work — the
+    * perturbed buckets exist only on the tiny broadcast side
+    * (SimilarityDedupSpec asserts the monotone-candidates contract). */
+  private[graft] def annCandidatesOf(e: DataFrame,
+      probeBits: Int = 4): DataFrame = {
     import e.sparkSession.implicits._
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       (0 until 4).map { bnd =>
@@ -633,10 +640,10 @@ object SimilarityQueries extends QueryModule {
           lit(bnd).as("band"), bandBucket(col("emb"), bnd).as("bucket"))
       }.reduce(_ unionAll _)
     val corpus = banded(e, "cid", "cemb")
-    // multiprobe: exact bucket + the 4 single-bit perturbations
+    // multiprobe: exact bucket + `probeBits` single-bit perturbations
     val probes = banded(e.filter($"vec_id" < 10), "qid", "qemb")
       .select($"qid", $"qemb", $"band", explode(array(
-        ($"bucket" :: (0 until 4).map(r =>
+        ($"bucket" :: (0 until probeBits).map(r =>
           $"bucket".bitwiseXOR(lit(1 << r))).toList): _*)).as("bucket"))
     corpus.join(broadcast(probes),
         Seq("band", "bucket")).filter($"cid" =!= $"qid")

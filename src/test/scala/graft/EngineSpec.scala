@@ -440,6 +440,37 @@ class EngineSpec extends SparkSpec {
     s.close()
   }
 
+  test("server status bits track session state (constants.go:22-37)") {
+    val s = Engine.connect(spark, "prod", backends)
+    import Engine.Status._
+    assert((s.statusFlags & Autocommit) != 0)
+    assert((s.statusFlags & InTrans) == 0)
+    s.sql("BEGIN")
+    assert((s.statusFlags & InTrans) != 0)
+    s.sql("COMMIT")
+    assert((s.statusFlags & InTrans) == 0)
+    s.sql("SET autocommit = OFF")
+    assert((s.statusFlags & Autocommit) == 0)
+    s.sql("SET autocommit = ON")
+    // cursor bits follow the last stream(): EXISTS while rows remain,
+    // LAST_ROW_SENT once drained
+    val it = s.stream("SELECT n_nationkey FROM nation")
+    assert((s.statusFlags & CursorExists) != 0)
+    assert((s.statusFlags & LastRowSent) == 0)
+    while (it.hasNext) it.next()
+    assert((s.statusFlags & LastRowSent) != 0)
+    assert((s.statusFlags & CursorExists) == 0)
+    // MORE_RESULTS_EXISTS is up exactly between streamBatch result sets
+    val b = s.streamBatch("SELECT 1 AS a; SELECT 2 AS b")
+    b.next()
+    assert((s.statusFlags & MoreResultsExists) != 0)
+    b.next()
+    assert((s.statusFlags & MoreResultsExists) == 0)
+    // PS_OUT_PARAMS is mapped but never originated (no stored procedures)
+    assert(PsOutParams == 0x1000 && (s.statusFlags & PsOutParams) == 0)
+    s.close()
+  }
+
   test("session close() leaves the processlist (COM_QUIT)") {
     val s = Engine.connect(spark, "prod", backends)
     val listed = () => Engine.processList.exists(_._1 == s.connectionId)

@@ -35,6 +35,26 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall")
   }
 
+  test("multiprobe knob: candidates grow monotonically, corpus side untouched") {
+    import graft.operators.SimilarityQueries
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val e = spark.table("embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("emb"))
+    def cands(bits: Int): Set[(Long, Long)] =
+      SimilarityQueries.annCandidatesOf(e, bits).select("qid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact0 = cands(0)
+    val probe2 = cands(2)
+    val probe4 = cands(4)
+    // each extra probed bit can only ADD (qid, bucket) probe rows → the
+    // candidate set is monotone in the knob, and the fixture genuinely
+    // exercises the growth (more probes find strictly more candidates)
+    assert(exact0.subsetOf(probe2) && probe2.subsetOf(probe4))
+    assert(exact0.size < probe4.size,
+      s"${exact0.size} vs ${probe4.size}: multiprobe added nothing")
+  }
+
   test("pair-stage hash sample bounds the validators deterministically") {
     import graft.operators.SimilarityQueries
     graft.sources.Tables.register(spark, sf)
