@@ -782,6 +782,81 @@ object TextQueries extends QueryModule {
             / count(lit(1)) + 0.5) / 10000).as("oov_rate"),
           sum(coalesce($"id", lit(0))).cast("bigint").as("id_sum"))
         .orderBy($"doc_id")
+    },
+
+    // Gopher-style repetition filters (Rae et al. 2021 appendix A, the
+    // repeated-content gates every LLM-ingest pipeline runs, PAPERS.md):
+    // per-document duplicate-token fraction, most-common-unigram fraction,
+    // and top-bigram fraction, composed into the keep/drop decision. The
+    // fixture text is single-line so the line/paragraph variants of the
+    // rule collapse onto the token forms. Scale shape: two (doc_id, gram)-
+    // keyed count shuffles (map-side combinable, key cardinality ≈ corpus
+    // tokens), each collapsing to a ≪-corpus per-doc stat relation, then a
+    // doc_id-keyed join of those two relations — no corpus-sized join, no
+    // window. Ratios are free doubles → IEEE floor rounding (Canon.r4
+    // spelling); thresholds chosen to genuinely split this corpus
+    // (dup-frac median 0.83, top-uni median 0.093, top-bi median 0.033).
+    q("q118_repetition_stats",
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |uc AS (SELECT doc_id, token, COUNT(*) AS c
+         |       FROM tok GROUP BY doc_id, token),
+         |u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |             CAST(MAX(c) AS BIGINT) AS top_uni,
+         |             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         |               AS dup_toks
+         |      FROM uc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |       FROM (SELECT doc_id, $tokSql AS toks FROM documents) t),
+         |bc AS (SELECT doc_id, bigram, COUNT(*) AS c
+         |       FROM bg GROUP BY doc_id, bigram),
+         |b AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bi,
+         |             CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |      FROM bc GROUP BY doc_id)
+         |SELECT u.doc_id, u.n_tokens,
+         |  floor(CAST(u.dup_toks AS DOUBLE) * 10000 / u.n_tokens + 0.5)
+         |    / 10000 AS dup_token_frac,
+         |  floor(CAST(u.top_uni AS DOUBLE) * 10000 / u.n_tokens + 0.5)
+         |    / 10000 AS top_unigram_frac,
+         |  floor(COALESCE(CAST(b.top_bi AS DOUBLE) / b.n_bigrams, 0.0)
+         |    * 10000 + 0.5) / 10000 AS top_bigram_frac,
+         |  CAST(CASE WHEN CAST(u.dup_toks AS DOUBLE) / u.n_tokens <= 0.85
+         |             AND CAST(u.top_uni AS DOUBLE) / u.n_tokens <= 0.11
+         |             AND COALESCE(CAST(b.top_bi AS DOUBLE) / b.n_bigrams, 0.0)
+         |                 <= 0.05
+         |        THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM u LEFT JOIN b USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val u = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").cast("bigint").as("n_tokens"),
+          max($"c").cast("bigint").as("top_uni"),
+          sum(when($"c" > 1, $"c").otherwise(0)).cast("bigint").as("dup_toks"))
+      val b = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(transform(Canon.seq1(size($"toks") - 1),
+          i => concat(element_at($"toks", i), lit(" "),
+            element_at($"toks", i + 1)))).as("bigram"))
+        .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").cast("bigint").as("top_bi"),
+          sum($"c").cast("bigint").as("n_bigrams"))
+      val dupR = $"dup_toks".cast("double") / $"n_tokens"
+      val uniR = $"top_uni".cast("double") / $"n_tokens"
+      val biR = coalesce($"top_bi".cast("double") / $"n_bigrams", lit(0.0))
+      u.join(b, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          (floor($"dup_toks".cast("double") * 10000 / $"n_tokens" + 0.5)
+            / 10000).as("dup_token_frac"),
+          (floor($"top_uni".cast("double") * 10000 / $"n_tokens" + 0.5)
+            / 10000).as("top_unigram_frac"),
+          (floor(biR * 10000 + 0.5) / 10000).as("top_bigram_frac"),
+          when(dupR <= 0.85 && uniR <= 0.11 && biR <= 0.05, 1)
+            .otherwise(0).cast("int").as("keep"))
+        .orderBy($"doc_id")
     })
 
   /** Winnowing selection stage shared by q66b/q66c: (doc_id, pos, sel)
