@@ -321,55 +321,19 @@ object SimilarityQueries extends QueryModule {
     // round's 10-row centroid table (same device as components(): keeps the
     // loop's plan linear, never materializes corpus data on the driver).
     q("q83_ivf_topk", {
-      def cosSql(a: String, b: String): String =
-        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
-          s"sqrt(list_dot_product($b, $b))))"
-      def asgnSql(name: String, cent: String): String =
-        s"""$name AS (
-           |  SELECT vec_id, emb, cl FROM (
-           |    SELECT e.vec_id, e.emb, c.cl,
-           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-           |             ${graft.api.Canon.Oracle.r6(cosSql("e.emb", "c.cemb"))} DESC,
-           |             c.cl) AS rn
-           |    FROM e, $cent c) t
-           |  WHERE rn = 1)""".stripMargin
-      def meansSql(i: Int): String =
-        s"""ex$i AS (SELECT cl, generate_subscripts(emb, 1) - 1 AS dim,
-           |              unnest(emb) AS x FROM asgn$i),
-           |cd$i AS (SELECT cl, dim, list_sort(list(x)) AS xs
-           |        FROM ex$i GROUP BY cl, dim),
-           |ct$i AS (SELECT cl, dim, list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
-           |        FROM cd$i),
-           |cent${i + 1} AS (
-           |  SELECT cl, list_transform(
-           |           list_sort(list(struct_pack(dim := dim, cx := cx))),
-           |           p -> p.cx) AS cemb
-           |  FROM ct$i GROUP BY cl)""".stripMargin
-      val iterCtes = (0 until ivfIters)
-        .map(i => asgnSql(s"asgn$i", s"cent$i") + ",\n" + meansSql(i))
-        .mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |cent0 AS (
-         |  SELECT cl, cemb FROM (
-         |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
-         |           emb AS cemb
-         |    FROM e
-         |    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '$initSampleLt') t
-         |  WHERE cl < $ivfK),
-         |$iterCtes,
-         |${asgnSql("lists", s"cent$ivfIters")},
+      s"""WITH $ivfListsCtes,
          |probes AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
          |probed AS (
          |  SELECT qid, qemb, cl FROM (
          |    SELECT p.qid, p.qemb, c.cl,
          |           ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
-         |             ${graft.api.Canon.Oracle.r6(cosSql("p.qemb", "c.cemb"))} DESC,
+         |             ${graft.api.Canon.Oracle.r6(ivfCosSql("p.qemb", "c.cemb"))} DESC,
          |             c.cl) AS rn
          |    FROM probes p, cent$ivfIters c) t
          |  WHERE rn <= 3),
          |scored AS (
          |  SELECT p.qid, l.vec_id AS cid,
-         |         ${graft.api.Canon.Oracle.r4(cosSql("p.qemb", "l.emb"))} AS cos
+         |         ${graft.api.Canon.Oracle.r4(ivfCosSql("p.qemb", "l.emb"))} AS cos
          |  FROM lists l JOIN probed p ON l.cl = p.cl AND l.vec_id <> p.qid)
          |SELECT qid, cid, cos FROM (
          |  SELECT qid, cid, cos,
@@ -618,6 +582,47 @@ object SimilarityQueries extends QueryModule {
         .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
         .select($"qid", $"qlabel", $"cid", $"clabel", $"cos")
         .orderBy($"qid", $"cid")
+    },
+
+    // SemDeDup-style semantic dedup (cluster-then-dedup, the embedding
+    // near-dup pass LLM pipelines run corpus-wide): k-means-cluster the
+    // corpus, then compare pairs ONLY within a cluster — the move that
+    // turns the all-pairs quadratic scan into cluster-local equi-joins
+    // (at 100 TB k grows with the corpus so cluster width stays bounded;
+    // the pair stage shuffles on cl, never a product — vs q89, which is
+    // the brute-force/whole-corpus variant of the same decision). Reuses
+    // q83's deterministic k-means verbatim (md5-order init, sorted-fold
+    // Lloyd rounds, Canon.r6-ranked assignment), so DuckDB replays
+    // training + dedup end-to-end bit-for-bit. Drop rule: a vector is
+    // dropped iff some smaller-id cluster-mate has r4-cosine ≥ 0.4; its
+    // keeper is the smallest such id (q70's keep-min rule).
+    q("q119_semantic_dedup",
+      s"""WITH $ivfListsCtes,
+         |p AS (
+         |  SELECT a.cl, a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${graft.api.Canon.Oracle.r4(ivfCosSql("a.emb", "b.emb"))} AS cos
+         |  FROM lists a JOIN lists b
+         |    ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         |h AS (SELECT * FROM p WHERE cos >= 0.4)
+         |SELECT id_b AS dropped, id_a AS keeper, cl, cos FROM (
+         |  SELECT cl, id_a, id_b, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+         |  FROM h) t
+         |WHERE rn = 1
+         |ORDER BY dropped""".stripMargin) { spark =>
+      import spark.implicits._
+      val lists = ivfAssign(spark, ivfCentroids(spark))
+      val a = lists.select($"cl", $"vec_id".as("id_a"), $"emb".as("ea"))
+      val b = lists.select($"cl".as("clb"), $"vec_id".as("id_b"),
+        $"emb".as("eb"))
+      val h = a.join(b, $"cl" === $"clb" && $"id_a" < $"id_b")
+        .select($"cl", $"id_a", $"id_b",
+          graft.api.Canon.r4(cosine($"ea", $"eb")).as("cos"))
+        .filter($"cos" >= 0.4)
+      val w = Window.partitionBy($"id_b").orderBy($"id_a".asc)
+      h.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"id_b".as("dropped"), $"id_a".as("keeper"), $"cl", $"cos")
+        .orderBy($"dropped")
     })
 
   /** q82's candidate stage over any (vec_id, emb) corpus: banded sign-LSH
@@ -661,6 +666,54 @@ object SimilarityQueries extends QueryModule {
     * q59c's reproducible-sampling idiom, spelled identically in the
     * oracles, so the sampled init stays fully hash-checked. */
   private val initSampleLt = "4"
+
+  /** DuckDB cosine spelling shared by every IVF oracle — same association
+    * order as the Spark [[cosine]] helper (left-fold dot products). */
+  private def ivfCosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))))"
+
+  /** The full deterministic-k-means CTE chain, ending in
+    * `lists(vec_id, emb, cl)` — the oracle twin of
+    * [[ivfCentroids]]+[[ivfAssign]], shared by q83 and q119 so both replay
+    * the identical training run (md5-order init over the hash pre-sample,
+    * [[ivfIters]] sorted-fold Lloyd rounds, Canon.r6-ranked assignment). */
+  private def ivfListsCtes: String = {
+    def asgnSql(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, emb, cl FROM (
+         |    SELECT e.vec_id, e.emb, c.cl,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ${graft.api.Canon.Oracle.r6(ivfCosSql("e.emb", "c.cemb"))} DESC,
+         |             c.cl) AS rn
+         |    FROM e, $cent c) t
+         |  WHERE rn = 1)""".stripMargin
+    def meansSql(i: Int): String =
+      s"""ex$i AS (SELECT cl, generate_subscripts(emb, 1) - 1 AS dim,
+         |              unnest(emb) AS x FROM asgn$i),
+         |cd$i AS (SELECT cl, dim, list_sort(list(x)) AS xs
+         |        FROM ex$i GROUP BY cl, dim),
+         |ct$i AS (SELECT cl, dim, list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
+         |        FROM cd$i),
+         |cent${i + 1} AS (
+         |  SELECT cl, list_transform(
+         |           list_sort(list(struct_pack(dim := dim, cx := cx))),
+         |           p -> p.cx) AS cemb
+         |  FROM ct$i GROUP BY cl)""".stripMargin
+    val iterCtes = (0 until ivfIters)
+      .map(i => asgnSql(s"asgn$i", s"cent$i") + ",\n" + meansSql(i))
+      .mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cent0 AS (
+       |  SELECT cl, cemb FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+       |           emb AS cemb
+       |    FROM e
+       |    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '$initSampleLt') t
+       |  WHERE cl < $ivfK),
+       |$iterCtes,
+       |${asgnSql("lists", s"cent$ivfIters")}""".stripMargin
+  }
 
   /** One Lloyd assignment pass: nearest centroid per vector by IEEE-floor-
     * rounded cosine (Canon.r6), centroid-id tiebreak → (vec_id, emb, cl).
