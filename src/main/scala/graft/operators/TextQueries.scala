@@ -857,6 +857,62 @@ object TextQueries extends QueryModule {
           when(dupR <= 0.85 && uniR <= 0.11 && biR <= 0.05, 1)
             .otherwise(0).cast("int").as("keep"))
         .orderBy($"doc_id")
+    },
+
+    // Source-weighted data mixing with EPOCH upsampling — the step that
+    // turns per-source mixing weights into an actual training mix: a doc
+    // from a source with rate r is emitted floor(r) times plus once more
+    // for a deterministic u < frac(r) hash draw (so rate 1.5 = every doc
+    // once, the md5-selected half twice), and the per-source token budget
+    // is accounted after mixing. Extends q59d (which only FILTERS at
+    // rate ≤ 1): weights live in a broadcast dim table with a default,
+    // and u comes from the same content-hash idiom (first 8 md5 hex as a
+    // uint32 fraction — conv() on the Spark side, UBIGINT cast in DuckDB,
+    // identical 32-bit values). Map-side per doc; one source-keyed agg.
+    q("q120_source_mixing",
+      s"""WITH w(source, rate) AS (VALUES
+         |    ('src0', 2.0), ('src1', 1.5), ('src2', 1.25), ('src3', 1.0)),
+         |d AS (
+         |  SELECT t.source, COALESCE(w.rate, 0.4) AS rate,
+         |         len($tokSql) AS toks,
+         |         CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)
+         |           / 4294967296.0 AS u
+         |  FROM documents t LEFT JOIN w USING (source)),
+         |c AS (
+         |  SELECT source, rate, toks,
+         |         CAST(floor(rate) AS BIGINT) +
+         |         (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)
+         |           AS copies
+         |  FROM d)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(copies) AS BIGINT) AS n_copies,
+         |  CAST(SUM(copies * toks) AS BIGINT) AS mixed_tokens,
+         |  floor(CAST(SUM(copies) AS DOUBLE) * 10000 / COUNT(*) + 0.5)
+         |    / 10000 AS achieved_epochs,
+         |  MIN(rate) AS target_epochs
+         |FROM c GROUP BY source
+         |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Seq(("src0", 2.0), ("src1", 1.5), ("src2", 1.25),
+        ("src3", 1.0)).toDF("source", "rate")
+      val d = spark.table("documents")
+        .join(broadcast(w), Seq("source"), "left")
+        .select($"source", coalesce($"rate", lit(0.4)).as("rate"),
+          size(split(lower($"text"), " ")).as("toks"),
+          (conv(substring(md5($"text".cast(BinaryType)), 1, 8), 16, 10)
+            .cast(LongType) / lit(4294967296.0)).as("u"))
+      d.select($"source", $"rate", $"toks",
+          (floor($"rate").cast(LongType) +
+            when($"u" < $"rate" - floor($"rate"), 1L).otherwise(0L))
+            .as("copies"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"copies").cast(LongType).as("n_copies"),
+          sum($"copies" * $"toks").cast(LongType).as("mixed_tokens"),
+          (floor(sum($"copies").cast(DoubleType) * 10000 / count(lit(1))
+            + 0.5) / 10000).as("achieved_epochs"),
+          min($"rate").as("target_epochs"))
+        .orderBy($"source")
     })
 
   /** Winnowing selection stage shared by q66b/q66c: (doc_id, pos, sel)
