@@ -1,0 +1,84 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side brute-force replays of the deterministic LLM-pipeline gate
+  * operators (SURVEY.md §2C): the repetition filter (q118) and the mixing
+  * sampler (q120) are pure per-document functions, so a Scala recomputation
+  * over the collected fixture must match the distributed result exactly —
+  * including the IEEE floor-rounding and hash-draw spellings. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def queries = SparkEntry.queries
+
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.split(" ", -1).toSeq
+
+  private def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  test("q118 repetition stats equal a per-document Scala recomputation") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q118_repetition_stats")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5)))).toMap
+    val docs = spark.table("documents").select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length == got.size)
+    docs.foreach { case (id, text) =>
+      val toks = tokens(text)
+      val n = toks.size
+      val uc = toks.groupBy(identity).map(_._2.size)
+      val dup = uc.filter(_ > 1).sum
+      val topU = uc.max
+      val bis = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val topB = if (bis.isEmpty) 0.0
+        else bis.groupBy(identity).map(_._2.size).max.toDouble / bis.size
+      val keep = if (dup.toDouble / n <= 0.85 && topU.toDouble / n <= 0.11 &&
+        topB <= 0.05) 1 else 0
+      val expect = (n.toLong,
+        math.floor(dup.toDouble * 10000 / n + 0.5) / 10000,
+        math.floor(topU.toDouble * 10000 / n + 0.5) / 10000,
+        r4(topB), keep)
+      assert(got(id) == expect, s"doc $id: got ${got(id)}, expect $expect")
+    }
+  }
+
+  test("q120 mixing: per-source counts equal the deterministic hash replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val rates = Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 1.25,
+      "src3" -> 1.0).withDefaultValue(0.4)
+    def u(text: String): Double = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val docs = spark.table("documents").select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val rate = rates(src)
+      val copies = ds.map { case (_, t) =>
+        math.floor(rate).toLong + (if (u(t) < rate - math.floor(rate)) 1L
+                                   else 0L)
+      }
+      val toks = ds.map { case (_, t) => tokens(t).size.toLong }
+      src -> ((ds.length.toLong, copies.sum,
+        copies.zip(toks).map { case (c, t) => c * t }.sum,
+        math.floor(copies.sum.toDouble * 10000 / ds.length + 0.5) / 10000,
+        rate))
+    }
+    val got = queries("q120_source_mixing")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got == expect,
+      s"diff: ${(expect.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expect.toSet).take(3)}")
+    // rate-2.0 sources have zero fractional draw: exactly 2 copies per doc
+    assert(got("src0")._2 == 2 * got("src0")._1)
+  }
+}

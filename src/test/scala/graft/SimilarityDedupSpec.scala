@@ -220,4 +220,35 @@ class SimilarityDedupSpec extends SparkSpec {
       s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
     assert(brute.nonEmpty, "fixture must contain τ-similar pairs")
   }
+
+  test("SemDeDup drop rule equals the brute-force within-cluster definition") {
+    // q119's pair stage is exact WITHIN clusters, so (unlike LSH recall)
+    // the drop set must match a driver-side replay of the same rule over
+    // the same k-means assignment bit-for-bit.
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q119_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // dropped -> keeper
+    val lists = SimilarityQueries
+      .ivfAssign(spark, SimilarityQueries.ivfCentroids(spark))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    def r4cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.floor(c * 10000 + 0.5) / 10000
+    }
+    val brute = (for {
+      (ia, ea, ca) <- lists; (ib, eb, cb) <- lists
+      if ca == cb && ia < ib && r4cos(ea, eb) >= 0.4
+    } yield (ib, ia)).groupBy(_._1).map { case (d, ks) =>
+      d -> ks.map(_._2).min
+    }
+    assert(got == brute,
+      s"missing: ${(brute.toSet -- got.toSet).take(5)}; " +
+        s"extra: ${(got.toSet -- brute.toSet).take(5)}")
+    assert(brute.nonEmpty, "fixture must contain within-cluster near-dups")
+    assert(got.forall { case (d, k) => k < d }, "keeper < dropped invariant")
+  }
 }
