@@ -16,6 +16,9 @@ import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
   *   - PPJoin prefix-filter candidates (q110 path, τ = 0.6, exact)
   *   - containment intersecting pairs (q71c path, df-capped, τ = 0)
   *   - winnowed MOSS match pairs (q66c path, df-capped)
+  *   - SemDeDup within-cluster pairs (q119 path, n/4 vectors, k scaled
+  *     with n — the §2C rule that keeps cluster width, and so pair volume
+  *     per row, constant; fixed k would grow pairs ~size²)
   *
   * A quadratic path would grow candidates ~size²; the probe prints the
   * measured growth factor next to the size ratio so one committed JSON line
@@ -79,6 +82,8 @@ object ScaleProbe {
         "ppjoin" -> DedupQueries.ppjoinCandidates(
           DedupQueries.ppjoinTokens(docs), 0.6).count(),
         "ann" -> SimilarityQueries.annCandidatesOf(synthEmbeddings(spark, n)).count(),
+        "semdedup" -> SimilarityQueries.semdedupCandidatesOf(
+          synthEmbeddings(spark, n / 4), k = (n / 2500).toInt).count(),
         "containment" -> DedupQueries.containmentPairs(docs,
           DedupQueries.hotShingleDfCap, 0.0).count(),
         "winnow" -> TextQueries.winnowedMatches(docs,
@@ -91,7 +96,7 @@ object ScaleProbe {
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
-      "containment", "winnow")
+      "semdedup", "containment", "winnow")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

@@ -844,10 +844,13 @@ object SimilarityQueries extends QueryModule {
     cent
   }
 
-  private[graft] def ivfAssign(spark: SparkSession, cent: DataFrame): DataFrame = {
-    import spark.implicits._
+  private[graft] def ivfAssign(spark: SparkSession, cent: DataFrame): DataFrame =
+    assignOf(embeddingsD(spark), cent)
+
+  private[graft] def assignOf(e: DataFrame, cent: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cl".asc)
-    embeddingsD(spark).crossJoin(broadcast(cent))
+    e.crossJoin(broadcast(cent))
       .select($"vec_id", $"emb", $"cl",
         graft.api.Canon.r6(cosine($"emb", $"cemb")).as("ccos"))
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
@@ -860,16 +863,19 @@ object SimilarityQueries extends QueryModule {
     * the deterministic sample (the init needs just k rows — tune the
     * sample bound, not the window, as the corpus grows); the training loop
     * is scan + broadcast + k×d-row shuffles, scale-clean. */
-  private[graft] def ivfCentroids(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val init = embeddingsD(spark)
+  private[graft] def ivfCentroids(spark: SparkSession): DataFrame =
+    centroidsOf(embeddingsD(spark), ivfK)
+
+  private[graft] def centroidsOf(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val init = e
       .withColumn("h", md5($"vec_id".cast("string").cast("binary")))
       .filter(substring($"h", 1, 1) < initSampleLt)
       .withColumn("cl", row_number().over(Window.orderBy($"h", $"vec_id")) - 1)
-      .filter($"cl" < ivfK).select($"cl", $"emb".as("cemb"))
+      .filter($"cl" < k).select($"cl", $"emb".as("cemb"))
     var cent = init.localCheckpoint()
     for (_ <- 1 to ivfIters) {
-      val means = ivfAssign(spark, cent)
+      val means = assignOf(e, cent)
         .select($"cl", posexplode($"emb").as(Seq("dim", "x")))
         .groupBy($"cl", $"dim")
         .agg(sort_array(collect_list($"x")).as("xs"))
@@ -881,5 +887,19 @@ object SimilarityQueries extends QueryModule {
       cent = means.localCheckpoint()
     }
     cent
+  }
+
+  /** q119's candidate stage over any (vec_id, emb) corpus: all within-
+    * cluster pairs of a k-means assignment — the join volume SemDeDup pays
+    * BEFORE the cosine threshold. The §2C design rule says k grows with the
+    * corpus (bounded cluster width ⇒ pair volume ∝ n·width); ScaleProbe
+    * measures exactly that by scaling k with n. */
+  private[graft] def semdedupCandidatesOf(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val lists = assignOf(e, centroidsOf(e, k)).select($"vec_id", $"cl")
+    lists.select($"cl", $"vec_id".as("id_a"))
+      .join(lists.select($"cl".as("clb"), $"vec_id".as("id_b")),
+        $"cl" === $"clb" && $"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
   }
 }
