@@ -674,6 +674,92 @@ object DedupQueries extends QueryModule {
         struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
       }: _*)
       bucketStats(bandRows(spark, bandStructs))
+    },
+
+    // Incremental near-dup dedup — an INCOMING batch deduped against the
+    // EXISTING base corpus, the shape a continuously-ingesting pipeline
+    // runs: the base is already internally deduped, so only batch × base
+    // candidates are enumerated (never base × base, the bulk of the q73
+    // volume). Batch membership is the q59e content-hash idiom (~10%).
+    // Candidates come from the q73 MinHash band buckets restricted to
+    // cross-side pairs, with each bucket's BASE side capped at
+    // defaultBucketCap members by doc_id rank — the incremental analog of
+    // the q73c guard: a batch doc landing in a boilerplate bucket meets a
+    // bounded slice of the base, not all of it (fixture buckets max 4, so
+    // the oracle replays the same rank window verbatim). Candidates are
+    // then verified with exact 3-shingle Jaccard ≥ 0.6 (q71's spelling).
+    q("q121_incremental_neardup", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sigs AS ($signaturesSql),
+         |bands0 AS (
+         |$bandSelects),
+         |flag AS (SELECT doc_id, substr(md5(text), 1, 2) >= 'e6' AS is_new
+         |         FROM documents),
+         |bands AS (SELECT b.doc_id, b.band, b.bh, f.is_new
+         |          FROM bands0 b JOIN flag f USING (doc_id)),
+         |base AS (
+         |  SELECT band, bh, doc_id AS id_base FROM (
+         |    SELECT band, bh, doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY band, bh
+         |                              ORDER BY doc_id) AS rn
+         |    FROM bands WHERE NOT is_new) t
+         |  WHERE rn <= $defaultBucketCap),
+         |fresh AS (SELECT band, bh, doc_id AS id_new
+         |          FROM bands WHERE is_new),
+         |cand AS (SELECT DISTINCT id_new, id_base
+         |         FROM fresh n JOIN base b
+         |           ON n.band = b.band AND n.bh = b.bh),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS shingle
+         |       FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_new, c.id_base, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_new
+         |  JOIN sh b ON b.doc_id = c.id_base AND b.shingle = a.shingle
+         |  GROUP BY c.id_new, c.id_base)
+         |SELECT id_new, id_base,
+         |  ${Canon.Oracle.r4("CAST(i AS DOUBLE) / (na.n + nb.n - i)")} AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = id_new
+         |JOIN sizes nb ON nb.doc_id = id_base
+         |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.6
+         |ORDER BY id_new, id_base""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val docs = spark.table("documents")
+      val flagged = docs.select($"doc_id",
+        (substring(md5($"text".cast(BinaryType)), 1, 2) >= "e6").as("is_new"))
+      val bands = minhashBandRowsOf(docs).join(flagged, Seq("doc_id"))
+      val wb = Window.partitionBy($"band", $"bh").orderBy($"doc_id")
+      val base = bands.filter(!$"is_new")
+        .withColumn("rn", row_number().over(wb))
+        .filter($"rn" <= defaultBucketCap)
+        .select($"band", $"bh", $"doc_id".as("id_base"))
+      val fresh = bands.filter($"is_new")
+        .select($"band", $"bh", $"doc_id".as("id_new"))
+      val cand = fresh.join(base, Seq("band", "bh"))
+        .select($"id_new", $"id_base").distinct()
+      val sh = docs
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("a"), $"a.doc_id" === $"id_new")
+        .join(sh.as("b"),
+          $"b.doc_id" === $"id_base" && $"a.shingle" === $"b.shingle")
+        .groupBy($"id_new", $"id_base").agg(count(lit(1)).as("i"))
+      val jac = $"i".cast(DoubleType) /
+        ($"na.n" + $"nb.n" - $"i").cast(DoubleType)
+      inter
+        .join(sizes.as("na"), $"na.doc_id" === $"id_new")
+        .join(sizes.as("nb"), $"nb.doc_id" === $"id_base")
+        .filter(jac >= 0.6)
+        .select($"id_new", $"id_base", Canon.r4(jac).as("jaccard"))
+        .orderBy($"id_new", $"id_base")
     }) :+ pipelineQuery
 
   /** (band, bh, doc_id) rows for the SimHash bands (q78/q78b); the `Of`
