@@ -913,6 +913,71 @@ object TextQueries extends QueryModule {
             + 0.5) / 10000).as("achieved_epochs"),
           min($"rate").as("target_epochs"))
         .orderBy($"source")
+    },
+
+    // DSIR-style importance weights (Xie et al., NeurIPS 2023: "Data
+    // Selection for Language Models via Importance Resampling"): score each
+    // raw doc by how target-like its token distribution is, log w(x) =
+    // avg over token instances of ln p_target(tok) − ln p_raw(tok), with
+    // the lang='en' slice standing in for the target domain and add-one
+    // smoothing over the raw vocabulary so target-absent tokens stay
+    // finite. The constant ln(N_raw) − ln(N_tgt + V) is pulled out of the
+    // fold, so the per-token fold is exactly q109's proven shape: sorted
+    // struct list, identical 0-seeded left fold of ln's of exact integer
+    // counts, floor-rounded free double. Scale: two token-keyed count
+    // shuffles, one token-keyed probability join, one doc_id shuffle;
+    // the three scalar totals are 1-row broadcasts. High logw = resample
+    // into the training mix; the downstream sampler is q120's.
+    q("q122_dsir_weights",
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |tg AS (SELECT unnest($tokSql) AS token FROM documents
+         |       WHERE lang = 'en'),
+         |craw AS (SELECT token, COUNT(*) AS cr FROM t GROUP BY token),
+         |ctgt AS (SELECT token, COUNT(*) AS ct FROM tg GROUP BY token),
+         |nraw AS (SELECT COUNT(*) AS nr FROM t),
+         |ntgt AS (SELECT COUNT(*) AS nt FROM tg),
+         |vocab AS (SELECT COUNT(*) AS v FROM craw),
+         |d AS (
+         |  SELECT t.doc_id,
+         |         list_sort(list(struct_pack(token := t.token,
+         |                                    cr := craw.cr,
+         |                                    ct := COALESCE(ctgt.ct, 0)))) AS tl
+         |  FROM t JOIN craw USING (token) LEFT JOIN ctgt USING (token)
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_toks,
+         |  floor((list_reduce(list_transform(tl,
+         |           x -> ln(CAST(x.ct + 1 AS DOUBLE)) -
+         |                ln(CAST(x.cr AS DOUBLE))),
+         |         (a, b) -> a + b) / len(tl)
+         |       + ln(CAST((SELECT nr FROM nraw) AS DOUBLE))
+         |       - ln(CAST((SELECT nt FROM ntgt) +
+         |                 (SELECT v FROM vocab) AS DOUBLE)))
+         |    * 10000 + 0.5) / 10000 AS logw
+         |FROM d ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      val tgtToks = spark.table("documents").filter($"lang" === "en")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val craw = toks.groupBy($"token").agg(count(lit(1)).as("cr"))
+      val ctgt = tgtToks.groupBy($"token").agg(count(lit(1)).as("ct"))
+      val nraw = toks.agg(count(lit(1)).as("nr"))
+      val ntgt = tgtToks.agg(count(lit(1)).as("nt"))
+      val vocab = craw.agg(count(lit(1)).as("v"))
+      toks.join(craw, "token")
+        .join(ctgt, Seq("token"), "left")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"token", $"cr",
+          coalesce($"ct", lit(0L)).as("ct")))).as("tl"))
+        .join(broadcast(nraw)).join(broadcast(ntgt)).join(broadcast(vocab))
+        .select($"doc_id", size($"tl").cast(LongType).as("n_toks"),
+          (floor((aggregate($"tl", lit(0.0), (acc, x) =>
+            acc + log((x.getField("ct") + 1).cast(DoubleType)) -
+              log(x.getField("cr").cast(DoubleType))) / size($"tl")
+            + log($"nr".cast(DoubleType))
+            - log(($"nt" + $"v").cast(DoubleType)))
+            * 10000 + 0.5) / 10000).as("logw"))
+        .orderBy($"doc_id")
     })
 
   /** Winnowing selection stage shared by q66b/q66c: (doc_id, pos, sel)
