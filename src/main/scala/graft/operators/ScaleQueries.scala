@@ -346,6 +346,41 @@ object ScaleQueries extends QueryModule {
         .groupBy($"event_date".as("d"), $"event_type")
         .agg(count(lit(1)).as("n"))
         .orderBy($"d", $"event_type")
+    },
+
+    // Training-shard assignment + manifest — the last step of a data
+    // pipeline before the trainer reads it: every doc goes to shard
+    // h(doc_id) mod S (content-independent, so re-runs and incremental
+    // appends land docs in the SAME shard), and the manifest reports the
+    // per-shard doc/token footprint the shard writer would use to size
+    // output files. md5-based hash (first 8 hex as uint32 — the proven
+    // cross-engine idiom from q120/q59c) keys the shuffle uniformly:
+    // shards stay balanced at any corpus size by construction, which the
+    // ShardSpec balance assert pins. One map-side projection + one
+    // S-key aggregate — nothing else, the 100 TB shard-writer plan.
+    q("q123_shard_manifest",
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         len(string_split(lower(text), ' ')) AS toks,
+         |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |                   AS UBIGINT) % 16 AS BIGINT) AS shard
+         |  FROM documents)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM s GROUP BY shard
+         |ORDER BY shard""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .select($"doc_id",
+          size(split(lower($"text"), " ")).as("toks"),
+          (conv(substring(md5($"doc_id".cast("string").cast("binary")),
+            1, 8), 16, 10).cast("long") % 16).as("shard"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"toks").cast("long").as("total_tokens"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"shard")
     })
 
   /** 64-bit Morton (Z-order) value of two non-negative 32-bit keys: bit i

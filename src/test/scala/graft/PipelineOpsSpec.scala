@@ -81,4 +81,60 @@ class PipelineOpsSpec extends SparkSpec {
     // rate-2.0 sources have zero fractional draw: exactly 2 copies per doc
     assert(got("src0")._2 == 2 * got("src0")._1)
   }
+
+  test("q122 DSIR log-weights equal the sorted-fold Scala replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val all = docs.flatMap { case (id, _, t) => tokens(t).map(id -> _) }
+    val craw = all.groupBy(_._2).map { case (tk, xs) => tk -> xs.length.toLong }
+    val tgt = docs.filter(_._2 == "en").flatMap(d => tokens(d._3))
+    val ctgt = tgt.groupBy(identity).map { case (tk, xs) => tk -> xs.length.toLong }
+    val nraw = all.length.toDouble
+    val ntgtV = tgt.length.toDouble + craw.size
+    val expect = all.groupBy(_._1).map { case (id, xs) =>
+      // fold in the same token-sorted order as the distributed sort_array
+      val terms = xs.map(_._2).sorted.map(tk =>
+        math.log(ctgt.getOrElse(tk, 0L).toDouble + 1) - math.log(craw(tk).toDouble))
+      val s = terms.foldLeft(0.0)(_ + _)
+      id -> ((xs.length.toLong,
+        r4(s / xs.length + math.log(nraw) - math.log(ntgtV))))
+    }
+    val got = queries("q122_dsir_weights")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect,
+      s"diff: ${(expect.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expect.toSet).take(3)}")
+    // the en target slice must score itself higher on average than the rest
+    val byLang = docs.map { case (id, lang, _) => lang -> got(id)._2 }
+    def avg(xs: Array[Double]) = xs.sum / xs.length
+    assert(avg(byLang.filter(_._1 == "en").map(_._2)) >
+      avg(byLang.filter(_._1 != "en").map(_._2)))
+  }
+
+  test("q123 shard manifest equals the md5 replay and stays balanced") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def shard(id: Long): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 16
+    }
+    val docs = spark.table("documents").select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), tokens(r.getString(1)).size.toLong))
+    val expect = docs.groupBy(d => shard(d._1)).map { case (s, ds) =>
+      s -> ((ds.length.toLong, ds.map(_._2).sum,
+        ds.map(_._1).min, ds.map(_._1).max))
+    }
+    val got = queries("q123_shard_manifest")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == docs.length)
+    // md5 keys shard uniformly: even this 50-doc fixture spreads over most
+    // shards with no shard holding a disproportionate share
+    assert(got.size >= 12, s"only ${got.size} shards hit")
+    assert(got.values.map(_._1).max <= docs.length / 4)
+  }
 }
