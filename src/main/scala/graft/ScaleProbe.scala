@@ -16,6 +16,8 @@ import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
   *   - PPJoin prefix-filter candidates (q110 path, τ = 0.6, exact)
   *   - containment intersecting pairs (q71c path, df-capped, τ = 0)
   *   - winnowed MOSS match pairs (q66c path, df-capped)
+  *   - duplicate-span repeated-8-gram occurrences (q124 path — the work
+  *     set of the span mask; a semi-join, so it must track corpus size)
   *   - SemDeDup within-cluster pairs (q119 path, n/4 vectors, k scaled
   *     with n — the §2C rule that keeps cluster width, and so pair volume
   *     per row, constant; fixed k would grow pairs ~size²)
@@ -86,6 +88,7 @@ object ScaleProbe {
           synthEmbeddings(spark, n / 4), k = (n / 2500).toInt).count(),
         "containment" -> DedupQueries.containmentPairs(docs,
           DedupQueries.hotShingleDfCap, 0.0).count(),
+        "dupspan" -> DedupQueries.dupspanDupOccurrences(docs).count(),
         "winnow" -> TextQueries.winnowedMatches(docs,
           TextQueries.matchDfCap).count())
       finally docs.unpersist()
@@ -96,7 +99,7 @@ object ScaleProbe {
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
-      "semdedup", "containment", "winnow")
+      "semdedup", "containment", "dupspan", "winnow")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

@@ -107,6 +107,26 @@ object DedupQueries extends QueryModule {
     * HAVING threshold, so the guarded result is still hash-checked). */
   private[graft] val hotShingleDfCap = 16
 
+  /** Duplicate-span n-gram width (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — their 50-BPE-token window,
+    * scaled to this fixture's short synthetic docs). A span duplicated
+    * across the corpus shares all its width-8 token windows, so marking
+    * every position covered by a ≥2-occurrence 8-gram recovers the
+    * duplicated-span mask without any suffix array: one n-gram-hash count
+    * (map-side combinable) + one occurrence⋈dup-hash semi-join — linear,
+    * never a pair enumeration. */
+  private[graft] val dupspanN = 8
+
+  /** Keeper-rank cap for span REMOVAL (q124b): an n-gram with more corpus
+    * occurrences than this is boilerplate — every occurrence is removed
+    * (no keeper), so the keeper-rank window only ever partitions over
+    * ≤ cap rows and a hot 8-gram key never serializes one huge window
+    * partition at 100 TB. Fixture liveness follows the q71c pattern: max
+    * occurrence count is 3 at sf0.01 (branch is a no-op, oracle trivially
+    * agrees) and 4 at sf0.1 (57 hot 8-grams genuinely routed to the
+    * no-keeper branch — the oracle replays the same threshold). */
+  private[graft] val dupspanKeeperCap = 3
+
   /** In-bucket pair enumeration with deterministic overflow salting: rank
     * members within each (band, bh) bucket by id, salt = rank/cap, and
     * enumerate pairs only within each ≤cap-sized salt group. Effects at
@@ -760,7 +780,148 @@ object DedupQueries extends QueryModule {
         .filter(jac >= 0.6)
         .select($"id_new", $"id_base", Canon.r4(jac).as("jaccard"))
         .orderBy($"id_new", $"id_base")
+    },
+
+    // Duplicate-SPAN statistics (Lee et al. ACL'22 "exact substring" dedup,
+    // re-expressed without a suffix array): a token position is duplicated
+    // iff some corpus-repeated 8-gram covers it. Shape: one posexplode →
+    // md5 8-gram keys → groupBy(h) count (map-side combinable, uniform
+    // digest keys) → semi-join occurrences to repeated hashes (output
+    // linear in occurrences — a boilerplate 8-gram joins back its own
+    // occurrences, never a pair product) → per-doc distinct covered
+    // positions (bounded ×8 explode, shuffle key doc_id). Per-doc output:
+    // duplicated-token fraction + the Lee-style keep gate (≤ half the doc
+    // inside duplicated spans). Doc-level exact dups (q70) surface here as
+    // frac = 1.0.
+    q("q124_dupspan_stats",
+      s"""$dupspanOccSql,
+         |c AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h),
+         |dup AS (SELECT o.doc_id, o.pos
+         |        FROM occ o JOIN c ON c.h = o.h AND c.cnt >= 2),
+         |cov AS (SELECT DISTINCT doc_id, p
+         |        FROM dup, UNNEST(range(pos, pos + $dupspanN)) AS u(p)),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered
+         |        FROM cov GROUP BY doc_id),
+         |starts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_starts
+         |           FROM dup GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(s.dup_starts, 0) AS BIGINT) AS dup_starts,
+         |  CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+         |  floor(COALESCE(CAST(a.covered AS DOUBLE) / len(t.toks), 0.0)
+         |    * 10000 + 0.5) / 10000 AS dup_frac,
+         |  CAST(CASE WHEN COALESCE(CAST(a.covered AS DOUBLE) / len(t.toks),
+         |                          0.0) <= 0.5
+         |       THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM t LEFT JOIN agg a USING (doc_id)
+         |       LEFT JOIN starts s USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin) { spark =>
+      dupspanStatsOf(spark.table("documents"))
+    },
+
+    // Duplicate-span REMOVAL accounting — Lee et al.'s actual dedup rule
+    // (keep ONE occurrence of each duplicated span, drop the rest): the
+    // keeper of an 8-gram is its globally-first occurrence (min (doc_id,
+    // pos)); a position is removed iff every dup 8-gram covering it is a
+    // non-keeper occurrence. 8-grams above [[dupspanKeeperCap]] occurrences
+    // are boilerplate: ALL occurrences are removed without ranking, so the
+    // keeper-rank window never partitions a hot key (the guard is applied
+    // BEFORE the window on both engines). Output: per-doc removed/kept
+    // token counts.
+    q("q124b_dupspan_removal",
+      s"""$dupspanOccSql,
+         |c AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h),
+         |d AS (SELECT o.doc_id, o.pos, o.h, c.cnt
+         |      FROM occ o JOIN c ON c.h = o.h AND c.cnt >= 2),
+         |small AS (
+         |  SELECT doc_id, pos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY h
+         |                                 ORDER BY doc_id, pos) = 1 AS INT)
+         |           AS is_first
+         |  FROM d WHERE cnt <= $dupspanKeeperCap),
+         |flagged AS (
+         |  SELECT doc_id, pos, is_first FROM small
+         |  UNION ALL
+         |  SELECT doc_id, pos, 0 AS is_first
+         |  FROM d WHERE cnt > $dupspanKeeperCap),
+         |cov AS (
+         |  SELECT doc_id, p, MAX(is_first) AS kept_cover
+         |  FROM flagged, UNNEST(range(pos, pos + $dupspanN)) AS u(p)
+         |  GROUP BY doc_id, p),
+         |rem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed
+         |        FROM cov WHERE kept_cover = 0 GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens,
+         |  CAST(len(t.toks) - COALESCE(r.removed, 0) AS BIGINT) AS kept_tokens
+         |FROM t LEFT JOIN rem r USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin) { spark =>
+      dupspanRemovalOf(spark.table("documents"), dupspanKeeperCap)
     }) :+ pipelineQuery
+
+  /** Occurrences of corpus-repeated 8-grams — q124/q124b's work set and the
+    * quantity ScaleProbe tracks for growth (carries `cnt` for the keeper
+    * cap). Linear by construction: the count aggregate is map-side
+    * combinable and the join back is a semi-join on the digest key, so a
+    * boilerplate 8-gram contributes its own occurrence rows, never a pair
+    * product. */
+  private[graft] def dupspanDupOccurrences(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val occ = dupspanOcc(docs)
+    val cnt = occ.groupBy($"h").agg(count(lit(1)).as("cnt"))
+    occ.join(cnt.filter($"cnt" >= 2), "h")
+  }
+
+  /** q124's duplicate-span statistics over any (doc_id, text) frame
+    * (DedupSpec replays it brute-force on synthetic corpora). */
+  private[graft] def dupspanStatsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dup = dupspanDupOccurrences(docs)
+    val cov = dup
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (dupspanN - 1)))
+        .as("p"))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("covered"))
+    val starts = dup.groupBy($"doc_id").agg(count(lit(1)).as("dup_starts"))
+    val nt = docs
+      .select($"doc_id",
+        size(split(lower($"text"), " ")).cast(LongType).as("n_tokens"))
+    val frac = coalesce($"covered".cast(DoubleType) / $"n_tokens", lit(0.0))
+    nt.join(cov, Seq("doc_id"), "left").join(starts, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_starts", lit(0L)).as("dup_starts"),
+        coalesce($"covered", lit(0L)).as("covered_tokens"),
+        (floor(frac * 10000 + 0.5) / 10000).as("dup_frac"),
+        when(frac <= 0.5, 1).otherwise(0).cast(IntegerType).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** q124b's keeper-capped span removal over any (doc_id, text) frame. */
+  private[graft] def dupspanRemovalOf(docs: DataFrame, cap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = dupspanDupOccurrences(docs)
+    val wk = Window.partitionBy($"h").orderBy($"doc_id", $"pos")
+    // hot keys filtered out BEFORE the rank window: partitions ≤ cap rows
+    val small = d.filter($"cnt" <= cap)
+      .withColumn("is_first",
+        (row_number().over(wk) === 1).cast(IntegerType))
+      .select($"doc_id", $"pos", $"is_first")
+    val flagged = small.unionAll(
+      d.filter($"cnt" > cap)
+        .select($"doc_id", $"pos", lit(0).as("is_first")))
+    val rem = flagged
+      .select($"doc_id", $"is_first",
+        explode(sequence($"pos", $"pos" + (dupspanN - 1))).as("p"))
+      .groupBy($"doc_id", $"p").agg(max($"is_first").as("kept_cover"))
+      .filter($"kept_cover" === 0)
+      .groupBy($"doc_id").agg(count(lit(1)).as("removed"))
+    docs
+      .select($"doc_id",
+        size(split(lower($"text"), " ")).cast(LongType).as("n_tokens"))
+      .join(rem, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"removed", lit(0L)).as("removed_tokens"),
+        ($"n_tokens" - coalesce($"removed", lit(0L))).as("kept_tokens"))
+      .orderBy($"doc_id")
+  }
 
   /** (band, bh, doc_id) rows for the SimHash bands (q78/q78b); the `Of`
     * variant runs on any (doc_id, text) frame (ScaleProbe). Band width is
@@ -943,6 +1104,37 @@ object DedupQueries extends QueryModule {
       .select($"id_a", $"id_b", Canon.r4(cont).as("containment"))
       .orderBy($"id_a", $"id_b")
   }
+
+  /** POSITIONAL width-8 token-window occurrences: (doc_id, pos, h) with
+    * 1-based start pos and h = md5 of the space-joined window — the
+    * duplicate-span relation shared by q124/q124b. Tokenization sits in its
+    * own projection (interpreted HOF lambdas get no CSE); [[Canon.seq1]]
+    * guards docs shorter than the window (Spark `sequence` descends when
+    * end < start; DuckDB `range` just yields no rows). */
+  private[graft] def dupspanOcc(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id",
+        posexplode(transform(Canon.seq1(size($"toks") - (dupspanN - 1)),
+          i => md5(concat_ws(" ", slice($"toks", i, lit(dupspanN)))
+            .cast(BinaryType)))).as(Seq("p0", "h")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"h")
+  }
+
+  /** DuckDB twin of [[dupspanOcc]] as a WITH prefix ending in
+    * `occ(doc_id, pos, h)`; also exposes `t(doc_id, toks)`. */
+  private def dupspanOccSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS h
+       |  FROM (SELECT doc_id,
+       |          list_transform(range(1, len(toks) - ${dupspanN - 2}),
+       |            i -> md5(array_to_string(toks[i:i+${dupspanN - 1}], ' ')))
+       |            AS gs
+       |        FROM t) g)""".stripMargin
 
   /** Distinct (doc_id, 3-shingle) rows, materialized once (q110 reuses it
     * five times). */

@@ -623,7 +623,105 @@ object SimilarityQueries extends QueryModule {
       h.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
         .select($"id_b".as("dropped"), $"id_a".as("keeper"), $"cl", $"cos")
         .orderBy($"dropped")
+    },
+
+    // Binary sign-quantization ANN (the Faiss binary-index pattern): each
+    // 64-dim vector compresses to two packed 32-bit sign words (16 bytes vs
+    // 256 — the whole corpus index is 16× smaller than the floats), probes
+    // scan the corpus with INTEGER xor+popcount Hamming distance, and only
+    // the 64-deep Hamming shortlist pays an exact-cosine re-rank. All
+    // integer math + the shared r4 cosine → fully hash-checked (unlike the
+    // randomized ANN rows-only paths). Corpus scanned once map-side
+    // (broadcast probes); shuffles are the two per-probe top-k windows over
+    // ≤ 64·|probes| rows. Recall vs exact q80 asserted in
+    // SimilarityDedupSpec.
+    q("q125_hamming_ann", {
+      def packSql(off: Int): String =
+        s"""CAST(list_sum(list_transform(range(1, 33),
+           |    i -> CASE WHEN embedding[i + $off] > 0
+           |              THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))
+           |  AS BIGINT)""".stripMargin
+      s"""WITH e AS ($withNormSql),
+         |codes AS (
+         |  SELECT vec_id, ${packSql(0)} AS lo, ${packSql(32)} AS hi
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi
+         |      FROM codes WHERE vec_id < 10),
+         |s AS (
+         |  SELECT p.qid, c.vec_id AS cid,
+         |         CAST(bit_count(xor(c.lo, p.qlo))
+         |            + bit_count(xor(c.hi, p.qhi)) AS BIGINT) AS ham
+         |  FROM codes c JOIN p ON c.vec_id <> p.qid),
+         |short AS (
+         |  SELECT qid, cid, ham FROM (
+         |    SELECT qid, cid, ham,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |                              ORDER BY ham, cid) AS rn
+         |    FROM s) t
+         |  WHERE rn <= $hammingShortlist),
+         |r AS (
+         |  SELECT sh.qid, sh.cid, sh.ham,
+         |         ${graft.api.Canon.Oracle.r4(
+                     "(list_dot_product(a.emb, b.emb) / (a.n * b.n))")} AS cos
+         |  FROM short sh
+         |  JOIN e a ON a.vec_id = sh.qid
+         |  JOIN e b ON b.vec_id = sh.cid)
+         |SELECT qid, cid, ham, cos FROM (
+         |  SELECT qid, cid, ham, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, cid) AS rn
+         |  FROM r) t
+         |WHERE rn <= 5
+         |ORDER BY qid, cid""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val codes = signCodes(spark)
+      val probes = codes.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"lo".as("qlo"), $"hi".as("qhi"))
+      val scored = codes.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"),
+          (bit_count($"lo".bitwiseXOR($"qlo"))
+            + bit_count($"hi".bitwiseXOR($"qhi"))).cast(LongType).as("ham"))
+      val wh = Window.partitionBy($"qid").orderBy($"ham".asc, $"cid".asc)
+      val short = scored.withColumn("rn", row_number().over(wh))
+        .filter($"rn" <= hammingShortlist).select($"qid", $"cid", $"ham")
+      val e = withNorm(spark)
+      val qe = e.select($"vec_id".as("qid"), $"embedding".as("qemb"),
+        $"n".as("qn"))
+      val rer = short
+        .join(broadcast(qe), Seq("qid"))
+        .join(e, $"vec_id" === $"cid")
+        .select($"qid", $"cid", $"ham",
+          graft.api.Canon.r4(dot($"qemb", $"embedding") / ($"qn" * $"n"))
+            .as("cos"))
+      val wc = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+      rer.withColumn("rn", row_number().over(wc)).filter($"rn" <= 5)
+        .select($"qid", $"cid", $"ham", $"cos")
+        .orderBy($"qid", $"cid")
     })
+
+  /** Hamming-shortlist depth: candidates per probe that pay the exact
+    * re-rank. 64 ⇒ measured recall 0.86 vs exact top-5 on the fixture
+    * (32 ⇒ 0.56, 96 ⇒ 0.96 — the knob trades re-rank volume for recall;
+    * re-rank cost is shortlist·|probes| rows, trivial at any depth). */
+  private val hammingShortlist = 64
+
+  /** Sign-quantized codes: vec_id → two packed 32-bit sign words (`lo` =
+    * dims 1–32, `hi` = dims 33–64; dim j carries weight 2^(j−1) within its
+    * word). The Spark side folds MSB-first (acc·2 + bit — no variable-shift
+    * builtin needed); the oracle sums 1<<(i−1) terms — different spellings,
+    * identical integers (exact math, no IEEE concern). Codes are what a
+    * 100 TB deployment materializes as the search index: 16 bytes/vector. */
+  private[graft] def signCodes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def pack(off: Int): Column =
+      aggregate(graft.api.Canon.seq1(lit(32)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at($"embedding", lit(off + 33) - i) > 0f, 1L)
+            .otherwise(0L))
+    spark.table("embeddings")
+      .select($"vec_id", pack(0).as("lo"), pack(32).as("hi"))
+  }
 
   /** q82's candidate stage over any (vec_id, emb) corpus: banded sign-LSH
     * equi-join with Hamming-1 multiprobe on the query side (probes =

@@ -188,6 +188,79 @@ class DedupSpec extends SparkSpec {
     assert(sels == Set(2L), "short docs drop out; the 7-token doc winnows")
   }
 
+  /** Plain-Scala replay of the q124/q124b duplicate-span semantics. */
+  private def bruteDupspan(docs: Seq[(Long, String)], cap: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val n = DedupQueries.dupspanN
+    val toks = docs.map { case (d, t) => d -> t.toLowerCase.split(" ").toSeq }
+    val occ = for {
+      (d, ts) <- toks
+      i <- 0 to ts.length - n
+    } yield (d, i + 1, ts.slice(i, i + n).mkString(" "))
+    val cnt = occ.groupBy(_._3).map { case (g, os) => g -> os.size }
+    val dup = occ.filter(o => cnt(o._3) >= 2)
+    val covered = dup.flatMap { case (d, p, _) =>
+      (p until p + n).map(d -> _) }.toSet
+    val firsts = dup.groupBy(_._3).collect {
+      case (g, os) if cnt(g) <= cap => os.minBy(o => (o._1, o._2))
+    }.toSet
+    val keptCover = firsts.flatMap { case (d, p, _) =>
+      (p until p + n).map(d -> _) }
+    val removed = covered -- keptCover
+    (covered.groupBy(_._1).map { case (d, ps) => d -> ps.size.toLong },
+      removed.groupBy(_._1).map { case (d, ps) => d -> ps.size.toLong })
+  }
+
+  /** 6 docs share one boilerplate 8-gram (count 6 > keeper cap), docs 0/1
+    * share one planted 8-gram span (count 2 → keeper-ranked), everything
+    * else unique — boundary windows straddle segments so they stay unique. */
+  private def dupspanDocs: Seq[(Long, String)] = {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    def uniq(tag: Int) = (1 to 10).map(j => s"u${tag}w$j").mkString(" ")
+    (0L until 8L).map { d =>
+      val mid = if (d < 2) span else uniq(10 + d.toInt)
+      val tail = if (d < 6) boiler else uniq(20 + d.toInt)
+      (d, s"${uniq(d.toInt)} $mid $tail")
+    }
+  }
+
+  test("dupspan stats/removal: brute-force replay incl. the no-keeper branch") {
+    import spark.implicits._
+    val docs = dupspanDocs
+    val df = docs.toDF("doc_id", "text")
+    val cap = DedupQueries.dupspanKeeperCap
+    val (expCov, expRem) = bruteDupspan(docs, cap)
+    val stats = DedupQueries.dupspanStatsOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap.filter(_._2 > 0)
+    assert(stats == expCov, s"covered mismatch: $stats vs $expCov")
+    val rem = DedupQueries.dupspanRemovalOf(df, cap).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap.filter(_._2 > 0)
+    assert(rem == expRem, s"removal mismatch: $rem vs $expRem")
+    // boilerplate branch really fired: the 6-occurrence 8-gram kept NO
+    // copy under the cap, but keeps exactly one with the cap lifted
+    val (_, expRemUncapped) = bruteDupspan(docs, 100)
+    val remUncapped = DedupQueries.dupspanRemovalOf(df, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap.filter(_._2 > 0)
+    assert(remUncapped == expRemUncapped)
+    assert(rem.values.sum > remUncapped.values.sum,
+      "the no-keeper branch strictly increases removal")
+    // with ranking uncapped every keeper lands in doc 0, so it loses nothing
+    assert(expRemUncapped.getOrElse(0L, 0L) == 0L,
+      "doc 0 holds every keeper when ranking is uncapped")
+  }
+
+  test("dupspan sub-width docs: no occurrence rows, full-stats row survives") {
+    import spark.implicits._
+    val df = Seq((0L, "just three tokens"),
+      (1L, (1 to 12).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val stats = DedupQueries.dupspanStatsOf(df).collect()
+    assert(stats.length == 2, "short doc still reported (left join)")
+    val short = stats.find(_.getLong(0) == 0L).get
+    assert(short.getLong(1) == 3 && short.getLong(3) == 0 &&
+      short.getInt(5) == 1, "3-token doc: zero coverage, kept")
+  }
+
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
     // a 32-bit band is the concatenation of two 16-bit bands: agreement on
     // it implies agreement on both halves, so the scale-mode candidate set

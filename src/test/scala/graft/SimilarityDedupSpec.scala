@@ -26,6 +26,28 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("binary sign-quantized Hamming ANN recalls most of exact top-5") {
+    val exact = topkPairs("q80_cosine_topk")
+    val ham = topkPairs("q125_hamming_ann")
+    val recall = ham.intersect(exact).size.toDouble / exact.size
+    info(f"Hamming recall: $recall%.2f")
+    // 64 sign bits + 64-deep shortlist + exact re-rank → measured 0.86 on
+    // the fixture; assert a margin below to catch regressions only
+    assert(recall >= 0.6, s"Hamming recall $recall")
+  }
+
+  test("sign codes pack exactly 32 bits per word, deterministically") {
+    graft.sources.Tables.register(spark, sf)
+    val rows = graft.operators.SimilarityQueries.signCodes(spark).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32))
+      assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32))
+    }
+    val again = graft.operators.SimilarityQueries.signCodes(spark).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("IVF centroid probing recalls a usable fraction of exact top-5") {
     val exact = topkPairs("q80_cosine_topk")
     val ivf = topkPairs("q83_ivf_topk")
