@@ -978,7 +978,144 @@ object TextQueries extends QueryModule {
             - log(($"nt" + $"v").cast(DoubleType)))
             * 10000 + 0.5) / 10000).as("logw"))
         .orderBy($"doc_id")
+    },
+
+    // Model-based quality gate — fastText-classifier inference as an
+    // operator (the CCNet/RefinedWeb "quality classifier" step, distinct
+    // from q64's hand rules): a FIXED-weight linear model over three
+    // exact-rational features (stopword ratio, repeated-token share,
+    // chars-per-word), scored map-side against in-code weights. Every
+    // feature is a ratio of integers and the weighted sum is spelled in the
+    // identical association order on both engines, so the score — unlike a
+    // sigmoid/ln formulation — is bit-deterministic and the keep gate fully
+    // hash-checked (classification is threshold-on-linear-score; the
+    // monotone sigmoid would add nothing but cross-engine exp() risk).
+    // Scale: one token-count shuffle (rep share) + map-side everything
+    // else; weights would come from a trained model file at 100 TB, loaded
+    // as literals/broadcast exactly like this.
+    q("q126_quality_classifier",
+      s"""WITH t AS (SELECT doc_id, n_chars, $tokSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST(len(list_filter(toks,
+         |            w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+         |          / len(toks) AS stop_ratio,
+         |        CAST(n_chars AS DOUBLE) / len(toks) AS cpw
+         |      FROM t),
+         |tc AS (SELECT doc_id, token, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest($tokSql) AS token
+         |             FROM documents) x
+         |       GROUP BY doc_id, token),
+         |rr AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep
+         |       FROM tc GROUP BY doc_id),
+         |s AS (SELECT f.doc_id,
+         |        ((8.0 * stop_ratio - 6.0 * rep) + 0.5 * (cpw - 5.5)) + 0.1
+         |          AS score
+         |      FROM f JOIN rr USING (doc_id))
+         |SELECT doc_id, floor(score * 10000 + 0.5) / 10000 AS score,
+         |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin) { spark =>
+      classifierScores(spark)
+        .select(col("doc_id"),
+          (floor(col("score") * 10000 + 0.5) / 10000).as("score"),
+          when(col("score") > 0, 1).otherwise(0).cast(IntegerType).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality-tertile bucketing — CCNet's head/middle/tail corpus split,
+    // re-based on q126's exact-rational classifier score (CCNet buckets on
+    // LM perplexity; the MACHINERY — sampled per-language thresholds +
+    // map-side labeling — is identical, and the exact score keeps the
+    // boundary comparisons bit-deterministic where a ln-based perplexity
+    // could flip a doc whose score sits within ulps of a threshold).
+    // Thresholds are per-language tertiles over the md5(doc_id) pre-sample
+    // (q115's idiom: the one-reducer exact quantile buffers the SAMPLE, so
+    // at 100 TB you bound the sample, not the corpus), broadcast back;
+    // every doc labels map-side. Output: per (lang, bucket) doc/token
+    // totals + the thresholds that defined them.
+    q("q127_quality_buckets",
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, $tokSql AS toks
+         |           FROM documents),
+         |f AS (SELECT doc_id, lang, len(toks) AS ntok,
+         |        CAST(len(list_filter(toks,
+         |            w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+         |          / len(toks) AS stop_ratio,
+         |        CAST(n_chars AS DOUBLE) / len(toks) AS cpw
+         |      FROM t),
+         |tc AS (SELECT doc_id, token, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest($tokSql) AS token
+         |             FROM documents) x
+         |       GROUP BY doc_id, token),
+         |rr AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep
+         |       FROM tc GROUP BY doc_id),
+         |s AS (SELECT f.doc_id, f.lang, f.ntok,
+         |        ((8.0 * stop_ratio - 6.0 * rep) + 0.5 * (cpw - 5.5)) + 0.1
+         |          AS score
+         |      FROM f JOIN rr USING (doc_id)),
+         |thr AS (SELECT lang,
+         |          QUANTILE_CONT(score, 0.3333333333333333) AS t1,
+         |          QUANTILE_CONT(score, 0.6666666666666666) AS t2
+         |        FROM s
+         |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+         |        GROUP BY lang),
+         |lab AS (SELECT s.lang,
+         |          CASE WHEN score >= t2 THEN 'head'
+         |               WHEN score >= t1 THEN 'middle'
+         |               ELSE 'tail' END AS bucket,
+         |          ntok, t1, t2
+         |        FROM s JOIN thr USING (lang))
+         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |       floor(MIN(t1) * 10000 + 0.5) / 10000 AS t1,
+         |       floor(MIN(t2) * 10000 + 0.5) / 10000 AS t2
+         |FROM lab
+         |GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin) { spark =>
+      import spark.implicits._
+      val s = classifierScores(spark)
+      val thr = s
+        .filter(substring(md5($"doc_id".cast("string").cast(BinaryType)),
+          1, 1) < "4")
+        .groupBy($"lang")
+        .agg(call_function("percentile", $"score",
+            lit(0.3333333333333333)).as("t1"),
+          call_function("percentile", $"score",
+            lit(0.6666666666666666)).as("t2"))
+      s.join(broadcast(thr), "lang")
+        .select($"lang",
+          when($"score" >= $"t2", "head")
+            .when($"score" >= $"t1", "middle")
+            .otherwise("tail").as("bucket"),
+          $"ntok", $"t1", $"t2")
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"ntok").cast(LongType).as("n_tokens"),
+          (floor(min($"t1") * 10000 + 0.5) / 10000).as("t1"),
+          (floor(min($"t2") * 10000 + 0.5) / 10000).as("t2"))
+        .orderBy($"lang", $"bucket")
     })
+
+  /** q126/q127's shared linear-classifier inference: (doc_id, lang, ntok,
+    * score) with score = w·(stop_ratio, rep_share, cpw) + b over
+    * exact-rational features, association order mirrored in the oracles. */
+  private def classifierScores(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val f = spark.table("documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", $"lang", size($"toks").cast(LongType).as("ntok"),
+        (size(filter($"toks", w => w.isin("the", "a", "of", "and", "is")))
+          .cast(DoubleType) / size($"toks")).as("stop_ratio"),
+        ($"n_chars".cast(DoubleType) / size($"toks")).as("cpw"))
+    val rr = spark.table("documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((max($"c").cast(DoubleType) / sum($"c")).as("rep"))
+    f.join(rr, "doc_id")
+      .select($"doc_id", $"lang", $"ntok",
+        (((lit(8.0) * $"stop_ratio" - lit(6.0) * $"rep")
+          + lit(0.5) * ($"cpw" - 5.5)) + 0.1).as("score"))
+  }
 
   /** Winnowing selection stage shared by q66b/q66c: (doc_id, pos, sel)
     * rows, one per valid w=4 window, BEFORE dedup (q66b dedupes inside its

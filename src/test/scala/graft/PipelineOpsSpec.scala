@@ -137,4 +137,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size >= 12, s"only ${got.size} shards hit")
     assert(got.values.map(_._1).max <= docs.length / 4)
   }
+
+  /** q126's fixed linear model, replayed per doc in plain Scala (same
+    * association order as both engine spellings). */
+  private def classifierScore(text: String, nChars: Long): Double = {
+    val toks = tokens(text)
+    val stopSet = Set("the", "a", "of", "and", "is")
+    val stopRatio = toks.count(stopSet).toDouble / toks.size
+    val cpw = nChars.toDouble / toks.size
+    val uc = toks.groupBy(identity).map(_._2.size)
+    val rep = uc.max.toDouble / toks.size
+    ((8.0 * stopRatio - 6.0 * rep) + 0.5 * (cpw - 5.5)) + 0.1
+  }
+
+  test("q126 classifier scores equal the per-document linear-model replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+      .select($"doc_id", $"text", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.map { case (id, text, nc) =>
+      val s = classifierScore(text, nc)
+      id -> ((r4(s), if (s > 0) 1 else 0))
+    }.toMap
+    val got = queries("q126_quality_classifier")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(got == expect)
+    val kept = got.values.count(_._2 == 1)
+    assert(kept > 0 && kept < got.size, "gate must genuinely split the corpus")
+  }
+
+  test("q127 buckets are per-lang tertiles: head >= middle >= tail scores") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val rows = queries("q127_quality_buckets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    val langs = rows.map(_._1).distinct
+    assert(langs.length >= 3, "every fixture language bucketed")
+    langs.foreach { l =>
+      val bs = rows.filter(_._1 == l).map(b => b._2 -> b._3).toMap
+      assert(bs.keySet.subsetOf(Set("head", "middle", "tail")))
+      assert(bs.values.sum ==
+        spark.table("documents").filter($"lang" === l).count())
+      val (t1, t2) = rows.filter(_._1 == l).map(r => (r._4, r._5)).head
+      assert(t1 <= t2, s"tertile order broken for $l")
+    }
+  }
 }
