@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
 import org.apache.spark.sql.catalyst.expressions.ConcatWs
 
-import graft.functions.VectorExpressions.{DotProduct, HexPack16}
+import graft.functions.VectorExpressions.{DotProduct, HexPack16, SignPack32}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst surface
   * (SURVEY.md §7.3), wired the idiomatic way: sessions built with
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hexpack16"),
       new ExpressionInfo(classOf[HexPack16].getName, "graft_hexpack16"),
       (children: Seq[Expression]) => HexPack16(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_signpack32"),
+      new ExpressionInfo(classOf[SignPack32].getName, "graft_signpack32"),
+      (children: Seq[Expression]) => SignPack32(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("group_concat"),
       new ExpressionInfo(classOf[ConcatWs].getName, "group_concat"),

@@ -164,4 +164,83 @@ object VectorExpressions {
   /** Column API: pack the first 16 hex chars of a digest string into a long. */
   def hexPack16(c: Column): Column =
     Bridge.column(HexPack16(Bridge.expression(c)))
+
+  /** 32 sign bits of `left[offset … offset+31]` packed into one long —
+    * bit k set iff element `offset+k` > 0 (q125's binary-quantization
+    * code; two calls cover a 64-dim vector). Replaces the interpreted
+    * `aggregate(sequence(…))` fold — per-row O(d) lambda interpretation in
+    * the code-build scan — with one codegen'd loop over the scan's
+    * primitive UnsafeArrayData, the same move DotProduct makes for the
+    * scoring stage. Bit semantics identical to the fold (element j weights
+    * 2^(j−offset)); elements past the array end read as 0-bits. `right`
+    * must be a foldable int (the offset). */
+  case class SignPack32(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    private def isFloat: Boolean = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }, right.dataType) match {
+      case (true, org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double|float>, int), got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_signpack32"
+
+    override def nullSafeEval(a: Any, o: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val off = o.asInstanceOf[Int]
+      val n = x.numElements()
+      var v = 0L
+      var k = 0
+      while (k < 32) {
+        val j = off + k
+        if (j >= 0 && j < n) {
+          val e = if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)
+          if (e > 0d) v |= 1L << k
+        }
+        k += 1
+      }
+      v
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, o) => {
+        val n = ctx.freshName("n")
+        val k = ctx.freshName("k")
+        val j = ctx.freshName("j")
+        val v = ctx.freshName("v")
+        val e = ctx.freshName("e")
+        val read =
+          if (isFloat) s"(double) $x.getFloat($j)" else s"$x.getDouble($j)"
+        s"""
+           |int $n = $x.numElements();
+           |long $v = 0L;
+           |for (int $k = 0; $k < 32; $k++) {
+           |  int $j = $o + $k;
+           |  if ($j >= 0 && $j < $n) {
+           |    double $e = $read;
+           |    if ($e > 0.0) $v |= 1L << $k;
+           |  }
+           |}
+           |${ev.value} = $v;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column API: pack 32 sign bits starting at `offset` (0-based). */
+  def signPack32(a: Column, offset: Column): Column =
+    Bridge.column(SignPack32(Bridge.expression(a), Bridge.expression(offset)))
 }

@@ -708,17 +708,19 @@ object SimilarityQueries extends QueryModule {
 
   /** Sign-quantized codes: vec_id → two packed 32-bit sign words (`lo` =
     * dims 1–32, `hi` = dims 33–64; dim j carries weight 2^(j−1) within its
-    * word). The Spark side folds MSB-first (acc·2 + bit — no variable-shift
-    * builtin needed); the oracle sums 1<<(i−1) terms — different spellings,
-    * identical integers (exact math, no IEEE concern). Codes are what a
-    * 100 TB deployment materializes as the search index: 16 bytes/vector. */
+    * word). Packing runs through the codegen'd `graft_signpack32`
+    * expression — one primitive loop per word over the scan's
+    * UnsafeArrayData, where the equivalent interpreted
+    * `aggregate(sequence(…))` fold pays per-row lambda interpretation in
+    * the code-build scan (the DotProduct move, applied to quantization;
+    * equality with the fold asserted in SimilarityDedupSpec). The oracle
+    * sums 1<<(i−1) terms — different spelling, identical integers (exact
+    * math, no IEEE concern). Codes are what a 100 TB deployment
+    * materializes as the search index: 16 bytes/vector. */
   private[graft] def signCodes(spark: SparkSession): DataFrame = {
     import spark.implicits._
     def pack(off: Int): Column =
-      aggregate(graft.api.Canon.seq1(lit(32)), lit(0L),
-        (acc, i) => acc * 2 +
-          when(element_at($"embedding", lit(off + 33) - i) > 0f, 1L)
-            .otherwise(0L))
+      graft.functions.VectorExpressions.signPack32($"embedding", lit(off))
     spark.table("embeddings")
       .select($"vec_id", pack(0).as("lo"), pack(32).as("hi"))
   }

@@ -126,6 +126,35 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("Hamming ANN: probes broadcast, code scan never shuffles before top-k") {
+    Tables.register(spark, sf)
+    val plan = planOf(SparkEntry.queries("q125_hamming_ann")(spark, sf))
+    // corpus-side code scan joins the 10 probes via broadcast (both the
+    // Hamming scoring join and the re-rank joins) — a SortMergeJoin would
+    // mean the full corpus shuffled per probe set
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dupspan: occurrence join keyed on the n-gram digest, no pair product") {
+    Tables.register(spark, sf)
+    val plan = planOf(SparkEntry.queries("q124_dupspan_stats")(spark, sf))
+    // the dup-hash restriction is an equi-join on h (shuffle or broadcast,
+    // either is linear) — never a nested-loop/cartesian pair enumeration
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("quality buckets: per-lang thresholds broadcast back to the corpus") {
+    Tables.register(spark, sf)
+    val plan = planOf(SparkEntry.queries("q127_quality_buckets")(spark, sf))
+    // the tiny (lang, t1, t2) relation must broadcast; the corpus labels
+    // map-side without shuffling on lang
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("repartitionByRange writes non-overlapping sorted file ranges") {
     import spark.implicits._
     // the time-series layout: range-partition + sort-within gives parquet

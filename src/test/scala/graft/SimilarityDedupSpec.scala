@@ -36,7 +36,8 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"Hamming recall $recall")
   }
 
-  test("sign codes pack exactly 32 bits per word, deterministically") {
+  test("sign codes pack exactly 32 bits per word, matching the HOF fold") {
+    import spark.implicits._
     graft.sources.Tables.register(spark, sf)
     val rows = graft.operators.SimilarityQueries.signCodes(spark).collect()
     assert(rows.nonEmpty)
@@ -44,8 +45,16 @@ class SimilarityDedupSpec extends SparkSpec {
       assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32))
       assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32))
     }
-    val again = graft.operators.SimilarityQueries.signCodes(spark).collect()
-    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // the codegen'd graft_signpack32 must equal the interpreted
+    // aggregate(sequence(…)) fold it replaced, bit for bit
+    def fold(off: Int) =
+      aggregate(graft.api.Canon.seq1(lit(32)), lit(0L),
+        (acc, i) => acc * 2 +
+          when(element_at($"embedding", lit(off + 33) - i) > 0f, 1L)
+            .otherwise(0L))
+    val ref = spark.table("embeddings")
+      .select($"vec_id", fold(0).as("lo"), fold(32).as("hi")).collect()
+    assert(rows.map(_.toSeq).toSet == ref.map(_.toSeq).toSet)
   }
 
   test("IVF centroid probing recalls a usable fraction of exact top-5") {
