@@ -165,6 +165,57 @@ object IngestQueries extends QueryModule {
         """SELECT COUNT(*) AS n FROM nation;
           |SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin)
       batch.last
+    },
+
+    // Corpus snapshot diff — the accounting step of an incremental corpus
+    // update (what changed between crawl N and crawl N+1, before q121
+    // dedups the additions): two snapshots are derived deterministically
+    // from the fixture (old drops doc_id % 7 == 0, new drops % 5 == 0 and
+    // rewrites % 3 == 0), then compared by CONTENT DIGEST over a full
+    // outer join on doc_id. Scale shape: the join carries (doc_id, source,
+    // 64-hex sha256) — never the text — so the shuffle width is ~100 bytes
+    // a row regardless of document size, the digests are computed map-side
+    // in each snapshot's scan, and the per-(source, status) rollup is
+    // map-side combinable. Statuses: added / removed / changed / unchanged.
+    q("q128_corpus_diff",
+      """WITH snap_a AS (
+        |  SELECT doc_id, source, sha256(text) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |snap_b AS (
+        |  SELECT doc_id, source,
+        |         sha256(CASE WHEN doc_id % 3 = 0
+        |                     THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.source, n.source) AS source,
+        |         CASE WHEN o.h IS NULL THEN 'added'
+        |              WHEN n.h IS NULL THEN 'removed'
+        |              WHEN o.h <> n.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM snap_a o FULL OUTER JOIN snap_b n USING (doc_id))
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY source, status
+        |ORDER BY source, status""".stripMargin) { spark =>
+      import spark.implicits._
+      val docs = spark.table("documents")
+      val old = docs.filter($"doc_id" % 7 =!= 0)
+        .select($"doc_id", $"source",
+          sha2($"text".cast(org.apache.spark.sql.types.BinaryType), 256)
+            .as("h"))
+      val nw = docs.filter($"doc_id" % 5 =!= 0)
+        .select($"doc_id", $"source",
+          sha2(when($"doc_id" % 3 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text")
+            .cast(org.apache.spark.sql.types.BinaryType), 256).as("h"))
+      old.as("o").join(nw.as("n"), Seq("doc_id"), "full_outer")
+        .select(coalesce($"o.source", $"n.source").as("source"),
+          when($"o.h".isNull, "added")
+            .when($"n.h".isNull, "removed")
+            .when($"o.h" =!= $"n.h", "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy($"source", $"status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"status")
     })
 
   /** Partition-scoped upsert (the MERGE INTO engine analog): apply a

@@ -167,6 +167,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept > 0 && kept < got.size, "gate must genuinely split the corpus")
   }
 
+  test("q128 corpus diff equals the per-document snapshot replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents").select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, src) =>
+      val inOld = id % 7 != 0
+      val inNew = id % 5 != 0
+      val changed = id % 3 == 0 // new snapshot rewrites these
+      val status =
+        if (!inOld && !inNew) None
+        else if (!inOld) Some("added")
+        else if (!inNew) Some("removed")
+        else if (changed) Some("changed")
+        else Some("unchanged")
+      status.map(s => (src, s))
+    }.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val got = queries("q128_corpus_diff")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    assert(got.keys.map(_._2).toSet ==
+      Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("q127 buckets are per-lang tertiles: head >= middle >= tail scores") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
