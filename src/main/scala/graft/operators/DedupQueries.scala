@@ -782,6 +782,67 @@ object DedupQueries extends QueryModule {
         .orderBy($"id_new", $"id_base")
     },
 
+    // Graph centrality over the near-dup graph — a PageRank-style document
+    // importance prior (the RefinedWeb/web-graph quality-signal idea,
+    // applied to the similarity graph the engine already builds): highly
+    // connected near-dup clusters concentrate rank, isolated documents
+    // stay at the damping floor, so the score separates "template family
+    // member" from "unique document" — a selection prior complementary to
+    // q79's keep-best rule. Three damped power-iteration rounds (d = 0.85)
+    // over the q73 LSH pair graph, unrolled identically in the oracle.
+    // Bit determinism: each round's neighbor-contribution sum is the
+    // q109/q112 sorted-struct fold (sort by neighbor id, 0-seeded left
+    // fold), so the IEEE addition order is fixed under any partitioning.
+    // Scale: each round = one edges⋈rank shuffle + one dst-keyed fold —
+    // the Pregel shape q77's fixpoint already uses (production would
+    // localCheckpoint per round; 3 fixed rounds keep the lineage short).
+    // Dangling mass is dropped (no global redistribution term) — the
+    // standard simplification when rank is a relative prior, not a
+    // probability.
+    q("q129_graph_rank", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      val rounds = (1 to 3).map { i =>
+        s"""s$i AS (
+           |  SELECT e.dst AS doc_id,
+           |         list_reduce(list_transform(list_sort(list(
+           |             struct_pack(nb := e.src, c := r${i - 1}.r / d.deg))),
+           |           x -> x.c), (a, b) -> a + b) AS acc
+           |  FROM edges e
+           |  JOIN r${i - 1} ON r${i - 1}.doc_id = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT n.doc_id,
+           |         0.15 + 0.85 * COALESCE(s$i.acc, CAST(0 AS DOUBLE)) AS r
+           |  FROM documents n LEFT JOIN s$i USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS r FROM documents),
+         |$rounds
+         |SELECT r3.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+         |       floor(r3.r * 10000 + 0.5) / 10000 AS rank_score
+         |FROM r3 LEFT JOIN deg d ON d.src = r3.doc_id
+         |ORDER BY r3.doc_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      graphRankOf(spark.table("documents").select($"doc_id"),
+        bandPairs(spark, minhashBandStructs))
+    },
+
     // Duplicate-SPAN statistics (Lee et al. ACL'22 "exact substring" dedup,
     // re-expressed without a suffix array): a token position is duplicated
     // iff some corpus-repeated 8-gram covers it. Shape: one posexplode →
@@ -856,6 +917,34 @@ object DedupQueries extends QueryModule {
          |ORDER BY t.doc_id""".stripMargin) { spark =>
       dupspanRemovalOf(spark.table("documents"), dupspanKeeperCap)
     }) :+ pipelineQuery
+
+  /** q129's damped power iteration over any (doc_id) node set and
+    * (id_a, id_b) undirected pair set — factored so DedupSpec can replay
+    * it brute-force on a synthetic graph. */
+  private[graft] def graphRankOf(nodes: DataFrame, pairs: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // edges feed every round: build the graph once
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var rank = nodes.select($"doc_id", lit(1.0).as("r"))
+    for (_ <- 1 to rounds) {
+      val acc = edges.join(rank, $"doc_id" === $"src")
+        .join(deg, "src")
+        .select($"dst", $"src".as("nb"), ($"r" / $"deg").as("c"))
+        .groupBy($"dst")
+        .agg(aggregate(sort_array(collect_list(struct($"nb", $"c"))),
+          lit(0.0), (a, x) => a + x.getField("c")).as("acc"))
+      rank = nodes.join(acc, $"doc_id" === $"dst", "left")
+        .select($"doc_id",
+          (lit(0.15) + lit(0.85) * coalesce($"acc", lit(0.0))).as("r"))
+    }
+    rank.join(deg, $"doc_id" === $"src", "left")
+      .select($"doc_id", coalesce($"deg", lit(0L)).as("deg"),
+        (floor($"r" * 10000 + 0.5) / 10000).as("rank_score"))
+      .orderBy($"doc_id")
+  }
 
   /** Occurrences of corpus-repeated 8-grams — q124/q124b's work set and the
     * quantity ScaleProbe tracks for growth (carries `cnt` for the keeper

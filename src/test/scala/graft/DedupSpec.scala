@@ -250,6 +250,40 @@ class DedupSpec extends SparkSpec {
       "doc 0 holds every keeper when ranking is uncapped")
   }
 
+  test("graph rank equals the dense power-iteration replay on a mixed graph") {
+    import spark.implicits._
+    // star hub 0 with leaves {1,2,3} + symmetric pair 4-5 + isolated 6:
+    // the hub concentrates rank (each leaf sends its whole share), the
+    // regular pair stays at 1.0, the isolated node sits at the damping
+    // floor — a degree-regular graph would keep rank uniform and prove
+    // nothing (first version of this test did exactly that)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val nodes = (0L to 6L).toDF("doc_id")
+    val got = DedupQueries.graphRankOf(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // dense replay, contributions folded in ascending-neighbor order like
+    // the engine's sorted fold
+    val adj = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(0L), 2L -> Seq(0L),
+      3L -> Seq(0L), 4L -> Seq(5L), 5L -> Seq(4L))
+    var r = (0L to 6L).map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      r = (0L to 6L).map { v =>
+        val in = adj.toSeq.filter(_._2.contains(v)).map(_._1).sorted
+          .map(u => r(u) / adj(u).size)
+        v -> (0.15 + 0.85 * in.foldLeft(0.0)(_ + _))
+      }.toMap
+    }
+    val expect = r.map { case (v, x) =>
+      v -> ((adj.get(v).map(_.size.toLong).getOrElse(0L),
+        math.floor(x * 10000 + 0.5) / 10000))
+    }
+    assert(got == expect)
+    assert(got(6L)._2 == 0.15, s"isolated node off the floor: $got")
+    assert(got(0L)._2 > got(4L)._2 && got(4L)._2 > got(1L)._2,
+      s"hub > regular pair > leaf ordering broken: $got")
+  }
+
   test("dupspan sub-width docs: no occurrence rows, full-stats row survives") {
     import spark.implicits._
     val df = Seq((0L, "just three tokens"),
