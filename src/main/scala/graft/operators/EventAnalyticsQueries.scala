@@ -26,6 +26,11 @@ object EventAnalyticsQueries extends QueryModule {
 
   private val funnelStages = Seq("signup", "view", "click", "purchase")
 
+  /** q130's session-break silence threshold: 6 h in micros — near the
+    * fixture's median inter-event gap (~7.3 h), so users genuinely split
+    * into many sessions at every SF. */
+  private val sessionGapUs = 21600000000L
+
   /** Events as (user_id, event_type, tus = integer micros). */
   private def ev(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -143,6 +148,97 @@ object EventAnalyticsQueries extends QueryModule {
             coalesce(lit(0.2) * x.getField("v") + lit(0.8) * acc,
               x.getField("v"))) * 10000 + 0.5) / 10000).as("ewma"))
         .orderBy($"user_id")
+    },
+
+    // Batch gap-based sessionization — q97's streaming session_window
+    // re-expressed as the batch backfill job (the two must coexist in a
+    // lambda-style pipeline): a session breaks after a >6 h silence, the
+    // session index is the running count of breaks. All integer micros
+    // (q112's epoch-micros idiom), so the window chain is exact — LAG for
+    // the gap flag, running SUM for the index, then one grouped rollup
+    // that reuses the same (user_id) partitioning. One user_id exchange
+    // total; per-user state is a scalar, any corpus of users parallelizes.
+    q("q130_sessionize",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, tus, event_id,
+         |    CASE WHEN LAG(tus) OVER (PARTITION BY user_id
+         |                             ORDER BY tus, event_id) IS NULL
+         |           OR tus - LAG(tus) OVER (PARTITION BY user_id
+         |                                   ORDER BY tus, event_id)
+         |              > $sessionGapUs
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, tus,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM g)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(MIN(tus) AS BIGINT) AS start_us,
+         |       CAST(MAX(tus) AS BIGINT) AS end_us,
+         |       CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val lagT = lag($"tus", 1).over(w)
+      spark.table("events")
+        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+        .withColumn("new_s",
+          when(lagT.isNull || $"tus" - lagT > sessionGapUs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("long"))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min($"tus").as("start_us"), max($"tus").as("end_us"),
+          (max($"tus") - min($"tus")).as("duration_us"))
+        .orderBy($"user_id", $"session_idx")
+    },
+
+    // Event-transition matrix — the Markov-chain summary of user journeys
+    // (which event follows which, with conditional probabilities): LEAD
+    // over each user's exact event order pairs every event with its
+    // successor, then two tiny aggregations build counts and per-source
+    // totals. The probability is an integer ratio → IEEE floor rounding.
+    // Same single user_id exchange as q130; the matrix itself is
+    // |event types|² rows — driver-safe at any corpus size.
+    q("q131_event_transitions",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus, event_id
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY tus, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM p WHERE to_type IS NOT NULL
+        |      GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |       floor(CAST(c.n AS DOUBLE) * 10000 / t.tot + 0.5) / 10000 AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val c = spark.table("events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tus"),
+          $"event_id")
+        .select($"event_type".as("from_type"),
+          lead($"event_type", 1).over(w).as("to_type"))
+        .filter($"to_type".isNotNull)
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+      val t = c.groupBy($"from_type").agg(sum($"n").as("tot"))
+      c.join(t, "from_type")
+        .select($"from_type", $"to_type", $"n",
+          (floor($"n".cast("double") * 10000 / $"tot" + 0.5) / 10000)
+            .as("p"))
+        .orderBy($"from_type", $"to_type")
     },
 
     // Robust outlier detection (median/MAD, the data-quality gate a metric
