@@ -167,6 +167,55 @@ object IngestQueries extends QueryModule {
       batch.last
     },
 
+    // JSON-lines ingest round-trip — the interchange format crawl/training
+    // pipelines actually exchange (one JSON object per line): export
+    // `documents` to JSONL, re-read with the DECLARED schema (never
+    // inferred — the fixed-schema model §1.3 — and inference would cost an
+    // extra full scan at 100 TB), prove losslessness by re-aggregating
+    // per-source counts and token totals against the original table.
+    // Distributed writers/readers, one file per partition, no driver hop.
+    q("q132_jsonl_ingest_roundtrip",
+      s"""SELECT source, COUNT(*) AS n,
+         |       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+         |         AS n_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |FROM documents
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_jsonl_").toString + "/docs"
+      spark.table("documents").write.mode("overwrite").json(dir)
+      spark.read.schema(Tables.documents).json(dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(size(split(lower($"text"), " "))).cast("bigint").as("n_tokens"),
+          sum($"n_chars").cast("bigint").as("n_chars"))
+        .orderBy($"source")
+    },
+
+    // ORC sink/source round-trip — the second columnar format a
+    // Spark-native engine supports out of the box (predicate pushdown +
+    // column pruning work the same as parquet's): lineitem aggregates must
+    // survive the format change bit-for-bit, money summed exactly via the
+    // Canon decimal pre-cast on the re-read side.
+    q("q133_orc_roundtrip",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |         AS total
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_orc_").toString + "/lineitem"
+      spark.table("lineitem").write.mode("overwrite").orc(dir)
+      spark.read.orc(dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice".cast("decimal(18,4)")).cast("double"), 4)
+            .as("total"))
+        .orderBy($"l_returnflag")
+    },
+
     // Corpus snapshot diff — the accounting step of an incremental corpus
     // update (what changed between crawl N and crawl N+1, before q121
     // dedups the additions): two snapshots are derived deterministically
