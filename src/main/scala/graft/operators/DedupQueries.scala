@@ -954,7 +954,10 @@ object DedupQueries extends QueryModule {
     * product. */
   private[graft] def dupspanDupOccurrences(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val occ = dupspanOcc(docs)
+    // occ feeds both the count aggregate and the join-back: materialize the
+    // tokenize+explode once (the ppjoinTokens move) instead of re-scanning
+    // and re-hashing the corpus on each branch
+    val occ = dupspanOcc(docs).localCheckpoint()
     val cnt = occ.groupBy($"h").agg(count(lit(1)).as("cnt"))
     occ.join(cnt.filter($"cnt" >= 2), "h")
   }
