@@ -29,7 +29,7 @@ object EventAnalyticsQueries extends QueryModule {
   /** q130's session-break silence threshold: 6 h in micros — near the
     * fixture's median inter-event gap (~7.3 h), so users genuinely split
     * into many sessions at every SF. */
-  private val sessionGapUs = 21600000000L
+  private[graft] val sessionGapUs = 21600000000L
 
   /** Events as (user_id, event_type, tus = integer micros). */
   private def ev(spark: SparkSession): DataFrame = {
@@ -168,7 +168,7 @@ object EventAnalyticsQueries extends QueryModule {
          |                             ORDER BY tus, event_id) IS NULL
          |           OR tus - LAG(tus) OVER (PARTITION BY user_id
          |                                   ORDER BY tus, event_id)
-         |              > $sessionGapUs
+         |              >= $sessionGapUs
          |         THEN 1 ELSE 0 END AS new_s
          |  FROM e),
          |s AS (
@@ -189,7 +189,7 @@ object EventAnalyticsQueries extends QueryModule {
       spark.table("events")
         .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
         .withColumn("new_s",
-          when(lagT.isNull || $"tus" - lagT > sessionGapUs, 1).otherwise(0))
+          when(lagT.isNull || $"tus" - lagT >= sessionGapUs, 1).otherwise(0))
         .withColumn("session_idx",
           sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)).cast("long"))

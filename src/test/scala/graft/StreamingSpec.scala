@@ -351,4 +351,27 @@ class StreamingSpec extends SparkSpec {
         s"batch-only: ${(batchPairs -- got).take(5)}")
     assert(batchPairs.nonEmpty, "fixture must contain planted near-dups")
   }
+
+  test("q130 batch gap sessionization equals session_window on the fixture") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    // the batch LAG/SUM formulation and Spark's session_window use the
+    // same boundary rule (an event extends its session to [ts, ts+gap)),
+    // so per-(user, session-start) event counts must agree exactly
+    val gapUs = graft.operators.EventAnalyticsQueries.sessionGapUs
+    val got = SparkEntry.queries("q130_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2))).toSet
+    val sw = spark.table("events")
+      .groupBy(session_window($"ts", s"${gapUs / 1000000} seconds"),
+        $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"session_window.start").as("start_us"),
+        $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == sw,
+      s"batch-only: ${(got -- sw).take(3)}; sw-only: ${(sw -- got).take(3)}")
+    assert(got.size > spark.table("events")
+      .select($"user_id").distinct().count(),
+      "gap must genuinely split users into multiple sessions")
+  }
 }
