@@ -980,6 +980,66 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Collocation mining via pointwise mutual information — the statistical
+    // phrase detector (word2vec's phrase pass, Mikolov et al. 2013): for
+    // each frequent bigram, PMI = ln(p(ab) / (p(a)·p(b))) under corpus
+    // unigram/bigram distributions. High PMI = tokens that co-occur far
+    // more than independence predicts (a multiword expression). Shapes:
+    // one token explode + one bigram explode, counts map-side-combinable,
+    // the unigram table and the 1-row totals broadcast back. ln is
+    // error-bounded (≤1 ulp per term) → r4 floor rounding is safe, and the
+    // DESC ordering runs on the ROUNDED value (identical on both engines)
+    // with the bigram as tiebreak.
+    q("q134_bigram_pmi",
+      s"""WITH tok AS (SELECT unnest($tokSql) AS w FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |       FROM (SELECT $tokSql AS toks FROM documents) t),
+         |bc AS (SELECT bigram, COUNT(*) AS cab FROM bg GROUP BY bigram
+         |       HAVING COUNT(*) >= 20),
+         |t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bg),
+         |p AS (
+         |  SELECT b.bigram, b.cab,
+         |         ln((CAST(b.cab AS DOUBLE) / t2.m) /
+         |            ((CAST(ua.c AS DOUBLE) / t1.n) *
+         |             (CAST(ub.c AS DOUBLE) / t1.n))) AS pmi
+         |  FROM bc b
+         |  JOIN uni ua ON ua.w = string_split(b.bigram, ' ')[1]
+         |  JOIN uni ub ON ub.w = string_split(b.bigram, ' ')[2]
+         |  CROSS JOIN t1 CROSS JOIN t2)
+         |SELECT bigram, CAST(cab AS BIGINT) AS cab,
+         |       floor(pmi * 10000 + 0.5) / 10000 AS pmi
+         |FROM p
+         |ORDER BY floor(pmi * 10000 + 0.5) / 10000 DESC, bigram""".stripMargin) { spark =>
+      import spark.implicits._
+      val tok = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("w"))
+      val uni = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+      val t1 = uni.agg(sum($"c").cast("bigint").as("n"))
+      val bg = spark.table("documents")
+        .select(split(lower($"text"), " ").as("toks"))
+        .select(explode(transform(Canon.seq1(size($"toks") - 1),
+          i => concat(element_at($"toks", i), lit(" "),
+            element_at($"toks", i + 1)))).as("bigram"))
+      val bc = bg.groupBy($"bigram").agg(count(lit(1)).as("cab"))
+        .filter($"cab" >= 20)
+      val t2 = bg.agg(count(lit(1)).cast("bigint").as("m"))
+      val pmi = log(($"cab".cast("double") / $"m") /
+        (($"ua_c".cast("double") / $"n") * ($"ub_c".cast("double") / $"n")))
+      val rounded = floor($"pmi" * 10000 + 0.5) / 10000
+      bc
+        .join(broadcast(uni.select($"w".as("wa"), $"c".as("ua_c"))),
+          element_at(split($"bigram", " "), 1) === $"wa")
+        .join(broadcast(uni.select($"w".as("wb"), $"c".as("ub_c"))),
+          element_at(split($"bigram", " "), 2) === $"wb")
+        .join(broadcast(t1)).join(broadcast(t2)) // 1-row broadcasts
+        .select($"bigram", $"cab", pmi.as("pmi"))
+        .select($"bigram", $"cab", rounded.as("pmi"))
+        .orderBy($"pmi".desc, $"bigram")
+    },
+
     // Model-based quality gate — fastText-classifier inference as an
     // operator (the CCNet/RefinedWeb "quality classifier" step, distinct
     // from q64's hand rules): a FIXED-weight linear model over three

@@ -55,4 +55,27 @@ object SketchProps extends Properties("Sketches") {
       val heavy = exact.collect { case (t, cnt) if cnt * k > n => t }.toSet
       heavy.subsetOf(left.keySet) && heavy.subsetOf(right.keySet)
     }
+
+  // --- sign-bit quantization (q125's graft_signpack32, interpreted path;
+  // the codegen path is asserted equal to the HOF fold on the fixture in
+  // SimilarityDedupSpec) ---
+
+  private val floatArr: Gen[Array[Float]] =
+    Gen.choose(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-2.0f, 2.0f)).map(_.toArray))
+
+  property("SignPack32 packs exactly the positive-element mask at any offset") =
+    forAll(floatArr, Gen.oneOf(0, 32)) { (xs, off) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+      val e = graft.functions.VectorExpressions.SignPack32(
+        Literal.create(xs, ArrayType(FloatType)),
+        Literal.create(off, IntegerType))
+      val got = e.eval(null).asInstanceOf[Long]
+      val expect = (0 until 32).foldLeft(0L) { (v, k) =>
+        val j = off + k
+        if (j < xs.length && xs(j) > 0f) v | (1L << k) else v
+      }
+      got == expect && got >= 0L && got < (1L << 32)
+    }
 }
