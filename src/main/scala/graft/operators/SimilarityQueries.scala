@@ -625,6 +625,74 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"dropped")
     },
 
+    // Nearest-class-mean (prototype) classification — embedding-model
+    // inference as an operator (Rocchio/NCM; the supervised sibling of
+    // q83's unsupervised k-means): one prototype per label = the class
+    // mean, every probe classified to its most-cosine-similar prototype.
+    // Means reuse centroidsOf's value-sorted per-(label, dim) fold — sort
+    // the VALUES, fold 0-seeded — so the IEEE order is fixed under any
+    // partitioning and DuckDB replays it exactly (at 100 TB a tree-
+    // aggregated exact sum replaces the per-key value list, the same trade
+    // centroidsOf documents). Classification is the assignOf shape: 10
+    // prototypes broadcast against the probe scan, ranked by r6 cosine
+    // with the label as tiebreak.
+    q("q135_prototype_classify",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |ex AS (SELECT label, generate_subscripts(emb, 1) - 1 AS dim,
+         |              unnest(emb) AS x FROM e),
+         |cd AS (SELECT label, dim, list_sort(list(x)) AS xs
+         |       FROM ex GROUP BY label, dim),
+         |ct AS (SELECT label, dim,
+         |              list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
+         |       FROM cd),
+         |proto AS (
+         |  SELECT label AS plabel,
+         |         list_transform(
+         |           list_sort(list(struct_pack(dim := dim, cx := cx))),
+         |           p -> p.cx) AS pemb
+         |  FROM ct GROUP BY label),
+         |probes AS (SELECT vec_id, label, emb FROM e WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT p.vec_id, p.label, pr.plabel,
+         |         ${graft.api.Canon.Oracle.r6(
+                     ivfCosSql("p.emb", "pr.pemb"))} AS pcos,
+         |         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+         |           ${graft.api.Canon.Oracle.r6(
+                       ivfCosSql("p.emb", "pr.pemb"))} DESC,
+         |           pr.plabel) AS rn
+         |  FROM probes p, proto pr)
+         |SELECT vec_id, label AS true_label, plabel AS pred_label,
+         |       pcos AS cos,
+         |       CAST(CASE WHEN label = plabel THEN 1 ELSE 0 END AS INT)
+         |         AS correct
+         |FROM scored WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = spark.table("embeddings")
+        .select($"vec_id", $"label", toD($"embedding").as("emb"))
+      val proto = e
+        .select($"label", posexplode($"emb").as(Seq("dim", "x")))
+        .groupBy($"label", $"dim")
+        .agg(sort_array(collect_list($"x")).as("xs"))
+        .select($"label", $"dim",
+          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
+        .select($"label".as("plabel"), transform($"pairs", p => p("cx")).as("pemb"))
+      val w = Window.partitionBy($"vec_id").orderBy($"pcos".desc, $"plabel".asc)
+      e.filter($"vec_id" < 50)
+        .crossJoin(broadcast(proto))
+        .select($"vec_id", $"label", $"plabel",
+          graft.api.Canon.r6(cosine($"emb", $"pemb")).as("pcos"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"label".as("true_label"),
+          $"plabel".as("pred_label"), $"pcos".as("cos"),
+          when($"label" === $"plabel", 1).otherwise(0).cast("int")
+            .as("correct"))
+        .orderBy($"vec_id")
+    },
+
     // Binary sign-quantization ANN (the Faiss binary-index pattern): each
     // 64-dim vector compresses to two packed 32-bit sign words (16 bytes vs
     // 256 — the whole corpus index is 16× smaller than the floats), probes
