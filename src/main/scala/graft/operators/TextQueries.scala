@@ -828,26 +828,10 @@ object TextQueries extends QueryModule {
          |FROM u LEFT JOIN b USING (doc_id)
          |ORDER BY u.doc_id""".stripMargin) { spark =>
       import spark.implicits._
-      val u = spark.table("documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
-        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").cast("bigint").as("n_tokens"),
-          max($"c").cast("bigint").as("top_uni"),
-          sum(when($"c" > 1, $"c").otherwise(0)).cast("bigint").as("dup_toks"))
-      val b = spark.table("documents")
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", explode(transform(Canon.seq1(size($"toks") - 1),
-          i => concat(element_at($"toks", i), lit(" "),
-            element_at($"toks", i + 1)))).as("bigram"))
-        .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(max($"c").cast("bigint").as("top_bi"),
-          sum($"c").cast("bigint").as("n_bigrams"))
       val dupR = $"dup_toks".cast("double") / $"n_tokens"
       val uniR = $"top_uni".cast("double") / $"n_tokens"
       val biR = coalesce($"top_bi".cast("double") / $"n_bigrams", lit(0.0))
-      u.join(b, Seq("doc_id"), "left")
+      repetitionJoined(spark)
         .select($"doc_id", $"n_tokens",
           (floor($"dup_toks".cast("double") * 10000 / $"n_tokens" + 0.5)
             / 10000).as("dup_token_frac"),
@@ -1152,7 +1136,130 @@ object TextQueries extends QueryModule {
           (floor(min($"t1") * 10000 + 0.5) / 10000).as("t1"),
           (floor(min($"t2") * 10000 + 0.5) / 10000).as("t2"))
         .orderBy($"lang", $"bucket")
+    },
+
+    // Pipeline capstone v2 — the round-6 operators composed into the
+    // C4/Gopher/Dolma-shaped flow a pretraining corpus actually runs:
+    // repetition gates (q118) ∧ duplicate-span gate (q124) ∧ classifier
+    // gate (q126) → surviving docs → training-shard manifest (q123).
+    // Complements q101 (quality → LSH near-dup → decontamination): that
+    // capstone's gates are broadcast drop-sets; these are per-doc stat
+    // relations joined on doc_id (uniform key, each ≪ corpus wide). Every
+    // stage reuses the exact committed spelling of its standalone query,
+    // so the composite stays hash-checked end-to-end.
+    q("q136_pipeline_shards",
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |uc AS (SELECT doc_id, token, COUNT(*) AS c
+         |       FROM tok GROUP BY doc_id, token),
+         |u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |             CAST(MAX(c) AS BIGINT) AS top_uni,
+         |             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         |               AS dup_toks
+         |      FROM uc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |       FROM (SELECT doc_id, $tokSql AS toks FROM documents) t),
+         |bc AS (SELECT doc_id, bigram, COUNT(*) AS c
+         |       FROM bg GROUP BY doc_id, bigram),
+         |b AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bi,
+         |             CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |      FROM bc GROUP BY doc_id),
+         |rep AS (
+         |  SELECT u.doc_id, u.n_tokens
+         |  FROM u LEFT JOIN b USING (doc_id)
+         |  WHERE CAST(u.dup_toks AS DOUBLE) / u.n_tokens <= 0.85
+         |    AND CAST(u.top_uni AS DOUBLE) / u.n_tokens <= 0.11
+         |    AND COALESCE(CAST(b.top_bi AS DOUBLE) / b.n_bigrams, 0.0)
+         |        <= 0.05),
+         |dt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |       FROM documents),
+         |occ AS (
+         |  SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS h
+         |  FROM (SELECT doc_id,
+         |          list_transform(range(1, len(toks) - 6),
+         |            i -> md5(array_to_string(toks[i:i+7], ' '))) AS gs
+         |        FROM dt) g),
+         |dc AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h),
+         |ddup AS (SELECT o.doc_id, o.pos
+         |         FROM occ o JOIN dc ON dc.h = o.h AND dc.cnt >= 2),
+         |dcov AS (SELECT DISTINCT doc_id, p
+         |         FROM ddup, UNNEST(range(pos, pos + 8)) AS un(p)),
+         |dagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered
+         |         FROM dcov GROUP BY doc_id),
+         |span AS (
+         |  SELECT dt.doc_id FROM dt LEFT JOIN dagg USING (doc_id)
+         |  WHERE COALESCE(CAST(dagg.covered AS DOUBLE) / len(dt.toks), 0.0)
+         |        <= 0.5),
+         |cf AS (SELECT doc_id,
+         |        CAST(len(list_filter(toks,
+         |            w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+         |          / len(toks) AS stop_ratio,
+         |        CAST(n_chars AS DOUBLE) / len(toks) AS cpw
+         |      FROM (SELECT doc_id, n_chars, $tokSql AS toks
+         |            FROM documents) x),
+         |crr AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep
+         |        FROM uc GROUP BY doc_id),
+         |cls AS (
+         |  SELECT cf.doc_id FROM cf JOIN crr USING (doc_id)
+         |  WHERE ((8.0 * stop_ratio - 6.0 * rep) + 0.5 * (cpw - 5.5)) + 0.1
+         |        > 0),
+         |surv AS (
+         |  SELECT r.doc_id, r.n_tokens FROM rep r
+         |  JOIN span USING (doc_id)
+         |  JOIN cls USING (doc_id))
+         |SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |            AS UBIGINT) % 16 AS BIGINT) AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM surv
+         |GROUP BY shard
+         |ORDER BY shard""".stripMargin) { spark =>
+      import spark.implicits._
+      val dupR = $"dup_toks".cast("double") / $"n_tokens"
+      val uniR = $"top_uni".cast("double") / $"n_tokens"
+      val biR = coalesce($"top_bi".cast("double") / $"n_bigrams", lit(0.0))
+      val rep = repetitionJoined(spark)
+        .filter(dupR <= 0.85 && uniR <= 0.11 && biR <= 0.05)
+        .select($"doc_id", $"n_tokens")
+      val span = DedupQueries.dupspanStatsOf(spark.table("documents"))
+        .filter($"keep" === 1).select($"doc_id")
+      val cls = classifierScores(spark)
+        .filter($"score" > 0).select($"doc_id")
+      rep
+        .join(span, Seq("doc_id"), "left_semi")
+        .join(cls, Seq("doc_id"), "left_semi")
+        .select($"n_tokens",
+          (conv(substring(md5($"doc_id".cast("string").cast(BinaryType)),
+            1, 8), 16, 10).cast(LongType) % 16).as("shard"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"n_tokens").cast(LongType).as("total_tokens"))
+        .orderBy($"shard")
     })
+
+  /** q118's per-doc unigram/bigram repetition relation (u ⋈ b), shared
+    * with the q136 pipeline capstone: doc_id, n_tokens, top_uni, dup_toks,
+    * top_bi, n_bigrams. */
+  private def repetitionJoined(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val u = spark.table("documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").cast("bigint").as("n_tokens"),
+        max($"c").cast("bigint").as("top_uni"),
+        sum(when($"c" > 1, $"c").otherwise(0)).cast("bigint").as("dup_toks"))
+    val b = spark.table("documents")
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(transform(Canon.seq1(size($"toks") - 1),
+        i => concat(element_at($"toks", i), lit(" "),
+          element_at($"toks", i + 1)))).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").cast("bigint").as("top_bi"),
+        sum($"c").cast("bigint").as("n_bigrams"))
+    u.join(b, Seq("doc_id"), "left")
+  }
 
   /** q126/q127's shared linear-classifier inference: (doc_id, lang, ntok,
     * score) with score = w·(stop_ratio, rep_share, cpw) + b over

@@ -191,6 +191,33 @@ class PipelineOpsSpec extends SparkSpec {
       Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("q136 shard manifest equals the composition of its three gate queries") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def keepSet(name: String, keepIdx: Int, idIdx: Int = 0): Set[Long] =
+      queries(name)(spark, sf).collect()
+        .filter(_.getInt(keepIdx) == 1).map(_.getLong(idIdx)).toSet
+    val rep = keepSet("q118_repetition_stats", 5)
+    val span = keepSet("q124_dupspan_stats", 5)
+    val cls = keepSet("q126_quality_classifier", 2)
+    val ntok = queries("q118_repetition_stats")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val surv = rep intersect span intersect cls
+    def shard(id: Long): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 16
+    }
+    val expect = surv.groupBy(shard).map { case (s, ids) =>
+      s -> ((ids.size.toLong, ids.toSeq.map(ntok).sum))
+    }
+    val got = queries("q136_pipeline_shards")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    assert(surv.nonEmpty && surv.size < ntok.size,
+      "gates must drop some docs and keep some")
+  }
+
   test("q127 buckets are per-lang tertiles: head >= middle >= tail scores") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
