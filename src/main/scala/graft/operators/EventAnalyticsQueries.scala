@@ -298,5 +298,86 @@ object EventAnalyticsQueries extends QueryModule {
           Canon.r4(min($"med")).as("med"),
           Canon.r4(min($"mad")).as("mad"))
         .orderBy($"event_type")
+    },
+
+    // Time-series gap fill + linear interpolation — the densify step every
+    // metrics/feature pipeline runs before a model sees a regular series:
+    // per-user DAILY value totals (integer day index = micros div 86.4e9,
+    // exact in both engines), a dense day grid spanning each user's
+    // observed range (explode of a bounded per-user sequence — never a
+    // calendar cross join), and linear interpolation across the gaps:
+    //   v(day) = pv + (nv − pv) · (day − pd) / (nd − pd)
+    // where (pd, pv) / (nd, nv) are the nearest observed days before/after
+    // (last_value/first_value IGNORE NULLS — deterministic because `day` is
+    // a unique sort key within user). Grid edges carry no nulls by
+    // construction (span endpoints are observed), but the nearest-side
+    // fallback keeps the operator total anyway. Daily totals are exact
+    // decimal sums (Canon.sum4); the interpolated value is a free double →
+    // IEEE floor-round on both engines. Scale: the grid join keys on
+    // (user_id, day) and the fill windows on user_id — two bounded
+    // exchanges of the same user-keyed family; per-user state is the day
+    // span, never the corpus. Output rows = Σ user spans (~31 days/user at
+    // every SF), linear in users.
+    q("q137_gap_fill",
+      s"""WITH e AS (
+         |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+         |         value
+         |  FROM events),
+         |d AS (SELECT user_id, day, ${Canon.Oracle.sum4("value")} AS v
+         |      FROM e GROUP BY user_id, day),
+         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         |         FROM d GROUP BY user_id),
+         |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+         |         FROM span),
+         |j AS (SELECT g.user_id, g.day, d.v
+         |      FROM grid g LEFT JOIN d
+         |        ON d.user_id = g.user_id AND d.day = g.day),
+         |w AS (
+         |  SELECT user_id, day, v,
+         |    last_value(v IGNORE NULLS) OVER pw AS pv,
+         |    max(CASE WHEN v IS NOT NULL THEN day END) OVER pw AS pd,
+         |    first_value(v IGNORE NULLS) OVER fw AS nv,
+         |    min(CASE WHEN v IS NOT NULL THEN day END) OVER fw AS nd
+         |  FROM j
+         |  WINDOW pw AS (PARTITION BY user_id ORDER BY day
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         fw AS (PARTITION BY user_id ORDER BY day
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, CAST(day AS BIGINT) AS day,
+         |  CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS gap,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       ELSE ${Canon.Oracle.r4(
+                  "(pv + (nv - pv) * CAST(day - pd AS DOUBLE) / (nd - pd))")}
+         |  END AS filled
+         |FROM w ORDER BY user_id, day""".stripMargin) { spark =>
+      import spark.implicits._
+      val d = spark.table("events")
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"),
+          $"value")
+        .groupBy($"user_id", $"day").agg(Canon.sum4($"value").as("v"))
+      val grid = d.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+      val pw = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fw = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(d, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day", $"v",
+          last($"v", ignoreNulls = true).over(pw).as("pv"),
+          max(when($"v".isNotNull, $"day")).over(pw).as("pd"),
+          first($"v", ignoreNulls = true).over(fw).as("nv"),
+          min(when($"v".isNotNull, $"day")).over(fw).as("nd"))
+        .select($"user_id", $"day",
+          when($"v".isNotNull, 0).otherwise(1).as("gap"),
+          when($"v".isNotNull, $"v")
+            .when($"pv".isNull, $"nv")
+            .when($"nv".isNull, $"pv")
+            .otherwise(Canon.r4($"pv" + ($"nv" - $"pv") *
+              ($"day" - $"pd").cast("double") / ($"nd" - $"pd")))
+            .as("filled"))
+        .orderBy($"user_id", $"day")
     })
 }
