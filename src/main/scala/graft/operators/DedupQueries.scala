@@ -843,6 +843,57 @@ object DedupQueries extends QueryModule {
         bandPairs(spark, minhashBandStructs))
     },
 
+    // Triangle counting + local clustering coefficient over the q73 LSH
+    // near-dup graph — the graph-density complement to q129's centrality:
+    // a high-clustering node sits inside a TEMPLATE FAMILY (its neighbors
+    // are near-dups of each other), a low-clustering high-degree node is a
+    // hub of unrelated similarities (boilerplate shared with otherwise
+    // distinct docs). Triangles enumerate each closed triple exactly once
+    // via the ordered-edge theorem: with every edge stored a < b, the
+    // wedge join (a,b)⋈(b,c) plus the closing-edge join (a,c) yields each
+    // triangle at its unique a < b < c orientation. Scale: two equi-joins
+    // on edge endpoints — candidate volume is Σ_v deg(v)² (wedge count),
+    // and the LSH bucket cap already bounds degree, so no vertex key ever
+    // goes quadratic unbounded; this is the standard distributed triangle
+    // plan (no per-node adjacency materialization, no driver state).
+    // Clustering = 2·tri / (deg·(deg−1)) — an integer ratio → IEEE
+    // floor-round on both engines. Nodes with no LSH edge are omitted
+    // (deg = 0 has no defined coefficient).
+    q("q138_triangle_count", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |tri AS (
+         |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.id_a = e1.id_b
+         |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |tn AS (SELECT doc_id, COUNT(*) AS n_tri FROM (
+         |    SELECT a AS doc_id FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) t GROUP BY doc_id),
+         |deg AS (SELECT doc_id, COUNT(*) AS deg FROM (
+         |    SELECT id_a AS doc_id FROM pairs
+         |    UNION ALL SELECT id_b FROM pairs) e GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.deg AS BIGINT) AS deg,
+         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |  floor((CASE WHEN d.deg >= 2
+         |         THEN 2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1))
+         |         ELSE 0.0 END) * 10000 + 0.5) / 10000 AS clustering
+         |FROM deg d LEFT JOIN tn t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { spark =>
+      trianglesOf(bandPairs(spark, minhashBandStructs))
+    },
+
     // Duplicate-SPAN statistics (Lee et al. ACL'22 "exact substring" dedup,
     // re-expressed without a suffix array): a token position is duplicated
     // iff some corpus-repeated 8-gram covers it. Shape: one posexplode →
@@ -943,6 +994,33 @@ object DedupQueries extends QueryModule {
     rank.join(deg, $"doc_id" === $"src", "left")
       .select($"doc_id", coalesce($"deg", lit(0L)).as("deg"),
         (floor($"r" * 10000 + 0.5) / 10000).as("rank_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** q138's triangle count + clustering coefficient over any (id_a < id_b)
+    * distinct pair set — factored so DedupSpec can replay it brute-force on
+    * a synthetic graph. Ordered-edge wedge join: each triangle surfaces
+    * exactly once at its a < b < c orientation. */
+  private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    // both joins and both explodes feed off the same pair set: materialize
+    // the LSH enumeration once instead of three times
+    val p = pairs.select($"id_a", $"id_b").localCheckpoint()
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e2.id_a") === col("e1.id_b"))
+      .join(p.as("e3"), col("e3.id_a") === col("e1.id_a") &&
+        col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"),
+        col("e2.id_b").as("c"))
+    val tn = tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_tri"))
+    val deg = p.select(explode(array($"id_a", $"id_b")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
+    deg.join(tn, Seq("doc_id"), "left")
+      .select($"doc_id", $"deg", coalesce($"n_tri", lit(0L)).as("n_tri"),
+        Canon.r4(when($"deg" >= 2,
+          lit(2.0) * coalesce($"n_tri", lit(0L)) / ($"deg" * ($"deg" - 1)))
+          .otherwise(lit(0.0))).as("clustering"))
       .orderBy($"doc_id")
   }
 

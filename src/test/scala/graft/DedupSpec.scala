@@ -284,6 +284,44 @@ class DedupSpec extends SparkSpec {
       s"hub > regular pair > leaf ordering broken: $got")
   }
 
+  test("triangle count matches the brute-force replay on a mixed graph") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (4 triangles, every node in 3) + a triangle-free
+    // path 4-5-6 (wedge at 5 must NOT close) + pendant 7 off node 0:
+    // exercises multi-triangle nodes, open wedges, and deg-1 coefficient
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (4L, 5L), (5L, 6L), (0L, 7L)).toDF("id_a", "id_b")
+    val got = DedupQueries.trianglesOf(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // brute force over all ordered triples
+    val es = Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (4L, 5L), (5L, 6L), (0L, 7L))
+    def e(a: Long, b: Long) = es(if (a < b) (a, b) else (b, a))
+    val nodes = 0L to 7L
+    val tris = for {
+      a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+      if e(a, b) && e(b, c) && e(a, c)
+    } yield (a, b, c)
+    assert(tris.size == 4, s"K4 must hold 4 triangles: $tris")
+    val expect = nodes.flatMap { v =>
+      val deg = nodes.count(u => u != v && e(u, v)).toLong
+      val nt = tris.count(t => t._1 == v || t._2 == v || t._3 == v).toLong
+      if (deg == 0) None
+      else Some(v -> ((deg, nt,
+        if (deg >= 2) math.floor(2.0 * nt / (deg * (deg - 1)) * 10000 + 0.5)
+          / 10000
+        else 0.0)))
+    }.toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got(5L)._2 == 0L, "open wedge at 5 must not count")
+    assert(got(7L) == ((1L, 0L, 0.0)), "pendant: deg 1, coefficient 0")
+    assert(got(1L) == ((3L, 3L, 1.0)),
+      s"pure K4 node: every neighbor pair closed: ${got(1L)}")
+    assert(got(0L) == ((4L, 3L, 0.5)),
+      s"K4 node + pendant: 2*3/(4*3) = 0.5: ${got(0L)}")
+  }
+
   test("dupspan sub-width docs: no occurrence rows, full-stats row survives") {
     import spark.implicits._
     val df = Seq((0L, "just three tokens"),
