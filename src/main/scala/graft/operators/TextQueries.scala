@@ -685,6 +685,78 @@ object TextQueries extends QueryModule {
     // engines, and the free-double result is floor-rounded (the q64c
     // pattern). Scale: tokens shuffle once on token (the tf join) and once
     // on doc_id; the corpus-wide total is a 1-row broadcast.
+    // BM25 ranked retrieval (Robertson-Spärck Jones probabilistic model,
+    // k1 = 1.2, b = 0.75) for a fixed 3-term query — the relevance scoring
+    // an engine-side search surface runs: one corpus statistics pass
+    // (doc lengths, avgdl — a 1-row broadcast), term frequencies for the
+    // query terms only (the IN filter prunes the token stream BEFORE the
+    // per-(doc, term) aggregate — at 100 TB the tf relation is |terms|-
+    // bounded per doc, never the full inverted index), document frequencies
+    // as a |terms|-row broadcast, then per-doc scoring. Determinism: the
+    // per-term contributions are pivoted into FIXED columns and added in
+    // spelled order c1 + c2 + c3 (no aggregation-order dependence), every
+    // input to the IEEE expression is integer-derived, and the free-double
+    // score is floor-rounded before the ORDER BY (doc_id tiebreaks the
+    // rounded ties, so the top-50 cut is total-ordered on both engines).
+    q("q139_bm25", {
+      val terms = Seq("join", "vector", "fast")
+      val pivots = terms.zipWithIndex.map { case (t, i) =>
+        s"MAX(CASE WHEN token = '$t' THEN c END) AS c${i + 1}"
+      }.mkString(",\n        ")
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+         |       WHERE token IN (${terms.map("'" + _ + "'").mkString(", ")})
+         |       GROUP BY doc_id, token),
+         |f AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |s AS (SELECT t.doc_id, t.token,
+         |        ln((st.n - f.df + 0.5) / (f.df + 0.5) + 1) *
+         |        (t.tf * 2.2) /
+         |        (t.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS c
+         |      FROM tf t
+         |      JOIN f USING (token)
+         |      JOIN dl d USING (doc_id)
+         |      CROSS JOIN st),
+         |p AS (SELECT doc_id,
+         |        $pivots
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id,
+         |  floor((COALESCE(c1, 0) + COALESCE(c2, 0) + COALESCE(c3, 0))
+         |    * 10000 + 0.5) / 10000 AS bm25
+         |FROM p
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 50""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val terms = Seq("join", "vector", "fast")
+      val tok = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).cast(DoubleType).as("n"),
+        (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val tf = tok.filter($"token".isin(terms: _*))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val f = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val s = tf.join(broadcast(f), "token").join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select($"doc_id", $"token",
+          (log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1) *
+            ($"tf" * 2.2) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+            .as("c"))
+      val pivots = terms.zipWithIndex.map { case (t, i) =>
+        max(when($"token" === t, $"c")).as(s"c${i + 1}")
+      }
+      s.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
+        .select($"doc_id", (floor((coalesce($"c1", lit(0.0)) +
+          coalesce($"c2", lit(0.0)) + coalesce($"c3", lit(0.0)))
+          * 10000 + 0.5) / 10000).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(50)
+    },
+
     q("q109_lm_score",
       s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
          |f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token),
