@@ -315,6 +315,91 @@ object DedupQueries extends QueryModule {
     // Edit-distance fuzzy matching: Levenshtein over document heads on a
     // bounded sample — the typo/near-variant detector that complements
     // set-based Jaccard (q71). Quadratic by nature → sample-bounded here;
+    // Weighted sparse cosine similarity join over TF-IDF shingle vectors —
+    // the WEIGHTED complement to q110's unweighted Jaccard: two docs
+    // sharing rare shingles score higher than two sharing common ones,
+    // which separates genuine near-dups from shared-template pairs. Terms
+    // are 3-shingles (the corpus word vocabulary is ~31 tokens — all stop-
+    // word-class; shingles give a discriminative high-cardinality space),
+    // weight = tf · ln(N/df). The inverted-index join enumerates candidate
+    // pairs per shingle posting list; shingles with df > [[hotShingleDfCap]]
+    // are dropped on BOTH engines before the join — here the guard is not
+    // just the q71c degenerate-bucket cap but PRINCIPLED pruning: a hot
+    // shingle's idf is the corpus minimum, so the dropped postings are
+    // exactly the lowest-weight dimensions. Determinism: per-doc norms and
+    // per-pair dots are shingle-sorted 0-compatible left folds (the q109b
+    // contract; every weight is > 0 so the seedless DuckDB fold agrees),
+    // sqrt/ln are correctly-rounded IEEE, and the threshold predicate runs
+    // on the UNROUNDED value on both engines. Scale: one shingle-keyed
+    // shuffle for postings (bounded df ≤ cap ⇒ ≤ C(cap,2) pairs per key),
+    // one pair-keyed fold, two broadcast-size scalars.
+    q("q140_tfidf_cosine_pairs",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS shingle FROM documents),
+         |tf AS (SELECT doc_id, shingle, COUNT(*) AS tf
+         |       FROM sh GROUP BY doc_id, shingle),
+         |f AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle
+         |      HAVING COUNT(*) <= $hotShingleDfCap),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |w AS (SELECT t.doc_id, t.shingle, t.tf * ln(nn.n / f.df) AS w
+         |      FROM tf t JOIN f USING (shingle) CROSS JOIN nn),
+         |nm AS (
+         |  SELECT doc_id,
+         |    sqrt(list_reduce(list_transform(list_sort(list(struct_pack(
+         |        s := shingle, p := w * w))), x -> x.p), (a, b) -> a + b))
+         |      AS nrm
+         |  FROM w GROUP BY doc_id),
+         |prod AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.shingle AS s,
+         |         a.w * b.w AS p
+         |  FROM w a JOIN w b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |dot AS (
+         |  SELECT id_a, id_b,
+         |    list_reduce(list_transform(list_sort(list(struct_pack(
+         |        s := s, p := p))), x -> x.p), (a, b) -> a + b) AS d
+         |  FROM prod GROUP BY id_a, id_b)
+         |SELECT id_a, id_b,
+         |  floor(d.d / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
+         |FROM dot d
+         |JOIN nm na ON na.doc_id = d.id_a
+         |JOIN nm nb ON nb.doc_id = d.id_b
+         |WHERE d.d / (na.nrm * nb.nrm) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val tf = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+        .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("tf"))
+      val f = tf.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= hotShingleDfCap)
+      val nn = spark.table("documents")
+        .agg(count(lit(1)).cast(DoubleType).as("n"))
+      // weights feed the norm fold AND both sides of the postings join:
+      // materialize the tokenize+tf+idf pipeline once
+      val w = tf.join(f, "shingle").crossJoin(broadcast(nn))
+        .select($"doc_id", $"shingle", ($"tf" * log($"n" / $"df")).as("w"))
+        .localCheckpoint()
+      val nm = w.groupBy($"doc_id").agg(
+        sqrt(aggregate(sort_array(collect_list(struct($"shingle".as("s"),
+          ($"w" * $"w").as("p")))), lit(0.0),
+          (a, x) => a + x.getField("p"))).as("nrm"))
+      val dot = w.as("a")
+        .join(w.as("b"), $"a.shingle" === $"b.shingle" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          $"a.shingle".as("s"), ($"a.w" * $"b.w").as("p"))
+        .groupBy($"id_a", $"id_b")
+        .agg(aggregate(sort_array(collect_list(struct($"s", $"p"))),
+          lit(0.0), (a, x) => a + x.getField("p")).as("d"))
+      dot.join(nm.as("na"), $"id_a" === $"na.doc_id")
+        .join(nm.as("nb"), $"id_b" === $"nb.doc_id")
+        .filter($"d" / ($"na.nrm" * $"nb.nrm") >= 0.6)
+        .select($"id_a", $"id_b",
+          Canon.r4($"d" / ($"na.nrm" * $"nb.nrm")).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // at 100 TB it runs inside LSH candidate buckets (q73's pair set), not
     // all-pairs. `levenshtein` is a shared built-in with identical
     // semantics in both engines.
