@@ -766,7 +766,64 @@ object SimilarityQueries extends QueryModule {
       rer.withColumn("rn", row_number().over(wc)).filter($"rn" <= 5)
         .select($"qid", $"cid", $"ham", $"cos")
         .orderBy($"qid", $"cid")
+    },
+
+    // Johnson-Lindenstrauss random projection (Achlioptas'01 database-
+    // friendly ±1 variant): 64-dim float embeddings → 16-dim sketch via a
+    // FIXED sign matrix derived from md5 at plan-build time and embedded
+    // as literals in BOTH engines (the q82 plane-literal pattern — no RNG
+    // anywhere, fully hash-checked). y_j = ⟨x, s_j⟩ / √16; the 1/√r = 1/4
+    // scale is an exact power of two, so the only IEEE work is the shared
+    // left-fold dot (graft_dot ≡ DuckDB list_dot_product association
+    // order). E‖y_a − y_b‖² = ‖x_a − x_b‖² (unbiased, var ∝ 2/r) —
+    // SimilarityDedupSpec measures the preservation on sampled pairs.
+    // Scale: pure map-side (one projection per scan row, no shuffle until
+    // the final ORDER BY); at 100 TB this is the cheap pre-filter that
+    // shrinks every downstream pair computation 4× in bytes, the same role
+    // as q104's int8 and q125's 1-bit codes on the quantization axis.
+    q("q141_jl_projection", {
+      val colsSql = (0 until jlDims).map { j =>
+        val arr = jlSigns(j).map(s => if (s > 0) "1.0" else "-1.0")
+          .mkString(", ")
+        s"""floor(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |    [$arr]) / 4 * 10000 + 0.5) / 10000 AS y$j""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $colsSql
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      jlProject(spark).select(
+        $"vec_id" +: (0 until jlDims).map(j =>
+          (floor(col(s"y$j") * 10000 + 0.5) / 10000).as(s"y$j")): _*)
+        .orderBy($"vec_id")
     })
+
+  /** JL sketch width (projected dimensionality). */
+  private[graft] val jlDims = 16
+
+  /** Fixed ±1 projection matrix: sign j,i from the top bit of
+    * md5("jl_<j>_<i>") — deterministic at build time, identical literals
+    * embedded in the Spark plan and the oracle SQL. */
+  private[graft] lazy val jlSigns: Array[Array[Double]] =
+    Array.tabulate(jlDims, dims) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_${j}_$i".getBytes("UTF-8"))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+
+  /** UNROUNDED projected vectors (vec_id, y0..y15) — q141 rounds at the
+    * surface; SimilarityDedupSpec measures distance preservation on the
+    * raw values. */
+  private[graft] def jlProject(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("embeddings").select(
+      $"vec_id" +: (0 until jlDims).map { j =>
+        val arr = array(jlSigns(j).map(lit(_)): _*)
+        (dot($"embedding", arr) / 4).as(s"y$j")
+      }: _*)
+  }
 
   /** Hamming-shortlist depth: candidates per probe that pay the exact
     * re-rank. 64 ⇒ measured recall 0.86 vs exact top-5 on the fixture

@@ -26,6 +26,36 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("JL projection preserves pairwise squared distances in expectation") {
+    import graft.operators.SimilarityQueries
+    graft.sources.Tables.register(spark, sf)
+    // raw 64-dim vectors and their 16-dim sketches, keyed by vec_id
+    val orig = spark.table("embeddings")
+      .filter(col("vec_id") < 60)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = SimilarityQueries.jlProject(spark)
+      .filter(col("vec_id") < 60)
+      .collect().map(r => r.getLong(0) ->
+        (1 until 17).map(r.getDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      od = d2(orig(i), orig(j)) if od > 1e-12
+    } yield d2(proj(i), proj(j)) / od
+    info(f"pairs=${ratios.size} mean ratio=${ratios.sum / ratios.size}%.3f")
+    // E[ratio] = 1 (unbiased), var ≈ 2/r = 0.125 per pair → the mean over
+    // ~1.7k pairs concentrates tightly; wide bands catch regressions only
+    val mean = ratios.sum / ratios.size
+    assert(ratios.nonEmpty && mean > 0.7 && mean < 1.3,
+      s"JL mean distance ratio off: $mean")
+    val within = ratios.count(r => r > 0.3 && r < 1.9).toDouble / ratios.size
+    assert(within >= 0.8,
+      f"only $within%.2f of pairs inside the JL distortion band")
+  }
+
   test("binary sign-quantized Hamming ANN recalls most of exact top-5") {
     val exact = topkPairs("q80_cosine_topk")
     val ham = topkPairs("q125_hamming_ann")
