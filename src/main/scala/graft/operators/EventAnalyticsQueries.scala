@@ -379,5 +379,44 @@ object EventAnalyticsQueries extends QueryModule {
               ($"day" - $"pd").cast("double") / ($"nd" - $"pd")))
             .as("filled"))
         .orderBy($"user_id", $"day")
+    },
+
+    // OHLC downsampling — the lossy resample every metrics store runs
+    // (candlestick/rollup tables): per (user, day), the first and last
+    // value in exact event order plus the min/max. Open/close are
+    // deterministic because the order key (tus, event_id) is UNIQUE —
+    // min/max over a struct with the value in trailing position picks the
+    // boundary event identically in both engines (integer micros compare,
+    // no IEEE involvement); high/low compare raw doubles (exact values off
+    // the scan, no accumulation). One user_id-family exchange, map-side
+    // combinable min/max aggregates — the canonical 100 TB rollup shape.
+    q("q142_ohlc_downsample",
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |         epoch_ns(ts) // 1000 AS tus, event_id, value
+        |  FROM events)
+        |SELECT user_id, CAST(day AS BIGINT) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(struct_pack(tus := tus, event_id := event_id,
+        |                  v := value)).v AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(struct_pack(tus := tus, event_id := event_id,
+        |                  v := value)).v AS close
+        |FROM e GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("events")
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"),
+          unix_micros($"ts").as("tus"), $"event_id", $"value")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n"),
+          min(struct($"tus", $"event_id", $"value".as("v")))
+            .getField("v").as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max(struct($"tus", $"event_id", $"value".as("v")))
+            .getField("v").as("close"))
+        .orderBy($"user_id", $"day")
     })
 }
