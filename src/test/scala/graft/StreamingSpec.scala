@@ -113,6 +113,49 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map("a" -> 3L, "b" -> 2L), last.toString)
   }
 
+  test("streaming Misra-Gries: incremental candidates cover heavy hitters") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the q108 batch sketch run INCREMENTALLY: the Aggregator's bounded
+    // counter map (≤ k−1 entries) becomes the streaming aggregation state,
+    // so a token stream of any length holds O(k) state — the streaming
+    // twin of the batch heavy-hitter contract (candidates ⊇ every token
+    // with freq > n/k; the exact recount makes the final answer exact)
+    val k = 4
+    val batch1 = Seq.fill(30)("hot") ++ Seq("a", "b", "c", "d", "e")
+    val batch2 = Seq.fill(20)("warm") ++ Seq("f", "g", "h") ++
+      Seq.fill(10)("hot")
+    val all = batch1 ++ batch2
+    val mg = new graft.functions.MisraGries(k)
+    val ms = MemoryStream[String]
+    val agg = ms.toDS().groupByKey(_ => 0).agg(mg.toColumn.name("cands"))
+    val q = agg.toDF("g", "cands").writeStream.format("memory")
+      .queryName("t_mg").outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_mg").collect().map(_.getSeq[String](1).toSet)
+    assert(rows.length == 2, s"one update row per trigger: ${rows.length}")
+    // 'warm' never occurs in batch 1 → the row containing it IS the final
+    // state (no reliance on memory-sink row order)
+    val fin = rows.find(_.contains("warm"))
+      .getOrElse(fail(s"no row holds the batch-2 heavy hitter: $rows"))
+    val freq = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = freq.collect {
+      case (t, c) if c > all.size.toLong / k => t
+    }.toSet
+    assert(heavy == Set("hot", "warm"), s"fixture sanity: $heavy")
+    assert(heavy.subsetOf(fin), s"guarantee violated: $heavy vs $fin")
+    // exact-recount agreement with the one-shot batch sketch (candidate
+    // sets may differ by merge order; the recounted answer may not)
+    val batchCands = all.toDS().select(mg.toColumn).head().toSet
+    def recount(c: Set[String]) =
+      c.filter(t => freq.getOrElse(t, 0L) > all.size.toLong / k)
+    assert(recount(fin) == recount(batchCands),
+      s"stream vs batch recounted answers differ: $fin vs $batchCands")
+  }
+
   test("transformWithState maintains typed per-key state (Spark 4 API)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
