@@ -353,6 +353,29 @@ class PlanSpec extends SparkSpec {
       finalPlan.contains("ObjectHashAggregate"), finalPlan)
   }
 
+  test("OHLC rollup: partial min/max structs combine map-side, one exchange") {
+    val df = SparkEntry.queries("q142_ohlc_downsample")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the grouping exchange (the ORDER BY adds its own rangepartitioning)
+    val hashExchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges:\n$finalPlan")
+    // boundary-struct min/max must partial-aggregate before the shuffle
+    assert(finalPlan.contains("partial_min") || finalPlan.contains("partial"),
+      finalPlan)
+  }
+
+  test("gap fill: window fills reuse the user-keyed family, no Cartesian") {
+    val df = SparkEntry.queries("q137_gap_fill")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    // the dense grid comes from a per-user sequence explode (Generate),
+    // never a calendar cross join
+    assert(finalPlan.contains("Generate explode"), finalPlan)
+  }
+
   test("semi-join rewrite: IN (subquery) becomes a semi join, not a product") {
     Tables.register(spark, sf)
     val df = spark.sql(
