@@ -1117,12 +1117,17 @@ object DedupQueries extends QueryModule {
     * product. */
   private[graft] def dupspanDupOccurrences(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // occ feeds both the count aggregate and the join-back: materialize the
-    // tokenize+explode once (the ppjoinTokens move) instead of re-scanning
-    // and re-hashing the corpus on each branch
-    val occ = dupspanOcc(docs).localCheckpoint()
-    val cnt = occ.groupBy($"h").agg(count(lit(1)).as("cnt"))
-    occ.join(cnt.filter($"cnt" >= 2), "h")
+    // One h-shuffle total: an unordered whole-partition window count on the
+    // digest key subsumes the aggregate + join-back (which shuffled occ by
+    // h anyway AND re-scanned the corpus or paid a checkpoint — the r05
+    // "materialize once" localCheckpoint cost 8× the recompute it saved).
+    // Skew profile is identical to the join shape: either way all rows of
+    // one 8-gram land in one task, and occurrence rows are linear in corpus
+    // size by construction.
+    dupspanOcc(docs)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"cnt" >= 2)
+      .select($"h", $"doc_id", $"pos", $"cnt")
   }
 
   /** q124's duplicate-span statistics over any (doc_id, text) frame
