@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -316,5 +317,45 @@ object AggregateQueries extends QueryModule {
           "stack(2, 'F', F, 'O', O) AS (status, qty)")
         .filter($"qty".isNotNull)
         .orderBy($"l_returnflag", $"status")
+    },
+
+    // Deterministic MODE per group — spelled as count + rank rather than the
+    // engines' built-in mode() because neither engine documents its
+    // tie-break: here the SMALLEST most-frequent value wins, identically on
+    // both sides. Two shuffles, both benign at any scale: the (flag, qty)
+    // count is map-side combinable over a bounded key space (distinct
+    // quantities × flags), and the rank window partitions on flag over that
+    // already-tiny count relation. The share ratio divides two exact counts
+    // (free double, floor-rounded).
+    q("q146_mode",
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, l_quantity) AS rn,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty,
+        |       CAST(cnt AS BIGINT) AS cnt,
+        |       floor(CAST(cnt AS DOUBLE) / tot * 1000000 + 0.5) / 1000000
+        |         AS share
+        |FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      val wr = Window.partitionBy($"l_returnflag")
+        .orderBy($"cnt".desc, $"l_quantity")
+      val wt = Window.partitionBy($"l_returnflag")
+      spark.table("lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"l_returnflag", $"l_quantity", $"cnt",
+          row_number().over(wr).as("rn"),
+          sum($"cnt").over(wt).as("tot"))
+        .filter($"rn" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt",
+          Canon.r6($"cnt".cast(DoubleType) / $"tot").as("share"))
+        .orderBy($"l_returnflag")
     })
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.api.{Canon, GraftQuery, QueryModule}
 
@@ -418,5 +419,112 @@ object EventAnalyticsQueries extends QueryModule {
           max(struct($"tus", $"event_id", $"value".as("v")))
             .getField("v").as("close"))
         .orderBy($"user_id", $"day")
+    },
+
+    // Last-touch attribution — the revenue-credit query every marketing
+    // warehouse runs: each purchase is credited to the user's most recent
+    // prior touchpoint (view/click), or 'direct' when none precedes it.
+    // The touch lookup is a conditional MAX over the same (tus, event_id)
+    // unique-struct trick as q142's open/close — deterministic boundary
+    // selection with pure integer comparison, the event_type riding in
+    // trailing position. One user_id exchange for the window (same key
+    // family as funnel/retention/EWMA — at 100 TB this whole query class
+    // shares one shuffle of the fact table), then a 3-row aggregate.
+    q("q143_attribution",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, value,
+         |         epoch_ns(ts) // 1000 AS tus, event_id
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, event_type, value,
+         |    MAX(CASE WHEN event_type IN ('view', 'click')
+         |             THEN struct_pack(tus := tus, event_id := event_id,
+         |                              t := event_type) END)
+         |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS touch
+         |  FROM e)
+         |SELECT COALESCE(touch.t, 'direct') AS channel,
+         |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |       ${Canon.Oracle.sum4("value")} AS revenue
+         |FROM t WHERE event_type = 'purchase'
+         |GROUP BY channel
+         |ORDER BY channel""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spark.table("events")
+        .select($"user_id", $"event_type", $"value",
+          unix_micros($"ts").as("tus"), $"event_id")
+        .withColumn("touch",
+          max(when($"event_type".isin("view", "click"),
+            struct($"tus", $"event_id", $"event_type".as("t")))).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(coalesce($"touch".getField("t"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), Canon.sum4($"value").as("revenue"))
+        .orderBy($"channel")
+    },
+
+    // A/B lift with a Welch z-score — experiment readout as a relational
+    // operator. Arms split by the engine's standard md5 hash-sample idiom
+    // (deterministic, content-independent); per-arm moments come from EXACT
+    // decimal sums (value has 2 decimals, its square 4 — both inside
+    // DECIMAL range), so mean/variance/z are IEEE-identical across engines:
+    // every division and the sqrt see bit-equal double inputs under an
+    // identical spelling, and only the surfaced columns get the free-double
+    // floor round. One scan, one map-side-combinable global aggregate —
+    // no shuffle wider than the 2-group combine at any corpus size.
+    q("q145_ab_lift",
+      """WITH p AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1 ELSE 0 END AS arm_a, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT
+        |    CAST(COUNT(*) FILTER (arm_a = 1) AS BIGINT) AS na,
+        |    CAST(COUNT(*) FILTER (arm_a = 0) AS BIGINT) AS nb,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2))) FILTER (arm_a = 1)
+        |         AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2))) FILTER (arm_a = 0)
+        |         AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)))
+        |         FILTER (arm_a = 1) AS DOUBLE) AS qa,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)))
+        |         FILTER (arm_a = 0) AS DOUBLE) AS qb
+        |  FROM p)
+        |SELECT na, nb,
+        |  floor(sa / na * 1000000 + 0.5) / 1000000 AS mean_a,
+        |  floor(sb / nb * 1000000 + 0.5) / 1000000 AS mean_b,
+        |  floor((sa / na - sb / nb) / (sb / nb) * 1000000 + 0.5) / 1000000
+        |    AS lift,
+        |  floor((sa / na - sb / nb) /
+        |        sqrt(((qa - sa * sa / na) / (na - 1)) / na +
+        |             ((qb - sb * sb / nb) / (nb - 1)) / nb) * 10000 + 0.5)
+        |    / 10000 AS z
+        |FROM m""".stripMargin) { spark =>
+      import spark.implicits._
+      val d92 = DecimalType(9, 2)
+      val armA = (substring(md5($"user_id".cast("string").cast(BinaryType)),
+        1, 1) < "8").cast(IntegerType)
+      val vDec = $"value".cast(d92)
+      def fsum(c: Column, arm: Int): Column =
+        sum(when($"arm_a" === arm, c)).cast(DoubleType)
+      val m = spark.table("events")
+        .filter($"event_type" === "purchase")
+        .select(armA.as("arm_a"), $"value")
+        .agg(
+          count(when($"arm_a" === 1, lit(1))).as("na"),
+          count(when($"arm_a" === 0, lit(1))).as("nb"),
+          fsum(vDec, 1).as("sa"), fsum(vDec, 0).as("sb"),
+          fsum(vDec * vDec, 1).as("qa"), fsum(vDec * vDec, 0).as("qb"))
+      val (na, nb) = ($"na".cast(DoubleType), $"nb".cast(DoubleType))
+      val ma = $"sa" / na
+      val mb = $"sb" / nb
+      val va = ($"qa" - $"sa" * $"sa" / na) / (na - 1)
+      val vb = ($"qb" - $"sb" * $"sb" / nb) / (nb - 1)
+      m.select($"na", $"nb",
+        Canon.r6(ma).as("mean_a"), Canon.r6(mb).as("mean_b"),
+        Canon.r6((ma - mb) / mb).as("lift"),
+        Canon.r4((ma - mb) / sqrt(va / na + vb / nb)).as("z"))
     })
 }

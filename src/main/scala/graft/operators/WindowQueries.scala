@@ -177,5 +177,38 @@ object WindowQueries extends QueryModule {
           round(cume_dist().over(w), 6).as("cd"),
           round(median($"o_totalprice").over(wp), 4).as("med"))
         .orderBy($"o_orderkey")
+    },
+
+    // Skyline (Pareto frontier) — minimize p_retailprice, maximize p_size,
+    // strict dominance on both dimensions (Börzsönyi et al. ICDE'01). The
+    // 2-d case reduces to a prefix maximum: a part survives iff no strictly
+    // cheaper part has a strictly larger size. Scale shape: aggregate to
+    // ONE row per distinct price first (map-side-combinable; cardinality is
+    // bounded by the price domain — 2-decimal prices, not corpus size), run
+    // the running max on that small relation (the lone global-order window
+    // sees only distinct prices, never the corpus), broadcast the
+    // per-price dominance threshold back. The fact scan itself never
+    // shuffles. The oracle spells dominance INDEPENDENTLY as NOT EXISTS —
+    // the window reduction is verified against the definition, not against
+    // its own transcription.
+    q("q144_skyline",
+      """SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice < p.p_retailprice AND q.p_size > p.p_size)
+        |ORDER BY p.p_partkey""".stripMargin) { spark =>
+      import spark.implicits._
+      val pm = spark.table("part")
+        .groupBy($"p_retailprice")
+        .agg(max($"p_size").as("ms"))
+      val w = Window.orderBy($"p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = pm.select($"p_retailprice", max($"ms").over(w).as("dom"))
+      spark.table("part")
+        .join(broadcast(pref), "p_retailprice")
+        .filter($"dom".isNull || $"dom" <= $"p_size")
+        .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
+        .orderBy($"p_partkey")
     })
 }

@@ -385,4 +385,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("attribution: one user_id exchange feeds the touch window") {
+    val df = SparkEntry.queries("q143_attribution")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    val userIdExchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userIdExchanges == 1, s"$userIdExchanges user_id exchanges:\n$finalPlan")
+    // the channel rollup partial-aggregates before its (3-key) shuffle
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("partial"),
+      finalPlan)
+  }
+
+  test("skyline: dominance threshold broadcasts; the part scan never shuffles") {
+    val df = SparkEntry.queries("q144_skyline")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoop"), finalPlan)
+    // only the distinct-price aggregate (and the final sort) may exchange —
+    // the corpus-side scan feeds the broadcast join directly
+    val hashExchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"$hashExchanges hash exchanges:\n$finalPlan")
+  }
+
+  test("ab lift: one map-side-combinable global aggregate, no wide shuffle") {
+    val df = SparkEntry.queries("q145_ab_lift")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Exchange hashpartitioning"), finalPlan)
+    assert(finalPlan.contains("partial"), finalPlan)
+  }
 }
