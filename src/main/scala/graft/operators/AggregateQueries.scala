@@ -357,5 +357,59 @@ object AggregateQueries extends QueryModule {
         .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt",
           Canon.r6($"cnt".cast(DoubleType) / $"tot").as("share"))
         .orderBy($"l_returnflag")
+    },
+
+    // Per-group OLS regression (regr_slope/intercept/r2 re-expressed) — the
+    // five moment sums are EXACT decimal aggregates (both measures carry
+    // ≤2 decimals; products stay inside DECIMAL(25,4)), so the closed-form
+    // slope/intercept/r² divisions see bit-equal double inputs on both
+    // engines under one shared spelling — deterministic where the built-in
+    // regr_* over raw doubles is association-order-dependent. One
+    // map-side-combinable shuffle on the group key; at 100 TB this is the
+    // same plan as any sum rollup.
+    q("q148_group_ols",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+        |             CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |s2 AS (
+        |  SELECT l_returnflag, n, sx, sy, sxy, syy, sxx,
+        |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  floor(slope * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor((sy - slope * sx) / n * 1000000 + 0.5) / 1000000 AS intercept,
+        |  floor((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000 + 0.5)
+        |    / 1000000 AS r2
+        |FROM s2
+        |ORDER BY l_returnflag""".stripMargin) { spark =>
+      import spark.implicits._
+      val d122 = DecimalType(12, 2)
+      val (x, y) = ($"l_quantity".cast(d122), $"l_extendedprice".cast(d122))
+      val s = spark.table("lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(y * y).cast(DoubleType).as("syy"))
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx")
+      s.select($"l_returnflag", $"n",
+        Canon.r6(slope).as("slope"),
+        Canon.r6(($"sy" - slope * $"sx") / $"n").as("intercept"),
+        Canon.r6(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy") /
+          (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+          .as("r2"))
+        .orderBy($"l_returnflag")
     })
 }

@@ -1052,6 +1052,60 @@ object DedupQueries extends QueryModule {
          |FROM t LEFT JOIN rem r USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin) { spark =>
       dupspanRemovalOf(spark.table("documents"), dupspanKeeperCap)
+    },
+
+    // Rule-based record linkage (entity resolution): candidate pairs from a
+    // BLOCKING key — the ER scale strategy since Fellegi-Sunter — matched by
+    // field-level rules (size within 1, relative price within 5%), scored
+    // with brand edit distance. Pair enumeration goes through the SAME
+    // saltedBucketPairs guard as the LSH paths (block = bucket), so a
+    // degenerate block (one catalog name shared by 10^5 SKUs at 100 TB)
+    // enumerates capped chunks, never a quadratic key. At fixture scale the
+    // largest (name, type) block is ~62 rows — far under the cap — so the
+    // largest (name, type) block is 12 rows at sf0.01 and 78 at sf0.1 —
+    // under the cap — so the unsalted oracle join is exact (q73's pattern;
+    // DedupSpec owns the >cap branch). The match predicate's division is
+    // spelled identically
+    // on both engines (one IEEE form, never algebraically rearranged).
+    q("q147_record_linkage",
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_type, p_brand, p_size, p_retailprice
+        |  FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name,
+        |  CAST(abs(a.p_size - b.p_size) AS INTEGER) AS size_diff,
+        |  floor(abs(a.p_retailprice - b.p_retailprice) /
+        |        greatest(a.p_retailprice, b.p_retailprice) * 1000000 + 0.5)
+        |    / 1000000 AS price_diff,
+        |  CAST(levenshtein(a.p_brand, b.p_brand) AS INTEGER) AS brand_dist
+        |FROM p a JOIN p b
+        |  ON a.p_name = b.p_name AND a.p_type = b.p_type
+        | AND a.p_partkey < b.p_partkey
+        |WHERE abs(a.p_size - b.p_size) <= 1
+        |  AND abs(a.p_retailprice - b.p_retailprice) /
+        |      greatest(a.p_retailprice, b.p_retailprice) <= 0.05
+        |ORDER BY id_a, id_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val p = spark.table("part")
+      val blocks = p.select(lit(0).as("band"),
+        concat_ws("|", $"p_name", $"p_type").as("bh"),
+        $"p_partkey".as("doc_id"))
+      val pairs = saltedBucketPairs(blocks, defaultBucketCap)
+      val aSide = p.select($"p_partkey".as("id_a"), $"p_name",
+        $"p_brand".as("brand_a"), $"p_size".as("size_a"),
+        $"p_retailprice".as("price_a"))
+      val bSide = p.select($"p_partkey".as("id_b"),
+        $"p_brand".as("brand_b"), $"p_size".as("size_b"),
+        $"p_retailprice".as("price_b"))
+      val relDiff = abs($"price_a" - $"price_b") /
+        greatest($"price_a", $"price_b")
+      pairs.join(aSide, "id_a").join(bSide, "id_b")
+        .filter(abs($"size_a" - $"size_b") <= 1 && relDiff <= 0.05)
+        .select($"id_a", $"id_b", $"p_name".as("name"),
+          abs($"size_a" - $"size_b").as("size_diff"),
+          Canon.r6(relDiff).as("price_diff"),
+          levenshtein($"brand_a", $"brand_b").as("brand_dist"))
+        .orderBy($"id_a", $"id_b")
     }) :+ pipelineQuery
 
   /** q129's damped power iteration over any (doc_id) node set and

@@ -381,6 +381,52 @@ object ScaleQueries extends QueryModule {
           sum($"toks").cast("long").as("total_tokens"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"shard")
+    },
+
+    // Table profiling (the SUMMARIZE / ANALYZE surface): per-column row,
+    // null, and EXACT distinct counts over `orders`. Shape: one branch per
+    // column, each a global aggregate over a scan pruned to THAT column —
+    // at 100 TB each branch reads one parquet column chunk, runs its own
+    // exact count-distinct shuffle, and the 6 branches parallelize
+    // independently (profiling N columns costs N column scans, not N full
+    // table scans — the columnar-format payoff, asserted in PlanSpec).
+    q("q149_profile",
+      """SELECT col, n_rows, n_null, n_distinct FROM (
+        |  SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders) u
+        |ORDER BY col""".stripMargin) { spark =>
+      import spark.implicits._
+      def prof(c: String) = spark.table("orders")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          count(when(col(c).isNull, lit(1))).cast("long").as("n_null"),
+          countDistinct(col(c)).cast("long").as("n_distinct"))
+        .select(lit(c).as("col"), $"n_rows", $"n_null", $"n_distinct")
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .map(prof).reduce(_ unionAll _)
+        .orderBy($"col")
     })
 
   /** 64-bit Morton (Z-order) value of two non-negative 32-bit keys: bit i

@@ -419,4 +419,31 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlan.contains("Exchange hashpartitioning"), finalPlan)
     assert(finalPlan.contains("partial"), finalPlan)
   }
+
+  test("profile: each per-column branch scans only its own column") {
+    val df = SparkEntry.queries("q149_profile")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val readSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.size == 6, s"${readSchemas.size} scans:\n$plan")
+    // every branch's scan schema holds exactly one column (no branch drags
+    // the full orders row through its count-distinct shuffle)
+    readSchemas.foreach { rs =>
+      // struct<name:type,...> → one ':' per field
+      val cols = rs.substring(rs.indexOf("struct<")).count(_ == ':')
+      assert(cols == 1, s"multi-column profile scan: $rs")
+    }
+  }
+
+  test("record linkage: pairs come from the salted block enumeration, no raw self-join") {
+    val df = SparkEntry.queries("q147_record_linkage")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoop"), finalPlan)
+    // the in-block enumeration is the collect_list + explode shape, not a
+    // join of part against itself on the block key
+    assert(finalPlan.contains("Generate explode"), finalPlan)
+  }
 }
