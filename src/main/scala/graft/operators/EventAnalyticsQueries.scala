@@ -526,5 +526,135 @@ object EventAnalyticsQueries extends QueryModule {
         Canon.r6(ma).as("mean_a"), Canon.r6(mb).as("mean_b"),
         Canon.r6((ma - mb) / mb).as("lift"),
         Canon.r4((ma - mb) / sqrt(va / na + vb / nb)).as("z"))
+    },
+
+    // Rolling 7-day active users (DAU/WAU + stickiness) — the dashboard
+    // query behind every engagement metric. The naive shape is a per-day
+    // sliding-window COUNT(DISTINCT) (a range join or a 7-day window scan
+    // per day); the scale shape used here inverts it: each distinct
+    // (day, user) row CONTRIBUTES to the 7 target days it covers via a
+    // bounded generator explode, then ONE day-keyed exact distinct — 7×
+    // linear rows, no range join, no per-day rescan, and the upstream
+    // (day, user) distinct is map-side combinable. Target days are
+    // restricted to observed days by a semi-join (broadcast-sized: days,
+    // not rows). Stickiness = dau/wau, a free-double ratio → floor
+    // spelling on both engines per the repo rounding invariant.
+    q("q152_active_users",
+      """WITH e AS (
+        |  SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |         user_id
+        |  FROM events),
+        |contrib AS (
+        |  SELECT e.day + r.i AS day, e.user_id
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 7)) AS i) r),
+        |wau AS (
+        |  SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+        |  FROM contrib c
+        |  WHERE c.day IN (SELECT day FROM e)
+        |  GROUP BY c.day),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY day)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+        |       CAST(wau AS BIGINT) AS wau,
+        |       floor(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) / 10000
+        |         AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = spark.table("events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
+        .distinct()
+      val days = e.select($"day").distinct()
+      val wau = e
+        .select(explode(sequence($"day", $"day" + 6)).as("day"), $"user_id")
+        .join(days, Seq("day"), "left_semi")
+        .groupBy($"day")
+        .agg(countDistinct($"user_id").as("wau"))
+      val dau = e.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+      dau.join(wau, "day")
+        .select($"day".cast(LongType).as("day"),
+          $"dau".cast(LongType).as("dau"), $"wau".cast(LongType).as("wau"),
+          Canon.r4($"dau".cast(DoubleType) / $"wau").as("stickiness"))
+        .orderBy($"day")
+    },
+
+    // Poisson bootstrap CI for the purchase mean — the bootstrap that
+    // actually runs at 100 TB (Chamandy et al., "Estimating Uncertainty for
+    // Massive Data Streams", Google 2012): classical resampling needs the
+    // row count up front and a per-resample shuffle; the Poisson bootstrap
+    // gives each row an INDEPENDENT Poisson(1) multiplicity per resample,
+    // so all B=20 resamples stream map-side in one pass and reduce to a
+    // 20-key aggregate. Multiplicities are deterministic here: u =
+    // md5(event_id∥'#'∥b) as a uint32 fraction (exact in both engines —
+    // uint32/2^32 is an exact double), cut at the Poisson(1) CDF literals
+    // spelled identically. Resample means divide an exact-decimal sum by
+    // an integer count → bit-equal doubles; the CI takes order statistics
+    // 2 and 19 of the 20 means (a 20-row window). One row out, all floors
+    // on free doubles per the rounding invariant.
+    q("q153_poisson_bootstrap_ci",
+      """WITH p AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(9,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |mres AS (
+        |  SELECT b,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         ELSE 4 END AS m,
+        |    v
+        |  FROM (
+        |    SELECT p.v, r.b,
+        |      CAST(('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || '#' ||
+        |                               CAST(r.b AS VARCHAR)), 1, 8))
+        |           AS UBIGINT) / 4294967296.0 AS u
+        |    FROM p CROSS JOIN (SELECT unnest(range(0, 20)) AS b) r) t),
+        |ms AS (
+        |  SELECT b, CAST(SUM(m) AS BIGINT) AS nb,
+        |         CAST(SUM(v * m) AS DOUBLE) AS sb
+        |  FROM mres GROUP BY b),
+        |rk AS (
+        |  SELECT sb / nb AS mu,
+        |         row_number() OVER (ORDER BY sb / nb ASC, b ASC) AS rn
+        |  FROM ms),
+        |base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS DOUBLE) AS s
+        |  FROM p)
+        |SELECT n,
+        |  floor(s / n * 1000000 + 0.5) / 1000000 AS mean,
+        |  (SELECT floor(mu * 1000000 + 0.5) / 1000000 FROM rk WHERE rn = 2)
+        |    AS ci_lo,
+        |  (SELECT floor(mu * 1000000 + 0.5) / 1000000 FROM rk WHERE rn = 19)
+        |    AS ci_hi
+        |FROM base""".stripMargin) { spark =>
+      import spark.implicits._
+      val d92 = DecimalType(9, 2)
+      val p = spark.table("events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"value".cast(d92).as("v"))
+      val u = (conv(substring(md5(concat($"event_id".cast("string"), lit("#"),
+        $"b".cast("string")).cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType) / lit(4294967296.0)).as("u")
+      val m = when($"u" < 0.36787944117144233, 0)
+        .when($"u" < 0.7357588823428847, 1)
+        .when($"u" < 0.9196986029286058, 2)
+        .when($"u" < 0.9810118431238462, 3)
+        .otherwise(4)
+      val ms = p
+        .select($"event_id", $"v", explode(sequence(lit(0), lit(19))).as("b"))
+        .select($"v", $"b", u)
+        .select($"b", m.as("m"), $"v")
+        .groupBy($"b")
+        .agg(sum($"m").cast(LongType).as("nb"),
+          sum($"v" * $"m").cast(DoubleType).as("sb"))
+      val rk = ms
+        .select(($"sb" / $"nb").as("mu"), $"b")
+        .withColumn("rn", row_number().over(Window.orderBy($"mu".asc, $"b".asc)))
+      val lo = rk.filter($"rn" === 2).select(Canon.r6($"mu").as("ci_lo"))
+      val hi = rk.filter($"rn" === 19).select(Canon.r6($"mu").as("ci_hi"))
+      p.agg(count(lit(1)).cast(LongType).as("n"),
+          sum($"v").cast(DoubleType).as("s"))
+        .select($"n", Canon.r6($"s" / $"n").as("mean"))
+        .join(broadcast(lo)).join(broadcast(hi)) // 1-row broadcasts
+        .select($"n", $"mean", $"ci_lo", $"ci_hi")
     })
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1307,6 +1307,146 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).cast(LongType).as("n_docs"),
           sum($"n_tokens").cast(LongType).as("total_tokens"))
         .orderBy($"shard")
+    },
+
+    // Char-trigram language ID — the Cavnar-Trenkle rank-profile method
+    // ("N-Gram-Based Text Categorization", SDAIR'94), the real classifier
+    // behind q63's marker heuristic: per-language top-K trigram profiles
+    // learned from the labeled corpus, docs classified by weighted profile
+    // overlap (weight = K+1 − profile rank; integer throughout → fully
+    // hash-checked, no float fold). On this synthetic fixture the labels
+    // are random so predictions hover at the majority class — the OPERATOR
+    // SHAPE is the deliverable: profile counts shuffle to a key space
+    // bounded by |Σ|³ per language (map-side combinable to a fixed-size
+    // relation regardless of corpus size), the learned profile broadcasts
+    // (nlangs × K rows), scoring is one doc_id-keyed aggregate, and both
+    // rank windows partition over bounded sets (per-lang vocab; ≤ nlangs
+    // candidate rows per doc) — nothing grows super-linearly at 100 TB.
+    q("q150_langid_trigram",
+      """WITH tg AS (
+        |  SELECT doc_id, lang, substr(txt, i, 3) AS tg
+        |  FROM (SELECT doc_id, lang, lower(text) AS txt,
+        |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        |        FROM documents) t),
+        |prof AS (
+        |  SELECT plang, tg, 41 - rk AS w FROM (
+        |    SELECT lang AS plang, tg,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY COUNT(*) DESC, tg ASC) AS rk
+        |    FROM tg GROUP BY lang, tg) p
+        |  WHERE rk <= 40),
+        |dtg AS (SELECT DISTINCT doc_id, tg FROM tg),
+        |sc AS (
+        |  SELECT d.doc_id, p.plang, SUM(p.w) AS score
+        |  FROM dtg d JOIN prof p USING (tg)
+        |  GROUP BY d.doc_id, p.plang),
+        |best AS (
+        |  SELECT doc_id, plang, score FROM (
+        |    SELECT doc_id, plang, score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY score DESC, plang ASC) AS rn
+        |    FROM sc) b
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(b.plang, 'unknown') AS lang_pred,
+        |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val profileK = 40
+      val tg = spark.table("documents")
+        .select($"doc_id", $"lang", lower($"text").as("txt"))
+        .select($"doc_id", $"lang", $"txt",
+          explode(Canon.seq1(length($"txt") - 2)).as("i"))
+        .select($"doc_id", $"lang", $"txt".substr($"i", lit(3)).as("tg"))
+      val wProf = Window.partitionBy($"plang").orderBy($"c".desc, $"tg")
+      val prof = tg.groupBy($"lang".as("plang"), $"tg")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wProf))
+        .filter($"rk" <= profileK)
+        .select($"plang", $"tg", (lit(profileK + 1) - $"rk").as("w"))
+      val sc = tg.select($"doc_id", $"tg").distinct()
+        .join(broadcast(prof), "tg")
+        .groupBy($"doc_id", $"plang")
+        .agg(sum($"w").as("score"))
+      val wBest = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+      val best = sc.withColumn("rn", row_number().over(wBest))
+        .filter($"rn" === 1).select($"doc_id", $"plang", $"score")
+      spark.table("documents").select($"doc_id", $"lang")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id", $"lang",
+          coalesce($"plang", lit("unknown")).as("lang_pred"),
+          coalesce($"score", lit(0L)).cast(LongType).as("score"))
+        .orderBy($"doc_id")
+    },
+
+    // Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) over the token
+    // stream — the point-query complement to q108's Misra-Gries top-k: d=4
+    // rows × w=64 buckets, bucket_j(token) = md5(token∥'#'∥j) mod w (the
+    // repo's cross-engine hash idiom), estimate = min over rows. Verified
+    // against EXACT counts on the 10 most frequent tokens: over ≥ 0 always
+    // (the one-sided CMS guarantee, assertable in SQL). All-integer → fully
+    // hash-checked. Scale: the sketch build is a 256-key map-side-combinable
+    // aggregate — CONSTANT state regardless of corpus size (the reason CMS
+    // exists); probe lookup is a broadcast join of 40 cells. The d×w
+    // literals would widen with the true token cardinality at 100 TB
+    // (w ≈ e/ε), changing only two constants, not the plan.
+    q("q151_count_min_sketch",
+      s"""WITH tok AS (SELECT unnest($tokSql) AS token FROM documents),
+         |jr AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |cells AS (
+         |  SELECT j,
+         |    CAST(CAST(('0x' || substr(md5(token || '#' || CAST(j AS VARCHAR)),
+         |                       1, 8)) AS UBIGINT) % 64 AS BIGINT) AS b,
+         |    COUNT(*) AS c
+         |  FROM tok CROSS JOIN jr GROUP BY 1, 2),
+         |ex AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+         |probes AS (
+         |  SELECT token, n FROM (
+         |    SELECT token, n,
+         |           row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+         |    FROM ex) r
+         |  WHERE rk <= 10),
+         |est AS (
+         |  SELECT p.token, p.n, MIN(c.c) AS est
+         |  FROM probes p
+         |  JOIN jr ON true
+         |  JOIN cells c ON c.j = jr.j AND c.b =
+         |    CAST(CAST(('0x' || substr(md5(p.token || '#' || CAST(jr.j AS VARCHAR)),
+         |                       1, 8)) AS UBIGINT) % 64 AS BIGINT)
+         |  GROUP BY p.token, p.n)
+         |SELECT token, CAST(n AS BIGINT) AS exact_n, CAST(est AS BIGINT) AS cms_est,
+         |       CAST(est - n AS BIGINT) AS overcount
+         |FROM est
+         |ORDER BY token""".stripMargin) { spark =>
+      import spark.implicits._
+      val cmsW = 64
+      def bucket(token: Column, j: Column): Column =
+        conv(substring(md5(concat(token, lit("#"), j.cast("string"))
+          .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % cmsW
+      val tok = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val withJ = tok.select($"token",
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+      val cells = withJ
+        .groupBy($"j", bucket($"token", $"j").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val ex = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+      val wTop = Window.orderBy($"n".desc, $"token")
+      val probes = ex.withColumn("rk", row_number().over(wTop))
+        .filter($"rk" <= 10).select($"token", $"n")
+      val probeCells = probes
+        .select($"token", $"n",
+          explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+        .withColumn("b", bucket($"token", $"j"))
+      probeCells
+        .join(broadcast(cells), Seq("j", "b"))
+        .groupBy($"token", $"n")
+        .agg(min($"c").as("est"))
+        .select($"token", $"n".cast(LongType).as("exact_n"),
+          $"est".cast(LongType).as("cms_est"),
+          ($"est" - $"n").cast(LongType).as("overcount"))
+        .orderBy($"token")
     })
 
   /** q118's per-doc unigram/bigram repetition relation (u ⋈ b), shared
