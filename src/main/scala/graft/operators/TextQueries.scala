@@ -1447,6 +1447,48 @@ object TextQueries extends QueryModule {
           $"est".cast(LongType).as("cms_est"),
           ($"est" - $"n").cast(LongType).as("overcount"))
         .orderBy($"token")
+    },
+
+    // Weighted sampling WITHOUT replacement — Efraimidis-Spirakis
+    // exponential races (IPL 2006), the one-pass distributed shape for
+    // "sample k docs proportional to weight" (here weight = n_chars, the
+    // data-selection knob a curriculum/mixing pipeline turns): each doc
+    // draws key = ln(u)/w from a deterministic md5 uint32 fraction
+    // (u ∈ (0,1] via (h+1)/2³², so ln never sees 0 — Spark yields NULL and
+    // DuckDB -inf there, the one spelling that diverges); the k largest
+    // keys ARE a weighted sample without replacement. Scale: orderBy+limit
+    // is TakeOrdered (per-partition top-k, merge of k·P rows) — never a
+    // global sort; the rank window runs on the 20 survivors. Only integer
+    // columns are surfaced, so a last-ULP libm ln() divergence can't flip
+    // the hash unless it reorders two keys — adjacent fixture keys differ
+    // by ≫ ULP (the q122/q134 ln-agreement precedent).
+    q("q154_weighted_sample",
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) + 1)
+        |       / 4294967296.0)
+        |      / greatest(n_chars, 1) AS key
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+        |  FROM s)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+        |FROM t WHERE rank <= 20
+        |ORDER BY rank""".stripMargin) { spark =>
+      import spark.implicits._
+      val key = (log((conv(substring(md5($"text".cast(BinaryType)), 1, 8),
+        16, 10).cast(LongType) + 1) / lit(4294967296.0)) /
+        greatest($"n_chars", lit(1))).as("key")
+      val top = spark.table("documents")
+        .select($"doc_id", $"n_chars", key)
+        .orderBy($"key".desc, $"doc_id")
+        .limit(20)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"key".desc, $"doc_id")))
+        .select($"rank".cast(LongType).as("rank"), $"doc_id", $"n_chars")
+        .orderBy($"rank")
     })
 
   /** q118's per-doc unigram/bigram repetition relation (u ⋈ b), shared

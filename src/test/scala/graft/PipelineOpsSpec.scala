@@ -235,4 +235,153 @@ class PipelineOpsSpec extends SparkSpec {
       assert(t1 <= t2, s"tertile order broken for $l")
     }
   }
+
+  test("q150 langid equals the Cavnar-Trenkle profile replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+      .select($"doc_id", $"lang", lower($"text").as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def trigrams(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    // top-40 rank profile per language: count desc, trigram asc
+    val prof: Map[String, Map[String, Int]] = docs.groupBy(_._2).map {
+      case (lang, ds) =>
+        val counts = ds.flatMap(d => trigrams(d._3))
+          .groupBy(identity).map { case (tg, xs) => (tg, xs.size) }
+        val ranked = counts.toSeq.sortBy { case (tg, c) => (-c, tg) }.take(40)
+        lang -> ranked.zipWithIndex.map { case ((tg, _), i) =>
+          tg -> (40 - i) // weight = K+1 − rank, rank = i+1
+        }.toMap
+    }
+    val expect = docs.map { case (id, lang, t) =>
+      val dtg = trigrams(t).distinct
+      val scores = prof.map { case (pl, w) =>
+        pl -> dtg.flatMap(w.get).map(_.toLong).sum
+      }.filter(_._2 > 0)
+      val (pred, s) = if (scores.isEmpty) ("unknown", 0L)
+        else scores.toSeq.minBy { case (pl, sc) => (-sc, pl) }
+      id -> ((lang, pred, s))
+    }.toMap
+    val got = queries("q150_langid_trigram")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got == expect,
+      s"diff: ${(expect.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expect.toSet).take(3)}")
+  }
+
+  test("q151 CMS estimates equal the sketch replay and never undercount") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def bucket(token: String, j: Int): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"$token#$j".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 64
+    }
+    val toks = spark.table("documents").select($"text").collect()
+      .flatMap(r => tokens(r.getString(0)))
+    val exact = toks.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val cells: Map[(Int, Long), Long] = (0 until 4).flatMap { j =>
+      toks.groupBy(bucket(_, j)).map { case (b, xs) => (j, b) -> xs.size.toLong }
+    }.toMap
+    val rows = queries("q151_count_min_sketch")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (t, n, est, over) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == exact(t), s"exact count for $t")
+      val replay = (0 until 4).map(j => cells((j, bucket(t, j)))).min
+      assert(est == replay, s"CMS estimate for $t: $est vs $replay")
+      assert(over == est - n && over >= 0, s"CMS one-sided bound broken for $t")
+    }
+  }
+
+  test("q152 WAU equals the naive per-day sliding-window replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val dayUser = spark.table("events")
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), $"user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = dayUser.map(_._1).distinct.sorted
+    val expect = days.map { d =>
+      val dau = dayUser.filter(_._1 == d).map(_._2).distinct.size.toLong
+      val wau = dayUser.filter(x => x._1 >= d - 6 && x._1 <= d)
+        .map(_._2).distinct.size.toLong
+      d -> ((dau, wau,
+        math.floor(dau.toDouble / wau * 10000 + 0.5) / 10000))
+    }.toMap
+    val got = queries("q152_active_users")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect,
+      s"diff: ${(expect.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expect.toSet).take(3)}")
+  }
+
+  test("q153 bootstrap CI equals the Poisson-multiplicity replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def u(id: Long, b: Int): Double = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"$id#$b".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16)
+        .toDouble / 4294967296.0
+    }
+    def mult(id: Long, b: Int): Int = {
+      val x = u(id, b)
+      if (x < 0.36787944117144233) 0
+      else if (x < 0.7357588823428847) 1
+      else if (x < 0.9196986029286058) 2
+      else if (x < 0.9810118431238462) 3
+      else 4
+    }
+    val p = spark.table("events").filter($"event_type" === "purchase")
+      .select($"event_id", $"value".cast("decimal(9,2)")).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+    def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val means = (0 until 20).map { b =>
+      val (n, s) = p.foldLeft((0L, java.math.BigDecimal.ZERO)) {
+        case ((n0, s0), (id, v)) =>
+          val m = mult(id, b)
+          (n0 + m, s0.add(v.multiply(java.math.BigDecimal.valueOf(m.toLong))))
+      }
+      (s.doubleValue / n, b)
+    }.sortBy { case (mu, b) => (mu, b) }
+    val baseSum = p.map(_._2).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val expect = (p.length.toLong, r6(baseSum.doubleValue / p.length),
+      r6(means(1)._1), r6(means(18)._1))
+    val r = queries("q153_poisson_bootstrap_ci")(spark, sf).collect().head
+    val got = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(got == expect, s"got $got, expect $expect")
+    // order statistics are ordered, and the resample spread is non-trivial
+    assert(got._3 <= got._4, s"CI ordering: $got")
+    assert(got._3 < got._4, s"degenerate CI (all resample means equal): $got")
+  }
+
+  test("q154 weighted sample equals the exponential-races replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def u(text: String): Double = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+        + 1).toDouble / 4294967296.0
+    }
+    val docs = spark.table("documents")
+      .select($"doc_id", $"text", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs
+      .map { case (id, t, nc) => (id, nc, math.log(u(t)) / nc.max(1L)) }
+      .sortBy { case (id, _, k) => (-k, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, nc, _), i) => (i + 1L, id, nc) }.toSeq
+    val got = queries("q154_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got ${got.take(3)}…, expect ${expect.take(3)}…")
+    // heavier docs win races more often: the sample's mean n_chars sits
+    // above the corpus mean (weighting is live, not uniform)
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean, s"$sampleMean !> $corpusMean")
+  }
 }

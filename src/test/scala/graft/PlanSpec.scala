@@ -446,4 +446,50 @@ class PlanSpec extends SparkSpec {
     // join of part against itself on the block key
     assert(finalPlan.contains("Generate explode"), finalPlan)
   }
+
+  test("langid: the learned profile broadcasts; scoring never shuffles trigram rows twice") {
+    val df = SparkEntry.queries("q150_langid_trigram")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // profile (nlangs × K rows) reaches the scoring join as a broadcast,
+    // not a trigram-keyed sort-merge of the whole corpus explode
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
+  test("count-min sketch: cell build combines map-side; probe lookup broadcasts the cells") {
+    val df = SparkEntry.queries("q151_count_min_sketch")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the 256-key sketch aggregate must partial-aggregate before its
+    // exchange (constant sketch state is the whole point of CMS)
+    assert(finalPlan.contains("partial"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
+  test("active users: contribution explode, no range join and no per-day window rescan") {
+    val df = SparkEntry.queries("q152_active_users")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the sliding 7-day distinct is inverted into a generator + day-keyed
+    // aggregate — a range join would appear as a nested-loop/cartesian
+    assert(finalPlan.contains("Generate explode"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoop"), finalPlan)
+    assert(!finalPlan.contains("Window"), finalPlan)
+  }
+
+  test("poisson bootstrap: all B resamples in one map-side pass over purchases") {
+    val df = SparkEntry.queries("q153_poisson_bootstrap_ci")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // one generator (the B-way explode) feeding one partial-aggregated
+    // 20-key shuffle; the purchases scan appears for the resample pass and
+    // the base-mean pass only
+    assert(finalPlan.contains("Generate explode"), finalPlan)
+    assert(finalPlan.contains("partial"), finalPlan)
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"$scans parquet scans:\n$finalPlan")
+  }
 }
