@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.api.{Canon, GraftQuery, QueryModule}
+import graft.sources.Tables
 
 /** Deduplication surface over `documents` (SURVEY.md §2C): exact hash dedup,
   * exact shingle-Jaccard (the verification baseline), deterministic MinHash
@@ -62,7 +63,7 @@ object DedupQueries extends QueryModule {
     * synthetic corpora to measure candidate growth. */
   private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    Tables.spread(docs)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id", explode(shingles($"toks")).as("shingle"))
       .groupBy($"doc_id")
@@ -367,7 +368,7 @@ object DedupQueries extends QueryModule {
          |WHERE d.d / (na.nrm * nb.nrm) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
-      val tf = spark.table("documents")
+      val tf = Tables.spread(spark.table("documents"))
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", explode(shingles($"toks")).as("shingle"))
         .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("tf"))
@@ -1401,7 +1402,7 @@ object DedupQueries extends QueryModule {
   private[graft] def containmentPairs(docs: DataFrame, dfCap: Int,
       tau: Double): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh = docs
+    val sh = Tables.spread(docs)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id", explode(shingles($"toks")).as("shingle"))
     val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
@@ -1427,7 +1428,7 @@ object DedupQueries extends QueryModule {
     * end < start; DuckDB `range` just yields no rows). */
   private[graft] def dupspanOcc(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    Tables.spread(docs)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id",
         posexplode(transform(Canon.seq1(size($"toks") - (dupspanN - 1)),
@@ -1454,7 +1455,7 @@ object DedupQueries extends QueryModule {
     * five times). */
   private[graft] def ppjoinTokens(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    Tables.spread(docs)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id", explode(shingles($"toks")).as("token"))
       .distinct()
@@ -1583,7 +1584,7 @@ object DedupQueries extends QueryModule {
 
   private[graft] def simhashesOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val packed = docs
+    val packed = Tables.spread(docs)
       .select($"doc_id",
         explode(array_distinct(split(lower($"text"), " "))).as("token"))
       .select($"doc_id",

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.api.{Canon, GraftQuery, QueryModule}
+import graft.sources.Tables
 
 /** Text-analysis surface over the `documents` fixture (SURVEY.md §2C):
   * tokenization/normalization, term/document frequencies, n-gram counts,
@@ -644,7 +645,7 @@ object TextQueries extends QueryModule {
          |         (a, b) -> a + b) / len(tl)) * 10000 + 0.5) / 10000 AS nll
          |FROM d ORDER BY doc_id""".stripMargin) { spark =>
       import spark.implicits._
-      val bg = spark.table("documents")
+      val bg = Tables.spread(spark.table("documents"))
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", explode(transform(
           Canon.seq1(size($"toks") - 1),
@@ -1354,7 +1355,7 @@ object TextQueries extends QueryModule {
         |ORDER BY d.doc_id""".stripMargin) { spark =>
       import spark.implicits._
       val profileK = 40
-      val tg = spark.table("documents")
+      val tg = Tables.spread(spark.table("documents"))
         .select($"doc_id", $"lang", lower($"text").as("txt"))
         .select($"doc_id", $"lang", $"txt",
           explode(Canon.seq1(length($"txt") - 2)).as("i"))
@@ -1365,7 +1366,16 @@ object TextQueries extends QueryModule {
         .withColumn("rk", row_number().over(wProf))
         .filter($"rk" <= profileK)
         .select($"plang", $"tg", (lit(profileK + 1) - $"rk").as("w"))
-      val sc = tg.select($"doc_id", $"tg").distinct()
+      // per-doc DISTINCT trigrams via a map-side array_distinct (not a
+      // corpus-wide (doc_id, tg) distinct shuffle); the broadcast-profile
+      // join then prunes to ≤ nlangs·K trigram keys, so the only scoring
+      // shuffle carries matched rows
+      val dtg = Tables.spread(spark.table("documents"))
+        .select($"doc_id", lower($"text").as("txt"))
+        .select($"doc_id", explode(array_distinct(
+          transform(Canon.seq1(length($"txt") - 2),
+            i => $"txt".substr(i, lit(3))))).as("tg"))
+      val sc = dtg
         .join(broadcast(prof), "tg")
         .groupBy($"doc_id", $"plang")
         .agg(sum($"w").as("score"))
@@ -1553,7 +1563,7 @@ object TextQueries extends QueryModule {
 
   private[graft] def winnowedSelectionsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = docs
+    val g = Tables.spread(docs)
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
       .select($"doc_id", $"toks",
         explode(Canon.seq1(size($"toks") - 2)).as("i"))

@@ -112,6 +112,20 @@ object Tables {
     else df
   }
 
+  /** Rebalance a scan before a row-multiplying generator. A fixture table
+    * is a single parquet row group, so Spark hands its scan ONE split and
+    * every downstream explode (shingles, trigrams, n-grams) runs on one
+    * core regardless of `local[32]`. This is the standard "repartition
+    * before an expensive flatMap" idiom, and it is the right call at
+    * production scale too whenever compute-per-input-byte is high: the
+    * round-robin exchange moves the UN-exploded rows (bytes ≪ the
+    * generator output it unlocks), evens out row-group skew, and AQE
+    * coalesces it when the input is already well-split. Only the
+    * generator-heavy operator bases call this — plain scans keep their
+    * native split parallelism. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Register every fixture under its table name as a temp view (the analog
     * of the gateway binding a routed backend's database into the session,
     * /root/reference/gateway/gateway.go:111-130). Memoized per
