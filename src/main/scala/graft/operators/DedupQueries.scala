@@ -619,7 +619,7 @@ object DedupQueries extends QueryModule {
     qRowsOnly("q76_ml_minhash") { spark =>
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
       import spark.implicits._
-      val docs = spark.table("documents")
+      val docs = Tables.spread(spark.table("documents"))
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", explode(shingles($"toks")).as("shingle"))
         .groupBy($"doc_id").agg(collect_set($"shingle").as("shingles"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.api.{GraftQuery, QueryModule}
+import graft.sources.Tables
 
 /** Similarity search over `embeddings` (SURVEY.md §2C): exact cosine top-k
   * (the ground-truth baseline), exact threshold similarity join, banded
@@ -64,7 +65,7 @@ object SimilarityQueries extends QueryModule {
     * codegen'd dot + one multiply/divide: `dot(a,b) / (na*nb)`. */
   private def withNorm(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.table("embeddings")
+    Tables.spread(spark.table("embeddings"))
       .select($"vec_id", $"embedding",
         sqrt(dot($"embedding", $"embedding")).as("n"))
   }
@@ -110,7 +111,8 @@ object SimilarityQueries extends QueryModule {
 
   private def embeddingsD(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.table("embeddings").select($"vec_id", toD($"embedding").as("emb"))
+    Tables.spread(spark.table("embeddings"))
+      .select($"vec_id", toD($"embedding").as("emb"))
   }
 
   /** Exact cosine top-5 per probe — shared by q80 (window formulation) and
@@ -568,7 +570,7 @@ object SimilarityQueries extends QueryModule {
          |WHERE rn <= 3
          |ORDER BY qid, cid""".stripMargin) { spark =>
       import spark.implicits._
-      val e = spark.table("embeddings")
+      val e = Tables.spread(spark.table("embeddings"))
         .select($"vec_id", $"label", $"embedding",
           sqrt(dot($"embedding", $"embedding")).as("n"))
       val probes = e.filter($"vec_id" < 10)
@@ -669,7 +671,7 @@ object SimilarityQueries extends QueryModule {
          |FROM scored WHERE rn = 1
          |ORDER BY vec_id""".stripMargin) { spark =>
       import spark.implicits._
-      val e = spark.table("embeddings")
+      val e = Tables.spread(spark.table("embeddings"))
         .select($"vec_id", $"label", toD($"embedding").as("emb"))
       val proto = e
         .select($"label", posexplode($"emb").as(Seq("dim", "x")))
@@ -818,7 +820,7 @@ object SimilarityQueries extends QueryModule {
     * raw values. */
   private[graft] def jlProject(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.table("embeddings").select(
+    Tables.spread(spark.table("embeddings")).select(
       $"vec_id" +: (0 until jlDims).map { j =>
         val arr = array(jlSigns(j).map(lit(_)): _*)
         (dot($"embedding", arr) / 4).as(s"y$j")
@@ -846,7 +848,7 @@ object SimilarityQueries extends QueryModule {
     import spark.implicits._
     def pack(off: Int): Column =
       graft.functions.VectorExpressions.signPack32($"embedding", lit(off))
-    spark.table("embeddings")
+    Tables.spread(spark.table("embeddings"))
       .select($"vec_id", pack(0).as("lo"), pack(32).as("hi"))
   }
 
