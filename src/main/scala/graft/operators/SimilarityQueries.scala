@@ -53,7 +53,7 @@ object SimilarityQueries extends QueryModule {
     * q81 6.6× (VERDICT r02 §wrong-1). */
   private def normalized(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    embeddingsD(spark)
+    Tables.spread(embeddingsD(spark))
       .withColumn("n", sqrt(dot($"emb", $"emb")))
       .select($"vec_id", transform($"emb", x => x / $"n").as("emb"))
   }
@@ -111,8 +111,7 @@ object SimilarityQueries extends QueryModule {
 
   private def embeddingsD(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Tables.spread(spark.table("embeddings"))
-      .select($"vec_id", toD($"embedding").as("emb"))
+    spark.table("embeddings").select($"vec_id", toD($"embedding").as("emb"))
   }
 
   /** Exact cosine top-5 per probe — shared by q80 (window formulation) and
