@@ -656,5 +656,149 @@ object EventAnalyticsQueries extends QueryModule {
         .select($"n", Canon.r6($"s" / $"n").as("mean"))
         .join(broadcast(lo)).join(broadcast(hi)) // 1-row broadcasts
         .select($"n", $"mean", $"ci_lo", $"ci_hi")
+    },
+
+    // Concurrency profile (interval sweep line): how much wall-clock time
+    // the system spends at each level of simultaneously-open user sessions
+    // — the capacity-planning readout behind "peak concurrent users".
+    // Sessions are q130's 6-h-gap intervals treated half-open [start, end);
+    // each contributes a +1/−1 endpoint, endpoint deltas are pre-summed per
+    // DISTINCT instant (the running sum's sort key is then unique, so the
+    // prefix sum is fully deterministic with no tie rule), and the
+    // piecewise-constant level holds from each instant to the next.
+    // Zero-width segments (ties, single-event sessions) carry dur = 0 and
+    // are filtered identically on both engines. Integer-only output.
+    // Scale: the global running sum is NOT one ORDER BY t window (one
+    // reducer at any corpus size) — phase 1 cumsums within day-sized time
+    // chunks, phase 2 prefix-sums the per-chunk net totals (a
+    // metadata-sized relation: one row per observed day) and broadcasts
+    // the exclusive offsets back, the q59f/packBins two-phase pattern;
+    // chunk = floor(t/day) is monotone in t, so chunk-then-t order IS
+    // global t order and off + lcum equals the one-window prefix sum.
+    // Cross-chunk LEAD comes from the next chunk's min-t (same broadcast
+    // family). Parallelism scales with the observed time span.
+    q("q155_concurrency_profile",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, tus, event_id,
+         |    CASE WHEN LAG(tus) OVER (PARTITION BY user_id
+         |                             ORDER BY tus, event_id) IS NULL
+         |           OR tus - LAG(tus) OVER (PARTITION BY user_id
+         |                                   ORDER BY tus, event_id)
+         |              >= $sessionGapUs
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, tus,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS si
+         |  FROM g),
+         |iv AS (SELECT MIN(tus) AS s_us, MAX(tus) AS e_us
+         |       FROM s GROUP BY user_id, si),
+         |ep AS (
+         |  SELECT s_us AS t, 1 AS d FROM iv
+         |  UNION ALL SELECT e_us AS t, -1 AS d FROM iv),
+         |net AS (SELECT t, SUM(d) AS nd FROM ep GROUP BY t),
+         |lv AS (
+         |  SELECT SUM(nd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         |           AS level,
+         |         LEAD(t) OVER (ORDER BY t) - t AS dur
+         |  FROM net)
+         |SELECT CAST(level AS BIGINT) AS level,
+         |       CAST(SUM(dur) AS BIGINT) AS total_us,
+         |       CAST(COUNT(*) AS BIGINT) AS n_segments
+         |FROM lv WHERE dur IS NOT NULL AND dur > 0
+         |GROUP BY level
+         |ORDER BY level""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val lagT = lag($"tus", 1).over(w)
+      val iv = spark.table("events")
+        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+        .withColumn("new_s",
+          when(lagT.isNull || $"tus" - lagT >= sessionGapUs, 1).otherwise(0))
+        .withColumn("si", sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"si")
+        .agg(min($"tus").as("s_us"), max($"tus").as("e_us"))
+      val ep = iv.select($"s_us".as("t"), lit(1).as("d"))
+        .unionAll(iv.select($"e_us".as("t"), lit(-1).as("d")))
+      val dayUs = 86400000000L
+      val net = ep.groupBy($"t").agg(sum($"d").as("nd"))
+        .withColumn("chunk", floor($"t" / dayUs))
+      val local = Window.partitionBy($"chunk").orderBy($"t")
+      // metadata-sized windows (one row per observed day) — the explicit
+      // single-partition global order is bounded by the time span, never
+      // the corpus (same shape as packBins' per-chunk offset window)
+      val chunkOrd = Window.orderBy($"chunk")
+      val offsets = net.groupBy($"chunk").agg(sum($"nd").as("ctot"),
+          min($"t").as("cmin"))
+        .withColumn("off", coalesce(sum($"ctot").over(
+          chunkOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("nstart", lead($"cmin", 1).over(chunkOrd))
+        .select($"chunk", $"off", $"nstart")
+      net
+        .withColumn("lcum", sum($"nd").over(
+          local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nt", lead($"t", 1).over(local))
+        .join(broadcast(offsets), Seq("chunk"))
+        .select(($"off" + $"lcum").cast(LongType).as("level"),
+          (coalesce($"nt", $"nstart") - $"t").as("dur"))
+        .filter($"dur".isNotNull && $"dur" > 0)
+        .groupBy($"level")
+        .agg(sum($"dur").cast(LongType).as("total_us"),
+          count(lit(1)).cast(LongType).as("n_segments"))
+        .orderBy($"level")
+    },
+
+    // SCD Type-2 state history — the warehouse dimension-build pattern:
+    // compress each user's event-type sequence into validity intervals
+    // (state, valid_from, valid_to) with a version number, keeping only
+    // CHANGE points (consecutive equal states merge into one row; the
+    // Kimball "type 2 slowly changing dimension" shape every incremental
+    // dimension load materializes). The open current row carries
+    // valid_to = −1 — a sentinel instead of NULL so the surfaced column
+    // stays a plain BIGINT on both engines. All three windows (change
+    // detection LAG, interval-close LEAD, version ROW_NUMBER) partition by
+    // user_id → Catalyst plans ONE user_id Exchange feeding the window
+    // chain; per-user state is the change count, never the event count.
+    q("q158_scd2_state",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus, event_id
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, tus, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY tus, event_id) AS prev_t
+        |  FROM e),
+        |ch AS (
+        |  SELECT user_id, event_type, tus, event_id FROM o
+        |  WHERE prev_t IS NULL OR prev_t <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS state, tus AS valid_from_us,
+        |    COALESCE(LEAD(tus) OVER (PARTITION BY user_id
+        |                             ORDER BY tus, event_id), -1)
+        |      AS valid_to_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tus, event_id) AS version
+        |  FROM ch)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |       valid_from_us, valid_to_us
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      spark.table("events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tus"),
+          $"event_id")
+        .withColumn("prev_t", lag($"event_type", 1).over(w))
+        .filter($"prev_t".isNull || $"prev_t" =!= $"event_type")
+        .withColumn("valid_to_us", coalesce(lead($"tus", 1).over(w), lit(-1L)))
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .select($"user_id", $"version", $"event_type".as("state"),
+          $"tus".as("valid_from_us"), $"valid_to_us")
+        .orderBy($"user_id", $"version")
     })
 }

@@ -233,5 +233,51 @@ object JoinQueries extends QueryModule {
         .groupBy($"band")
         .agg(count(lit(1)).as("n"), sum4($"o_totalprice").as("total"))
         .orderBy($"band")
+    },
+
+    // Market-basket co-occurrence (association mining's count step): part
+    // pairs bought together in the same order, with pair support and each
+    // part's basket count — the relation lift/confidence are computed from.
+    // The pair enumeration self-joins on the ORDER key, so candidates per
+    // basket are C(items, 2) with items bounded by order width (≈ a few
+    // lineitems at every SF) — pair volume stays linear in orders, never
+    // corpus²; a hot PART never forms a join bucket because parts are not
+    // the join key. That bounded-basket shape is exactly why the basket
+    // self-join scales where the q71c-style per-token self-join needs a df
+    // cap. Top-500 by (support, pair) keeps the surfaced result
+    // driver-safe; TakeOrdered, never a global sort.
+    q("q156_basket_pairs",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT)
+        |           AS support
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |  HAVING COUNT(*) >= 2)
+        |SELECT pk_a, pk_b, support, na.cnt AS cnt_a, nb.cnt AS cnt_b
+        |FROM pairs
+        |JOIN n na ON na.pk = pk_a
+        |JOIN n nb ON nb.pk = pk_b
+        |ORDER BY support DESC, pk_a, pk_b
+        |LIMIT 500""".stripMargin) { spark =>
+      import spark.implicits._
+      val items = spark.table("lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val n = items.groupBy($"pk").agg(count(lit(1)).cast(LongType).as("cnt"))
+      val pairs = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
+        .agg(count(lit(1)).cast(LongType).as("support"))
+        .filter($"support" >= 2)
+      pairs
+        .join(n.as("na"), $"na.pk" === $"pk_a")
+        .join(n.as("nb"), $"nb.pk" === $"pk_b")
+        .select($"pk_a", $"pk_b", $"support",
+          $"na.cnt".as("cnt_a"), $"nb.cnt".as("cnt_b"))
+        .orderBy($"support".desc, $"pk_a", $"pk_b")
+        .limit(500)
     })
 }

@@ -1499,6 +1499,50 @@ object TextQueries extends QueryModule {
           row_number().over(Window.orderBy($"key".desc, $"doc_id")))
         .select($"rank".cast(LongType).as("rank"), $"doc_id", $"n_chars")
         .orderBy($"rank")
+    },
+
+    // Substring search through a character-trigram inverted index (the
+    // pg_trgm / code-search pattern): a LIKE '%needle%' scan reads every
+    // byte of the corpus; the index path explodes each document ONCE into
+    // its distinct character 3-grams, then answers any needle by
+    // intersecting the needle's own trigram posting lists — a document can
+    // contain the needle only if it contains ALL the needle's trigrams
+    // (lossless filter for needles ≥ 3 chars), so candidates = docs whose
+    // matched-trigram count equals the needle's distinct-trigram count,
+    // and an exact contains() verify on just the candidates removes false
+    // positives. The oracle deliberately spells the NAIVE full scan — the
+    // equality of the two is the correctness proof of the index. Scale:
+    // needle trigrams and counts broadcast; the candidate aggregate is
+    // bounded by docs × needles, so one boilerplate trigram ('the')
+    // inflates a posting list but never a join bucket (the groupBy key is
+    // the document, not the trigram).
+    q("q157_trigram_search",
+      """SELECT needle, doc_id
+        |FROM documents d
+        |JOIN (VALUES ('spark'), ('window'), ('batch batch'))
+        |  AS n(needle)
+        |  ON contains(lower(d.text), n.needle)
+        |ORDER BY needle, doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val needles = Seq("spark", "window", "batch batch")
+      val ntriDf = needles
+        .flatMap(nd => nd.sliding(3).toSeq.distinct.map(t => (nd, t)))
+        .toDF("needle", "tri")
+      val ncnt = needles.map(nd => (nd, nd.sliding(3).toSeq.distinct.size))
+        .toDF("needle", "ntri")
+      val docTri = Tables.spread(spark.table("documents"))
+        .select($"doc_id", lower($"text").as("lt"))
+        .select($"doc_id", explode(array_distinct(
+          transform(Canon.seq1(length($"lt") - 2),
+            i => $"lt".substr(i, lit(3))))).as("tri"))
+      docTri.join(broadcast(ntriDf), "tri")
+        .groupBy($"doc_id", $"needle").agg(count(lit(1)).as("nmatch"))
+        .join(broadcast(ncnt), "needle")
+        .filter($"nmatch" === $"ntri")
+        .join(spark.table("documents"), "doc_id")
+        .filter(contains(lower($"text"), $"needle"))
+        .select($"needle", $"doc_id")
+        .orderBy($"needle", $"doc_id")
     })
 
   /** q118's per-doc unigram/bigram repetition relation (u ⋈ b), shared

@@ -384,4 +384,95 @@ class PipelineOpsSpec extends SparkSpec {
     val sampleMean = got.map(_._3).sum.toDouble / got.length
     assert(sampleMean > corpusMean, s"$sampleMean !> $corpusMean")
   }
+
+  test("q157 trigram-index search equals the naive contains scan") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val needles = Seq("spark", "window", "batch batch")
+    val docs = spark.table("documents").select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase))
+    // the correctness claim of the inverted index: identical rows to a
+    // full LIKE scan (trigram prefilter lossless + exact verify)
+    val expect = (for {
+      nd <- needles
+      (id, t) <- docs
+      if t.contains(nd)
+    } yield (nd, id)).sortBy(identity)
+    val got = queries("q157_trigram_search")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"${got.size} vs ${expect.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("q156 basket pairs equal the per-order pair recount") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val items = spark.table("lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val cnt = items.groupBy(_._2).map { case (pk, xs) => pk -> xs.length.toLong }
+    val support = items.groupBy(_._1).toSeq.flatMap { case (_, its) =>
+      val pks = its.map(_._2).sorted
+      for { a <- pks; b <- pks if a < b } yield (a, b)
+    }.groupBy(identity).collect { case ((a, b), xs) =>
+      (a, b, xs.length.toLong) }.filter(_._3 >= 2).toSeq
+    val expect = support
+      .map { case (a, b, s) => (a, b, s, cnt(a), cnt(b)) }
+      .sortBy { case (a, b, s, _, _) => (-s, a, b) }.take(500)
+    val got = queries("q156_basket_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+  }
+
+  test("q155 concurrency profile equals the sequential sweep replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val gapUs = graft.operators.EventAnalyticsQueries.sessionGapUs
+    val ev = spark.table("events")
+      .select($"user_id", (unix_micros($"ts")).as("tus"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // sessions: per user, 6-h-gap split over (tus, event_id) order
+    val ivs = ev.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val cuts = ts.zip(ts.head +: ts.dropRight(1)).zipWithIndex
+        .collect { case ((t, p), i) if i == 0 || t - p >= gapUs => i }
+      (cuts :+ ts.length).sliding(2).collect {
+        case Seq(a, b) if b > a => (ts(a), ts(b - 1)) }.toSeq
+    }.toSeq
+    val net = ivs.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .groupBy(_._1).map { case (t, ds) => (t, ds.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val levels = net.scanLeft(0L) { case (acc, (_, d)) => acc + d }.drop(1)
+    val expect = net.map(_._1).zip(levels).sliding(2).collect {
+      case Seq((t1, l), (t2, _)) if t2 > t1 => (l, t2 - t1)
+    }.toSeq.groupBy(_._1).map { case (l, xs) =>
+      (l, xs.map(_._2).sum, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = queries("q155_concurrency_profile")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"${got.take(4)} vs ${expect.take(4)}")
+  }
+
+  test("q158 SCD2 intervals tile each user's event range without overlap") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val rows = queries("q158_scd2_state")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    rows.groupBy(_._1).values.foreach { vs =>
+      val s = vs.sortBy(_._2)
+      // versions are 1..n; consecutive states differ; each interval closes
+      // exactly where the next opens; only the last row is open (-1)
+      assert(s.map(_._2) == (1L to s.length).toSeq)
+      s.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3 != b._3, s"uncompressed run: $a -> $b")
+          assert(a._5 == b._4, s"gap/overlap: $a -> $b")
+        case _ =>
+      }
+      assert(s.last._5 == -1L && s.init.forall(_._5 != -1L))
+    }
+    assert(rows.nonEmpty)
+  }
 }

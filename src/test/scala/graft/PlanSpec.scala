@@ -126,6 +126,38 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("concurrency sweep: running sum windows on (chunk, t), never bare t") {
+    Tables.register(spark, sf)
+    val df = SparkEntry.queries("q155_concurrency_profile")(spark, sf)
+    val plan = planOf(df)
+    // the degenerate shape is one ORDER BY t window over every endpoint —
+    // a single reducer at any corpus size; the two-phase rewrite cumsums
+    // inside day chunks, and the only order-only windows left (chunk
+    // offsets / next-chunk start) run over the per-day metadata relation
+    assert(!plan.matches("(?s).*windowspecdefinition\\(t#\\d+.*"), plan)
+    assert(plan.matches("(?s).*windowspecdefinition\\(chunk#\\d+L?, t#.*"),
+      plan)
+  }
+
+  test("basket pairs: equi-join on the order key + TakeOrdered top-500") {
+    Tables.register(spark, sf)
+    val plan = planOf(SparkEntry.queries("q156_basket_pairs")(spark, sf))
+    // the pair enumeration must key on the basket (order), never a pair
+    // product; the surfaced top-500 must be TakeOrdered, not a global sort
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("trigram search: needle relations broadcast against the posting scan") {
+    Tables.register(spark, sf)
+    val plan = planOf(SparkEntry.queries("q157_trigram_search")(spark, sf))
+    // needle trigrams and counts are literal-sized — both joins onto the
+    // corpus-side trigram/candidate relations must broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("Hamming ANN: probes broadcast, code scan never shuffles before top-k") {
     Tables.register(spark, sf)
     val plan = planOf(SparkEntry.queries("q125_hamming_ann")(spark, sf))
