@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
+import graft.operators.{DedupQueries, JoinQueries, SimilarityQueries, TextQueries}
 
 /** Candidate-volume scale probe: the empirical backing for §2C's "candidate
   * pairs grow near-linearly" claims. Generates deterministic synthetic
@@ -49,6 +49,17 @@ object ScaleProbe {
         .as("text"))
   }
 
+  /** (ok, pk) basket items: n baskets of width 5 drawn by xxhash64 from an
+    * n/10-id item vocabulary — constant basket width as the corpus grows,
+    * the regime the q156 basket-keyed pair join is linear in. */
+  def synthItems(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val vocab = math.max(n / 10, 100L)
+    spark.range(n * 5).select(($"id" / 5).cast("long").as("ok"),
+        pmod(xxhash64($"id".cast("string")), lit(vocab)).as("pk"))
+      .distinct()
+  }
+
   /** (vec_id, emb): 64 doubles in [-1, 1), each a pure xxhash64 function of
     * (id, dim) — the unclustered regime that spreads across LSH buckets. */
   def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
@@ -90,7 +101,16 @@ object ScaleProbe {
           DedupQueries.hotShingleDfCap, 0.0).count(),
         "dupspan" -> DedupQueries.dupspanDupOccurrences(docs).count(),
         "winnow" -> TextQueries.winnowedMatches(docs,
-          TextQueries.matchDfCap).count())
+          TextQueries.matchDfCap).count(),
+        // q156 path: baskets of fixed width 5 over an n/10 item vocabulary
+        // — pair support candidates are C(5,2)·baskets, linear by the
+        // basket-keyed join regardless of item popularity
+        "basket" -> JoinQueries.basketPairSupport(synthItems(spark, n)).count(),
+        // q157 path: index candidates for two fixed needles — posting
+        // intersection is per (doc, needle), so candidates are bounded by
+        // docs × needles
+        "trigram" -> TextQueries.trigramCandidates(docs,
+          Seq("w12", "w34")).count())
       finally docs.unpersist()
     }
 
@@ -99,7 +119,7 @@ object ScaleProbe {
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
-      "semdedup", "containment", "dupspan", "winnow")
+      "semdedup", "containment", "dupspan", "winnow", "basket", "trigram")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

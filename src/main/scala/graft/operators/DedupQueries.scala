@@ -342,24 +342,30 @@ object DedupQueries extends QueryModule {
          |f AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle
          |      HAVING COUNT(*) <= $hotShingleDfCap),
          |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-         |w AS (SELECT t.doc_id, t.shingle, t.tf * ln(nn.n / f.df) AS w
-         |      FROM tf t JOIN f USING (shingle) CROSS JOIN nn),
+         |w AS (SELECT t.doc_id, t.shingle, t.tf, f.df
+         |      FROM tf t JOIN f USING (shingle)),
+         |nmdf AS (SELECT doc_id, df, CAST(SUM(tf * tf) AS BIGINT) AS ss
+         |         FROM w GROUP BY doc_id, df),
          |nm AS (
          |  SELECT doc_id,
          |    sqrt(list_reduce(list_transform(list_sort(list(struct_pack(
-         |        s := shingle, p := w * w))), x -> x.p), (a, b) -> a + b))
-         |      AS nrm
-         |  FROM w GROUP BY doc_id),
+         |        d := df, s := ss))),
+         |      x -> CAST(x.s AS DOUBLE) * ln(nn.n / x.d) * ln(nn.n / x.d)),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM nmdf CROSS JOIN nn GROUP BY doc_id, nn.n),
          |prod AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.shingle AS s,
-         |         a.w * b.w AS p
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.df AS df,
+         |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS ip
          |  FROM w a JOIN w b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.df),
          |dot AS (
          |  SELECT id_a, id_b,
          |    list_reduce(list_transform(list_sort(list(struct_pack(
-         |        s := s, p := p))), x -> x.p), (a, b) -> a + b) AS d
-         |  FROM prod GROUP BY id_a, id_b)
+         |        d := df, s := ip))),
+         |      x -> CAST(x.s AS DOUBLE) * ln(nn.n / x.d) * ln(nn.n / x.d)),
+         |      (a, b) -> a + b) AS d
+         |  FROM prod CROSS JOIN nn GROUP BY id_a, id_b, nn.n)
          |SELECT id_a, id_b,
          |  floor(d.d / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
          |FROM dot d
@@ -376,23 +382,38 @@ object DedupQueries extends QueryModule {
         .filter($"df" <= hotShingleDfCap)
       val nn = spark.table("documents")
         .agg(count(lit(1)).cast(DoubleType).as("n"))
-      // weights feed the norm fold AND both sides of the postings join:
-      // materialize the tokenize+tf+idf pipeline once
-      val w = tf.join(f, "shingle").crossJoin(broadcast(nn))
-        .select($"doc_id", $"shingle", ($"tf" * log($"n" / $"df")).as("w"))
+      // (doc_id, shingle, tf, df) feeds the norm AND both postings sides:
+      // materialize the tokenize+tf+df pipeline once. The float work is
+      // deferred past EXACT integer partial sums grouped by df — the df
+      // cap leaves ≤ $hotShingleDfCap distinct idf values, so every dot
+      // product / norm is an integer Σtf·tf per df bucket (map-side
+      // combinable, order-independent) followed by a ≤cap-element sorted
+      // fold — the q64c determinism pattern shrunk from per-shingle arrays
+      // to per-df-bucket arrays.
+      val w = tf.join(f, "shingle")
+        .select($"doc_id", $"shingle", $"tf", $"df")
         .localCheckpoint()
-      val nm = w.groupBy($"doc_id").agg(
-        sqrt(aggregate(sort_array(collect_list(struct($"shingle".as("s"),
-          ($"w" * $"w").as("p")))), lit(0.0),
-          (a, x) => a + x.getField("p"))).as("nrm"))
+      // fold term: ss · ln(n/df)² with identical association on both engines
+      def idfFold(arr: Column, n: Column): Column =
+        aggregate(sort_array(arr), lit(0.0), (a, x) =>
+          a + x.getField("s").cast(DoubleType) * log(n / x.getField("d")) *
+            log(n / x.getField("d")))
+      val nm = w.groupBy($"doc_id", $"df")
+        .agg(sum($"tf" * $"tf").cast(LongType).as("ss"))
+        .crossJoin(broadcast(nn))
+        .groupBy($"doc_id", $"n")
+        .agg(collect_list(struct($"df".as("d"), $"ss".as("s"))).as("arr"))
+        .select($"doc_id", sqrt(idfFold($"arr", $"n")).as("nrm"))
       val dot = w.as("a")
         .join(w.as("b"), $"a.shingle" === $"b.shingle" &&
           $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-          $"a.shingle".as("s"), ($"a.w" * $"b.w").as("p"))
-        .groupBy($"id_a", $"id_b")
-        .agg(aggregate(sort_array(collect_list(struct($"s", $"p"))),
-          lit(0.0), (a, x) => a + x.getField("p")).as("d"))
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          $"a.df".as("df"))
+        .agg(sum($"a.tf" * $"b.tf").cast(LongType).as("ip"))
+        .crossJoin(broadcast(nn))
+        .groupBy($"id_a", $"id_b", $"n")
+        .agg(collect_list(struct($"df".as("d"), $"ip".as("s"))).as("arr"))
+        .select($"id_a", $"id_b", idfFold($"arr", $"n").as("d"))
       dot.join(nm.as("na"), $"id_a" === $"na.doc_id")
         .join(nm.as("nb"), $"id_b" === $"nb.doc_id")
         .filter($"d" / ($"na.nrm" * $"nb.nrm") >= 0.6)

@@ -267,11 +267,7 @@ object JoinQueries extends QueryModule {
       val items = spark.table("lineitem")
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
       val n = items.groupBy($"pk").agg(count(lit(1)).cast(LongType).as("cnt"))
-      val pairs = items.as("a").join(items.as("b"),
-          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
-        .agg(count(lit(1)).cast(LongType).as("support"))
-        .filter($"support" >= 2)
+      val pairs = basketPairSupport(items).filter($"support" >= 2)
       pairs
         .join(n.as("na"), $"na.pk" === $"pk_a")
         .join(n.as("nb"), $"nb.pk" === $"pk_b")
@@ -280,4 +276,17 @@ object JoinQueries extends QueryModule {
         .orderBy($"support".desc, $"pk_a", $"pk_b")
         .limit(500)
     })
+
+  /** q156's pair-support relation over distinct (ok, pk) basket items —
+    * exposed private[graft] for ScaleProbe's candidate-growth line. The
+    * self-join keys on the BASKET, so per-key pair volume is C(width, 2)
+    * regardless of corpus size or item popularity. */
+  private[graft] def basketPairSupport(
+      items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import items.sparkSession.implicits._
+    items.as("a").join(items.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
+      .agg(count(lit(1)).cast(LongType).as("support"))
+  }
 }

@@ -1524,26 +1524,37 @@ object TextQueries extends QueryModule {
         |  ON contains(lower(d.text), n.needle)
         |ORDER BY needle, doc_id""".stripMargin) { spark =>
       import spark.implicits._
-      val needles = Seq("spark", "window", "batch batch")
-      val ntriDf = needles
-        .flatMap(nd => nd.sliding(3).toSeq.distinct.map(t => (nd, t)))
-        .toDF("needle", "tri")
-      val ncnt = needles.map(nd => (nd, nd.sliding(3).toSeq.distinct.size))
-        .toDF("needle", "ntri")
-      val docTri = Tables.spread(spark.table("documents"))
-        .select($"doc_id", lower($"text").as("lt"))
-        .select($"doc_id", explode(array_distinct(
-          transform(Canon.seq1(length($"lt") - 2),
-            i => $"lt".substr(i, lit(3))))).as("tri"))
-      docTri.join(broadcast(ntriDf), "tri")
-        .groupBy($"doc_id", $"needle").agg(count(lit(1)).as("nmatch"))
-        .join(broadcast(ncnt), "needle")
-        .filter($"nmatch" === $"ntri")
+      trigramCandidates(spark.table("documents"),
+          Seq("spark", "window", "batch batch"))
         .join(spark.table("documents"), "doc_id")
         .filter(contains(lower($"text"), $"needle"))
         .select($"needle", $"doc_id")
         .orderBy($"needle", $"doc_id")
     })
+
+  /** q157's trigram-index candidate stage: (doc_id, needle) pairs whose
+    * distinct-trigram intersection covers the whole needle — a lossless
+    * superset of the true contains() matches for needles ≥ 3 chars.
+    * Exposed private[graft] for ScaleProbe's candidate-growth line. */
+  private[graft] def trigramCandidates(docs: DataFrame,
+      needles: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ntriDf = needles
+      .flatMap(nd => nd.sliding(3).toSeq.distinct.map(t => (nd, t)))
+      .toDF("needle", "tri")
+    val ncnt = needles.map(nd => (nd, nd.sliding(3).toSeq.distinct.size))
+      .toDF("needle", "ntri")
+    val docTri = Tables.spread(docs)
+      .select($"doc_id", lower($"text").as("lt"))
+      .select($"doc_id", explode(array_distinct(
+        transform(Canon.seq1(length($"lt") - 2),
+          i => $"lt".substr(i, lit(3))))).as("tri"))
+    docTri.join(broadcast(ntriDf), "tri")
+      .groupBy($"doc_id", $"needle").agg(count(lit(1)).as("nmatch"))
+      .join(broadcast(ncnt), "needle")
+      .filter($"nmatch" === $"ntri")
+      .select($"doc_id", $"needle")
+  }
 
   /** q118's per-doc unigram/bigram repetition relation (u ⋈ b), shared
     * with the q136 pipeline capstone: doc_id, n_tokens, top_uni, dup_toks,
