@@ -405,6 +405,8 @@ object Engine {
     """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*;?\s*$""".r
   private val loadDataRe =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""".r
+  private val showCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z0-9_.]+)`?\s*;?\s*$""".r
 
   /** Intercept MySQL session-state statements; None = relay to Spark.
     *
@@ -420,6 +422,22 @@ object Engine {
         import s.spark.implicits._
         Some(Engine.processList
           .toDF("Id", "User", "Cluster", "State", "Program"))
+      case showCreateRe(tbl) =>
+        // SHOW CREATE TABLE — relayed opaquely by the gateway like all
+        // introspection (/root/reference/gateway/relay.go:47-99); Spark
+        // refuses it for (temp) views, so the session synthesizes the DDL
+        // from the bound schema in MySQL's 2-column response shape
+        import s.spark.implicits._
+        val schema =
+          try s.spark.table(tbl).schema
+          catch { case _: Exception =>
+            throw EngineError(1146, "42S02", s"Table '$tbl' doesn't exist")
+          }
+        val cols = schema.fields.map(f =>
+          s"  `${f.name}` ${f.dataType.sql}" +
+            (if (f.nullable) "" else " NOT NULL")).mkString(",\n")
+        Some(Seq((tbl, s"CREATE TABLE `$tbl` (\n$cols\n)"))
+          .toDF("Table", "Create Table"))
       case loadDataRe(path, table, sep) =>
         // LOAD DATA LOCAL INFILE — the ClientLocalFiles capability the
         // gateway advertises and relays (/root/reference/mysql/

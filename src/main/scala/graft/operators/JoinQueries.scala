@@ -264,8 +264,11 @@ object JoinQueries extends QueryModule {
         |ORDER BY support DESC, pk_a, pk_b
         |LIMIT 500""".stripMargin) { spark =>
       import spark.implicits._
+      // the distinct items relation feeds three consumers (both self-join
+      // sides and the per-item counts) — materialize the scan+distinct once
       val items = spark.table("lineitem")
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        .localCheckpoint()
       val n = items.groupBy($"pk").agg(count(lit(1)).cast(LongType).as("cnt"))
       val pairs = basketPairSupport(items).filter($"support" >= 2)
       pairs

@@ -118,6 +118,20 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("Physical Plan"), plan)
   }
 
+  test("SHOW CREATE TABLE synthesizes MySQL's 2-column DDL response") {
+    val s = Engine.connect(spark, "prod", backends)
+    val row = s.sql("SHOW CREATE TABLE region").collect()
+    assert(row.length == 1)
+    assert(row.head.schema.fieldNames.toSeq == Seq("Table", "Create Table"))
+    val ddl = row.head.getString(1)
+    assert(row.head.getString(0) == "region" &&
+      ddl.startsWith("CREATE TABLE `region`") &&
+      ddl.contains("`r_name` STRING"), ddl)
+    // unknown table signals MySQL error 1146 like the rest of the surface
+    val e = intercept[Engine.EngineError](s.sql("SHOW CREATE TABLE nope_t"))
+    assert(e.code == 1146)
+  }
+
   test("DDL relays through the session: CTAS, INSERT INTO, VIEW, DROP") {
     val s = Engine.connect(spark, "prod", backends)
     val loc = java.nio.file.Files.createTempDirectory("graft_ddl_").toString
