@@ -1530,6 +1530,64 @@ object TextQueries extends QueryModule {
         .filter(contains(lower($"text"), $"needle"))
         .select($"needle", $"doc_id")
         .orderBy($"needle", $"doc_id")
+    },
+
+    // Chi-square independence test over the (lang × source) contingency
+    // table — the corpus-health check behind "is language balanced across
+    // sources?" (a skewed crawl shows up as a large χ² long before eyeball
+    // inspection). Observed counts and row/column totals are exact
+    // integers; each cell's expected value e = r·c/N and its
+    // (o−e)²/e term use ONE spelling on both engines, and the cell terms
+    // are summed by a sorted fold over the |langs|·|sources|-bounded cell
+    // array (the q64c determinism pattern — the contingency table is
+    // metadata-sized at any corpus scale). Cells with zero observed count
+    // are omitted identically on both engines. One shuffle builds the
+    // table; totals broadcast back.
+    q("q160_chisq_independence",
+      s"""WITH o AS (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM documents GROUP BY lang, source),
+         |r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY lang),
+         |c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+         |      FROM o GROUP BY source),
+         |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+         |cells AS (
+         |  SELECT o.lang, o.source,
+         |    (CAST(o.o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / nn.n)
+         |    * (CAST(o.o AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / nn.n)
+         |    / (CAST(r.r * c.c AS DOUBLE) / nn.n) AS t
+         |  FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN nn),
+         |agg AS (
+         |  SELECT list_reduce(list_transform(list_sort(list(struct_pack(
+         |           l := lang, s := source, t := t))), x -> x.t),
+         |         (a, b) -> a + b) AS chi2,
+         |         CAST(COUNT(*) AS BIGINT) AS n_cells
+         |  FROM cells),
+         |d AS (SELECT CAST((COUNT(DISTINCT lang) - 1)
+         |             * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof
+         |      FROM documents)
+         |SELECT ${Canon.Oracle.r4("agg.chi2")} AS chi2, agg.n_cells, d.dof
+         |FROM agg CROSS JOIN d""".stripMargin) { spark =>
+      import spark.implicits._
+      val o = spark.table("documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).cast(LongType).as("o"))
+      val r = o.groupBy($"lang").agg(sum($"o").cast(LongType).as("r"))
+      val c = o.groupBy($"source").agg(sum($"o").cast(LongType).as("c"))
+      val nn = o.agg(sum($"o").cast(LongType).as("n"))
+      val e = ($"r" * $"c").cast(DoubleType) / $"n"
+      val term = ($"o".cast(DoubleType) - e) * ($"o".cast(DoubleType) - e) / e
+      val agg = o.join(broadcast(r), "lang").join(broadcast(c), "source")
+        .crossJoin(broadcast(nn))
+        .select($"lang", $"source", term.as("t"))
+        .agg(aggregate(sort_array(collect_list(struct($"lang".as("l"),
+            $"source".as("s"), $"t"))), lit(0.0),
+            (a, x) => a + x.getField("t")).as("chi2"),
+          count(lit(1)).cast(LongType).as("n_cells"))
+      val d = spark.table("documents")
+        .agg(((countDistinct($"lang") - 1) * (countDistinct($"source") - 1))
+          .cast(LongType).as("dof"))
+      agg.crossJoin(broadcast(d))
+        .select(Canon.r4($"chi2").as("chi2"), $"n_cells", $"dof")
     })
 
   /** q157's trigram-index candidate stage: (doc_id, needle) pairs whose

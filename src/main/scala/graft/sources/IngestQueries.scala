@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.api.{GraftQuery, QueryModule}
+import graft.api.{Canon, GraftQuery, QueryModule}
 
 /** Ingest + sink surface (SURVEY.md §2B scans/sources/sinks): the engine-side
   * analogs of the capabilities the gateway advertises —
@@ -265,6 +265,48 @@ object IngestQueries extends QueryModule {
         .groupBy($"source", $"status")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy($"source", $"status")
+    },
+
+    // Incremental aggregate maintenance (materialized-view upkeep): a
+    // warehouse's per-(event_type, day) summary is refreshed by merging
+    // the standing summary's PARTIAL aggregates with the late-arriving
+    // delta batch's partials — sum-of-sums over exact DECIMAL revenue and
+    // counts — never by re-scanning the base facts. Here the fact table is
+    // split 80/20 on event_id (the delta lands inside already-summarized
+    // days, so the merge genuinely combines partials per group), each side
+    // is aggregated independently, and the union of partials is re-reduced.
+    // The oracle IS the full single-pass recompute: the hash match is the
+    // algebraic proof that the merge equals recomputation (decimal sums
+    // are associative — the Canon exactness rule is what makes the
+    // incremental path byte-reproducible at all). Scale: refresh cost is
+    // summary rows + delta rows; the base facts are never re-read.
+    q("q159_incremental_agg",
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |         CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(CAST(SUM(v) AS DOUBLE), 4) AS revenue
+        |FROM e GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = spark.table("events").select($"event_type",
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        $"value".cast(Canon.dec184).as("v"), $"event_id")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"event_type", $"day")
+          .agg(count(lit(1)).as("pn"), sum($"v").as("pv"))
+      partial(e.filter($"event_id" % 5 =!= 0))
+        .unionAll(partial(e.filter($"event_id" % 5 === 0)))
+        .groupBy($"event_type", $"day")
+        .agg(sum($"pn").cast(org.apache.spark.sql.types.LongType)
+            .as("n_events"),
+          round(sum($"pv").cast(org.apache.spark.sql.types.DoubleType), 4)
+            .as("revenue"))
+        .select($"event_type", $"day".cast(org.apache.spark.sql.types.LongType)
+          .as("day"), $"n_events", $"revenue")
+        .orderBy($"event_type", $"day")
     })
 
   /** Partition-scoped upsert (the MERGE INTO engine analog): apply a

@@ -454,6 +454,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expect, s"${got.take(4)} vs ${expect.take(4)}")
   }
 
+  test("q160 chi-square equals the contingency-table replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents").select($"lang", $"source").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val o = docs.groupBy(identity).map { case ((l, s), xs) =>
+      (l, s, xs.length.toLong) }.toSeq
+    val rTot = o.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._3).sum }
+    val cTot = o.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val n = o.map(_._3).sum
+    val chi2 = o.sortBy(c => (c._1, c._2)).foldLeft(0.0) {
+      case (acc, (l, s, obs)) =>
+        val e = (rTot(l) * cTot(s)).toDouble / n
+        acc + (obs.toDouble - e) * (obs.toDouble - e) / e
+    }
+    val row = queries("q160_chisq_independence")(spark, sf).head()
+    assert(row.getDouble(0) == math.floor(chi2 * 10000 + 0.5) / 10000)
+    assert(row.getLong(1) == o.size &&
+      row.getLong(2) == (rTot.size - 1L) * (cTot.size - 1L))
+  }
+
+  test("q159 incremental merge equals a direct single-pass aggregate") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val direct = spark.table("events")
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"),
+        $"value".cast(graft.api.Canon.dec184).as("v"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum($"v").cast("double"), 4).as("revenue"))
+      .orderBy($"event_type", $"day").collect().toSeq
+    val merged = queries("q159_incremental_agg")(spark, sf).collect().toSeq
+    assert(merged.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))) ==
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))))
+  }
+
   test("q158 SCD2 intervals tile each user's event range without overlap") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)

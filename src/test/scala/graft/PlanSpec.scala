@@ -126,6 +126,16 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("incremental agg: union of partial aggregates, re-reduced once") {
+    Tables.register(spark, sf)
+    val plan = planOf(SparkEntry.queries("q159_incremental_agg")(spark, sf))
+    // the refresh shape: two independent partial aggregations unioned and
+    // merged — the plan must contain the Union of partials; a single-scan
+    // rewrite would silently lose the maintenance semantics being proven
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("concurrency sweep: running sum windows on (chunk, t), never bare t") {
     Tables.register(spark, sf)
     val df = SparkEntry.queries("q155_concurrency_profile")(spark, sf)
