@@ -406,7 +406,7 @@ object Engine {
   private val loadDataRe =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""".r
   private val showCreateRe =
-    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z0-9_.]+)`?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+((?:`[A-Za-z0-9_]+`|[A-Za-z0-9_]+)(?:\.(?:`[A-Za-z0-9_]+`|[A-Za-z0-9_]+))?)\s*;?\s*$""".r
 
   /** Intercept MySQL session-state statements; None = relay to Spark.
     *
@@ -422,15 +422,19 @@ object Engine {
         import s.spark.implicits._
         Some(Engine.processList
           .toDF("Id", "User", "Cluster", "State", "Program"))
-      case showCreateRe(tbl) =>
+      case showCreateRe(raw) =>
         // SHOW CREATE TABLE — relayed opaquely by the gateway like all
         // introspection (/root/reference/gateway/relay.go:47-99); Spark
         // refuses it for (temp) views, so the session synthesizes the DDL
-        // from the bound schema in MySQL's 2-column response shape
+        // from the bound schema in MySQL's 2-column response shape. The
+        // pattern accepts MySQL's per-part backtick quoting (`db`.`tbl`,
+        // the form mysqldump emits); only analysis failures (unknown
+        // table/view) map to 1146 — runtime errors propagate untouched.
         import s.spark.implicits._
+        val tbl = raw.replace("`", "")
         val schema =
           try s.spark.table(tbl).schema
-          catch { case _: Exception =>
+          catch { case _: org.apache.spark.sql.AnalysisException =>
             throw EngineError(1146, "42S02", s"Table '$tbl' doesn't exist")
           }
         val cols = schema.fields.map(f =>

@@ -327,13 +327,16 @@ object DedupQueries extends QueryModule {
     // are dropped on BOTH engines before the join — here the guard is not
     // just the q71c degenerate-bucket cap but PRINCIPLED pruning: a hot
     // shingle's idf is the corpus minimum, so the dropped postings are
-    // exactly the lowest-weight dimensions. Determinism: per-doc norms and
-    // per-pair dots are shingle-sorted 0-compatible left folds (the q109b
-    // contract; every weight is > 0 so the seedless DuckDB fold agrees),
-    // sqrt/ln are correctly-rounded IEEE, and the threshold predicate runs
-    // on the UNROUNDED value on both engines. Scale: one shingle-keyed
-    // shuffle for postings (bounded df ≤ cap ⇒ ≤ C(cap,2) pairs per key),
-    // one pair-keyed fold, two broadcast-size scalars.
+    // exactly the lowest-weight dimensions. Determinism: the float work is
+    // deferred past EXACT integer partial sums grouped by df — norms sum
+    // tf² and dots sum tf·tf per df bucket (order-independent integers),
+    // then a ≤cap-element fold sorted by df applies ss·ln(N/df)² with one
+    // association per engine (0.0-seeded Spark fold == seedless DuckDB
+    // fold because 0.0 + x is exact); sqrt/ln are correctly-rounded IEEE
+    // and the threshold predicate runs on the UNROUNDED value on both
+    // engines. Scale: one shingle-keyed shuffle for postings (bounded
+    // df ≤ cap ⇒ ≤ C(cap,2) pairs per key), one pair-keyed integer
+    // aggregate (map-side combinable), two broadcast-size scalars.
     q("q140_tfidf_cosine_pairs",
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($shingleSql) AS shingle FROM documents),

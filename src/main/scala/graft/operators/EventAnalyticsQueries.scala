@@ -723,11 +723,16 @@ object EventAnalyticsQueries extends QueryModule {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"si")
         .agg(min($"tus").as("s_us"), max($"tus").as("e_us"))
+        // both unionAll branches read the session relation, and net feeds
+        // both the offsets build and the cumsum path — materialize each
+        // once (the q156/q140 multi-consumer idiom; both are endpoint-sized)
+        .localCheckpoint()
       val ep = iv.select($"s_us".as("t"), lit(1).as("d"))
         .unionAll(iv.select($"e_us".as("t"), lit(-1).as("d")))
       val dayUs = 86400000000L
       val net = ep.groupBy($"t").agg(sum($"d").as("nd"))
         .withColumn("chunk", floor($"t" / dayUs))
+        .localCheckpoint()
       val local = Window.partitionBy($"chunk").orderBy($"t")
       // metadata-sized windows (one row per observed day) — the explicit
       // single-partition global order is bounded by the time span, never

@@ -1569,8 +1569,11 @@ object TextQueries extends QueryModule {
          |SELECT ${Canon.Oracle.r4("agg.chi2")} AS chi2, agg.n_cells, d.dof
          |FROM agg CROSS JOIN d""".stripMargin) { spark =>
       import spark.implicits._
+      // the contingency table feeds four consumers (row/col/grand totals
+      // and the cell join) and is metadata-sized — materialize it once
       val o = spark.table("documents")
         .groupBy($"lang", $"source").agg(count(lit(1)).cast(LongType).as("o"))
+        .localCheckpoint()
       val r = o.groupBy($"lang").agg(sum($"o").cast(LongType).as("r"))
       val c = o.groupBy($"source").agg(sum($"o").cast(LongType).as("c"))
       val nn = o.agg(sum($"o").cast(LongType).as("n"))
@@ -1583,7 +1586,10 @@ object TextQueries extends QueryModule {
             $"source".as("s"), $"t"))), lit(0.0),
             (a, x) => a + x.getField("t")).as("chi2"),
           count(lit(1)).cast(LongType).as("n_cells"))
-      val d = spark.table("documents")
+      // dof from the (already-materialized) table's distinct keys — every
+      // document lands in exactly one cell, so o's key sets equal the
+      // corpus's distinct lang/source sets; no fifth documents scan
+      val d = o
         .agg(((countDistinct($"lang") - 1) * (countDistinct($"source") - 1))
           .cast(LongType).as("dof"))
       agg.crossJoin(broadcast(d))
@@ -1596,6 +1602,12 @@ object TextQueries extends QueryModule {
     * Exposed private[graft] for ScaleProbe's candidate-growth line. */
   private[graft] def trigramCandidates(docs: DataFrame,
       needles: Seq[String]): DataFrame = {
+    // the losslessness argument (doc ⊇ needle ⇒ doc trigrams ⊇ needle
+    // trigrams) holds only for needles of at least one full trigram: a
+    // shorter needle's sliding(3) yields the needle itself, which no true
+    // 3-char posting ever equals, silently under-matching
+    require(needles.forall(_.length >= 3),
+      s"trigram index needs needles >= 3 chars: $needles")
     import docs.sparkSession.implicits._
     val ntriDf = needles
       .flatMap(nd => nd.sliding(3).toSeq.distinct.map(t => (nd, t)))

@@ -127,6 +127,9 @@ class EngineSpec extends SparkSpec {
     assert(row.head.getString(0) == "region" &&
       ddl.startsWith("CREATE TABLE `region`") &&
       ddl.contains("`r_name` STRING"), ddl)
+    // mysqldump's backtick-quoted spelling must hit the same interception
+    val quoted = s.sql("SHOW CREATE TABLE `region`").head().getString(1)
+    assert(quoted == ddl, quoted)
     // unknown table signals MySQL error 1146 like the rest of the surface
     val e = intercept[Engine.EngineError](s.sql("SHOW CREATE TABLE nope_t"))
     assert(e.code == 1146)
