@@ -1131,6 +1131,59 @@ object DedupQueries extends QueryModule {
           Canon.r6(relDiff).as("price_diff"),
           levenshtein($"brand_a", $"brand_b").as("brand_dist"))
         .orderBy($"id_a", $"id_b")
+    },
+
+    // Cross-source corpus overlap — the contamination matrix a curation
+    // pipeline computes between its slices (did the web crawl leak into
+    // the books slice? is the eval source contained in training?):
+    // containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| over
+    // each source's DISTINCT 3-shingle set, both directions of every
+    // source pair. The oracle spells it as the textbook per-shingle
+    // self-join; the Spark side NEVER joins shingle-to-shingle — it
+    // collects the per-shingle SOURCE SET (bounded by #sources, a corpus
+    // constant ~10s-100s, not a corpus variable) and explodes ordered
+    // pairs from it, so the widest row is |sources| long and the output is
+    // |sources|² rows no matter how many documents exist. One distinct
+    // shuffle on (source, shingle), one bounded groupBy(shingle), a
+    // broadcast of the |sources|-row totals — nothing quadratic in docs.
+    q("q162_source_overlap",
+      s"""WITH raw AS (
+         |  SELECT source, unnest($shingleSql) AS shingle FROM documents),
+         |sh AS (SELECT DISTINCT source, shingle FROM raw),
+         |tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |                     AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, ta.n AS shingles_a,
+         |  CAST(i AS BIGINT) AS inter,
+         |  ${Canon.Oracle.r4("CAST(i AS DOUBLE) / ta.n")} AS containment
+         |FROM inter JOIN tot ta ON ta.source = source_a
+         |ORDER BY source_a, source_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = Tables.spread(spark.table("documents"))
+        .select($"source", split(lower($"text"), " ").as("toks"))
+      val sh = toks
+        .select($"source", explode(shingles($"toks")).as("shingle"))
+        .distinct()
+        // feeds both the totals and the source-set build
+        .localCheckpoint()
+      val tot = sh.groupBy($"source").agg(count(lit(1)).as("shingles_a"))
+        .withColumnRenamed("source", "source_a")
+      val pairs = sh.groupBy($"shingle")
+        .agg(collect_set($"source").as("ss"))
+        .filter(size($"ss") >= 2)
+        .select(explode($"ss").as("source_a"), $"ss")
+        .select($"source_a", explode($"ss").as("source_b"))
+        .filter($"source_a" =!= $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).cast(LongType).as("inter"))
+      pairs.join(broadcast(tot), Seq("source_a"))
+        .select($"source_a", $"source_b", $"shingles_a", $"inter",
+          Canon.r4($"inter".cast(DoubleType) / $"shingles_a")
+            .as("containment"))
+        .orderBy($"source_a", $"source_b")
     }) :+ pipelineQuery
 
   /** q129's damped power iteration over any (doc_id) node set and

@@ -805,5 +805,149 @@ object EventAnalyticsQueries extends QueryModule {
         .select($"user_id", $"version", $"event_type".as("state"),
           $"tus".as("valid_from_us"), $"valid_to_us")
         .orderBy($"user_id", $"version")
+    },
+
+    // HyperLogLog distinct-user sketch per event_type (Flajolet et al.
+    // AofA'07) — the mergeable cardinality register set behind every
+    // APPROX_COUNT_DISTINCT, materialized openly so the oracle can replay
+    // it: m = 64 buckets from md5 bits 1-8, rank rho = leading-zero count
+    // of md5 bits 9-16 as a 32-bit word (+1), register = MAX(rho) per
+    // bucket. Both engines spell rho via length(bin(w)) — bin() drops
+    // leading zeros identically in Spark and DuckDB — so the registers are
+    // exact integers and the raw estimate alpha*m^2 / sum(2^-M_j) divides
+    // two bit-identical quantities: the sum's terms are exact binary
+    // fractions spanning 39 bits < one double mantissa, so ANY association
+    // order yields the same double (the q151 Count-Min determinism idea,
+    // upgraded from integers to exact dyadic rationals). No ln-based
+    // small-range correction on purpose: linear counting would put a
+    // transcendental between the engines (libm vs StrictMath last-ulp);
+    // production would add it downstream of the surfaced registers.
+    // Scale: groupBy(event_type, bucket) MAX is map-side combinable with
+    // 64-row state per group — the register array IS the shuffle payload
+    // (512 bytes/group at any corpus size), the canonical sketch shape.
+    q("q161_hll_distinct",
+      """WITH u AS (SELECT event_type, user_id FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |         AS UBIGINT) % 64 AS bucket,
+        |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+        |              AS UBIGINT) AS BIGINT) AS w
+        |  FROM u),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS rho
+        |  FROM h GROUP BY event_type, bucket),
+        |grid AS (
+        |  SELECT t.event_type, g.b
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(range(0, 64)) AS b) g),
+        |reg AS (
+        |  SELECT grid.event_type, grid.b AS bucket, COALESCE(r.rho, 0) AS m
+        |  FROM grid LEFT JOIN r ON r.event_type = grid.event_type
+        |                       AND r.bucket = grid.b),
+        |est AS (
+        |  SELECT event_type,
+        |    CAST(SUM(m * (bucket + 1)) AS BIGINT) AS reg_checksum,
+        |    0.709 * 4096 / SUM(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE))
+        |      AS e
+        |  FROM reg GROUP BY event_type),
+        |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |         AS n_exact
+        |       FROM u GROUP BY event_type)
+        |SELECT ex.event_type AS event_type, n_exact, reg_checksum,
+        |  floor(e * 10000 + 0.5) / 10000 AS hll_est,
+        |  floor((e - n_exact) / n_exact * 1000000 + 0.5) / 1000000 AS rel_err
+        |FROM ex JOIN est ON est.event_type = ex.event_type
+        |ORDER BY event_type""".stripMargin) { spark =>
+      import spark.implicits._
+      val md5hex = md5($"user_id".cast(StringType).cast(BinaryType))
+      val h = spark.table("events")
+        .select($"event_type", $"user_id")
+        .select($"event_type",
+          (conv(substring(md5hex, 1, 8), 16, 10).cast(LongType) % 64)
+            .as("bucket"),
+          conv(substring(md5hex, 9, 8), 16, 10).cast(LongType).as("w"))
+      val r = h.groupBy($"event_type", $"bucket")
+        .agg(max(when($"w" === 0, 33)
+          .otherwise(lit(33) - length(bin($"w")))).as("rho"))
+      // full 64-bucket grid per type WITHOUT a join: absent buckets are
+      // register 0, supplied by exploding the bucket range and taking the
+      // MAX of real rhos unioned with the zero floor
+      val grid = spark.table("events").select($"event_type").distinct()
+        .select($"event_type",
+          explode(sequence(lit(0L), lit(63L))).as("bucket"),
+          lit(0).as("rho"))
+      val reg = r.unionByName(grid)
+        .groupBy($"event_type", $"bucket").agg(max($"rho").as("m"))
+      val est = reg.groupBy($"event_type")
+        .agg(sum($"m" * ($"bucket" + 1)).cast(LongType).as("reg_checksum"),
+          sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), m) as double)"))
+            .as("s"))
+        .select($"event_type", $"reg_checksum",
+          (lit(0.709) * 4096 / $"s").as("e"))
+      val ex = spark.table("events").groupBy($"event_type")
+        .agg(countDistinct($"user_id").cast(LongType).as("n_exact"))
+      ex.join(broadcast(est), Seq("event_type"))
+        .select($"event_type", $"n_exact", $"reg_checksum",
+          Canon.r4($"e").as("hll_est"),
+          Canon.r6(($"e" - $"n_exact") / $"n_exact").as("rel_err"))
+        .orderBy($"event_type")
+    },
+
+    // CUSUM change-point detection over per-user daily activity (Page,
+    // Biometrika 1954) — the drift monitor a data pipeline runs on its
+    // ingest volumes. The textbook recursion S_t = max(0, S_{t-1} + x_t - c)
+    // is order-dependent, but its CLOSED FORM S_t = P_t - min(0, min_{j<=t}
+    // P_j) (P = prefix sum of excesses) needs only a running sum and a
+    // running min — plain windows over ONE user_id exchange, no sequential
+    // fold, and every quantity is an INTEGER (daily counts, integer
+    // reference c = floor-mean + 1), so the result hashes exactly with no
+    // IEEE choreography at all (contrast q112's EWMA, which needs the
+    // bit-exact sorted fold). Scale: the daily rollup is map-side
+    // combinable; the global (nd, tot) reference is a 1-row broadcast; the
+    // window chain shuffles once on user_id; per-user state is O(days).
+    q("q163_cusum_changepoint",
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |                CAST(SUM(cnt) AS BIGINT) AS tot FROM e),
+        |p AS (
+        |  SELECT user_id, day,
+        |    SUM(cnt - (tot // nd + 1)) OVER (PARTITION BY user_id
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS pre
+        |  FROM e CROSS JOIN base),
+        |s AS (
+        |  SELECT user_id,
+        |    pre - LEAST(MIN(pre) OVER (PARTITION BY user_id ORDER BY day
+        |                               ROWS UNBOUNDED PRECEDING), 0) AS cu
+        |  FROM p)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(cu) AS BIGINT) AS max_cusum,
+        |  CAST(SUM(CASE WHEN cu >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val dayUs = 86400000000L
+      val e = spark.table("events")
+        .select($"user_id", unix_micros($"ts").as("tus"))
+        .select($"user_id", expr(s"tus div $dayUs").as("day"))
+        .groupBy($"user_id", $"day").agg(count(lit(1)).as("cnt"))
+      val base = e.agg(count(lit(1)).cast(LongType).as("nd"),
+        sum($"cnt").cast(LongType).as("tot"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.crossJoin(broadcast(base))
+        .withColumn("pre",
+          sum($"cnt" - (expr("tot div nd") + 1)).over(w))
+        .withColumn("cu", $"pre" - least(min($"pre").over(w), lit(0L)))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          max($"cu").cast(LongType).as("max_cusum"),
+          sum(when($"cu" >= 3, 1).otherwise(0)).cast(LongType)
+            .as("n_alarm_days"))
+        .orderBy($"user_id")
     })
 }

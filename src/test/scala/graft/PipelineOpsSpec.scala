@@ -513,4 +513,77 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("q161 HLL registers, checksum, and estimate equal a Scala replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ev = spark.table("events").select($"event_type", $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = ev.groupBy(_._1).map { case (t, xs) =>
+      val regs = Array.fill(64)(0)
+      xs.map(_._2).distinct.foreach { uid =>
+        val h = md5hex(uid.toString)
+        val bucket = (java.lang.Long.parseLong(h.substring(0, 8), 16) % 64).toInt
+        val w = java.lang.Long.parseLong(h.substring(8, 16), 16)
+        val rho = if (w == 0) 33 else 33 - w.toBinaryString.length
+        regs(bucket) = math.max(regs(bucket), rho)
+      }
+      val checksum = regs.zipWithIndex.map { case (m, b) => m.toLong * (b + 1) }.sum
+      val s = regs.map(m => 1.0 / (1L << m)).sum
+      val e = 0.709 * 4096 / s
+      val nExact = xs.map(_._2).distinct.length.toLong
+      t -> ((nExact, checksum, r4(e),
+        math.floor((e - nExact) / nExact * 1000000 + 0.5) / 1000000))
+    }
+    val got = queries("q161_hll_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expect, s"$got vs $expect")
+  }
+
+  test("q163 CUSUM closed form equals the textbook recursion replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val dayUs = 86400000000L
+    val ev = spark.table("events")
+      .select($"user_id", unix_micros($"ts").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / dayUs)).toSeq
+    val daily = ev.groupBy(identity).map { case ((u, d), xs) =>
+      (u, d, xs.length.toLong) }.toSeq
+    val c = daily.map(_._3).sum / daily.length + 1
+    val expect = daily.groupBy(_._1).map { case (u, xs) =>
+      // S_t = max(0, S_{t-1} + x_t - c) — the sequential recursion the
+      // windowed closed form must reproduce exactly
+      val ss = xs.sortBy(_._2).map(_._3)
+        .scanLeft(0L) { case (s, x) => math.max(0L, s + x - c) }.drop(1)
+      u -> ((xs.length.toLong, ss.max, ss.count(_ >= 3).toLong))
+    }
+    val got = queries("q163_cusum_changepoint")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"${got.toSeq.take(3)} vs ${expect.toSeq.take(3)}")
+  }
+
+  test("q162 source overlap equals the set-intersection replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents").select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val sets = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> xs.flatMap { case (_, text) =>
+        tokens(text).sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      i = (sa & sb).size.toLong if i > 0
+    } yield (a, b, sa.size.toLong, i, r4(i.toDouble / sa.size)))
+      .sortBy(t => (t._1, t._2))
+    val got = queries("q162_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+  }
 }

@@ -534,4 +534,44 @@ class PlanSpec extends SparkSpec {
     val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans <= 2, s"$scans parquet scans:\n$finalPlan")
   }
+
+  test("HLL registers: partial MAX combines map-side, 64-row state per group") {
+    val df = SparkEntry.queries("q161_hll_distinct")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the register build must partial-aggregate (the shuffle payload is the
+    // 64-register sketch, not the event stream) and never plan a product
+    assert(finalPlan.contains("partial_max"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
+  test("source overlap: no shingle-to-shingle join, totals broadcast") {
+    val df = SparkEntry.queries("q162_source_overlap")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the oracle's per-shingle self-join would be a SortMergeJoin on the
+    // corpus-sized shingle relation; the engine's shape is collect_set +
+    // explode, with the only join the broadcast of |sources| totals
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(finalPlan.contains("collect_set"), finalPlan)
+  }
+
+  test("CUSUM: one user_id exchange feeds the window chain") {
+    val df = SparkEntry.queries("q163_cusum_changepoint")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // exactly one exchange keyed on user_id ALONE (the window chain); the
+    // daily rollup's (user_id, day) exchange is separate and allowed
+    val userIdExchanges = finalPlan.linesIterator.count(
+      _.matches(".*Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\).*"))
+    assert(userIdExchanges == 1,
+      s"$userIdExchanges user_id exchanges:\n$finalPlan")
+    // the daily rollup partial-aggregates before its shuffle; the global
+    // (nd, tot) reference arrives by broadcast, not a corpus-wide exchange
+    assert(finalPlan.contains("partial_count") ||
+      finalPlan.contains("partial"), finalPlan)
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan)
+  }
 }

@@ -91,7 +91,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // this is the second.)
     val sensitive = Seq("q108_heavy_hitters", "q109_lm_score",
       "q109b_bigram_lm_score", "q110_ppjoin", "q77_dedup_components",
-      "q64c_char_entropy", "q112_ewma", "q66c_winnowing_matches")
+      "q64c_char_entropy", "q112_ewma", "q66c_winnowing_matches",
+      // q161: estimate rests on dyadic partial sums being order-exact;
+      // q162: pair counts survive collect_set's arbitrary set order
+      "q161_hll_distinct", "q162_source_overlap")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
