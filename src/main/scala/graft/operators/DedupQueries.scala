@@ -1184,7 +1184,61 @@ object DedupQueries extends QueryModule {
           Canon.r4($"inter".cast(DoubleType) / $"shingles_a")
             .as("containment"))
         .orderBy($"source_a", $"source_b")
+    },
+
+    // MinHash corpus-level Jaccard — q162's SKETCH complement: instead of
+    // the exact distinct-shingle machinery, each source is compressed to
+    // the SAME 16-component signature q72 computes per document (min md5
+    // per hash window over the source's whole shingle multiset — min is
+    // duplicate-insensitive, so no distinct pass is even needed), and
+    // J(A,B) is estimated by the fraction of agreeing components. The
+    // whole corpus reduces to |sources|×16 cells BEFORE any pair math —
+    // this is how two 100 TB corpora get compared without co-locating
+    // them (signatures travel, shingles don't; the sketch-merge story of
+    // q161 at corpus granularity, and the same map-side-combinable MIN).
+    // The tiny signature×signature pair join is |sources|² rows.
+    // SimilarityDedupSpec bounds the estimate against the exact per-pair
+    // Jaccard replay.
+    q("q166_minhash_source_jaccard", {
+      val msum = (0 until numHashes)
+        .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH raw AS (
+         |  SELECT source, unnest($shingleSql) AS shingle FROM documents),
+         |sig AS (SELECT source,
+         |$sigSqlCols
+         |FROM raw GROUP BY source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST($msum AS BIGINT) AS matches,
+         |  ${Canon.Oracle.r4(s"CAST($msum AS DOUBLE) / $numHashes")}
+         |    AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin }) { spark =>
+      import spark.implicits._
+      // both sides of the signature self-join — one corpus pass, not two
+      val sig = sourceSignaturesOf(spark.table("documents")).localCheckpoint()
+      val matches = (0 until numHashes)
+        .map(i => when(col(s"a.sig$i") === col(s"b.sig$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      sig.as("a").join(broadcast(sig.as("b")), $"a.source" < $"b.source")
+        .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+          matches.cast(LongType).as("matches"),
+          Canon.r4(matches.cast(DoubleType) / numHashes).as("est_jaccard"))
+        .orderBy($"source_a", $"source_b")
     }) :+ pipelineQuery
+
+  /** q166's per-SOURCE MinHash signature: the q72 per-document hash family
+    * aggregated at source granularity. Kept uncheckpointed so PlanSpec can
+    * assert the MIN partial-aggregates (map-side combine is the property
+    * that lets two 100 TB corpora compress to |sources|×16 cells). */
+  private[graft] def sourceSignaturesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    Tables.spread(docs)
+      .select($"source", split(lower($"text"), " ").as("toks"))
+      .select($"source", explode(shingles($"toks")).as("shingle"))
+      .groupBy($"source")
+      .agg(sigCol(0), (1 until numHashes).map(sigCol): _*)
+  }
 
   /** q129's damped power iteration over any (doc_id) node set and
     * (id_a, id_b) undirected pair set — factored so DedupSpec can replay

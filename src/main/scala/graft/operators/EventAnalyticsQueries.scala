@@ -949,5 +949,78 @@ object EventAnalyticsQueries extends QueryModule {
           sum(when($"cu" >= 3, 1).otherwise(0)).cast(LongType)
             .as("n_alarm_days"))
         .orderBy($"user_id")
+    },
+
+    // Weekday-seasonal volume anomaly detection — the monitoring complement
+    // of q163's drift CUSUM: same-weekday daily volumes form the baseline
+    // (Monday compares to Mondays), a day is anomalous when it leaves the
+    // mean ± 1.5σ band of its weekday cell (a tight band on purpose: the
+    // fixture's synthetic volumes are low-dispersion, and the band is the
+    // operator's knob). Determinism without decimals: daily counts are
+    // INTEGERS, so the (n, Σc, Σc²) moments are exact and mean/σ are one
+    // division and one sqrt from exact integers — sqrt is IEEE
+    // correctly-rounded in BOTH engines (unlike ln/exp, which get no such
+    // guarantee; the q148 moment idiom, integer edition). Scale: the daily
+    // rollup is the only corpus-sized shuffle (map-side combinable); the
+    // weekday stats and flag join run on the metadata-sized day grid.
+    q("q164_seasonal_anomaly",
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, c, day % 7 AS wd FROM e),
+        |st AS (
+        |  SELECT event_type, wd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM w GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT w.event_type, w.wd, w.c, st.n_days,
+        |    CAST(st.sc AS DOUBLE) / st.n_days AS mean,
+        |    sqrt(CAST(st.n_days * st.scc - st.sc * st.sc AS DOUBLE)
+        |         / (st.n_days * (st.n_days - 1))) AS sd
+        |  FROM w JOIN st ON st.event_type = w.event_type AND st.wd = w.wd
+        |  WHERE st.n_days > 1),
+        |an AS (
+        |  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS n_anomalies
+        |  FROM fl WHERE abs(c - mean) > 1.5 * sd GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT DISTINCT event_type, wd, n_days, mean, sd FROM fl)
+        |SELECT s.event_type AS event_type, s.wd AS weekday, s.n_days,
+        |  floor(s.mean * 1000000 + 0.5) / 1000000 AS mean_daily,
+        |  floor(s.sd * 1000000 + 0.5) / 1000000 AS sd_daily,
+        |  COALESCE(an.n_anomalies, 0) AS n_anomalies
+        |FROM stats s LEFT JOIN an ON an.event_type = s.event_type
+        |                         AND an.wd = s.wd
+        |ORDER BY event_type, weekday""".stripMargin) { spark =>
+      import spark.implicits._
+      val dayUs = 86400000000L
+      val daily = spark.table("events")
+        .select($"event_type", unix_micros($"ts").as("tus"))
+        .select($"event_type", expr(s"tus div $dayUs").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+        .withColumn("wd", $"day" % 7)
+      val st = daily.groupBy($"event_type", $"wd")
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          sum($"c").cast(LongType).as("sc"),
+          sum($"c" * $"c").cast(LongType).as("scc"))
+        .filter($"n_days" > 1)
+        .withColumn("mean", $"sc".cast(DoubleType) / $"n_days")
+        .withColumn("sd",
+          sqrt(($"n_days" * $"scc" - $"sc" * $"sc").cast(DoubleType) /
+            ($"n_days" * ($"n_days" - 1))))
+        // stats feed both the flag join and the surfaced rows
+        .localCheckpoint()
+      val an = daily.join(st, Seq("event_type", "wd"))
+        .filter(abs($"c" - $"mean") > lit(1.5) * $"sd")
+        .groupBy($"event_type", $"wd")
+        .agg(count(lit(1)).cast(LongType).as("n_anomalies"))
+      st.join(an, Seq("event_type", "wd"), "left")
+        .select($"event_type", $"wd".as("weekday"), $"n_days",
+          Canon.r6($"mean").as("mean_daily"),
+          Canon.r6($"sd").as("sd_daily"),
+          coalesce($"n_anomalies", lit(0L)).as("n_anomalies"))
+        .orderBy($"event_type", $"weekday")
     })
 }

@@ -1594,6 +1594,57 @@ object TextQueries extends QueryModule {
           .cast(LongType).as("dof"))
       agg.crossJoin(broadcast(d))
         .select(Canon.r4($"chi2").as("chi2"), $"n_cells", $"dof")
+    },
+
+    // Per-document TF-IDF keyword extraction — the metadata-enrichment op
+    // a curation pipeline runs to tag every document with its most
+    // discriminative terms (search facets, topic routing, dedup
+    // explanations). tf·ln(N/df) weights rank per-doc tokens; the top 3
+    // (ties broken by token, the q140 determinism pattern: both engines
+    // evaluate ln on identical integer-ratio inputs, used here only for
+    // ORDERING, never summed) surface as a comma-joined string per the
+    // no-array-outputs invariant. Scale: tf is one map-side-combinable
+    // (doc_id, token) rollup, df one token rollup; the tf⋈df weight join
+    // shuffles on token; the per-doc top-3 window partitions on doc_id —
+    // parallelism scales with the corpus on every stage.
+    q("q165_doc_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |wgt AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         tf.tf * ln(CAST(n AS DOUBLE) / df.df) AS w
+        |  FROM tf JOIN df ON df.token = tf.token CROSS JOIN nn),
+        |rk AS (
+        |  SELECT doc_id, token,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY w DESC, token) AS rn
+        |  FROM wgt)
+        |SELECT doc_id, string_agg(token, ',' ORDER BY rn) AS keywords
+        |FROM rk WHERE rn <= 3 GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      // tf feeds both the df rollup and the weight join — materialize once
+      val tf = Tables.spread(spark.table("documents"))
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfr = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val nn = spark.table("documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"doc_id").orderBy($"w".desc, $"token")
+      tf.join(dfr, "token").crossJoin(broadcast(nn))
+        .select($"doc_id", $"token",
+          ($"tf" * log($"n".cast(DoubleType) / $"df")).as("w"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .groupBy($"doc_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"rn", $"token"))),
+          x => x.getField("token")), ",").as("keywords"))
+        .orderBy($"doc_id")
     })
 
   /** q157's trigram-index candidate stage: (doc_id, needle) pairs whose

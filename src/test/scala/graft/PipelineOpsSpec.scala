@@ -566,6 +566,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expect, s"${got.toSeq.take(3)} vs ${expect.toSeq.take(3)}")
   }
 
+  test("q164 seasonal anomaly equals the integer-moment replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val dayUs = 86400000000L
+    val ev = spark.table("events")
+      .select($"event_type", unix_micros($"ts").as("tus"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / dayUs)).toSeq
+    val daily = ev.groupBy(identity).map { case ((t, d), xs) =>
+      (t, d, xs.length.toLong) }.toSeq
+    val expect = daily.groupBy(c => (c._1, c._2 % 7)).collect {
+      case ((t, wd), xs) if xs.length > 1 =>
+        val n = xs.length.toLong
+        val sc = xs.map(_._3).sum
+        val scc = xs.map(c => c._3 * c._3).sum
+        val mean = sc.toDouble / n
+        val sd = math.sqrt((n * scc - sc * sc).toDouble / (n * (n - 1)))
+        val anom = xs.count(c => math.abs(c._3 - mean) > 1.5 * sd).toLong
+        (t, wd, n, math.floor(mean * 1000000 + 0.5) / 1000000,
+          math.floor(sd * 1000000 + 0.5) / 1000000, anom)
+    }.toSeq.sortBy(c => (c._1, c._2))
+    val got = queries("q164_seasonal_anomaly")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // the alert branch must be LIVE on the fixture, not vacuously green
+    assert(got.map(_._6).sum > 0, "no anomaly fired — band too loose")
+  }
+
+  test("q165 doc keywords equal the TF-IDF ranking replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents").select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val n = docs.length
+    val tf = docs.flatMap { case (id, text) =>
+      tokens(text).groupBy(identity).map { case (t, xs) =>
+        (id, t, xs.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val expect = tf.groupBy(_._1).map { case (id, xs) =>
+      val top = xs.map { case (_, t, c) =>
+        (t, c * math.log(n.toDouble / df(t))) }
+        .sortBy { case (t, w) => (-w, t) }.take(3).map(_._1)
+      id -> top.mkString(",")
+    }
+    val got = queries("q165_doc_keywords")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect,
+      s"${got.toSeq.sortBy(_._1).take(3)} vs ${expect.toSeq.sortBy(_._1).take(3)}")
+  }
+
   test("q162 source overlap equals the set-intersection replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)

@@ -574,4 +574,42 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
       finalPlan.contains("BroadcastExchange"), finalPlan)
   }
+
+  test("seasonal anomaly: map-side daily rollup, metadata-sized flag join") {
+    val df = SparkEntry.queries("q164_seasonal_anomaly")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the only corpus-sized stage is the (event_type, day) rollup, which
+    // must combine map-side; the stats/flag joins run on the day grid and
+    // stay broadcast — a SortMergeJoin would mean a corpus-keyed shuffle
+    assert(finalPlan.contains("partial_count"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
+  test("doc keywords: per-doc window scales with doc_id, tf combines map-side") {
+    val df = SparkEntry.queries("q165_doc_keywords")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the top-3 ranking must partition by doc_id (corpus-scaling
+    // parallelism), never run as one global window
+    assert(finalPlan.matches(
+      "(?s).*windowspecdefinition\\(doc_id#\\d+L?, w#.*"), finalPlan)
+    assert(finalPlan.contains("partial_count"), finalPlan)
+  }
+
+  test("minhash source jaccard: signatures combine map-side via partial MIN") {
+    graft.sources.Tables.register(spark, sf)
+    // the corpus collapses to |sources|×16 cells BEFORE pair math: the
+    // signature MIN must partial-aggregate (asserted on the uncheckpointed
+    // signature relation — the query materializes it once for both sides)
+    val sigPlan = planOf(
+      graft.operators.DedupQueries.sourceSignaturesOf(spark.table("documents")))
+    assert(sigPlan.contains("partial_min"), sigPlan)
+    // ... and the pair join is a broadcast over the tiny signature relation
+    val df = SparkEntry.queries("q166_minhash_source_jaccard")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
 }

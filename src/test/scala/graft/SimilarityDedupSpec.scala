@@ -312,4 +312,31 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must contain within-cluster near-dups")
     assert(got.forall { case (d, k) => k < d }, "keeper < dropped invariant")
   }
+
+  test("q166 MinHash corpus Jaccard estimates track the exact pair Jaccard") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents").select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val sets = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> xs.flatMap { case (_, text) =>
+        text.toLowerCase.split(" ", -1).toSeq.sliding(3)
+          .filter(_.length == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    val exact = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+    } yield (a, b) -> ((sa & sb).size.toDouble / (sa | sb).size)).toMap
+    val got = queries("q166_minhash_source_jaccard")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got.keySet == exact.keySet)
+    // 16 components → σ = sqrt(J(1-J)/16) ≤ 0.125; the fixture's true
+    // Jaccards are ≤ ~0.1, so a 0.3 absolute band is ~3σ with headroom —
+    // deterministic here (fixed hash family), this guards the estimator's
+    // CONSTRUCTION (a wrong hash window or band mix-up blows the band)
+    val errs = got.map { case (k, est) => math.abs(est - exact(k)) }
+    assert(errs.max <= 0.3, s"max |est - J| = ${errs.max}")
+    val mean = errs.sum / errs.size
+    assert(mean <= 0.12, s"mean |est - J| = $mean")
+  }
 }
