@@ -70,12 +70,16 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** `events.ts` is parquet timestamp[ns] (INT64). Spark's parquet reader
-    * has no nanosecond timestamp type, so the declared read schema takes the
-    * raw nanos as Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * every session builder) and [[table]] converts ns → µs with integer
-    * division — the same floor-truncation DuckDB applies reading ns into its
-    * µs TIMESTAMP, keeping the oracle hash-stable. */
+  /** `events.ts` has shipped in two physical parquet forms across driver
+    * rounds: timestamp[ns] (INT64 nanos — Spark has no ns timestamp type, so
+    * the declared read schema takes the raw value as Long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
+    * builder) and native timestamp[us]. [[table]] sniffs the file footer once
+    * per directory and normalizes BOTH to a µs TimestampType column: ns files
+    * get the `ts div 1000` floor-truncation (the same floor DuckDB applies
+    * reading ns into its µs TIMESTAMP), µs files pass through untouched —
+    * either way the DuckDB oracles' `epoch_ns(ts)` spelling sees identical
+    * instants, keeping every events hash stable across fixture formats. */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // raw nanos — converted to µs timestamp in table()
@@ -83,6 +87,32 @@ object Tables {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType))) // JSON string
+
+  /** The native-µs variant of [[eventsRaw]] (fixture format since r06). */
+  val eventsMicros: StructType = StructType(
+    eventsRaw.fields.map(f =>
+      if (f.name == "ts") StructField("ts", TimestampType) else f))
+
+  /** Footer sniff, memoized per events file: LongType means the file is the
+    * ns flavor (nanosAsLong surfaces INT64-nanos as Long); TimestampType
+    * means native µs. One driver-side footer read per directory. */
+  private val tsIsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
+    tsIsNanos.computeIfAbsent(s"$dir/events.parquet",
+      p => spark.read.parquet(p).schema("ts").dataType == LongType)
+
+  /** The events fixture as a STREAMING source (file-source readStream needs
+    * a declared schema up front), normalized to µs exactly like [[table]]. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    if (eventsTsIsNanos(spark, dir))
+      spark.readStream.schema(eventsRaw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(eventsMicros)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
 
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -104,12 +134,17 @@ object Tables {
 
   /** Load one fixture as a DataFrame with its declared schema. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val schema = all.collectFirst { case (`name`, s) => s }
-      .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
-    val df = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
-    if (name == "events") // ns → µs floor-truncation (see eventsRaw scaladoc)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") { // ns → µs floor-truncation (see eventsRaw scaladoc)
+      if (eventsTsIsNanos(spark, dir))
+        spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        spark.read.schema(eventsMicros).parquet(s"$dir/events.parquet")
+    } else {
+      val schema = all.collectFirst { case (`name`, s) => s }
+        .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
+      spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    }
   }
 
   /** Rebalance a scan before a row-multiplying generator. A fixture table

@@ -73,10 +73,7 @@ object StreamingQueries extends QueryModule {
         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       // the file source needs a directory; select just the events file
-      val stream = spark.readStream.schema(Tables.eventsRaw)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.eventsStream(spark, dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(18,4)")).as("total"))
