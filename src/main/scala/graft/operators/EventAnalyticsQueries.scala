@@ -32,6 +32,20 @@ object EventAnalyticsQueries extends QueryModule {
     * into many sessions at every SF. */
   private[graft] val sessionGapUs = 21600000000L
 
+  /** q168's bitmap relation: per-(event_type, word) 62-bit membership words
+    * folded straight from raw events — bit_or is idempotent, so the rollup
+    * is map-side combinable with NO distinct pass (exposed uncheckpointed
+    * for PlanSpec's partial-aggregation assert). */
+  private[graft] def bitmapWordsOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select($"event_type", expr("user_id div 62").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(user_id % 62 as int))")
+          .as("bit"))
+      .groupBy($"event_type", $"word")
+      .agg(expr("bit_or(bit)").as("w"))
+  }
+
   /** Events as (user_id, event_type, tus = integer micros). */
   private def ev(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -1022,5 +1036,102 @@ object EventAnalyticsQueries extends QueryModule {
           Canon.r6($"sd").as("sd_daily"),
           coalesce($"n_anomalies", lit(0L)).as("n_anomalies"))
         .orderBy($"event_type", $"weekday")
+    },
+
+    // Top user-journey paths (Sankey / path analysis) — "what do users
+    // actually do first": each user's first 3 events form a '>'-joined path
+    // string; paths are counted across users and the 20 most common
+    // surfaced. Determinism: events are ordered by (tus, event_id) — the
+    // unique tiebreaker that pins a path even when two events share a
+    // microsecond — and the top-20 boundary is totally ordered by
+    // (n_users DESC, path). Scale: the per-user sequence assembly runs on
+    // ONE user_id exchange (the q105 funnel shape — window rank + grouped
+    // collect share the same partitioning); the path rollup is map-side
+    // combinable (journey prefixes are Zipf-concentrated, so partial
+    // aggregation collapses most rows before the shuffle); the final
+    // top-20 is a TakeOrdered, never a global sort. The path surfaces as a
+    // joined STRING per the no-array-output invariant.
+    q("q167_event_paths",
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |         CAST(COUNT(*) AS BIGINT) AS n_steps
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, n_steps, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path, n_steps
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val firstK = spark.table("events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tus"),
+          $"event_id")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+      firstK.groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"rn", $"event_type"))).as("s"))
+        .select(
+          array_join(transform($"s", x => x("event_type")), ">").as("path"),
+          size($"s").cast(LongType).as("n_steps"))
+        .groupBy($"path", $"n_steps")
+        .agg(count(lit(1)).cast(LongType).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(20)
+    },
+
+    // Audience-overlap matrix via packed bitmap indexes (the roaring-bitmap
+    // technique): exact distinct-user intersections between event types
+    // with NO distinct pass and NO user-level pair join. bit_or is
+    // idempotent, so raw events fold straight into per-(type, word) 62-bit
+    // membership words (62, not 64 — DuckDB's `<<` raises on shifts that
+    // reach the BIGINT sign bit, and the twin spellings must agree) in ONE
+    // map-side-combinable rollup; duplicate events never shuffle, the q166
+    // min-signature trick with OR instead of MIN. All pair math then runs
+    // on |types| × ⌈user_space/62⌉ bitmap cells: distinct counts are
+    // popcount sums, intersections AND + popcount. The oracle IS the naive
+    // DISTINCT + user-level self-join — hash equality proves the bitmap
+    // path exact (the q157 lossless-index pattern).
+    q("q168_bitmap_overlap",
+      s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM u GROUP BY 1),
+         |c AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM u a JOIN u b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT c.type_a, c.type_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+         |  ${Canon.Oracle.r6(
+              "CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common)")}
+         |    AS jaccard
+         |FROM c
+         |JOIN s sa ON sa.event_type = c.type_a
+         |JOIN s sb ON sb.event_type = c.type_b
+         |ORDER BY type_a, type_b""".stripMargin) { spark =>
+      import spark.implicits._
+      // feeds the size rollup and both sides of the pair join
+      val bm = bitmapWordsOf(spark.table("events")).localCheckpoint()
+      val sizes = bm.groupBy($"event_type")
+        .agg(sum(expr("bit_count(w)")).cast(LongType).as("n"))
+      val a = bm.select($"event_type".as("type_a"), $"word", $"w".as("wa"))
+      val b = bm.select($"event_type".as("type_b"), $"word", $"w".as("wb"))
+      val common = a.join(b, Seq("word"))
+        .filter($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b")
+        .agg(sum(expr("bit_count(wa & wb)")).cast(LongType).as("n_common"))
+        .filter($"n_common" > 0)
+      common
+        .join(broadcast(sizes.select($"event_type".as("type_a"),
+          $"n".as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select($"event_type".as("type_b"),
+          $"n".as("n_b"))), Seq("type_b"))
+        .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_common",
+          Canon.r6($"n_common".cast(DoubleType) /
+            ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+        .orderBy($"type_a", $"type_b")
     })
 }

@@ -637,4 +637,44 @@ class PipelineOpsSpec extends SparkSpec {
         r.getDouble(4))).toSeq
     assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
   }
+
+  test("q167 event paths equal the per-user sequence replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val ev = spark.table("events")
+      .select($"user_id", $"event_type", unix_micros($"ts"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val expect = ev.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val path = xs.sortBy(x => (x._3, x._4)).take(3).map(_._2)
+      (path.mkString(">"), path.length.toLong)
+    }.groupBy(identity).toSeq
+      .map { case ((p, s), xs) => (p, s, xs.length.toLong) }
+      .sortBy(t => (-t._3, t._1)).take(20)
+    val got = queries("q167_event_paths")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // the fixture must genuinely rank paths, not count singletons only
+    assert(got.exists(_._3 > 1), "every path unique — rollup vacuous")
+  }
+
+  test("q168 bitmap overlap equals the naive distinct-set replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val ev = spark.table("events").select($"event_type", $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sets = ev.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      i = (sa & sb).size.toLong if i > 0
+    } yield (a, b, sa.size.toLong, sb.size.toLong, i,
+      r6(i.toDouble / (sa.size + sb.size - i))))
+      .sortBy(t => (t._1, t._2))
+    val got = queries("q168_bitmap_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+  }
 }

@@ -612,4 +612,35 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
     assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
   }
+
+  test("event paths: one user_id exchange, top-20 is a TakeOrdered") {
+    val df = SparkEntry.queries("q167_event_paths")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the window rank AND the per-user path assembly share one exchange
+    // keyed on user_id alone (the q105/q163 single-exchange shape)
+    val userIdExchanges = finalPlan.linesIterator.count(
+      _.matches(".*Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\).*"))
+    assert(userIdExchanges == 1,
+      s"$userIdExchanges user_id exchanges:\n$finalPlan")
+    // top-20 must be a TakeOrdered (bounded), never a global sort
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+    // the path rollup partial-aggregates before its shuffle
+    assert(finalPlan.contains("partial_count"), finalPlan)
+  }
+
+  test("bitmap overlap: word rollup partial bit_or, no user-keyed shuffle") {
+    Tables.register(spark, sf)
+    // duplicates collapse map-side: the membership-word fold must partial-
+    // aggregate (asserted on the uncheckpointed relation, q166 pattern)
+    val bmPlan = planOf(graft.operators.EventAnalyticsQueries
+      .bitmapWordsOf(spark.table("events")))
+    assert(bmPlan.contains("partial_bit_or"), bmPlan)
+    // all pair math runs on bitmap cells: nothing downstream may shuffle
+    // or join on user_id (the naive-oracle shape the bitmaps replace)
+    val df = SparkEntry.queries("q168_bitmap_overlap")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(!finalPlan.contains("hashpartitioning(user_id"), finalPlan)
+  }
 }
