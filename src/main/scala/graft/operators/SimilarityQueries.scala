@@ -799,6 +799,56 @@ object SimilarityQueries extends QueryModule {
         $"vec_id" +: (0 until jlDims).map(j =>
           (floor(col(s"y$j") * 10000 + 0.5) / 10000).as(s"y$j")): _*)
         .orderBy($"vec_id")
+    },
+
+    // Embedding-space benchmark decontamination — the SEMANTIC complement
+    // of q79b's shingle-overlap decontaminate: an eval example leaks into
+    // the training corpus even when paraphrased, so the gate flags corpus
+    // vectors whose max cosine against the held-out benchmark set
+    // (vec_id < 16, the q117 broadcast-side pattern) reaches τ = 0.30
+    // (p90 of the fixture's max-cosine distribution — the gate's knob).
+    // Scale: the benchmark side is metadata-sized and BROADCAST (16×64
+    // floats), scoring is a map-side BroadcastNestedLoopJoin over the raw
+    // float arrays + codegen'd graft_dot — the corpus never shuffles for
+    // scoring; the per-vector max and per-label rollup combine map-side.
+    // Cross-engine determinism: identical left-fold dot products, MAX of
+    // bit-identical doubles, τ-compare on the same bits, free-double
+    // floor-round per the q91 invariant.
+    q("q170_embedding_decontaminate",
+      s"""WITH e AS ($withNormSql),
+         |b AS (SELECT * FROM e WHERE vec_id < 16),
+         |c AS (SELECT * FROM e WHERE vec_id >= 16),
+         |m AS (
+         |  SELECT c.vec_id,
+         |         MAX(list_dot_product(c.emb, b.emb) / (c.n * b.n)) AS mc
+         |  FROM c CROSS JOIN b GROUP BY c.vec_id),
+         |l AS (SELECT vec_id, label FROM embeddings WHERE vec_id >= 16)
+         |SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CASE WHEN m.mc >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  ${graft.api.Canon.Oracle.r4("MAX(m.mc)")} AS max_cos
+         |FROM m JOIN l ON l.vec_id = m.vec_id
+         |GROUP BY l.label ORDER BY l.label""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = pairStage(spark)
+      val bench = e.filter($"vec_id" < 16)
+        .select($"embedding".as("be"), $"n".as("bn"))
+      val m = e.filter($"vec_id" >= 16)
+        .join(broadcast(bench))
+        .select($"vec_id",
+          (dot($"embedding", $"be") / ($"n" * $"bn")).as("cos"))
+        .groupBy($"vec_id").agg(max($"cos").as("mc"))
+      val l = spark.table("embeddings").filter($"vec_id" >= 16)
+        .select($"vec_id", $"label")
+      m.join(l, Seq("vec_id"))
+        .groupBy($"label")
+        .agg(count(lit(1)).cast(LongType).as("n_vecs"),
+          sum(when($"mc" >= 0.30, 1).otherwise(0)).cast(LongType)
+            .as("n_contaminated"),
+          max($"mc").as("m0"))
+        .select($"label", $"n_vecs", $"n_contaminated",
+          graft.api.Canon.r4($"m0").as("max_cos"))
+        .orderBy($"label")
     })
 
   /** JL sketch width (projected dimensionality). */

@@ -1645,7 +1645,50 @@ object TextQueries extends QueryModule {
           sort_array(collect_list(struct($"rn", $"token"))),
           x => x.getField("token")), ",").as("keywords"))
         .orderBy($"doc_id")
+    },
+
+    // Phrase-blocklist filtering with per-source accounting — the C4-style
+    // "bad phrase" gate (boilerplate banners, policy text, lorem-ipsum)
+    // every corpus pipeline runs before training. The blocklist is a
+    // BUILD-TIME literal (embedded identically in both engines), so the
+    // whole gate is a map-side predicate over the scan — zero corpus
+    // shuffle, one metadata-sized per-source rollup. At a real blocklist's
+    // scale (10⁴⁺ phrases) the same accounting runs over q157's trigram
+    // inverted index or an Aho-Corasick mapPartitions pass instead of a
+    // contains() chain; the per-source drop-rate contract is unchanged.
+    q("q169_phrase_blocklist",
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CASE WHEN ${blockPhrases.map(p =>
+                s"contains(lower(text), '$p')").mkString(" OR ")}
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(hit) AS BIGINT) AS n_dropped,
+         |  CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_kept,
+         |  ${Canon.Oracle.r6("CAST(SUM(hit) AS DOUBLE) / COUNT(*)")}
+         |    AS drop_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val hit = blockPhrases
+        .map(p => lower($"text").contains(p))
+        .reduce(_ || _)
+      spark.table("documents")
+        .select($"source", when(hit, 1).otherwise(0).as("hit"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"hit").cast(LongType).as("n_dropped"),
+          (count(lit(1)) - sum($"hit")).cast(LongType).as("n_kept"),
+          Canon.r6(sum($"hit").cast(DoubleType) / count(lit(1)))
+            .as("drop_rate"))
+        .orderBy($"source")
     })
+
+  /** q169's build-time phrase blocklist (lowercase; single quotes would
+    * need escaping in the SQL twin — none used). */
+  private[graft] val blockPhrases = Seq(
+    "table value", "batch window", "slow fast", "merge batch",
+    "key scan", "data query")
 
   /** q157's trigram-index candidate stage: (doc_id, needle) pairs whose
     * distinct-trigram intersection covers the whole needle — a lossless

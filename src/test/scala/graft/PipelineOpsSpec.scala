@@ -677,4 +677,55 @@ class PipelineOpsSpec extends SparkSpec {
         r.getLong(4), r.getDouble(5))).toSeq
     assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
   }
+
+  test("q169 phrase blocklist equals the per-document contains replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val phrases = graft.operators.TextQueries.blockPhrases
+    val docs = spark.table("documents").select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expect = docs.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val hits = xs.count { case (_, t) =>
+        val lt = t.toLowerCase; phrases.exists(lt.contains)
+      }
+      (src, xs.length.toLong, hits.toLong, (xs.length - hits).toLong,
+        r6(hits.toDouble / xs.length))
+    }.sortBy(_._1)
+    val got = queries("q169_phrase_blocklist")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // the gate must be live on the fixture: some docs dropped, some kept
+    assert(got.exists(_._3 > 0) && got.exists(_._4 > 0))
+  }
+
+  test("q170 embedding decontamination equals the max-cosine replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val vecs = spark.table("embeddings")
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))).toSeq
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0 // left fold, the graft_dot association order
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val norm = vecs.map(v => v._1 -> math.sqrt(dot(v._2, v._2))).toMap
+    val bench = vecs.filter(_._1 < 16)
+    val expect = vecs.filter(_._1 >= 16).map { case (id, e, lab) =>
+      val mc = bench.map(b =>
+        dot(e, b._2) / (norm(id) * norm(b._1))).max
+      (lab, mc)
+    }.groupBy(_._1).toSeq.map { case (lab, xs) =>
+      (lab, xs.length.toLong, xs.count(_._2 >= 0.30).toLong,
+        math.floor(xs.map(_._2).max * 10000 + 0.5) / 10000)
+    }.sortBy(_._1)
+    val got = queries("q170_embedding_decontaminate")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // the τ gate must flag a strict, nonempty subset on the fixture
+    assert(got.map(_._3).sum > 0 && got.map(_._3).sum < got.map(_._2).sum)
+  }
 }

@@ -643,4 +643,27 @@ class PlanSpec extends SparkSpec {
     val finalPlan = planOf(df).split("== Initial Plan ==").head
     assert(!finalPlan.contains("hashpartitioning(user_id"), finalPlan)
   }
+
+  test("phrase blocklist: map-side literal gate, no corpus-keyed join") {
+    val df = SparkEntry.queries("q169_phrase_blocklist")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the contains() chain runs inside the scan stage: the only shuffle is
+    // the metadata-sized per-source rollup, which partial-aggregates
+    assert(finalPlan.contains("partial_count"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
+  test("embedding decontamination: benchmark side broadcast, corpus unshuffled") {
+    val df = SparkEntry.queries("q170_embedding_decontaminate")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // scoring joins the broadcast 16-row benchmark set against the raw
+    // corpus scan — never a shuffle join of the corpus
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+    // the per-vector max combines map-side before its exchange
+    assert(finalPlan.contains("partial_max"), finalPlan)
+  }
 }
