@@ -46,6 +46,31 @@ object EventAnalyticsQueries extends QueryModule {
       .agg(expr("bit_or(bit)").as("w"))
   }
 
+  /** q161/q171's shared HLL register relation: per-(event_type, bucket)
+    * register MAX (m = 64 md5 buckets, rho from bin() length — see q161's
+    * determinism scaladoc), with absent buckets floored to 0 by unioning an
+    * exploded grid and re-taking MAX — never a join. Map-side combinable;
+    * 512 bytes of state per event_type at any corpus size. */
+  private[graft] def hllRegistersOf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val md5hex = md5($"user_id".cast(StringType).cast(BinaryType))
+    val h = spark.table("events")
+      .select($"event_type", $"user_id")
+      .select($"event_type",
+        (conv(substring(md5hex, 1, 8), 16, 10).cast(LongType) % 64)
+          .as("bucket"),
+        conv(substring(md5hex, 9, 8), 16, 10).cast(LongType).as("w"))
+    val r = h.groupBy($"event_type", $"bucket")
+      .agg(max(when($"w" === 0, 33)
+        .otherwise(lit(33) - length(bin($"w")))).as("rho"))
+    val grid = spark.table("events").select($"event_type").distinct()
+      .select($"event_type",
+        explode(sequence(lit(0L), lit(63L))).as("bucket"),
+        lit(0).as("rho"))
+    r.unionByName(grid)
+      .groupBy($"event_type", $"bucket").agg(max($"rho").as("m"))
+  }
+
   /** Events as (user_id, event_type, tus = integer micros). */
   private def ev(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -875,25 +900,7 @@ object EventAnalyticsQueries extends QueryModule {
         |FROM ex JOIN est ON est.event_type = ex.event_type
         |ORDER BY event_type""".stripMargin) { spark =>
       import spark.implicits._
-      val md5hex = md5($"user_id".cast(StringType).cast(BinaryType))
-      val h = spark.table("events")
-        .select($"event_type", $"user_id")
-        .select($"event_type",
-          (conv(substring(md5hex, 1, 8), 16, 10).cast(LongType) % 64)
-            .as("bucket"),
-          conv(substring(md5hex, 9, 8), 16, 10).cast(LongType).as("w"))
-      val r = h.groupBy($"event_type", $"bucket")
-        .agg(max(when($"w" === 0, 33)
-          .otherwise(lit(33) - length(bin($"w")))).as("rho"))
-      // full 64-bucket grid per type WITHOUT a join: absent buckets are
-      // register 0, supplied by exploding the bucket range and taking the
-      // MAX of real rhos unioned with the zero floor
-      val grid = spark.table("events").select($"event_type").distinct()
-        .select($"event_type",
-          explode(sequence(lit(0L), lit(63L))).as("bucket"),
-          lit(0).as("rho"))
-      val reg = r.unionByName(grid)
-        .groupBy($"event_type", $"bucket").agg(max($"rho").as("m"))
+      val reg = hllRegistersOf(spark)
       val est = reg.groupBy($"event_type")
         .agg(sum($"m" * ($"bucket" + 1)).cast(LongType).as("reg_checksum"),
           sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), m) as double)"))
@@ -1132,6 +1139,123 @@ object EventAnalyticsQueries extends QueryModule {
         .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_common",
           Canon.r6($"n_common".cast(DoubleType) /
             ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+        .orderBy($"type_a", $"type_b")
+    },
+
+    // HLL set algebra — the property that makes cardinality sketches the
+    // 100 TB distinct-count tool: registers MERGE (union = per-bucket MAX),
+    // so |A∪B| needs only the two 512-byte sketches q161 already
+    // materialized, never the raw sets, and |A∩B| follows by
+    // inclusion-exclusion (can dip negative within sketch error — surfaced
+    // as-is; q168 is the exact-bitmap counterpart when ids are packable).
+    // Every union register is an exact integer, the estimate divides exact
+    // dyadic-fraction sums (q161's determinism argument verbatim), and the
+    // exact-union validator column replays na + nb − ncommon from the
+    // distinct relation — the sketch math never touches it. Scale: sketch
+    // side runs on |types| × 64 register cells; the exact side is the
+    // validator, not the operator.
+    q("q171_hll_union",
+      """WITH u AS (SELECT event_type, user_id FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |         AS UBIGINT) % 64 AS bucket,
+        |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+        |              AS UBIGINT) AS BIGINT) AS w
+        |  FROM u),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS rho
+        |  FROM h GROUP BY event_type, bucket),
+        |grid AS (
+        |  SELECT t.event_type, g.b
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(range(0, 64)) AS b) g),
+        |reg AS (
+        |  SELECT grid.event_type, grid.b AS bucket, COALESCE(r.rho, 0) AS m
+        |  FROM grid LEFT JOIN r ON r.event_type = grid.event_type
+        |                       AND r.bucket = grid.b),
+        |sing AS (
+        |  SELECT event_type,
+        |    0.709 * 4096 / SUM(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE))
+        |      AS e
+        |  FROM reg GROUP BY event_type),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.bucket,
+        |         CASE WHEN a.m >= b.m THEN a.m ELSE b.m END AS m
+        |  FROM reg a JOIN reg b ON a.bucket = b.bucket
+        |                       AND a.event_type < b.event_type),
+        |uest AS (
+        |  SELECT type_a, type_b,
+        |    CAST(SUM(m * (bucket + 1)) AS BIGINT) AS union_checksum,
+        |    0.709 * 4096 / SUM(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE))
+        |      AS ue
+        |  FROM pr GROUP BY type_a, type_b),
+        |du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM du GROUP BY 1),
+        |c AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |         CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM du a JOIN du b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.type_a AS type_a, e.type_b AS type_b, e.union_checksum,
+        |  floor(e.ue * 10000 + 0.5) / 10000 AS union_est,
+        |  floor((ea.e + eb.e - e.ue) * 10000 + 0.5) / 10000 AS inter_est,
+        |  sa.n + sb.n - COALESCE(c.nc, 0) AS n_union_exact,
+        |  floor((e.ue - (sa.n + sb.n - COALESCE(c.nc, 0)))
+        |        / (sa.n + sb.n - COALESCE(c.nc, 0)) * 1000000 + 0.5)
+        |    / 1000000 AS union_rel_err
+        |FROM uest e
+        |JOIN sing ea ON ea.event_type = e.type_a
+        |JOIN sing eb ON eb.event_type = e.type_b
+        |JOIN s sa ON sa.event_type = e.type_a
+        |JOIN s sb ON sb.event_type = e.type_b
+        |LEFT JOIN c ON c.ta = e.type_a AND c.tb = e.type_b
+        |ORDER BY type_a, type_b""".stripMargin) { spark =>
+      import spark.implicits._
+      // registers feed the single-type estimates AND both pair sides
+      val reg = hllRegistersOf(spark).localCheckpoint()
+      val dyadic = expr("1.0 / cast(shiftleft(cast(1 as bigint), m) as double)")
+      val sing = reg.groupBy($"event_type")
+        .agg(sum(dyadic).as("s"))
+        .select($"event_type", (lit(0.709) * 4096 / $"s").as("e"))
+      val pr = reg.as("a").join(reg.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.event_type" < $"b.event_type")
+        .select($"a.event_type".as("type_a"), $"b.event_type".as("type_b"),
+          $"a.bucket".as("bucket"), greatest($"a.m", $"b.m").as("m"))
+      val uest = pr.groupBy($"type_a", $"type_b")
+        .agg(sum($"m" * ($"bucket" + 1)).cast(LongType).as("union_checksum"),
+          sum(dyadic).as("s"))
+        .select($"type_a", $"type_b", $"union_checksum",
+          (lit(0.709) * 4096 / $"s").as("ue"))
+      val du = spark.table("events")
+        .select($"event_type", $"user_id").distinct().localCheckpoint()
+      val sizes = du.groupBy($"event_type")
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      val common = du.as("a").join(du.as("b"),
+          $"a.user_id" === $"b.user_id" &&
+            $"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("ta"), $"b.event_type".as("tb"))
+        .agg(count(lit(1)).cast(LongType).as("nc"))
+      val exact = $"n_a" + $"n_b" - coalesce($"nc", lit(0L))
+      uest
+        .join(broadcast(sing.select($"event_type".as("type_a"),
+          $"e".as("ea"))), Seq("type_a"))
+        .join(broadcast(sing.select($"event_type".as("type_b"),
+          $"e".as("eb"))), Seq("type_b"))
+        .join(broadcast(sizes.select($"event_type".as("type_a"),
+          $"n".as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select($"event_type".as("type_b"),
+          $"n".as("n_b"))), Seq("type_b"))
+        .join(broadcast(common), $"type_a" === $"ta" && $"type_b" === $"tb",
+          "left")
+        .select($"type_a", $"type_b", $"union_checksum",
+          Canon.r4($"ue").as("union_est"),
+          Canon.r4($"ea" + $"eb" - $"ue").as("inter_est"),
+          exact.as("n_union_exact"),
+          Canon.r6(($"ue" - exact) / exact).as("union_rel_err"))
         .orderBy($"type_a", $"type_b")
     })
 }

@@ -427,6 +427,66 @@ object ScaleQueries extends QueryModule {
         "o_orderdate", "o_orderpriority")
         .map(prof).reduce(_ unionAll _)
         .orderBy($"col")
+    },
+
+    // RFM customer segmentation (recency / frequency / monetary) — the
+    // classic marketing rollup a warehouse serves from the orders fact.
+    // Determinism without floats: recency is INTEGER days from integer
+    // micros (the house epoch idiom), frequency an integer count, monetary
+    // an EXACT DECIMAL sum compared against integer thresholds — the
+    // score CASEs never touch IEEE; segment revenue surfaces via the Canon
+    // sum-of-exact-sums rule. Thresholds are fixed knobs (quantile-based
+    // scoring would be q127's tertile pattern). Scale: one map-side-
+    // combinable o_custkey rollup (max date, count, decimal sum), the
+    // global anchor date a 1-row broadcast, score mapping map-side, and a
+    // ≤27-cell segment rollup. No window, no join of the fact table.
+    q("q172_rfm_segments",
+      """WITH g AS (
+        |  SELECT MAX(epoch_ns(o_orderdate) // 1000) AS gmax FROM orders),
+        |c AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS f,
+        |         MAX(epoch_ns(o_orderdate) // 1000) AS last,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |sc AS (
+        |  SELECT CASE WHEN (gmax - last) // 86400000000 <= 90 THEN 3
+        |              WHEN (gmax - last) // 86400000000 <= 250 THEN 2
+        |              ELSE 1 END AS r_score,
+        |         CASE WHEN f >= 12 THEN 3 WHEN f >= 9 THEN 2 ELSE 1 END
+        |           AS f_score,
+        |         CASE WHEN m >= 3000000 THEN 3 WHEN m >= 2200000 THEN 2
+        |              ELSE 1 END AS m_score,
+        |         m
+        |  FROM c CROSS JOIN g)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  ROUND(CAST(SUM(m) AS DOUBLE), 4) AS revenue
+        |FROM sc GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin) { spark =>
+      import spark.implicits._
+      val dayUs = 86400000000L
+      val c = spark.table("orders")
+        .select($"o_custkey", unix_micros($"o_orderdate").as("ous"),
+          $"o_totalprice")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).cast("long").as("f"),
+          max($"ous").as("last"),
+          sum(Canon.dec4($"o_totalprice")).as("m"))
+      val g = spark.table("orders")
+        .agg(max(unix_micros($"o_orderdate")).as("gmax"))
+      c.crossJoin(broadcast(g))
+        .select(
+          when(expr(s"(gmax - last) div $dayUs") <= 90, 3)
+            .when(expr(s"(gmax - last) div $dayUs") <= 250, 2)
+            .otherwise(1).as("r_score"),
+          when($"f" >= 12, 3).when($"f" >= 9, 2).otherwise(1).as("f_score"),
+          when($"m" >= 3000000, 3).when($"m" >= 2200000, 2)
+            .otherwise(1).as("m_score"),
+          $"m")
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          round(sum($"m").cast("double"), 4).as("revenue"))
+        .orderBy($"r_score", $"f_score", $"m_score")
     })
 
   /** 64-bit Morton (Z-order) value of two non-negative 32-bit keys: bit i

@@ -728,4 +728,75 @@ class PipelineOpsSpec extends SparkSpec {
     // the τ gate must flag a strict, nonempty subset on the fixture
     assert(got.map(_._3).sum > 0 && got.map(_._3).sum < got.map(_._2).sum)
   }
+
+  test("q171 HLL union registers equal the pairwise-max merge replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ev = spark.table("events").select($"event_type", $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def regsOf(uids: Seq[Long]): Array[Int] = {
+      val regs = Array.fill(64)(0)
+      uids.distinct.foreach { uid =>
+        val h = md5hex(uid.toString)
+        val b = (java.lang.Long.parseLong(h.substring(0, 8), 16) % 64).toInt
+        val w = java.lang.Long.parseLong(h.substring(8, 16), 16)
+        regs(b) = math.max(regs(b), if (w == 0) 33 else 33 - w.toBinaryString.length)
+      }
+      regs
+    }
+    def est(regs: Array[Int]): Double =
+      0.709 * 4096 / regs.map(m => 1.0 / (1L << m)).sum
+    val byType = ev.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val expect = (for {
+      (a, ua) <- byType.toSeq; (b, ub) <- byType.toSeq if a < b
+    } yield {
+      val (ra, rb) = (regsOf(ua), regsOf(ub))
+      val merged = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+      val checksum = merged.zipWithIndex
+        .map { case (m, i) => m.toLong * (i + 1) }.sum
+      val (ea, eb, ue) = (est(ra), est(rb), est(merged))
+      val nUnion = (ua.toSet ++ ub.toSet).size.toLong
+      (a, b, checksum, r4(ue), r4(ea + eb - ue), nUnion,
+        r6d((ue - nUnion) / nUnion))
+    }).sortBy(t => (t._1, t._2))
+    val got = queries("q171_hll_union")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expect, s"${got.take(2)} vs ${expect.take(2)}")
+  }
+
+  test("q172 RFM segments equal the per-customer scoring replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val dayUs = 86400000000L
+    val orders = spark.table("orders")
+      .select($"o_custkey", unix_micros($"o_orderdate"), $"o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val gmax = orders.map(_._2).max
+    val expect = orders.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val rec = (gmax - xs.map(_._2).max) / dayUs
+      val f = xs.length.toLong
+      // exact money: the fixture carries <= 2 decimals, sum in cents
+      val cents = xs.map(o => math.round(o._3 * 100)).sum
+      val r = if (rec <= 90) 3 else if (rec <= 250) 2 else 1
+      val fs = if (f >= 12) 3 else if (f >= 9) 2 else 1
+      val ms = if (cents >= 3000000L * 100) 3
+        else if (cents >= 2200000L * 100) 2 else 1
+      ((r, fs, ms), cents)
+    }.groupBy(_._1).toSeq.map { case ((r, fs, ms), xs) =>
+      (r, fs, ms, xs.length.toLong,
+        math.round(xs.map(_._2).sum.toDouble / 100 * 10000).toDouble / 10000)
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = queries("q172_rfm_segments")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // the fixture must exercise several segments in every dimension
+    assert(got.map(_._1).distinct.size == 3 &&
+      got.map(_._2).distinct.size == 3 && got.map(_._3).distinct.size == 3)
+  }
 }

@@ -666,4 +666,30 @@ class PlanSpec extends SparkSpec {
     // the per-vector max combines map-side before its exchange
     assert(finalPlan.contains("partial_max"), finalPlan)
   }
+
+  test("HLL union: register fold partial-aggregates, pair math on cells") {
+    Tables.register(spark, sf)
+    // the sketch build is the only corpus-sized stage and must combine
+    // map-side (asserted on the uncheckpointed register relation)
+    val regPlan = planOf(
+      graft.operators.EventAnalyticsQueries.hllRegistersOf(spark))
+    assert(regPlan.contains("partial_max"), regPlan)
+    // downstream estimate/validator joins run on register cells and
+    // metadata-sized size relations — all broadcast
+    val df = SparkEntry.queries("q171_hll_union")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
+  test("RFM: one custkey rollup with map-side combine, broadcast anchor") {
+    val df = SparkEntry.queries("q172_rfm_segments")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // per-customer (count, max, exact sum) partial-aggregates before the
+    // single custkey exchange; the global anchor date arrives broadcast
+    assert(finalPlan.contains("partial_count"), finalPlan)
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
 }
