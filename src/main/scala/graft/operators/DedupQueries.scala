@@ -1186,6 +1186,61 @@ object DedupQueries extends QueryModule {
         .orderBy($"source_a", $"source_b")
     },
 
+    // Shingle-novelty curve (marginal-coverage / diversity accounting, the
+    // greedy-coverage signal behind curation methods like submodular
+    // source selection): with sources ranked in ingest order, each
+    // distinct 3-shingle is credited to the FIRST source containing it, so
+    // n_novel answers "what does adding this source contribute that
+    // earlier sources didn't?" and cum_distinct traces the corpus
+    // coverage curve. All integers. Scale: one distinct pass over the
+    // exploded shingles (materialized once for totals + first-seen), one
+    // map-side-combinable MIN per shingle, then everything runs on the
+    // |sources|-row grid — the cumulative window over 20 rows is
+    // metadata-sized by construction, never a corpus sort.
+    q("q173_shingle_novelty",
+      s"""WITH raw AS (
+         |  SELECT CAST(substr(source, 4) AS INT) AS ord,
+         |         unnest($shingleSql) AS shingle
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT ord, shingle FROM raw),
+         |tot AS (SELECT ord, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |        FROM sh GROUP BY ord),
+         |fs AS (SELECT shingle, MIN(ord) AS ord FROM sh GROUP BY shingle),
+         |nov AS (SELECT ord, CAST(COUNT(*) AS BIGINT) AS n_novel
+         |        FROM fs GROUP BY ord)
+         |SELECT t.ord AS src_ord, t.n_shingles,
+         |  COALESCE(nov.n_novel, 0) AS n_novel,
+         |  CAST(SUM(COALESCE(nov.n_novel, 0)) OVER (ORDER BY t.ord
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct,
+         |  ${Canon.Oracle.r6(
+              "CAST(COALESCE(nov.n_novel, 0) AS DOUBLE) / t.n_shingles")}
+         |    AS novelty_rate
+         |FROM tot t LEFT JOIN nov ON nov.ord = t.ord
+         |ORDER BY src_ord""".stripMargin) { spark =>
+      import spark.implicits._
+      val sh = Tables.spread(spark.table("documents"))
+        .select(substring($"source", 4, 10).cast(IntegerType).as("ord"),
+          split(lower($"text"), " ").as("toks"))
+        .select($"ord", explode(shingles($"toks")).as("shingle"))
+        .distinct()
+        // feeds the per-source totals AND the first-seen credit
+        .localCheckpoint()
+      val tot = sh.groupBy($"ord")
+        .agg(count(lit(1)).cast(LongType).as("n_shingles"))
+      val nov = sh.groupBy($"shingle").agg(min($"ord").as("ord"))
+        .groupBy($"ord").agg(count(lit(1)).cast(LongType).as("n_novel"))
+      // |sources| rows: the unpartitioned window is metadata-sized here
+      val w = Window.orderBy($"src_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tot.join(nov, Seq("ord"), "left")
+        .select($"ord".as("src_ord"), $"n_shingles",
+          coalesce($"n_novel", lit(0L)).as("n_novel"))
+        .withColumn("cum_distinct", sum($"n_novel").over(w).cast(LongType))
+        .withColumn("novelty_rate",
+          Canon.r6($"n_novel".cast(DoubleType) / $"n_shingles"))
+        .orderBy($"src_ord")
+    },
+
     // MinHash corpus-level Jaccard — q162's SKETCH complement: instead of
     // the exact distinct-shingle machinery, each source is compressed to
     // the SAME 16-component signature q72 computes per document (min md5

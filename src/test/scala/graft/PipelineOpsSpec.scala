@@ -799,4 +799,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == 3 &&
       got.map(_._2).distinct.size == 3 && got.map(_._3).distinct.size == 3)
   }
+
+  test("q173 shingle novelty equals the first-seen set replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val docs = spark.table("documents").select($"source", $"text")
+      .collect().map(r =>
+        (r.getString(0).drop(3).toInt, r.getString(1))).toSeq
+    val sets = docs.groupBy(_._1).map { case (ord, xs) =>
+      ord -> xs.flatMap { case (_, t) =>
+        tokens(t).sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    val firstSeen = sets.toSeq.flatMap { case (o, s) => s.map(_ -> o) }
+      .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).min }
+    val ords = sets.keys.toSeq.sorted
+    var cum = 0L
+    val expect = ords.map { o =>
+      val novel = firstSeen.count(_._2 == o).toLong
+      cum += novel
+      (o, sets(o).size.toLong, novel, cum,
+        r6d(novel.toDouble / sets(o).size))
+    }
+    val got = queries("q173_shingle_novelty")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // every source must contribute; later sources mostly repeat earlier
+    // shingles, so the curve genuinely bends on the fixture
+    assert(got.head._5 == 1.0 && got.last._5 < 1.0)
+  }
 }

@@ -682,6 +682,17 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
   }
 
+  test("shingle novelty: first-seen MIN combines map-side, grid-sized window") {
+    val df = SparkEntry.queries("q173_shingle_novelty")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the first-seen credit is a per-shingle MIN that must partial-
+    // aggregate; the cumulative window runs AFTER the per-source rollup,
+    // so its input is the |sources|-row grid, never the shingle relation
+    assert(finalPlan.contains("partial_min"), finalPlan)
+    assert(finalPlan.contains("partial_count"), finalPlan)
+  }
+
   test("RFM: one custkey rollup with map-side combine, broadcast anchor") {
     val df = SparkEntry.queries("q172_rfm_segments")(spark, sf)
     df.collect()

@@ -395,6 +395,40 @@ class StreamingSpec extends SparkSpec {
     assert(batchPairs.nonEmpty, "fixture must contain planted near-dups")
   }
 
+  test("streaming bitmap distinct state equals the batch popcounts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    // q168's membership-word fold as STREAMING aggregation state: bit_or is
+    // idempotent AND commutative, so the per-(type, word) running OR is a
+    // mergeable sketch — exactly-once distinct counting with O(words)
+    // state and no per-user dedup state, replayed here against the batch
+    // fold over the same fixture rows, split into two "arrival" batches
+    val rows = spark.table("events").select($"event_type", $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val batch = graft.operators.EventAnalyticsQueries
+      .bitmapWordsOf(spark.table("events"))
+      .groupBy($"event_type").agg(sum(expr("bit_count(w)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (early, late) = rows.partition(_._2 % 2 == 0)
+    val ms = MemoryStream[(String, Long)]
+    val agg = graft.operators.EventAnalyticsQueries
+      .bitmapWordsOf(ms.toDF().toDF("event_type", "user_id"))
+    val q = agg.writeStream.format("memory").queryName("t_bitmap")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      ms.addData(early.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(late.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_bitmap")
+      .groupBy($"event_type").agg(sum(expr("bit_count(w)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"$got vs $batch")
+    assert(batch.values.sum > 0)
+  }
+
   test("q130 batch gap sessionization equals session_window on the fixture") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
