@@ -278,6 +278,66 @@ object JoinQueries extends QueryModule {
           $"na.cnt".as("cnt_a"), $"nb.cnt".as("cnt_b"))
         .orderBy($"support".desc, $"pk_a", $"pk_b")
         .limit(500)
+    },
+
+    // Association rules (the Apriori/market-basket step after q156's pair
+    // support): every supported pair yields both directed rules ante→cons
+    // with confidence = s/|ante| and lift = s·N / (|ante|·|cons|). The
+    // ratio doubles are FREE doubles, so they surface AND order through
+    // the r6 floor-round (the q134 rounded-value-ordering pattern) with
+    // (ante, cons) as the unique tiebreaker; every input to the ratios is
+    // an exact BIGINT. Scale: reuses the basket-keyed pair relation
+    // (C(width,2) per order, linear in orders), item counts and the 1-row
+    // basket total join back broadcast, and the top-200 is a TakeOrdered.
+    q("q174_association_rules",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+        |cnt AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM items GROUP BY pk),
+        |p AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS s
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |  HAVING COUNT(*) >= 2),
+        |r AS (
+        |  SELECT pk_a AS ante, pk_b AS cons, s FROM p
+        |  UNION ALL
+        |  SELECT pk_b AS ante, pk_a AS cons, s FROM p)
+        |SELECT r.ante, r.cons, r.s AS support,
+        |  floor(CAST(r.s AS DOUBLE) / ca.c * 1000000 + 0.5) / 1000000
+        |    AS confidence,
+        |  floor(CAST(r.s AS DOUBLE) * nb.n / (ca.c * cb.c) * 1000000 + 0.5)
+        |    / 1000000 AS lift
+        |FROM r
+        |JOIN cnt ca ON ca.pk = r.ante
+        |JOIN cnt cb ON cb.pk = r.cons
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, ante, cons
+        |LIMIT 200""".stripMargin) { spark =>
+      import spark.implicits._
+      val items = spark.table("lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        .localCheckpoint() // feeds pair sides, item counts, basket total
+      val nb = items.agg(countDistinct($"ok").cast(LongType).as("n"))
+      val cnt = items.groupBy($"pk")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      val p = basketPairSupport(items).filter($"support" >= 2)
+      val r = p.select($"pk_a".as("ante"), $"pk_b".as("cons"),
+          $"support".as("s"))
+        .unionAll(p.select($"pk_b".as("ante"), $"pk_a".as("cons"),
+          $"support".as("s")))
+      r.join(broadcast(cnt.select($"pk".as("ante"), $"c".as("ca"))),
+          Seq("ante"))
+        .join(broadcast(cnt.select($"pk".as("cons"), $"c".as("cb"))),
+          Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .select($"ante", $"cons", $"s".as("support"),
+          Canon.r6($"s".cast(DoubleType) / $"ca").as("confidence"),
+          Canon.r6($"s".cast(DoubleType) * $"n" / ($"ca" * $"cb"))
+            .as("lift"))
+        .orderBy($"lift".desc, $"ante", $"cons")
+        .limit(200)
     })
 
   /** q156's pair-support relation over distinct (ok, pk) basket items —

@@ -267,6 +267,40 @@ object IngestQueries extends QueryModule {
         .orderBy($"source", $"status")
     },
 
+    // Order-insensitive corpus checksum (anti-entropy verification): the
+    // integrity digest two replicas of a 100 TB corpus exchange to prove
+    // they hold the same documents WITHOUT moving data — per-source XOR of
+    // per-row 60-bit md5 words. bit_xor is commutative, associative, and
+    // self-inverse, so the fold is map-side combinable in any partition
+    // order, a replica diff localizes to the sources whose cells differ
+    // (pair with q128's row-level diff to drill in), and ingesting the
+    // same doc twice cancels — which is exactly the multiset semantics a
+    // content digest wants. All-integer; the digest keys on (doc_id, text)
+    // so a payload edit flips the cell. 60 bits (15 hex chars) keeps the
+    // word positive in both engines' signed BIGINT.
+    q("q175_corpus_checksum",
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(CAST(('0x' || substr(
+        |           md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))
+        |         AS UBIGINT) AS BIGINT) AS w
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       bit_xor(w) AS checksum
+        |FROM h GROUP BY source
+        |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      spark.table("documents")
+        .select($"source",
+          conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+            $"text").cast(org.apache.spark.sql.types.BinaryType)), 1, 15),
+            16, 10).cast("long").as("w"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          expr("bit_xor(w)").as("checksum"))
+        .orderBy($"source")
+    },
+
     // Incremental aggregate maintenance (materialized-view upkeep): a
     // warehouse's per-(event_type, day) summary is refreshed by merging
     // the standing summary's PARTIAL aggregates with the late-arriving

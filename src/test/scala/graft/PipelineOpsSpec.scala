@@ -830,4 +830,62 @@ class PipelineOpsSpec extends SparkSpec {
     // shingles, so the curve genuinely bends on the fixture
     assert(got.head._5 == 1.0 && got.last._5 < 1.0)
   }
+
+  test("q174 association rules equal the basket-set replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val items = spark.table("lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val n = items.map(_._1).distinct.size.toLong
+    val cnt = items.groupBy(_._2).map { case (pk, xs) => pk -> xs.size.toLong }
+    val support = items.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (p, xs) if xs.size >= 2 =>
+      (p, xs.size.toLong)
+    }.toSeq
+    val expect = support.flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s)) }.map { case (ante, cons, s) =>
+      (ante, cons, s, r6d(s.toDouble / cnt(ante)),
+        r6d(s.toDouble * n / (cnt(ante) * cnt(cons))))
+    }.sortBy(t => (-t._5, t._1, t._2)).take(200)
+    val got = queries("q174_association_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // lift must genuinely discriminate (not all rules tied at one value)
+    assert(got.map(_._5).distinct.size > 1)
+  }
+
+  test("q175 corpus checksum equals the per-source XOR replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = spark.table("documents")
+      .select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val expect = docs.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val x = xs.map { case (_, id, t) =>
+        java.lang.Long.parseLong(md5hex(s"$id:$t").substring(0, 15), 16)
+      }.reduce(_ ^ _)
+      (src, xs.length.toLong, x)
+    }.sortBy(_._1)
+    val got = queries("q175_corpus_checksum")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // self-inverse: XOR-ing a replica with itself cancels to zero, and a
+    // single changed payload flips its source cell
+    val flipped = docs.map { case (s, id, t) =>
+      if (id == docs.head._2) (s, id, t + "!") else (s, id, t) }
+    val re = flipped.groupBy(_._1).map { case (src, xs) =>
+      src -> xs.map { case (_, id, t) =>
+        java.lang.Long.parseLong(md5hex(s"$id:$t").substring(0, 15), 16)
+      }.reduce(_ ^ _)
+    }
+    val diff = expect.filter { case (s, _, x) => re(s) != x }
+    assert(diff.size == 1 && diff.head._1 == docs.head._1)
+  }
 }

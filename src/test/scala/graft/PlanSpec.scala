@@ -693,6 +693,28 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("partial_count"), finalPlan)
   }
 
+  test("association rules: counts join back broadcast, top-200 TakeOrdered") {
+    val df = SparkEntry.queries("q174_association_rules")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // item counts and the 1-row basket total are broadcast onto the rule
+    // relation; the ranked cut is bounded, never a global sort
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
+  test("corpus checksum: XOR fold partial-aggregates map-side") {
+    val df = SparkEntry.queries("q175_corpus_checksum")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the anti-entropy digest is one map-side-combinable rollup: per-row
+    // md5 words XOR into per-source cells before the only exchange
+    assert(finalPlan.contains("partial_bit_xor"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("Window"), finalPlan)
+  }
+
   test("RFM: one custkey rollup with map-side combine, broadcast anchor") {
     val df = SparkEntry.queries("q172_rfm_segments")(spark, sf)
     df.collect()
