@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupQueries, JoinQueries, SimilarityQueries, TextQueries}
+import graft.operators.{DedupQueries, EventAnalyticsQueries, JoinQueries,
+  SimilarityQueries, TextQueries}
 
 /** Candidate-volume scale probe: the empirical backing for §2C's "candidate
   * pairs grow near-linearly" claims. Generates deterministic synthetic
@@ -70,6 +71,16 @@ object ScaleProbe {
           lit(2000L)).cast("double") / 1000.0 - 1.0).as("emb"))
   }
 
+  /** (event_type, user_id): 5 types, n events over an n/10-user space —
+    * bitmap cells must track the USER space (linear), not event volume. */
+  def synthEvents(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(
+      concat(lit("t"), pmod($"id", lit(5)).cast("string")).as("event_type"),
+      pmod(xxhash64($"id".cast("string")), lit(math.max(n / 10, 100L)))
+        .as("user_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val sizes = Seq(25000L, 100000L)
@@ -110,7 +121,11 @@ object ScaleProbe {
         // intersection is per (doc, needle), so candidates are bounded by
         // docs × needles
         "trigram" -> TextQueries.trigramCandidates(docs,
-          Seq("w12", "w34")).count())
+          Seq("w12", "w34")).count(),
+        // q168 path: bitmap cells are |types| x ceil(users/62) regardless
+        // of event volume — the sketch state the pair math runs on
+        "bitmap" -> EventAnalyticsQueries.bitmapWordsOf(
+          synthEvents(spark, n)).count())
       finally docs.unpersist()
     }
 
@@ -119,7 +134,7 @@ object ScaleProbe {
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
-      "semdedup", "containment", "dupspan", "winnow", "basket", "trigram")
+      "semdedup", "containment", "dupspan", "winnow", "basket", "trigram", "bitmap")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

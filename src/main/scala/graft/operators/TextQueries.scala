@@ -1682,6 +1682,48 @@ object TextQueries extends QueryModule {
           Canon.r6(sum($"hit").cast(DoubleType) / count(lit(1)))
             .as("drop_rate"))
         .orderBy($"source")
+    },
+
+    // Compression-ratio quality gate (the Gopher-family "too compressible =
+    // machine-generated/repetitive" heuristic): each document is deflated
+    // (zlib level 6, JDK Deflater) and sources are profiled by exact BYTE
+    // sums — the per-source ratio divides two exact integer sums, so the
+    // result is partition-order-invariant even though deflate itself is
+    // opaque to SQL. Rows-only in the driver gate (no DuckDB deflate);
+    // PipelineOpsSpec replays the identical Deflater per doc, and the
+    // QueriesSmoke partition-invariance sweep covers the fold. Scale:
+    // mapPartitions with ONE reused Deflater per partition (the q91
+    // opaque-codec seam — payload bytes never shuffle, never reach the
+    // driver), then a map-side-combinable per-source integer rollup.
+    qRowsOnly("q176_compression_quality") { spark =>
+      import spark.implicits._
+      val sized = spark.table("documents")
+        .select($"source", $"text").as[(String, String)]
+        .mapPartitions { rows =>
+          val defl = new java.util.zip.Deflater(6)
+          val out = rows.map { case (src, text) =>
+            val raw = text.getBytes("UTF-8")
+            (src, raw.length.toLong, deflatedSize(raw, defl))
+          }
+          // exhaust before end(): mapPartitions iterators are lazy
+          val done = out.toVector
+          defl.end()
+          done.iterator
+        }
+        .toDF("source", "raw_bytes", "defl_bytes")
+      sized
+        .groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"raw_bytes").cast(LongType).as("raw_bytes"),
+          sum($"defl_bytes").cast(LongType).as("defl_bytes"),
+          sum(when($"defl_bytes".cast(DoubleType) / $"raw_bytes" <
+            repetitiveRatio, 1).otherwise(0)).cast(LongType)
+            .as("n_repetitive"))
+        .select($"source", $"n_docs", $"raw_bytes", $"defl_bytes",
+          Canon.r6($"defl_bytes".cast(DoubleType) / $"raw_bytes")
+            .as("compression_ratio"),
+          $"n_repetitive")
+        .orderBy($"source")
     })
 
   /** q169's build-time phrase blocklist (lowercase; single quotes would
@@ -1689,6 +1731,30 @@ object TextQueries extends QueryModule {
   private[graft] val blockPhrases = Seq(
     "table value", "batch window", "slow fast", "merge batch",
     "key scan", "data query")
+
+  /** q176's per-doc deflate measurement: (raw_bytes, deflated_bytes) with
+    * one Deflater reused (reset) per partition — zlib output is a pure
+    * function of (input, level, strategy), so reuse and partitioning don't
+    * change a single byte. Level 6 = zlib default. */
+  private[graft] def deflatedSize(bytes: Array[Byte],
+      defl: java.util.zip.Deflater): Long = {
+    defl.reset()
+    defl.setInput(bytes)
+    defl.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!defl.finished()) total += defl.deflate(buf)
+    total
+  }
+
+  /** Per-doc compression-ratio threshold below which q176 flags a document
+    * as machine-repetitive (Gopher/C4-class heuristic: natural text
+    * deflates to ~0.35–0.6 of raw; templated/looping text goes far lower).
+    * The fixture's word-salad corpus clusters tightly at 0.47–0.52, so the
+    * committed knob sits inside that band to keep BOTH branches of the
+    * gate live under test — production would set it from a corpus
+    * percentile (the q127 pattern). */
+  private[graft] val repetitiveRatio = 0.48
 
   /** q157's trigram-index candidate stage: (doc_id, needle) pairs whose
     * distinct-trigram intersection covers the whole needle — a lossless

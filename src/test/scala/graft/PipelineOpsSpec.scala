@@ -888,4 +888,36 @@ class PipelineOpsSpec extends SparkSpec {
     val diff = expect.filter { case (s, _, x) => re(s) != x }
     assert(diff.size == 1 && diff.head._1 == docs.head._1)
   }
+
+  test("q176 compression quality equals the per-document Deflater replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val docs = spark.table("documents").select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val defl = new java.util.zip.Deflater(6)
+    val sized = docs.map { case (src, text) =>
+      val raw = text.getBytes("UTF-8")
+      (src, raw.length.toLong,
+        graft.operators.TextQueries.deflatedSize(raw, defl))
+    }
+    defl.end()
+    val thr = graft.operators.TextQueries.repetitiveRatio
+    val expect = sized.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val raw = xs.map(_._2).sum
+      val dz = xs.map(_._3).sum
+      (src, xs.length.toLong, raw, dz, r6d(dz.toDouble / raw),
+        xs.count(x => x._3.toDouble / x._2 < thr).toLong)
+    }.sortBy(_._1)
+    val got = queries("q176_compression_quality")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // the synthetic word-salad corpus is highly repetitive: the ratio must
+    // sit well below 1 and the gate must be live without flagging everything
+    assert(got.forall(_._5 < 0.8))
+    val flagged = got.map(_._6).sum
+    assert(flagged > 0 && flagged < got.map(_._2).sum,
+      s"repetitive gate must be live and partial: $got")
+  }
 }

@@ -429,6 +429,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.sum > 0)
   }
 
+  test("streaming foreachBatch upsert maintains the partitioned table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the streaming-CDC shape: micro-batches of corrections land in a
+    // partitioned table through the SAME dynamic-partition upsert the
+    // batch MERGE analog (q99c) uses inside foreachBatch — the final table
+    // must equal applying all corrections at once in batch
+    val base = java.nio.file.Files.createTempDirectory("graft_supsert_").toString
+    Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
+      .toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(s"$base/layout")
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = ms.toDF().toDF("k", "part", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.sources.IngestQueries.upsertPartitioned(spark,
+          s"$base/layout", s"$base/stage_$id", batch, "k", "part")
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData((2L, "a", 21), (5L, "a", 50)) // update + insert, batch 0
+      q.processAllAvailable()
+      ms.addData((3L, "b", 31)) // update in another partition, batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/layout")
+      .select($"k", $"part", $"v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a", 10), (2L, "a", 21), (3L, "b", 31),
+      (4L, "c", 40), (5L, "a", 50)), got)
+  }
+
   test("q130 batch gap sessionization equals session_window on the fixture") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
