@@ -127,6 +127,73 @@ object EventAnalyticsQueries extends QueryModule {
         .orderBy($"stage_idx")
     },
 
+    // Funnel time-to-convert — q105's latency complement: the same
+    // chained-min stage relation, but surfacing HOW LONG each surviving
+    // user took between consecutive stages (median / p90 seconds). The
+    // deltas are integer micros scaled by 1e6 once; quantiles are the
+    // exact interpolated QUANTILE_CONT both engines share (q27 precedent),
+    // surfaced through the free-double floor-round since an interpolation
+    // midpoint can land on a ROUND half boundary (q91 invariant). Scale:
+    // the stage relation is the q105 single user_id exchange; the deltas
+    // are ≤3 rows per converted user; the quantile rollup groups 3 keys.
+    q("q177_funnel_latency",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.tus > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tus > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.tus) AS t FROM e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tus > s3.t
+        |       GROUP BY e.user_id),
+        |d AS (
+        |  SELECT 1 AS stage_idx, 'signup>view' AS transition,
+        |         (s2.t - s1.t) / 1000000.0 AS dt
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL
+        |  SELECT 2, 'view>click', (s3.t - s2.t) / 1000000.0
+        |  FROM s2 JOIN s3 USING (user_id)
+        |  UNION ALL
+        |  SELECT 3, 'click>purchase', (s4.t - s3.t) / 1000000.0
+        |  FROM s3 JOIN s4 USING (user_id))
+        |SELECT stage_idx, transition, CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  floor(QUANTILE_CONT(dt, 0.5) * 10000 + 0.5) / 10000 AS median_s,
+        |  floor(QUANTILE_CONT(dt, 0.9) * 10000 + 0.5) / 10000 AS p90_s
+        |FROM d GROUP BY stage_idx, transition
+        |ORDER BY stage_idx""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id")
+      def stageMin(stage: String, after: Option[Column]): Column =
+        min(when($"event_type" === stage &&
+          after.map($"tus" > _).getOrElse(lit(true)), $"tus")).over(w)
+      val staged = ev(spark)
+        .withColumn("s1", stageMin("signup", None))
+        .withColumn("s2", stageMin("view", Some($"s1")))
+        .withColumn("s3", stageMin("click", Some($"s2")))
+        .withColumn("s4", stageMin("purchase", Some($"s3")))
+        .groupBy($"user_id")
+        .agg(max($"s1").as("s1"), max($"s2").as("s2"),
+          max($"s3").as("s3"), max($"s4").as("s4"))
+        // feeds the three per-transition delta selects
+        .localCheckpoint()
+      def delta(idx: Int, name: String, a: Column, b: Column) =
+        staged.filter(a.isNotNull && b.isNotNull)
+          .select(lit(idx).as("stage_idx"), lit(name).as("transition"),
+            ((b - a) / 1000000.0).as("dt"))
+      delta(1, "signup>view", $"s1", $"s2")
+        .unionAll(delta(2, "view>click", $"s2", $"s3"))
+        .unionAll(delta(3, "click>purchase", $"s3", $"s4"))
+        .groupBy($"stage_idx", $"transition")
+        .agg(count(lit(1)).cast(LongType).as("n_converted"),
+          (floor(expr("percentile(dt, 0.5)") * 10000 + 0.5) / 10000)
+            .as("median_s"),
+          (floor(expr("percentile(dt, 0.9)") * 10000 + 0.5) / 10000)
+            .as("p90_s"))
+        .orderBy($"stage_idx")
+    },
+
     // Retention cohorts: cohort = a user's first active epoch-week (integer
     // week index — pure int arithmetic, identical in both engines);
     // n_active = distinct users from that cohort active at each week offset.

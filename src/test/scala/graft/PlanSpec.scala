@@ -715,6 +715,15 @@ class PlanSpec extends SparkSpec {
       !finalPlan.contains("Window"), finalPlan)
   }
 
+  test("funnel latency: stage relation shares one user_id exchange") {
+    val df = SparkEntry.queries("q177_funnel_latency")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the chained stage mins and the per-user rollup run on the q105
+    // single-exchange shape; deltas and quantiles are post-checkpoint
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
   test("RFM: one custkey rollup with map-side combine, broadcast anchor") {
     val df = SparkEntry.queries("q172_rfm_segments")(spark, sf)
     df.collect()

@@ -94,7 +94,13 @@ class QueriesSmokeSpec extends SparkSpec {
       "q64c_char_entropy", "q112_ewma", "q66c_winnowing_matches",
       // q161: estimate rests on dyadic partial sums being order-exact;
       // q162: pair counts survive collect_set's arbitrary set order
-      "q161_hll_distinct", "q162_source_overlap")
+      "q161_hll_distinct", "q162_source_overlap",
+      // q171: merged-register dyadic sums, same argument as q161;
+      // q175: XOR fold must cancel identically under any partitioning;
+      // q176: per-source ratio divides partition-order-exact integer sums;
+      // q167: path assembly rests on sort_array, not collect order
+      "q171_hll_union", "q175_corpus_checksum", "q176_compression_quality",
+      "q167_event_paths")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
