@@ -270,6 +270,92 @@ object AggregateQueries extends QueryModule {
         .orderBy($"l_returnflag")
     },
 
+    // Mergeable histogram-quantile sketch — the QUANTILE member of the
+    // sketch family (q161 HLL cardinality, q151 Count-Min frequency, q108
+    // Misra-Gries heavy hitters, q166 MinHash similarity, q168 bitmaps):
+    // a fixed 256-bucket equi-width histogram per group is the whole
+    // sketch state — integer counts, map-side combinable, trivially
+    // mergeable by cell-wise addition — and any quantile is answered by
+    // walking the cumulative histogram and interpolating inside the
+    // crossing bucket. Unlike q27b's GK sketch (library state, rows-only),
+    // every step here is SQL-expressible, so the sketch path is FULLY
+    // hash-checked against the oracle, with the exact interpolated
+    // percentile alongside as the validator column (q161's
+    // sketch-plus-exact surface). Determinism: bucket ids and counts are
+    // exact integers; the estimate divides doubles derived from them with
+    // one spelling per engine; free doubles surface via floor-round.
+    // Scale: the only corpus-sized stage is the (flag, bucket) rollup;
+    // the cumulative walk and target selection run on ≤ |groups|×256
+    // cells. The exact percentile beside it is the validator, not the
+    // operator — at 100 TB only the histogram runs.
+    q("q178_histogram_quantile",
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(FLOOR(l_extendedprice / 500) AS BIGINT) AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY flag),
+        |cum AS (
+        |  SELECT flag, b, c,
+        |    CAST(SUM(c) OVER (PARTITION BY flag ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        |  FROM h),
+        |t AS (SELECT * FROM (VALUES (0.5), (0.95)) AS t(p)),
+        |x AS (
+        |  SELECT cum.flag, t.p,
+        |    cum.b * 500 + 500 * (t.p * n.n - (cum.cm - cum.c)) / cum.c
+        |      AS est
+        |  FROM cum CROSS JOIN t JOIN n ON n.flag = cum.flag
+        |  WHERE cum.cm >= t.p * n.n AND cum.cm - cum.c < t.p * n.n),
+        |e AS (
+        |  SELECT l_returnflag AS flag,
+        |    QUANTILE_CONT(l_extendedprice, 0.5) AS x50,
+        |    QUANTILE_CONT(l_extendedprice, 0.95) AS x95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT x.flag AS flag, n.n AS n_rows,
+        |  floor(MAX(CASE WHEN x.p = 0.5 THEN x.est END) * 10000 + 0.5)
+        |    / 10000 AS est_p50,
+        |  floor(MAX(e.x50) * 10000 + 0.5) / 10000 AS exact_p50,
+        |  floor(MAX(CASE WHEN x.p = 0.95 THEN x.est END) * 10000 + 0.5)
+        |    / 10000 AS est_p95,
+        |  floor(MAX(e.x95) * 10000 + 0.5) / 10000 AS exact_p95
+        |FROM x JOIN n ON n.flag = x.flag JOIN e ON e.flag = x.flag
+        |GROUP BY x.flag, n.n
+        |ORDER BY flag""".stripMargin) { spark =>
+      import spark.implicits._
+      val h = spark.table("lineitem")
+        .select($"l_returnflag".as("flag"),
+          floor($"l_extendedprice" / 500).cast(LongType).as("b"))
+        .groupBy($"flag", $"b").agg(count(lit(1)).cast(LongType).as("c"))
+        // the 256-cell sketch feeds the totals AND the cumulative walk
+        .localCheckpoint()
+      val n = h.groupBy($"flag").agg(sum($"c").cast(LongType).as("n"))
+      val w = Window.partitionBy($"flag").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cm", sum($"c").over(w).cast(LongType))
+      val t = Seq(0.5, 0.95).toDF("p")
+      val x = cum.crossJoin(broadcast(t))
+        .join(broadcast(n), Seq("flag"))
+        .filter($"cm" >= $"p" * $"n" && $"cm" - $"c" < $"p" * $"n")
+        .select($"flag", $"p",
+          ($"b" * 500 + lit(500) * ($"p" * $"n" - ($"cm" - $"c")) / $"c")
+            .as("est"))
+      val e = spark.table("lineitem")
+        .groupBy($"l_returnflag".as("flag"))
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("x50"),
+          expr("percentile(l_extendedprice, 0.95D)").as("x95"))
+      x.join(broadcast(n), Seq("flag")).join(broadcast(e), Seq("flag"))
+        .groupBy($"flag", $"n".as("n_rows"))
+        .agg(
+          (floor(max(when($"p" === 0.5, $"est")) * 10000 + 0.5) / 10000)
+            .as("est_p50"),
+          (floor(max($"x50") * 10000 + 0.5) / 10000).as("exact_p50"),
+          (floor(max(when($"p" === 0.95, $"est")) * 10000 + 0.5) / 10000)
+            .as("est_p95"),
+          (floor(max($"x95") * 10000 + 0.5) / 10000).as("exact_p95"))
+        .orderBy($"flag")
+    },
+
     // PIVOT: one column per l_linestatus value. The Spark pivot() API and
     // the oracle's conditional aggregation are the same plan shape (a single
     // hash aggregate with per-bucket conditional sums); pivot values are

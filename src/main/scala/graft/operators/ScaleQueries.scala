@@ -429,6 +429,31 @@ object ScaleQueries extends QueryModule {
         .orderBy($"col")
     },
 
+    // Small-file compaction — the table-maintenance pass every 100 TB lake
+    // runs continuously: streaming ingest and per-partition writers leave
+    // thousands of tiny files whose per-file open/footer cost dominates
+    // scans, so the layout is periodically rewritten into
+    // target-size files. Here the fixture is deliberately shattered into
+    // 64 fragments, compacted back to 4 (repartition → even file sizes —
+    // coalesce would just glue input splits and keep the skew), and the
+    // surfaced aggregate is computed FROM THE COMPACTED FILES while the
+    // oracle reads the original table: hash equality proves the rewrite
+    // lossless, the q88/q99b layout-change-is-semantics-preserving
+    // contract. CompactionSpec asserts the 64→4 file counts directly.
+    qDir("q179_compaction",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val (frag, compact) = compactedLayout(spark, dir)
+      spark.read.parquet(compact)
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_chars").cast("long").as("total_chars"))
+        .orderBy($"source")
+    },
+
     // RFM customer segmentation (recency / frequency / monetary) — the
     // classic marketing rollup a warehouse serves from the orders fact.
     // Determinism without floats: recency is INTEGER days from integer
@@ -488,6 +513,22 @@ object ScaleQueries extends QueryModule {
           round(sum($"m").cast("double"), 4).as("revenue"))
         .orderBy($"r_score", $"f_score", $"m_score")
     })
+
+  /** q179's shatter-then-compact pipeline: writes the documents fixture as
+    * 64 fragment files, rewrites them as 4 evenly-sized files, and returns
+    * both layout paths (exposed for CompactionSpec's file-count asserts).
+    * Deterministic temp dirs per (jvm, dir) via createTempDirectory. */
+  private[graft] def compactedLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val base = Files.createTempDirectory("graft_compact_").toString
+    val frag = s"$base/fragmented"
+    val compact = s"$base/compacted"
+    graft.sources.Tables.table(spark, dir, "documents")
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag)
+      .repartition(4).write.mode("overwrite").parquet(compact)
+    (frag, compact)
+  }
 
   /** 64-bit Morton (Z-order) value of two non-negative 32-bit keys: bit i
     * of `a` lands at bit 2i, bit i of `b` at 2i+1, so curve-contiguous rows

@@ -21,6 +21,26 @@ class MergeSpec extends SparkSpec {
         (Files.size(p), Files.getLastModifiedTime(p).toMillis))
       .toMap
 
+  test("compaction rewrites 64 fragments into 4 files, losslessly") {
+    val (frag, compact) =
+      graft.operators.ScaleQueries.compactedLayout(spark, sf)
+    def files(p: String): Seq[Path] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files(frag).size == 64, s"fragmented: ${files(frag).size}")
+    assert(files(compact).size == 4, s"compacted: ${files(compact).size}")
+    // even sizes: repartition spreads rows round-robin, so no file holds a
+    // disproportionate share (the skew coalesce() would have kept)
+    val sizes = files(compact).map(Files.size)
+    assert(sizes.max < 2 * sizes.min, s"skewed compaction: $sizes")
+    // lossless: the compacted row multiset equals the source table's
+    val a = spark.read.parquet(compact).collect().map(_.toString).sorted
+    val b = Tables.table(spark, sf, "documents")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("upsertPartitioned rewrites only the touched partitions") {
     val base = Files.createTempDirectory("graft_mergespec_")
     val layout = base.toString + "/orders"
