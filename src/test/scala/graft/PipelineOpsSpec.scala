@@ -889,6 +889,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(diff.size == 1 && diff.head._1 == docs.head._1)
   }
 
+  test("q180 AGMS join-size estimates land inside the error band") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q180_join_size_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exact sizes replayed from the collected relations
+    val li = spark.table("lineitem").select($"l_orderkey", $"l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val orderKeys = spark.table("orders").select($"o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val f2 = li.groupBy(_._2).map(_._2.size.toLong)
+      .map(c => c * c).sum
+    val joinSize = li.count(r => orderKeys(r._1)).toLong
+    assert(got("lineitem_selfjoin_partkey")._1 == f2)
+    assert(got("orders_lineitem_orderkey")._1 == joinSize)
+    // the unbiased sign-sketch estimator must sit within the AMS error
+    // band on the fixture — a plain CMS inner product over-counted the
+    // selective join by 58x here, the sign cancellation is what's tested
+    got.foreach { case (pair, (exact, est)) =>
+      val rel = math.abs(est - exact).toDouble / exact
+      assert(rel < 0.5, s"$pair: est $est vs exact $exact (rel $rel)")
+    }
+  }
+
   test("q176 compression quality equals the per-document Deflater replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
