@@ -636,6 +636,107 @@ object DedupQueries extends QueryModule {
         .orderBy($"lang")
     },
 
+    // Bloom-filter decontamination export — q79b at 100 TB: the benchmark
+    // shingle set is compressed into a 256-word × 62-bit Bloom filter
+    // (k = 3 md5 hashes, ~2 KB TOTAL) that ships to every executor instead
+    // of the set itself; corpus shingles test membership with three AND+
+    // shift probes, map-side. Bloom guarantees NO false negatives (every
+    // truly contaminated doc is flagged — spec-asserted per source), and
+    // the false-positive overhead is SURFACED per source next to the exact
+    // broadcast-join answer, so the query measures the precision actually
+    // paid for the 1000× state reduction. All-integer bit math, identical
+    // 62-bit packing to q168 (DuckDB's shift-overflow rule). Scale: the
+    // filter build is a ≤256-cell map-side bit_or rollup over the tiny
+    // benchmark side; probing never shuffles the corpus — the bloom cells
+    // broadcast onto the shingle scan; only the per-doc distinct rollup
+    // exchanges, keyed on doc_id.
+    q("q181_bloom_decontaminate", {
+      val posSql =
+        "CAST(CAST(('0x' || substr(md5(shingle || '#' || " +
+          "CAST(j AS VARCHAR)), 1, 8)) AS UBIGINT) % 15872 AS BIGINT)"
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleSql) AS shingle FROM documents),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+         |jr AS (SELECT unnest([0, 1, 2]) AS j),
+         |bpos AS (SELECT $posSql AS pos FROM bench CROSS JOIN jr),
+         |bloom AS (
+         |  SELECT pos // 62 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS w
+         |  FROM bpos GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id, shingle, j, $posSql AS pos
+         |  FROM sh CROSS JOIN jr WHERE doc_id >= 10),
+         |hits AS (
+         |  SELECT p.doc_id, p.shingle,
+         |    CAST(COUNT(*) FILTER (
+         |      (b.w & (CAST(1 AS BIGINT) << CAST(p.pos % 62 AS INT))) <> 0)
+         |      AS BIGINT) AS nhit
+         |  FROM probe p JOIN bloom b ON b.word = p.pos // 62
+         |  GROUP BY p.doc_id, p.shingle),
+         |perdoc AS (
+         |  SELECT h.doc_id,
+         |    MAX(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END) AS bloom_hit,
+         |    MAX(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS exact_hit
+         |  FROM hits h LEFT JOIN bench ON bench.shingle = h.shingle
+         |  GROUP BY h.doc_id)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(p.bloom_hit) AS BIGINT) AS n_flagged_bloom,
+         |  CAST(SUM(p.exact_hit) AS BIGINT) AS n_flagged_exact,
+         |  CAST(SUM(p.bloom_hit) - SUM(p.exact_hit) AS BIGINT) AS fp_docs
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val nBits = 15872L // 256 words x 62 bits
+      def pos(shingle: Column, j: Column): Column =
+        conv(substring(md5(concat(shingle, lit("#"), j.cast("string"))
+          .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % nBits
+      val sh = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+        // feeds the bench build AND the corpus probe
+        .localCheckpoint()
+      val bench = sh.filter($"doc_id" < 10).select($"shingle").distinct()
+        .localCheckpoint() // feeds the bloom build AND the exact validator
+      val bloom = bench
+        .select(explode(array((0 to 2).map(lit(_)): _*)).as("j"), $"shingle")
+        .select(pos($"shingle", $"j").as("pos"))
+        .select(expr("pos div 62").as("word"),
+          expr("shiftleft(cast(1 as bigint), cast(pos % 62 as int))")
+            .as("bit"))
+        .groupBy($"word").agg(expr("bit_or(bit)").as("w"))
+      val probe = sh.filter($"doc_id" >= 10)
+        .select($"doc_id", $"shingle",
+          explode(array((0 to 2).map(lit(_)): _*)).as("j"))
+        .withColumn("pos", pos($"shingle", $"j"))
+      val hits = probe
+        .join(broadcast(bloom), $"word" === expr("pos div 62"))
+        .withColumn("hit",
+          when(($"w".bitwiseAND(
+            expr("shiftleft(cast(1 as bigint), cast(pos % 62 as int))")))
+            =!= 0, 1).otherwise(0))
+        .groupBy($"doc_id", $"shingle")
+        .agg(sum($"hit").as("nhit"))
+      val perdoc = hits
+        .join(broadcast(bench.withColumn("inBench", lit(1))),
+          Seq("shingle"), "left")
+        .groupBy($"doc_id")
+        .agg(max(when($"nhit" === 3, 1).otherwise(0)).as("bloom_hit"),
+          max(coalesce($"inBench", lit(0))).as("exact_hit"))
+      perdoc
+        .join(spark.table("documents").select($"doc_id", $"source"),
+          Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"bloom_hit").cast(LongType).as("n_flagged_bloom"),
+          sum($"exact_hit").cast(LongType).as("n_flagged_exact"),
+          (sum($"bloom_hit") - sum($"exact_hit")).cast(LongType)
+            .as("fp_docs"))
+        .orderBy($"source")
+    },
+
     // Spark ML MinHashLSH variant (SURVEY.md §2C): HashingTF shingle vectors
     // → seeded MinHashLSH → approxSimilarityJoin at Jaccard distance ≤ 0.9.
     // Randomized-but-seeded → rows-only in the gate; DedupSpec checks its

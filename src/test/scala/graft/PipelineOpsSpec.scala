@@ -913,6 +913,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q181 bloom decontamination never misses and pays bounded FPs") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q181_bloom_decontaminate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // exact flags replayed from shingle sets (the q79b ground truth)
+    val docs = spark.table("documents").select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    def shingleSet(t: String) =
+      tokens(t).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._1 < 10).flatMap(d => shingleSet(d._3)).toSet
+    val exact = docs.filter(_._1 >= 10).groupBy(_._2).map { case (src, xs) =>
+      src -> xs.count(d => shingleSet(d._3).exists(bench)).toLong
+    }
+    got.foreach { case (src, _, bloomN, exactN, fp) =>
+      assert(exactN == exact(src), s"$src exact mismatch")
+      // Bloom's contract: NO false negatives — bloom >= exact, per source
+      assert(bloomN >= exactN, s"$src: bloom missed ($bloomN < $exactN)")
+      assert(fp == bloomN - exactN)
+    }
+    // the filter must be selective: FPs a small fraction of the corpus
+    val (nd, fps) = (got.map(_._2).sum, got.map(_._5).sum)
+    assert(fps.toDouble / nd < 0.1, s"$fps FPs over $nd docs")
+  }
+
   test("q176 compression quality equals the per-document Deflater replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
