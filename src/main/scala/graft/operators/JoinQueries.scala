@@ -408,10 +408,12 @@ object JoinQueries extends QueryModule {
       def cells(keys: org.apache.spark.sql.DataFrame) = keys
         .select($"k",
           explode(array((0 to 4).map(lit(_)): _*)).as("j"))
+        // one md5 per (key, row) — bucket and sign both read windows of it
+        .select($"j", md5j($"k", $"j").as("h"))
         .select($"j",
-          (conv(substring(md5j($"k", $"j"), 1, 8), 16, 10)
+          (conv(substring($"h", 1, 8), 16, 10)
             .cast(LongType) % cmsW).as("b"),
-          (lit(1) - lit(2) * (conv(substring(md5j($"k", $"j"), 9, 1), 16, 10)
+          (lit(1) - lit(2) * (conv(substring($"h", 9, 1), 16, 10)
             .cast(LongType) % 2)).as("s"))
         .groupBy($"j", $"b")
         .agg(sum($"s").cast(LongType).as("c"))
