@@ -1209,6 +1209,86 @@ object EventAnalyticsQueries extends QueryModule {
         .orderBy($"type_a", $"type_b")
     },
 
+    // Linear multi-touch attribution — q143's last-touch sibling: each
+    // purchase's revenue is split EQUALLY across the user's view/click
+    // touches in the preceding 7 days (no touches → 'direct'). Exactness
+    // without decimals: revenue converts once to integer CENTS
+    // (floor(v·100 + 0.5) — the fixture carries exactly 2 decimals), each
+    // touch gets cents div n, and the cents mod n remainder goes to the
+    // EARLIEST touches (rank by (tus, event_id)) — so credit conserves to
+    // the cent by construction (spec-asserted) and every quantity the
+    // engines compare is an integer. Scale: the purchase×touch match is a
+    // user-keyed join with a bounded time predicate (never a corpus cross
+    // product); the rank/count windows partition by purchase id; the
+    // channel rollup is 3 rows.
+    q("q182_linear_attribution",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus,
+        |         event_id, value
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type, tus, event_id FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |m AS (
+        |  SELECT p.event_id AS pid, p.cents, t.event_type,
+        |         t.tus AS ttus, t.event_id AS tid
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tus >= p.tus - 604800000000 AND t.tus < p.tus),
+        |r AS (
+        |  SELECT pid, cents, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ttus, tid) AS rk,
+        |    COUNT(*) OVER (PARTITION BY pid) AS n
+        |  FROM m),
+        |credit AS (
+        |  SELECT event_type,
+        |         cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
+        |           AS c
+        |  FROM r
+        |  UNION ALL
+        |  SELECT 'direct', cents FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.pid = p.event_id))
+        |SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  floor(CAST(SUM(c) AS DOUBLE) / 100 * 100 + 0.5) / 100
+        |    AS credited
+        |FROM credit GROUP BY event_type
+        |ORDER BY channel""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = spark.table("events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tus"),
+          $"event_id", $"value")
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"tus", $"event_id",
+          floor($"value" * 100 + 0.5).cast(LongType).as("cents"))
+        .localCheckpoint() // feeds the match AND the direct anti-join
+      val t = e.filter($"event_type".isin("view", "click"))
+        .select($"user_id", $"event_type", $"tus".as("ttus"),
+          $"event_id".as("tid"))
+      val m = p.select($"user_id", $"tus", $"event_id".as("pid"), $"cents")
+        .join(t, Seq("user_id"))
+        .filter($"ttus" >= $"tus" - 604800000000L && $"ttus" < $"tus")
+        .localCheckpoint() // feeds the credit split AND the direct filter
+      val wRank = Window.partitionBy($"pid").orderBy($"ttus", $"tid")
+      val wN = Window.partitionBy($"pid")
+      val touches = m
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wN))
+        .select($"event_type",
+          (expr("cents div n") +
+            when($"rk" <= $"cents" % $"n", 1).otherwise(0)).as("c"))
+      val direct = p
+        .join(m.select($"pid"), $"event_id" === $"pid", "left_anti")
+        .select(lit("direct").as("event_type"), $"cents".as("c"))
+      touches.unionAll(direct)
+        .groupBy($"event_type".as("channel"))
+        .agg(count(lit(1)).cast(LongType).as("n_credits"),
+          (floor(sum($"c").cast(DoubleType) / 100 * 100 + 0.5) / 100)
+            .as("credited"))
+        .orderBy($"channel")
+    },
+
     // HLL set algebra — the property that makes cardinality sketches the
     // 100 TB distinct-count tool: registers MERGE (union = per-bucket MAX),
     // so |A∪B| needs only the two 512-byte sketches q161 already

@@ -940,6 +940,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps.toDouble / nd < 0.1, s"$fps FPs over $nd docs")
   }
 
+  test("q182 attribution conserves revenue to the cent and splits linearly") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val ev = spark.table("events")
+      .select($"user_id", $"event_type", unix_micros($"ts"), $"event_id",
+        $"value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val purchases = ev.filter(_._2 == "purchase")
+    val touches = ev.filter(e => e._2 == "view" || e._2 == "click")
+    def cents(v: Double) = math.floor(v * 100 + 0.5).toLong
+    val credits = purchases.flatMap { case (u, _, pt, pid, v) =>
+      val c = cents(v)
+      val ts = touches.filter(t =>
+          t._1 == u && t._3 >= pt - 604800000000L && t._3 < pt)
+        .sortBy(t => (t._3, t._4))
+      if (ts.isEmpty) Seq("direct" -> c)
+      else ts.zipWithIndex.map { case (t, i) =>
+        t._2 -> (c / ts.size + (if (i < c % ts.size) 1L else 0L))
+      }
+    }
+    val expect = credits.groupBy(_._1).toSeq.map { case (ch, xs) =>
+      (ch, xs.length.toLong,
+        math.floor(xs.map(_._2).sum.toDouble / 100 * 100 + 0.5) / 100)
+    }.sortBy(_._1)
+    val got = queries("q182_linear_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"$got vs $expect")
+    // conservation law: credited cents across channels == purchase cents
+    val purchased = purchases.map(p => cents(p._5)).sum
+    assert(credits.map(_._2).sum == purchased)
+    // both split branches live: some direct, some multi-touch remainder
+    assert(got.exists(_._1 == "direct") && got.size == 3)
+  }
+
   test("q176 compression quality equals the per-document Deflater replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
