@@ -100,7 +100,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // q176: per-source ratio divides partition-order-exact integer sums;
       // q167: path assembly rests on sort_array, not collect order
       "q171_hll_union", "q175_corpus_checksum", "q176_compression_quality",
-      "q167_event_paths")
+      "q167_event_paths",
+      // q178/q180: sketch-cell integer rollups (histogram, AGMS signs);
+      // q181: bloom word OR + probe; q182: integer cent-split remainders
+      "q178_histogram_quantile", "q180_join_size_sketch",
+      "q181_bloom_decontaminate", "q182_linear_attribution")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
