@@ -1234,6 +1234,81 @@ object DedupQueries extends QueryModule {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Golden-record survivorship — the step AFTER q147's record linkage in
+    // every master-data pipeline: matched pairs close into entity clusters
+    // (the q77 pointer-doubling fixpoint over the match graph — min-label
+    // = min partkey becomes the cluster id), then one canonical record
+    // survives per cluster by FIELD-LEVEL rules: name is block-constant,
+    // size resolves to the max observed, price to the min offered, brand
+    // to the lowest-partkey member's (min_by/arg_min — deterministic
+    // because partkey is unique). The oracle replays the closure as a
+    // recursive CTE and the survivorship with arg_min — hash equality
+    // proves both the clustering AND every per-field rule. Scale: the
+    // match graph is the salted-block pair enumeration; the fixpoint is
+    // O(log diameter) rounds (q77); survivorship is one map-side-
+    // combinable rollup keyed by cluster.
+    q("q183_golden_record",
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name, p_type, p_brand, p_size, p_retailprice
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM p a JOIN p b
+        |    ON a.p_name = b.p_name AND a.p_type = b.p_type
+        |   AND a.p_partkey < b.p_partkey
+        |  WHERE abs(a.p_size - b.p_size) <= 1
+        |    AND abs(a.p_retailprice - b.p_retailprice) /
+        |        greatest(a.p_retailprice, b.p_retailprice) <= 0.05),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS pk, LEAST(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(p.p_name) AS name,
+        |  arg_min(p.p_brand, p.p_partkey) AS brand,
+        |  CAST(MAX(p.p_size) AS INTEGER) AS max_size,
+        |  MIN(p.p_retailprice) AS min_price
+        |FROM comp c JOIN p ON p.p_partkey = c.pk
+        |GROUP BY c.cluster_id
+        |ORDER BY cluster_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val p = spark.table("part")
+      val blocks = p.select(lit(0).as("band"),
+        concat_ws("|", $"p_name", $"p_type").as("bh"),
+        $"p_partkey".as("doc_id"))
+      val aSide = p.select($"p_partkey".as("id_a"), $"p_size".as("size_a"),
+        $"p_retailprice".as("price_a"))
+      val bSide = p.select($"p_partkey".as("id_b"), $"p_size".as("size_b"),
+        $"p_retailprice".as("price_b"))
+      val relDiff = abs($"price_a" - $"price_b") /
+        greatest($"price_a", $"price_b")
+      val pairs = saltedBucketPairs(blocks, defaultBucketCap)
+        .join(aSide, "id_a").join(bSide, "id_b")
+        .filter(abs($"size_a" - $"size_b") <= 1 && relDiff <= 0.05)
+        .select($"id_a", $"id_b")
+        .localCheckpoint() // feeds both edge directions and the node set
+      val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
+        .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
+      val nodes = pairs.select($"id_a".as("doc_id"))
+        .unionAll(pairs.select($"id_b".as("doc_id"))).distinct()
+      val (labels, _) = propagateComponents(nodes, edges)
+      labels
+        .join(p, $"doc_id" === $"p_partkey")
+        .groupBy($"component".as("cluster_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_members"),
+          min($"p_name").as("name"),
+          min_by($"p_brand", $"p_partkey").as("brand"),
+          max($"p_size").cast(IntegerType).as("max_size"),
+          min($"p_retailprice").as("min_price"))
+        .orderBy($"cluster_id")
+    },
+
     // Cross-source corpus overlap — the contamination matrix a curation
     // pipeline computes between its slices (did the web crawl leak into
     // the books slice? is the eval source contained in training?):

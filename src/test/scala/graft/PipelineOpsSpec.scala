@@ -975,6 +975,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exists(_._1 == "direct") && got.size == 3)
   }
 
+  test("q183 golden records equal the union-find survivorship replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val parts = spark.table("part")
+      .select($"p_partkey", $"p_name", $"p_type", $"p_brand", $"p_size",
+        $"p_retailprice")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getDouble(5))).toSeq
+    val byBlock = parts.groupBy(p => (p._2, p._3))
+    val pairs = byBlock.values.flatMap { xs =>
+      val s = xs.sortBy(_._1)
+      for {
+        i <- s.indices; j <- i + 1 until s.length
+        a = s(i); b = s(j)
+        if math.abs(a._5 - b._5) <= 1 &&
+          math.abs(a._6 - b._6) / math.max(a._6, b._6) <= 0.05
+      } yield (a._1, b._1)
+    }.toSeq
+    // union-find closure
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.groupBy(find).toSeq.map { case (_, ids) =>
+      val ms = ids.map(id => parts.find(_._1 == id).get)
+      (ids.min, ids.size.toLong, ms.map(_._2).min,
+        ms.minBy(_._1)._4, ms.map(_._5).max, ms.map(_._6).min)
+    }.sortBy(_._1)
+    val got = queries("q183_golden_record")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+    // clusters exist and every one holds at least a matched pair
+    // (transitive >2-member clusters appear from sf0.01 up — max 4 at
+    // sf0.01, 38 at sf0.1 — this sf0.001 fixture tops out at pairs)
+    assert(got.nonEmpty && got.forall(_._2 >= 2))
+  }
+
   test("q176 compression quality equals the per-document Deflater replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
