@@ -788,6 +788,97 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Token-distribution drift between corpus snapshots (the data-drift
+    // monitor a training pipeline runs per ingest batch): the q128 snapshot
+    // pair's unigram distributions compared by KL divergence in BOTH
+    // directions plus total variation distance, with add-one smoothing
+    // over the union vocabulary so zero-count tokens stay finite. The
+    // word-salad vocabulary is metadata-sized, so after two map-side-
+    // combinable token rollups everything folds over a sorted per-token
+    // array (the q109 sorted-fold determinism pattern; ln through the r4
+    // margin per the q122/q134 precedent). TV distance is |p−q| — pure
+    // rational arithmetic. Scale: two corpus-sized token rollups, one
+    // |vocab|-row join, one array fold; nothing quadratic.
+    q("q184_token_drift",
+      s"""WITH snap_a AS (
+         |  SELECT text FROM documents WHERE doc_id % 7 <> 0),
+         |snap_b AS (
+         |  SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' drifted'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |ta AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |       FROM snap_a),
+         |tb AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |       FROM snap_b),
+         |ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM ta
+         |       GROUP BY token),
+         |cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+         |       GROUP BY token),
+         |v AS (
+         |  SELECT COALESCE(ca.token, cb.token) AS token,
+         |         COALESCE(ca.c, 0) AS a, COALESCE(cb.c, 0) AS b
+         |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+         |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+         |               CAST(SUM(b) AS BIGINT) AS nb,
+         |               CAST(COUNT(*) AS BIGINT) AS vsz FROM v),
+         |arr AS (
+         |  SELECT list_sort(list(struct_pack(token := token, a := a,
+         |                                    b := b))) AS l
+         |  FROM v)
+         |SELECT tot.na AS tokens_a, tot.nb AS tokens_b, tot.vsz AS vocab,
+         |  floor(list_reduce(list_transform(arr.l, x ->
+         |      (CAST(x.b + 1 AS DOUBLE) / (tot.nb + tot.vsz)) *
+         |      ln((CAST(x.b + 1 AS DOUBLE) / (tot.nb + tot.vsz)) /
+         |         (CAST(x.a + 1 AS DOUBLE) / (tot.na + tot.vsz)))),
+         |      (p, q) -> p + q) * 10000 + 0.5) / 10000 AS kl_b_from_a,
+         |  floor(list_reduce(list_transform(arr.l, x ->
+         |      (CAST(x.a + 1 AS DOUBLE) / (tot.na + tot.vsz)) *
+         |      ln((CAST(x.a + 1 AS DOUBLE) / (tot.na + tot.vsz)) /
+         |         (CAST(x.b + 1 AS DOUBLE) / (tot.nb + tot.vsz)))),
+         |      (p, q) -> p + q) * 10000 + 0.5) / 10000 AS kl_a_from_b,
+         |  floor(list_reduce(list_transform(arr.l, x ->
+         |      abs(CAST(x.a AS DOUBLE) / tot.na -
+         |          CAST(x.b AS DOUBLE) / tot.nb)),
+         |      (p, q) -> p + q) / 2 * 10000 + 0.5) / 10000 AS tv_dist
+         |FROM arr CROSS JOIN tot""".stripMargin) { spark =>
+      import spark.implicits._
+      val docs = spark.table("documents")
+      val ta = docs.filter($"doc_id" % 7 =!= 0)
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val tb = docs.filter($"doc_id" % 5 =!= 0)
+        .select(when($"doc_id" % 3 === 0, concat($"text", lit(" drifted")))
+          .otherwise($"text").as("text"))
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val ca = ta.groupBy($"token").agg(count(lit(1)).as("c"))
+      val cb = tb.groupBy($"token").agg(count(lit(1)).as("c"))
+      val v = ca.as("ca").join(cb.as("cb"), Seq("token"), "full_outer")
+        .select($"token", coalesce($"ca.c", lit(0L)).as("a"),
+          coalesce($"cb.c", lit(0L)).as("b"))
+        .localCheckpoint() // feeds the totals AND the fold array
+      val tot = v.agg(sum($"a").cast(LongType).as("na"),
+        sum($"b").cast(LongType).as("nb"),
+        count(lit(1)).cast(LongType).as("vsz"))
+      val arr = v.agg(sort_array(collect_list(
+        struct($"token", $"a", $"b"))).as("l"))
+      def pb(x: Column) = (x.getField("b") + 1).cast(DoubleType) /
+        ($"nb" + $"vsz")
+      def pa(x: Column) = (x.getField("a") + 1).cast(DoubleType) /
+        ($"na" + $"vsz")
+      arr.crossJoin(broadcast(tot))
+        .select($"na".as("tokens_a"), $"nb".as("tokens_b"),
+          $"vsz".as("vocab"),
+          (floor(aggregate($"l", lit(0.0), (acc, x) =>
+            acc + pb(x) * log(pb(x) / pa(x))) * 10000 + 0.5) / 10000)
+            .as("kl_b_from_a"),
+          (floor(aggregate($"l", lit(0.0), (acc, x) =>
+            acc + pa(x) * log(pa(x) / pb(x))) * 10000 + 0.5) / 10000)
+            .as("kl_a_from_b"),
+          (floor(aggregate($"l", lit(0.0), (acc, x) =>
+            acc + abs(x.getField("a").cast(DoubleType) / $"na" -
+              x.getField("b").cast(DoubleType) / $"nb")) / 2
+            * 10000 + 0.5) / 10000).as("tv_dist"))
+    },
+
     q("q108_heavy_hitters",
       s"""WITH t AS (SELECT unnest($tokSql) AS token FROM documents)
          |SELECT token, COUNT(*) AS n_tok

@@ -1019,6 +1019,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 >= 2))
   }
 
+  test("q184 token drift equals the smoothed-KL replay and flags the drift") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents").select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ta = docs.filter(_._1 % 7 != 0).flatMap(d => tokens(d._2))
+    val tb = docs.filter(_._1 % 5 != 0).flatMap { case (id, t) =>
+      tokens(if (id % 3 == 0) t + " drifted" else t) }
+    val ca = ta.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val cb = tb.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val vocab = (ca.keySet ++ cb.keySet).toSeq.sorted
+    val (na, nb, vs) = (ta.size.toLong, tb.size.toLong, vocab.size.toLong)
+    def pA(t: String) = (ca.getOrElse(t, 0L) + 1).toDouble / (na + vs)
+    def pB(t: String) = (cb.getOrElse(t, 0L) + 1).toDouble / (nb + vs)
+    def r4f(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val klBA = r4f(vocab.foldLeft(0.0)((acc, t) =>
+      acc + pB(t) * math.log(pB(t) / pA(t))))
+    val klAB = r4f(vocab.foldLeft(0.0)((acc, t) =>
+      acc + pA(t) * math.log(pA(t) / pB(t))))
+    val tv = r4f(vocab.foldLeft(0.0)((acc, t) =>
+      acc + math.abs(ca.getOrElse(t, 0L).toDouble / na -
+        cb.getOrElse(t, 0L).toDouble / nb)) / 2)
+    val got = queries("q184_token_drift")(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((na, nb, vs)))
+    assert((got.getDouble(3), got.getDouble(4), got.getDouble(5)) ==
+      ((klBA, klAB, tv)), s"$got vs ($klBA, $klAB, $tv)")
+    // drift genuinely registers: the injected token moves every measure
+    assert(got.getDouble(3) > 0 && got.getDouble(5) > 0)
+  }
+
   test("q176 compression quality equals the per-document Deflater replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
