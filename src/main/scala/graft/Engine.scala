@@ -68,18 +68,16 @@ object Engine {
 
   /** Map a MySQL collation name (the id↔name tables at
     * /root/reference/mysql/constants.go:77-298, :301-522) onto the Spark 4
-    * collation with the same comparison semantics. MySQL's naming is
-    * suffix-conventional: `_bin` and `_cs`-accented collations compare
-    * case-sensitively → UTF8_BINARY (the engine's pinned default, matching
-    * the reference's utf8mb4_bin at constants.go:6); every `_ci` collation
-    * (general_ci, unicode_ci, 0900_ai_ci, …) compares case-insensitively →
-    * UTF8_LCASE, Spark's native lowercase collation. */
-  private[graft] def sparkCollation(mysqlCollation: String): String = {
-    val c = mysqlCollation.toLowerCase
-    if (c == "binary" || c.endsWith("_bin") || c.endsWith("_cs")) "UTF8_BINARY"
-    else if (c.endsWith("_ci")) "UTF8_LCASE"
-    else "UTF8_BINARY"
-  }
+    * collation with the same comparison semantics — table-driven through
+    * [[Collations]], which carries the reference's full 220-entry registry
+    * (EngineSpec resolves every id and name in it): `_bin`/`_cs`/`binary`
+    * compare case-sensitively → UTF8_BINARY (the engine's pinned default,
+    * matching the reference's utf8mb4_bin = id 46 at constants.go:6); every
+    * `_ci` collation (general_ci, unicode_ci, 520_ci, 0900_ai_ci, …)
+    * compares case-insensitively → UTF8_LCASE, Spark's native lowercase
+    * collation. */
+  private[graft] def sparkCollation(mysqlCollation: String): String =
+    Collations.family(mysqlCollation)
 
   /** Build the shared SparkSession with the engine's pinned defaults: UTC
     * session time zone + binary (codepoint) string comparison, matching the
@@ -315,12 +313,197 @@ object Engine {
     def prepare(query: String): Map[String, Any] => DataFrame =
       params => spark.sql(query, params)
 
+    // ---- binary prepared-statement protocol analog ----------------------
+
+    /** Statement-id counter + registry backing the binary-protocol analog
+      * (ids are per-connection in MySQL; so are these). */
+    private val stmtCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    private[Engine] val stmts =
+      scala.collection.mutable.Map.empty[Long, PreparedStatement]
+    /** Held cursors per statement id (COM_STMT_FETCH state). */
+    private[Engine] val stmtCursors =
+      scala.collection.mutable.Map.empty[Long, Iterator[org.apache.spark.sql.Row]]
+
+    /** COM_STMT_PREPARE analog — the binary-protocol entry real connectors
+      * (JDBC, mysql-connector) use by default; the gateway relays it
+      * end-to-end (capability bits /root/reference/mysql/constants.go:40-66,
+      * relay /root/reference/gateway/relay.go:47-99). Returns a typed handle
+      * carrying the statement id and the `?` parameter count (counted
+      * token-safely, like the prepare-response's num_params field);
+      * parameters later bind TYPED — never through the SQL text. */
+    def prepareStatement(query: String): PreparedStatement = {
+      val id = stmtCounter.incrementAndGet()
+      val ps = new PreparedStatement(this, id, query,
+        Engine.countParams(query))
+      stmts(id) = ps
+      ps
+    }
+
+    /** COM_STMT_FETCH analog: pull up to `n` rows from the held cursor of
+      * statement `handle` (opened by [[PreparedStatement.executeCursor]]).
+      * SERVER_STATUS_CURSOR_EXISTS stays up while rows remain and flips to
+      * LAST_ROW_SENT once the cursor drains ([[statusFlags]] — the bits at
+      * /root/reference/mysql/constants.go:28-29 the gateway forwards).
+      * Fetching a handle with no open cursor is MySQL's 1324-adjacent
+      * sequence error (the reference relays the backend's ERR verbatim;
+      * here it is the structured engine error). */
+    def fetch(handle: Long, n: Int): Seq[org.apache.spark.sql.Row] = {
+      val it = stmtCursors.getOrElse(handle,
+        throw EngineError(1105, "08S01",
+          s"no open cursor for statement $handle (execute with cursor first)"))
+      val out = Vector.newBuilder[org.apache.spark.sql.Row]
+      var k = 0
+      while (k < n && it.hasNext) { out += it.next(); k += 1 }
+      out.result()
+    }
+
+    private[Engine] def openStmtCursor(handle: Long,
+        rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+      stmtCursors(handle) = rows
+      openCursor = Some(rows) // cursor bits surface through statusFlags
+    }
+
+    private[Engine] def closeStmt(handle: Long): Unit = {
+      stmts.remove(handle)
+      stmtCursors.remove(handle)
+    }
+
     /** COM_QUIT analog: cancel in-flight work and leave the processlist
       * (temp views die with the session wrapper). */
     def close(): Unit = {
       spark.sparkContext.cancelJobGroup(jobGroup)
       Engine.registry.remove(connectionId)
     }
+  }
+
+  /** A prepared-statement handle — the engine analog of the binary
+    * protocol's COM_STMT_PREPARE response (statement id + parameter count):
+    * the reference gateway advertises ClientPluginAuth-era capabilities and
+    * relays the binary protocol byte-transparently
+    * (/root/reference/mysql/constants.go:40-66,
+    * /root/reference/gateway/relay.go:47-99), and real MySQL connectors
+    * (JDBC, mysql-connector) PREPARE/EXECUTE in binary mode by default —
+    * so the engine needs a typed analog, not just the text protocol.
+    *
+    * Parameters bind TYPED through Spark's positional parameterized-SQL
+    * API: each argument becomes a Catalyst literal of its JVM type
+    * (Int/Long/Double/String/Timestamp/…; `null` = the typed NULL the wire
+    * protocol marks in its null bitmap). The values NEVER pass through the
+    * SQL text, so injection is impossible by construction — the EngineSpec
+    * case binds a `' OR '1'='1` payload and proves it stays one literal. */
+  final class PreparedStatement private[Engine] (s: Session,
+      val statementId: Long, val query: String, val paramCount: Int) {
+
+    private def bind(args: Seq[Any]): DataFrame = {
+      if (args.length != paramCount)
+        throw EngineError(1210, "HY000",
+          "Incorrect number of arguments to EXECUTE")
+      // Bind through NAMED parameters: the nth token-safe `?` becomes
+      // `:_gp_n` and the value binds by name. (Spark's positional Array
+      // overload substitutes `?`s in parameter-MAP iteration order, which
+      // stops matching insertion order at ≥5 params — Scala's Map4→HashMap
+      // switch — observed scrambling a 6-param bind on Spark 4.1; named
+      // binding is order-free by construction.)
+      val (named, names) = Engine.nameParams(query)
+      try s.spark.sql(named, names.zip(args).toMap)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw EngineError(1105, "08S01", e.getMessage)
+      }
+    }
+
+    /** COM_STMT_EXECUTE analog: bind typed positional parameters, run. */
+    def execute(args: Any*): DataFrame = bind(args)
+
+    /** Execute and stream the result as a typed-row iterator — the binary
+      * protocol's row format is typed (not stringly lenenc text); Row
+      * preserves each column's JVM type the same way. Rows stream
+      * partition-by-partition, never a driver collect. */
+    def executeRows(args: Any*): Iterator[org.apache.spark.sql.Row] = {
+      import scala.jdk.CollectionConverters._
+      bind(args).toLocalIterator().asScala
+    }
+
+    /** COM_STMT_EXECUTE with CURSOR_TYPE_READ_ONLY: run, but HOLD the
+      * result as a server-side cursor — rows are pulled in batches by
+      * [[Session.fetch]] (COM_STMT_FETCH), with CURSOR_EXISTS /
+      * LAST_ROW_SENT transitioning per batch. */
+    def executeCursor(args: Any*): Unit = {
+      import scala.jdk.CollectionConverters._
+      s.openStmtCursor(statementId, bind(args).toLocalIterator().asScala)
+    }
+
+    /** COM_STMT_CLOSE analog: drop the handle and any held cursor. */
+    def close(): Unit = s.closeStmt(statementId)
+  }
+
+  /** Rewrite each token-safe `?` marker to a named `:_gp_n` parameter and
+    * return the rewritten text plus the generated names in marker order —
+    * the binding backbone of [[PreparedStatement]] (see its bind() note on
+    * why positional Array binding can't be used). */
+  private[graft] def nameParams(stmt: String): (String, Seq[String]) = {
+    val out = new StringBuilder
+    val names = Seq.newBuilder[String]
+    var n = 0
+    var quote: Char = 0
+    var i = 0
+    def at(j: Int, c: Char): Boolean = j < stmt.length && stmt.charAt(j) == c
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < stmt.length) {
+          out.append(stmt.charAt(i + 1)); i += 1
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c) }
+      else if ((c == '-' && at(i + 1, '-')) || c == '#') {
+        while (i < stmt.length && stmt.charAt(i) != '\n') {
+          out.append(stmt.charAt(i)); i += 1
+        }
+        i -= 1
+      } else if (c == '/' && at(i + 1, '*')) {
+        out.append("/*"); i += 2
+        while (i < stmt.length && !(stmt.charAt(i) == '*' && at(i + 1, '/'))) {
+          out.append(stmt.charAt(i)); i += 1
+        }
+        if (i < stmt.length) { out.append("*/"); i += 1 }
+      } else if (c == '?') {
+        val name = s"_gp_$n"
+        out.append(':').append(name)
+        names += name
+        n += 1
+      } else out.append(c)
+      i += 1
+    }
+    (out.toString, names.result())
+  }
+
+  /** Count `?` parameter markers outside quotes/comments — the prepare
+    * response's num_params field (same token-safe scan as
+    * [[bindPositional]]). */
+  private[graft] def countParams(stmt: String): Int = {
+    var n = 0
+    var quote: Char = 0
+    var i = 0
+    def at(j: Int, c: Char): Boolean = j < stmt.length && stmt.charAt(j) == c
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < stmt.length) i += 1
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if ((c == '-' && at(i + 1, '-')) || c == '#') {
+        while (i < stmt.length && stmt.charAt(i) != '\n') i += 1
+        i -= 1
+      } else if (c == '/' && at(i + 1, '*')) {
+        i += 2
+        while (i < stmt.length && !(stmt.charAt(i) == '*' && at(i + 1, '/'))) i += 1
+        i += 1
+      } else if (c == '?') n += 1
+      i += 1
+    }
+    n
   }
 
   /** Multi-statement batch execution — the engine analog of the
@@ -492,8 +675,16 @@ object Engine {
           "character_set_results").foreach(s.setSysVar(_, cs))
         // SET NAMES resets the connection collation: the explicit COLLATE
         // clause if present, else the engine's utf8mb4_bin default
-        // (/root/reference/mysql/constants.go:6); the id↔name tables at
-        // constants.go:77-522 are what clients name collations from
+        // (/root/reference/mysql/constants.go:6). An explicit name resolves
+        // table-driven against the full registry ([[Collations]], the
+        // id↔name tables at constants.go:77-522); names beyond the table
+        // pass if they keep the registry's suffix convention (newer MySQL
+        // backends); anything else is MySQL's ER_UNKNOWN_COLLATION.
+        Option(coll)
+          .filterNot(c => Collations.isKnown(c) || Collations.conventional(c))
+          .foreach { c =>
+            throw EngineError(1273, "HY000", s"Unknown collation: '$c'")
+          }
         s.setSysVar("collation_connection",
           Option(coll).getOrElse("utf8mb4_bin"))
         Some(s.spark.emptyDataFrame)

@@ -22,6 +22,8 @@ import graft.operators.{DedupQueries, EventAnalyticsQueries, JoinQueries,
   *   - SemDeDup within-cluster pairs (q119 path, n/4 vectors, k scaled
   *     with n — the §2C rule that keeps cluster width, and so pair volume
   *     per row, constant; fixed k would grow pairs ~size²)
+  *   - ER blocking candidates (q147/q183 path — constant-density
+  *     (name, type) blocks through the salted cap)
   *
   * A quadratic path would grow candidates ~size²; the probe prints the
   * measured growth factor next to the size ratio so one committed JSON line
@@ -69,6 +71,20 @@ object ScaleProbe {
       transform(sequence(lit(0), lit(63)), d =>
         pmod(xxhash64($"id".cast("string"), lit(":"), d.cast("string")),
           lit(2000L)).cast("double") / 1000.0 - 1.0).as("emb"))
+  }
+
+  /** (p_partkey, p_name, p_type) ER records: 8 members per (name, type)
+    * block — block density (and so per-block pair volume, C(8,2) = 28)
+    * stays constant as the corpus grows, the regime the q147/q183 blocking
+    * enumeration is linear in. Block identity is a pure function of the id
+    * (cluster = id/8), so the generator is deterministic like the others. */
+  def synthParts(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val cluster = ($"id" / 8).cast("long")
+    spark.range(n).select($"id".as("p_partkey"),
+      concat(lit("n"), xxhash64(cluster.cast("string")).cast("string"))
+        .as("p_name"),
+      concat(lit("t"), pmod(cluster, lit(5)).cast("string")).as("p_type"))
   }
 
   /** (event_type, user_id): 5 types, n events over an n/10-user space —
@@ -125,7 +141,12 @@ object ScaleProbe {
         // q168 path: bitmap cells are |types| x ceil(users/62) regardless
         // of event volume — the sketch state the pair math runs on
         "bitmap" -> EventAnalyticsQueries.bitmapWordsOf(
-          synthEvents(spark, n)).count())
+          synthEvents(spark, n)).count(),
+        // q147/q183 path: ER blocking candidates — constant-density
+        // (name, type) blocks through the salted cap, linear in records
+        "linkage" -> DedupQueries.saltedBucketPairs(
+          DedupQueries.linkageBlockRows(synthParts(spark, n)),
+          DedupQueries.defaultBucketCap).count())
       finally docs.unpersist()
     }
 
@@ -134,7 +155,8 @@ object ScaleProbe {
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
-      "semdedup", "containment", "dupspan", "winnow", "basket", "trigram", "bitmap")
+      "semdedup", "containment", "dupspan", "winnow", "basket", "trigram",
+      "bitmap", "linkage")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

@@ -156,6 +156,17 @@ object DedupQueries extends QueryModule {
       .distinct()
   }
 
+  /** (band=0, bh, doc_id) block rows for the ER blocking key — q147/q183's
+    * candidate stage (block = exact (name, type) agreement, enumerated
+    * through [[saltedBucketPairs]] like every other pair family). Exposed
+    * private[graft] for ScaleProbe's linkage growth line. */
+  private[graft] def linkageBlockRows(recs: DataFrame): DataFrame = {
+    import recs.sparkSession.implicits._
+    recs.select(lit(0).as("band"),
+      concat_ws("|", $"p_name", $"p_type").as("bh"),
+      $"p_partkey".as("doc_id"))
+  }
+
   /** (band, bh, doc_id) rows from banded MinHash signatures (q73 shape). */
   private def bandRows(spark: SparkSession, bandStructs: Column): DataFrame = {
     import spark.implicits._
@@ -666,6 +677,7 @@ object DedupQueries extends QueryModule {
          |probe AS (
          |  SELECT doc_id, shingle, j, $posSql AS pos
          |  FROM sh CROSS JOIN jr WHERE doc_id >= 10),
+         |base AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 10),
          |hits AS (
          |  SELECT p.doc_id, p.shingle,
          |    CAST(COUNT(*) FILTER (
@@ -673,13 +685,17 @@ object DedupQueries extends QueryModule {
          |      AS BIGINT) AS nhit
          |  FROM probe p JOIN bloom b ON b.word = p.pos // 62
          |  GROUP BY p.doc_id, p.shingle),
-         |perdoc AS (
+         |perdoc0 AS (
          |  SELECT h.doc_id,
          |    MAX(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END) AS bloom_hit,
          |    MAX(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END)
          |      AS exact_hit
          |  FROM hits h LEFT JOIN bench ON bench.shingle = h.shingle
-         |  GROUP BY h.doc_id)
+         |  GROUP BY h.doc_id),
+         |perdoc AS (
+         |  SELECT b.doc_id, COALESCE(p.bloom_hit, 0) AS bloom_hit,
+         |         COALESCE(p.exact_hit, 0) AS exact_hit
+         |  FROM base b LEFT JOIN perdoc0 p USING (doc_id))
          |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(p.bloom_hit) AS BIGINT) AS n_flagged_bloom,
          |  CAST(SUM(p.exact_hit) AS BIGINT) AS n_flagged_exact,
@@ -693,7 +709,10 @@ object DedupQueries extends QueryModule {
       def pos(shingle: Column, j: Column): Column =
         conv(substring(md5(concat(shingle, lit("#"), j.cast("string"))
           .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % nBits
-      val sh = spark.table("documents")
+      // spread before the shingle explode + ×3 probe expansion (generator-
+      // heavy base rule): the one-row-group fixture would otherwise run the
+      // whole probe stage single-task before the first shuffle
+      val sh = Tables.spread(spark.table("documents"))
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", explode(shingles($"toks")).as("shingle"))
         // feeds the bench build AND the corpus probe
@@ -719,12 +738,20 @@ object DedupQueries extends QueryModule {
             =!= 0, 1).otherwise(0))
         .groupBy($"doc_id", $"shingle")
         .agg(sum($"hit").as("nhit"))
-      val perdoc = hits
+      val perdoc0 = hits
         .join(broadcast(bench.withColumn("inBench", lit(1))),
           Seq("shingle"), "left")
         .groupBy($"doc_id")
         .agg(max(when($"nhit" === 3, 1).otherwise(0)).as("bloom_hit"),
           max(coalesce($"inBench", lit(0))).as("exact_hit"))
+      // n_docs must count every PROBED doc, not just bloom-join survivors:
+      // with a tiny benchmark set a doc whose every probe lands on an
+      // unset bloom word would otherwise vanish from its source's count
+      // (ADVICE r06) — left-join the stats onto the probed-doc base.
+      val perdoc = sh.filter($"doc_id" >= 10).select($"doc_id").distinct()
+        .join(perdoc0, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"bloom_hit", lit(0)).as("bloom_hit"),
+          coalesce($"exact_hit", lit(0)).as("exact_hit"))
       perdoc
         .join(spark.table("documents").select($"doc_id", $"source"),
           Seq("doc_id"))
@@ -871,9 +898,12 @@ object DedupQueries extends QueryModule {
          |ORDER BY id_a, id_b""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val packs = simhashes(spark).select($"doc_id",
+      // The 64-vote signature aggregate feeds both the band explode and the
+      // packed-XOR verify join: materialize it once (multi-consumer rule).
+      val sig = simhashes(spark).localCheckpoint()
+      val packs = sig.select($"doc_id",
         graft.functions.VectorExpressions.hexPack16($"simhash").as("pk"))
-      saltedBucketPairs(simhashBands(spark), defaultBucketCap)
+      saltedBucketPairs(bandsFromSimhashes(sig), defaultBucketCap)
         .join(packs.select($"doc_id".as("id_a"), $"pk".as("pa")), "id_a")
         .join(packs.select($"doc_id".as("id_b"), $"pk".as("pb")), "id_b")
         .select($"id_a", $"id_b",
@@ -1213,19 +1243,23 @@ object DedupQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
       val p = spark.table("part")
-      val blocks = p.select(lit(0).as("band"),
-        concat_ws("|", $"p_name", $"p_type").as("bh"),
-        $"p_partkey".as("doc_id"))
+      val blocks = linkageBlockRows(p)
       val pairs = saltedBucketPairs(blocks, defaultBucketCap)
       val aSide = p.select($"p_partkey".as("id_a"), $"p_name",
+        $"p_type".as("type_a"),
         $"p_brand".as("brand_a"), $"p_size".as("size_a"),
         $"p_retailprice".as("price_a"))
-      val bSide = p.select($"p_partkey".as("id_b"),
+      val bSide = p.select($"p_partkey".as("id_b"), $"p_name".as("name_b"),
+        $"p_type".as("type_b"),
         $"p_brand".as("brand_b"), $"p_size".as("size_b"),
         $"p_retailprice".as("price_b"))
       val relDiff = abs($"price_a" - $"price_b") /
         greatest($"price_a", $"price_b")
       pairs.join(aSide, "id_a").join(bSide, "id_b")
+        // the block key is concat_ws("|", name, type) — re-check FIELD-WISE
+        // equality so a '|' inside either field can't conflate two distinct
+        // (name, type) blocks into spurious candidates (ADVICE r06)
+        .filter($"p_name" === $"name_b" && $"type_a" === $"type_b")
         .filter(abs($"size_a" - $"size_b") <= 1 && relDiff <= 0.05)
         .select($"id_a", $"id_b", $"p_name".as("name"),
           abs($"size_a" - $"size_b").as("size_diff"),
@@ -1279,17 +1313,20 @@ object DedupQueries extends QueryModule {
         |ORDER BY cluster_id""".stripMargin) { spark =>
       import spark.implicits._
       val p = spark.table("part")
-      val blocks = p.select(lit(0).as("band"),
-        concat_ws("|", $"p_name", $"p_type").as("bh"),
-        $"p_partkey".as("doc_id"))
-      val aSide = p.select($"p_partkey".as("id_a"), $"p_size".as("size_a"),
+      val blocks = linkageBlockRows(p)
+      val aSide = p.select($"p_partkey".as("id_a"), $"p_name".as("name_a"),
+        $"p_type".as("type_a"), $"p_size".as("size_a"),
         $"p_retailprice".as("price_a"))
-      val bSide = p.select($"p_partkey".as("id_b"), $"p_size".as("size_b"),
+      val bSide = p.select($"p_partkey".as("id_b"), $"p_name".as("name_b"),
+        $"p_type".as("type_b"), $"p_size".as("size_b"),
         $"p_retailprice".as("price_b"))
       val relDiff = abs($"price_a" - $"price_b") /
         greatest($"price_a", $"price_b")
       val pairs = saltedBucketPairs(blocks, defaultBucketCap)
         .join(aSide, "id_a").join(bSide, "id_b")
+        // field-wise block equality after the concat_ws("|") bucket join —
+        // a '|' in name or type must not conflate blocks (ADVICE r06)
+        .filter($"name_a" === $"name_b" && $"type_a" === $"type_b")
         .filter(abs($"size_a" - $"size_b") <= 1 && relDiff <= 0.05)
         .select($"id_a", $"id_b")
         .localCheckpoint() // feeds both edge directions and the node set
@@ -1607,13 +1644,20 @@ object DedupQueries extends QueryModule {
     * right trade below ~10⁵ docs; 8 gives 2 bands of 32 bits, whose
     * background collisions stay negligible to ~10⁹ docs (ScaleProbe
     * measures both growth curves). */
-  private[graft] def simhashBandsOf(docs: DataFrame, hexPerBand: Int = 4): DataFrame = {
-    import docs.sparkSession.implicits._
+  private[graft] def simhashBandsOf(docs: DataFrame, hexPerBand: Int = 4): DataFrame =
+    bandsFromSimhashes(simhashesOf(docs), hexPerBand)
+
+  /** Band explode over an already-computed (doc_id, simhash) relation, so a
+    * caller that needs both the bands and the packed signatures (q78c) can
+    * materialize the expensive 64-vote aggregate once and feed it to both. */
+  private[graft] def bandsFromSimhashes(sig: DataFrame,
+      hexPerBand: Int = 4): DataFrame = {
+    import sig.sparkSession.implicits._
     val bandStructs = array((0 until 16 / hexPerBand).map { b =>
       struct(lit(b).as("band"),
         substring($"simhash", hexPerBand * b + 1, hexPerBand).as("bh"))
     }: _*)
-    simhashesOf(docs)
+    sig
       .select($"doc_id", explode(bandStructs).as("bs"))
       .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id")
   }

@@ -792,13 +792,18 @@ object TextQueries extends QueryModule {
     // monitor a training pipeline runs per ingest batch): the q128 snapshot
     // pair's unigram distributions compared by KL divergence in BOTH
     // directions plus total variation distance, with add-one smoothing
-    // over the union vocabulary so zero-count tokens stay finite. The
-    // word-salad vocabulary is metadata-sized, so after two map-side-
-    // combinable token rollups everything folds over a sorted per-token
-    // array (the q109 sorted-fold determinism pattern; ln through the r4
-    // margin per the q122/q134 precedent). TV distance is |p−q| — pure
-    // rational arithmetic. Scale: two corpus-sized token rollups, one
-    // |vocab|-row join, one array fold; nothing quadratic.
+    // over the union vocabulary so zero-count tokens stay finite. Bit
+    // determinism across engines needs a FIXED summation association, but
+    // one corpus-wide sorted fold would collect the whole vocabulary onto a
+    // single row (VERDICT r06 #3) — so the fold is two-level: tokens fold
+    // sorted WITHIN md5-mod-64 buckets (each bucket |V|/64 rows, scaling
+    // out with the vocabulary), then the 64 bucket partials — a constant-
+    // size array — fold sorted by bucket id. Both engines spell the exact
+    // same (bucket, token) association, so IEEE sums agree bit-for-bit
+    // (ln through the r4 margin per the q122/q134 precedent). TV distance
+    // is |p−q| — pure rational arithmetic. Scale: two corpus-sized
+    // map-side-combinable token rollups, one |vocab|-row join, one bounded
+    // 64-key fold; nothing quadratic, nothing single-task.
     q("q184_token_drift",
       s"""WITH snap_a AS (
          |  SELECT text FROM documents WHERE doc_id % 7 <> 0),
@@ -821,26 +826,46 @@ object TextQueries extends QueryModule {
          |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
          |               CAST(SUM(b) AS BIGINT) AS nb,
          |               CAST(COUNT(*) AS BIGINT) AS vsz FROM v),
-         |arr AS (
-         |  SELECT list_sort(list(struct_pack(token := token, a := a,
-         |                                    b := b))) AS l
-         |  FROM v)
-         |SELECT tot.na AS tokens_a, tot.nb AS tokens_b, tot.vsz AS vocab,
-         |  floor(list_reduce(list_transform(arr.l, x ->
+         |bkt AS (
+         |  SELECT CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS UBIGINT)
+         |              % 64 AS BIGINT) AS bucket, token, a, b
+         |  FROM v),
+         |barr AS (
+         |  SELECT bucket, list_sort(list(struct_pack(token := token, a := a,
+         |                                            b := b))) AS l
+         |  FROM bkt GROUP BY bucket),
+         |bpart AS (
+         |  SELECT bucket,
+         |    list_reduce(list_prepend(0.0, list_transform(barr.l, x ->
          |      (CAST(x.b + 1 AS DOUBLE) / (tot.nb + tot.vsz)) *
          |      ln((CAST(x.b + 1 AS DOUBLE) / (tot.nb + tot.vsz)) /
-         |         (CAST(x.a + 1 AS DOUBLE) / (tot.na + tot.vsz)))),
-         |      (p, q) -> p + q) * 10000 + 0.5) / 10000 AS kl_b_from_a,
-         |  floor(list_reduce(list_transform(arr.l, x ->
+         |         (CAST(x.a + 1 AS DOUBLE) / (tot.na + tot.vsz))))),
+         |      (p, q) -> p + q) AS kb,
+         |    list_reduce(list_prepend(0.0, list_transform(barr.l, x ->
          |      (CAST(x.a + 1 AS DOUBLE) / (tot.na + tot.vsz)) *
          |      ln((CAST(x.a + 1 AS DOUBLE) / (tot.na + tot.vsz)) /
-         |         (CAST(x.b + 1 AS DOUBLE) / (tot.nb + tot.vsz)))),
-         |      (p, q) -> p + q) * 10000 + 0.5) / 10000 AS kl_a_from_b,
-         |  floor(list_reduce(list_transform(arr.l, x ->
+         |         (CAST(x.b + 1 AS DOUBLE) / (tot.nb + tot.vsz))))),
+         |      (p, q) -> p + q) AS ka,
+         |    list_reduce(list_prepend(0.0, list_transform(barr.l, x ->
          |      abs(CAST(x.a AS DOUBLE) / tot.na -
-         |          CAST(x.b AS DOUBLE) / tot.nb)),
-         |      (p, q) -> p + q) / 2 * 10000 + 0.5) / 10000 AS tv_dist
-         |FROM arr CROSS JOIN tot""".stripMargin) { spark =>
+         |          CAST(x.b AS DOUBLE) / tot.nb))),
+         |      (p, q) -> p + q) AS tv
+         |  FROM barr CROSS JOIN tot),
+         |parr AS (
+         |  SELECT list_sort(list(struct_pack(bucket := bucket, kb := kb,
+         |                                    ka := ka, tv := tv))) AS pl
+         |  FROM bpart)
+         |SELECT tot.na AS tokens_a, tot.nb AS tokens_b, tot.vsz AS vocab,
+         |  floor(list_reduce(list_prepend(0.0,
+         |      list_transform(parr.pl, x -> x.kb)), (p, q) -> p + q)
+         |    * 10000 + 0.5) / 10000 AS kl_b_from_a,
+         |  floor(list_reduce(list_prepend(0.0,
+         |      list_transform(parr.pl, x -> x.ka)), (p, q) -> p + q)
+         |    * 10000 + 0.5) / 10000 AS kl_a_from_b,
+         |  floor(list_reduce(list_prepend(0.0,
+         |      list_transform(parr.pl, x -> x.tv)), (p, q) -> p + q)
+         |    / 2 * 10000 + 0.5) / 10000 AS tv_dist
+         |FROM parr CROSS JOIN tot""".stripMargin) { spark =>
       import spark.implicits._
       val docs = spark.table("documents")
       val ta = docs.filter($"doc_id" % 7 =!= 0)
@@ -854,29 +879,41 @@ object TextQueries extends QueryModule {
       val v = ca.as("ca").join(cb.as("cb"), Seq("token"), "full_outer")
         .select($"token", coalesce($"ca.c", lit(0L)).as("a"),
           coalesce($"cb.c", lit(0L)).as("b"))
-        .localCheckpoint() // feeds the totals AND the fold array
+        .localCheckpoint() // feeds the totals AND the bucketed folds
       val tot = v.agg(sum($"a").cast(LongType).as("na"),
         sum($"b").cast(LongType).as("nb"),
         count(lit(1)).cast(LongType).as("vsz"))
-      val arr = v.agg(sort_array(collect_list(
-        struct($"token", $"a", $"b"))).as("l"))
       def pb(x: Column) = (x.getField("b") + 1).cast(DoubleType) /
         ($"nb" + $"vsz")
       def pa(x: Column) = (x.getField("a") + 1).cast(DoubleType) /
         ($"na" + $"vsz")
-      arr.crossJoin(broadcast(tot))
+      val barr = v
+        .withColumn("bucket", (conv(substring(md5($"token".cast(BinaryType)),
+          1, 8), 16, 10).cast(LongType) % 64))
+        .groupBy($"bucket")
+        .agg(sort_array(collect_list(struct($"token", $"a", $"b"))).as("l"))
+      val bpart = barr.crossJoin(broadcast(tot)).select($"bucket",
+        aggregate($"l", lit(0.0), (acc, x) =>
+          acc + pb(x) * log(pb(x) / pa(x))).as("kb"),
+        aggregate($"l", lit(0.0), (acc, x) =>
+          acc + pa(x) * log(pa(x) / pb(x))).as("ka"),
+        aggregate($"l", lit(0.0), (acc, x) =>
+          acc + abs(x.getField("a").cast(DoubleType) / $"na" -
+            x.getField("b").cast(DoubleType) / $"nb")).as("tv"))
+      val parr = bpart.agg(sort_array(collect_list(
+        struct($"bucket", $"kb", $"ka", $"tv"))).as("pl"))
+      parr.crossJoin(broadcast(tot))
         .select($"na".as("tokens_a"), $"nb".as("tokens_b"),
           $"vsz".as("vocab"),
-          (floor(aggregate($"l", lit(0.0), (acc, x) =>
-            acc + pb(x) * log(pb(x) / pa(x))) * 10000 + 0.5) / 10000)
+          (floor(aggregate($"pl", lit(0.0), (acc, x) =>
+            acc + x.getField("kb")) * 10000 + 0.5) / 10000)
             .as("kl_b_from_a"),
-          (floor(aggregate($"l", lit(0.0), (acc, x) =>
-            acc + pa(x) * log(pa(x) / pb(x))) * 10000 + 0.5) / 10000)
+          (floor(aggregate($"pl", lit(0.0), (acc, x) =>
+            acc + x.getField("ka")) * 10000 + 0.5) / 10000)
             .as("kl_a_from_b"),
-          (floor(aggregate($"l", lit(0.0), (acc, x) =>
-            acc + abs(x.getField("a").cast(DoubleType) / $"na" -
-              x.getField("b").cast(DoubleType) / $"nb")) / 2
-            * 10000 + 0.5) / 10000).as("tv_dist"))
+          (floor(aggregate($"pl", lit(0.0), (acc, x) =>
+            acc + x.getField("tv")) / 2 * 10000 + 0.5) / 10000)
+            .as("tv_dist"))
     },
 
     q("q108_heavy_hitters",
@@ -1533,9 +1570,13 @@ object TextQueries extends QueryModule {
         .groupBy($"j", bucket($"token", $"j").as("b"))
         .agg(count(lit(1)).as("c"))
       val ex = tok.groupBy($"token").agg(count(lit(1)).as("n"))
-      val wTop = Window.orderBy($"n".desc, $"token")
-      val probes = ex.withColumn("rk", row_number().over(wTop))
-        .filter($"rk" <= 10).select($"token", $"n")
+      // Probe selection must never rank the whole vocabulary through an
+      // unpartitioned window (single task over 10⁸⁺ distinct tokens at
+      // 100 TB): orderBy+limit is TakeOrdered — per-partition top-10, merge
+      // of 10·P rows — the q116 spelling. Same top-10 set as the oracle's
+      // rank ≤ 10 (the (n DESC, token) order is total).
+      val probes = ex.orderBy($"n".desc, $"token").limit(10)
+        .select($"token", $"n")
       val probeCells = probes
         .select($"token", $"n",
           explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
@@ -2006,7 +2047,11 @@ object TextQueries extends QueryModule {
     * pair volume is ≤ df·cap/2 per key — linear in corpus at fixed cap. */
   private[graft] def winnowedMatches(docs: DataFrame, dfCap: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    // The windowed-min selection is the expensive stage and feeds the hot-set
+    // aggregate plus both join sides of sf (up to 4 consumers): materialize it
+    // once (same multi-consumer rule as q183's pairs, DedupQueries.scala:1295).
     val sels = winnowedSelectionsOf(docs).select($"doc_id", $"sel").distinct()
+      .localCheckpoint()
     val hot = sels.groupBy($"sel").agg(count(lit(1)).as("df"))
       .filter($"df" > dfCap).select($"sel")
     val sf = sels.join(broadcast(hot), Seq("sel"), "left_anti")

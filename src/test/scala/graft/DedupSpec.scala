@@ -174,6 +174,28 @@ class DedupSpec extends SparkSpec {
     assert(uncapped > 1000, "without the cap the boilerplate pairs all match")
   }
 
+  test("record-linkage (name, type) blocks keep headroom under the salt cap") {
+    import spark.implicits._
+    // q147/q183's oracle joins blocks UNCAPPED (unlike q71c, whose HAVING
+    // replays the cap): the two sides agree only while every (name, type)
+    // block fits in one salt chunk. Assert the fixture's largest block sits
+    // well under the cap, so a future fixture/SF change that grows a block
+    // past it fails HERE, loudly, instead of silently dropping pairs
+    // (ADVICE r06).
+    graft.sources.Tables.register(spark, sf)
+    val maxBlock = spark.table("part")
+      .groupBy($"p_name", $"p_type").count()
+      .agg(max($"count")).head().getLong(0)
+    val cap = DedupQueries.defaultBucketCap
+    assert(maxBlock <= cap / 2,
+      s"largest (name, type) block $maxBlock is within 2x of the salt cap " +
+        s"$cap — the q147/q183 oracles assume uncapped blocks")
+    // and the '|' separator can never appear inside either block field
+    val sep = spark.table("part")
+      .filter($"p_name".contains("|") || $"p_type".contains("|")).count()
+    assert(sep == 0, "block fields contain the concat_ws separator")
+  }
+
   test("seq1 n-gram guard: sub-width docs yield no rows instead of throwing") {
     import spark.implicits._
     // 1- and 2-token docs make sequence(1, size-2) DESCEND ([1, 0]) without

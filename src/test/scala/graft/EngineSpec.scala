@@ -544,6 +544,121 @@ class EngineSpec extends SparkSpec {
     }.code == 1243)
   }
 
+  test("binary prepared statement: typed params round-trip incl. NULL and timestamp") {
+    val s = Engine.connect(spark, "prod", backends)
+    // COM_STMT_PREPARE analog: handle carries the token-safe param count
+    val ps = s.prepareStatement(
+      "SELECT ? AS i, ? AS l, ? AS d, ? AS str, ? AS ts, ? AS nul")
+    assert(ps.paramCount == 6)
+    val when = java.sql.Timestamp.valueOf("2024-03-01 12:30:45")
+    val r = ps.execute(7, 8L, 1.5, "x", when, null).head()
+    // the binary protocol's typed columns: each value keeps its JVM type
+    assert(r.getInt(0) == 7 && r.getLong(1) == 8L && r.getDouble(2) == 1.5)
+    assert(r.getString(3) == "x" && r.getTimestamp(4) == when)
+    assert(r.isNullAt(5)) // the null-bitmap analog: a typed NULL, not "NULL"
+    // rebind on the same handle, different types per execution are fine
+    assert(ps.execute(1, 2L, 0.5, "y", when, "set").head().getString(5) == "set")
+    // arity mismatch raises MySQL's 1210 like the text protocol
+    assert(intercept[Engine.EngineError] { ps.execute(1) }.code == 1210)
+    // typed-row iterator per execute: rows stream, types survive
+    val ps2 = s.prepareStatement(
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > ? ORDER BY o_orderkey")
+    val it = ps2.executeRows(100000.0)
+    assert(it.next().get(0).isInstanceOf[Number])
+    // '?' inside strings/comments is data, not a parameter
+    assert(Engine.countParams("SELECT 'a?b', ? -- not this ?\n, ?") == 2)
+    assert(Engine.countParams("SELECT /* ? */ ? FROM t") == 1)
+    ps.close(); ps2.close()
+    s.close()
+  }
+
+  test("typed binds never touch the SQL text (injection-proof by construction)") {
+    val s = Engine.connect(spark, "prod", backends)
+    val ps = s.prepareStatement(
+      "SELECT COUNT(*) AS n FROM nation WHERE n_name = ?")
+    // the classic payload: if it were spliced into the text, the OR would
+    // match every row; as a typed literal it matches zero nation names
+    val payload = "x' OR '1'='1"
+    assert(ps.execute(payload).head().getLong(0) == 0L)
+    // the handle's SQL text is immutable — binding happened in the plan,
+    // not the string
+    assert(ps.query.contains("?") && !ps.query.contains("OR"))
+    // and the payload round-trips byte-identical as a value
+    val echo = s.prepareStatement("SELECT ? AS v")
+    assert(echo.execute(payload).head().getString(0) == payload)
+    ps.close(); echo.close()
+    s.close()
+  }
+
+  test("cursor fetch pages a held result to exhaustion (COM_STMT_FETCH analog)") {
+    val s = Engine.connect(spark, "prod", backends)
+    import Engine.Status._
+    val ps = s.prepareStatement(
+      "SELECT n_nationkey FROM nation WHERE n_nationkey < ? ORDER BY n_nationkey")
+    // no cursor yet: fetch is a sequence error
+    intercept[Engine.EngineError] { s.fetch(ps.statementId, 5) }
+    // CURSOR_TYPE_READ_ONLY execute: result held server-side, nothing sent
+    ps.executeCursor(25)
+    assert((s.statusFlags & CursorExists) != 0)
+    assert((s.statusFlags & LastRowSent) == 0)
+    // 3-batch walk to exhaustion: 10 + 10 + 5, bits transition per batch
+    val b1 = s.fetch(ps.statementId, 10)
+    assert(b1.map(_.getInt(0)) == (0 until 10))
+    assert((s.statusFlags & CursorExists) != 0)
+    val b2 = s.fetch(ps.statementId, 10)
+    assert(b2.map(_.getInt(0)) == (10 until 20))
+    assert((s.statusFlags & CursorExists) != 0)
+    val b3 = s.fetch(ps.statementId, 10)
+    assert(b3.map(_.getInt(0)) == (20 until 25)) // final partial batch
+    assert((s.statusFlags & LastRowSent) != 0)
+    assert((s.statusFlags & CursorExists) == 0)
+    // fetching past the end yields an empty batch, not an error (the
+    // LAST_ROW_SENT state is sticky until the next execute)
+    assert(s.fetch(ps.statementId, 10).isEmpty)
+    // re-execute re-opens the cursor from the top
+    ps.executeCursor(3)
+    assert(s.fetch(ps.statementId, 10).map(_.getInt(0)) == (0 until 3))
+    // close drops the held cursor with the handle
+    ps.close()
+    intercept[Engine.EngineError] { s.fetch(ps.statementId, 1) }
+    s.close()
+  }
+
+  test("collation registry: every reference id/name resolves, split is exhaustive") {
+    // the reference ships 220 id↔name rows (constants.go:77-298, :301-522);
+    // enumerate the WHOLE table, not a sample
+    assert(Collations.byId.size == 220)
+    assert(Collations.byName.size == 220) // names are unique → exact inverse
+    Collations.byId.foreach { case (id, name) =>
+      assert(Collations.byName(name) == id)
+      // no fall-through: every name lands in a family BY ITS OWN SUFFIX —
+      // the default branch of family() is never what classifies it
+      val explicit =
+        if (name == "binary" || name.endsWith("_bin") || name.endsWith("_cs"))
+          Some("UTF8_BINARY")
+        else if (name.endsWith("_ci")) Some("UTF8_LCASE")
+        else None
+      assert(explicit.contains(Collations.family(name)),
+        s"collation $id '$name' escaped the suffix families")
+      assert(Collations.familyById(id).contains(Collations.family(name)))
+    }
+    // family counts pin the split (174 _ci; 39 _bin + 6 _cs + binary = 46)
+    val fams = Collations.byId.values.groupBy(Collations.family)
+    assert(fams("UTF8_LCASE").size == 174 && fams("UTF8_BINARY").size == 46)
+    // the reference default (id 46, constants.go:6) is utf8mb4_bin
+    assert(Collations.byId(Collations.defaultId) == "utf8mb4_bin")
+    assert(Collations.familyById(Collations.defaultId).contains("UTF8_BINARY"))
+    // session plumbing: a named 520_ci collation maps case-insensitive...
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("SET NAMES utf8mb4 COLLATE utf8mb4_unicode_520_ci")
+    assert(s.sparkCollation == "UTF8_LCASE")
+    // ...and a name OUTSIDE the registry is MySQL's ER_UNKNOWN_COLLATION
+    assert(intercept[Engine.EngineError] {
+      s.sql("SET NAMES utf8mb4 COLLATE utf8mb4_not_a_collation")
+    }.code == 1273)
+    s.close()
+  }
+
   test("DATE_FORMAT translation maps %-codes token-safely") {
     // pattern mapping incl. the MySQL-vs-strftime divergence (%i = minutes)
     assert(Engine.translateMySql("SELECT DATE_FORMAT(ts, '%Y-%m-%d %H:%i:%s') FROM t")

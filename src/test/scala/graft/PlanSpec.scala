@@ -508,6 +508,11 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("partial"), finalPlan)
     assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    // probe selection is TakeOrdered over the vocabulary, never a
+    // single-task unpartitioned Window over the corpus-derived relation
+    // (VERDICT r06 #2): no Window operator may appear anywhere in the plan
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+    assert(!finalPlan.contains("Window"), finalPlan)
   }
 
   test("active users: contribution explode, no range join and no per-day window rescan") {

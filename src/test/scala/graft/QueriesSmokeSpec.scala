@@ -104,7 +104,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // q178/q180: sketch-cell integer rollups (histogram, AGMS signs);
       // q181: bloom word OR + probe; q182: integer cent-split remainders
       "q178_histogram_quantile", "q180_join_size_sketch",
-      "q181_bloom_decontaminate", "q182_linear_attribution")
+      "q181_bloom_decontaminate", "q182_linear_attribution",
+      // q184: two-level bucketed KL/TV fold — sorted within md5-mod-64
+      // buckets, then sorted over the 64 bucket partials
+      "q184_token_drift")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
