@@ -1269,18 +1269,25 @@ object DedupQueries extends QueryModule {
     },
 
     // Golden-record survivorship — the step AFTER q147's record linkage in
-    // every master-data pipeline: matched pairs close into entity clusters
-    // (the q77 pointer-doubling fixpoint over the match graph — min-label
-    // = min partkey becomes the cluster id), then one canonical record
-    // survives per cluster by FIELD-LEVEL rules: name is block-constant,
-    // size resolves to the max observed, price to the min offered, brand
-    // to the lowest-partkey member's (min_by/arg_min — deterministic
-    // because partkey is unique). The oracle replays the closure as a
-    // recursive CTE and the survivorship with arg_min — hash equality
-    // proves both the clustering AND every per-field rule. Scale: the
-    // match graph is the salted-block pair enumeration; the fixpoint is
-    // O(log diameter) rounds (q77); survivorship is one map-side-
-    // combinable rollup keyed by cluster.
+    // every master-data pipeline: matched records close into entity
+    // clusters (min partkey becomes the cluster id), then one canonical
+    // record survives per cluster by FIELD-LEVEL rules: name is
+    // block-constant, size resolves to the max observed, price to the min
+    // offered, brand to the lowest-partkey member's (min_by/arg_min —
+    // deterministic because partkey is unique). The oracle replays the
+    // closure as a recursive CTE and the survivorship with arg_min — hash
+    // equality proves both the clustering AND every per-field rule.
+    // Scale: every match edge lives INSIDE a salt-capped (name, type)
+    // block chunk — ER blocking by construction — so the closure runs
+    // per chunk over a ≤cap member array (graft_linkage_components, a
+    // bounded union-find expression; see LinkageComponents.scala for the
+    // fixpoint-equivalence argument) instead of a 12-round distributed
+    // label-propagation fixpoint whose per-round join+action overhead
+    // dominated this query's wall-clock through r06 (6.6 s → ~1.5 s).
+    // Blocking groups by the FIELDS (p_name, p_type) directly — no
+    // concat-separator hazard — and the salt window + groupBy + rollup
+    // reuse one hash partitioning; q77 keeps the distributed fixpoint for
+    // the LSH graphs whose components genuinely span buckets.
     q("q183_golden_record",
       """WITH RECURSIVE p AS (
         |  SELECT p_partkey, p_name, p_type, p_brand, p_size, p_retailprice
@@ -1313,28 +1320,19 @@ object DedupQueries extends QueryModule {
         |ORDER BY cluster_id""".stripMargin) { spark =>
       import spark.implicits._
       val p = spark.table("part")
-      val blocks = linkageBlockRows(p)
-      val aSide = p.select($"p_partkey".as("id_a"), $"p_name".as("name_a"),
-        $"p_type".as("type_a"), $"p_size".as("size_a"),
-        $"p_retailprice".as("price_a"))
-      val bSide = p.select($"p_partkey".as("id_b"), $"p_name".as("name_b"),
-        $"p_type".as("type_b"), $"p_size".as("size_b"),
-        $"p_retailprice".as("price_b"))
-      val relDiff = abs($"price_a" - $"price_b") /
-        greatest($"price_a", $"price_b")
-      val pairs = saltedBucketPairs(blocks, defaultBucketCap)
-        .join(aSide, "id_a").join(bSide, "id_b")
-        // field-wise block equality after the concat_ws("|") bucket join —
-        // a '|' in name or type must not conflate blocks (ADVICE r06)
-        .filter($"name_a" === $"name_b" && $"type_a" === $"type_b")
-        .filter(abs($"size_a" - $"size_b") <= 1 && relDiff <= 0.05)
-        .select($"id_a", $"id_b")
-        .localCheckpoint() // feeds both edge directions and the node set
-      val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
-        .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
-      val nodes = pairs.select($"id_a".as("doc_id"))
-        .unionAll(pairs.select($"id_b".as("doc_id"))).distinct()
-      val (labels, _) = propagateComponents(nodes, edges)
+      val w = Window.partitionBy($"p_name", $"p_type").orderBy($"p_partkey")
+      val labels = p
+        .withColumn("salt",
+          floor((row_number().over(w) - 1) / lit(defaultBucketCap))
+            .cast(IntegerType))
+        .groupBy($"p_name", $"p_type", $"salt")
+        .agg(sort_array(collect_list(struct(
+          $"p_partkey".as("id"),
+          $"p_size".cast(IntegerType).as("size"),
+          $"p_retailprice".as("price")))).as("members"))
+        .select(explode(graft.functions.LinkageComponents(
+          $"members", sizeTol = 1, priceTol = 0.05)).as("m"))
+        .select($"m.id".as("doc_id"), $"m.component".as("component"))
       labels
         .join(p, $"doc_id" === $"p_partkey")
         .groupBy($"component".as("cluster_id"))

@@ -196,6 +196,56 @@ class DedupSpec extends SparkSpec {
     assert(sep == 0, "block fields contain the concat_ws separator")
   }
 
+  test("linkage components: chunk closure matches the distributed fixpoint") {
+    import spark.implicits._
+    import graft.functions.LinkageComponents
+    // one chunk: ids 1..8; sizes chain 10,11,12,… so adjacent ids match
+    // (|Δsize| = 1) but distant ones don't — transitivity must chain them;
+    // id 100 is a singleton (size far away) and must NOT appear
+    val members = (1 to 8).map(i => (i.toLong, 9 + i, 50.0)) :+ (100L, 99, 50.0)
+    val df = members.toDF("id", "size", "price")
+      .agg(sort_array(collect_list(struct($"id", $"size", $"price")))
+        .as("members"))
+      .select(explode(LinkageComponents($"members", 1, 0.05)).as("m"))
+      .select($"m.id", $"m.component")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1 to 8).map(i => (i.toLong, 1L)).toSet,
+      s"size chain must close transitively into one cluster, got $got")
+    // the price rule gates matches exactly like the SQL spelling: 5% of
+    // the larger price, inclusive boundary
+    val pr = Seq((1L, 5, 100.0), (2L, 5, 95.0), (3L, 5, 90.24))
+      .toDF("id", "size", "price")
+      .agg(sort_array(collect_list(struct($"id", $"size", $"price")))
+        .as("members"))
+      .select(explode(LinkageComponents($"members", 1, 0.05)).as("m"))
+      .select($"m.id", $"m.component")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100→95 matches (5/100 = 0.05 exactly); 95→90.24 fails
+    // (4.76/95 > 0.05); transitivity still links 3? No — no edge to 3.
+    assert(pr == Set((1L, 1L), (2L, 1L)), s"got $pr")
+    // equivalence with the fixpoint on the same edge set: same synthetic
+    // block, labels from propagateComponents over the enumerated pairs
+    val base = members.toDF("id", "size", "price")
+    val a = base.select($"id".as("id_a"), $"size".as("size_a"),
+      $"price".as("price_a"))
+    val b = base.select($"id".as("id_b"), $"size".as("size_b"),
+      $"price".as("price_b"))
+    val pairs = a.crossJoin(b).filter($"id_a" < $"id_b" &&
+      abs($"size_a" - $"size_b") <= 1 &&
+      abs($"price_a" - $"price_b") /
+        greatest($"price_a", $"price_b") <= 0.05)
+      .select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
+      .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
+    val nodes = pairs.select($"id_a".as("doc_id"))
+      .unionAll(pairs.select($"id_b".as("doc_id"))).distinct()
+    val (labels, _) = DedupQueries.propagateComponents(nodes, edges)
+    val viaFixpoint = labels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == viaFixpoint,
+      s"chunk union-find and fixpoint disagree: $got vs $viaFixpoint")
+  }
+
   test("seq1 n-gram guard: sub-width docs yield no rows instead of throwing") {
     import spark.implicits._
     // 1- and 2-token docs make sequence(1, size-2) DESCEND ([1, 0]) without

@@ -106,8 +106,9 @@ class QueriesSmokeSpec extends SparkSpec {
       "q178_histogram_quantile", "q180_join_size_sketch",
       "q181_bloom_decontaminate", "q182_linear_attribution",
       // q184: two-level bucketed KL/TV fold — sorted within md5-mod-64
-      // buckets, then sorted over the 64 bucket partials
-      "q184_token_drift")
+      // buckets, then sorted over the 64 bucket partials;
+      // q183: per-chunk union-find over sorted member arrays
+      "q184_token_drift", "q183_golden_record")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
