@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.api.{Canon, GraftQuery, QueryModule}
 import graft.api.Canon.Oracle
+import graft.sources.Tables
 
 /** Every §2B join type: inner/outer/semi/anti/cross/theta/self plus the
   * multi-way star join. Grounding: relayed surface
@@ -417,11 +418,14 @@ object JoinQueries extends QueryModule {
             .cast(LongType) % 2)).as("s"))
         .groupBy($"j", $"b")
         .agg(sum($"s").cast(LongType).as("c"))
-      val co = cells(spark.table("orders")
+      // spread before the ×5 explode + per-row md5 (generator-heavy-base
+      // rule): the one-row-group fixtures would otherwise build each
+      // relation's sketch in a single task (measured 2.4 s/relation)
+      val co = cells(Tables.spread(spark.table("orders"))
         .select($"o_orderkey".cast("string").as("k")))
-      val cl = cells(spark.table("lineitem")
+      val cl = cells(Tables.spread(spark.table("lineitem"))
         .select($"l_orderkey".cast("string").as("k")))
-      val cp = cells(spark.table("lineitem")
+      val cp = cells(Tables.spread(spark.table("lineitem"))
         .select($"l_partkey".cast("string").as("k")))
       def medianIp(ips: org.apache.spark.sql.DataFrame) = ips
         .agg(expr("cast(percentile_disc(0.5) within group (order by ip) " +
