@@ -1404,5 +1404,61 @@ object EventAnalyticsQueries extends QueryModule {
           exact.as("n_union_exact"),
           Canon.r6(($"ue" - exact) / exact).as("union_rel_err"))
         .orderBy($"type_a", $"type_b")
+    },
+
+    // Hourly conversion rate with Wilson 95% score intervals (the
+    // experiment-dashboard readout: the Wilson bound stays honest at small
+    // n where the naive normal interval collapses). Inputs are EXACT
+    // integers (events / purchases per hour-of-day); the interval is one
+    // fixed IEEE expression — z spelled 1.96·1.96, sqrt correctly rounded
+    // on both engines — surfaced through the r6 floor-round margin. Scale:
+    // a single 24-key map-side-combinable rollup; partials are constant
+    // size, so the exchange carries 24 rows per mapper regardless of
+    // corpus scale.
+    q("q185_wilson_ci",
+      """WITH e AS (
+        |  SELECT CAST(hour(ts) AS INT) AS h,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |a AS (
+        |  SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(conv) AS BIGINT) AS x
+        |  FROM e GROUP BY h),
+        |d AS (
+        |  SELECT h, n, x,
+        |         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         CAST(n AS DOUBLE) AS nd
+        |  FROM a)
+        |SELECT h, n, x,
+        |  floor(p * 1000000 + 0.5) / 1000000 AS cvr,
+        |  floor((p + (1.96 * 1.96) / (nd * 2)
+        |         - 1.96 * sqrt(p * (1.0 - p) / nd
+        |                       + (1.96 * 1.96) / (nd * nd * 4)))
+        |        / (1.0 + (1.96 * 1.96) / nd) * 1000000 + 0.5) / 1000000
+        |    AS wilson_lo,
+        |  floor((p + (1.96 * 1.96) / (nd * 2)
+        |         + 1.96 * sqrt(p * (1.0 - p) / nd
+        |                       + (1.96 * 1.96) / (nd * nd * 4)))
+        |        / (1.0 + (1.96 * 1.96) / nd) * 1000000 + 0.5) / 1000000
+        |    AS wilson_hi
+        |FROM d
+        |ORDER BY h""".stripMargin) { spark =>
+      import spark.implicits._
+      val agg = spark.table("events")
+        .select(hour($"ts").as("h"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("conv"))
+        .groupBy($"h")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum($"conv").cast(LongType).as("x"))
+      val p = $"x".cast(DoubleType) / $"n".cast(DoubleType)
+      val nd = $"n".cast(DoubleType)
+      val z2 = lit(1.96) * lit(1.96)
+      val center = p + z2 / (nd * 2)
+      val marg = lit(1.96) * sqrt(p * (lit(1.0) - p) / nd + z2 / (nd * nd * 4))
+      val denom = lit(1.0) + z2 / nd
+      agg.select($"h", $"n", $"x", Canon.r6(p).as("cvr"),
+          Canon.r6((center - marg) / denom).as("wilson_lo"),
+          Canon.r6((center + marg) / denom).as("wilson_hi"))
+        .orderBy($"h")
     })
 }

@@ -1856,6 +1856,220 @@ object TextQueries extends QueryModule {
             .as("compression_ratio"),
           $"n_repetitive")
         .orderBy($"source")
+    },
+
+    // Temperature-scaled source mixing (the XLM-R / mC4 α-sampling rule):
+    // source sampling shares p_s ∝ tokens_s^α with α = 0.3, which upsamples
+    // small sources relative to proportional sampling without letting them
+    // dominate. tokens^α is spelled exp(α·ln t) IDENTICALLY on both engines
+    // and every share is surfaced through the r4/r6 floor-round margin (the
+    // q122/q134 ln precedent). The share denominator Σ w_s is a sorted fold
+    // over the |sources|-element collected array — bounded by the source
+    // count (metadata-sized), never by the corpus. Scale: one map-side-
+    // combinable per-source token rollup; everything after runs on
+    // |sources| rows.
+    q("q186_temperature_mixing",
+      s"""WITH d AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len($tokSql)) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs, toks,
+         |         exp(0.3 * ln(CAST(toks AS DOUBLE))) AS w
+         |  FROM d),
+         |t AS (
+         |  SELECT list_reduce(list_prepend(0.0,
+         |    list_transform(list_sort(list(struct_pack(source := source,
+         |                                              w := w))),
+         |                   x -> x.w)), (p, q) -> p + q) AS wsum
+         |  FROM w)
+         |SELECT source, n_docs, toks,
+         |  floor(w / wsum * 1000000 + 0.5) / 1000000 AS p_share,
+         |  floor(w / wsum * 1000000.0 * 10000 + 0.5) / 10000 AS alloc_tokens,
+         |  floor(w / wsum * 1000000.0 / CAST(toks AS DOUBLE) * 10000 + 0.5)
+         |    / 10000 AS epochs
+         |FROM w CROSS JOIN t
+         |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val per = spark.table("documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(size(split(lower($"text"), " ")).cast(LongType))
+            .cast(LongType).as("toks"))
+        .withColumn("w", exp(lit(0.3) * log($"toks".cast(DoubleType))))
+      val wsum = per
+        .agg(sort_array(collect_list(struct($"source", $"w"))).as("l"))
+        .select(aggregate($"l", lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("wsum"))
+      per.crossJoin(broadcast(wsum))
+        .select($"source", $"n_docs", $"toks",
+          Canon.r6($"w" / $"wsum").as("p_share"),
+          Canon.r4($"w" / $"wsum" * lit(1000000.0)).as("alloc_tokens"),
+          Canon.r4($"w" / $"wsum" * lit(1000000.0) /
+            $"toks".cast(DoubleType)).as("epochs"))
+        .orderBy($"source")
+    },
+
+    // Per-source length-percentile gate (the "trim the tails" pre-filter a
+    // pipeline runs before quality scoring): token-length p05/p95 per source
+    // via the exact interpolated percentile both engines share
+    // (`percentile` ↔ QUANTILE_CONT, the q177 precedent), then a broadcast
+    // stats join flags each doc short/long/kept. The exact percentile
+    // collects per-group values — the |source|-group fixture path; at 100 TB
+    // the same contract runs on q178's mergeable histogram-quantile sketch
+    // (cell-addable state) with this query as its validator. Integer counts
+    // + interpolated bounds through the free-double floor-round.
+    q("q187_length_gate",
+      s"""WITH d AS (
+         |  SELECT source, doc_id, len($tokSql) AS n_toks FROM documents),
+         |s AS (
+         |  SELECT source, QUANTILE_CONT(n_toks, 0.05) AS lo,
+         |         QUANTILE_CONT(n_toks, 0.95) AS hi
+         |  FROM d GROUP BY source)
+         |SELECT d.source AS source,
+         |  floor(s.lo * 10000 + 0.5) / 10000 AS p05,
+         |  floor(s.hi * 10000 + 0.5) / 10000 AS p95,
+         |  CAST(SUM(CASE WHEN d.n_toks < s.lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS drop_short,
+         |  CAST(SUM(CASE WHEN d.n_toks > s.hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS drop_long,
+         |  CAST(SUM(CASE WHEN d.n_toks >= s.lo AND d.n_toks <= s.hi
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         |FROM d JOIN s ON d.source = s.source
+         |GROUP BY d.source, s.lo, s.hi
+         |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val d = spark.table("documents")
+        .select($"source", size(split(lower($"text"), " ")).as("n_toks"))
+      val s = d.groupBy($"source")
+        .agg(expr("percentile(n_toks, 0.05)").as("lo"),
+          expr("percentile(n_toks, 0.95)").as("hi"))
+      d.join(broadcast(s), Seq("source"))
+        .groupBy($"source", $"lo", $"hi")
+        .agg(
+          sum(when($"n_toks" < $"lo", 1).otherwise(0)).cast(LongType)
+            .as("drop_short"),
+          sum(when($"n_toks" > $"hi", 1).otherwise(0)).cast(LongType)
+            .as("drop_long"),
+          sum(when($"n_toks" >= $"lo" && $"n_toks" <= $"hi", 1).otherwise(0))
+            .cast(LongType).as("kept"))
+        .select($"source", Canon.r4($"lo").as("p05"), Canon.r4($"hi").as("p95"),
+          $"drop_short", $"drop_long", $"kept")
+        .orderBy($"source")
+    },
+
+    // Zipf rank-frequency fit (corpus-health monitor: natural text shows a
+    // log-log slope near −1; a drifting slope flags boilerplate floods or
+    // tokenizer breakage). Top-100 tokens via TakeOrdered (orderBy+limit —
+    // the q116 spelling, never a full-vocab rank window), ranks assigned on
+    // the ≤100-row survivor relation, then OLS on (ln rank, ln count) with
+    // all five moment sums computed by sorted folds over the single bounded
+    // collected array — one fixed IEEE association shared by both engines
+    // (the q190 family determinism pattern). Output is one row.
+    q("q190_zipf_slope",
+      s"""WITH t AS (SELECT unnest($tokSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t
+         |      GROUP BY token),
+         |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100),
+         |r AS (SELECT token, n,
+         |        ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk FROM top),
+         |arr AS (SELECT list_sort(list(struct_pack(rk := rk,
+         |          x := ln(CAST(rk AS DOUBLE)),
+         |          y := ln(CAST(n AS DOUBLE))))) AS l FROM r),
+         |m AS (SELECT
+         |  CAST(len(l) AS DOUBLE) AS cnt,
+         |  list_reduce(list_prepend(0.0, list_transform(l, e -> e.x)),
+         |              (p, q) -> p + q) AS sx,
+         |  list_reduce(list_prepend(0.0, list_transform(l, e -> e.y)),
+         |              (p, q) -> p + q) AS sy,
+         |  list_reduce(list_prepend(0.0, list_transform(l, e -> e.x * e.x)),
+         |              (p, q) -> p + q) AS sxx,
+         |  list_reduce(list_prepend(0.0, list_transform(l, e -> e.x * e.y)),
+         |              (p, q) -> p + q) AS sxy,
+         |  list_reduce(list_prepend(0.0, list_transform(l, e -> e.y * e.y)),
+         |              (p, q) -> p + q) AS syy
+         |  FROM arr)
+         |SELECT CAST(cnt AS BIGINT) AS n_top,
+         |  floor((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * 10000 + 0.5)
+         |    / 10000 AS zipf_slope,
+         |  floor((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx)
+         |        / cnt * 10000 + 0.5) / 10000 AS intercept,
+         |  floor((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy)
+         |        / ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy))
+         |        * 10000 + 0.5) / 10000 AS r2
+         |FROM m""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val c = toks.groupBy($"token").agg(count(lit(1)).cast(LongType).as("n"))
+      val top = c.orderBy($"n".desc, $"token").limit(100)
+      val r = top.withColumn("rk",
+        row_number().over(Window.orderBy($"n".desc, $"token")))
+      val arr = r.agg(sort_array(collect_list(struct($"rk",
+        log($"rk".cast(DoubleType)).as("x"),
+        log($"n".cast(DoubleType)).as("y")))).as("l"))
+      def fold(f: Column => Column): Column =
+        aggregate($"l", lit(0.0), (acc, e) => acc + f(e))
+      val m = arr.select(size($"l").cast(DoubleType).as("cnt"),
+        fold(_.getField("x")).as("sx"), fold(_.getField("y")).as("sy"),
+        fold(e => e.getField("x") * e.getField("x")).as("sxx"),
+        fold(e => e.getField("x") * e.getField("y")).as("sxy"),
+        fold(e => e.getField("y") * e.getField("y")).as("syy"))
+      val num = $"cnt" * $"sxy" - $"sx" * $"sy"
+      val den = $"cnt" * $"sxx" - $"sx" * $"sx"
+      m.select($"cnt".cast(LongType).as("n_top"),
+        Canon.r4(num / den).as("zipf_slope"),
+        Canon.r4(($"sy" - num / den * $"sx") / $"cnt").as("intercept"),
+        Canon.r4(num * num /
+          (den * ($"cnt" * $"syy" - $"sy" * $"sy"))).as("r2"))
+    },
+
+    // Heaps-law vocabulary growth curve (the "is more data still adding new
+    // types?" curation signal): docs are split into 10 ingest-order buckets
+    // by doc_id, each distinct token is credited to the bucket where it
+    // FIRST appears (map-side-combinable MIN — the q173 first-seen shape,
+    // never a cumulative distinct rescan), and the cumulative vocabulary is
+    // a window over the 10-row bucket grid. All-integer → fully
+    // hash-checked; nothing bigger than the token rollup shuffles.
+    q("q191_vocab_growth",
+      s"""WITH mx AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+         |tok AS (SELECT CAST(doc_id * 10 // mx.nd AS BIGINT) AS bucket,
+         |               unnest($tokSql) AS token
+         |        FROM documents CROSS JOIN mx),
+         |firstb AS (SELECT token, MIN(bucket) AS fb FROM tok GROUP BY token),
+         |occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+         |        FROM tok GROUP BY bucket),
+         |nw AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+         |       FROM firstb GROUP BY fb)
+         |SELECT o.bucket AS bucket, o.bucket_tokens,
+         |  COALESCE(nw.new_types, 0) AS new_types,
+         |  CAST(SUM(COALESCE(nw.new_types, 0)) OVER (ORDER BY o.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_vocab,
+         |  CAST(SUM(o.bucket_tokens) OVER (ORDER BY o.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |FROM occ o LEFT JOIN nw ON nw.bucket = o.bucket
+         |ORDER BY bucket""".stripMargin) { spark =>
+      import spark.implicits._
+      val nd = spark.table("documents")
+        .agg((max($"doc_id") + 1).as("nd"))
+      val tok = spark.table("documents").crossJoin(broadcast(nd))
+        .select(expr("doc_id * 10 div nd").cast(LongType).as("bucket"),
+          explode(split(lower($"text"), " ")).as("token"))
+      val firstb = tok.groupBy($"token").agg(min($"bucket").as("fb"))
+      val occ = tok.groupBy($"bucket")
+        .agg(count(lit(1)).cast(LongType).as("bucket_tokens"))
+      val nw = firstb.groupBy($"fb".as("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("new_types"))
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      occ.join(nw, Seq("bucket"), "left")
+        .select($"bucket", $"bucket_tokens",
+          coalesce($"new_types", lit(0L)).as("new_types"))
+        .withColumn("cum_vocab", sum($"new_types").over(w).cast(LongType))
+        .withColumn("cum_tokens", sum($"bucket_tokens").over(w).cast(LongType))
+        .orderBy($"bucket")
     })
 
   /** q169's build-time phrase blocklist (lowercase; single quotes would

@@ -1080,4 +1080,89 @@ class PipelineOpsSpec extends SparkSpec {
     assert(flagged > 0 && flagged < got.map(_._2).sum,
       s"repetitive gate must be live and partial: $got")
   }
+
+  test("q185 Wilson intervals equal the closed-form replay and bracket p") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val events = spark.table("events")
+      .select(org.apache.spark.sql.functions.hour($"ts").as("h"),
+        $"event_type").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val expect = events.groupBy(_._1).toSeq.map { case (h, xs) =>
+      val n = xs.length.toDouble
+      val x = xs.count(_._2 == "purchase").toDouble
+      val p = x / n
+      val z2 = 1.96 * 1.96
+      val center = p + z2 / (n * 2)
+      val marg = 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (n * n * 4))
+      val denom = 1.0 + z2 / n
+      (h, xs.length.toLong, x.toLong, r6d(p),
+        r6d((center - marg) / denom), r6d((center + marg) / denom))
+    }.sortBy(_._1)
+    val got = queries("q185_wilson_ci")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"${got.take(2)} vs ${expect.take(2)}")
+    got.foreach { case (h, _, _, p, lo, hi) =>
+      assert(lo >= 0 && hi <= 1 && lo <= p && p <= hi,
+        s"hour $h: interval [$lo, $hi] must bracket $p inside [0,1]")
+    }
+  }
+
+  test("q186 temperature shares sum to 1 and upweight small sources") {
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q186_temperature_mixing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(5)))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4,
+      s"shares must sum to ~1: ${got.map(_._3).sum}")
+    // α < 1 ⇒ epochs (upsampling factor) strictly decrease with source size
+    val byToks = got.sortBy(_._2)
+    byToks.sliding(2).foreach { case Array((sa, ta, _, ea), (sb, tb, _, eb)) =>
+      if (ta < tb) assert(ea >= eb,
+        s"$sa ($ta toks, $ea epochs) vs $sb ($tb toks, $eb epochs)")
+    }
+  }
+
+  test("q187 length gate partitions every source's docs exactly") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val nDocs = spark.table("documents").groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = queries("q187_length_gate")(spark, sf).collect()
+    assert(got.length == nDocs.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val total = r.getAs[Long]("drop_short") + r.getAs[Long]("drop_long") +
+        r.getAs[Long]("kept")
+      assert(total == nDocs(src), s"$src: $total != ${nDocs(src)}")
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+      assert(r.getAs[Long]("kept") > 0, s"$src: gate must keep the bulk")
+    }
+  }
+
+  test("q190 Zipf fit is a sane log-log regression on this corpus") {
+    graft.sources.Tables.register(spark, sf)
+    val r = queries("q190_zipf_slope")(spark, sf).collect().head
+    val (n, slope, r2) = (r.getAs[Long]("n_top"),
+      r.getAs[Double]("zipf_slope"), r.getAs[Double]("r2"))
+    assert(n > 10, s"expected a real top-k relation, got $n")
+    assert(slope < 0, s"rank-frequency slope must be negative: $slope")
+    assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
+  }
+
+  test("q191 vocabulary growth conserves types and tokens") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val toks = spark.table("documents")
+      .select(explode(split(lower($"text"), " ")).as("t"))
+    val vocab = toks.distinct().count()
+    val total = toks.count()
+    val got = queries("q191_vocab_growth")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("new_types")).sum == vocab)
+    assert(got.map(_.getAs[Long]("bucket_tokens")).sum == total)
+    val cums = got.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Long]("cum_vocab"))
+    assert(cums.last == vocab)
+    cums.sliding(2).foreach { case Array(a, b) => assert(a <= b) case _ => }
+  }
 }

@@ -108,7 +108,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // q184: two-level bucketed KL/TV fold — sorted within md5-mod-64
       // buckets, then sorted over the 64 bucket partials;
       // q183: per-chunk union-find over sorted member arrays
-      "q184_token_drift", "q183_golden_record")
+      "q184_token_drift", "q183_golden_record",
+      // q186: share denominator is a sorted fold over the source array;
+      // q190: all five OLS moment sums are sorted folds over the top-100
+      // collected array
+      "q186_temperature_mixing", "q190_zipf_slope")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
