@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
 import org.apache.spark.sql.catalyst.expressions.ConcatWs
 
+import graft.functions.TextExpressions.NfcNormalize
 import graft.functions.VectorExpressions.{DotProduct, HexPack16, SignPack32}
 
 /** SparkSessionExtensions entry point — the engine's custom Catalyst surface
@@ -34,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_signpack32"),
       new ExpressionInfo(classOf[SignPack32].getName, "graft_signpack32"),
       (children: Seq[Expression]) => SignPack32(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       FunctionIdentifier("group_concat"),
       new ExpressionInfo(classOf[ConcatWs].getName, "group_concat"),

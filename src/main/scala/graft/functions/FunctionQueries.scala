@@ -403,5 +403,50 @@ object FunctionQueries extends QueryModule {
       spark.table("events")
         .selectExpr("event_id", "json_tuple(props, 'k', 'source') AS (k, src)")
         .orderBy($"event_id")
+    },
+
+    // Unicode NFC normalization — the ingestion canonicalization pass that
+    // keeps exact dedup / shingles / vocab from fracturing on combining-mark
+    // vs precomposed spellings of the same grapheme. Spark has no builtin;
+    // `graft_nfc` is a native codegen'd Expression (TextExpressions.scala)
+    // against DuckDB's `nfc_normalize`. The fixture corpus is pure ASCII, so
+    // odd doc_ids get a deterministic decomposed suffix ("e" + U+0301
+    // combining acute — spelled chr(101)||chr(769) in the oracle and as the
+    // explicit "e\\u0301" escape here, since Spark's chr() is mod-256
+    // ASCII-only and a bare source literal could silently precompose) and
+    // even ids a precomposed control suffix: NFC must compose the former
+    // (len −1, changed = 1) and fix the latter (changed = 0). The md5
+    // fingerprint hashes the normalized UTF-8 bytes on both engines — a
+    // content check, not just a length check. Map-side only; no shuffle
+    // until the final ORDER BY.
+    q("q188_nfc_normalize",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 1
+        |              THEN text || ' caf' || chr(101) || chr(769)
+        |              ELSE text || ' cafe' END AS marked
+        |  FROM documents),
+        |n AS (SELECT doc_id, marked, nfc_normalize(marked) AS norm FROM m)
+        |SELECT doc_id,
+        |  CAST(length(marked) AS BIGINT) AS len_raw,
+        |  CAST(length(norm) AS BIGINT) AS len_nfc,
+        |  substr(md5(norm), 1, 8) AS fp,
+        |  CASE WHEN norm = marked THEN 0 ELSE 1 END AS changed
+        |FROM n
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val marked = spark.table("documents")
+        .select($"doc_id",
+          when($"doc_id" % 2 === 1,
+            concat($"text", lit(" caf"), lit("e\u0301")))
+            .otherwise(concat($"text", lit(" cafe"))).as("marked"))
+      marked
+        .withColumn("norm", TextExpressions.nfc($"marked"))
+        .select($"doc_id",
+          length($"marked").cast(LongType).as("len_raw"),
+          length($"norm").cast(LongType).as("len_nfc"),
+          substring(md5($"norm".cast(BinaryType)), 1, 8).as("fp"),
+          when($"norm" === $"marked", 0).otherwise(1).as("changed"))
+        .orderBy($"doc_id")
     })
 }

@@ -849,7 +849,125 @@ object SimilarityQueries extends QueryModule {
         .select($"label", $"n_vecs", $"n_contaminated",
           graft.api.Canon.r4($"m0").as("max_cos"))
         .orderBy($"label")
+    },
+
+    // Maximal-marginal-relevance diverse top-k (Carbonell-Goldstein SIGIR'98
+    // — the diversity-aware sampling a curation pipeline uses where plain
+    // top-k returns five near-copies): per probe, take the top-16 cosine
+    // candidates, then greedily select 5 maximizing
+    // 0.7·rel − 0.3·max_sim_to_selected. The greedy is 5 UNROLLED relational
+    // rounds — identical CTEs on both engines — over the bounded candidate
+    // set; every rel/sim is rounded r4 BEFORE selection (the cosine
+    // invariant), so the argmax compares identical doubles and the whole
+    // sequential algorithm is hash-checkable. Scale: the corpus-sized stage
+    // is exactly q80's broadcast-probe scoring scan + per-qid top-k; the
+    // greedy runs on |probes|·16 rows and |probes|·16·15 pair rows,
+    // localCheckpoint'ed once each (multi-consumer rule) — candidate-set
+    // bounded, never corpus-quadratic.
+    q("q189_mmr_diverse", mmrOracleSql) { spark =>
+      import spark.implicits._
+      val e = withNorm(spark)
+      val probes = e.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n".as("qn"))
+      val sc = e.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("cid"), $"embedding".as("emb"), $"n",
+          graft.api.Canon.r4(dot($"qemb", $"embedding") / ($"qn" * $"n"))
+            .as("rel"))
+      val wTop = Window.partitionBy($"qid").orderBy($"rel".desc, $"cid".asc)
+      val cands = sc.withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 16)
+        .select($"qid", $"cid", $"emb", $"n", $"rel")
+        .localCheckpoint() // feeds pairs + every greedy round
+      val pairs = cands.as("x").join(cands.as("y"),
+          $"x.qid" === $"y.qid" && $"x.cid" =!= $"y.cid")
+        .select($"x.qid".as("qid"), $"x.cid".as("a"), $"y.cid".as("b"),
+          graft.api.Canon.r4(dot($"x.emb", $"y.emb") / ($"x.n" * $"y.n"))
+            .as("sim"))
+        .localCheckpoint() // feeds rounds 2..5
+      val slim = cands.select($"qid", $"cid", $"rel")
+      val wPick = Window.partitionBy($"qid").orderBy($"sc".desc, $"cid".asc)
+      // each round references the previous selection TWICE (the left_anti
+      // remainder and the max-sim join) — left unmaterialized that doubles
+      // the replayed plan per round (the CLAUDE.md fixpoint rule; measured
+      // 5.0 s vs 1.0 s). The selection is ≤ |probes|·k rows: checkpoint it
+      // every round.
+      var sel = slim
+        .withColumn("sc", lit(0.7) * $"rel" - lit(0.3) * lit(0.0))
+        .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
+        .select($"qid", $"cid", $"sc", lit(1).as("sel_rank"))
+        .localCheckpoint()
+      for (t <- 2 to mmrK) {
+        val selIds = sel.select($"qid".as("sqid"), $"cid".as("scid"))
+        val rem = slim.join(selIds,
+          $"qid" === $"sqid" && $"cid" === $"scid", "left_anti")
+        val ms = pairs.join(selIds, $"qid" === $"sqid" && $"b" === $"scid")
+          .groupBy($"qid", $"a").agg(max($"sim").as("msim"))
+        val r = rem.as("r").join(ms.as("m"),
+            $"r.qid" === $"m.qid" && $"r.cid" === $"m.a")
+          .select($"r.qid".as("qid"), $"r.cid".as("cid"),
+            (lit(0.7) * $"rel" - lit(0.3) * $"msim").as("sc"))
+        val pick = r.withColumn("rn", row_number().over(wPick))
+          .filter($"rn" === 1)
+          .select($"qid", $"cid", $"sc", lit(t).as("sel_rank"))
+        sel = sel.unionByName(pick).localCheckpoint()
+      }
+      sel.select($"qid", $"sel_rank", $"cid",
+          graft.api.Canon.r4($"sc").as("mmr_score"))
+        .orderBy($"qid", $"sel_rank")
     })
+
+  /** MMR selection depth (q189). */
+  private[graft] val mmrK = 5
+
+  /** q189's oracle: the identical 5-round greedy unrolled as CTEs. Rounds
+    * are generated, not hand-copied, so the Spark loop and the SQL agree by
+    * construction: round t scores the not-yet-selected candidates
+    * 0.7·rel − 0.3·MAX(sim to sel_{t−1}) and picks the (sc DESC, cid) head
+    * per qid. */
+  private lazy val mmrOracleSql: String = {
+    val rounds = (2 to mmrK).map { t =>
+      s"""r$t AS (
+         |  SELECT c.qid, c.cid,
+         |         0.7 * c.rel - 0.3 * (
+         |           SELECT MAX(p.sim) FROM pairs p
+         |           WHERE p.qid = c.qid AND p.a = c.cid
+         |             AND p.b IN (SELECT s.cid FROM sel${t - 1} s
+         |                         WHERE s.qid = c.qid)) AS sc
+         |  FROM cands c
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                    WHERE s.qid = c.qid AND s.cid = c.cid)),
+         |p$t AS (SELECT qid, cid, sc, ROW_NUMBER() OVER (
+         |          PARTITION BY qid ORDER BY sc DESC, cid) rn FROM r$t),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL
+         |          SELECT qid, cid, sc, $t AS sel_rank FROM p$t
+         |          WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($withNormSql),
+       |sc AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, b.emb AS emb, b.n AS n,
+       |         ${graft.api.Canon.Oracle.r4("(list_dot_product(a.emb, b.emb) / (a.n * b.n))")} AS rel
+       |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 3),
+       |cands AS (
+       |  SELECT qid, cid, emb, n, rel FROM (
+       |    SELECT qid, cid, emb, n, rel,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |                              ORDER BY rel DESC, cid) rn
+       |    FROM sc) t WHERE rn <= 16),
+       |pairs AS (
+       |  SELECT x.qid AS qid, x.cid AS a, y.cid AS b,
+       |         ${graft.api.Canon.Oracle.r4("(list_dot_product(x.emb, y.emb) / (x.n * y.n))")} AS sim
+       |  FROM cands x JOIN cands y ON x.qid = y.qid AND x.cid <> y.cid),
+       |r1 AS (SELECT qid, cid, 0.7 * rel - 0.3 * 0.0 AS sc FROM cands),
+       |p1 AS (SELECT qid, cid, sc, ROW_NUMBER() OVER (
+       |         PARTITION BY qid ORDER BY sc DESC, cid) rn FROM r1),
+       |sel1 AS (SELECT qid, cid, sc, 1 AS sel_rank FROM p1 WHERE rn = 1),
+       |$rounds
+       |SELECT qid, sel_rank, cid,
+       |  ${graft.api.Canon.Oracle.r4("sc")} AS mmr_score
+       |FROM sel$mmrK
+       |ORDER BY qid, sel_rank""".stripMargin
+  }
 
   /** JL sketch width (projected dimensionality). */
   private[graft] val jlDims = 16

@@ -243,6 +243,15 @@ class EngineSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("at least 16 hex chars")), e.toString)
+    // graft_nfc: decomposed e+U+0301 composes to U+00E9; NFC is idempotent;
+    // already-normalized ASCII passes through; NULL stays NULL
+    val nfc = s.sql("SELECT graft_nfc('caf' || 'e\u0301') AS v").head().getString(0)
+    assert(nfc == "caf\u00e9", nfc.map(_.toInt.toHexString))
+    assert(s.sql("SELECT graft_nfc(graft_nfc('caf\u00e9')) AS v")
+      .head().getString(0) == "caf\u00e9")
+    assert(s.sql("SELECT graft_nfc('plain ascii') AS v")
+      .head().getString(0) == "plain ascii")
+    assert(s.sql("SELECT graft_nfc(CAST(NULL AS STRING)) AS v").head().isNullAt(0))
   }
 
   test("mysql-CLI handshake sequence: version_comment, SET NAMES, SHOW VARIABLES") {

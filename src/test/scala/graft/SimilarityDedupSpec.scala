@@ -339,4 +339,41 @@ class SimilarityDedupSpec extends SparkSpec {
     val mean = errs.sum / errs.size
     assert(mean <= 0.12, s"mean |est - J| = $mean")
   }
+
+  test("q189 MMR picks are valid, unique, and more diverse than plain top-5") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val sel = queries("q189_mmr_diverse")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = sel.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, xs) =>
+      assert(xs.map(_._2).sorted.toSeq == (1 to 5), s"qid $q ranks")
+      assert(xs.map(_._3).distinct.length == 5, s"qid $q picked a dup")
+      assert(!xs.map(_._3).contains(q), s"qid $q selected itself")
+    }
+    // diversity: mean pairwise cosine within the MMR set must not exceed
+    // that of the plain cosine top-5 (MMR trades relevance for diversity)
+    val vecs = spark.table("embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    val top5 = queries("q80_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSeq }
+    (0L to 2L).foreach { q =>
+      val mmrSim = meanPairSim(byQ(q).map(_._3).toSeq)
+      val topSim = meanPairSim(top5(q))
+      assert(mmrSim <= topSim + 1e-9,
+        s"qid $q: MMR mean pair sim $mmrSim > top-5 $topSim")
+    }
+  }
 }
