@@ -2070,6 +2070,103 @@ object TextQueries extends QueryModule {
         .withColumn("cum_vocab", sum($"new_types").over(w).cast(LongType))
         .withColumn("cum_tokens", sum($"bucket_tokens").over(w).cast(LongType))
         .orderBy($"bucket")
+    },
+
+    // BPE merge training (Sennrich ACL'16) — the first 3 merge rounds of
+    // byte-pair-encoding vocabulary construction, the tokenizer-training
+    // op itself (q116 builds a WORD vocab; this learns SUBWORD units).
+    // Each round: adjacent-symbol pair counts weighted by word frequency →
+    // argmax pair by (count DESC, a, b) via TakeOrdered → greedy
+    // leftmost-first merge of that pair inside every word, spelled as the
+    // SAME left fold on both engines (Spark `aggregate` with an array
+    // accumulator; DuckDB `list_reduce` over singleton lists — its
+    // accumulator must share the element type). The fold state is one
+    // word's symbol array (bounded by word length); the per-round rollup
+    // is the map-side-combinable (a, b) count. All-integer/string output →
+    // fully hash-checked. Scale: rounds iterate over the DISTINCT-word
+    // relation (vocab-sized, not corpus-sized) with the corpus touched
+    // once for word counts; each round's relation is localCheckpoint'ed —
+    // the fixpoint materialization rule (q189's 2.8× lesson).
+    q("q192_bpe_merges",
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c,
+         |         list_transform(range(1, len(word) + 1),
+         |                        i -> substr(word, i, 1)) AS syms
+         |  FROM (SELECT unnest($tokSql) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |px1 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM w0),
+         |pc1 AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+         |               CAST(SUM(c) AS BIGINT) AS n
+         |        FROM px1 GROUP BY 1, 2),
+         |m1 AS (SELECT a, b, n FROM pc1 ORDER BY n DESC, a, b LIMIT 1),
+         |w1 AS (SELECT w.word, w.c,
+         |        list_reduce(list_transform(w.syms, s -> [s]),
+         |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+         |                                AND x[1] = m.b
+         |                      THEN list_append(array_pop_back(acc),
+         |                                       m.a || m.b)
+         |                      ELSE list_concat(acc, x) END) AS syms
+         |       FROM w0 w CROSS JOIN m1 m),
+         |px2 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM w1),
+         |pc2 AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+         |               CAST(SUM(c) AS BIGINT) AS n
+         |        FROM px2 GROUP BY 1, 2),
+         |m2 AS (SELECT a, b, n FROM pc2 ORDER BY n DESC, a, b LIMIT 1),
+         |w2 AS (SELECT w.word, w.c,
+         |        list_reduce(list_transform(w.syms, s -> [s]),
+         |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+         |                                AND x[1] = m.b
+         |                      THEN list_append(array_pop_back(acc),
+         |                                       m.a || m.b)
+         |                      ELSE list_concat(acc, x) END) AS syms
+         |       FROM w1 w CROSS JOIN m2 m),
+         |px3 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM w2),
+         |pc3 AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+         |               CAST(SUM(c) AS BIGINT) AS n
+         |        FROM px3 GROUP BY 1, 2),
+         |m3 AS (SELECT a, b, n FROM pc3 ORDER BY n DESC, a, b LIMIT 1)
+         |SELECT * FROM (
+         |  SELECT 1 AS merge_rank, a AS sym_a, b AS sym_b, n AS pair_count
+         |  FROM m1
+         |  UNION ALL
+         |  SELECT 2, a, b, n FROM m2
+         |  UNION ALL
+         |  SELECT 3, a, b, n FROM m3)
+         |ORDER BY merge_rank""".stripMargin) { spark =>
+      import spark.implicits._
+      val words0 = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"word").agg(count(lit(1)).cast(LongType).as("c"))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .localCheckpoint()
+      def pairCounts(w: DataFrame): DataFrame = w
+        .select($"c", $"syms",
+          explode(Canon.seq1(size($"syms") - 1)).as("i"))
+        .select(element_at($"syms", $"i").as("a"),
+          element_at($"syms", $"i" + 1).as("b"), $"c")
+        .groupBy($"a", $"b").agg(sum($"c").cast(LongType).as("n"))
+      val mergeFold =
+        """aggregate(syms, cast(array() as array<string>),
+          |  (acc, s) -> CASE WHEN size(acc) > 0
+          |                        AND element_at(acc, -1) = a AND s = b
+          |              THEN concat(slice(acc, 1, size(acc) - 1),
+          |                          array(concat(a, b)))
+          |              ELSE concat(acc, array(s)) END)""".stripMargin
+      var w = words0
+      var out: DataFrame = null
+      for (r <- 1 to 3) {
+        val m = pairCounts(w).orderBy($"n".desc, $"a", $"b").limit(1)
+          .localCheckpoint()
+        val row = m.select(lit(r).as("merge_rank"), $"a".as("sym_a"),
+          $"b".as("sym_b"), $"n".as("pair_count"))
+        out = if (out == null) row else out.unionByName(row)
+        if (r < 3) w = w.crossJoin(broadcast(m))
+          .select($"word", $"c", expr(mergeFold).as("syms"))
+          .localCheckpoint()
+      }
+      out.orderBy($"merge_rank")
     })
 
   /** q169's build-time phrase blocklist (lowercase; single quotes would

@@ -1151,6 +1151,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q192 BPE merges equal the textbook reference implementation") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    // reference BPE (Sennrich ACL'16): count-weighted adjacent pairs over
+    // the distinct-word multiset, merge the argmax greedily leftmost-first
+    var words: Map[Vector[String], Long] = spark.table("documents")
+      .select(explode(split(lower($"text"), " ")).as("w")).collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) =>
+        w.toVector.map(_.toString) -> xs.length.toLong
+      }
+    val expect = (1 to 3).map { r =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val ((a, b), n) = pc.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      words = words.map { case (syms, c) =>
+        val acc = syms.foldLeft(Vector.empty[String]) { (st, s) =>
+          if (st.nonEmpty && st.last == a && s == b) st.init :+ (a + b)
+          else st :+ s
+        }
+        acc -> c
+      }
+      (r, a, b, n)
+    }
+    val got = queries("q192_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got vs $expect")
+    // the learned units must be genuine multi-char subwords
+    assert(got.forall { case (_, a, b, n) => (a + b).length >= 2 && n > 0 })
+  }
+
   test("q191 vocabulary growth conserves types and tokens") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)

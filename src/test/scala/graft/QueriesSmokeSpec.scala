@@ -112,7 +112,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // q186: share denominator is a sorted fold over the source array;
       // q190: all five OLS moment sums are sorted folds over the top-100
       // collected array
-      "q186_temperature_mixing", "q190_zipf_slope")
+      "q186_temperature_mixing", "q190_zipf_slope",
+      // q192: per-round argmax over integer pair counts + per-word folds
+      "q192_bpe_merges")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
