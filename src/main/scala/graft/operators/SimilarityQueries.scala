@@ -914,10 +914,74 @@ object SimilarityQueries extends QueryModule {
       sel.select($"qid", $"sel_rank", $"cid",
           graft.api.Canon.r4($"sc").as("mmr_score"))
         .orderBy($"qid", $"sel_rank")
+    },
+
+    // Clustering-quality report over q83's trained IVF k-means (the
+    // monitoring read a pipeline runs after every (re)train: is the
+    // partitioning still tight, did a cluster collapse?): per-cluster size,
+    // mean intra-cluster cosine distance (inertia), and the SIMPLIFIED
+    // silhouette — distances to centroids, not pairwise members, the
+    // standard O(n·k) scalable variant of the O(n²) silhouette. The oracle
+    // replays the identical training run via the shared k-means CTE chain
+    // (q83/q119 precedent), every cosine goes through the Canon.r6 margin
+    // before any arithmetic, and per-cluster means are vec_id-sorted folds
+    // (the means-stage determinism pattern). Scale: one corpus×k broadcast
+    // scoring pass + a per-cluster rollup; nothing pairwise.
+    q("q193_cluster_quality", clusterQualityOracleSql) { spark =>
+      import spark.implicits._
+      val e = embeddingsD(spark)
+      val cent = ivfCentroids(spark).localCheckpoint() // feeds assign + dists
+      val lists = assignOf(e, cent)
+        .select($"vec_id", $"emb", $"cl".as("own"))
+      val alldist = lists.crossJoin(broadcast(cent))
+        .select($"vec_id", $"own", $"cl".as("cc"),
+          (lit(1.0) - graft.api.Canon.r6(cosine($"emb", $"cemb"))).as("d"))
+      val per = alldist.groupBy($"vec_id", $"own")
+        .agg(max(when($"cc" === $"own", $"d")).as("a"),
+          min(when($"cc" =!= $"own", $"d")).as("b"))
+      val sil = per.select($"vec_id", $"own", $"a", $"b",
+        (($"b" - $"a") / when($"a" >= $"b", $"a").otherwise($"b")).as("s"))
+      val arr = sil.groupBy($"own".as("cl"))
+        .agg(sort_array(collect_list(struct($"vec_id", $"a", $"s"))).as("l"))
+      arr.select($"cl", size($"l").cast(LongType).as("n_vecs"),
+          graft.api.Canon.r4(aggregate($"l", lit(0.0),
+            (acc, x) => acc + x.getField("a")) / size($"l")).as("mean_intra"),
+          graft.api.Canon.r4(aggregate($"l", lit(0.0),
+            (acc, x) => acc + x.getField("s")) / size($"l"))
+            .as("mean_silhouette"))
+        .orderBy($"cl")
     })
 
   /** MMR selection depth (q189). */
   private[graft] val mmrK = 5
+
+  /** q193's oracle: the shared k-means replay (identical training run to
+    * q83/q119) + centroid-distance silhouette, same r6/r4 margins and
+    * vec_id-sorted folds as the Spark side. */
+  private lazy val clusterQualityOracleSql: String = {
+    val fold = (f: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(l, x -> x.$f)), " +
+        "(p, q) -> p + q) / len(l)"
+    s"""WITH $ivfListsCtes,
+       |ad AS (
+       |  SELECT l.vec_id, l.cl AS own, c.cl AS cc,
+       |         1.0 - ${graft.api.Canon.Oracle.r6(ivfCosSql("l.emb", "c.cemb"))} AS d
+       |  FROM lists l, cent$ivfIters c),
+       |per AS (
+       |  SELECT vec_id, own,
+       |         MAX(CASE WHEN cc = own THEN d END) AS a,
+       |         MIN(CASE WHEN cc <> own THEN d END) AS b
+       |  FROM ad GROUP BY vec_id, own),
+       |sil AS (SELECT vec_id, own, a, b,
+       |        (b - a) / (CASE WHEN a >= b THEN a ELSE b END) AS s FROM per),
+       |arr AS (SELECT own AS cl,
+       |        list_sort(list(struct_pack(v := vec_id, a := a, s := s))) AS l
+       |        FROM sil GROUP BY own)
+       |SELECT cl, CAST(len(l) AS BIGINT) AS n_vecs,
+       |  ${graft.api.Canon.Oracle.r4(fold("a"))} AS mean_intra,
+       |  ${graft.api.Canon.Oracle.r4(fold("s"))} AS mean_silhouette
+       |FROM arr ORDER BY cl""".stripMargin
+  }
 
   /** q189's oracle: the identical 5-round greedy unrolled as CTEs. Rounds
     * are generated, not hand-copied, so the Spark loop and the SQL agree by

@@ -340,6 +340,23 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(mean <= 0.12, s"mean |est - J| = $mean")
   }
 
+  test("q193 cluster quality: sizes conserve the corpus, silhouette in range") {
+    graft.sources.Tables.register(spark, sf)
+    val total = spark.table("embeddings").count()
+    val got = queries("q193_cluster_quality")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum == total)
+    got.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      val d = r.getAs[Double]("mean_intra")
+      assert(s >= -1.0 && s <= 1.0, s"silhouette $s out of [-1,1]")
+      assert(d >= 0.0 && d <= 2.0, s"cosine distance $d out of [0,2]")
+    }
+    // the k-means must genuinely separate: overall mean silhouette positive
+    val wmean = got.map(r => r.getAs[Double]("mean_silhouette") *
+      r.getAs[Long]("n_vecs")).sum / total
+    assert(wmean > 0, s"weighted mean silhouette $wmean — clustering collapsed")
+  }
+
   test("q189 MMR picks are valid, unique, and more diverse than plain top-5") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
