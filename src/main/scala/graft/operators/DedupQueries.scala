@@ -108,6 +108,13 @@ object DedupQueries extends QueryModule {
     * HAVING threshold, so the guarded result is still hash-checked). */
   private[graft] val hotShingleDfCap = 16
 
+  /** q194's boundary-key df cap: an 8-gram boundary window carried by more
+    * than this many pages (as prefix OR suffix, counted together) is
+    * boilerplate — a shared footer would otherwise make the stitch
+    * equi-join quadratic in that key's bucket. Replayed as the identical
+    * HAVING in the oracle, so the capped result stays hash-checked. */
+  private[graft] val continuationDfCap = 64
+
   /** Duplicate-span n-gram width (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL'22 — their 50-BPE-token window,
     * scaled to this fixture's short synthetic docs). A span duplicated
@@ -1491,6 +1498,96 @@ object DedupQueries extends QueryModule {
           matches.cast(LongType).as("matches"),
           Canon.r4(matches.cast(DoubleType) / numHashes).as("est_jaccard"))
         .orderBy($"source_a", $"source_b")
+    },
+
+    // Continuation stitching (pagination dedup): scraped corpora split one
+    // logical document across pages that share a carried-over boundary
+    // window; the stitch op finds page pairs where A's trailing 8-gram
+    // equals B's leading 8-gram — an EQUI-join on the boundary key, linear
+    // in pages, never pairwise. The fixture has no pagination, so pages
+    // are synthesized deterministically (each ≥16-token doc splits into
+    // two pages sharing an 8-token overlap — the q184 synthesize-then-
+    // detect pattern), making every true stitch known by construction:
+    // candidate pairs ⊇ stitches, and the per-source gap between them is
+    // exactly the word-salad 8-gram collision rate. Hot boundary keys are
+    // df-capped (HAVING ≤ cap replayed in both engines — the q71c
+    // precedent), so a boilerplate boundary can never go quadratic.
+    q("q194_continuation_stitch",
+      s"""WITH d AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks,
+         |         len(string_split(lower(text), ' ')) AS n
+         |  FROM documents),
+         |f AS (SELECT doc_id, source, toks, n, n // 2 AS h FROM d
+         |      WHERE n >= 16),
+         |pages AS (
+         |  SELECT doc_id * 2 AS page_id, doc_id, source,
+         |         list_slice(toks, 1, h + 4) AS ptoks FROM f
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, doc_id, source,
+         |         list_slice(toks, h - 3, n) FROM f),
+         |keyed AS (
+         |  SELECT page_id, doc_id, source,
+         |         array_to_string(list_slice(ptoks, 1, 8), ' ') AS pfx,
+         |         array_to_string(list_slice(ptoks, len(ptoks) - 7,
+         |                                    len(ptoks)), ' ') AS sfx
+         |  FROM pages),
+         |kc AS (
+         |  SELECT k FROM (
+         |    SELECT sfx AS k FROM keyed UNION ALL SELECT pfx FROM keyed) t
+         |  GROUP BY k HAVING COUNT(*) <= $continuationDfCap),
+         |ka AS (SELECT keyed.* FROM keyed JOIN kc ON keyed.sfx = kc.k),
+         |kb AS (SELECT keyed.* FROM keyed JOIN kc ON keyed.pfx = kc.k),
+         |pr AS (
+         |  SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db,
+         |         a.page_id AS pa, b.page_id AS pb
+         |  FROM ka a JOIN kb b ON a.sfx = b.pfx
+         |                     AND a.page_id <> b.page_id),
+         |pg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pages
+         |       FROM pages GROUP BY source)
+         |SELECT pg.source AS source, pg.n_pages,
+         |  CAST(COALESCE(SUM(CASE WHEN pr.da IS NOT NULL THEN 1 ELSE 0 END),
+         |                0) AS BIGINT) AS cand_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN pr.da = pr.db
+         |                          AND pr.pb = pr.pa + 1
+         |                          AND pr.pa % 2 = 0
+         |                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS stitches
+         |FROM pg LEFT JOIN pr ON pr.source = pg.source
+         |GROUP BY pg.source, pg.n_pages
+         |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val d = Tables.spread(spark.table("documents"))
+        .select($"doc_id", $"source", split(lower($"text"), " ").as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" >= 16)
+        .withColumn("h", expr("n div 2"))
+      val pages = d.select(($"doc_id" * 2).as("page_id"), $"doc_id",
+          $"source", slice($"toks", lit(1), $"h" + 4).as("ptoks"))
+        .unionByName(d.select(($"doc_id" * 2 + 1).as("page_id"), $"doc_id",
+          $"source", slice($"toks", $"h" - 3, $"n" - $"h" + 4).as("ptoks")))
+      val keyed = pages.select($"page_id", $"doc_id", $"source",
+          concat_ws(" ", slice($"ptoks", 1, 8)).as("pfx"),
+          concat_ws(" ", slice($"ptoks", size($"ptoks") - 7, lit(8))).as("sfx"))
+        .localCheckpoint() // feeds the key census + both join sides
+      val kc = keyed.select($"sfx".as("k"))
+        .unionByName(keyed.select($"pfx".as("k")))
+        .groupBy($"k").agg(count(lit(1)).as("kn"))
+        .filter($"kn" <= continuationDfCap).select($"k")
+      val ka = keyed.join(kc, $"sfx" === $"k").drop("k")
+      val kb = keyed.join(kc, $"pfx" === $"k").drop("k")
+      val pr = ka.as("a").join(kb.as("b"),
+          $"a.sfx" === $"b.pfx" && $"a.page_id" =!= $"b.page_id")
+        .select($"a.source".as("source"), $"a.doc_id".as("da"),
+          $"b.doc_id".as("db"), $"a.page_id".as("pa"), $"b.page_id".as("pb"))
+      val pg = pages.groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_pages"))
+      pg.join(pr, Seq("source"), "left")
+        .groupBy($"source", $"n_pages")
+        .agg(coalesce(sum(when($"pa".isNotNull, 1)), lit(0)).cast(LongType)
+            .as("cand_pairs"),
+          coalesce(sum(when($"da" === $"db" && $"pb" === $"pa" + 1 &&
+            $"pa" % 2 === 0, 1).otherwise(0)), lit(0)).cast(LongType)
+            .as("stitches"))
+        .orderBy($"source")
     }) :+ pipelineQuery
 
   /** q166's per-SOURCE MinHash signature: the q72 per-document hash family

@@ -1151,6 +1151,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q194 stitch recall: every synthesized page pair is recovered") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    // docs with >=16 tokens each contribute exactly one true stitch pair,
+    // and candidates can only exceed stitches (8-gram collisions), never
+    // miss them — unless the boundary key was df-capped, which the cap
+    // census below rules out on this fixture
+    val eligible = spark.table("documents")
+      .select($"source", size(split(lower($"text"), " ")).as("n"))
+      .filter($"n" >= 16).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = queries("q194_continuation_stitch")(spark, sf).collect()
+    assert(got.length == eligible.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_pages") == 2 * eligible(src))
+      assert(r.getAs[Long]("stitches") == eligible(src),
+        s"$src: lost a true stitch (df cap must not fire at this SF)")
+      assert(r.getAs[Long]("cand_pairs") >= r.getAs[Long]("stitches"))
+    }
+  }
+
   test("q192 BPE merges equal the textbook reference implementation") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
