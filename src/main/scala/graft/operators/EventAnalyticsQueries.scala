@@ -1460,5 +1460,166 @@ object EventAnalyticsQueries extends QueryModule {
           Canon.r6((center - marg) / denom).as("wilson_lo"),
           Canon.r6((center + marg) / denom).as("wilson_hi"))
         .orderBy($"h")
+    },
+
+    // Population-stability-index drift monitor (the credit-scoring PSI,
+    // the numeric-feature counterpart to q184's token-KL): decile bins are
+    // FIXED from snapshot A's exact interpolated quantiles, both snapshots
+    // are histogrammed into them (bin = |{cuts ≤ v}| via the same
+    // filter-HOF on both engines), and PSI = Σ (p_b − p_a)·ln(p_b/p_a)
+    // with add-one smoothing so empty bins stay finite. Snapshot B carries
+    // a deterministic synthetic drift (every user_id%3==0 value rescales)
+    // — the q184 synthesize-then-detect pattern. Bin counts are exact
+    // integers; probabilities and contributions go through the r6
+    // floor-round margin; the PSI total is a bin-sorted fold over the
+    // 10-row array. Scale: two map-side binning scans + a 10-key rollup;
+    // the quantile train is snapshot-A-sized (q178's sketch is the
+    // documented 100 TB path, as in q187).
+    q("q195_psi_drift",
+      """WITH a AS (
+        |  SELECT value AS v FROM events WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN value * 1.25 + 2.0
+        |              ELSE value END AS v
+        |  FROM events WHERE event_id % 2 = 1),
+        |c AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                               0.6, 0.7, 0.8, 0.9]) AS cuts FROM a),
+        |ba AS (SELECT len(list_filter(c.cuts, x -> a.v >= x)) AS bin
+        |       FROM a CROSS JOIN c),
+        |bb AS (SELECT len(list_filter(c.cuts, x -> b.v >= x)) AS bin
+        |       FROM b CROSS JOIN c),
+        |ga AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM ba GROUP BY bin),
+        |gb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM bb GROUP BY bin),
+        |grid AS (SELECT unnest(range(0, 10)) AS bin),
+        |j AS (SELECT g.bin AS bin, COALESCE(ga.n, 0) AS na,
+        |             COALESCE(gb.n, 0) AS nb
+        |      FROM grid g LEFT JOIN ga ON ga.bin = g.bin
+        |                  LEFT JOIN gb ON gb.bin = g.bin),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |             CAST(SUM(nb) AS BIGINT) AS tb FROM j),
+        |p AS (SELECT bin, na, nb,
+        |             CAST(na + 1 AS DOUBLE) / (t.ta + 10) AS pa,
+        |             CAST(nb + 1 AS DOUBLE) / (t.tb + 10) AS pb
+        |      FROM j CROSS JOIN t),
+        |con AS (SELECT bin, na, nb, pa, pb,
+        |               (pb - pa) * ln(pb / pa) AS contrib FROM p),
+        |tot AS (SELECT list_reduce(list_prepend(0.0, list_transform(
+        |          list_sort(list(struct_pack(bin := bin, c := contrib))),
+        |          x -> x.c)), (p, q) -> p + q) AS psi FROM con)
+        |SELECT con.bin AS bin, con.na AS n_a, con.nb AS n_b,
+        |  floor(con.pa * 1000000 + 0.5) / 1000000 AS p_a,
+        |  floor(con.pb * 1000000 + 0.5) / 1000000 AS p_b,
+        |  floor(con.contrib * 1000000 + 0.5) / 1000000 AS contrib,
+        |  floor(tot.psi * 1000000 + 0.5) / 1000000 AS psi_total
+        |FROM con CROSS JOIN tot
+        |ORDER BY bin""".stripMargin) { spark =>
+      import spark.implicits._
+      val ev = spark.table("events")
+      val a = ev.filter($"event_id" % 2 === 0).select($"value".as("v"))
+      val b = ev.filter($"event_id" % 2 === 1)
+        .select(when($"user_id" % 3 === 0, $"value" * 1.25 + 2.0)
+          .otherwise($"value").as("v"))
+      val cuts = a.agg(expr(
+        "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+      def binned(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(cuts))
+          .select(size(filter($"cuts", x => $"v" >= x)).cast(LongType).as("bin"))
+      val ga = binned(a).groupBy($"bin").agg(count(lit(1)).cast(LongType).as("na"))
+      val gb = binned(b).groupBy($"bin").agg(count(lit(1)).cast(LongType).as("nb"))
+      val grid = spark.range(0, 10).select($"id".as("bin"))
+      val j = grid.join(ga, Seq("bin"), "left").join(gb, Seq("bin"), "left")
+        .select($"bin", coalesce($"na", lit(0L)).as("na"),
+          coalesce($"nb", lit(0L)).as("nb"))
+      val t = j.agg(sum($"na").cast(LongType).as("ta"),
+        sum($"nb").cast(LongType).as("tb"))
+      val p = j.crossJoin(broadcast(t))
+        .select($"bin", $"na", $"nb",
+          (($"na" + 1).cast(DoubleType) / ($"ta" + 10)).as("pa"),
+          (($"nb" + 1).cast(DoubleType) / ($"tb" + 10)).as("pb"))
+      val con = p.select($"bin", $"na", $"nb", $"pa", $"pb",
+          (($"pb" - $"pa") * log($"pb" / $"pa")).as("contrib"))
+        .localCheckpoint() // feeds the rows AND the total fold
+      val tot = con
+        .agg(sort_array(collect_list(struct($"bin", $"contrib".as("c")))).as("l"))
+        .select(aggregate($"l", lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("psi"))
+      con.crossJoin(broadcast(tot))
+        .select($"bin", $"na".as("n_a"), $"nb".as("n_b"),
+          Canon.r6($"pa").as("p_a"), Canon.r6($"pb").as("p_b"),
+          Canon.r6($"contrib").as("contrib"),
+          Canon.r6($"psi").as("psi_total"))
+        .orderBy($"bin")
+    },
+
+    // Seasonal-naive forecast backtest (the capacity-planning baseline
+    // every volume forecast must beat): per event type, the last 20% of
+    // days form the test window and each test day's prediction is the
+    // actual at lag 7 (same weekday last week). Absolute-error sums are
+    // EXACT integers (daily counts), MAE is one integer-ratio division,
+    // and MAPE — a sum of per-day rationals — is a day-sorted fold (the
+    // q184 determinism pattern). Scale: one map-side-combinable
+    // (type, day) rollup; the backtest join and folds run on the
+    // day-grid-sized relation, never the raw stream.
+    q("q196_seasonal_backtest",
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |cut AS (SELECT d0 + (d1 - d0 + 1) * 8 // 10 AS dc FROM rng),
+        |te AS (SELECT e.event_type, e.day, e.c FROM e CROSS JOIN cut
+        |       WHERE e.day >= cut.dc),
+        |pred AS (
+        |  SELECT t.event_type, t.day, t.c AS y, COALESCE(p.c, 0) AS yhat
+        |  FROM te t LEFT JOIN e p ON p.event_type = t.event_type
+        |                         AND p.day = t.day - 7),
+        |arr AS (SELECT event_type,
+        |          list_sort(list(struct_pack(day := day, y := y,
+        |                                     yhat := yhat))) AS l
+        |        FROM pred GROUP BY event_type),
+        |s1 AS (SELECT event_type, CAST(len(l) AS BIGINT) AS n_test_days,
+        |         CAST(list_reduce(list_prepend(0, list_transform(l,
+        |           x -> abs(x.y - x.yhat))), (p, q) -> p + q) AS BIGINT)
+        |           AS abs_err_sum,
+        |         list_reduce(list_prepend(0.0, list_transform(l,
+        |           x -> CAST(abs(x.y - x.yhat) AS DOUBLE) / x.y)),
+        |           (p, q) -> p + q) AS mape_sum
+        |       FROM arr)
+        |SELECT event_type, n_test_days, abs_err_sum,
+        |  floor(CAST(abs_err_sum AS DOUBLE) / n_test_days * 10000 + 0.5)
+        |    / 10000 AS mae,
+        |  floor(mape_sum / n_test_days * 1000000 + 0.5) / 1000000 AS mape
+        |FROM s1
+        |ORDER BY event_type""".stripMargin) { spark =>
+      import spark.implicits._
+      val dayUs = 86400000000L
+      val daily = spark.table("events")
+        .select($"event_type", unix_micros($"ts").as("tus"))
+        .select($"event_type", expr(s"tus div $dayUs").as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        .localCheckpoint() // feeds the range, the test slice, and the lag join
+      val cut = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(expr("d0 + (d1 - d0 + 1) * 8 div 10").as("dc"))
+      val te = daily.crossJoin(broadcast(cut)).filter($"day" >= $"dc")
+      val pred = te.as("t").join(daily.as("p"),
+          $"p.event_type" === $"t.event_type" && $"p.day" === $"t.day" - 7,
+          "left")
+        .select($"t.event_type".as("event_type"), $"t.day".as("day"),
+          $"t.c".as("y"), coalesce($"p.c", lit(0L)).as("yhat"))
+      val arr = pred.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"y", $"yhat"))).as("l"))
+      val s1 = arr.select($"event_type",
+        size($"l").cast(LongType).as("n_test_days"),
+        aggregate($"l", lit(0L), (acc, x) =>
+          acc + abs(x.getField("y") - x.getField("yhat")))
+          .cast(LongType).as("abs_err_sum"),
+        aggregate($"l", lit(0.0), (acc, x) =>
+          acc + abs(x.getField("y") - x.getField("yhat")).cast(DoubleType) /
+            x.getField("y")).as("mape_sum"))
+      s1.select($"event_type", $"n_test_days", $"abs_err_sum",
+          Canon.r4($"abs_err_sum".cast(DoubleType) / $"n_test_days").as("mae"),
+          Canon.r6($"mape_sum" / $"n_test_days").as("mape"))
+        .orderBy($"event_type")
     })
 }

@@ -1151,6 +1151,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q195 PSI conserves both snapshots and detects the planted drift") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val nA = spark.table("events").filter($"event_id" % 2 === 0).count()
+    val nB = spark.table("events").filter($"event_id" % 2 === 1).count()
+    val got = queries("q195_psi_drift")(spark, sf).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getAs[Long]("n_a")).sum == nA)
+    assert(got.map(_.getAs[Long]("n_b")).sum == nB)
+    // PSI contributions are (p-q)ln(p/q) >= 0 termwise; the planted
+    // upscale on a third of users must register as positive drift
+    got.foreach(r => assert(r.getAs[Double]("contrib") >= 0.0))
+    val psi = got.head.getAs[Double]("psi_total")
+    assert(psi > 0.003, s"planted drift must be visible: PSI $psi")
+    assert(got.forall(_.getAs[Double]("psi_total") == psi))
+  }
+
+  test("q196 backtest window is the last fifth and errors are live") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val days = spark.table("events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().count()
+    val got = queries("q196_seasonal_backtest")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_test_days")
+      assert(n >= days / 5 - 7 && n <= days / 5 + 7,
+        s"test window $n vs ~${days / 5} of $days days")
+      assert(r.getAs[Double]("mape") > 0, "a zero-error forecast is a bug")
+      assert(r.getAs[Double]("mae") >= 0)
+    }
+  }
+
   test("q194 stitch recall: every synthesized page pair is recovered") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
