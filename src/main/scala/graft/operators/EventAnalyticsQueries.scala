@@ -1621,5 +1621,193 @@ object EventAnalyticsQueries extends QueryModule {
           Canon.r4($"abs_err_sum".cast(DoubleType) / $"n_test_days").as("mae"),
           Canon.r6($"mape_sum" / $"n_test_days").as("mape"))
         .orderBy($"event_type")
+    },
+
+    // Markov-chain multi-touch attribution by removal effect (Anderl et al.
+    // 2016 — the data-driven model that q143's last-touch and q182's
+    // linear split bracket): user journeys truncated at first purchase
+    // build a transition-count matrix (start → channels → conv/null);
+    // channel credit = the relative drop in START's 8-STEP conversion
+    // probability when that channel absorbs into null. The k-step horizon
+    // makes the iteration exactly reproducible — both engines run the
+    // SAME 8 value-iteration rounds (per-(chain, state) successor folds
+    // sorted by dst), so no convergence tolerance is needed. All FIVE
+    // chains (base + 4 removals) iterate together as one chain-tagged
+    // relation — 8 joint rounds, not 40, each over a ≤35-row matrix
+    // (localCheckpoint per round: the fixpoint materialization rule).
+    // Scale: one user_id exchange builds journeys; transition counts are
+    // map-side-combinable integers; everything after runs on the
+    // |states|²-bounded matrix.
+    q("q197_markov_attribution", markovOracleSql) { spark =>
+      import spark.implicits._
+      val r = spark.table("events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tus"),
+          $"event_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"tus", $"event_id")))
+      val rp = r.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"rn").as("prn"))
+      val sq = r.join(rp, Seq("user_id"), "left")
+        .filter($"prn".isNull || $"rn" < $"prn")
+        .withColumn("conv", $"prn".isNotNull)
+        .withColumn("nxt", lead($"event_type", 1).over(
+          Window.partitionBy($"user_id").orderBy($"rn")))
+        .localCheckpoint() // feeds steps/starts/ends
+      val steps = sq.filter($"nxt".isNotNull)
+        .select($"event_type".as("src"), $"nxt".as("dst"))
+      val starts = sq.filter($"rn" === 1)
+        .select(lit("start").as("src"), $"event_type".as("dst"))
+      val ends = sq.filter($"nxt".isNull)
+        .select($"event_type".as("src"),
+          when($"conv", "conv").otherwise("null").as("dst"))
+      val direct = rp.filter($"prn" === 1)
+        .select(lit("start").as("src"), lit("conv").as("dst"))
+      val trans = steps.unionByName(starts).unionByName(ends)
+        .unionByName(direct)
+        .groupBy($"src", $"dst").agg(count(lit(1)).cast(LongType).as("n"))
+      val chains = markovChains.toDF("chain")
+      // removal redirects IN COUNT SPACE (integer merge, no double sums):
+      // chain c sends every transition into c to the null sink
+      val tc = trans.crossJoin(broadcast(chains))
+        .select($"chain", $"src",
+          when($"dst" === $"chain", "null").otherwise($"dst").as("dst"), $"n")
+        .groupBy($"chain", $"src", $"dst")
+        .agg(sum($"n").cast(LongType).as("n"))
+      val ni = tc.groupBy($"chain", $"src")
+        .agg(sum($"n").cast(LongType).as("ntot"))
+      val p = tc.join(ni, Seq("chain", "src"))
+        .select($"chain", $"src", $"dst",
+          ($"n".cast(DoubleType) / $"ntot").as("p"))
+        .localCheckpoint() // feeds all 8 rounds
+      val states = markovStates.toDF("state")
+      val grid = chains.crossJoin(states).localCheckpoint()
+      var v = grid.select($"chain", $"state",
+          when($"state" === "conv", 1.0).otherwise(0.0).as("v"))
+        .localCheckpoint()
+      for (_ <- 1 to markovRounds) {
+        val f = p.as("tr").join(v.as("vv"),
+            $"vv.chain" === $"tr.chain" && $"vv.state" === $"tr.dst")
+          .groupBy($"tr.chain".as("chain"), $"tr.src".as("state"))
+          .agg(sort_array(collect_list(struct($"tr.dst".as("dst"),
+            ($"tr.p" * $"vv.v").as("t")))).as("l"))
+          .select($"chain", $"state", aggregate($"l", lit(0.0),
+            (a, x) => a + x.getField("t")).as("val"))
+        // v has exactly ONE consumer per round (the next round's join), so
+        // the 8 rounds form a linear plan chain — no per-round
+        // materialization needed (unlike q189, where the selection fed two
+        // consumers and skipping the checkpoint doubled the replay per
+        // round); p and grid, consumed every round, ARE checkpointed
+        v = grid.join(f, Seq("chain", "state"), "left")
+          .select($"chain", $"state",
+            when($"state" === "conv", 1.0)
+              .when($"state" === "null", 0.0)
+              .otherwise(coalesce($"val", lit(0.0))).as("v"))
+      }
+      // the finished iteration feeds both the base row and the channel rows
+      val sv = v.filter($"state" === "start").select($"chain", $"v")
+        .localCheckpoint()
+      val vb = sv.filter($"chain" === "base").select($"v".as("vb"))
+      val re = sv.filter($"chain" =!= "base")
+        .select($"chain".as("channel"), $"v".as("vc"))
+        .crossJoin(broadcast(vb))
+        .withColumn("re", ($"vb" - $"vc") / $"vb")
+        .localCheckpoint() // feeds the rows AND the share denominator
+      val tot = re
+        .agg(sort_array(collect_list(struct($"channel", $"re".as("r")))).as("l"))
+        .select(aggregate($"l", lit(0.0),
+          (a, x) => a + x.getField("r")).as("retot"))
+      re.crossJoin(broadcast(tot))
+        .select($"channel", Canon.r6($"vb").as("conv_base"),
+          Canon.r6($"vc").as("conv_removed"),
+          Canon.r6($"re").as("removal_effect"),
+          Canon.r6($"re" / $"retot").as("attribution_share"))
+        .orderBy($"channel")
     })
+
+  /** q197's transient channels (every chain label but "base" is also the
+    * removed channel) and the full state space. */
+  private val markovChains = Seq("base", "view", "click", "signup", "error")
+  private val markovStates =
+    Seq("start", "view", "click", "signup", "error", "conv", "null")
+  private val markovRounds = 8
+
+  /** q197's oracle: the identical journey build, chain-tagged count-space
+    * removal redirect, and 8 generated value-iteration rounds. */
+  private lazy val markovOracleSql: String = {
+    val rounds = (1 to markovRounds).map { t =>
+      s"""f$t AS (
+         |  SELECT p.chain, p.src AS state,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(dst := p.dst, t := p.p * v.v))),
+         |      x -> x.t)), (a, b) -> a + b) AS val
+         |  FROM p JOIN v${t - 1} v ON v.chain = p.chain AND v.state = p.dst
+         |  GROUP BY p.chain, p.src),
+         |v$t AS (
+         |  SELECT g.chain, g.state,
+         |    CASE WHEN g.state = 'conv' THEN 1.0
+         |         WHEN g.state = 'null' THEN 0.0
+         |         ELSE COALESCE(f.val, 0.0) END AS v
+         |  FROM grid g LEFT JOIN f$t f ON f.chain = g.chain
+         |                             AND f.state = g.state)""".stripMargin
+    }.mkString(",\n")
+    val chainList = markovChains.map(c => s"'$c'").mkString(", ")
+    val stateList = markovStates.map(s => s"'$s'").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus, event_id
+       |  FROM events),
+       |r AS (SELECT user_id, event_type,
+       |        ROW_NUMBER() OVER (PARTITION BY user_id
+       |                           ORDER BY tus, event_id) AS rn
+       |      FROM ev),
+       |rp AS (SELECT user_id, MIN(rn) AS prn FROM r
+       |       WHERE event_type = 'purchase' GROUP BY user_id),
+       |sq AS (
+       |  SELECT r.user_id, r.event_type, r.rn, rp.prn IS NOT NULL AS conv,
+       |    LEAD(r.event_type) OVER (PARTITION BY r.user_id
+       |                             ORDER BY r.rn) AS nxt
+       |  FROM r LEFT JOIN rp ON rp.user_id = r.user_id
+       |  WHERE rp.prn IS NULL OR r.rn < rp.prn),
+       |trans AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT event_type AS src, nxt AS dst FROM sq WHERE nxt IS NOT NULL
+       |    UNION ALL
+       |    SELECT 'start', event_type FROM sq WHERE rn = 1
+       |    UNION ALL
+       |    SELECT event_type, CASE WHEN conv THEN 'conv' ELSE 'null' END
+       |    FROM sq WHERE nxt IS NULL
+       |    UNION ALL
+       |    SELECT 'start', 'conv' FROM rp WHERE prn = 1) t
+       |  GROUP BY 1, 2),
+       |chains AS (SELECT unnest([$chainList]) AS chain),
+       |tc AS (SELECT c.chain, t.src,
+       |         CASE WHEN t.dst = c.chain THEN 'null' ELSE t.dst END AS dst,
+       |         CAST(SUM(t.n) AS BIGINT) AS n
+       |       FROM trans t CROSS JOIN chains c GROUP BY 1, 2, 3),
+       |ni AS (SELECT chain, src, CAST(SUM(n) AS BIGINT) AS ntot
+       |       FROM tc GROUP BY 1, 2),
+       |p AS (SELECT tc.chain, tc.src, tc.dst,
+       |        CAST(tc.n AS DOUBLE) / ni.ntot AS p
+       |      FROM tc JOIN ni ON ni.chain = tc.chain AND ni.src = tc.src),
+       |states AS (SELECT unnest([$stateList]) AS state),
+       |grid AS (SELECT c.chain, s.state FROM chains c CROSS JOIN states s),
+       |v0 AS (SELECT chain, state,
+       |         CASE WHEN state = 'conv' THEN 1.0 ELSE 0.0 END AS v
+       |       FROM grid),
+       |$rounds,
+       |sv AS (SELECT chain, v FROM v$markovRounds WHERE state = 'start'),
+       |vb AS (SELECT v AS vb FROM sv WHERE chain = 'base'),
+       |re AS (SELECT chain AS channel, v AS vc, vb, (vb - v) / vb AS re
+       |       FROM sv CROSS JOIN vb WHERE chain <> 'base'),
+       |tot AS (SELECT list_reduce(list_prepend(0.0, list_transform(
+       |          list_sort(list(struct_pack(channel := channel, r := re))),
+       |          x -> x.r)), (a, b) -> a + b) AS retot FROM re)
+       |SELECT channel,
+       |  floor(vb * 1000000 + 0.5) / 1000000 AS conv_base,
+       |  floor(vc * 1000000 + 0.5) / 1000000 AS conv_removed,
+       |  floor(re * 1000000 + 0.5) / 1000000 AS removal_effect,
+       |  floor(re / tot.retot * 1000000 + 0.5) / 1000000
+       |    AS attribution_share
+       |FROM re CROSS JOIN tot
+       |ORDER BY channel""".stripMargin
+  }
 }

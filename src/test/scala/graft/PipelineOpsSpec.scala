@@ -1151,6 +1151,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q197 Markov attribution: removal monotone, shares sum to one") {
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q197_markov_attribution")(spark, sf).collect()
+    assert(got.map(_.getAs[String]("channel")).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    val base = got.head.getAs[Double]("conv_base")
+    assert(base > 0 && base <= 1)
+    got.foreach { r =>
+      assert(r.getAs[Double]("conv_base") == base)
+      // removing a channel only deletes conversion paths — v can't rise
+      assert(r.getAs[Double]("conv_removed") <= base + 1e-9)
+      assert(r.getAs[Double]("removal_effect") >= 0)
+    }
+    val shares = got.map(_.getAs[Double]("attribution_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares ${shares.sum}")
+  }
+
   test("q195 PSI conserves both snapshots and detects the planted drift") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
