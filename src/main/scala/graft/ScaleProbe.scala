@@ -146,7 +146,14 @@ object ScaleProbe {
         // (name, type) blocks through the salted cap, linear in records
         "linkage" -> DedupQueries.saltedBucketPairs(
           DedupQueries.linkageBlockRows(synthParts(spark, n)),
-          DedupQueries.defaultBucketCap).count())
+          DedupQueries.defaultBucketCap).count(),
+        // q194 path: stitch candidates from the boundary-key equi-join —
+        // synth docs have near-unique 30-word bodies, so candidates track
+        // the page count (≈1 stitch per doc) through the df cap
+        "stitch" -> DedupQueries.continuationCandidates(
+          DedupQueries.continuationPages(docs.withColumn("source",
+            expr("concat('s', cast(doc_id % 10 as string))"))),
+          DedupQueries.continuationDfCap).count())
       finally docs.unpersist()
     }
 
@@ -156,7 +163,7 @@ object ScaleProbe {
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
       "semdedup", "containment", "dupspan", "winnow", "basket", "trigram",
-      "bitmap", "linkage")
+      "bitmap", "linkage", "stitch")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

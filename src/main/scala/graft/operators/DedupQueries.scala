@@ -1555,29 +1555,8 @@ object DedupQueries extends QueryModule {
          |GROUP BY pg.source, pg.n_pages
          |ORDER BY source""".stripMargin) { spark =>
       import spark.implicits._
-      val d = Tables.spread(spark.table("documents"))
-        .select($"doc_id", $"source", split(lower($"text"), " ").as("toks"))
-        .withColumn("n", size($"toks"))
-        .filter($"n" >= 16)
-        .withColumn("h", expr("n div 2"))
-      val pages = d.select(($"doc_id" * 2).as("page_id"), $"doc_id",
-          $"source", slice($"toks", lit(1), $"h" + 4).as("ptoks"))
-        .unionByName(d.select(($"doc_id" * 2 + 1).as("page_id"), $"doc_id",
-          $"source", slice($"toks", $"h" - 3, $"n" - $"h" + 4).as("ptoks")))
-      val keyed = pages.select($"page_id", $"doc_id", $"source",
-          concat_ws(" ", slice($"ptoks", 1, 8)).as("pfx"),
-          concat_ws(" ", slice($"ptoks", size($"ptoks") - 7, lit(8))).as("sfx"))
-        .localCheckpoint() // feeds the key census + both join sides
-      val kc = keyed.select($"sfx".as("k"))
-        .unionByName(keyed.select($"pfx".as("k")))
-        .groupBy($"k").agg(count(lit(1)).as("kn"))
-        .filter($"kn" <= continuationDfCap).select($"k")
-      val ka = keyed.join(kc, $"sfx" === $"k").drop("k")
-      val kb = keyed.join(kc, $"pfx" === $"k").drop("k")
-      val pr = ka.as("a").join(kb.as("b"),
-          $"a.sfx" === $"b.pfx" && $"a.page_id" =!= $"b.page_id")
-        .select($"a.source".as("source"), $"a.doc_id".as("da"),
-          $"b.doc_id".as("db"), $"a.page_id".as("pa"), $"b.page_id".as("pb"))
+      val pages = continuationPages(Tables.spread(spark.table("documents")))
+      val pr = continuationCandidates(pages, continuationDfCap)
       val pg = pages.groupBy($"source")
         .agg(count(lit(1)).cast(LongType).as("n_pages"))
       pg.join(pr, Seq("source"), "left")
@@ -1589,6 +1568,43 @@ object DedupQueries extends QueryModule {
             .as("stitches"))
         .orderBy($"source")
     }) :+ pipelineQuery
+
+  /** q194's synthetic page split over any (doc_id, source, text) corpus:
+    * each ≥16-token doc yields two pages sharing an 8-token boundary
+    * window. Exposed for ScaleProbe's candidate-growth line. */
+  private[graft] def continuationPages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs
+      .select($"doc_id", $"source", split(lower($"text"), " ").as("toks"))
+      .withColumn("n", size($"toks"))
+      .filter($"n" >= 16)
+      .withColumn("h", expr("n div 2"))
+    d.select(($"doc_id" * 2).as("page_id"), $"doc_id",
+        $"source", slice($"toks", lit(1), $"h" + 4).as("ptoks"))
+      .unionByName(d.select(($"doc_id" * 2 + 1).as("page_id"), $"doc_id",
+        $"source", slice($"toks", $"h" - 3, $"n" - $"h" + 4).as("ptoks")))
+  }
+
+  /** q194's stitch candidate pairs: suffix-8-gram → prefix-8-gram equi-join
+    * over df-capped boundary keys (source, da, db, pa, pb). */
+  private[graft] def continuationCandidates(pages: DataFrame,
+      dfCap: Int): DataFrame = {
+    import pages.sparkSession.implicits._
+    val keyed = pages.select($"page_id", $"doc_id", $"source",
+        concat_ws(" ", slice($"ptoks", 1, 8)).as("pfx"),
+        concat_ws(" ", slice($"ptoks", size($"ptoks") - 7, lit(8))).as("sfx"))
+      .localCheckpoint() // feeds the key census + both join sides
+    val kc = keyed.select($"sfx".as("k"))
+      .unionByName(keyed.select($"pfx".as("k")))
+      .groupBy($"k").agg(count(lit(1)).as("kn"))
+      .filter($"kn" <= dfCap).select($"k")
+    val ka = keyed.join(kc, $"sfx" === $"k").drop("k")
+    val kb = keyed.join(kc, $"pfx" === $"k").drop("k")
+    ka.as("a").join(kb.as("b"),
+        $"a.sfx" === $"b.pfx" && $"a.page_id" =!= $"b.page_id")
+      .select($"a.source".as("source"), $"a.doc_id".as("da"),
+        $"b.doc_id".as("db"), $"a.page_id".as("pa"), $"b.page_id".as("pb"))
+  }
 
   /** q166's per-SOURCE MinHash signature: the q72 per-document hash family
     * aggregated at source granularity. Kept uncheckpointed so PlanSpec can
