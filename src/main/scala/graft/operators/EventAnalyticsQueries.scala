@@ -1722,7 +1722,98 @@ object EventAnalyticsQueries extends QueryModule {
           Canon.r6($"re").as("removal_effect"),
           Canon.r6($"re" / $"retot").as("attribution_share"))
         .orderBy($"channel")
+    },
+
+    // Holt linear-trend forecast (double exponential smoothing — the
+    // trended upgrade of q112's EWMA, paired with q196's seasonal-naive
+    // backtest): per event type, the daily-count series folds through the
+    // textbook two-state recursion l_t = α·y_t + (1−α)(l+b),
+    // b_t = β(l_t − l) + (1−β)b with l₂=y₂, b₂=y₂−y₁ init. The recursion
+    // is inherently sequential → ONE day-sorted fold per type with a
+    // struct accumulator; DuckDB's list_reduce requires accumulator ≡
+    // element type, so elements are pre-lifted to the (t, l, b) state
+    // shape (the q192 singleton trick) — both engines then execute the
+    // bit-identical IEEE sequence. Scale: series length = the day grid,
+    // bounded; the corpus is touched once by the daily rollup.
+    // NOTE the oracle is a recursive CTE, NOT a list_reduce struct fold:
+    // DuckDB 1.0's list_reduce mutates the accumulator struct IN PLACE
+    // field-by-field, so a two-state update reading acc.l in the b-field
+    // formula sees the freshly-written l (measured: b drifted -2.2412 →
+    // -2.20604 on the first 4-element prefix). Recursive-CTE rows are
+    // immutable, so both states update simultaneously — the q77/q183
+    // oracle pattern for iterations.
+    q("q198_holt_forecast",
+      s"""WITH RECURSIVE e AS (
+         |  SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |sq AS (SELECT event_type, CAST(c AS DOUBLE) AS y,
+         |         ROW_NUMBER() OVER (PARTITION BY event_type
+         |                            ORDER BY day) AS rn
+         |       FROM e),
+         |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM sq
+         |       GROUP BY event_type),
+         |it AS (
+         |  SELECT s2.event_type, CAST(2 AS BIGINT) AS t, s2.y AS l,
+         |         s2.y - s1.y AS b
+         |  FROM sq s2 JOIN sq s1 ON s1.event_type = s2.event_type
+         |                       AND s1.rn = 1
+         |  WHERE s2.rn = 2
+         |  UNION ALL
+         |  SELECT it.event_type, it.t + 1,
+         |    ${holtAlpha}e0 * e.y + ${1 - holtAlpha}e0 * (it.l + it.b),
+         |    ${holtBeta}e0 * (${holtAlpha}e0 * e.y
+         |        + ${1 - holtAlpha}e0 * (it.l + it.b) - it.l)
+         |      + ${1 - holtBeta}e0 * it.b
+         |  FROM it JOIN sq e ON e.event_type = it.event_type
+         |                   AND e.rn = it.t + 1),
+         |fin AS (SELECT it.event_type, nd.n AS n_days, it.l, it.b
+         |        FROM it JOIN nd ON nd.event_type = it.event_type
+         |        WHERE it.t = nd.n)
+         |SELECT event_type, n_days,
+         |  floor(l * 10000 + 0.5) / 10000 AS level,
+         |  floor(b * 10000 + 0.5) / 10000 AS trend,
+         |  floor((l + 1 * b) * 10000 + 0.5) / 10000 AS fcst_1,
+         |  floor((l + 7 * b) * 10000 + 0.5) / 10000 AS fcst_7
+         |FROM fin
+         |ORDER BY event_type""".stripMargin) { spark =>
+      import spark.implicits._
+      val dayUs = 86400000000L
+      val daily = spark.table("events")
+        .select($"event_type", unix_micros($"ts").as("tus"))
+        .select($"event_type", expr(s"tus div $dayUs").as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      val arr = daily.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"c".as("y")))).as("l"))
+      def holtState(l: Column): Column = {
+        val zero = struct(lit(0L).as("t"), lit(0.0).as("l"), lit(0.0).as("b"))
+        aggregate(l, zero, (acc, p) => {
+          val y = p.getField("y").cast(DoubleType)
+          val lNew = lit(holtAlpha) * y +
+            lit(1 - holtAlpha) * (acc.getField("l") + acc.getField("b"))
+          when(acc.getField("t") === 0,
+            struct(lit(1L).as("t"), y.as("l"), lit(0.0).as("b")))
+            .when(acc.getField("t") === 1,
+              struct((acc.getField("t") + 1).as("t"), y.as("l"),
+                (y - acc.getField("l")).as("b")))
+            .otherwise(struct((acc.getField("t") + 1).as("t"), lNew.as("l"),
+              (lit(holtBeta) * (lNew - acc.getField("l")) +
+                lit(1 - holtBeta) * acc.getField("b")).as("b")))
+        })
+      }
+      arr.select($"event_type", size($"l").cast(LongType).as("n_days"),
+          holtState($"l").as("s"))
+        .select($"event_type", $"n_days",
+          Canon.r4($"s.l").as("level"), Canon.r4($"s.b").as("trend"),
+          Canon.r4($"s.l" + lit(1) * $"s.b").as("fcst_1"),
+          Canon.r4($"s.l" + lit(7) * $"s.b").as("fcst_7"))
+        .orderBy($"event_type")
     })
+
+  /** q198's smoothing constants (Holt linear / double exponential). */
+  private val holtAlpha = 0.3
+  private val holtBeta = 0.1
 
   /** q197's transient channels (every chain label but "base" is also the
     * removed channel) and the full state space. */

@@ -1151,6 +1151,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q198 Holt states equal the textbook recursion replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val series = spark.table("events")
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy($"event_type", $"day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> xs.sortBy(_._2).map(_._3.toDouble).toSeq
+      }
+    val expect = series.map { case (t, ys) =>
+      var (l, b) = (ys.head, 0.0)
+      var step = 1
+      ys.tail.foreach { y =>
+        if (step == 1) { b = y - l; l = y }
+        else {
+          val l2 = 0.3 * y + 0.7 * (l + b)
+          b = 0.1 * (l2 - l) + 0.9 * b
+          l = l2
+        }
+        step += 1
+      }
+      t -> ((ys.length.toLong, r4d(l), r4d(b)))
+    }
+    val got = queries("q198_holt_forecast")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("q197 Markov attribution: removal monotone, shares sum to one") {
     graft.sources.Tables.register(spark, sf)
     val got = queries("q197_markov_attribution")(spark, sf).collect()

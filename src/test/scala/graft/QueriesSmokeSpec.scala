@@ -114,7 +114,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // collected array
       "q186_temperature_mixing", "q190_zipf_slope",
       // q192: per-round argmax over integer pair counts + per-word folds
-      "q192_bpe_merges")
+      "q192_bpe_merges",
+      // q198: day-sorted sequential two-state fold per event type
+      "q198_holt_forecast")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
