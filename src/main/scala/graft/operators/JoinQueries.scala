@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -451,6 +452,68 @@ object JoinQueries extends QueryModule {
           Canon.r6(($"est_size".cast(DoubleType) - $"exact_size") /
             $"exact_size").as("rel_err"))
         .orderBy($"pair")
+    },
+
+    // Item-item collaborative-filtering recommendations ("customers who
+    // bought X also bought Y", Linden et al. IEEE IC'03): co-occurrence
+    // support from q156's basket-keyed pair relation, normalized by item
+    // popularity into the basket-cosine score s/√(cnt_i·cnt_j) — the
+    // normalization that keeps universally-popular items from dominating
+    // every list. Scores are r6-rounded free doubles RANKED on the rounded
+    // value with the rec id as tiebreak (the q134 rounded-value-ordering
+    // pattern), so the per-item top-3 is fully hash-checked. Scale:
+    // basket-bounded pair volume (C(width,2) per order), broadcast count
+    // joins, per-item rank window partitioned by item — never global.
+    q("q199_item_recs",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |cnt AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM items GROUP BY pk),
+        |p AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS s
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |  HAVING COUNT(*) >= 2),
+        |dir AS (
+        |  SELECT pk_a AS item, pk_b AS rec, s FROM p
+        |  UNION ALL
+        |  SELECT pk_b, pk_a, s FROM p),
+        |sc AS (
+        |  SELECT d.item, d.rec,
+        |    floor(CAST(d.s AS DOUBLE)
+        |          / sqrt(CAST(ci.c * cj.c AS DOUBLE)) * 1000000 + 0.5)
+        |      / 1000000 AS score
+        |  FROM dir d JOIN cnt ci ON ci.pk = d.item
+        |             JOIN cnt cj ON cj.pk = d.rec),
+        |rk AS (
+        |  SELECT item, rec, score, ROW_NUMBER() OVER (
+        |    PARTITION BY item ORDER BY score DESC, rec) AS rec_rank
+        |  FROM sc)
+        |SELECT item, rec_rank, rec, score FROM rk
+        |WHERE rec_rank <= 3
+        |ORDER BY item, rec_rank""".stripMargin) { spark =>
+      import spark.implicits._
+      val items = spark.table("lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        .localCheckpoint() // feeds counts + both pair sides
+      val cnt = items.groupBy($"pk").agg(count(lit(1)).cast(LongType).as("c"))
+      val p = basketPairSupport(items).filter($"support" >= 2)
+      val dir = p.select($"pk_a".as("item"), $"pk_b".as("rec"),
+          $"support".as("s"))
+        .unionAll(p.select($"pk_b".as("item"), $"pk_a".as("rec"),
+          $"support".as("s")))
+      val sc = dir
+        .join(broadcast(cnt.select($"pk".as("item"), $"c".as("ci"))),
+          Seq("item"))
+        .join(broadcast(cnt.select($"pk".as("rec"), $"c".as("cj"))),
+          Seq("rec"))
+        .select($"item", $"rec", Canon.r6($"s".cast(DoubleType) /
+          sqrt(($"ci" * $"cj").cast(DoubleType))).as("score"))
+      val w = Window.partitionBy($"item").orderBy($"score".desc, $"rec")
+      sc.withColumn("rec_rank", row_number().over(w))
+        .filter($"rec_rank" <= 3)
+        .select($"item", $"rec_rank", $"rec", $"score")
+        .orderBy($"item", $"rec_rank")
     })
 
   /** q156's pair-support relation over distinct (ok, pk) basket items —

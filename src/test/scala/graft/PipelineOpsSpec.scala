@@ -1151,6 +1151,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q199 recommendations are ranked, bounded, and cosine-normalized") {
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q199_item_recs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (item, xs) =>
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to xs.length), s"item $item ranks")
+      assert(xs.length <= 3)
+      // scores descend with rank; basket-cosine lives in (0, 1]
+      sorted.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"item $item not ranked by score")
+        case _ =>
+      }
+      xs.foreach { case (_, _, rec, s) =>
+        assert(s > 0 && s <= 1.0, s"item $item rec $rec score $s")
+      }
+    }
+  }
+
   test("q198 Holt states equal the textbook recursion replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
