@@ -2088,43 +2088,7 @@ object TextQueries extends QueryModule {
     // once for word counts; each round's relation is localCheckpoint'ed —
     // the fixpoint materialization rule (q189's 2.8× lesson).
     q("q192_bpe_merges",
-      s"""WITH w0 AS (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c,
-         |         list_transform(range(1, len(word) + 1),
-         |                        i -> substr(word, i, 1)) AS syms
-         |  FROM (SELECT unnest($tokSql) AS word FROM documents)
-         |  WHERE len(word) > 0 GROUP BY word),
-         |px1 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM w0),
-         |pc1 AS (SELECT syms[i] AS a, syms[i + 1] AS b,
-         |               CAST(SUM(c) AS BIGINT) AS n
-         |        FROM px1 GROUP BY 1, 2),
-         |m1 AS (SELECT a, b, n FROM pc1 ORDER BY n DESC, a, b LIMIT 1),
-         |w1 AS (SELECT w.word, w.c,
-         |        list_reduce(list_transform(w.syms, s -> [s]),
-         |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
-         |                                AND x[1] = m.b
-         |                      THEN list_append(array_pop_back(acc),
-         |                                       m.a || m.b)
-         |                      ELSE list_concat(acc, x) END) AS syms
-         |       FROM w0 w CROSS JOIN m1 m),
-         |px2 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM w1),
-         |pc2 AS (SELECT syms[i] AS a, syms[i + 1] AS b,
-         |               CAST(SUM(c) AS BIGINT) AS n
-         |        FROM px2 GROUP BY 1, 2),
-         |m2 AS (SELECT a, b, n FROM pc2 ORDER BY n DESC, a, b LIMIT 1),
-         |w2 AS (SELECT w.word, w.c,
-         |        list_reduce(list_transform(w.syms, s -> [s]),
-         |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
-         |                                AND x[1] = m.b
-         |                      THEN list_append(array_pop_back(acc),
-         |                                       m.a || m.b)
-         |                      ELSE list_concat(acc, x) END) AS syms
-         |       FROM w1 w CROSS JOIN m2 m),
-         |px3 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM w2),
-         |pc3 AS (SELECT syms[i] AS a, syms[i + 1] AS b,
-         |               CAST(SUM(c) AS BIGINT) AS n
-         |        FROM px3 GROUP BY 1, 2),
-         |m3 AS (SELECT a, b, n FROM pc3 ORDER BY n DESC, a, b LIMIT 1)
+      s"""WITH ${bpeCtes(bpeRounds)}
          |SELECT * FROM (
          |  SELECT 1 AS merge_rank, a AS sym_a, b AS sym_b, n AS pair_count
          |  FROM m1
@@ -2134,40 +2098,133 @@ object TextQueries extends QueryModule {
          |  SELECT 3, a, b, n FROM m3)
          |ORDER BY merge_rank""".stripMargin) { spark =>
       import spark.implicits._
-      val words0 = spark.table("documents")
-        .select(explode(split(lower($"text"), " ")).as("word"))
+      val (merges, _) = bpeLearn(spark.table("documents"), bpeRounds,
+        needFinalWords = false)
+      merges.orderBy($"merge_rank")
+    },
+
+    // BPE corpus encoding — q192's counterpart: APPLY the learned merges
+    // to re-tokenize every word occurrence and report the per-source
+    // compression the subword vocabulary buys (symbols after / characters
+    // before). The merge table is corpus-global; each source joins its own
+    // (source, word) counts against the final word→symbols relation, so
+    // the encode step is a vocab-sized broadcast-shaped join plus one
+    // map-side-combinable rollup. All-integer sums, one r4 ratio.
+    q("q200_bpe_encode",
+      s"""WITH ${bpeCtes(bpeRounds)},
+         |ps AS (
+         |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM
+         |    (SELECT source, unnest($tokSql) AS word FROM documents) t
+         |  WHERE len(word) > 0 GROUP BY source, word),
+         |enc AS (
+         |  SELECT ps.source, ps.c, len(ps.word) AS wl,
+         |         len(w$bpeRounds.syms) AS sl
+         |  FROM ps JOIN w$bpeRounds ON w$bpeRounds.word = ps.word)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(c * wl) AS BIGINT) AS chars,
+         |  CAST(SUM(c * sl) AS BIGINT) AS symbols,
+         |  floor(CAST(SUM(c * sl) AS DOUBLE) / CAST(SUM(c * wl) AS DOUBLE)
+         |        * 10000 + 0.5) / 10000 AS compression
+         |FROM enc GROUP BY source
+         |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val (_, fw) = bpeLearn(spark.table("documents"), bpeRounds,
+        needFinalWords = true)
+      val ps = spark.table("documents")
+        .select($"source", explode(split(lower($"text"), " ")).as("word"))
         .filter(length($"word") > 0)
-        .groupBy($"word").agg(count(lit(1)).cast(LongType).as("c"))
-        .withColumn("syms", expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .groupBy($"source", $"word")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      val enc = ps.join(fw.select($"word", length($"word").as("wl"),
+        size($"syms").as("sl")), Seq("word"))
+      enc.groupBy($"source")
+        .agg(sum($"c").cast(LongType).as("ws_tokens"),
+          sum($"c" * $"wl").cast(LongType).as("chars"),
+          sum($"c" * $"sl").cast(LongType).as("symbols"))
+        .select($"source", $"ws_tokens", $"chars", $"symbols",
+          Canon.r4($"symbols".cast(DoubleType) / $"chars".cast(DoubleType))
+            .as("compression"))
+        .orderBy($"source")
+    })
+
+  /** Learned-merge count for q192/q200. */
+  private[graft] val bpeRounds = 3
+
+  /** The shared BPE oracle CTE chain: w0 (distinct words as char arrays) +
+    * per-round pair counts pcR, argmax mR, merged words wR. Unreferenced
+    * tail CTEs are pruned by DuckDB, so q192 (merges only) and q200 (the
+    * final w$rounds) share one spelling. */
+  private def bpeCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""px$r AS (SELECT c, syms, unnest(range(1, len(syms))) AS i
+         |        FROM w${r - 1}),
+         |pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+         |               CAST(SUM(c) AS BIGINT) AS n
+         |        FROM px$r GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, n FROM pc$r ORDER BY n DESC, a, b LIMIT 1),
+         |w$r AS (SELECT w.word, w.c,
+         |        list_reduce(list_transform(w.syms, s -> [s]),
+         |          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+         |                                AND x[1] = m.b
+         |                      THEN list_append(array_pop_back(acc),
+         |                                       m.a || m.b)
+         |                      ELSE list_concat(acc, x) END) AS syms
+         |       FROM w${r - 1} w CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c,
+       |         list_transform(range(1, len(word) + 1),
+       |                        i -> substr(word, i, 1)) AS syms
+       |  FROM (SELECT unnest($tokSql) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |$roundCtes""".stripMargin
+  }
+
+  /** Learn `rounds` BPE merges over the corpus's distinct-word relation.
+    * Returns (merge rows: merge_rank/sym_a/sym_b/pair_count, final words:
+    * word/c/syms). The greedy leftmost merge is the q192 fold — NOTE the
+    * fold is single-state (one array), safe from the DuckDB in-place
+    * aliasing hazard (CLAUDE.md). Rounds localCheckpoint per the fixpoint
+    * materialization rule; the final merged-word relation is skipped
+    * unless requested (it costs one extra pass). */
+  private[graft] def bpeLearn(docs: DataFrame, rounds: Int,
+      needFinalWords: Boolean): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    val words0 = docs
+      .select(explode(split(lower($"text"), " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).cast(LongType).as("c"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+    def pairCounts(w: DataFrame): DataFrame = w
+      .select($"c", $"syms",
+        explode(Canon.seq1(size($"syms") - 1)).as("i"))
+      .select(element_at($"syms", $"i").as("a"),
+        element_at($"syms", $"i" + 1).as("b"), $"c")
+      .groupBy($"a", $"b").agg(sum($"c").cast(LongType).as("n"))
+    val mergeFold =
+      """aggregate(syms, cast(array() as array<string>),
+        |  (acc, s) -> CASE WHEN size(acc) > 0
+        |                        AND element_at(acc, -1) = a AND s = b
+        |              THEN concat(slice(acc, 1, size(acc) - 1),
+        |                          array(concat(a, b)))
+        |              ELSE concat(acc, array(s)) END)""".stripMargin
+    var w = words0
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val m = pairCounts(w).orderBy($"n".desc, $"a", $"b").limit(1)
         .localCheckpoint()
-      def pairCounts(w: DataFrame): DataFrame = w
-        .select($"c", $"syms",
-          explode(Canon.seq1(size($"syms") - 1)).as("i"))
-        .select(element_at($"syms", $"i").as("a"),
-          element_at($"syms", $"i" + 1).as("b"), $"c")
-        .groupBy($"a", $"b").agg(sum($"c").cast(LongType).as("n"))
-      val mergeFold =
-        """aggregate(syms, cast(array() as array<string>),
-          |  (acc, s) -> CASE WHEN size(acc) > 0
-          |                        AND element_at(acc, -1) = a AND s = b
-          |              THEN concat(slice(acc, 1, size(acc) - 1),
-          |                          array(concat(a, b)))
-          |              ELSE concat(acc, array(s)) END)""".stripMargin
-      var w = words0
-      var out: DataFrame = null
-      for (r <- 1 to 3) {
-        val m = pairCounts(w).orderBy($"n".desc, $"a", $"b").limit(1)
-          .localCheckpoint()
-        val row = m.select(lit(r).as("merge_rank"), $"a".as("sym_a"),
-          $"b".as("sym_b"), $"n".as("pair_count"))
-        out = if (out == null) row else out.unionByName(row)
-        if (r < 3) w = w.crossJoin(broadcast(m))
+      val row = m.select(lit(r).as("merge_rank"), $"a".as("sym_a"),
+        $"b".as("sym_b"), $"n".as("pair_count"))
+      out = if (out == null) row else out.unionByName(row)
+      if (r < rounds || needFinalWords)
+        w = w.crossJoin(broadcast(m))
           .select($"word", $"c", expr(mergeFold).as("syms"))
           .localCheckpoint()
-      }
-      out.orderBy($"merge_rank")
-    })
+    }
+    (out, w)
+  }
 
   /** q169's build-time phrase blocklist (lowercase; single quotes would
     * need escaping in the SQL twin — none used). */

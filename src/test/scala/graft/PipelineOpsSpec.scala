@@ -1151,6 +1151,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q200 BPE encoding conserves tokens and compresses every source") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val wsTok = spark.table("documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = queries("q200_bpe_encode")(spark, sf).collect()
+    assert(got.length == wsTok.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("ws_tokens") == wsTok(src))
+      val (chars, syms) = (r.getAs[Long]("chars"), r.getAs[Long]("symbols"))
+      // 3 merges can only shrink, and on this corpus each fires somewhere
+      assert(syms < chars, s"$src: $syms !< $chars")
+      val c = r.getAs[Double]("compression")
+      assert(c > 0.5 && c < 1.0, s"$src compression $c")
+    }
+  }
+
   test("q199 recommendations are ranked, bounded, and cosine-normalized") {
     graft.sources.Tables.register(spark, sf)
     val got = queries("q199_item_recs")(spark, sf).collect()
