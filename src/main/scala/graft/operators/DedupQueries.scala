@@ -1567,6 +1567,89 @@ object DedupQueries extends QueryModule {
             $"pa" % 2 === 0, 1).otherwise(0)), lit(0)).cast(LongType)
             .as("stitches"))
         .orderBy($"source")
+    },
+
+    // LSH quality evaluation (the recall/precision audit a pipeline runs
+    // before trusting an approximate dedup path): q73's MinHash band
+    // candidates scored against q110's EXACT set-similarity join at
+    // τ = 0.6. TP/FP/FN come from one full-outer join of the two pair
+    // relations; precision and recall are single integer-ratio doubles.
+    // Everything is deterministic (md5 hash family, exact PPJoin), so the
+    // whole evaluation — not just its inputs — is hash-checked. Scale:
+    // both pair relations are the linear-shuffle shapes they came from;
+    // the outer join keys on (id_a, id_b).
+    q("q202_lsh_eval", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |lsh AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest($shingleSql) AS token
+         |  FROM documents),
+         |df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+         |sz AS (SELECT doc_id, COUNT(*) AS m FROM tok GROUP BY doc_id),
+         |ord AS (
+         |  SELECT t.doc_id, t.token, s.m,
+         |         row_number() OVER (PARTITION BY t.doc_id
+         |                            ORDER BY f.df, t.token) AS rk
+         |  FROM tok t JOIN df f USING (token) JOIN sz s USING (doc_id)),
+         |pref AS (
+         |  SELECT doc_id, token FROM ord
+         |  WHERE rk <= m - CEIL(0.6 * m) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b
+         |    ON a.token = b.token AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.id_a
+         |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+         |  GROUP BY c.id_a, c.id_b),
+         |exact AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.6),
+         |j AS (
+         |  SELECT COALESCE(l.one, 0) AS in_lsh, COALESCE(e.one, 0) AS in_ex
+         |  FROM (SELECT id_a, id_b, 1 AS one FROM lsh) l
+         |  FULL OUTER JOIN (SELECT id_a, id_b, 1 AS one FROM exact) e
+         |    ON e.id_a = l.id_a AND e.id_b = l.id_b),
+         |s AS (
+         |  SELECT CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+         |         CAST(SUM(in_ex) AS BIGINT) AS n_exact,
+         |         CAST(SUM(in_lsh * in_ex) AS BIGINT) AS tp
+         |  FROM j)
+         |SELECT n_lsh, n_exact, tp, n_lsh - tp AS fp, n_exact - tp AS fn,
+         |  floor(CAST(tp AS DOUBLE) / n_lsh * 10000 + 0.5) / 10000
+         |    AS precision_at_06,
+         |  floor(CAST(tp AS DOUBLE) / n_exact * 10000 + 0.5) / 10000
+         |    AS recall_at_06
+         |FROM s""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val lsh = bandPairs(spark, minhashBandStructs)
+        .select($"id_a", $"id_b", lit(1).as("in_lsh"))
+      val exact = ppjoinPairs(spark.table("documents"), 0.6)
+        .select($"id_a", $"id_b", lit(1).as("in_ex"))
+      val j = lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .select(coalesce($"in_lsh", lit(0)).as("in_lsh"),
+          coalesce($"in_ex", lit(0)).as("in_ex"))
+      j.agg(sum($"in_lsh").cast(LongType).as("n_lsh"),
+          sum($"in_ex").cast(LongType).as("n_exact"),
+          sum($"in_lsh" * $"in_ex").cast(LongType).as("tp"))
+        .select($"n_lsh", $"n_exact", $"tp",
+          ($"n_lsh" - $"tp").as("fp"), ($"n_exact" - $"tp").as("fn"),
+          Canon.r4($"tp".cast(DoubleType) / $"n_lsh").as("precision_at_06"),
+          Canon.r4($"tp".cast(DoubleType) / $"n_exact").as("recall_at_06"))
     }) :+ pipelineQuery
 
   /** q194's synthetic page split over any (doc_id, source, text) corpus:

@@ -2145,10 +2145,87 @@ object TextQueries extends QueryModule {
           Canon.r4($"symbols".cast(DoubleType) / $"chars".cast(DoubleType))
             .as("compression"))
         .orderBy($"source")
+    },
+
+    // Distinctive-term source profiling (χ² keyword extraction, the
+    // c-TF-IDF/log-likelihood-ratio family): which tokens characterize a
+    // source AGAINST the rest of the corpus? Per (source, token) the 2×2
+    // contingency (in-source vs elsewhere × this-token vs others) scores
+    // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)); every margin is an exact
+    // integer, the statistic is one fixed double spelling (products stay
+    // < 2⁵³ until the final square — identically rounded on both
+    // engines), and ranking uses the r4-ROUNDED value with the token as
+    // tiebreak (the q134 pattern) so the per-source top-5 hash-checks.
+    // Scale: one (source, token) rollup, token totals joined by token key,
+    // broadcast source totals, rank window partitioned by source.
+    q("q201_source_keywords",
+      s"""WITH st AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_st FROM
+         |    (SELECT source, unnest($tokSql) AS token FROM documents) t
+         |  GROUP BY source, token),
+         |tt AS (SELECT token, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st
+         |       GROUP BY token),
+         |ss AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st
+         |       GROUP BY source),
+         |nn AS (SELECT CAST(SUM(n_st) AS BIGINT) AS n FROM st),
+         |x AS (
+         |  SELECT st.source, st.token, st.n_st,
+         |    CAST(nn.n AS DOUBLE)
+         |      * (CAST(st.n_st AS DOUBLE)
+         |           * (nn.n - tt.n_t - ss.n_s + st.n_st)
+         |         - CAST(tt.n_t - st.n_st AS DOUBLE) * (ss.n_s - st.n_st))
+         |      * (CAST(st.n_st AS DOUBLE)
+         |           * (nn.n - tt.n_t - ss.n_s + st.n_st)
+         |         - CAST(tt.n_t - st.n_st AS DOUBLE) * (ss.n_s - st.n_st))
+         |      / (CAST(tt.n_t AS DOUBLE) * (nn.n - tt.n_t)
+         |         * ss.n_s * (nn.n - ss.n_s)) AS chi2
+         |  FROM st
+         |  JOIN tt ON tt.token = st.token
+         |  JOIN ss ON ss.source = st.source
+         |  CROSS JOIN nn
+         |  WHERE st.n_st >= $keywordMinCount),
+         |rk AS (
+         |  SELECT source, token, n_st,
+         |         floor(chi2 * 10000 + 0.5) / 10000 AS chi2,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY floor(chi2 * 10000 + 0.5) / 10000 DESC, token)
+         |           AS kw_rank
+         |  FROM x)
+         |SELECT source, kw_rank, token, n_st, chi2 FROM rk
+         |WHERE kw_rank <= 5
+         |ORDER BY source, kw_rank""".stripMargin) { spark =>
+      import spark.implicits._
+      val st = spark.table("documents")
+        .select($"source", explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"source", $"token")
+        .agg(count(lit(1)).cast(LongType).as("n_st"))
+        .localCheckpoint() // feeds token totals, source totals, and scoring
+      val tt = st.groupBy($"token").agg(sum($"n_st").cast(LongType).as("n_t"))
+      val ss = st.groupBy($"source").agg(sum($"n_st").cast(LongType).as("n_s"))
+      val nn = st.agg(sum($"n_st").cast(LongType).as("n"))
+      val d = ($"n_st".cast(DoubleType) *
+        ($"n" - $"n_t" - $"n_s" + $"n_st")) -
+        (($"n_t" - $"n_st").cast(DoubleType) * ($"n_s" - $"n_st"))
+      val chi2 = $"n".cast(DoubleType) * d * d /
+        ($"n_t".cast(DoubleType) * ($"n" - $"n_t") * $"n_s" *
+          ($"n" - $"n_s"))
+      val x = st.filter($"n_st" >= keywordMinCount)
+        .join(tt, Seq("token"))
+        .join(broadcast(ss), Seq("source"))
+        .crossJoin(broadcast(nn))
+        .select($"source", $"token", $"n_st", Canon.r4(chi2).as("chi2"))
+      val w = Window.partitionBy($"source").orderBy($"chi2".desc, $"token")
+      x.withColumn("kw_rank", row_number().over(w))
+        .filter($"kw_rank" <= 5)
+        .select($"source", $"kw_rank", $"token", $"n_st", $"chi2")
+        .orderBy($"source", $"kw_rank")
     })
 
   /** Learned-merge count for q192/q200. */
   private[graft] val bpeRounds = 3
+
+  /** q201's minimum in-source count for a keyword candidate. */
+  private[graft] val keywordMinCount = 5
 
   /** The shared BPE oracle CTE chain: w0 (distinct words as char arrays) +
     * per-round pair counts pcR, argmax mR, merged words wR. Unreferenced

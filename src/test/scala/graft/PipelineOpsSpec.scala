@@ -1151,6 +1151,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q201 keywords: chi-square replay on the top cell, 5 per source") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q201_source_keywords")(spark, sf).collect()
+    got.groupBy(_.getAs[String]("source")).foreach { case (src, xs) =>
+      assert(xs.map(_.getAs[Int]("kw_rank")).sorted.toSeq ==
+        (1 to xs.length) && xs.length <= 5, s"$src ranks")
+    }
+    // replay the statistic for the single highest-ranked cell
+    val top = got.minBy(r => (r.getAs[String]("source"), r.getAs[Int]("kw_rank")))
+    val (src, tok) = (top.getAs[String]("source"), top.getAs[String]("token"))
+    val cells = spark.table("documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = cells.length.toDouble
+    val nst = cells.count(c => c._1 == src && c._2 == tok).toDouble
+    val nt = cells.count(_._2 == tok).toDouble
+    val ns = cells.count(_._1 == src).toDouble
+    val d = nst * (n - nt - ns + nst) - (nt - nst) * (ns - nst)
+    val chi2 = n * d * d / (nt * (n - nt) * ns * (n - ns))
+    val r4 = math.floor(chi2 * 10000 + 0.5) / 10000
+    assert(top.getAs[Double]("chi2") == r4,
+      s"$src/$tok: ${top.getAs[Double]("chi2")} vs $r4")
+  }
+
+  test("q202 LSH evaluation counts are internally consistent") {
+    graft.sources.Tables.register(spark, sf)
+    val r = queries("q202_lsh_eval")(spark, sf).collect().head
+    val (nl, ne, tp) = (r.getAs[Long]("n_lsh"), r.getAs[Long]("n_exact"),
+      r.getAs[Long]("tp"))
+    assert(tp <= math.min(nl, ne))
+    assert(r.getAs[Long]("fp") == nl - tp)
+    assert(r.getAs[Long]("fn") == ne - tp)
+    // LSH candidates must dominate the exact join's recall floor when the
+    // exact join is non-empty (the band family's documented behavior)
+    if (ne > 0) assert(r.getAs[Double]("recall_at_06") >= 0.8,
+      s"recall ${r.getAs[Double]("recall_at_06")}")
+  }
+
   test("q200 BPE encoding conserves tokens and compresses every source") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
