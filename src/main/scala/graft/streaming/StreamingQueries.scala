@@ -186,4 +186,41 @@ object StreamingQueries extends QueryModule {
           out.result().iterator
       }
   }
+
+  /** q198's Holt level/trend recursion as STREAMING per-key state: daily
+    * counts arrive per (series key, day, count) in event-time order (the
+    * operator's contract — upstream is the watermarked daily rollup, which
+    * emits days in order once the watermark passes) and each arrival
+    * advances the (t, l, b) state by exactly one textbook step. Emits the
+    * state after every update; the LAST emission per key must equal the
+    * batch fold — StreamingSpec asserts bit equality against q198's maths.
+    * State is 3 numbers per series: O(keys) memory at any scale. */
+  private[graft] def holtStreamingState(
+      rows: org.apache.spark.sql.Dataset[(String, Long, Long)],
+      alpha: Double, beta: Double)
+      : org.apache.spark.sql.Dataset[(String, Long, Double, Double)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double),
+        (String, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, batch, state) =>
+          var (t, l, b) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          // within a micro-batch, apply strictly in day order
+          batch.toSeq.sortBy(_._2).foreach { case (_, _, c) =>
+            val y = c.toDouble
+            if (t == 0L) { t = 1L; l = y; b = 0.0 }
+            else if (t == 1L) { t = 2L; b = y - l; l = y }
+            else {
+              val l2 = alpha * y + (1 - alpha) * (l + b)
+              b = beta * (l2 - l) + (1 - beta) * b
+              l = l2
+              t += 1
+            }
+          }
+          state.update((t, l, b))
+          Iterator((key, t, l, b))
+      }
+  }
 }

@@ -361,6 +361,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, at(0), 2L), (1L, at(30), 1L), (2L, at(7), 1L)), got)
   }
 
+  test("streaming Holt state equals the batch recursion after two batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the REAL fixture daily series per event type, split mid-series into
+    // two micro-batches — state must carry across the batch boundary
+    val daily = graft.sources.Tables.table(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val (first, second) = daily.splitAt(daily.length / 2)
+    val ms = MemoryStream[(String, Long, Long)]
+    val out = graft.streaming.StreamingQueries
+      .holtStreamingState(ms.toDS(), alpha = 0.3, beta = 0.1)
+    val q = out.toDF("key", "t", "l", "b").writeStream.format("memory")
+      .queryName("t_holt").outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("t_holt")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+          .orderBy(col("t").desc)))
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("t"), r.getAs[Double]("l"), r.getAs[Double]("b"))))
+      .toMap
+    // reference: the q198 textbook fold on the same series
+    val expect = daily.groupBy(_._1).map { case (k, xs) =>
+      val ys = xs.sortBy(_._2).map(_._3.toDouble)
+      var (t, l, b) = (0L, 0.0, 0.0)
+      ys.foreach { y =>
+        if (t == 0L) { t = 1; l = y; b = 0.0 }
+        else if (t == 1L) { t = 2; b = y - l; l = y }
+        else {
+          val l2 = 0.3 * y + 0.7 * (l + b)
+          b = 0.1 * (l2 - l) + 0.9 * b
+          l = l2
+          t += 1
+        }
+      }
+      k -> ((t, l, b))
+    }
+    assert(last == expect, s"$last vs $expect")
+  }
+
   test("streaming incremental LSH pairs equal the batch candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
