@@ -739,4 +739,59 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
     assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
   }
+
+  test("Wilson CI: constant-size partials feed the 24-key rollup") {
+    val df = SparkEntry.queries("q185_wilson_ci")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the interval maths runs on the 24-row aggregate, never the stream
+    assert(finalPlan.contains("partial_count") ||
+      finalPlan.contains("partial_sum"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
+  test("temperature mixing: per-source rollup map-side, 1-row share fold broadcast") {
+    val df = SparkEntry.queries("q186_temperature_mixing")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_count"), finalPlan)
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
+  test("Zipf fit: no Window over a corpus-derived relation (TakeOrdered first)") {
+    val df = SparkEntry.queries("q190_zipf_slope")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the rank window sits above TakeOrderedAndProject's 100-row output
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+  }
+
+  test("item recs: popularity counts broadcast; pairs join on the basket key") {
+    val df = SparkEntry.queries("q199_item_recs")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
+  test("source keywords: token totals by key, source totals broadcast") {
+    val df = SparkEntry.queries("q201_source_keywords")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // total rollups partial-aggregate off the checkpointed (source, token)
+    // relation; both total relations reach the scoring join broadcast
+    assert(finalPlan.contains("partial_sum"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
+  test("continuation stitch: boundary join is an equi-join, never a product") {
+    val df = SparkEntry.queries("q194_continuation_stitch")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // sfx = pfx is a hash-joinable key (SMJ or broadcast depending on
+    // stats); the no-CartesianProduct sweep covers the degenerate case
+    assert(finalPlan.contains("Join"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
 }
