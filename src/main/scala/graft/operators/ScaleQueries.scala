@@ -512,6 +512,61 @@ object ScaleQueries extends QueryModule {
         .agg(count(lit(1)).cast("long").as("n_customers"),
           round(sum($"m").cast("double"), 4).as("revenue"))
         .orderBy($"r_score", $"f_score", $"m_score")
+    },
+
+    // Deterministic epoch shuffling + fixed-size batch manifests (the
+    // training-loader op: each epoch is a reproducible permutation of the
+    // corpus, cut into 32-doc batches). The permutation key is
+    // md5(epoch:doc_id); the global sequence comes from q59g's
+    // range-partition + sortWithinPartitions + zipWithIndex shape — NEVER a
+    // single-reducer ORDER BY window (zipWithIndex indexes the total order
+    // exactly regardless of where the range boundaries land, so the result
+    // provably equals the oracle's ROW_NUMBER). Per (epoch, batch):
+    // doc/token counts and an order-insensitive XOR membership digest (the
+    // q175 checksum), so the manifest check covers WHICH docs landed in
+    // each batch, not just how many. All-integer output.
+    q("q203_epoch_shuffle",
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT epoch, doc_id, n_toks,
+        |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY
+        |      md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1 AS seq
+        |  FROM d CROSS JOIN (SELECT unnest([0, 1]) AS epoch) ep)
+        |SELECT epoch, seq // 32 AS batch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tokens,
+        |  CAST(bit_xor(CAST(CAST(('0x' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+        |    AS BIGINT)) AS BIGINT) AS member_digest
+        |FROM e
+        |GROUP BY epoch, seq // 32
+        |ORDER BY epoch, batch""".stripMargin) { spark =>
+      import spark.implicits._
+      val d = spark.table("documents")
+        .select($"doc_id", size(split(lower($"text"), " ")).as("n_toks"))
+        .localCheckpoint() // feeds both epoch permutations
+      val perEpoch = (0 to 1).map { ep =>
+        val keyed = d
+          .select(md5(concat(lit(s"$ep:"), $"doc_id".cast("string"))
+            .cast("binary")).as("h"), $"doc_id", $"n_toks")
+          .as[(String, Long, Long)]
+          .repartitionByRange(8, $"h", $"doc_id")
+          .sortWithinPartitions($"h", $"doc_id")
+        keyed.rdd.zipWithIndex()
+          .map { case ((_, id, nt), seq) => (ep, id, nt, seq) }
+          .toDF("epoch", "doc_id", "n_toks", "seq")
+      }
+      val digest = conv(substring(md5($"doc_id".cast("string")
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+      perEpoch.reduce(_ unionByName _)
+        .groupBy($"epoch", expr("seq div 32").as("batch"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"n_toks").cast("long").as("tokens"),
+          bit_xor(digest).cast("long").as("member_digest"))
+        .orderBy($"epoch", $"batch")
     })
 
   /** q179's shatter-then-compact pipeline: writes the documents fixture as

@@ -1151,6 +1151,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q203 epoch shuffle: partitions conserve the corpus and differ per epoch") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val nDocs = spark.table("documents").count()
+    val got = queries("q203_epoch_shuffle")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("batch"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("member_digest")))
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (ep, xs) =>
+      assert(xs.map(_._3).sum == nDocs, s"epoch $ep must cover the corpus")
+      // all batches full at 32 except possibly the last
+      val full = xs.sortBy(_._2).dropRight(1)
+      assert(full.forall(_._3 == 32), s"epoch $ep has a short inner batch")
+      // XOR digest over all batches = XOR over the corpus: epoch-invariant
+    }
+    val eXor = byEpoch.map { case (ep, xs) =>
+      ep -> xs.map(_._4).reduce(_ ^ _)
+    }
+    assert(eXor(0) == eXor(1), "whole-corpus digest must not depend on epoch")
+    // the shuffle must actually shuffle: batch compositions differ
+    val b0 = byEpoch(0).map(x => x._2 -> x._4).toMap
+    val b1 = byEpoch(1).map(x => x._2 -> x._4).toMap
+    assert(b0.exists { case (b, d) => b1.get(b).exists(_ != d) },
+      "epoch 1 produced identical batches to epoch 0")
+  }
+
   test("q201 keywords: chi-square replay on the top cell, 5 per source") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
