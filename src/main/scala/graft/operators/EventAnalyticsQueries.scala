@@ -1724,6 +1724,149 @@ object EventAnalyticsQueries extends QueryModule {
         .orderBy($"channel")
     },
 
+    // Kolmogorov-Smirnov two-sample test (the distribution-level drift
+    // verdict PSI's binned view approximates): D = max |F_A − F_B| over
+    // the merged support, computed from EXACT integer cumulative counts.
+    // The oracle's cumsum is a plain global window; the Spark side is the
+    // SCALE shape — 64 value-range chunks, per-chunk partitioned windows,
+    // broadcast chunk offsets (q155's two-phase prefix sum) — and the two
+    // provably agree because the prefix sums are pure integer arithmetic.
+    // The same planted drift as q195; rejection at α=0.05 via the
+    // 1.358·√((n+m)/nm) critical value. Output is one row.
+    q("q204_ks_test",
+      """WITH a AS (
+        |  SELECT value AS v FROM events WHERE event_id % 2 = 0),
+        |b AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN value * 1.25 + 2.0
+        |              ELSE value END AS v
+        |  FROM events WHERE event_id % 2 = 1),
+        |g AS (
+        |  SELECT v, CAST(SUM(ia) AS BIGINT) AS na,
+        |         CAST(SUM(ib) AS BIGINT) AS nb FROM
+        |    (SELECT v, 1 AS ia, 0 AS ib FROM a
+        |     UNION ALL SELECT v, 0, 1 FROM b) t
+        |  GROUP BY v),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS tna,
+        |             CAST(SUM(nb) AS BIGINT) AS tnb FROM g),
+        |c AS (SELECT v,
+        |        SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |        SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+        |      FROM g),
+        |d AS (SELECT v, abs(CAST(ca AS DOUBLE) / t.tna
+        |                    - CAST(cb AS DOUBLE) / t.tnb) AS d
+        |      FROM c CROSS JOIN t),
+        |m AS (SELECT MAX(d) AS d_stat FROM d),
+        |l AS (SELECT MIN(v) AS d_at FROM d JOIN m ON d.d = m.d_stat)
+        |SELECT t.tna AS n_a, t.tnb AS n_b,
+        |  floor(m.d_stat * 1000000 + 0.5) / 1000000 AS d_stat,
+        |  l.d_at AS d_at_value,
+        |  CASE WHEN m.d_stat > 1.358 * sqrt(CAST(t.tna + t.tnb AS DOUBLE)
+        |                                    / (t.tna * t.tnb))
+        |       THEN 1 ELSE 0 END AS reject_05
+        |FROM t CROSS JOIN m CROSS JOIN l""".stripMargin) { spark =>
+      import spark.implicits._
+      val ev = spark.table("events")
+      val a = ev.filter($"event_id" % 2 === 0).select($"value".as("v"))
+      val b = ev.filter($"event_id" % 2 === 1)
+        .select(when($"user_id" % 3 === 0, $"value" * 1.25 + 2.0)
+          .otherwise($"value").as("v"))
+      val g = a.select($"v", lit(1).as("ia"), lit(0).as("ib"))
+        .unionByName(b.select($"v", lit(0).as("ia"), lit(1).as("ib")))
+        .groupBy($"v")
+        .agg(sum($"ia").cast(LongType).as("na"),
+          sum($"ib").cast(LongType).as("nb"))
+        .localCheckpoint() // feeds bounds, chunk totals, and local cums
+      val bounds = g.agg(min($"v").as("mn"), max($"v").as("mx"),
+        sum($"na").cast(LongType).as("tna"),
+        sum($"nb").cast(LongType).as("tnb")).localCheckpoint()
+      val ch = g.crossJoin(broadcast(bounds))
+        .withColumn("chunk", when($"mx" === $"mn", lit(0)).otherwise(
+          least(lit(63),
+            floor(($"v" - $"mn") / (($"mx" - $"mn") / 64)).cast("int"))))
+      val woff = Window.orderBy($"chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = ch.groupBy($"chunk")
+        .agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+        .withColumn("offa", sum($"ta").over(woff) - $"ta")
+        .withColumn("offb", sum($"tb").over(woff) - $"tb")
+        .select($"chunk", $"offa", $"offb")
+      val local = Window.partitionBy($"chunk").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = ch
+        .withColumn("la", sum($"na").over(local))
+        .withColumn("lb", sum($"nb").over(local))
+        .join(broadcast(offsets), Seq("chunk"))
+        .select($"v", abs(($"offa" + $"la").cast(DoubleType) / $"tna" -
+          ($"offb" + $"lb").cast(DoubleType) / $"tnb").as("d"))
+        .localCheckpoint() // feeds the max AND the argmax lookup
+      val m = d.agg(max($"d").as("d_stat"))
+      val loc = d.join(broadcast(m), $"d" === $"d_stat")
+        .agg(min($"v").as("d_at"))
+      bounds.crossJoin(broadcast(m)).crossJoin(broadcast(loc))
+        .select($"tna".as("n_a"), $"tnb".as("n_b"),
+          Canon.r6($"d_stat").as("d_stat"),
+          $"d_at".as("d_at_value"),
+          when($"d_stat" > lit(1.358) *
+            sqrt(($"tna" + $"tnb").cast(DoubleType) / ($"tna" * $"tnb")),
+            1).otherwise(0).as("reject_05"))
+    },
+
+    // Gini concentration index over customer revenue (the "how skewed is
+    // our revenue base" readout; also the Lorenz-curve summary used for
+    // data-source balance audits). G = Σ(2i − n − 1)·xᵢ / (n·Σx) over
+    // revenue-sorted customers — EVERYTHING through the final division is
+    // exact integers: revenue in cents, the global rank i from the q155
+    // two-phase prefix (64 revenue-range chunks, per-chunk partitioned
+    // rank, broadcast offsets — never one reducer), unique tiebreak by
+    // custkey inside equal revenues via the (cents, custkey) order. One
+    // free-double division at the end, r6-surfaced.
+    q("q205_gini_revenue",
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(cents) AS BIGINT) AS total FROM r),
+        |rk AS (SELECT o_custkey, cents,
+        |         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        |       FROM r),
+        |s AS (SELECT CAST(SUM((2 * i - t.n - 1) * cents) AS BIGINT) AS num
+        |      FROM rk CROSS JOIN t)
+        |SELECT t.n AS n_customers, t.total AS total_cents,
+        |  floor(CAST(s.num AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.total)
+        |        * 1000000 + 0.5) / 1000000 AS gini
+        |FROM s CROSS JOIN t""".stripMargin) { spark =>
+      import spark.implicits._
+      val r = spark.table("orders")
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"))
+        .localCheckpoint() // feeds totals, chunk offsets, and local ranks
+      val t = r.agg(count(lit(1)).cast(LongType).as("n"),
+        sum($"cents").cast(LongType).as("total"),
+        min($"cents").as("mn"), max($"cents").as("mx")).localCheckpoint()
+      val ch = r.crossJoin(broadcast(t))
+        .withColumn("chunk", when($"mx" === $"mn", lit(0)).otherwise(
+          least(lit(63),
+            (($"cents" - $"mn") * 64 / ($"mx" - $"mn" + 1)).cast("int"))))
+      val woff = Window.orderBy($"chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = ch.groupBy($"chunk").agg(count(lit(1)).as("cn"))
+        .withColumn("off", sum($"cn").over(woff) - $"cn")
+        .select($"chunk", $"off")
+      val local = Window.partitionBy($"chunk").orderBy($"cents", $"o_custkey")
+      val num = ch
+        .withColumn("li", row_number().over(local))
+        .join(broadcast(offsets), Seq("chunk"))
+        .select(((($"off" + $"li") * 2 - $"n" - 1) * $"cents").as("term"))
+        .agg(sum($"term").cast(LongType).as("num"))
+      num.crossJoin(broadcast(t))
+        .select($"n".as("n_customers"), $"total".as("total_cents"),
+          Canon.r6($"num".cast(DoubleType) /
+            ($"n".cast(DoubleType) * $"total")).as("gini"))
+    },
+
     // Holt linear-trend forecast (double exponential smoothing — the
     // trended upgrade of q112's EWMA, paired with q196's seasonal-naive
     // backtest): per event type, the daily-count series folds through the

@@ -1151,6 +1151,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q204 KS statistic equals the brute-force two-sample replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val ev = spark.table("events")
+      .select($"event_id", $"user_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val as = ev.filter(_._1 % 2 == 0).map(_._3)
+    val bs = ev.filter(_._1 % 2 == 1)
+      .map(e => if (e._2 % 3 == 0) e._3 * 1.25 + 2.0 else e._3)
+    val support = (as ++ bs).distinct.sorted
+    val d = support.map { v =>
+      math.abs(as.count(_ <= v).toDouble / as.length -
+        bs.count(_ <= v).toDouble / bs.length)
+    }.max
+    val r = queries("q204_ks_test")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_a") == as.length && r.getAs[Long]("n_b") == bs.length)
+    assert(r.getAs[Double]("d_stat") == r6d(d),
+      s"${r.getAs[Double]("d_stat")} vs ${r6d(d)}")
+    val crit = 1.358 * math.sqrt(
+      (as.length + bs.length).toDouble / (as.length.toLong * bs.length))
+    assert(r.getAs[Int]("reject_05") == (if (d > crit) 1 else 0))
+  }
+
+  test("q205 Gini equals the textbook sorted-rank replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val cents = spark.table("orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,4)") * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    val n = cents.length.toLong
+    val total = cents.sum
+    val num = cents.zipWithIndex
+      .map { case (x, i0) => (2L * (i0 + 1) - n - 1) * x }.sum
+    val gini = r6d(num.toDouble / (n.toDouble * total))
+    val r = queries("q205_gini_revenue")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(r.getAs[Long]("total_cents") == total)
+    assert(r.getAs[Double]("gini") == gini,
+      s"${r.getAs[Double]("gini")} vs $gini")
+    assert(gini > 0 && gini < 1)
+  }
+
   test("q203 epoch shuffle: partitions conserve the corpus and differ per epoch") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)

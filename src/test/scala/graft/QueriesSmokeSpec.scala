@@ -116,7 +116,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // q192: per-round argmax over integer pair counts + per-word folds
       "q192_bpe_merges",
       // q198: day-sorted sequential two-state fold per event type
-      "q198_holt_forecast")
+      "q198_holt_forecast",
+      // q204/q205: chunked two-phase prefix ranks must match the global
+      // order under any partitioning; q203: zipWithIndex global sequence
+      "q204_ks_test", "q205_gini_revenue", "q203_epoch_shuffle")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
