@@ -1452,70 +1452,41 @@ object TextQueries extends QueryModule {
     // rank windows partition over bounded sets (per-lang vocab; ≤ nlangs
     // candidate rows per doc) — nothing grows super-linearly at 100 TB.
     q("q150_langid_trigram",
-      """WITH tg AS (
-        |  SELECT doc_id, lang, substr(txt, i, 3) AS tg
-        |  FROM (SELECT doc_id, lang, lower(text) AS txt,
-        |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
-        |        FROM documents) t),
-        |prof AS (
-        |  SELECT plang, tg, 41 - rk AS w FROM (
-        |    SELECT lang AS plang, tg,
-        |           row_number() OVER (PARTITION BY lang
-        |                              ORDER BY COUNT(*) DESC, tg ASC) AS rk
-        |    FROM tg GROUP BY lang, tg) p
-        |  WHERE rk <= 40),
-        |dtg AS (SELECT DISTINCT doc_id, tg FROM tg),
-        |sc AS (
-        |  SELECT d.doc_id, p.plang, SUM(p.w) AS score
-        |  FROM dtg d JOIN prof p USING (tg)
-        |  GROUP BY d.doc_id, p.plang),
-        |best AS (
-        |  SELECT doc_id, plang, score FROM (
-        |    SELECT doc_id, plang, score,
-        |           row_number() OVER (PARTITION BY doc_id
-        |                              ORDER BY score DESC, plang ASC) AS rn
-        |    FROM sc) b
-        |  WHERE rn = 1)
-        |SELECT d.doc_id, d.lang,
-        |       coalesce(b.plang, 'unknown') AS lang_pred,
-        |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
-        |FROM documents d LEFT JOIN best b USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      s"""$langidOracleSql
+         |ORDER BY doc_id""".stripMargin) { spark =>
       import spark.implicits._
-      val profileK = 40
-      val tg = Tables.spread(spark.table("documents"))
-        .select($"doc_id", $"lang", lower($"text").as("txt"))
-        .select($"doc_id", $"lang", $"txt",
-          explode(Canon.seq1(length($"txt") - 2)).as("i"))
-        .select($"doc_id", $"lang", $"txt".substr($"i", lit(3)).as("tg"))
-      val wProf = Window.partitionBy($"plang").orderBy($"c".desc, $"tg")
-      val prof = tg.groupBy($"lang".as("plang"), $"tg")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(wProf))
-        .filter($"rk" <= profileK)
-        .select($"plang", $"tg", (lit(profileK + 1) - $"rk").as("w"))
-      // per-doc DISTINCT trigrams via a map-side array_distinct (not a
-      // corpus-wide (doc_id, tg) distinct shuffle); the broadcast-profile
-      // join then prunes to ≤ nlangs·K trigram keys, so the only scoring
-      // shuffle carries matched rows
-      val dtg = Tables.spread(spark.table("documents"))
-        .select($"doc_id", lower($"text").as("txt"))
-        .select($"doc_id", explode(array_distinct(
-          transform(Canon.seq1(length($"txt") - 2),
-            i => $"txt".substr(i, lit(3))))).as("tg"))
-      val sc = dtg
-        .join(broadcast(prof), "tg")
-        .groupBy($"doc_id", $"plang")
-        .agg(sum($"w").as("score"))
-      val wBest = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
-      val best = sc.withColumn("rn", row_number().over(wBest))
-        .filter($"rn" === 1).select($"doc_id", $"plang", $"score")
-      spark.table("documents").select($"doc_id", $"lang")
-        .join(best, Seq("doc_id"), "left")
-        .select($"doc_id", $"lang",
-          coalesce($"plang", lit("unknown")).as("lang_pred"),
-          coalesce($"score", lit(0L)).cast(LongType).as("score"))
-        .orderBy($"doc_id")
+      langidPredictions(spark).orderBy($"doc_id")
+    },
+
+    // Language-ID confusion matrix (the label-quality audit: where does
+    // the q150 classifier disagree with the labeled lang, and is the
+    // label or the classifier wrong?). Exactly q150's prediction relation
+    // rolled up per (label, prediction) with per-label accuracy — integer
+    // counts plus one r4 ratio, fully hash-checked. Scale: q150's shapes
+    // plus one |langs|²-bounded rollup.
+    q("q206_lang_confusion",
+      s"""WITH pred AS ($langidOracleSql),
+         |m AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |      FROM pred GROUP BY lang, lang_pred),
+         |t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+         |      FROM m GROUP BY lang)
+         |SELECT m.lang AS lang, m.lang_pred, m.n_docs,
+         |  floor(CAST(m.n_docs AS DOUBLE) / t.lang_total * 10000 + 0.5)
+         |    / 10000 AS row_share
+         |FROM m JOIN t ON t.lang = m.lang
+         |ORDER BY lang, lang_pred""".stripMargin) { spark =>
+      import spark.implicits._
+      val m = langidPredictions(spark)
+        .groupBy($"lang", $"lang_pred")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .localCheckpoint() // feeds the totals AND the share rows
+      val t = m.groupBy($"lang")
+        .agg(sum($"n_docs").cast(LongType).as("lang_total"))
+      m.join(broadcast(t), Seq("lang"))
+        .select($"lang", $"lang_pred", $"n_docs",
+          Canon.r4($"n_docs".cast(DoubleType) / $"lang_total")
+            .as("row_share"))
+        .orderBy($"lang", $"lang_pred")
     },
 
     // Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) over the token
@@ -2220,6 +2191,79 @@ object TextQueries extends QueryModule {
         .select($"source", $"kw_rank", $"token", $"n_st", $"chi2")
         .orderBy($"source", $"kw_rank")
     })
+
+  /** q150/q206's shared prediction relation (doc_id, lang, lang_pred,
+    * score): Cavnar-Trenkle rank profiles (top-40 trigrams per language,
+    * weight 41−rank) scored by distinct-trigram overlap, argmax per doc.
+    * Scale notes live at the q150 declaration. */
+  private[graft] def langidPredictions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val profileK = 40
+    val tg = Tables.spread(spark.table("documents"))
+      .select($"doc_id", $"lang", lower($"text").as("txt"))
+      .select($"doc_id", $"lang", $"txt",
+        explode(Canon.seq1(length($"txt") - 2)).as("i"))
+      .select($"doc_id", $"lang", $"txt".substr($"i", lit(3)).as("tg"))
+    val wProf = Window.partitionBy($"plang").orderBy($"c".desc, $"tg")
+    val prof = tg.groupBy($"lang".as("plang"), $"tg")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(wProf))
+      .filter($"rk" <= profileK)
+      .select($"plang", $"tg", (lit(profileK + 1) - $"rk").as("w"))
+    // per-doc DISTINCT trigrams via a map-side array_distinct (not a
+    // corpus-wide (doc_id, tg) distinct shuffle); the broadcast-profile
+    // join then prunes to ≤ nlangs·K trigram keys, so the only scoring
+    // shuffle carries matched rows
+    val dtg = Tables.spread(spark.table("documents"))
+      .select($"doc_id", lower($"text").as("txt"))
+      .select($"doc_id", explode(array_distinct(
+        transform(Canon.seq1(length($"txt") - 2),
+          i => $"txt".substr(i, lit(3))))).as("tg"))
+    val sc = dtg
+      .join(broadcast(prof), "tg")
+      .groupBy($"doc_id", $"plang")
+      .agg(sum($"w").as("score"))
+    val wBest = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+    val best = sc.withColumn("rn", row_number().over(wBest))
+      .filter($"rn" === 1).select($"doc_id", $"plang", $"score")
+    spark.table("documents").select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"plang", lit("unknown")).as("lang_pred"),
+        coalesce($"score", lit(0L)).cast(LongType).as("score"))
+  }
+
+  /** The prediction relation's oracle twin (no ORDER BY — q150 appends its
+    * own; q206 wraps it as a CTE). */
+  private[graft] val langidOracleSql: String =
+    """WITH tg AS (
+      |  SELECT doc_id, lang, substr(txt, i, 3) AS tg
+      |  FROM (SELECT doc_id, lang, lower(text) AS txt,
+      |          unnest(range(1, greatest(length(text) - 1, 1))) AS i
+      |        FROM documents) t),
+      |prof AS (
+      |  SELECT plang, tg, 41 - rk AS w FROM (
+      |    SELECT lang AS plang, tg,
+      |           row_number() OVER (PARTITION BY lang
+      |                              ORDER BY COUNT(*) DESC, tg ASC) AS rk
+      |    FROM tg GROUP BY lang, tg) p
+      |  WHERE rk <= 40),
+      |dtg AS (SELECT DISTINCT doc_id, tg FROM tg),
+      |sc AS (
+      |  SELECT d.doc_id, p.plang, SUM(p.w) AS score
+      |  FROM dtg d JOIN prof p USING (tg)
+      |  GROUP BY d.doc_id, p.plang),
+      |best AS (
+      |  SELECT doc_id, plang, score FROM (
+      |    SELECT doc_id, plang, score,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY score DESC, plang ASC) AS rn
+      |    FROM sc) b
+      |  WHERE rn = 1)
+      |SELECT d.doc_id AS doc_id, d.lang AS lang,
+      |       coalesce(b.plang, 'unknown') AS lang_pred,
+      |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+      |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin
 
   /** Learned-merge count for q192/q200. */
   private[graft] val bpeRounds = 3

@@ -1151,6 +1151,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q206 confusion matrix conserves docs and row shares sum to 1") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val perLang = spark.table("documents").groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = queries("q206_lang_confusion")(spark, sf).collect()
+    got.groupBy(_.getAs[String]("lang")).foreach { case (lang, xs) =>
+      assert(xs.map(_.getAs[Long]("n_docs")).sum == perLang(lang))
+      val shareSum = xs.map(_.getAs[Double]("row_share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-3, s"$lang shares $shareSum")
+    }
+    // matrix must equal a direct rollup of q150's predictions
+    val direct = queries("q150_langid_trigram")(spark, sf).collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val matrix = got.map(r => (r.getAs[String]("lang"),
+      r.getAs[String]("lang_pred")) -> r.getAs[Long]("n_docs")).toMap
+    assert(matrix == direct)
+  }
+
   test("q204 KS statistic equals the brute-force two-sample replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
