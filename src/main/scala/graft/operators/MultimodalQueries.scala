@@ -224,5 +224,81 @@ object MultimodalQueries extends QueryModule {
         .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
         .agg(countDistinct($"a.fp").cast(LongType).as("shared_frames"))
         .orderBy($"id_a", $"id_b")
+    },
+
+    // Content-defined chunking dedup (the FastCDC/rsync family — storage-
+    // level dedup for media payloads): a rolling hash cuts each payload at
+    // content-determined boundaries (min 16 / mask 6 bits / max 128
+    // bytes), so a payload duplicated at a DIFFERENT byte offset still
+    // yields identical chunk digests after the first boundary — the
+    // property fixed-size blocks (q92's frames) lack, and the reason
+    // backup/dedup systems chunk this way. Chunking runs in mapPartitions
+    // (the q91/q176 opaque-byte seam; payload bytes never shuffle — only
+    // (digest, len) rows do); duplicate instances are those whose digest's
+    // global first occurrence (min packed (doc_id, idx)) is elsewhere.
+    // Rows-only by contract (no rolling hash in the oracle engine);
+    // PipelineOpsSpec replays the chunker byte-for-byte and proves the
+    // shift-invariance property.
+    qRowsOnly("q207_cdc_chunk_dedup") { spark =>
+      import spark.implicits._
+      val chunks = media(spark)
+        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, payload) =>
+            MultimodalQueries.cdcChunks(payload).zipWithIndex.map {
+              case ((off, len), idx) =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                md.update(payload, off, len)
+                (id, idx.toLong, len.toLong,
+                  md.digest().map("%02x".format(_)).mkString)
+            }
+          }
+        }
+        .toDF("doc_id", "idx", "clen", "digest")
+        .localCheckpoint() // feeds the first-occurrence index and the join
+      val firstOwner = chunks.groupBy($"digest")
+        .agg(min($"doc_id" * 4096 + $"idx").as("first_packed"))
+      val flagged = chunks.join(firstOwner, Seq("digest"))
+        .withColumn("is_dup",
+          when($"doc_id" * 4096 + $"idx" =!= $"first_packed", 1L)
+            .otherwise(0L))
+      val src = spark.table("documents").select($"doc_id", $"source")
+      flagged.join(src, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+          sum($"clen").cast(LongType).as("n_bytes"),
+          sum($"is_dup").cast(LongType).as("dup_chunks"),
+          sum($"is_dup" * $"clen").cast(LongType).as("dup_bytes"))
+        .orderBy($"source")
     })
+
+  /** The gear rolling-hash table: a deterministic Knuth-multiplicative
+    * value per byte (no RNG, same on every JVM). */
+  private val gear: Array[Int] =
+    Array.tabulate(256)(b => (b + 1) * 0x9E3779B1)
+
+  /** The content-defined chunker (FastCDC/gear family): h ← (h << 1) +
+    * gear(byte), boundary when the TOP 6 bits vanish past the 16-byte
+    * minimum, hard cap 128. The left shift expires each byte's influence
+    * after 32 steps — boundary decisions depend only on the trailing
+    * 32-byte window, which is what makes the chunking SHIFT-INVARIANT
+    * (duplicated content at a different offset re-syncs to identical
+    * chunks; the spec proves it). Pure function of the bytes. */
+  private[graft] def cdcChunks(payload: Array[Byte]): Seq[(Int, Int)] = {
+    val MinLen = 16; val MaxLen = 128; val Mask = 0xFC000000
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    var h = 0
+    var i = 0
+    while (i < payload.length) {
+      h = (h << 1) + gear(payload(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= MinLen && (h & Mask) == 0) || len >= MaxLen) {
+        out += ((start, len)); start = i + 1; h = 0
+      }
+      i += 1
+    }
+    if (start < payload.length) out += ((start, payload.length - start))
+    out.toSeq
+  }
 }

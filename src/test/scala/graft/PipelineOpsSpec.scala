@@ -1151,6 +1151,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q207 CDC chunking equals the replay and survives byte shifts") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    // replay: chunk every payload with the same pure function, rebuild the
+    // per-source stats, compare exactly
+    val docs = spark.table("documents").select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val chunks = docs.flatMap { case (id, srcName, text) =>
+      val payload = text.getBytes("UTF-8")
+      graft.operators.MultimodalQueries.cdcChunks(payload).zipWithIndex.map {
+        case ((off, len), idx) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(payload, off, len)
+          (srcName, id * 4096 + idx, len.toLong,
+            md.digest().map("%02x".format(_)).mkString)
+      }
+    }
+    val firstOf = chunks.groupBy(_._4).map { case (d, xs) =>
+      d -> xs.map(_._2).min
+    }
+    val expect = chunks.groupBy(_._1).map { case (srcName, xs) =>
+      val dups = xs.filter(x => firstOf(x._4) != x._2)
+      srcName -> ((xs.length.toLong, xs.map(_._3).sum,
+        dups.length.toLong, dups.map(_._3).sum))
+    }
+    val got = queries("q207_cdc_chunk_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"${got.take(2)} vs ${expect.take(2)}")
+    // shift invariance: prefixing bytes must preserve most chunk digests
+    // (the property fixed-size framing lacks). Long sample (~10 docs) so
+    // the one pre-re-sync chunk is statistical noise, not 25% of the set.
+    val body = docs.take(10).map(_._3).mkString(" ")
+    val sample = body.getBytes("UTF-8")
+    val shifted = ("PREFIX " + body).getBytes("UTF-8")
+    def digests(p: Array[Byte]) =
+      graft.operators.MultimodalQueries.cdcChunks(p).map { case (o, l) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(p, o, l); md.digest().toSeq
+      }.toSet
+    val (d1, d2) = (digests(sample), digests(shifted))
+    val overlap = d1.intersect(d2).size.toDouble / d1.size
+    assert(overlap >= 0.5,
+      s"CDC must re-sync after a shift: only ${d1.intersect(d2).size}/${d1.size} chunks survived")
+  }
+
   test("q206 confusion matrix conserves docs and row shares sum to 1") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
