@@ -106,6 +106,9 @@ object Engine {
     * identity (goroutine per conn, /root/reference/gateway/gateway.go:63-64). */
   private val connCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Engine start instant for the SHOW STATUS Uptime counter. */
+  private val startNanos = System.nanoTime()
+
   final class Session private[Engine] (val spark: SparkSession,
       val clusterId: String, val user: String = "",
       /** ClientConnectAttrs analog: the key-value attributes a client sends
@@ -169,7 +172,28 @@ object Engine {
       * (code 1105/"08S01", /root/reference/gateway/gateway.go:242-251) —
       * execution-time failures propagate as-is (the backend's own error,
       * relayed verbatim). */
-    def sql(query: String): DataFrame =
+    /** MySQL `Questions` analog: statements handled on this connection
+      * (intercepted AND relayed; the running SHOW STATUS counts itself,
+      * matching MySQL). */
+    private[Engine] var questions = 0L
+
+    /** The SHOW STATUS / COM_STATISTICS counter set (name, value-string). */
+    private[Engine] def statusCounters: Seq[(String, String)] = Seq(
+      "Uptime" -> ((System.nanoTime() - Engine.startNanos) / 1000000000L)
+        .toString,
+      "Questions" -> questions.toString,
+      "Threads_connected" -> Engine.registry.size.toString,
+      "Connections" -> Engine.connCounter.get.toString)
+
+    /** COM_STATISTICS one-liner (the `mysqladmin status` response shape). */
+    def statistics: String = {
+      val c = statusCounters.toMap
+      s"Uptime: ${c("Uptime")}  Threads: ${c("Threads_connected")}  " +
+        s"Questions: ${c("Questions")}"
+    }
+
+    def sql(query: String): DataFrame = {
+      questions += 1
       Engine.sessionCommand(this, query).getOrElse {
         // tag the calling thread's jobs with this connection's group so a
         // peer's KILL QUERY <connection_id> can cancel them mid-flight
@@ -187,6 +211,7 @@ object Engine {
             throw EngineError(1105, "08S01", e.getMessage)
         }
       }
+    }
 
     /** Spark job-group id carrying this connection's identity — the handle
       * `KILL QUERY <connection_id>` cancels (COM_PROCESS_KILL analog: the
@@ -586,6 +611,8 @@ object Engine {
     """(?is)^\s*(?:DEALLOCATE|DROP)\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val processListRe =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*;?\s*$""".r
+  private val showStatusRe =
+    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val loadDataRe =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""".r
   private val showCreateRe =
@@ -605,6 +632,18 @@ object Engine {
         import s.spark.implicits._
         Some(Engine.processList
           .toDF("Id", "User", "Cluster", "State", "Program"))
+      case showStatusRe(like) =>
+        // SHOW STATUS / COM_STATISTICS analog (mysqladmin's `status` and
+        // the monitoring handshake every client pool runs): the counters a
+        // relay surfaces — uptime, per-connection statement count, live
+        // connection count, lifetime connection count. Same LIKE semantics
+        // as SHOW VARIABLES.
+        val re = Option(like).map(p => ("(?i)^" + java.util.regex.Pattern
+          .quote(p).replace("%", """\E.*\Q""").replace("_", """\E.\Q""") + "$").r)
+        import s.spark.implicits._
+        val rows = s.statusCounters
+          .filter { case (n, _) => re.forall(_.matches(n)) }.sorted
+        Some(rows.toDF("Variable_name", "Value"))
       case showCreateRe(raw) =>
         // SHOW CREATE TABLE — relayed opaquely by the gateway like all
         // introspection (/root/reference/gateway/relay.go:47-99); Spark

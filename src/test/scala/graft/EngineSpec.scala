@@ -254,6 +254,37 @@ class EngineSpec extends SparkSpec {
     assert(s.sql("SELECT graft_nfc(CAST(NULL AS STRING)) AS v").head().isNullAt(0))
   }
 
+  test("SHOW STATUS / COM_STATISTICS: counters track statements and connections") {
+    val s = Engine.connect(spark, "prod", backends)
+    def status(): Map[String, String] = s.sql("SHOW STATUS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val st0 = status()
+    assert(st0.keySet == Set("Uptime", "Questions", "Threads_connected",
+      "Connections"), st0)
+    val q0 = st0("Questions").toLong
+    s.sql("SELECT 1 AS x").collect()
+    s.sql("SELECT 2 AS y").collect()
+    val st1 = status()
+    // the SHOW STATUS statements count themselves (MySQL semantics):
+    // two SELECTs + this SHOW = +3 since the q0 reading
+    assert(st1("Questions").toLong == q0 + 3, s"$st0 -> $st1")
+    assert(st1("Threads_connected").toLong >= 1)
+    assert(st1("Connections").toLong >= st1("Threads_connected").toLong)
+    assert(st1("Uptime").toLong >= 0)
+    // LIKE filtering matches the SHOW VARIABLES semantics
+    val like = s.sql("SHOW STATUS LIKE 'Quest%'").collect()
+    assert(like.length == 1 && like.head.getString(0) == "Questions")
+    // counters are per-connection where MySQL's are (Questions), shared
+    // where MySQL's are global (Connections)
+    val s2 = Engine.connect(spark, "prod", backends)
+    val other = s2.sql("SHOW STATUS LIKE 'Questions'")
+      .head().getString(1).toLong
+    assert(other < st1("Questions").toLong, s"fresh session at $other")
+    // the COM_STATISTICS one-liner carries the same counters
+    val line = s.statistics
+    assert(line.matches("""Uptime: \d+  Threads: \d+  Questions: \d+"""), line)
+  }
+
   test("mysql-CLI handshake sequence: version_comment, SET NAMES, SHOW VARIABLES") {
     val s = Engine.connect(spark, "prod", backends)
     // the mysql CLI's literal first statement after connecting
