@@ -1811,6 +1811,70 @@ object EventAnalyticsQueries extends QueryModule {
             1).otherwise(0).as("reject_05"))
     },
 
+    // Inter-arrival burstiness per user (the bot/automation signal: humans
+    // have irregular gaps, scripts metronomic ones): per-user inter-event
+    // gaps in EXACT integer micros → (n, Σg, Σg²) integer moments → CV =
+    // sd/mean and the Goh-Barabási burstiness B = (sd−mean)/(sd+mean) in
+    // one fixed IEEE spelling (sqrt correctly rounded both engines — the
+    // q164 moment pattern). Users bucketed by B into a bounded histogram.
+    // Scale: the LAG window and the moment rollup share ONE user_id
+    // exchange; everything after runs on the per-user relation.
+    q("q209_burstiness",
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |         (tus - LAG(tus) OVER (PARTITION BY user_id
+        |                               ORDER BY tus, event_id)) // 1000000
+        |           AS gap
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(gap) AS BIGINT) AS s1,
+        |         CAST(SUM(gap * gap) AS BIGINT) AS s2
+        |  FROM g WHERE gap IS NOT NULL
+        |  GROUP BY user_id HAVING COUNT(*) >= 5 AND SUM(gap) > 0),
+        |b AS (
+        |  SELECT user_id, n,
+        |    (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+        |     - CAST(s1 AS DOUBLE) / n)
+        |    / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+        |       + CAST(s1 AS DOUBLE) / n) AS burst
+        |  FROM m)
+        |SELECT CAST(floor((burst + 1.0) * 5) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_gaps,
+        |  floor(MIN(burst) * 10000 + 0.5) / 10000 AS min_burst,
+        |  floor(MAX(burst) * 10000 + 0.5) / 10000 AS max_burst
+        |FROM b GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { spark =>
+      import spark.implicits._
+      // gaps in integer SECONDS: Σgap² of raw micros would overflow BIGINT
+      // on month-long gaps; second granularity keeps the moments exact
+      val g = spark.table("events")
+        .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+        .withColumn("gap", expr("(tus - lag(tus, 1) over " +
+          "(partition by user_id order by tus, event_id)) div 1000000"))
+        .filter($"gap".isNotNull)
+      val m = g.groupBy($"user_id")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum($"gap").cast(LongType).as("s1"),
+          sum($"gap" * $"gap").cast(LongType).as("s2"))
+        .filter($"n" >= 5 && $"s1" > 0) // all-equal-zero gaps → undefined B
+      val sd = sqrt(($"s2".cast(DoubleType) -
+        $"s1".cast(DoubleType) * $"s1" / $"n") / $"n")
+      val mean = $"s1".cast(DoubleType) / $"n"
+      val b = m.select($"user_id", $"n",
+        ((sd - mean) / (sd + mean)).as("burst"))
+      b.groupBy(floor(($"burst" + 1.0) * 5).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("n_users"),
+          sum($"n").cast(LongType).as("n_gaps"),
+          Canon.r4(min($"burst")).as("min_burst"),
+          Canon.r4(max($"burst")).as("max_burst"))
+        .orderBy($"bucket")
+    },
+
     // Gini concentration index over customer revenue (the "how skewed is
     // our revenue base" readout; also the Lorenz-curve summary used for
     // data-source balance audits). G = Σ(2i − n − 1)·xᵢ / (n·Σx) over

@@ -1489,6 +1489,42 @@ object TextQueries extends QueryModule {
         .orderBy($"lang", $"lang_pred")
     },
 
+    // Stratified k-fold assignment (cross-validation splits that preserve
+    // per-source proportions — q59e's hash split is IID, this one is
+    // BALANCED: within every source the folds differ by at most one doc).
+    // fold = (per-source md5-order rank) mod 5: the rank window partitions
+    // by source (never global), the md5 order is the deterministic shuffle,
+    // and the mod-k assignment is exactly balanced by construction. Output
+    // is the |sources|×k fold manifest with an order-insensitive XOR
+    // membership digest per cell (the q175/q203 pattern) — all-integer,
+    // fully hash-checked.
+    q("q208_stratified_kfold",
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+        |  FROM documents),
+        |f AS (SELECT source, doc_id, rk % 5 AS fold FROM r)
+        |SELECT source, fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(bit_xor(CAST(CAST(('0x' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+        |    AS BIGINT)) AS BIGINT) AS member_digest
+        |FROM f GROUP BY source, fold
+        |ORDER BY source, fold""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast(StringType).cast(BinaryType)), $"doc_id")
+      val digest = conv(substring(md5($"doc_id".cast(StringType)
+        .cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+      spark.table("documents")
+        .select($"source", $"doc_id")
+        .withColumn("fold", (row_number().over(w) - 1) % 5)
+        .groupBy($"source", $"fold")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          bit_xor(digest).cast(LongType).as("member_digest"))
+        .orderBy($"source", $"fold")
+    },
+
     // Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) over the token
     // stream — the point-query complement to q108's Misra-Gries top-k: d=4
     // rows × w=64 buckets, bucket_j(token) = md5(token∥'#'∥j) mod w (the

@@ -1151,6 +1151,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q208 folds are exactly balanced within every source") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val perSrc = spark.table("documents").groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = queries("q208_stratified_kfold")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("fold"),
+        r.getAs[Long]("n_docs")))
+    got.groupBy(_._1).foreach { case (src, xs) =>
+      assert(xs.map(_._3).sum == perSrc(src), s"$src conservation")
+      // tiny sources (sf0.001) fill folds 0..n-1; balance counts absent
+      // folds as size 0
+      val k = math.min(5, perSrc(src)).toInt
+      assert(xs.map(_._2).sorted.toSeq == (0 until k), s"$src folds")
+      val minSize = if (xs.length == 5) xs.map(_._3).min else 0L
+      assert(xs.map(_._3).max - minSize <= 1,
+        s"$src folds unbalanced: ${xs.map(_._3).mkString(",")}")
+    }
+  }
+
+  test("q209 burstiness moments equal a per-user integer replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    // replay one mid-size user's (n, s1, s2) and its bucket
+    val byUser = spark.table("events")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val stats = byUser.toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._2)
+      val gaps = s.sliding(2).collect { case Array(a, b) => (b - a) / 1000000 }
+        .toSeq
+      if (gaps.length >= 5 && gaps.sum > 0) {
+        val n = gaps.length.toLong
+        val (s1, s2) = (gaps.sum, gaps.map(g => g * g).sum)
+        val mean = s1.toDouble / n
+        val sd = math.sqrt((s2.toDouble - s1.toDouble * s1 / n) / n)
+        val b = (sd - mean) / (sd + mean)
+        Some(math.floor((b + 1.0) * 5).toLong -> n)
+      } else None
+    }
+    val expect = stats.groupBy(_._1).map { case (bk, xs) =>
+      bk -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val got = queries("q209_burstiness")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_gaps")))).toMap
+    assert(got == expect, s"$got vs $expect")
+    // scripted metronomes would pile into bucket <= 2 (B near -1); humans
+    // sit near 0 — the fixture must be in the human band
+    assert(got.keySet.forall(b => b >= 3 && b <= 6), got.keySet)
+  }
+
   test("q207 CDC chunking equals the replay and survives byte shifts") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
