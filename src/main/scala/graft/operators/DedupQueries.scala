@@ -1650,7 +1650,89 @@ object DedupQueries extends QueryModule {
           ($"n_lsh" - $"tp").as("fp"), ($"n_exact" - $"tp").as("fn"),
           Canon.r4($"tp".cast(DoubleType) / $"n_lsh").as("precision_at_06"),
           Canon.r4($"tp".cast(DoubleType) / $"n_exact").as("recall_at_06"))
+    },
+
+    // Greedy maximum-coverage data selection (the submodular
+    // facility-location pick behind coreset/diverse-subset curation —
+    // Nemhauser's greedy is (1−1/e)-optimal): 5 rounds, each selecting
+    // the document adding the most NOT-YET-COVERED distinct 3-shingles,
+    // then folding its shingles into the covered set. Integer gains with
+    // doc_id tiebreaks → the whole greedy trajectory is hash-checked (the
+    // q189/q192 unrolled-greedy family; oracle rounds are generated).
+    // Scale: the shingle relation materializes once; each round is one
+    // anti-join against the BOUNDED covered set (≤ rounds·|doc| shingles,
+    // broadcast), a map-side-combinable per-doc count, and a TakeOrdered —
+    // linear per round, nothing quadratic.
+    q("q210_coverage_select", coverageOracleSql) { spark =>
+      import spark.implicits._
+      val tok = spark.table("documents")
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+        .localCheckpoint() // feeds every round's anti-join and the fold
+      var covered: DataFrame = null // shingle set of the selected docs
+      var selIds: DataFrame = null
+      var out: DataFrame = null
+      for (r <- 1 to coverageRounds) {
+        val fresh0 = if (covered == null) tok
+          else tok.join(broadcast(covered), Seq("shingle"), "left_anti")
+        val fresh = if (selIds == null) fresh0
+          else fresh0.join(broadcast(selIds), Seq("doc_id"), "left_anti")
+        val m = fresh.groupBy($"doc_id")
+          .agg(count(lit(1)).cast(LongType).as("gain"))
+          .orderBy($"gain".desc, $"doc_id").limit(1)
+          .localCheckpoint() // feeds the output row, the covered fold, selIds
+        val row = m.select(lit(r).as("sel_round"), $"doc_id", $"gain")
+        out = if (out == null) row else out.unionByName(row)
+        val won = tok.join(broadcast(m.select($"doc_id")), Seq("doc_id"))
+          .select($"shingle").distinct()
+        covered = (if (covered == null) won
+          else covered.unionByName(won).distinct()).localCheckpoint()
+        selIds = (if (selIds == null) m.select($"doc_id")
+          else selIds.unionByName(m.select($"doc_id"))).localCheckpoint()
+      }
+      val w = Window.orderBy($"sel_round")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      out.withColumn("cum_coverage", sum($"gain").over(w).cast(LongType))
+        .orderBy($"sel_round")
     }) :+ pipelineQuery
+
+  /** q210's greedy depth. */
+  private[graft] val coverageRounds = 5
+
+  /** q210's oracle: the identical greedy unrolled — round r scores docs by
+    * shingles not in c(r−1), picks (gain DESC, doc_id), folds the winner's
+    * shingles into c(r). Generated, so both engines share one spelling. */
+  private lazy val coverageOracleSql: String = {
+    val rounds = (1 to coverageRounds).map { r =>
+      s"""s$r AS (
+         |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM c${r - 1} c
+         |                    WHERE c.shingle = t.shingle)
+         |    AND NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+         |                    WHERE s.doc_id = t.doc_id)
+         |  GROUP BY t.doc_id),
+         |m$r AS (SELECT doc_id, gain FROM s$r
+         |        ORDER BY gain DESC, doc_id LIMIT 1),
+         |sel$r AS (SELECT doc_id, gain, $r AS sel_round FROM m$r
+         |          UNION ALL SELECT doc_id, gain, sel_round FROM sel${r - 1}),
+         |c$r AS (SELECT shingle FROM c${r - 1}
+         |        UNION SELECT t.shingle FROM tok t
+         |              JOIN m$r m ON m.doc_id = t.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($shingleSql) AS shingle FROM documents),
+       |c0 AS (SELECT CAST(NULL AS VARCHAR) AS shingle WHERE 1 = 0),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id,
+       |                CAST(NULL AS BIGINT) AS gain,
+       |                CAST(NULL AS INT) AS sel_round WHERE 1 = 0),
+       |$rounds
+       |SELECT sel_round, doc_id, gain,
+       |  CAST(SUM(gain) OVER (ORDER BY sel_round
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_coverage
+       |FROM sel$coverageRounds
+       |ORDER BY sel_round""".stripMargin
+  }
 
   /** q194's synthetic page split over any (doc_id, source, text) corpus:
     * each ≥16-token doc yields two pages sharing an 8-token boundary

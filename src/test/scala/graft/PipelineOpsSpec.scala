@@ -1151,6 +1151,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q210 coverage greedy equals the reference and gains never increase") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    // reference greedy on collected shingle sets
+    val sets = spark.table("documents")
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1)
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    var covered = Set.empty[String]
+    var chosen = Set.empty[Long]
+    val expect = (1 to 5).map { r =>
+      val (id, gain) = sets.filterNot(kv => chosen(kv._1))
+        .map { case (id, s) => (id, (s -- covered).size) }
+        .minBy { case (id, g) => (-g, id) }
+      covered ++= sets(id); chosen += id
+      (r, id, gain.toLong)
+    }
+    val got = queries("q210_coverage_select")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("sel_round"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain")))
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
+    // submodularity: marginal gains are non-increasing along the greedy
+    got.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"gains increased: $a -> $b")
+      case _ =>
+    }
+  }
+
   test("q208 folds are exactly balanced within every source") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
