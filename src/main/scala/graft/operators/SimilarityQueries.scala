@@ -950,10 +950,87 @@ object SimilarityQueries extends QueryModule {
             (acc, x) => acc + x.getField("s")) / size($"l"))
             .as("mean_silhouette"))
         .orderBy($"cl")
+    },
+
+    // k-center greedy coreset (Gonzalez'85 farthest-point traversal, the
+    // 2-approximation behind embedding-space coreset selection — q210's
+    // metric twin): seed = min vec_id, then each round adds the point
+    // FARTHEST from its nearest chosen center (cosine distance, r4-rounded
+    // before any comparison so both engines argmax identical doubles; ties
+    // by vec_id). The picked distance IS the covering radius, which the
+    // k-center property drives non-increasing — spec'd. Scale: per round
+    // one corpus scan against the ≤k-row broadcast center table, a
+    // per-point MIN, and a TakeOrdered — linear per round, pairwise
+    // nothing.
+    q("q211_kcenter_coreset", kcenterOracleSql) { spark =>
+      import spark.implicits._
+      val e = withNorm(spark).localCheckpoint() // scanned every round
+      var cents = e.orderBy($"vec_id").limit(1)
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"n".as("cn"))
+        .localCheckpoint()
+      var out: DataFrame = null
+      for (r <- 1 to kcenterRounds) {
+        // group by vec_id ONLY (keying the hash aggregate on the 64-float
+        // embedding array measured ~10% slower); the winner's embedding is
+        // re-fetched with a 1-row broadcast join — per-round cost is the
+        // fixed job overhead of scan+TakeOrdered+checkpoint, linear in k
+        val dmin = e.join(broadcast(cents), $"vec_id" =!= $"cid")
+          .join(broadcast(cents.select($"cid".as("xcid"))),
+            $"vec_id" === $"xcid", "left_anti")
+          .select($"vec_id",
+            (lit(1.0) - graft.api.Canon.r4(
+              dot($"embedding", $"cemb") / ($"n" * $"cn"))).as("d"))
+          .groupBy($"vec_id").agg(min($"d").as("dmin"))
+        val m = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
+          .localCheckpoint() // feeds the output row AND the center fold
+        val row = m.select(lit(r).as("sel_round"), $"vec_id",
+          graft.api.Canon.r4($"dmin").as("radius"))
+        out = if (out == null) row else out.unionByName(row)
+        cents = cents.unionByName(
+          e.join(broadcast(m.select($"vec_id")), Seq("vec_id"))
+            .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+              $"n".as("cn"))).localCheckpoint()
+      }
+      out.orderBy($"sel_round")
     })
 
   /** MMR selection depth (q189). */
   private[graft] val mmrK = 5
+
+  /** q211's expansion rounds (6 centers total with the seed). */
+  private[graft] val kcenterRounds = 5
+
+  /** q211's oracle: the identical farthest-point rounds, generated. */
+  private lazy val kcenterOracleSql: String = {
+    val cos = graft.api.Canon.Oracle
+      .r4("(list_dot_product(v.emb, c.emb) / (v.n * c.n))")
+    val rounds = (1 to kcenterRounds).map { r =>
+      s"""sc$r AS (
+         |  SELECT v.vec_id, MIN(1.0 - $cos) AS dmin
+         |  FROM e v JOIN e c
+         |    ON c.vec_id IN (SELECT cid FROM cents${r - 1})
+         |   AND v.vec_id <> c.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM cents${r - 1} x
+         |                    WHERE x.cid = v.vec_id)
+         |  GROUP BY v.vec_id),
+         |m$r AS (SELECT vec_id, dmin FROM sc$r
+         |        ORDER BY dmin DESC, vec_id LIMIT 1),
+         |sel$r AS (SELECT vec_id, dmin, $r AS sel_round FROM m$r
+         |          UNION ALL SELECT vec_id, dmin, sel_round FROM sel${r - 1}),
+         |cents$r AS (SELECT cid FROM cents${r - 1}
+         |            UNION ALL SELECT vec_id FROM m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($withNormSql),
+       |cents0 AS (SELECT MIN(vec_id) AS cid FROM e),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id,
+       |                CAST(NULL AS DOUBLE) AS dmin,
+       |                CAST(NULL AS INT) AS sel_round WHERE 1 = 0),
+       |$rounds
+       |SELECT sel_round, vec_id,
+       |  ${graft.api.Canon.Oracle.r4("dmin")} AS radius
+       |FROM sel$kcenterRounds
+       |ORDER BY sel_round""".stripMargin
+  }
 
   /** q193's oracle: the shared k-means replay (identical training run to
     * q83/q119) + centroid-distance silhouette, same r6/r4 margins and

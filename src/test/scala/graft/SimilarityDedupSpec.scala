@@ -340,6 +340,36 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(mean <= 0.12, s"mean |est - J| = $mean")
   }
 
+  test("q211 k-center radii shrink and picks equal the farthest-point replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val vecs = spark.table("embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - r4d(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    var centers = Vector(vecs.keys.min)
+    val expect = (1 to 5).map { r =>
+      val (id, dm) = vecs.keys.filterNot(centers.contains).map { v =>
+        v -> centers.map(c => dist(vecs(v), vecs(c))).min
+      }.minBy { case (v, d) => (-d, v) }
+      centers :+= id
+      (r, id, r4d(dm))
+    }
+    val got = queries("q211_kcenter_coreset")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("sel_round"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("radius")))
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
+    got.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"radius grew: $a -> $b")
+      case _ =>
+    }
+  }
+
   test("q193 cluster quality: sizes conserve the corpus, silhouette in range") {
     graft.sources.Tables.register(spark, sf)
     val total = spark.table("embeddings").count()
