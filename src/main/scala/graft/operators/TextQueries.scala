@@ -1489,6 +1489,50 @@ object TextQueries extends QueryModule {
         .orderBy($"lang", $"lang_pred")
     },
 
+    // k-anonymity audit (the governance gate before releasing a corpus
+    // with metadata: a document whose quasi-identifier combination —
+    // (lang, source, length bucket) here — is shared by fewer than k
+    // others is re-identifiable). Group sizes are one map-side-combinable
+    // rollup on the QI key; each doc joins its group size back (the QI
+    // relation is ≪ corpus) and sources report their at-risk share plus
+    // the smallest group they expose. All-integer + one r4 ratio.
+    q("q212_k_anonymity",
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(n_chars // 100 AS BIGINT) AS lb
+        |  FROM documents),
+        |g AS (SELECT lang, source, lb, CAST(COUNT(*) AS BIGINT) AS gsz
+        |      FROM d GROUP BY lang, source, lb),
+        |j AS (SELECT d.source, g.gsz FROM d
+        |      JOIN g ON g.lang = d.lang AND g.source = d.source
+        |            AND g.lb = d.lb)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky,
+        |  floor(CAST(SUM(CASE WHEN gsz < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*) * 10000 + 0.5) / 10000 AS risk_share,
+        |  CAST(MIN(gsz) AS BIGINT) AS min_group
+        |FROM j GROUP BY source
+        |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      // field-wise QI grouping — never a separator-joined key (the q183
+      // concat hazard, ADVICE r06)
+      val d = spark.table("documents")
+        .select($"doc_id", $"lang", $"source",
+          expr("n_chars div 100").cast(LongType).as("lb"))
+      val g = d.groupBy($"lang", $"source", $"lb")
+        .agg(count(lit(1)).cast(LongType).as("gsz"))
+      d.join(g, Seq("lang", "source", "lb"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(when($"gsz" < 5, 1).otherwise(0)).cast(LongType).as("n_risky"),
+          min($"gsz").cast(LongType).as("min_group"))
+        .select($"source", $"n_docs", $"n_risky",
+          Canon.r4($"n_risky".cast(DoubleType) / $"n_docs").as("risk_share"),
+          $"min_group")
+        .orderBy($"source")
+    },
+
     // Stratified k-fold assignment (cross-validation splits that preserve
     // per-source proportions — q59e's hash split is IID, this one is
     // BALANCED: within every source the folds differ by at most one doc).

@@ -1151,6 +1151,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q212 k-anonymity risk equals the QI-group replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+      .select($"lang", $"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val gsz = docs.groupBy(identity).map { case (k, xs) => k -> xs.length }
+    val expect = docs.groupBy(_._2).map { case (src, xs) =>
+      val risky = xs.count(x => gsz(x) < 5)
+      src -> ((xs.length.toLong, risky.toLong,
+        xs.map(gsz(_)).min.toLong))
+    }
+    val got = queries("q212_k_anonymity")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getAs[Long]("min_group")))).toMap
+    assert(got == expect, s"${got.take(3)} vs ${expect.take(3)}")
+  }
+
   test("q210 coverage greedy equals the reference and gains never increase") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
