@@ -1652,6 +1652,78 @@ object DedupQueries extends QueryModule {
           Canon.r4($"tp".cast(DoubleType) / $"n_exact").as("recall_at_06"))
     },
 
+    // Dedup threshold-curve (the knob-tuning readout run before committing
+    // a near-dup threshold: pairs found, docs dropped, and survivors at
+    // each candidate τ — one PPJoin pass at the loosest threshold, then
+    // the curve is a broadcast grid filter over the SAME exact pair
+    // relation, never five recomputes). Thresholds compare against the
+    // r4-ROUNDED Jaccard (the committed pair-surface value), so both
+    // engines cut identically at the grid boundaries. Dropped docs follow
+    // q75's greedy keep-first rule (any doc paired with a smaller id).
+    q("q213_dedup_threshold_curve",
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest($shingleSql) AS token
+         |  FROM documents),
+         |df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+         |sz AS (SELECT doc_id, COUNT(*) AS m FROM tok GROUP BY doc_id),
+         |ord AS (
+         |  SELECT t.doc_id, t.token, s.m,
+         |         row_number() OVER (PARTITION BY t.doc_id
+         |                            ORDER BY f.df, t.token) AS rk
+         |  FROM tok t JOIN df f USING (token) JOIN sz s USING (doc_id)),
+         |pref AS (
+         |  SELECT doc_id, token FROM ord
+         |  WHERE rk <= m - CEIL(0.5 * m) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b
+         |    ON a.token = b.token AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.id_a
+         |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+         |  GROUP BY c.id_a, c.id_b),
+         |p AS (
+         |  SELECT id_a, id_b,
+         |    floor(CAST(i AS DOUBLE) / (sa.m + sb.m - i) * 10000 + 0.5)
+         |      / 10000 AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.5),
+         |taus AS (SELECT unnest([0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0])
+         |           AS tau),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |c AS (
+         |  SELECT t.tau, CAST(COUNT(p.id_a) AS BIGINT) AS n_pairs,
+         |         CAST(COUNT(DISTINCT p.id_b) AS BIGINT) AS n_dropped
+         |  FROM taus t LEFT JOIN p ON p.jaccard >= t.tau
+         |  GROUP BY t.tau)
+         |SELECT c.tau AS tau, c.n_pairs, c.n_dropped,
+         |       nn.n_docs - c.n_dropped AS n_survivors
+         |FROM c CROSS JOIN nn
+         |ORDER BY tau""".stripMargin) { spark =>
+      import spark.implicits._
+      val pairs = ppjoinPairs(spark.table("documents"), 0.5)
+        .localCheckpoint() // one exact pass feeds all five thresholds
+      val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
+      val nn = spark.table("documents")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+      val counts = pairs.crossJoin(broadcast(taus))
+        .filter($"jaccard" >= $"tau")
+        .groupBy($"tau")
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+          countDistinct($"id_b").cast(LongType).as("n_dropped"))
+      taus.join(counts, Seq("tau"), "left")
+        .select($"tau", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+        .crossJoin(broadcast(nn))
+        .select($"tau", $"n_pairs", $"n_dropped",
+          ($"n_docs" - $"n_dropped").as("n_survivors"))
+        .orderBy($"tau")
+    },
+
     // Greedy maximum-coverage data selection (the submodular
     // facility-location pick behind coreset/diverse-subset curation —
     // Nemhauser's greedy is (1−1/e)-optimal): 5 rounds, each selecting

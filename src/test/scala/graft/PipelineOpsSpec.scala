@@ -1151,6 +1151,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 > 0 && r2 <= 1, s"r² out of range: $r2")
   }
 
+  test("q213 threshold curve is monotone and anchored to q110 at 0.6") {
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q213_dedup_threshold_curve")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // tighter thresholds can only lose pairs/drops and gain survivors
+    got.sliding(2).foreach {
+      case Array((_, p1, d1, s1), (_, p2, d2, s2)) =>
+        assert(p2 <= p1 && d2 <= d1 && s2 >= s1, s"curve not monotone: $got")
+      case _ =>
+    }
+    // the 0.6 point must equal the committed q110 relation
+    val q110 = queries("q110_ppjoin")(spark, sf).collect()
+    val at06 = got.find(_._1 == 0.6).get
+    assert(at06._2 == q110.length)
+    assert(at06._3 == q110.map(_.getLong(1)).distinct.length)
+  }
+
   test("q212 k-anonymity risk equals the QI-group replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)

@@ -361,6 +361,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, at(0), 2L), (1L, at(30), 1L), (2L, at(7), 1L)), got)
   }
 
+  test("streaming drift bins equal q195's batch histogram after two batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    // reference cuts = snapshot A's exact deciles (the q195 bin rule)
+    val cuts = spark.table("events").filter(col("event_id") % 2 === 0)
+      .selectExpr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)) AS c")
+      .head().getSeq[Double](0).toArray
+    // snapshot B (drifted) arrives as a stream in two micro-batches; the
+    // running per-bin counts are plain streaming aggregation state
+    val bVals = spark.table("events").filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => if (r.getLong(0) % 3 == 0) r.getDouble(1) * 1.25 + 2.0
+        else r.getDouble(1))
+    val (h1, h2) = bVals.splitAt(bVals.length / 2)
+    val ms = MemoryStream[Double]
+    val binned = ms.toDS()
+      .map(v => cuts.count(v >= _))
+      .groupBy(col("value").as("bin")).count()
+    val q = binned.writeStream.format("memory").queryName("t_drift")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      ms.addData(h1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(h2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_drift").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // must equal the batch monitor's raw per-bin counts (q195's n_b)
+    val expect = SparkEntry.queries("q195_psi_drift")(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin").toInt -> r.getAs[Long]("n_b"))
+      .filter(_._2 > 0).toMap
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("streaming Holt state equals the batch recursion after two batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
