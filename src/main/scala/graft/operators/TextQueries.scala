@@ -1489,6 +1489,102 @@ object TextQueries extends QueryModule {
         .orderBy($"lang", $"lang_pred")
     },
 
+    // Negative sampling (word2vec's unigram^0.75 noise distribution,
+    // Mikolov NeurIPS'13 — the contrastive-pair generator every embedding
+    // trainer needs): token weights w = c^0.75 (spelled exp(0.75·ln c) on
+    // both engines, the q186 temperature idiom) become cumulative [lo, hi)
+    // intervals; each (center, j) draw maps a deterministic md5-uniform
+    // (the q120 idiom) into the interval containing u·W — a range lookup
+    // against the broadcast vocab table. The report compares observed vs
+    // expected shares on the top-20 sampled tokens, so the oracle checks
+    // the SAMPLER, not just the weights. The interval prefix sum windows
+    // over the VOCAB relation (bounded — corpus-scale vocab would take the
+    // q155 chunked prefix; the draws themselves are map-side). IEEE prefix
+    // sums share one vocab order, r6 margins on the shares.
+    q("q214_negative_sampling",
+      s"""WITH c AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM
+         |    (SELECT unnest($tokSql) AS token FROM documents) t
+         |  GROUP BY token),
+         |w AS (SELECT token, n, exp(0.75 * ln(CAST(n AS DOUBLE))) AS wt
+         |      FROM c),
+         |cum AS (
+         |  SELECT token, n, wt,
+         |    SUM(wt) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) - wt
+         |      AS lo,
+         |    SUM(wt) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) AS hi
+         |  FROM w),
+         |tot AS (SELECT MAX(hi) AS tw FROM cum),
+         |centers AS (
+         |  SELECT doc_id, generate_subscripts($tokSql, 1) - 1 AS pos
+         |  FROM documents WHERE doc_id < 50),
+         |draws AS (
+         |  SELECT doc_id, pos, j,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |      CAST(pos AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))
+         |      AS UBIGINT) / 4294967296.0 AS u
+         |  FROM centers CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+         |hit AS (
+         |  SELECT cum.token FROM draws CROSS JOIN tot
+         |  JOIN cum ON draws.u * tot.tw >= cum.lo
+         |          AND draws.u * tot.tw < cum.hi),
+         |agg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_draws
+         |        FROM hit GROUP BY token),
+         |tot2 AS (SELECT CAST(SUM(n_draws) AS BIGINT) AS nd FROM agg),
+         |top AS (SELECT token, n_draws FROM agg
+         |        ORDER BY n_draws DESC, token LIMIT 20)
+         |SELECT t.token AS token, t.n_draws AS n_draws,
+         |  floor(w.wt / tot.tw * 1000000 + 0.5) / 1000000
+         |    AS expected_share,
+         |  floor(CAST(t.n_draws AS DOUBLE) / tot2.nd * 1000000 + 0.5)
+         |    / 1000000 AS observed_share
+         |FROM top t
+         |JOIN w ON w.token = t.token
+         |CROSS JOIN tot CROSS JOIN tot2
+         |ORDER BY t.n_draws DESC, t.token""".stripMargin) { spark =>
+      import spark.implicits._
+      val c = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).cast(LongType).as("n"))
+      val w = c.withColumn("wt", exp(lit(0.75) * log($"n".cast(DoubleType))))
+        .localCheckpoint() // feeds the cum table AND the share join
+      val wc = Window.orderBy($"token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = w
+        .withColumn("hi", sum($"wt").over(wc))
+        .withColumn("lo", $"hi" - $"wt")
+        .select($"token", $"lo", $"hi")
+        .localCheckpoint() // vocab-bounded; feeds tot + the range lookup
+      val tot = cum.agg(max($"hi").as("tw"))
+      val centers = spark.table("documents").filter($"doc_id" < 50)
+        .select($"doc_id", posexplode(split(lower($"text"), " "))
+          .as(Seq("pos", "ctok")))
+        .select($"doc_id", $"pos")
+      val draws = centers
+        .crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("j")))
+        .select($"doc_id", $"pos", $"j",
+          (conv(substring(md5(concat($"doc_id".cast(StringType), lit(":"),
+            $"pos".cast(StringType), lit(":"), $"j".cast(StringType))
+            .cast(BinaryType)), 1, 8), 16, 10).cast(DoubleType) /
+            4294967296.0).as("u"))
+      val hit = draws.crossJoin(broadcast(tot))
+        .join(broadcast(cum),
+          $"u" * $"tw" >= $"lo" && $"u" * $"tw" < $"hi")
+        .select($"token")
+      val agg0 = hit.groupBy($"token")
+        .agg(count(lit(1)).cast(LongType).as("n_draws"))
+        .localCheckpoint() // feeds the total AND the top-20
+      val tot2 = agg0.agg(sum($"n_draws").cast(LongType).as("nd"))
+      agg0.orderBy($"n_draws".desc, $"token").limit(20)
+        .join(w.select($"token", $"wt"), Seq("token"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(tot2))
+        .select($"token", $"n_draws",
+          Canon.r6($"wt" / $"tw").as("expected_share"),
+          Canon.r6($"n_draws".cast(DoubleType) / $"nd").as("observed_share"))
+        .orderBy($"n_draws".desc, $"token")
+    },
+
     // k-anonymity audit (the governance gate before releasing a corpus
     // with metadata: a document whose quasi-identifier combination —
     // (lang, source, length bucket) here — is shared by fewer than k
