@@ -1629,10 +1629,12 @@ object DedupQueries extends QueryModule {
          |         CAST(SUM(in_lsh * in_ex) AS BIGINT) AS tp
          |  FROM j)
          |SELECT n_lsh, n_exact, tp, n_lsh - tp AS fp, n_exact - tp AS fn,
-         |  floor(CAST(tp AS DOUBLE) / n_lsh * 10000 + 0.5) / 10000
-         |    AS precision_at_06,
-         |  floor(CAST(tp AS DOUBLE) / n_exact * 10000 + 0.5) / 10000
-         |    AS recall_at_06
+         |  CASE WHEN n_lsh = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE floor(CAST(tp AS DOUBLE) / n_lsh * 10000 + 0.5) / 10000
+         |  END AS precision_at_06,
+         |  CASE WHEN n_exact = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE floor(CAST(tp AS DOUBLE) / n_exact * 10000 + 0.5) / 10000
+         |  END AS recall_at_06
          |FROM s""".stripMargin
     }) { spark =>
       import spark.implicits._
@@ -1648,8 +1650,14 @@ object DedupQueries extends QueryModule {
           sum($"in_lsh" * $"in_ex").cast(LongType).as("tp"))
         .select($"n_lsh", $"n_exact", $"tp",
           ($"n_lsh" - $"tp").as("fp"), ($"n_exact" - $"tp").as("fn"),
-          Canon.r4($"tp".cast(DoubleType) / $"n_lsh").as("precision_at_06"),
-          Canon.r4($"tp".cast(DoubleType) / $"n_exact").as("recall_at_06"))
+          // degenerate-corpus guard: 0/0 and x/0 double semantics are not
+          // pinned cross-engine (NaN/inf vs NULL) — both engines emit 0.0
+          when($"n_lsh" === 0, lit(0.0))
+            .otherwise(Canon.r4($"tp".cast(DoubleType) / $"n_lsh"))
+            .as("precision_at_06"),
+          when($"n_exact" === 0, lit(0.0))
+            .otherwise(Canon.r4($"tp".cast(DoubleType) / $"n_exact"))
+            .as("recall_at_06"))
     },
 
     // Dedup threshold-curve (the knob-tuning readout run before committing

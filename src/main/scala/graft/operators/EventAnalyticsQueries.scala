@@ -2011,6 +2011,10 @@ object EventAnalyticsQueries extends QueryModule {
       }
       arr.select($"event_type", size($"l").cast(LongType).as("n_days"),
           holtState($"l").as("s"))
+        // the oracle's recursion initializes at rn=2 and emits only t=n rows,
+        // so a single-day series produces NO oracle row — Holt needs two
+        // points to define a trend; both engines agree on degenerate series
+        .filter($"n_days" >= 2)
         .select($"event_type", $"n_days",
           Canon.r4($"s.l").as("level"), Canon.r4($"s.b").as("trend"),
           Canon.r4($"s.l" + lit(1) * $"s.b").as("fcst_1"),

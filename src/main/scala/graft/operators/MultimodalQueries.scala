@@ -235,7 +235,8 @@ object MultimodalQueries extends QueryModule {
     // backup/dedup systems chunk this way. Chunking runs in mapPartitions
     // (the q91/q176 opaque-byte seam; payload bytes never shuffle — only
     // (digest, len) rows do); duplicate instances are those whose digest's
-    // global first occurrence (min packed (doc_id, idx)) is elsewhere.
+    // global first occurrence (lexicographic min of (doc_id, idx) — a
+    // struct min, safe at any chunks-per-payload count) is elsewhere.
     // Rows-only by contract (no rolling hash in the oracle engine);
     // PipelineOpsSpec replays the chunker byte-for-byte and proves the
     // shift-invariance property.
@@ -257,10 +258,10 @@ object MultimodalQueries extends QueryModule {
         .toDF("doc_id", "idx", "clen", "digest")
         .localCheckpoint() // feeds the first-occurrence index and the join
       val firstOwner = chunks.groupBy($"digest")
-        .agg(min($"doc_id" * 4096 + $"idx").as("first_packed"))
+        .agg(min(struct($"doc_id", $"idx")).as("first_occ"))
       val flagged = chunks.join(firstOwner, Seq("digest"))
         .withColumn("is_dup",
-          when($"doc_id" * 4096 + $"idx" =!= $"first_packed", 1L)
+          when(struct($"doc_id", $"idx") =!= $"first_occ", 1L)
             .otherwise(0L))
       val src = spark.table("documents").select($"doc_id", $"source")
       flagged.join(src, Seq("doc_id"))

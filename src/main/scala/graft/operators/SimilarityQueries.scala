@@ -630,23 +630,17 @@ object SimilarityQueries extends QueryModule {
     // inference as an operator (Rocchio/NCM; the supervised sibling of
     // q83's unsupervised k-means): one prototype per label = the class
     // mean, every probe classified to its most-cosine-similar prototype.
-    // Means reuse centroidsOf's value-sorted per-(label, dim) fold — sort
-    // the VALUES, fold 0-seeded — so the IEEE order is fixed under any
-    // partitioning and DuckDB replays it exactly (at 100 TB a tree-
-    // aggregated exact sum replaces the per-key value list, the same trade
-    // centroidsOf documents). Classification is the assignOf shape: 10
+    // Means reuse centroidsOf's two-level bucketed fold (meanFold): members
+    // bucket by md5(vec_id) inside each (label, dim), value-sorted fold per
+    // bucket, bucket-ordered fold of the 64 partials — the IEEE order is
+    // fixed under any partitioning, DuckDB replays it exactly, and no
+    // buffer holds a class-sized array. Classification is the assignOf shape: 10
     // prototypes broadcast against the probe scan, ranked by r6 cosine
     // with the label as tiebreak.
     q("q135_prototype_classify",
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
          |           FROM embeddings),
-         |ex AS (SELECT label, generate_subscripts(emb, 1) - 1 AS dim,
-         |              unnest(emb) AS x FROM e),
-         |cd AS (SELECT label, dim, list_sort(list(x)) AS xs
-         |       FROM ex GROUP BY label, dim),
-         |ct AS (SELECT label, dim,
-         |              list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
-         |       FROM cd),
+         |${meanFoldSql("", "e", "emb", Seq("label"))},
          |proto AS (
          |  SELECT label AS plabel,
          |         list_transform(
@@ -672,12 +666,9 @@ object SimilarityQueries extends QueryModule {
       import spark.implicits._
       val e = Tables.spread(spark.table("embeddings"))
         .select($"vec_id", $"label", toD($"embedding").as("emb"))
-      val proto = e
-        .select($"label", posexplode($"emb").as(Seq("dim", "x")))
-        .groupBy($"label", $"dim")
-        .agg(sort_array(collect_list($"x")).as("xs"))
-        .select($"label", $"dim",
-          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
+      val proto = meanFold(
+        e.select($"label", $"vec_id", posexplode($"emb").as(Seq("dim", "x"))),
+        Seq("label"))
         .groupBy($"label")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
         .select($"label".as("plabel"), transform($"pairs", p => p("cx")).as("pemb"))
@@ -1224,12 +1215,7 @@ object SimilarityQueries extends QueryModule {
          |    FROM e, $cent c) t
          |  WHERE rn = 1)""".stripMargin
     def meansSql(i: Int): String =
-      s"""ex$i AS (SELECT cl, generate_subscripts(emb, 1) - 1 AS dim,
-         |              unnest(emb) AS x FROM asgn$i),
-         |cd$i AS (SELECT cl, dim, list_sort(list(x)) AS xs
-         |        FROM ex$i GROUP BY cl, dim),
-         |ct$i AS (SELECT cl, dim, list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
-         |        FROM cd$i),
+      s"""${meanFoldSql(i.toString, s"asgn$i", "emb", Seq("cl"))},
          |cent${i + 1} AS (
          |  SELECT cl, list_transform(
          |           list_sort(list(struct_pack(dim := dim, cx := cx))),
@@ -1289,13 +1275,7 @@ object SimilarityQueries extends QueryModule {
          |  WHERE rn = 1)""".stripMargin
     }
     def means(m: Int, i: Int) =
-      s"""ex$m$i AS (SELECT code, generate_subscripts(sub, 1) - 1 AS dim,
-         |             unnest(sub) AS x FROM am$m$i),
-         |cd$m$i AS (SELECT code, dim, list_sort(list(x)) AS xs
-         |          FROM ex$m$i GROUP BY code, dim),
-         |ct$m$i AS (SELECT code, dim,
-         |            list_reduce(xs, (a, b) -> a + b) / len(xs) AS cx
-         |          FROM cd$m$i),
+      s"""${meanFoldSql(s"$m$i", s"am$m$i", "sub", Seq("code"))},
          |cent$m${i + 1} AS (
          |  SELECT code, list_transform(
          |           list_sort(list(struct_pack(dim := dim, cx := cx))),
@@ -1352,8 +1332,9 @@ object SimilarityQueries extends QueryModule {
     * running 4 serial loops (init = first-K slices per m in md5(vec_id)
     * order over the [[initSampleLt]] hash pre-sample, so the per-subspace
     * rank window sees a bounded sample, never the corpus; `pqIters` Lloyd
-    * rounds with sorted-fold means — the q83 pattern, Euclidean instead of
-    * cosine). The quantization pass itself is one broadcast-join scan. */
+    * rounds with two-level bucketed means ([[meanFold]] — the q83 pattern,
+    * Euclidean instead of cosine). The quantization pass itself is one
+    * broadcast-join scan. */
   private def pqCodebooks(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val vecs = pqSlices(spark)
@@ -1365,12 +1346,11 @@ object SimilarityQueries extends QueryModule {
       .filter($"code" < pqK).select($"m", $"code", $"sub".as("cemb"))
       .localCheckpoint()
     for (_ <- 1 to pqIters) {
-      cent = pqAssignAll(vecs, cent)
-        .select($"m", $"code", posexplode($"sub").as(Seq("dim", "x")))
-        .groupBy($"m", $"code", $"dim")
-        .agg(sort_array(collect_list($"x")).as("xs"))
-        .select($"m", $"code", $"dim",
-          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
+      cent = meanFold(
+        pqAssignAll(vecs, cent)
+          .select($"m", $"code", $"vec_id",
+            posexplode($"sub").as(Seq("dim", "x"))),
+        Seq("m", "code"))
         .groupBy($"m", $"code")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("ps"))
         .select($"m", $"code", transform($"ps", p => p("cx")).as("cemb"))
@@ -1394,10 +1374,11 @@ object SimilarityQueries extends QueryModule {
 
   /** Deterministic k-means centroids (cl, cemb): md5-order init over the
     * [[initSampleLt]] hash pre-sample + ivfIters Lloyd rounds with
-    * sorted-fold means. The init's global row_number window now ranks only
-    * the deterministic sample (the init needs just k rows — tune the
-    * sample bound, not the window, as the corpus grows); the training loop
-    * is scan + broadcast + k×d-row shuffles, scale-clean. */
+    * two-level bucketed means ([[meanFold]]). The init's global row_number
+    * window ranks only the deterministic sample (the init needs just k
+    * rows — tune the sample bound, not the window, as the corpus grows);
+    * the training loop is scan + broadcast + bounded-buffer mean folds —
+    * no aggregation buffer is ever cluster-sized. */
   private[graft] def ivfCentroids(spark: SparkSession): DataFrame =
     centroidsOf(embeddingsD(spark), ivfK)
 
@@ -1410,18 +1391,85 @@ object SimilarityQueries extends QueryModule {
       .filter($"cl" < k).select($"cl", $"emb".as("cemb"))
     var cent = init.localCheckpoint()
     for (_ <- 1 to ivfIters) {
-      val means = assignOf(e, cent)
-        .select($"cl", posexplode($"emb").as(Seq("dim", "x")))
-        .groupBy($"cl", $"dim")
-        .agg(sort_array(collect_list($"x")).as("xs"))
-        .select($"cl", $"dim",
-          (aggregate($"xs", lit(0.0), _ + _) / size($"xs")).as("cx"))
+      val means = meanFold(
+        assignOf(e, cent)
+          .select($"cl", $"vec_id", posexplode($"emb").as(Seq("dim", "x"))),
+        Seq("cl"))
         .groupBy($"cl")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
         .select($"cl", transform($"pairs", p => p("cx")).as("cemb"))
       cent = means.localCheckpoint()
     }
     cent
+  }
+
+  /** Bucket count of the two-level mean fold — with the §2C rule that k
+    * grows with the corpus (bounded cluster width), the per-bucket member
+    * array is bounded by width/B, independent of corpus size (ScaleProbe's
+    * meanfold line measures it). */
+  private[graft] val meanFoldBuckets = 64
+
+  /** Scale-safe "mean of x per (keys, dim)" — the q184 two-level bucketed
+    * fold: members bucket by md5(vec_id) % [[meanFoldBuckets]] inside each
+    * (keys, dim) cell, each bucket folds its VALUE-sorted members (so no
+    * aggregation buffer ever holds a cluster-sized array — the flat
+    * sorted-fold spelling collected ~cluster/k values into ONE buffer,
+    * an OOM at 10¹⁰ vectors), then the B partials fold in bucket order.
+    * Both levels are order-pinned, so every oracle replays the identical
+    * IEEE association ([[meanFoldSql]]). Input carries (keys…, vec_id,
+    * dim, x); output is (keys…, dim, cx). */
+  private def meanFold(exploded: DataFrame, keys: Seq[String]): DataFrame = {
+    import exploded.sparkSession.implicits._
+    val kd = (keys :+ "dim").map(col)
+    exploded
+      .withColumn("bkt",
+        conv(substring(md5($"vec_id".cast("string").cast("binary")), 1, 8),
+          16, 10).cast(LongType) % meanFoldBuckets)
+      .groupBy(kd :+ $"bkt": _*)
+      .agg(sort_array(collect_list($"x")).as("xs"))
+      .select(kd ++ Seq($"bkt",
+        aggregate($"xs", lit(0.0), _ + _).as("s"),
+        size($"xs").cast(LongType).as("n")): _*)
+      .groupBy(kd: _*)
+      .agg(sort_array(collect_list(struct($"bkt", $"s"))).as("ps"),
+        sum($"n").as("n"))
+      .select(kd :+ ((aggregate($"ps", lit(0.0),
+        (acc, p) => acc + p.getField("s")) / $"n").as("cx")): _*)
+  }
+
+  /** Oracle twin of [[meanFold]]: the CTE chain `ex/bk/cd/cp/cg/ct$prefix`
+    * from `src` (carrying `keys`, vec_id, and array column `arrCol`) to
+    * `ct$prefix`(keys…, dim, cx) — same bucketing (first 8 md5 hex chars of
+    * the vec_id string as uint32, mod [[meanFoldBuckets]]), same per-bucket
+    * value-sorted fold, same bucket-ordered fold of partials. */
+  private def meanFoldSql(prefix: String, src: String, arrCol: String,
+      keys: Seq[String]): String = {
+    val k = keys.mkString(", ")
+    s"""ex$prefix AS (SELECT $k, vec_id,
+       |                generate_subscripts($arrCol, 1) - 1 AS dim,
+       |                unnest($arrCol) AS x FROM $src),
+       |bk$prefix AS (SELECT $k, dim,
+       |                CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+       |                                          1, 8))
+       |                          AS UBIGINT) % $meanFoldBuckets AS BIGINT)
+       |                  AS bkt, x
+       |              FROM ex$prefix),
+       |cd$prefix AS (SELECT $k, dim, bkt, list_sort(list(x)) AS xs
+       |              FROM bk$prefix GROUP BY $k, dim, bkt),
+       |cp$prefix AS (SELECT $k, dim, bkt,
+       |                list_reduce(list_prepend(0.0, xs), (p, q) -> p + q)
+       |                  AS s,
+       |                CAST(len(xs) AS BIGINT) AS n
+       |              FROM cd$prefix),
+       |cg$prefix AS (SELECT $k, dim,
+       |                list_sort(list(struct_pack(bkt := bkt, s := s))) AS ps,
+       |                CAST(SUM(n) AS BIGINT) AS n
+       |              FROM cp$prefix GROUP BY $k, dim),
+       |ct$prefix AS (SELECT $k, dim,
+       |                list_reduce(list_prepend(0.0,
+       |                  list_transform(ps, p -> p.s)), (p, q) -> p + q) / n
+       |                  AS cx
+       |              FROM cg$prefix)""".stripMargin
   }
 
   /** q119's candidate stage over any (vec_id, emb) corpus: all within-
