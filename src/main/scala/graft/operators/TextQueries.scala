@@ -1497,10 +1497,14 @@ object TextQueries extends QueryModule {
     // (the q120 idiom) into the interval containing u·W — a range lookup
     // against the broadcast vocab table. The report compares observed vs
     // expected shares on the top-20 sampled tokens, so the oracle checks
-    // the SAMPLER, not just the weights. The interval prefix sum windows
-    // over the VOCAB relation (bounded — corpus-scale vocab would take the
-    // q155 chunked prefix; the draws themselves are map-side). IEEE prefix
-    // sums share one vocab order, r6 margins on the shares.
+    // the SAMPLER, not just the weights. The cumulative weights build with
+    // the q155 two-phase chunked prefix sum (chunk = 2-char token prefix,
+    // monotone in token order, so per-chunk cumsum + chunk-offset fold IS
+    // the global left fold re-associated identically on both engines) —
+    // never a vocab-global single-task window; the interval lookup assigns
+    // each draw its chunk against the tiny offsets table, then equi-joins
+    // the chunk key against the interval relation — never a vocab-sized
+    // broadcast. IEEE sums share one association, r6 margins on the shares.
     q("q214_negative_sampling",
       s"""WITH c AS (
          |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM
@@ -1508,13 +1512,28 @@ object TextQueries extends QueryModule {
          |  GROUP BY token),
          |w AS (SELECT token, n, exp(0.75 * ln(CAST(n AS DOUBLE))) AS wt
          |      FROM c),
-         |cum AS (
-         |  SELECT token, n, wt,
-         |    SUM(wt) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) - wt
-         |      AS lo,
-         |    SUM(wt) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) AS hi
+         |lc AS (
+         |  SELECT token, wt, substr(token, 1, 2) AS chunk,
+         |    SUM(wt) OVER (PARTITION BY substr(token, 1, 2) ORDER BY token
+         |                  ROWS UNBOUNDED PRECEDING) AS lcum
          |  FROM w),
-         |tot AS (SELECT MAX(hi) AS tw FROM cum),
+         |ctt AS (SELECT chunk, arg_max(lcum, token) AS ctot
+         |        FROM lc GROUP BY chunk),
+         |offs AS (
+         |  SELECT chunk,
+         |    COALESCE(SUM(ctot) OVER (ORDER BY chunk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         |      AS off,
+         |    COALESCE(SUM(ctot) OVER (ORDER BY chunk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         |      + ctot AS hi_off
+         |  FROM ctt),
+         |cum AS (
+         |  SELECT lc.token, lc.chunk,
+         |         offs.off + lc.lcum - lc.wt AS lo,
+         |         offs.off + lc.lcum AS hi
+         |  FROM lc JOIN offs USING (chunk)),
+         |tot AS (SELECT MAX(hi_off) AS tw FROM offs),
          |centers AS (
          |  SELECT doc_id, generate_subscripts($tokSql, 1) - 1 AS pos
          |  FROM documents WHERE doc_id < 50),
@@ -1524,10 +1543,14 @@ object TextQueries extends QueryModule {
          |      CAST(pos AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))
          |      AS UBIGINT) / 4294967296.0 AS u
          |  FROM centers CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js),
+         |dv AS (SELECT d.u * t.tw AS v FROM draws d CROSS JOIN tot t),
+         |asg AS (
+         |  SELECT dv.v, o.chunk FROM dv
+         |  JOIN offs o ON dv.v >= o.off AND dv.v < o.hi_off),
          |hit AS (
-         |  SELECT cum.token FROM draws CROSS JOIN tot
-         |  JOIN cum ON draws.u * tot.tw >= cum.lo
-         |          AND draws.u * tot.tw < cum.hi),
+         |  SELECT cum.token FROM asg JOIN cum
+         |    ON cum.chunk = asg.chunk
+         |   AND asg.v >= cum.lo AND asg.v < cum.hi),
          |agg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_draws
          |        FROM hit GROUP BY token),
          |tot2 AS (SELECT CAST(SUM(n_draws) AS BIGINT) AS nd FROM agg),
@@ -1548,14 +1571,8 @@ object TextQueries extends QueryModule {
         .groupBy($"token").agg(count(lit(1)).cast(LongType).as("n"))
       val w = c.withColumn("wt", exp(lit(0.75) * log($"n".cast(DoubleType))))
         .localCheckpoint() // feeds the cum table AND the share join
-      val wc = Window.orderBy($"token")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = w
-        .withColumn("hi", sum($"wt").over(wc))
-        .withColumn("lo", $"hi" - $"wt")
-        .select($"token", $"lo", $"hi")
-        .localCheckpoint() // vocab-bounded; feeds tot + the range lookup
-      val tot = cum.agg(max($"hi").as("tw"))
+      val (offsets, cum) = negSampleIntervals(w)
+      val tot = offsets.agg(max($"hi_off").as("tw"))
       val centers = spark.table("documents").filter($"doc_id" < 50)
         .select($"doc_id", posexplode(split(lower($"text"), " "))
           .as(Seq("pos", "ctok")))
@@ -1567,9 +1584,15 @@ object TextQueries extends QueryModule {
             $"pos".cast(StringType), lit(":"), $"j".cast(StringType))
             .cast(BinaryType)), 1, 8), 16, 10).cast(DoubleType) /
             4294967296.0).as("u"))
+      // chunk assignment against the tiny offsets table, then a chunk-keyed
+      // equi-join with the interval relation (co-partitioned on chunk) —
+      // the vocab-sized relation is never broadcast
       val hit = draws.crossJoin(broadcast(tot))
-        .join(broadcast(cum),
-          $"u" * $"tw" >= $"lo" && $"u" * $"tw" < $"hi")
+        .withColumn("v", $"u" * $"tw")
+        .join(broadcast(offsets), $"v" >= $"off" && $"v" < $"hi_off")
+        .select($"chunk", $"v")
+        .join(cum, Seq("chunk"))
+        .filter($"v" >= $"lo" && $"v" < $"hi")
         .select($"token")
       val agg0 = hit.groupBy($"token")
         .agg(count(lit(1)).cast(LongType).as("n_draws"))
@@ -2581,6 +2604,36 @@ object TextQueries extends QueryModule {
       .join(broadcast(ncnt), "needle")
       .filter($"nmatch" === $"ntri")
       .select($"doc_id", $"needle")
+  }
+
+  /** q214's chunked cumulative-weight intervals over a (token, wt) vocab —
+    * the q155 two-phase prefix-sum shape: chunk = 2-char token prefix
+    * (monotone in token order, so per-chunk running sum + chunk-offset
+    * fold IS one global left fold re-associated identically on both
+    * engines), offsets fold over the prefix-alphabet-sized relation.
+    * Returns (offsets(chunk, off, hi_off), cum(token, chunk, lo, hi)).
+    * `pin` materializes the two multi-consumer stages (localCheckpoint in
+    * the query; identity in PlanSpec, which asserts the window shapes on
+    * the un-truncated lineage). */
+  private[graft] def negSampleIntervals(w: DataFrame,
+      pin: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame) = {
+    import w.sparkSession.implicits._
+    val localW = Window.partitionBy($"chunk").orderBy($"token")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lc = pin(w.withColumn("chunk", substring($"token", 1, 2))
+      .withColumn("lcum", sum($"wt").over(localW)))
+    val chunkOrd = Window.orderBy($"chunk") // prefix-alphabet-sized
+    val offsets = pin(lc.groupBy($"chunk")
+      .agg(max_by($"lcum", $"token").as("ctot"))
+      .withColumn("off", coalesce(sum($"ctot").over(
+        chunkOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select($"chunk", $"off", ($"off" + $"ctot").as("hi_off")))
+    val cum = lc.join(broadcast(offsets.select($"chunk", $"off")),
+        Seq("chunk"))
+      .withColumn("hi", $"off" + $"lcum")
+      .select($"token", $"chunk", ($"hi" - $"wt").as("lo"), $"hi")
+    (offsets, cum)
   }
 
   /** q118's per-doc unigram/bigram repetition relation (u ⋈ b), shared

@@ -149,6 +149,29 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("negative sampling: chunked prefix windows, never a bare token window") {
+    Tables.register(spark, sf)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the query body localCheckpoints the interval stages (lineage
+    // truncation hides the windows) — assert on the un-pinned lineage of
+    // the same builder, exactly what the query runs
+    val w = spark.table("documents")
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("wt", exp(lit(0.75) * log($"n".cast("double"))))
+    val (_, cum) =
+      graft.operators.TextQueries.negSampleIntervals(w, identity)
+    val plan = planOf(cum)
+    // the degenerate shape is ORDER BY token over the whole vocab — one
+    // reducer at any corpus size; the two-phase rewrite cumsums inside
+    // 2-char-prefix chunks, and the only order-only window left (chunk
+    // offsets) runs over the prefix-alphabet-sized relation
+    assert(!plan.matches("(?s).*windowspecdefinition\\(token#\\d+.*"), plan)
+    assert(plan.matches("(?s).*windowspecdefinition\\(chunk#\\d+, token#.*"),
+      plan)
+  }
+
   test("basket pairs: equi-join on the order key + TakeOrdered top-500") {
     Tables.register(spark, sf)
     val plan = planOf(SparkEntry.queries("q156_basket_pairs")(spark, sf))
