@@ -1964,6 +1964,27 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q124's keep gate alone — (doc_id, keep) without the dup_starts
+    * aggregation: q136 consumes only the gate, and Catalyst cannot prune
+    * the starts left join (and its extra pass over the h-shuffle) through
+    * the composite. The covered/keep maths is spelled identically to
+    * [[dupspanStatsOf]], so the q136 oracle's span CTE replays it. */
+  private[graft] def dupspanKeepOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cov = dupspanDupOccurrences(docs)
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (dupspanN - 1)))
+        .as("p"))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("covered"))
+    val nt = docs
+      .select($"doc_id",
+        size(split(lower($"text"), " ")).cast(LongType).as("n_tokens"))
+    val frac = coalesce($"covered".cast(DoubleType) / $"n_tokens", lit(0.0))
+    nt.join(cov, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when(frac <= 0.5, 1).otherwise(0).cast(IntegerType).as("keep"))
+  }
+
   /** q124b's keeper-capped span removal over any (doc_id, text) frame. */
   private[graft] def dupspanRemovalOf(docs: DataFrame, cap: Int): DataFrame = {
     import docs.sparkSession.implicits._
