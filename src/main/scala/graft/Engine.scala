@@ -419,10 +419,45 @@ object Engine {
   final class PreparedStatement private[Engine] (s: Session,
       val statementId: Long, val query: String, val paramCount: Int) {
 
+    /** Accumulated COM_STMT_SEND_LONG_DATA chunks per parameter index. */
+    private val longData = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+
+    /** COM_STMT_SEND_LONG_DATA analog: stream one chunk of a long
+      * BLOB/TEXT parameter ahead of EXECUTE — the remaining piece of the
+      * binary prepared-statement lifecycle the gateway relays opaquely
+      * (/root/reference/gateway/relay.go:47-99; real connectors chunk any
+      * parameter above max_allowed_packet this way). Chunks APPEND per
+      * parameter (protocol: no offsets, no acknowledgement); at EXECUTE the
+      * concatenation binds as ONE typed binary parameter, overriding the
+      * positional value at that index, and is then discarded — the server
+      * frees long data when execution completes, so a re-execute without
+      * re-sending uses the plain binds ([[reset]] is the COM_STMT_RESET
+      * analog for discarding without executing). Out-of-range indexes
+      * raise MySQL's 1210 like an arity mismatch. */
+    def sendLongData(paramIdx: Int, chunk: Array[Byte]): Unit = {
+      if (paramIdx < 0 || paramIdx >= paramCount)
+        throw EngineError(1210, "HY000",
+          s"parameter index $paramIdx out of range for $paramCount markers")
+      longData.getOrElseUpdate(paramIdx,
+        scala.collection.mutable.ArrayBuffer.empty) += chunk.clone()
+    }
+
+    /** COM_STMT_RESET analog: discard accumulated long data (and nothing
+      * else — the statement stays prepared) without executing. */
+    def reset(): Unit = longData.clear()
+
     private def bind(args: Seq[Any]): DataFrame = {
       if (args.length != paramCount)
         throw EngineError(1210, "HY000",
           "Incorrect number of arguments to EXECUTE")
+      // long-data parameters override their positional placeholder (the
+      // wire EXECUTE ignores the null-bitmap/type slots of streamed params)
+      val effective = args.zipWithIndex.map { case (a, i) =>
+        longData.get(i)
+          .map(chunks => chunks.toArray.flatten: Any)
+          .getOrElse(a)
+      }
       // Bind through NAMED parameters: the nth token-safe `?` becomes
       // `:_gp_n` and the value binds by name. (Spark's positional Array
       // overload substitutes `?`s in parameter-MAP iteration order, which
@@ -430,11 +465,11 @@ object Engine {
       // switch — observed scrambling a 6-param bind on Spark 4.1; named
       // binding is order-free by construction.)
       val (named, names) = Engine.nameParams(query)
-      try s.spark.sql(named, names.zip(args).toMap)
+      try s.spark.sql(named, names.zip(effective).toMap)
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw EngineError(1105, "08S01", e.getMessage)
-      }
+      } finally longData.clear() // protocol: long data dies with the execute
     }
 
     /** COM_STMT_EXECUTE analog: bind typed positional parameters, run. */

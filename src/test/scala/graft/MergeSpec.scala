@@ -42,7 +42,7 @@ class MergeSpec extends SparkSpec {
   }
 
   test("upsertPartitioned rewrites only the touched partitions") {
-    val base = Files.createTempDirectory("graft_mergespec_")
+    val base = Paths.get(tempDir("graft_mergespec_"))
     val layout = base.toString + "/orders"
     val orders = Tables.table(spark, sf, "orders")
       .withColumn("om", date_format($"o_orderdate", "yyyy-MM"))

@@ -69,7 +69,7 @@ class PlanSpec extends SparkSpec {
 
   test("date-partitioned layout prunes partitions at the scan") {
     import spark.implicits._
-    val outDir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val outDir = tempDir("graft_prune_")
     Tables.table(spark, sf, "events")
       .withColumn("event_date", $"ts".cast("date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
@@ -87,7 +87,7 @@ class PlanSpec extends SparkSpec {
   test("bucketed co-located join: no exchange on either bucketed side") {
     import spark.implicits._
     Tables.register(spark, sf)
-    val wh = java.nio.file.Files.createTempDirectory("graft_bspec_").toString
+    val wh = tempDir("graft_bspec_")
     Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
       case (t, k) =>
         spark.table(t).repartition(4, col(k))
@@ -225,7 +225,7 @@ class PlanSpec extends SparkSpec {
     // the time-series layout: range-partition + sort-within gives parquet
     // files whose ts ranges don't overlap, so min/max row-group stats prune
     // time-slice scans without a partition column
-    val out = java.nio.file.Files.createTempDirectory("graft_rbr_").toString
+    val out = tempDir("graft_rbr_")
     Tables.table(spark, sf, "events")
       .repartitionByRange(4, $"ts")
       .sortWithinPartitions($"ts")
@@ -246,7 +246,7 @@ class PlanSpec extends SparkSpec {
 
   test("dynamic partition pruning: join-driven pruning reaches the fact scan") {
     import spark.implicits._
-    val outDir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    val outDir = tempDir("graft_dpp_")
     Tables.table(spark, sf, "events")
       .withColumn("event_date", $"ts".cast("date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
@@ -289,7 +289,7 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.ScaleQueries
     val base = Tables.table(spark, sf, "lineitem")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zcmp_").toString
+    val tmp = tempDir("graft_zcmp_")
     base.repartitionByRange(16, $"l_orderkey").sortWithinPartitions($"l_orderkey")
       .write.mode("overwrite").parquet(s"$tmp/linear")
     base.withColumn("zv", ScaleQueries.zval($"l_partkey", $"l_suppkey"))

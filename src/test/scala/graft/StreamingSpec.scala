@@ -237,7 +237,7 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch sink applies custom batch logic per micro-batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    val out = java.nio.file.Files.createTempDirectory("graft_feb_").toString
+    val out = tempDir("graft_feb_")
     val ms = MemoryStream[(Long, String)]
     val q = ms.toDF().toDF("id", "tag").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -323,7 +323,7 @@ class StreamingSpec extends SparkSpec {
   test("parquet streaming sink round-trips the stream (append + checkpoint)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    val out = java.nio.file.Files.createTempDirectory("graft_ssink_").toString
+    val out = tempDir("graft_ssink_")
     val ms = MemoryStream[(Long, String)]
     ms.addData((1L, "a"), (2L, "b"), (3L, "a"))
     val q = ms.toDF().toDF("id", "tag").writeStream
@@ -522,7 +522,7 @@ class StreamingSpec extends SparkSpec {
     // partitioned table through the SAME dynamic-partition upsert the
     // batch MERGE analog (q99c) uses inside foreachBatch — the final table
     // must equal applying all corrections at once in batch
-    val base = java.nio.file.Files.createTempDirectory("graft_supsert_").toString
+    val base = tempDir("graft_supsert_")
     Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
       .toDF("k", "part", "v")
       .write.partitionBy("part").parquet(s"$base/layout")
