@@ -22,6 +22,10 @@ import graft.operators.{DedupQueries, EventAnalyticsQueries, JoinQueries,
   *   - SemDeDup within-cluster pairs (q119 path, n/4 vectors, k scaled
   *     with n — the §2C rule that keeps cluster width, and so pair volume
   *     per row, constant; fixed k would grow pairs ~size²)
+  *   - k-means mean-fold max bucket cell (the q83/q119/q104b/q135 training
+  *     fold's largest sorted buffer, k scaled with n — the BOUNDEDNESS
+  *     line: expected growth ≈1, cluster/B per cell, vs the corpus/k
+  *     buffer of a flat per-cluster fold)
   *   - ER blocking candidates (q147/q183 path — constant-density
   *     (name, type) blocks through the salted cap)
   *
@@ -124,6 +128,14 @@ object ScaleProbe {
         "ann" -> SimilarityQueries.annCandidatesOf(synthEmbeddings(spark, n)).count(),
         "semdedup" -> SimilarityQueries.semdedupCandidatesOf(
           synthEmbeddings(spark, n / 4), k = (n / 2500).toInt).count(),
+        // k-means mean-fold boundedness (NOT a candidate count): the
+        // LARGEST (cl, dim, bucket) cell the two-level training fold ever
+        // sorts, with k scaled to n per the §2C rule — expected growth ≈1
+        // (the buffer is cluster/B, constant), vs the flat fold's
+        // corpus/k buffer this line exists to rule out
+        "meanfold" -> SimilarityQueries.meanFoldBucketSizes(
+          synthEmbeddings(spark, n / 4), k = (n / 2500).toInt)
+          .agg(max("n")).head().getLong(0),
         "containment" -> DedupQueries.containmentPairs(docs,
           DedupQueries.hotShingleDfCap, 0.0).count(),
         "dupspan" -> DedupQueries.dupspanDupOccurrences(docs).count(),
@@ -162,8 +174,8 @@ object ScaleProbe {
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
-      "semdedup", "containment", "dupspan", "winnow", "basket", "trigram",
-      "bitmap", "linkage", "stitch")
+      "semdedup", "meanfold", "containment", "dupspan", "winnow", "basket",
+      "trigram", "bitmap", "linkage", "stitch")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

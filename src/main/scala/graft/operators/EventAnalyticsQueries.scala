@@ -232,6 +232,13 @@ object EventAnalyticsQueries extends QueryModule {
     // is bit-deterministic and only floor-rounded at the surface. One
     // user_id shuffle; per-user state is one double — the same O(1)-state
     // scan a streaming `transformWithState` would run incrementally.
+    // BOUND: the sorted fold holds ONE array per user sized by that user's
+    // event count — inherently sequential per user, fine while per-user
+    // counts stay bounded (the events fixture holds ~67 events/user, max
+    // <100, at EVERY SF because users scale with the corpus; asserted in
+    // PipelineOpsSpec). A pathological single user is unbounded — that
+    // regime belongs to the streaming twin, which folds the same recursion
+    // incrementally with O(1) state per user.
     q("q112_ewma",
       """WITH e AS (
         |  SELECT user_id, (epoch_ns(ts) // 1000) AS tus, event_id, value

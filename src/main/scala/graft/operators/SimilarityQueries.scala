@@ -1472,6 +1472,22 @@ object SimilarityQueries extends QueryModule {
        |              FROM cg$prefix)""".stripMargin
   }
 
+  /** Mean-fold cell sizes (cl, dim, bkt, n) of a trained k-means run over
+    * `e` — ScaleProbe's boundedness line for the k-means family: with the
+    * §2C rule that k grows with the corpus, the largest aggregation buffer
+    * the two-level training fold ever sorts is cluster/B ≈ corpus/(k·B),
+    * CONSTANT as the corpus grows (the flat fold's corpus/k buffer is what
+    * it replaces). */
+  private[graft] def meanFoldBucketSizes(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    assignOf(e, centroidsOf(e, k))
+      .select($"cl", $"vec_id", posexplode($"emb").as(Seq("dim", "x")))
+      .withColumn("bkt",
+        conv(substring(md5($"vec_id".cast("string").cast("binary")), 1, 8),
+          16, 10).cast(LongType) % meanFoldBuckets)
+      .groupBy($"cl", $"dim", $"bkt").agg(count(lit(1)).as("n"))
+  }
+
   /** q119's candidate stage over any (vec_id, emb) corpus: all within-
     * cluster pairs of a k-means assignment — the join volume SemDeDup pays
     * BEFORE the cosine threshold. The §2C design rule says k grows with the

@@ -47,6 +47,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q112 fold-bound regime: fixture per-user event counts stay modest") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    // q112's EWMA fold holds one array per user sized by that user's event
+    // count (EventAnalyticsQueries BOUND note) — the rationale assumes the
+    // fixture regime where users scale with the corpus, so per-user counts
+    // are SF-invariant. Pin it: a regenerated fixture that concentrates
+    // events on few users must fail here, not OOM in the fold.
+    val mx = spark.table("events").groupBy($"user_id")
+      .agg(count(lit(1)).as("c"))
+      .agg(max($"c")).head().getLong(0)
+    assert(mx < 10000, s"max events/user $mx — q112's per-user array " +
+      "rationale no longer holds; chunk the fold (see the BOUND note)")
+  }
+
   test("q120 mixing: per-source counts equal the deterministic hash replay") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
