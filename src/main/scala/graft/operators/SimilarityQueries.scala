@@ -983,7 +983,91 @@ object SimilarityQueries extends QueryModule {
               $"n".as("cn"))).localCheckpoint()
       }
       out.orderBy($"sel_round")
+    },
+
+    // Matryoshka truncation-fidelity eval (Kusupati et al., NeurIPS'22 —
+    // the storage/serving question behind MRL embeddings: can the FIRST d
+    // dims stand in for all 64?): rank the probe set by truncated cosine
+    // at d ∈ {8, 16, 32} and measure top-5 recall against the exact
+    // 64-dim ranking. ONE corpus×probes pass computes all four cosines
+    // (the prefix slices share the scan — at 100 TB this is the read;
+    // a production index would materialize the d-dim prefix column), the
+    // four rank windows share the qid partitioning over probe-bounded
+    // relations, and recall is exact integer counting over r4-ranked
+    // tops with cid tiebreaks — fully hash-checked, unlike the
+    // randomized-ANN rows-only paths. On isotropic fixture vectors the
+    // curve is the noise floor (recall rises with d); real MRL-trained
+    // embeddings would saturate early — the OPERATOR is the deliverable.
+    q("q215_matryoshka_eval", matryoshkaOracleSql) { spark =>
+      import spark.implicits._
+      val e = embeddingsD(spark)
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"emb".as("qemb"))
+      def cosAt(d: Int): Column = graft.api.Canon.r4(
+        cosine(slice($"qemb", 1, d), slice($"emb", 1, d)))
+      val scored = e.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .select($"qid" +: $"vec_id".as("cid") +:
+          matryoshkaDims.map(d => cosAt(d).as(s"cos$d")): _*)
+        .localCheckpoint() // one scan feeds all four rankings
+      def top5(d: Int): DataFrame = {
+        val w = Window.partitionBy($"qid")
+          .orderBy(col(s"cos$d").desc, $"cid".asc)
+        scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+          .select($"qid", $"cid")
+      }
+      val full = top5(64).localCheckpoint() // joined by every truncation
+      val fullN = full.agg(count(lit(1)).cast(LongType).as("n_full"))
+      matryoshkaDims.filter(_ != 64).map { d =>
+        top5(d).join(full, Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).cast(LongType).as("n_matches"))
+          .select(lit(d).as("dims"), $"n_matches")
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(fullN))
+        .select($"dims", $"n_matches", $"n_full",
+          (floor($"n_matches".cast(DoubleType) / $"n_full" * 10000 + 0.5)
+            / 10000).as("recall_at5"))
+        .orderBy($"dims")
     })
+
+  /** q215's truncation grid (64 = the exact reference ranking). */
+  private[graft] val matryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** q215's oracle: identical one-pass truncated cosines, identical
+    * r4-ranked top-5s, exact integer recall counting. */
+  private lazy val matryoshkaOracleSql: String = {
+    def cosD(d: Int) = graft.api.Canon.Oracle.r4(
+      ivfCosSql(s"p.qemb[1:$d]", s"e.emb[1:$d]"))
+    val cosCols = matryoshkaDims.map(d => s"${cosD(d)} AS cos$d")
+      .mkString(",\n         ")
+    val tops = matryoshkaDims.map(d =>
+      s"""t$d AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |                              ORDER BY cos$d DESC, cid) AS rn
+         |    FROM sc) r
+         |  WHERE rn <= 5)""".stripMargin).mkString(",\n")
+    val unions = matryoshkaDims.filter(_ != 64).map(d =>
+      s"""SELECT $d AS dims, CAST(COUNT(*) AS BIGINT) AS n_matches
+         |FROM t$d JOIN t64 USING (qid, cid)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |p AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT p.qid, e.vec_id AS cid,
+       |         $cosCols
+       |  FROM e JOIN p ON e.vec_id <> p.qid),
+       |$tops,
+       |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_full FROM t64),
+       |m AS (
+       |$unions)
+       |SELECT CAST(dims AS INT) AS dims, n_matches, nf.n_full,
+       |  floor(CAST(n_matches AS DOUBLE) / nf.n_full * 10000 + 0.5) / 10000
+       |    AS recall_at5
+       |FROM m CROSS JOIN nf
+       |ORDER BY dims""".stripMargin
+  }
 
   /** MMR selection depth (q189). */
   private[graft] val mmrK = 5

@@ -2389,6 +2389,69 @@ object TextQueries extends QueryModule {
         .filter($"kw_rank" <= 5)
         .select($"source", $"kw_rank", $"token", $"n_st", $"chi2")
         .orderBy($"source", $"kw_rank")
+    },
+
+    // Character-entropy quality gate (Shannon H over each doc's char
+    // distribution — the cheap detector for base64 blobs, key-mash, and
+    // repeated-char padding that survives token-level gates): H =
+    // −Σ (c/n)·log₂(c/n) folded in CHAR-SORTED order over the per-doc
+    // histogram (≤|charset| cells — the q184 determinism idiom at
+    // per-doc scale), compared at the r4-ROUNDED value so both engines
+    // gate identically at the boundary (q213's threshold rule; fixture
+    // range 3.68–4.23, gate keeps [4.0, 5.5] ⇒ ~10% drop). Per-source
+    // accounting surfaces mean H via the exact-DECIMAL sum of the
+    // r4-rounded per-doc values (the Canon.sum4 pattern — never a raw
+    // double sum). Scale: chars explode map-side, the histogram is a
+    // map-side-combinable (doc, char) rollup, the fold is per-doc
+    // bounded, one |sources|-key rollup — nothing corpus-held.
+    q("q216_char_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(text) + 1),
+        |                               i -> substr(text, i, 1))) AS c
+        |  FROM documents),
+        |hist AS (SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM ch GROUP BY doc_id, source, c),
+        |arr AS (
+        |  SELECT doc_id, source,
+        |         CAST(SUM(cnt) AS BIGINT) AS n,
+        |         list_sort(list(struct_pack(c := c, cnt := cnt))) AS l
+        |  FROM hist GROUP BY doc_id, source),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    floor(-list_reduce(list_prepend(0.0, list_transform(arr.l, x ->
+        |        (CAST(x.cnt AS DOUBLE) / arr.n) *
+        |        (ln(CAST(x.cnt AS DOUBLE) / arr.n) / ln(2.0)))),
+        |        (p, q) -> p + q) * 10000 + 0.5) / 10000 AS h4
+        |  FROM arr)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN h4 >= 4.0 AND h4 <= 5.5 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept,
+        |  floor(CAST(SUM(CAST(h4 AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |        * 10000 + 0.5) / 10000 AS mean_h
+        |FROM h
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { spark =>
+      import spark.implicits._
+      val hist = spark.table("documents")
+        .select($"doc_id", $"source", explode(split($"text", "")).as("c"))
+        .groupBy($"doc_id", $"source", $"c")
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+      val arr = hist.groupBy($"doc_id", $"source")
+        .agg(sum($"cnt").cast(LongType).as("n"),
+          sort_array(collect_list(struct($"c", $"cnt"))).as("l"))
+      val h = arr.select($"doc_id", $"source",
+        (floor(-aggregate($"l", lit(0.0), (acc, x) =>
+          acc + (x.getField("cnt").cast(DoubleType) / $"n") *
+            (log(x.getField("cnt").cast(DoubleType) / $"n") / log(lit(2.0))))
+          * 10000 + 0.5) / 10000).as("h4"))
+      h.groupBy($"source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(when($"h4" >= 4.0 && $"h4" <= 5.5, 1).otherwise(0))
+            .cast(LongType).as("n_kept"),
+          (floor(sum($"h4".cast(DecimalType(18, 4))).cast(DoubleType)
+            / count(lit(1)) * 10000 + 0.5) / 10000).as("mean_h"))
+        .orderBy($"source")
     })
 
   /** q150/q206's shared prediction relation (doc_id, lang, lang_pred,

@@ -47,6 +47,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q216 char entropy equals a per-document Scala recomputation") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q216_char_entropy")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = spark.table("documents").select($"source", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(bySource.size == got.size)
+    bySource.foreach { case (src, ds) =>
+      val h4s = ds.map { case (_, text) =>
+        val n = text.length.toDouble
+        // char-sorted fold, 0-seeded — the committed IEEE order
+        val acc = text.groupBy(identity).view.mapValues(_.length)
+          .toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (a, (_, c)) =>
+            a + (c / n) * (math.log(c / n) / math.log(2.0))
+          }
+        math.floor(-acc * 10000 + 0.5) / 10000
+      }
+      val kept = h4s.count(h => h >= 4.0 && h <= 5.5)
+      // mean over the exact-decimal sum of the r4 values
+      val sum4 = h4s.map(h => BigDecimal(h)
+        .setScale(4, BigDecimal.RoundingMode.HALF_EVEN)).sum
+      val mean = math.floor(sum4.toDouble / ds.length * 10000 + 0.5) / 10000
+      val (gn, gk, gm) = got(src)
+      assert(gn == ds.length && gk == kept,
+        s"$src: got ($gn, $gk), expect (${ds.length}, $kept)")
+      assert(math.abs(gm - mean) < 1e-9, s"$src: mean $gm vs $mean")
+    }
+  }
+
   test("q112 fold-bound regime: fixture per-user event counts stay modest") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)

@@ -26,6 +26,26 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall")
   }
 
+  test("matryoshka eval: well-formed recall curve against the exact ranking") {
+    val rows = queries("q215_matryoshka_eval")(spark, sf)
+      .orderBy(col("dims")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(8, 16, 32))
+    // the reference set is 5 per probe; recall is exact counting against it
+    val nFull = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == nFull) && nFull % 5 == 0)
+    rows.foreach { r =>
+      val (m, rec) = (r.getLong(1), r.getDouble(3))
+      assert(m >= 0 && m <= nFull, s"matches $m of $nFull")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall $rec")
+      assert(math.abs(rec - math.floor(m.toDouble / nFull * 10000 + 0.5)
+        / 10000) < 1e-12)
+    }
+    // more prefix dims can only help on average: the 32-dim truncation
+    // must not recall WORSE than the 8-dim one (loose — exact monotonicity
+    // per step is not guaranteed on isotropic noise)
+    assert(rows.last.getDouble(3) >= rows.head.getDouble(3))
+  }
+
   test("JL projection preserves pairwise squared distances in expectation") {
     import graft.operators.SimilarityQueries
     graft.sources.Tables.register(spark, sf)
