@@ -431,10 +431,12 @@ object Engine {
       * parameter (protocol: no offsets, no acknowledgement); at EXECUTE the
       * concatenation binds as ONE typed binary parameter, overriding the
       * positional value at that index, and is then discarded — the server
-      * frees long data when execution completes, so a re-execute without
-      * re-sending uses the plain binds ([[reset]] is the COM_STMT_RESET
-      * analog for discarding without executing). Out-of-range indexes
-      * raise MySQL's 1210 like an arity mismatch. */
+      * frees long data when execution COMPLETES, so a re-execute without
+      * re-sending uses the plain binds. A FAILED execute retains the
+      * chunks (a retry after a transient analysis failure must not
+      * silently bind NULL); [[reset]] is the COM_STMT_RESET analog for
+      * discarding without executing. Out-of-range indexes raise MySQL's
+      * 1210 like an arity mismatch. */
     def sendLongData(paramIdx: Int, chunk: Array[Byte]): Unit = {
       if (paramIdx < 0 || paramIdx >= paramCount)
         throw EngineError(1210, "HY000",
@@ -465,11 +467,20 @@ object Engine {
       // switch — observed scrambling a 6-param bind on Spark 4.1; named
       // binding is order-free by construction.)
       val (named, names) = Engine.nameParams(query)
-      try s.spark.sql(named, names.zip(effective).toMap)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw EngineError(1105, "08S01", e.getMessage)
-      } finally longData.clear() // protocol: long data dies with the execute
+      val df =
+        try s.spark.sql(named, names.zip(effective).toMap)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw EngineError(1105, "08S01", e.getMessage)
+        }
+      // Long data dies with the SUCCESSFUL execute (MySQL frees it on
+      // statement execution). A FAILED analysis leaves the chunks in place
+      // so a client that fixes a transient failure (e.g. a view created
+      // late) re-executes with the streamed parameter intact — discarding
+      // on error would silently bind NULL (ADVICE r08); reset()/close()
+      // remain the explicit discard paths.
+      longData.clear()
+      df
     }
 
     /** COM_STMT_EXECUTE analog: bind typed positional parameters, run. */

@@ -1940,36 +1940,12 @@ object DedupQueries extends QueryModule {
       .select($"h", $"doc_id", $"pos", $"cnt")
   }
 
-  /** q124's duplicate-span statistics over any (doc_id, text) frame
-    * (DedupSpec replays it brute-force on synthetic corpora). */
-  private[graft] def dupspanStatsOf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val dup = dupspanDupOccurrences(docs)
-    val cov = dup
-      .select($"doc_id", explode(sequence($"pos", $"pos" + (dupspanN - 1)))
-        .as("p"))
-      .distinct()
-      .groupBy($"doc_id").agg(count(lit(1)).as("covered"))
-    val starts = dup.groupBy($"doc_id").agg(count(lit(1)).as("dup_starts"))
-    val nt = docs
-      .select($"doc_id",
-        size(split(lower($"text"), " ")).cast(LongType).as("n_tokens"))
-    val frac = coalesce($"covered".cast(DoubleType) / $"n_tokens", lit(0.0))
-    nt.join(cov, Seq("doc_id"), "left").join(starts, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_tokens",
-        coalesce($"dup_starts", lit(0L)).as("dup_starts"),
-        coalesce($"covered", lit(0L)).as("covered_tokens"),
-        (floor(frac * 10000 + 0.5) / 10000).as("dup_frac"),
-        when(frac <= 0.5, 1).otherwise(0).cast(IntegerType).as("keep"))
-      .orderBy($"doc_id")
-  }
-
-  /** q124's keep gate alone — (doc_id, keep) without the dup_starts
-    * aggregation: q136 consumes only the gate, and Catalyst cannot prune
-    * the starts left join (and its extra pass over the h-shuffle) through
-    * the composite. The covered/keep maths is spelled identically to
-    * [[dupspanStatsOf]], so the q136 oracle's span CTE replays it. */
-  private[graft] def dupspanKeepOf(docs: DataFrame): DataFrame = {
+  /** Shared core of the q124 span gate — (doc_id, n_tokens, covered_tokens,
+    * dup_frac, keep): the ONE place the coverage spelling and the 0.5 keep
+    * threshold live, consumed by both [[dupspanStatsOf]] (q124) and
+    * [[dupspanKeepOf]] (the q136 pipeline gate) so the two — and their
+    * oracles' shared span CTE — can only change together (ADVICE r08). */
+  private def dupspanCore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val cov = dupspanDupOccurrences(docs)
       .select($"doc_id", explode(sequence($"pos", $"pos" + (dupspanN - 1)))
@@ -1981,8 +1957,34 @@ object DedupQueries extends QueryModule {
         size(split(lower($"text"), " ")).cast(LongType).as("n_tokens"))
     val frac = coalesce($"covered".cast(DoubleType) / $"n_tokens", lit(0.0))
     nt.join(cov, Seq("doc_id"), "left")
-      .select($"doc_id",
+      .select($"doc_id", $"n_tokens",
+        coalesce($"covered", lit(0L)).as("covered_tokens"),
+        (floor(frac * 10000 + 0.5) / 10000).as("dup_frac"),
         when(frac <= 0.5, 1).otherwise(0).cast(IntegerType).as("keep"))
+  }
+
+  /** q124's duplicate-span statistics over any (doc_id, text) frame
+    * (DedupSpec replays it brute-force on synthetic corpora): the
+    * [[dupspanCore]] gate plus the dup_starts rollup. */
+  private[graft] def dupspanStatsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val starts = dupspanDupOccurrences(docs)
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup_starts"))
+    dupspanCore(docs).join(starts, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_starts", lit(0L)).as("dup_starts"),
+        $"covered_tokens", $"dup_frac", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** q124's keep gate alone — (doc_id, keep) without the dup_starts
+    * aggregation: q136 consumes only the gate, and Catalyst cannot prune
+    * the starts left join (and its extra pass over the h-shuffle) through
+    * the composite — but it DOES prune [[dupspanCore]]'s unused stat
+    * columns through this projection. */
+  private[graft] def dupspanKeepOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    dupspanCore(docs).select($"doc_id", $"keep")
   }
 
   /** q124b's keeper-capped span removal over any (doc_id, text) frame. */

@@ -587,6 +587,10 @@ object EventAnalyticsQueries extends QueryModule {
     // identical spelling, and only the surfaced columns get the free-double
     // floor round. One scan, one map-side-combinable global aggregate —
     // no shuffle wider than the 2-group combine at any corpus size.
+    // Denominators (r08 audit): an empty arm makes its SUM NULL before its
+    // COUNT hits 0, so every ratio NULL-propagates identically on both
+    // engines — a finite-x/0 is unreachable; na=1 ⇒ (na−1)=0 hits the same
+    // IEEE double Inf/NaN path under the identical spelling on both sides.
     q("q145_ab_lift",
       """WITH p AS (
         |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -1890,7 +1894,10 @@ object EventAnalyticsQueries extends QueryModule {
     // two-phase prefix (64 revenue-range chunks, per-chunk partitioned
     // rank, broadcast offsets — never one reducer), unique tiebreak by
     // custkey inside equal revenues via the (cents, custkey) order. One
-    // free-double division at the end, r6-surfaced.
+    // free-double division at the end, r6-surfaced. Denominator (r08
+    // audit): n·total = 0 only on an all-zero-revenue corpus, where num is
+    // the exact-integer 0 too — 0/0 follows the same IEEE NaN path in both
+    // engines' identical double spelling.
     q("q205_gini_revenue",
       """WITH r AS (
         |  SELECT o_custkey,

@@ -357,7 +357,10 @@ object JoinQueries extends QueryModule {
     // columns; the median-of-5 is QUANTILE_DISC (deterministic element
     // selection, the q27/q146 spelling). Scale: sketches are map-side-
     // combinable rollups; inner products join <= 5x256 cells; only the
-    // validators touch the real join.
+    // validators touch the real join. Denominator (r08 audit): exact_size
+    // = 0 needs zero overlapping join keys; rel_err then takes the same
+    // IEEE double ±Inf/NaN path on both engines (identical spelling, both
+    // operands cast to DOUBLE before the division).
     q("q180_join_size_sketch", {
       def bSql(k: String, j: String) =
         s"CAST(CAST(('0x' || substr(md5($k || '#' || CAST($j AS VARCHAR)), " +

@@ -2136,6 +2136,9 @@ object TextQueries extends QueryModule {
     // all five moment sums computed by sorted folds over the single bounded
     // collected array — one fixed IEEE association shared by both engines
     // (the q190 family determinism pattern). Output is one row.
+    // Denominator (r08 audit): n·Σx²−(Σx)² = 0 iff every ln-rank is equal
+    // ⇔ the corpus has ONE distinct token; the numerator is then the same
+    // exact 0 and 0/0 is the identical IEEE NaN on both engines.
     q("q190_zipf_slope",
       s"""WITH t AS (SELECT unnest($tokSql) AS token FROM documents),
          |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t
@@ -2433,8 +2436,18 @@ object TextQueries extends QueryModule {
         |GROUP BY source
         |ORDER BY source""".stripMargin) { spark =>
       import spark.implicits._
-      val hist = spark.table("documents")
-        .select($"doc_id", $"source", explode(split($"text", "")).as("c"))
+      // chars iterate CODE POINTS via substr(text, i, 1) — the oracle's
+      // substr loop exactly. split(text, "") splits BYTES on Spark 4.1
+      // UTF8String ('aé😀' → 7 pieces) and yields [""] for empty text
+      // while the oracle emits no rows, so any non-ASCII or empty doc
+      // would diverge (ADVICE r08). seq1 guards the empty doc to an
+      // empty array = the oracle's empty range. Base spread: per-char
+      // explode is the heaviest generator in the repo and the fixture
+      // is one row group (CLAUDE.md invariant).
+      val hist = Tables.spread(spark.table("documents"))
+        .select($"doc_id", $"source",
+          explode(transform(Canon.seq1(char_length($"text")),
+            i => $"text".substr(i, lit(1)))).as("c"))
         .groupBy($"doc_id", $"source", $"c")
         .agg(count(lit(1)).cast(LongType).as("cnt"))
       val arr = hist.groupBy($"doc_id", $"source")

@@ -1,0 +1,435 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.Engine
+
+/** Loopback MySQL text-protocol front-end over the engine's [[graft.Engine.Session]]
+  * semantics — the reference gateway's actual product surface: a TCP endpoint
+  * a stock MySQL client dials (accept loop /root/reference/gateway/gateway.go:
+  * 55-66, handshake :183-195, packet framing /root/reference/mysql/conn.go:
+  * 150-244, ERR packets /root/reference/mysql/packet_err.go:13-21).
+  *
+  * Everything SEMANTIC — routing, sysvars, SET/SHOW interception, status
+  * word, collations, error codes — already lives in [[graft.Engine]]; this
+  * file is ONLY the wire: MySQL packet framing (3-byte little-endian length +
+  * sequence id, payloads split at the 2²⁴−1 boundary with the mandatory empty
+  * terminator on an exact-boundary payload), the protocol-10 handshake, the
+  * 4.1 handshake-response parse, and the text command set COM_QUERY /
+  * COM_INIT_DB / COM_PING / COM_STATISTICS / COM_QUIT with lenenc text
+  * result sets. All layouts follow the public MySQL client/server protocol
+  * (the same one the reference implements).
+  *
+  * Scale/behavior notes:
+  *  - thread-per-connection over a shared SparkSession — the engine analog
+  *    of the reference's goroutine-per-connection accept loop;
+  *  - result rows stream packet-by-packet from `toLocalIterator` (the
+  *    partition-at-a-time incremental relay of SURVEY §2A A10) — the server
+  *    never holds a full result set;
+  *  - like the reference relay, the handshake's thread id is the FRONT-END's
+  *    connection counter while `CONNECTION_ID()` answers with the routed
+  *    backend session's id (the gateway sends its own greeting but relays
+  *    the backend's function results verbatim — same observable split).
+  */
+object MySqlServer {
+
+  // ---- public MySQL protocol constants (capability bits, command bytes) ----
+  private[server] val ClientLongPassword = 0x00000001
+  private[server] val ClientLongFlag = 0x00000004
+  private[server] val ClientConnectWithDB = 0x00000008
+  private[server] val ClientProtocol41 = 0x00000200
+  private[server] val ClientTransactions = 0x00002000
+  private[server] val ClientSecureConnection = 0x00008000
+  private[server] val ClientPluginAuth = 0x00080000
+  private[server] val ClientConnectAttrs = 0x00100000
+  private[server] val ClientPluginAuthLenenc = 0x00200000
+
+  /** What the engine front-end advertises: protocol 4.1 text, initial-db,
+    * transactions-status, plugin-auth handshake shape. No SSL, no
+    * compression (SURVEY §7.5 descopes), no DEPRECATE_EOF (we speak the
+    * classic EOF-delimited result set). */
+  private[server] val serverCaps: Int =
+    ClientLongPassword | ClientLongFlag | ClientConnectWithDB |
+      ClientProtocol41 | ClientTransactions | ClientSecureConnection |
+      ClientPluginAuth | ClientConnectAttrs
+
+  private[server] val MaxPayload = 0xFFFFFF // 2^24 - 1: the split boundary
+
+  private val ComQuit = 0x01
+  private val ComInitDb = 0x02
+  private val ComQuery = 0x03
+  private val ComStatistics = 0x09
+  private val ComPing = 0x0E
+
+  /** utf8mb4_bin — the engine's pinned default collation id
+    * (/root/reference/mysql/constants.go:6). */
+  private[server] val DefaultCollationId = 46
+
+  /** Fixed 20-byte nonce for the native-password handshake: the front-end
+    * accepts any credential (the reference relays auth to its backend; the
+    * embedded engine has no password store — [[graft.Engine.login]]), so the
+    * salt is never verified and a deterministic value keeps the greeting
+    * reproducible byte-for-byte in the integration spec. */
+  private[server] val salt: Array[Byte] = (1 to 20).map(_.toByte).toArray
+
+  /** Start serving on a loopback-only socket (`port` 0 = ephemeral). */
+  def start(spark: SparkSession, backends: Map[String, String],
+      databases: Map[String, String] = Map.empty, port: Int = 0): MySqlServer = {
+    val ss = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+    new MySqlServer(ss, spark, backends, databases)
+  }
+
+  // ---- little-endian / lenenc byte building --------------------------------
+
+  private[server] final class Payload {
+    private val buf = new ByteArrayOutputStream(64)
+    def int1(v: Int): Payload = { buf.write(v & 0xFF); this }
+    def int2(v: Int): Payload = { int1(v); int1(v >>> 8) }
+    def int3(v: Int): Payload = { int2(v); int1(v >>> 16) }
+    def int4(v: Long): Payload = {
+      int3(v.toInt); int1((v >>> 24).toInt)
+    }
+    def bytes(b: Array[Byte]): Payload = { buf.write(b, 0, b.length); this }
+    def zeros(n: Int): Payload = { (1 to n).foreach(_ => buf.write(0)); this }
+    def nulString(s: String): Payload = { bytes(s.getBytes(UTF_8)); int1(0) }
+    def lenencInt(v: Long): Payload =
+      if (v < 251) int1(v.toInt)
+      else if (v < (1L << 16)) { int1(0xFC); int2(v.toInt) }
+      else if (v < (1L << 24)) { int1(0xFD); int3(v.toInt) }
+      else { int1(0xFE); int4(v & 0xFFFFFFFFL); int4(v >>> 32) }
+    def lenencBytes(b: Array[Byte]): Payload = { lenencInt(b.length.toLong); bytes(b) }
+    def lenencString(s: String): Payload = lenencBytes(s.getBytes(UTF_8))
+    def result(): Array[Byte] = buf.toByteArray
+  }
+
+  // ---- handshake-response parse (Protocol::HandshakeResponse41) ------------
+
+  private[server] final case class ClientHello(caps: Int, user: String,
+      db: Option[String], attrs: Map[String, String])
+
+  private[server] def parseHandshakeResponse(p: Array[Byte]): ClientHello = {
+    var i = 0
+    def int1(): Int = { val v = p(i) & 0xFF; i += 1; v }
+    def int2(): Int = int1() | (int1() << 8)
+    def int4(): Int = int2() | (int2() << 16)
+    def nulString(): String = {
+      val start = i
+      while (i < p.length && p(i) != 0) i += 1
+      val s = new String(p, start, i - start, UTF_8)
+      i += 1 // the NUL
+      s
+    }
+    def lenencInt(): Long = int1() match {
+      case 0xFC => int2().toLong
+      case 0xFD => int1().toLong | (int1().toLong << 8) | (int1().toLong << 16)
+      case 0xFE => (0 until 8).map(k => (int1().toLong) << (8 * k)).sum
+      case v => v.toLong
+    }
+    val caps = int4()
+    if ((caps & ClientProtocol41) == 0)
+      throw Engine.EngineError(1105, "08S01",
+        "pre-4.1 client protocol is not supported")
+    int4() // max packet size
+    int1() // charset
+    i += 23 // filler
+    val user = nulString()
+    if ((caps & ClientPluginAuthLenenc) != 0) {
+      val n = lenencInt(); i += n.toInt
+    } else if ((caps & ClientSecureConnection) != 0) {
+      val n = int1(); i += n
+    } else nulString(): Unit
+    val db = if ((caps & ClientConnectWithDB) != 0 && i < p.length)
+      Some(nulString()).filter(_.nonEmpty) else None
+    if ((caps & ClientPluginAuth) != 0 && i < p.length) nulString(): Unit
+    val attrs =
+      if ((caps & ClientConnectAttrs) != 0 && i < p.length) {
+        val total = lenencInt().toInt
+        val end = math.min(p.length, i + total)
+        val m = Map.newBuilder[String, String]
+        def lenencStr(): String = {
+          val n = lenencInt().toInt
+          val s = new String(p, i, n, UTF_8); i += n; s
+        }
+        while (i < end && i < p.length) m += (lenencStr() -> lenencStr())
+        m.result()
+      } else Map.empty[String, String]
+    ClientHello(caps, user, db, attrs)
+  }
+}
+
+/** A running front-end; `port` is the bound loopback port, `close()` stops
+  * the accept loop and tears down the listener. */
+final class MySqlServer private (listener: ServerSocket,
+    spark: SparkSession, backends: Map[String, String],
+    databases: Map[String, String]) {
+
+  import MySqlServer._
+
+  def port: Int = listener.getLocalPort
+
+  @volatile private var running = true
+  private val threadIds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = listener.accept()
+        val t = new Thread(() => serve(sock, threadIds.incrementAndGet()),
+          s"graft-mysql-conn-${threadIds.get}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => () // listener closed
+      }
+    }
+  }, "graft-mysql-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { running = false; listener.close() }
+
+  // ---- packet framing ------------------------------------------------------
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(b, off, n - off)
+      if (k < 0) throw new EOFException
+      off += k
+    }
+    b
+  }
+
+  /** Read one logical packet, reassembling the 2²⁴−1 split: a chunk of
+    * exactly MaxPayload bytes is ALWAYS followed by a continuation (possibly
+    * empty) — /root/reference/mysql/conn.go:150-197's inbound rule. */
+  private def readPacket(in: InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    var continueRead = true
+    while (continueRead) {
+      val h = readFully(in, 4)
+      val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+      if (len > 0) out.write(readFully(in, len), 0, len)
+      continueRead = len == MaxPayload
+    }
+    out.toByteArray
+  }
+
+  /** Write one logical packet split at MaxPayload (exact-boundary payloads
+    * get the mandatory empty terminator chunk — conn.go:199-244's outbound
+    * rule); returns the next sequence id. */
+  private def writePacket(out: OutputStream, seq0: Int, payload: Array[Byte]): Int = {
+    var off = 0
+    var seq = seq0
+    var more = true
+    while (more) {
+      val n = math.min(MaxPayload, payload.length - off)
+      out.write(n & 0xFF); out.write((n >>> 8) & 0xFF); out.write((n >>> 16) & 0xFF)
+      out.write(seq & 0xFF)
+      out.write(payload, off, n)
+      off += n
+      seq += 1
+      more = n == MaxPayload
+    }
+    seq
+  }
+
+  // ---- response packets ----------------------------------------------------
+
+  private def okPayload(status: Int): Array[Byte] =
+    new Payload().int1(0x00).lenencInt(0).lenencInt(0)
+      .int2(status).int2(0).result()
+
+  private def eofPayload(status: Int): Array[Byte] =
+    new Payload().int1(0xFE).int2(0).int2(status).result()
+
+  private def errPayload(e: Engine.EngineError): Array[Byte] =
+    new Payload().int1(0xFF).int2(e.code).int1('#')
+      .bytes(e.sqlState.getBytes(UTF_8))
+      .bytes(e.message.take(500).getBytes(UTF_8)).result()
+
+  private def handshakePayload(threadId: Long): Array[Byte] =
+    new Payload()
+      .int1(10) // protocol version
+      .nulString(Engine.version)
+      .int4(threadId)
+      .bytes(salt.take(8)).int1(0) // auth-plugin-data part 1 + filler
+      .int2(serverCaps & 0xFFFF)
+      .int1(DefaultCollationId)
+      .int2(0) // status
+      .int2(serverCaps >>> 16)
+      .int1(salt.length + 1) // auth-plugin-data total length (incl. NUL)
+      .zeros(10)
+      .bytes(salt.drop(8)).int1(0) // part 2, NUL-terminated
+      .nulString("mysql_native_password")
+      .result()
+
+  // ---- column metadata / row encoding --------------------------------------
+
+  /** Spark type → (MySQL column type byte, charset, display length, decimals)
+    * per the public ColumnDefinition41 layout; numeric/binary columns carry
+    * the binary charset 63, strings the session's utf8mb4 family. */
+  private def columnMeta(dt: DataType): (Int, Int, Long, Int) = dt match {
+    case BooleanType => (0x01, 63, 1, 0) // TINY
+    case ByteType => (0x01, 63, 4, 0)
+    case ShortType => (0x02, 63, 6, 0) // SHORT
+    case IntegerType => (0x03, 63, 11, 0) // LONG
+    case LongType => (0x08, 63, 20, 0) // LONGLONG
+    case FloatType => (0x04, 63, 12, 31) // FLOAT
+    case DoubleType => (0x05, 63, 22, 31) // DOUBLE
+    case d: DecimalType => (0xF6, 63, d.precision.toLong + 2, d.scale) // NEWDECIMAL
+    case DateType => (0x0A, 63, 10, 0) // DATE
+    case TimestampType | TimestampNTZType => (0x0C, 63, 26, 6) // DATETIME
+    case BinaryType => (0xFC, 63, 65535, 0) // BLOB
+    case _ => (0xFD, DefaultCollationId, 1024, 0) // VAR_STRING
+  }
+
+  private def columnDefPayload(f: StructField): Array[Byte] = {
+    val (tpe, cs, len, dec) = columnMeta(f.dataType)
+    val notNull = if (f.nullable) 0 else 1
+    val binFlag = f.dataType match {
+      case BinaryType => 0x80
+      case _ => 0
+    }
+    new Payload()
+      .lenencString("def").lenencString("").lenencString("")
+      .lenencString("").lenencString(f.name).lenencString(f.name)
+      .int1(0x0C) // fixed-length fields length
+      .int2(cs).int4(len).int1(tpe)
+      .int2(notNull | binFlag).int1(dec).int2(0)
+      .result()
+  }
+
+  private val tsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss")
+
+  /** Text-protocol value rendering (every non-NULL value is a lenenc
+    * string). Timestamps render in the engine's pinned UTC session zone with
+    * MySQL's microsecond fraction only when non-zero. */
+  private def textValue(v: Any): Array[Byte] = v match {
+    case null => null
+    case b: Boolean => (if (b) "1" else "0").getBytes(UTF_8)
+    case b: Array[Byte] => b
+    case t: java.sql.Timestamp =>
+      val ldt = java.time.LocalDateTime.ofInstant(t.toInstant,
+        java.time.ZoneOffset.UTC)
+      val base = tsFmt.format(ldt)
+      val micros = t.getNanos / 1000
+      (if (micros == 0) base else f"$base.$micros%06d").getBytes(UTF_8)
+    case t: java.time.LocalDateTime => tsFmt.format(t).getBytes(UTF_8)
+    case d: java.sql.Date => d.toLocalDate.toString.getBytes(UTF_8)
+    case d: java.time.LocalDate => d.toString.getBytes(UTF_8)
+    case d: java.math.BigDecimal => d.toPlainString.getBytes(UTF_8)
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString.getBytes(UTF_8)
+    case other => other.toString.getBytes(UTF_8)
+  }
+
+  private def rowPayload(row: org.apache.spark.sql.Row): Array[Byte] = {
+    val p = new Payload()
+    var i = 0
+    while (i < row.length) {
+      val b = if (row.isNullAt(i)) null else textValue(row.get(i))
+      if (b == null) p.int1(0xFB) else p.lenencBytes(b)
+      i += 1
+    }
+    p.result()
+  }
+
+  // ---- the per-connection protocol loop ------------------------------------
+
+  private def serve(sock: Socket, threadId: Long): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    var session: Engine.Session = null
+    try {
+      writePacket(out, 0, handshakePayload(threadId))
+      out.flush()
+      val resp = readPacket(in)
+      val hello =
+        try parseHandshakeResponse(resp)
+        catch {
+          case e: Engine.EngineError =>
+            writePacket(out, 2, errPayload(e)); out.flush(); return
+        }
+      // handshake-username routing: split at the FIRST '.' like the
+      // reference (gateway.go:253-259); bad cluster/db → ERR, close
+      session =
+        try {
+          val (clusterId, user) = hello.user.split("\\.", 2) match {
+            case Array(c, u) => (c, u)
+            case Array(c) => (c, "")
+          }
+          Engine.connect(spark, clusterId, backends, hello.db, databases,
+            user, hello.attrs)
+        } catch {
+          case e: Engine.EngineError =>
+            writePacket(out, 2, errPayload(e)); out.flush(); return
+        }
+      writePacket(out, 2, okPayload(session.statusFlags))
+      out.flush()
+      var open = true
+      while (open) {
+        val cmd = readPacket(in)
+        if (cmd.isEmpty) throw new EOFException
+        val tail = new String(cmd, 1, cmd.length - 1, UTF_8)
+        (cmd(0) & 0xFF) match {
+          case ComQuit => open = false
+          case ComPing => writePacket(out, 1, okPayload(session.statusFlags))
+          case ComStatistics =>
+            // COM_STATISTICS answers a bare human-readable string (no
+            // OK/resultset wrapper) — the mysqladmin status shape
+            writePacket(out, 1, session.statistics.getBytes(UTF_8))
+          case ComInitDb =>
+            respond(out, session) { session.use(tail, databases); None }
+          case ComQuery =>
+            respond(out, session) { Some(session.sqlMySql(tail)) }
+          case other =>
+            writePacket(out, 1, errPayload(Engine.EngineError(1047, "08S01",
+              s"Unknown command: $other")))
+        }
+        out.flush()
+      }
+    } catch {
+      case _: EOFException | _: SocketException => () // client went away
+    } finally {
+      if (session != null) session.close()
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Run one command body; map its outcome onto the wire: None → OK, a
+    * zero-column frame (the engine's session-state marker) → OK, a real
+    * frame → the EOF-delimited lenenc text result set streamed row by row;
+    * EngineError → its ERR packet, anything else → the 1105 wrap (the
+    * gateway's single-ERR failure contract, gateway.go:242-251). */
+  private def respond(out: OutputStream, session: Engine.Session)(
+      body: => Option[org.apache.spark.sql.DataFrame]): Unit =
+    try body match {
+      case None => writePacket(out, 1, okPayload(session.statusFlags))
+      case Some(df) if df.schema.isEmpty =>
+        writePacket(out, 1, okPayload(session.statusFlags))
+      case Some(df) =>
+        var seq = writePacket(out, 1,
+          new Payload().lenencInt(df.schema.length.toLong).result())
+        df.schema.fields.foreach { f =>
+          seq = writePacket(out, seq, columnDefPayload(f))
+        }
+        seq = writePacket(out, seq, eofPayload(session.statusFlags))
+        out.flush() // metadata first — rows may take a while
+        val it = df.toLocalIterator()
+        while (it.hasNext) seq = writePacket(out, seq, rowPayload(it.next()))
+        writePacket(out, seq, eofPayload(session.statusFlags))
+    } catch {
+      case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+      case e: Exception =>
+        writePacket(out, 1, errPayload(Engine.EngineError(1105, "08S01",
+          Option(e.getMessage).getOrElse(e.getClass.getName))))
+    }
+}

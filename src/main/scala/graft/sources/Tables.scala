@@ -175,4 +175,12 @@ object Tables {
       all.foreach { case (name, _) =>
         table(spark, dir, name).createOrReplaceTempView(name)
       }
+
+  /** The fixture dir currently bound to `spark` by [[register]] — the memo
+    * key the per-(session, dir) trained-artifact caches use (k-means
+    * centroids, PQ codebooks, class prototypes). Empty when nothing is
+    * bound yet (callers then just skip memo reuse safety-wise: the key
+    * still distinguishes dirs once bound). */
+  private[graft] def boundDir(spark: SparkSession): String =
+    Option(bound.get(spark)).getOrElse("")
 }

@@ -223,4 +223,52 @@ object StreamingQueries extends QueryModule {
           Iterator((key, t, l, b))
       }
   }
+
+  /** q112's per-user EWMA recursion as STREAMING state — the unbounded-user
+    * regime the batch query's BOUND note points here: where the batch fold
+    * holds one array per user sized by that user's event count, this holds
+    * TWO fixed-width values (count, running ewma) per user, O(1) at any
+    * event volume. Built on Spark 4's `transformWithState`
+    * StatefulProcessor API (the arbitrary-state successor of
+    * flatMapGroupsWithState; requires the RocksDB state store provider).
+    * Rows apply in (tus, event_id) order within a micro-batch — the same
+    * event-time contract as [[holtStreamingState]] — and the update is the
+    * identical non-reassociated IEEE sequence α·v + (1−α)·acc, so the last
+    * emission per user equals q112's batch fold bit-for-bit (StreamingSpec
+    * asserts equality across a micro-batch boundary). */
+  private[graft] class EwmaProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("ewma",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      var (n, e) = if (st.exists()) st.get() else (0L, 0.0)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        e = if (n == 0L) r._4 else alpha * r._4 + (1 - alpha) * e
+        n += 1
+      }
+      st.update((n, e))
+      Iterator((user, n, e))
+    }
+  }
+
+  /** (user_id, tus, event_id, value) stream → per-user (user_id, n_events,
+    * ewma) updates via [[EwmaProcessor]]. */
+  private[graft] def ewmaStreamingState(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)],
+      alpha: Double): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new EwmaProcessor(alpha),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
 }

@@ -405,6 +405,31 @@ class DedupSpec extends SparkSpec {
       short.getInt(5) == 1, "3-token doc: zero coverage, kept")
   }
 
+  test("dupspan degenerate corpora: empty slice, empty text, total duplication") {
+    import spark.implicits._
+    // r08 audit spec: the ratio surfaces must stay well-defined (no NaN/Inf,
+    // no crash) on corpora a real pipeline CAN produce — an empty input
+    // slice, zero-length documents, and a corpus that is one giant dup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupQueries.dupspanStatsOf(empty).collect().isEmpty)
+    assert(DedupQueries.dupspanKeepOf(empty).collect().isEmpty)
+    // empty text: split("", " ") = [""] → n_tokens 1, zero coverage, kept
+    val blank = Seq((0L, ""), (1L, "")).toDF("doc_id", "text")
+    val bs = DedupQueries.dupspanStatsOf(blank).collect()
+    assert(bs.forall(r => r.getLong(1) == 1 && r.getLong(3) == 0 &&
+      r.getDouble(4) == 0.0 && r.getInt(5) == 1))
+    // total duplication: identical width-8 docs → dup_frac exactly 1.0,
+    // keep 0 — the gate's far boundary, finite on both surfaces
+    val text = (1 to 8).map(i => s"d$i").mkString(" ")
+    val dup = (0L until 3L).map(d => (d, text)).toDF("doc_id", "text")
+    val ds = DedupQueries.dupspanStatsOf(dup).collect()
+    assert(ds.forall(r => r.getDouble(4) == 1.0 && r.getInt(5) == 0))
+    // the shared-core refactor: keepOf IS statsOf's keep column
+    val keep = DedupQueries.dupspanKeepOf(dup).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(keep == ds.map(r => r.getLong(0) -> r.getInt(5)).toMap)
+  }
+
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
     // a 32-bit band is the concatenation of two 16-bit bands: agreement on
     // it implies agreement on both halves, so the scale-mode candidate set

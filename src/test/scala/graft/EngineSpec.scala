@@ -664,6 +664,20 @@ class EngineSpec extends SparkSpec {
       ps.sendLongData(3, Array[Byte](0))
     }.code == 1210)
     ps.close()
+    // a FAILED execute must RETAIN the streamed chunks: a client that fixes
+    // a transient analysis failure (view created late) and re-executes gets
+    // the streamed parameter, not a silent NULL (ADVICE r08)
+    val late = s.prepareStatement(
+      "SELECT CAST(? AS STRING) AS body FROM graft_late_view")
+    late.sendLongData(0, "payload".getBytes("UTF-8"))
+    assert(intercept[Engine.EngineError] { late.execute(null) }.code == 1105)
+    // the view appears in the CONNECTION's isolated namespace (s.spark)
+    s.spark.sql("SELECT 1 AS one").createOrReplaceTempView("graft_late_view")
+    assert(late.execute(null).head().getString(0) == "payload")
+    // ...and the SUCCESSFUL execute then freed it
+    assert(late.execute(null).head().isNullAt(0))
+    s.spark.catalog.dropTempView("graft_late_view")
+    late.close()
     s.close()
   }
 

@@ -57,11 +57,16 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     val bySource = docs.groupBy(_._1)
     assert(bySource.size == got.size)
-    bySource.foreach { case (src, ds) =>
+    bySource.foreach { case (src, ds0) =>
+      // both engines iterate code points via substr(text, i, 1) and emit NO
+      // rows for an empty doc (it drops out of n_docs) — mirror exactly
+      val ds = ds0.filter(_._2.nonEmpty)
       val h4s = ds.map { case (_, text) =>
-        val n = text.length.toDouble
-        // char-sorted fold, 0-seeded — the committed IEEE order
-        val acc = text.groupBy(identity).view.mapValues(_.length)
+        val cps = text.codePoints().toArray // code points, not UTF-16 units
+        val n = cps.length.toDouble
+        // code-point-sorted fold (= both engines' UTF-8 binary struct
+        // sort of single-char strings), 0-seeded — the committed IEEE order
+        val acc = cps.groupBy(identity).view.mapValues(_.length)
           .toSeq.sortBy(_._1)
           .foldLeft(0.0) { case (a, (_, c)) =>
             a + (c / n) * (math.log(c / n) / math.log(2.0))

@@ -172,6 +172,24 @@ class SimilarityDedupSpec extends SparkSpec {
       s"one list holds ${sizes.values.max} of $total vectors")
   }
 
+  test("memoized k-means training equals a fresh training run bit-for-bit") {
+    import graft.operators.SimilarityQueries
+    graft.sources.Tables.register(spark, sf)
+    // the memo must be a pure cache: same session+dir returns the SAME
+    // checkpointed plan, and its rows equal an un-memoized training replay
+    val memo1 = SimilarityQueries.ivfCentroids(spark)
+    val memo2 = SimilarityQueries.ivfCentroids(spark)
+    assert(memo1 eq memo2, "second call must hit the (session, dir) memo")
+    val eD = spark.table("embeddings").select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+    val fresh = SimilarityQueries.centroidsOf(eD, SimilarityQueries.ivfK)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList))
+        .sortBy(_._1).toList
+    assert(rows(memo1) == rows(fresh),
+      "memoized centroids diverged from a fresh deterministic training")
+  }
+
   test("BRP-LSH similarity join recalls most exact cosine pairs") {
     val exact = queries("q81_cosine_pairs")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

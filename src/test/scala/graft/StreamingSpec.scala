@@ -447,6 +447,61 @@ class StreamingSpec extends SparkSpec {
     assert(last == expect, s"$last vs $expect")
   }
 
+  test("streaming EWMA state equals the batch fold bit-for-bit across a batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the REAL fixture event stream in event-time order, split mid-stream
+    // into two micro-batches — per-user state must carry across the boundary
+    val evs = graft.sources.Tables.table(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._2, x._3)).toSeq
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[(Long, Long, Long, Double)]
+    val out = graft.streaming.StreamingQueries
+      .ewmaStreamingState(ms.toDS(), alpha = 0.2)
+    // transformWithState runs on the RocksDB state store only — set it for
+    // this query and restore the session default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = out.toDF("user_id", "n_events", "ewma").writeStream
+      .format("memory").queryName("t_ewma")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    val last = spark.table("t_ewma")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: q112's fold spelled with the batch literals — BIT equality
+    val expect = evs.groupBy(_._1).map { case (u, xs) =>
+      val vs = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      u -> ((vs.length.toLong,
+        vs.tail.foldLeft(vs.head)((acc, v) => 0.2 * v + 0.8 * acc)))
+    }
+    assert(last == expect)
+    // and the floor-rounded last states equal the oracle-checked q112 rows
+    val q112 = SparkEntry.queries("q112_ewma")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rounded = last.view.mapValues { case (n, e) =>
+      (n, math.floor(e * 10000 + 0.5) / 10000)
+    }.toMap
+    assert(rounded == q112)
+  }
+
   test("streaming incremental LSH pairs equal the batch candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
