@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupQueries, EventAnalyticsQueries, JoinQueries,
-  SimilarityQueries, TextQueries}
+  MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Candidate-volume scale probe: the empirical backing for §2C's "candidate
   * pairs grow near-linearly" claims. Generates deterministic synthetic
@@ -138,7 +138,18 @@ object ScaleProbe {
           .agg(max("n")).head().getLong(0),
         "containment" -> DedupQueries.containmentPairs(docs,
           DedupQueries.hotShingleDfCap, 0.0).count(),
+        // q140 path: df-capped tfidf postings self-join rows — ≤ C(cap,2)
+        // pair rows per surviving shingle, so the work set tracks corpus
+        // size through the cap, never its square
+        "tfidf" -> DedupQueries.tfidfPostingPairRows(docs,
+          DedupQueries.hotShingleDfCap).count(),
         "dupspan" -> DedupQueries.dupspanDupOccurrences(docs).count(),
+        // q207 path: CDC chunk count — mean chunk size is a constant of
+        // the chunker's mask/min/max knobs, so chunks track total payload
+        // BYTES (growth ≈ size ratio), independent of duplication
+        "cdc" -> MultimodalQueries.cdcChunkRowsOf(
+          docs.select(col("doc_id"), col("text").cast("binary")
+            .as("payload"))).count(),
         "winnow" -> TextQueries.winnowedMatches(docs,
           TextQueries.matchDfCap).count(),
         // q156 path: baskets of fixed width 5 over an n/10 item vocabulary
@@ -174,8 +185,8 @@ object ScaleProbe {
     val hi = results(sizes.last)
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
-      "semdedup", "meanfold", "containment", "dupspan", "winnow", "basket",
-      "trigram", "bitmap", "linkage", "stitch")
+      "semdedup", "meanfold", "containment", "tfidf", "cdc", "dupspan",
+      "winnow", "basket", "trigram", "bitmap", "linkage", "stitch")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

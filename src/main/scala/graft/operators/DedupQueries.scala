@@ -395,12 +395,6 @@ object DedupQueries extends QueryModule {
          |WHERE d.d / (na.nrm * nb.nrm) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
-      val tf = Tables.spread(spark.table("documents"))
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
-        .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("tf"))
-      val f = tf.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .filter($"df" <= hotShingleDfCap)
       val nn = spark.table("documents")
         .agg(count(lit(1)).cast(DoubleType).as("n"))
       // (doc_id, shingle, tf, df) feeds the norm AND both postings sides:
@@ -411,9 +405,8 @@ object DedupQueries extends QueryModule {
       // combinable, order-independent) followed by a ≤cap-element sorted
       // fold — the q64c determinism pattern shrunk from per-shingle arrays
       // to per-df-bucket arrays.
-      val w = tf.join(f, "shingle")
-        .select($"doc_id", $"shingle", $"tf", $"df")
-        .localCheckpoint()
+      val w = tfidfPostings(Tables.spread(spark.table("documents")),
+        hotShingleDfCap).localCheckpoint()
       // fold term: ss · ln(n/df)² with identical association on both engines
       def idfFold(arr: Column, n: Column): Column =
         aggregate(sort_array(arr), lit(0.0), (a, x) =>
@@ -1917,6 +1910,34 @@ object DedupQueries extends QueryModule {
           lit(2.0) * coalesce($"n_tri", lit(0L)) / ($"deg" * ($"deg" - 1)))
           .otherwise(lit(0.0))).as("clustering"))
       .orderBy($"doc_id")
+  }
+
+  /** q140's df-capped inverted-index postings (doc_id, shingle, tf, df)
+    * over any (doc_id, text) frame — the ONE relation the norm and both
+    * pair-join sides consume (shared with ScaleProbe so the probe measures
+    * exactly the production shape). */
+  private[graft] def tfidfPostings(docs: DataFrame, dfCap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tf = docs
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+      .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("tf"))
+    val f = tf.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap)
+    tf.join(f, "shingle").select($"doc_id", $"shingle", $"tf", $"df")
+  }
+
+  /** q140's candidate work set: the postings self-join rows (one per
+    * shared-shingle doc pair occurrence) BEFORE the integer rollup — the
+    * volume ScaleProbe tracks for growth. The df cap bounds it at
+    * C(cap, 2) pair rows per surviving shingle, so it must track corpus
+    * size, never its square. */
+  private[graft] def tfidfPostingPairRows(docs: DataFrame, dfCap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = tfidfPostings(docs, dfCap)
+    w.as("a").join(w.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
   }
 
   /** Occurrences of corpus-repeated 8-grams — q124/q124b's work set and the

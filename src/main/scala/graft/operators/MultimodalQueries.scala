@@ -242,20 +242,7 @@ object MultimodalQueries extends QueryModule {
     // shift-invariance property.
     qRowsOnly("q207_cdc_chunk_dedup") { spark =>
       import spark.implicits._
-      val chunks = media(spark)
-        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
-        .mapPartitions { rows =>
-          rows.flatMap { case (id, payload) =>
-            MultimodalQueries.cdcChunks(payload).zipWithIndex.map {
-              case ((off, len), idx) =>
-                val md = java.security.MessageDigest.getInstance("MD5")
-                md.update(payload, off, len)
-                (id, idx.toLong, len.toLong,
-                  md.digest().map("%02x".format(_)).mkString)
-            }
-          }
-        }
-        .toDF("doc_id", "idx", "clen", "digest")
+      val chunks = cdcChunkRowsOf(media(spark).select($"doc_id", $"payload"))
         .localCheckpoint() // feeds the first-occurrence index and the join
       val firstOwner = chunks.groupBy($"digest")
         .agg(min(struct($"doc_id", $"idx")).as("first_occ"))
@@ -272,6 +259,29 @@ object MultimodalQueries extends QueryModule {
           sum($"is_dup" * $"clen").cast(LongType).as("dup_bytes"))
         .orderBy($"source")
     })
+
+  /** q207's chunk relation (doc_id, idx, clen, digest) over any
+    * (doc_id, payload) frame — [[cdcChunks]] run in mapPartitions (payload
+    * bytes never shuffle; only digest rows do). Shared with ScaleProbe so
+    * the probe's chunk-count growth line measures exactly the production
+    * chunker: chunk count tracks total payload BYTES (mean chunk size is a
+    * constant of the mask/min/max knobs), never the corpus pair space. */
+  private[graft] def cdcChunkRowsOf(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          MultimodalQueries.cdcChunks(payload).zipWithIndex.map {
+            case ((off, len), idx) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              md.update(payload, off, len)
+              (id, idx.toLong, len.toLong,
+                md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "idx", "clen", "digest")
+  }
 
   /** The gear rolling-hash table: a deterministic Knuth-multiplicative
     * value per byte (no RNG, same on every JVM). */
