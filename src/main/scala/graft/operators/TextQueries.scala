@@ -25,6 +25,74 @@ object TextQueries extends QueryModule {
   /** Whitespace tokenizer both engines spell identically. */
   private val tokSql = "string_split(lower(text), ' ')"
 
+  /** q139/q217's fixed lexical query. */
+  private val bm25Terms = Seq("join", "vector", "fast")
+
+  /** BM25 (k1 = 1.2, b = 0.75) scores for [[bm25Terms]] — the ONE scoring
+    * relation q139 surfaces and q217 fuses (shared so the two can only
+    * change together). Per-term contributions pivot into FIXED columns and
+    * add in spelled order (no aggregation-order dependence); the free
+    * double is floor-rounded to 4 decimals. */
+  private def bm25Scores(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tok = spark.table("documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).cast(DoubleType).as("n"),
+      (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf = tok.filter($"token".isin(bm25Terms: _*))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val f = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val s = tf.join(broadcast(f), "token").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select($"doc_id", $"token",
+        (log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1) *
+          ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+          .as("c"))
+    val pivots = bm25Terms.zipWithIndex.map { case (t, i) =>
+      max(when($"token" === t, $"c")).as(s"c${i + 1}")
+    }
+    s.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
+      .select($"doc_id", (floor((coalesce($"c1", lit(0.0)) +
+        coalesce($"c2", lit(0.0)) + coalesce($"c3", lit(0.0)))
+        * 10000 + 0.5) / 10000).as("bm25"))
+  }
+
+  /** Oracle twin of [[bm25Scores]] + the top-50 cut: CTE chain ending in
+    * `bm25lex`(doc_id, bm25) — the 50 highest by (bm25 DESC, doc_id). */
+  private def bm25LexCtes: String = {
+    val pivots = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"MAX(CASE WHEN token = '$t' THEN c END) AS c${i + 1}"
+    }.mkString(",\n        ")
+    s"""tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       |       WHERE token IN (${bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |       GROUP BY doc_id, token),
+       |f AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |s AS (SELECT t.doc_id, t.token,
+       |        ln((st.n - f.df + 0.5) / (f.df + 0.5) + 1) *
+       |        (t.tf * 2.2) /
+       |        (t.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS c
+       |      FROM tf t
+       |      JOIN f USING (token)
+       |      JOIN dl d USING (doc_id)
+       |      CROSS JOIN st),
+       |p AS (SELECT doc_id,
+       |        $pivots
+       |      FROM s GROUP BY doc_id),
+       |bm25lex AS (
+       |  SELECT doc_id,
+       |    floor((COALESCE(c1, 0) + COALESCE(c2, 0) + COALESCE(c3, 0))
+       |      * 10000 + 0.5) / 10000 AS bm25
+       |  FROM p
+       |  ORDER BY bm25 DESC, doc_id
+       |  LIMIT 50)""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Tokenize + normalize: doc → (doc_id, pos, token) rows. posexplode is
@@ -699,63 +767,93 @@ object TextQueries extends QueryModule {
     // input to the IEEE expression is integer-derived, and the free-double
     // score is floor-rounded before the ORDER BY (doc_id tiebreaks the
     // rounded ties, so the top-50 cut is total-ordered on both engines).
-    q("q139_bm25", {
-      val terms = Seq("join", "vector", "fast")
-      val pivots = terms.zipWithIndex.map { case (t, i) =>
-        s"MAX(CASE WHEN token = '$t' THEN c END) AS c${i + 1}"
-      }.mkString(",\n        ")
-      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-         |       WHERE token IN (${terms.map("'" + _ + "'").mkString(", ")})
-         |       GROUP BY doc_id, token),
-         |f AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-         |s AS (SELECT t.doc_id, t.token,
-         |        ln((st.n - f.df + 0.5) / (f.df + 0.5) + 1) *
-         |        (t.tf * 2.2) /
-         |        (t.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS c
-         |      FROM tf t
-         |      JOIN f USING (token)
-         |      JOIN dl d USING (doc_id)
-         |      CROSS JOIN st),
-         |p AS (SELECT doc_id,
-         |        $pivots
-         |      FROM s GROUP BY doc_id)
-         |SELECT doc_id,
-         |  floor((COALESCE(c1, 0) + COALESCE(c2, 0) + COALESCE(c3, 0))
-         |    * 10000 + 0.5) / 10000 AS bm25
-         |FROM p
-         |ORDER BY bm25 DESC, doc_id
-         |LIMIT 50""".stripMargin
-    }) { spark =>
+    q("q139_bm25",
+      s"""WITH $bm25LexCtes
+         |SELECT doc_id, bm25 FROM bm25lex
+         |ORDER BY bm25 DESC, doc_id""".stripMargin) { spark =>
       import spark.implicits._
-      val terms = Seq("join", "vector", "fast")
-      val tok = spark.table("documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
-      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-      val st = dl.agg(count(lit(1)).cast(DoubleType).as("n"),
-        (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-      val tf = tok.filter($"token".isin(terms: _*))
-        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val f = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-      val s = tf.join(broadcast(f), "token").join(dl, "doc_id")
-        .crossJoin(broadcast(st))
-        .select($"doc_id", $"token",
-          (log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1) *
-            ($"tf" * 2.2) /
-            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
-            .as("c"))
-      val pivots = terms.zipWithIndex.map { case (t, i) =>
-        max(when($"token" === t, $"c")).as(s"c${i + 1}")
-      }
-      s.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
-        .select($"doc_id", (floor((coalesce($"c1", lit(0.0)) +
-          coalesce($"c2", lit(0.0)) + coalesce($"c3", lit(0.0)))
-          * 10000 + 0.5) / 10000).as("bm25"))
+      bm25Scores(spark)
         .orderBy($"bm25".desc, $"doc_id")
         .limit(50)
+    },
+
+    // Hybrid retrieval via reciprocal rank fusion (RRF, Cormack et al.
+    // SIGIR'09 — the standard lexical+dense ensemble of modern retrieval
+    // stacks): fuse q139's BM25 top-50 (lexical signal, the fixed 3-term
+    // query) with an exact-cosine top-50 against probe vector 0 over the
+    // doc-aligned embeddings (dense signal, q80's scoring idiom) as
+    // Σ_s 1/(60 + rank_s). Rank fusion needs only INTEGER ranks from each
+    // signal's total order (rounded score desc, id tiebreak — both signals
+    // already order totally), so the fused score is a two-term double sum
+    // in spelled order: bit-identical cross-engine, floor-rounded at the
+    // surface. Missing-from-a-list contributes 0 (the standard convention);
+    // absent ranks surface as 0. Scale: each signal is its own bounded
+    // top-k (TakeOrdered, never a corpus-wide rank window); the rank
+    // windows and the full-outer fuse run on ≤50-row relations.
+    q("q217_rrf_fusion",
+      s"""WITH $bm25LexCtes,
+         |lexr AS (
+         |  SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+         |  FROM bm25lex),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |pr AS (SELECT emb AS pemb FROM e WHERE vec_id = 0),
+         |cosd AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         ${graft.api.Canon.Oracle.r4(
+                     "(list_dot_product(e.emb, pr.pemb) / " +
+                       "(sqrt(list_dot_product(e.emb, e.emb)) * " +
+                       "sqrt(list_dot_product(pr.pemb, pr.pemb))))")} AS cos
+         |  FROM e CROSS JOIN pr WHERE e.vec_id <> 0),
+         |densetop AS (
+         |  SELECT doc_id, cos FROM cosd ORDER BY cos DESC, doc_id LIMIT 50),
+         |denser AS (
+         |  SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rb
+         |  FROM densetop),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.ra, d.rb
+         |  FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  CAST(COALESCE(ra, 0) AS BIGINT) AS lex_rank,
+         |  CAST(COALESCE(rb, 0) AS BIGINT) AS dense_rank,
+         |  floor((COALESCE(1e0 / (60 + ra), 0e0) +
+         |         COALESCE(1e0 / (60 + rb), 0e0)) * 1000000 + 0.5) / 1000000
+         |    AS rrf
+         |FROM fused
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 20""".stripMargin) { spark =>
+      import spark.implicits._
+      val wl = Window.orderBy($"bm25".desc, $"doc_id")
+      val lexr = bm25Scores(spark)
+        .orderBy($"bm25".desc, $"doc_id").limit(50)
+        .withColumn("ra", row_number().over(wl))
+        .select($"doc_id", $"ra")
+      val e = spark.table("embeddings")
+        .select($"vec_id", transform($"embedding", _.cast(DoubleType)).as("emb"))
+      val pr = e.filter($"vec_id" === 0).select($"emb".as("pemb"))
+      def dotd(a: Column, b: Column): Column =
+        graft.functions.VectorExpressions.dotd(a, b)
+      val wd = Window.orderBy($"cos".desc, $"doc_id")
+      val denser = Tables.spread(e).filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(pr))
+        .select($"vec_id".as("doc_id"),
+          graft.api.Canon.r4(dotd($"emb", $"pemb") /
+            (sqrt(dotd($"emb", $"emb")) * sqrt(dotd($"pemb", $"pemb"))))
+            .as("cos"))
+        .orderBy($"cos".desc, $"doc_id").limit(50)
+        .withColumn("rb", row_number().over(wd))
+        .select($"doc_id", $"rb")
+      lexr.join(denser, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          coalesce($"ra", lit(0)).cast(LongType).as("lex_rank"),
+          coalesce($"rb", lit(0)).cast(LongType).as("dense_rank"),
+          (floor((coalesce(lit(1.0) / (lit(60) + $"ra"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"rb"), lit(0.0)))
+            * 1000000 + 0.5) / 1000000).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id")
+        .limit(20)
     },
 
     q("q109_lm_score",
