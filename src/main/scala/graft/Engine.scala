@@ -393,6 +393,11 @@ object Engine {
       stmtCursors.remove(handle)
     }
 
+    /** Prepared-statement lookup by id — the wire front-end's
+      * COM_STMT_EXECUTE/RESET/CLOSE resolve their handles through this. */
+    private[graft] def statement(handle: Long): Option[PreparedStatement] =
+      stmts.get(handle)
+
     /** COM_QUIT analog: cancel in-flight work and leave the processlist
       * (temp views die with the session wrapper). */
     def close(): Unit = {
@@ -480,8 +485,15 @@ object Engine {
       // on error would silently bind NULL (ADVICE r08); reset()/close()
       // remain the explicit discard paths.
       longData.clear()
+      lastSchema = df.schema
       df
     }
+
+    /** Schema of the most recent successful bind — the column metadata the
+      * wire front-end's COM_STMT_EXECUTE response needs when the rows are
+      * held server-side (cursor mode returns no DataFrame to read it from). */
+    @volatile private[graft] var lastSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Nil)
 
     /** COM_STMT_EXECUTE analog: bind typed positional parameters, run. */
     def execute(args: Any*): DataFrame = bind(args)

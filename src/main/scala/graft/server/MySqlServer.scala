@@ -20,10 +20,14 @@ import graft.Engine
   * file is ONLY the wire: MySQL packet framing (3-byte little-endian length +
   * sequence id, payloads split at the 2²⁴−1 boundary with the mandatory empty
   * terminator on an exact-boundary payload), the protocol-10 handshake, the
-  * 4.1 handshake-response parse, and the text command set COM_QUERY /
+  * 4.1 handshake-response parse, the text command set COM_QUERY /
   * COM_INIT_DB / COM_PING / COM_STATISTICS / COM_QUIT with lenenc text
-  * result sets. All layouts follow the public MySQL client/server protocol
-  * (the same one the reference implements).
+  * result sets, and the BINARY prepared-statement lifecycle COM_STMT_PREPARE
+  * / EXECUTE (typed LE params, NULL bitmap, optional CURSOR_TYPE_READ_ONLY)
+  * / FETCH / SEND_LONG_DATA (no response, per protocol) / RESET / CLOSE with
+  * binary result rows — the mode real connectors (JDBC, mysql-connector)
+  * default to. All layouts follow the public MySQL client/server protocol
+  * (the same one the reference relays byte-transparently).
   *
   * Scale/behavior notes:
   *  - thread-per-connection over a shared SparkSession — the engine analog
@@ -65,6 +69,14 @@ object MySqlServer {
   private val ComQuery = 0x03
   private val ComStatistics = 0x09
   private val ComPing = 0x0E
+  private val ComStmtPrepare = 0x16
+  private val ComStmtExecute = 0x17
+  private val ComStmtSendLongData = 0x18
+  private val ComStmtClose = 0x19
+  private val ComStmtReset = 0x1A
+  private val ComStmtFetch = 0x1C
+
+  private val CursorTypeReadOnly = 0x01
 
   /** utf8mb4_bin — the engine's pinned default collation id
     * (/root/reference/mysql/constants.go:6). */
@@ -95,6 +107,7 @@ object MySqlServer {
       int3(v.toInt); int1((v >>> 24).toInt)
     }
     def bytes(b: Array[Byte]): Payload = { buf.write(b, 0, b.length); this }
+    def int8(v: Long): Payload = { int4(v & 0xFFFFFFFFL); int4(v >>> 32) }
     def zeros(n: Int): Payload = { (1 to n).foreach(_ => buf.write(0)); this }
     def nulString(s: String): Payload = { bytes(s.getBytes(UTF_8)); int1(0) }
     def lenencInt(v: Long): Payload =
@@ -105,6 +118,64 @@ object MySqlServer {
     def lenencBytes(b: Array[Byte]): Payload = { lenencInt(b.length.toLong); bytes(b) }
     def lenencString(s: String): Payload = lenencBytes(s.getBytes(UTF_8))
     def result(): Array[Byte] = buf.toByteArray
+  }
+
+  /** Little-endian reader over a command payload — the binary-protocol
+    * (COM_STMT_EXECUTE) decode side of [[Payload]]. */
+  private[server] final class BinReader(p: Array[Byte], start: Int) {
+    var i: Int = start
+    def int1(): Int = { val v = p(i) & 0xFF; i += 1; v }
+    def int2(): Int = int1() | (int1() << 8)
+    def int4(): Int = int2() | (int2() << 16)
+    def int8(): Long = (int4().toLong & 0xFFFFFFFFL) | (int4().toLong << 32)
+    def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(p, i, i + n); i += n; b
+    }
+    def lenencInt(): Long = int1() match {
+      case 0xFC => int2().toLong
+      case 0xFD => int1().toLong | (int1().toLong << 8) | (int1().toLong << 16)
+      case 0xFE => int8()
+      case v => v.toLong
+    }
+    def lenencBytes(): Array[Byte] = bytes(lenencInt().toInt)
+
+    /** Decode one binary-protocol parameter VALUE of wire type `tp` into
+      * the JVM value [[graft.Engine.PreparedStatement]] binds typed.
+      * Integer params decode SIGNED (the engine has no unsigned types —
+      * same narrowing the reference's backend applies). */
+    def value(tp: Int): Any = tp & 0xFF match {
+      case 0x01 => int1().toByte // TINY
+      case 0x02 | 0x0D => int2().toShort // SHORT / YEAR
+      case 0x03 | 0x09 => int4() // LONG / INT24
+      case 0x08 => int8() // LONGLONG
+      case 0x04 => java.lang.Float.intBitsToFloat(int4()) // FLOAT
+      case 0x05 => java.lang.Double.longBitsToDouble(int8()) // DOUBLE
+      case 0x06 => null // NULL type
+      case 0x0A => dateVal() // DATE
+      case 0x07 | 0x0C => datetimeVal() // TIMESTAMP / DATETIME
+      case 0xF9 | 0xFA | 0xFB | 0xFC => lenencBytes() // BLOB family
+      case _ => new String(lenencBytes(), UTF_8) // string/decimal/varchar…
+    }
+
+    private def dateVal(): Any = int1() match {
+      case 0 => null // the zero date
+      case n =>
+        val (y, mo, d) = (int2(), int1(), int1())
+        i += n - 4 // tolerate over-long encodings
+        java.sql.Date.valueOf(java.time.LocalDate.of(y, mo, d))
+    }
+
+    private def datetimeVal(): Any = int1() match {
+      case 0 => null
+      case n =>
+        val (y, mo, d) = (int2(), int1(), int1())
+        val (h, mi, s) = if (n >= 7) (int1(), int1(), int1()) else (0, 0, 0)
+        val micro = if (n >= 11) int4() else 0
+        i += (n - (if (n >= 11) 11 else if (n >= 7) 7 else 4)).max(0)
+        java.sql.Timestamp.from(java.time.LocalDateTime
+          .of(y, mo, d, h, mi, s, micro * 1000)
+          .toInstant(java.time.ZoneOffset.UTC))
+    }
   }
 
   // ---- handshake-response parse (Protocol::HandshakeResponse41) ------------
@@ -341,6 +412,80 @@ final class MySqlServer private (listener: ServerSocket,
     p.result()
   }
 
+  // ---- binary prepared-statement protocol ----------------------------------
+
+  /** COM_STMT_PREPARE response head: OK marker, statement id, column count
+    * (0 — metadata arrives with each execute, where the bound plan knows
+    * it), parameter count, warning count. */
+  private def prepareOkPayload(stmtId: Long, numParams: Int): Array[Byte] =
+    new Payload().int1(0x00).int4(stmtId).int2(0).int2(numParams)
+      .int1(0).int2(0).result()
+
+  /** Placeholder parameter definition (name "?", VAR_STRING) — clients read
+    * the count, not the types (they declare types at execute). */
+  private def paramDefPayload: Array[Byte] =
+    new Payload()
+      .lenencString("def").lenencString("").lenencString("")
+      .lenencString("").lenencString("?").lenencString("")
+      .int1(0x0C).int2(63).int4(0).int1(0xFD).int2(0).int1(0).int2(0)
+      .result()
+
+  /** One binary-protocol result row: 0x00 header, NULL bitmap at bit
+    * offset 2, values in each column's wire encoding. */
+  private def binaryRowPayload(row: org.apache.spark.sql.Row,
+      schema: StructType): Array[Byte] = {
+    val n = row.length
+    val bitmap = new Array[Byte]((n + 7 + 2) / 8)
+    val vals = new Payload()
+    var i = 0
+    while (i < n) {
+      if (row.isNullAt(i)) bitmap((i + 2) / 8) =
+        (bitmap((i + 2) / 8) | (1 << ((i + 2) % 8))).toByte
+      else binaryValue(vals, row.get(i), schema(i).dataType)
+      i += 1
+    }
+    new Payload().int1(0x00).bytes(bitmap).bytes(vals.result()).result()
+  }
+
+  private def binaryValue(p: Payload, v: Any, dt: DataType): Unit = dt match {
+    case BooleanType => p.int1(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case ByteType => p.int1(v.asInstanceOf[Byte].toInt)
+    case ShortType => p.int2(v.asInstanceOf[Short].toInt)
+    case IntegerType => p.int4(v.asInstanceOf[Int].toLong & 0xFFFFFFFFL)
+    case LongType => p.int8(v.asInstanceOf[Long])
+    case FloatType =>
+      p.int4(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong
+        & 0xFFFFFFFFL)
+    case DoubleType =>
+      p.int8(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+    case DateType =>
+      val d = v.asInstanceOf[java.sql.Date].toLocalDate
+      p.int1(4).int2(d.getYear).int1(d.getMonthValue).int1(d.getDayOfMonth)
+    case TimestampType | TimestampNTZType =>
+      val ldt = v match {
+        case t: java.sql.Timestamp =>
+          java.time.LocalDateTime.ofInstant(t.toInstant,
+            java.time.ZoneOffset.UTC)
+        case t: java.time.LocalDateTime => t
+      }
+      p.int1(11).int2(ldt.getYear).int1(ldt.getMonthValue)
+        .int1(ldt.getDayOfMonth).int1(ldt.getHour).int1(ldt.getMinute)
+        .int1(ldt.getSecond).int4((ldt.getNano / 1000).toLong)
+    case BinaryType => p.lenencBytes(v.asInstanceOf[Array[Byte]])
+    case _: DecimalType => p.lenencBytes(textValue(v))
+    case _ => p.lenencBytes(textValue(v))
+  }
+
+  /** Column metadata + EOF for a binary result set (shared by the execute
+    * and cursor-open responses); returns the next sequence id. */
+  private def writeColumnBlock(out: OutputStream, seq0: Int,
+      schema: StructType, status: Int): Int = {
+    var seq = writePacket(out, seq0,
+      new Payload().lenencInt(schema.length.toLong).result())
+    schema.fields.foreach { f => seq = writePacket(out, seq, columnDefPayload(f)) }
+    writePacket(out, seq, eofPayload(status))
+  }
+
   // ---- the per-connection protocol loop ------------------------------------
 
   private def serve(sock: Socket, threadId: Long): Unit = {
@@ -374,11 +519,24 @@ final class MySqlServer private (listener: ServerSocket,
         }
       writePacket(out, 2, okPayload(session.statusFlags))
       out.flush()
+      // binary prepared-statement wire state: execute-time schema per
+      // statement (cursor fetches re-use it), last bound parameter types
+      // (clients may omit types after the first execute), and the set of
+      // parameters with pending COM_STMT_SEND_LONG_DATA chunks (their
+      // values are ABSENT from the execute packet)
+      val stmtSchemas = scala.collection.mutable.Map.empty[Long, StructType]
+      val stmtTypes = scala.collection.mutable.Map.empty[Long, Array[Int]]
+      val stmtPending =
+        scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Int]]
+      def stmtOf(sid: Long): Engine.PreparedStatement =
+        session.statement(sid).getOrElse(throw Engine.EngineError(1243, "HY000",
+          s"Unknown prepared statement handler ($sid)"))
+
       var open = true
       while (open) {
         val cmd = readPacket(in)
         if (cmd.isEmpty) throw new EOFException
-        val tail = new String(cmd, 1, cmd.length - 1, UTF_8)
+        def tail = new String(cmd, 1, cmd.length - 1, UTF_8)
         (cmd(0) & 0xFF) match {
           case ComQuit => open = false
           case ComPing => writePacket(out, 1, okPayload(session.statusFlags))
@@ -390,6 +548,130 @@ final class MySqlServer private (listener: ServerSocket,
             respond(out, session) { session.use(tail, databases); None }
           case ComQuery =>
             respond(out, session) { Some(session.sqlMySql(tail)) }
+
+          case ComStmtPrepare =>
+            try {
+              val ps = session.prepareStatement(tail)
+              var seq = writePacket(out, 1,
+                prepareOkPayload(ps.statementId, ps.paramCount))
+              if (ps.paramCount > 0) {
+                (0 until ps.paramCount).foreach { _ =>
+                  seq = writePacket(out, seq, paramDefPayload)
+                }
+                writePacket(out, seq, eofPayload(session.statusFlags))
+              }
+            } catch {
+              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+            }
+
+          case ComStmtExecute =>
+            try {
+              val r = new BinReader(cmd, 1)
+              val sid = r.int4().toLong
+              val flags = r.int1()
+              r.int4() // iteration count (always 1 without cursors)
+              val ps = stmtOf(sid)
+              val n = ps.paramCount
+              val args: Seq[Any] = if (n == 0) Seq.empty else {
+                val bitmap = r.bytes((n + 7) / 8)
+                val types: Array[Int] =
+                  if (r.int1() == 1) { // new-params-bound flag
+                    val t = Array.fill(n) { val tp = r.int1(); r.int1(); tp }
+                    stmtTypes(sid) = t
+                    t
+                  } else stmtTypes.getOrElse(sid,
+                    throw Engine.EngineError(1210, "HY000",
+                      "no parameter types bound"))
+                val pending = stmtPending.getOrElse(sid,
+                  scala.collection.mutable.Set.empty[Int])
+                (0 until n).map { i =>
+                  if ((bitmap(i / 8) & (1 << (i % 8))) != 0) null
+                  else if (pending.contains(i)) null // value via long data
+                  else r.value(types(i))
+                }
+              }
+              if ((flags & CursorTypeReadOnly) != 0) {
+                // CURSOR_TYPE_READ_ONLY: run, hold the rows server-side,
+                // answer metadata only — COM_STMT_FETCH pulls the rows
+                ps.executeCursor(args: _*)
+                stmtSchemas(sid) = ps.lastSchema
+                stmtPending.remove(sid)
+                writeColumnBlock(out, 1, ps.lastSchema, session.statusFlags)
+              } else {
+                val df = ps.execute(args: _*)
+                stmtSchemas(sid) = df.schema
+                stmtPending.remove(sid)
+                if (df.schema.isEmpty)
+                  writePacket(out, 1, okPayload(session.statusFlags))
+                else {
+                  var seq = writeColumnBlock(out, 1, df.schema,
+                    session.statusFlags)
+                  out.flush() // metadata first — rows may take a while
+                  val it = df.toLocalIterator()
+                  while (it.hasNext)
+                    seq = writePacket(out, seq,
+                      binaryRowPayload(it.next(), df.schema))
+                  writePacket(out, seq, eofPayload(session.statusFlags))
+                }
+              }
+            } catch {
+              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+              case e: Exception => writePacket(out, 1, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
+            }
+
+          case ComStmtSendLongData =>
+            // protocol: NO response packet, success or failure
+            val r = new BinReader(cmd, 1)
+            val sid = r.int4().toLong
+            val idx = r.int2()
+            session.statement(sid).foreach { ps =>
+              try {
+                ps.sendLongData(idx, java.util.Arrays.copyOfRange(cmd, 7,
+                  cmd.length))
+                stmtPending.getOrElseUpdate(sid,
+                  scala.collection.mutable.Set.empty[Int]) += idx
+              } catch { case _: Engine.EngineError => () }
+            }
+
+          case ComStmtFetch =>
+            try {
+              val r = new BinReader(cmd, 1)
+              val sid = r.int4().toLong
+              val count = r.int4()
+              val schema = stmtSchemas.getOrElse(sid,
+                throw Engine.EngineError(1105, "08S01",
+                  s"no open cursor for statement $sid"))
+              val rows = session.fetch(sid, count)
+              var seq = 1
+              rows.foreach { row =>
+                seq = writePacket(out, seq, binaryRowPayload(row, schema))
+              }
+              writePacket(out, seq, eofPayload(session.statusFlags))
+            } catch {
+              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+            }
+
+          case ComStmtReset =>
+            try {
+              val r = new BinReader(cmd, 1)
+              val sid = r.int4().toLong
+              stmtOf(sid).reset()
+              stmtPending.remove(sid)
+              writePacket(out, 1, okPayload(session.statusFlags))
+            } catch {
+              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+            }
+
+          case ComStmtClose =>
+            // protocol: no response
+            val r = new BinReader(cmd, 1)
+            val sid = r.int4().toLong
+            session.statement(sid).foreach(_.close())
+            stmtSchemas.remove(sid); stmtTypes.remove(sid)
+            stmtPending.remove(sid)
+
           case other =>
             writePacket(out, 1, errPayload(Engine.EngineError(1047, "08S01",
               s"Unknown command: $other")))

@@ -80,6 +80,7 @@ class MySqlServerSpec extends SparkSpec {
       while (p(i) != 0) i += 1
       val r = new String(p, s, i - s, UTF_8); i += 1; r
     }
+    def int8(): Long = int4() | (int4() << 32)
     def lenencInt(): Long = int1() match {
       case 0xFC => int2().toLong
       case 0xFD => int3().toLong
@@ -269,6 +270,238 @@ class MySqlServerSpec extends SparkSpec {
       val (_, rows) = query(c3, "SELECT count(*) AS n FROM region")
       assert(rows.head.head.exists(_.toLong > 0))
       c3.close()
+    } finally srv.close()
+  }
+
+  // ---- binary prepared-statement protocol helpers --------------------------
+
+  /** COM_STMT_PREPARE; returns (stmtId, numParams), draining param defs. */
+  private def stmtPrepare(c: Client, sql: String): (Long, Int) = {
+    c.writePacket(0, Array[Byte](0x16) ++ sql.getBytes(UTF_8))
+    val (_, head) = c.readPacket()
+    assert((head(0) & 0xFF) == 0x00, "prepare must answer the prepare-OK")
+    val r = new Reader(head); r.int1()
+    val sid = r.int4()
+    val ncols = r.int2()
+    val nparams = r.int2()
+    if (nparams > 0) {
+      (1 to nparams).foreach(_ => c.readPacket()) // placeholder defs
+      val (_, eof) = c.readPacket()
+      assert((eof(0) & 0xFF) == 0xFE)
+    }
+    if (ncols > 0) {
+      (1 to ncols).foreach(_ => c.readPacket())
+      c.readPacket()
+    }
+    (sid, nparams)
+  }
+
+  /** One typed binary parameter: (wire type, encoded bytes or null). A
+    * pending-long-data param is (type, Some(Array.empty), sendValue=false). */
+  private case class BParam(tpe: Int, bytes: Option[Array[Byte]],
+      sendValue: Boolean = true)
+
+  private def le8(v: Long): Array[Byte] =
+    (0 until 8).map(k => ((v >>> (8 * k)) & 0xFF).toByte).toArray
+
+  private def lenencBytes(b: Array[Byte]): Array[Byte] = {
+    require(b.length < 251); Array(b.length.toByte) ++ b
+  }
+
+  /** COM_STMT_EXECUTE; parses the column block; when `cursor` is false also
+    * drains binary rows. Returns (column names, column types, rows, eof
+    * status word). */
+  private def stmtExecute(c: Client, sid: Long, params: Seq[BParam],
+      cursor: Boolean = false)
+      : (Seq[String], Seq[Int], Seq[Seq[Option[Any]]], Int) = {
+    val b = new ByteArrayOutputStream()
+    b.write(0x17)
+    (0 until 4).foreach(k => b.write(((sid >>> (8 * k)) & 0xFF).toInt))
+    b.write(if (cursor) 0x01 else 0x00)
+    Array(1, 0, 0, 0).foreach(b.write) // iteration count
+    if (params.nonEmpty) {
+      val bitmap = new Array[Byte]((params.length + 7) / 8)
+      params.zipWithIndex.foreach { case (p, i) =>
+        if (p.bytes.isEmpty) bitmap(i / 8) =
+          (bitmap(i / 8) | (1 << (i % 8))).toByte
+      }
+      b.write(bitmap, 0, bitmap.length)
+      b.write(1) // new-params-bound
+      params.foreach { p => b.write(p.tpe); b.write(0) }
+      params.foreach { p =>
+        p.bytes.filter(_ => p.sendValue)
+          .foreach(v => b.write(v, 0, v.length))
+      }
+    }
+    c.writePacket(0, b.toByteArray)
+    val (_, first) = c.readPacket()
+    (first(0) & 0xFF) match {
+      case 0xFF =>
+        val r = new Reader(first); r.int1()
+        throw Engine.EngineError(r.int2(), "",
+          new String(first, 9, first.length - 9, UTF_8))
+      case 0x00 => (Nil, Nil, Nil, 0)
+      case _ =>
+        val ncols = new Reader(first).lenencInt().toInt
+        val (names, types) = (1 to ncols).map { _ =>
+          val (_, cd) = c.readPacket()
+          val r = new Reader(cd)
+          r.lenencString(); r.lenencString(); r.lenencString()
+          r.lenencString()
+          val name = r.lenencString()
+          r.lenencString()
+          r.int1(); r.int2(); r.int4() // fixed-len marker, charset, length
+          (name, r.int1())
+        }.unzip
+        val (_, eof1) = c.readPacket()
+        assert((eof1(0) & 0xFF) == 0xFE && eof1.length < 9)
+        val eofStatus1 = { val r = new Reader(eof1); r.int1(); r.int2(); r.int2() }
+        if (cursor) (names, types, Nil, eofStatus1)
+        else {
+          val (rows, st) = drainBinaryRows(c, types)
+          (names, types, rows, st)
+        }
+    }
+  }
+
+  /** Read binary row packets until EOF; returns (rows, eof status word). */
+  private def drainBinaryRows(c: Client, types: Seq[Int])
+      : (Seq[Seq[Option[Any]]], Int) = {
+    val rows = Seq.newBuilder[Seq[Option[Any]]]
+    var status = 0
+    var done = false
+    while (!done) {
+      val (_, p) = c.readPacket()
+      if ((p(0) & 0xFF) == 0xFE && p.length < 9) {
+        val r = new Reader(p); r.int1(); r.int2()
+        status = r.int2()
+        done = true
+      } else rows += decodeBinaryRow(p, types)
+    }
+    (rows.result(), status)
+  }
+
+  private def decodeBinaryRow(p: Array[Byte], types: Seq[Int]): Seq[Option[Any]] = {
+    val n = types.length
+    val r = new Reader(p)
+    assert(r.int1() == 0x00, "binary row header")
+    val bitmap = (1 to (n + 7 + 2) / 8).map(_ => r.int1())
+    (0 until n).map { i =>
+      if ((bitmap((i + 2) / 8) & (1 << ((i + 2) % 8))) != 0) None
+      else Some(types(i) match {
+        case 0x01 => r.int1()
+        case 0x02 => r.int2()
+        case 0x03 | 0x09 => r.int4()
+        case 0x08 => r.int8()
+        case 0x04 => java.lang.Float.intBitsToFloat(r.int4().toInt)
+        case 0x05 => java.lang.Double.longBitsToDouble(r.int8())
+        case 0x0C | 0x07 =>
+          val len = r.int1()
+          val (y, mo, d) = (r.int2(), r.int1(), r.int1())
+          val (h, mi, s) = if (len >= 7) (r.int1(), r.int1(), r.int1())
+            else (0, 0, 0)
+          val micro = if (len >= 11) r.int4() else 0L
+          f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$micro%06d"
+        case _ => r.lenencString()
+      })
+    }
+  }
+
+  test("binary prepare/execute: typed params, NULL bitmap, binary result rows") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val (sid, np) = stmtPrepare(c,
+        "SELECT CAST(? AS STRING) AS s, ? AS d, ? AS l, CAST(? AS STRING) AS nl")
+      assert(np == 4)
+      val (names, types, rows, _) = stmtExecute(c, sid, Seq(
+        BParam(0xFD, Some(lenencBytes("héllo".getBytes(UTF_8)))),
+        BParam(0x05, Some(le8(java.lang.Double.doubleToLongBits(2.5)))),
+        BParam(0x08, Some(le8(42L))),
+        BParam(0xFD, None))) // NULL via the bitmap
+      assert(names == Seq("s", "d", "l", "nl"))
+      assert(types(1) == 0x05 && types(2) == 0x08, s"types $types")
+      assert(rows == Seq(Seq(Some("héllo"), Some(2.5), Some(42L), None)))
+      // an unknown statement id surfaces MySQL's 1243 ERR
+      val gone = intercept[Engine.EngineError] {
+        stmtExecute(c, sid + 999, Seq(BParam(0x08, Some(le8(1L))),
+          BParam(0x08, None), BParam(0x08, None), BParam(0x08, None)))
+      }
+      assert(gone.code == 1243)
+      c.close()
+    } finally srv.close()
+  }
+
+  test("binary cursor execute + COM_STMT_FETCH pages with status-bit transitions") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val (sid, _) = stmtPrepare(c,
+        "SELECT n_nationkey FROM nation WHERE n_nationkey < ? " +
+          "ORDER BY n_nationkey")
+      val (names, types, rows, st0) = stmtExecute(c, sid,
+        Seq(BParam(0x08, Some(le8(5L)))), cursor = true)
+      assert(names == Seq("n_nationkey") && rows.isEmpty)
+      assert((st0 & 0x40) != 0, "CURSOR_EXISTS after cursor execute")
+      def fetch(k: Int): (Seq[Seq[Option[Any]]], Int) = {
+        val b = new ByteArrayOutputStream()
+        b.write(0x1C)
+        (0 until 4).foreach(j => b.write(((sid >>> (8 * j)) & 0xFF).toInt))
+        Array(k, 0, 0, 0).foreach(b.write)
+        c.writePacket(0, b.toByteArray)
+        drainBinaryRows(c, types)
+      }
+      val (r1, s1) = fetch(2)
+      assert(r1.flatMap(_.head) == Seq(0L, 1L) && (s1 & 0x40) != 0)
+      val (r2, s2) = fetch(10)
+      assert(r2.flatMap(_.head) == Seq(2L, 3L, 4L))
+      assert((s2 & 0x80) != 0, "LAST_ROW_SENT once the cursor drains")
+      c.close()
+    } finally srv.close()
+  }
+
+  test("binary long-data chunks bind over the wire; COM_STMT_RESET discards") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val (sid, _) = stmtPrepare(c, "SELECT CAST(? AS STRING) AS body")
+      def sendLong(data: String): Unit = {
+        val b = new ByteArrayOutputStream()
+        b.write(0x18)
+        (0 until 4).foreach(j => b.write(((sid >>> (8 * j)) & 0xFF).toInt))
+        b.write(0); b.write(0) // param index 0
+        val d = data.getBytes(UTF_8); b.write(d, 0, d.length)
+        c.writePacket(0, b.toByteArray) // no response, per protocol
+      }
+      sendLong("pay"); sendLong("load")
+      // the streamed param's VALUE is absent from the execute packet
+      val (_, _, rows, _) = stmtExecute(c, sid,
+        Seq(BParam(0xFD, Some(Array.empty[Byte]), sendValue = false)))
+      assert(rows == Seq(Seq(Some("payload"))), s"got $rows")
+      // freed on execute: the next execute uses the inline value
+      val (_, _, rows2, _) = stmtExecute(c, sid,
+        Seq(BParam(0xFD, Some(lenencBytes("x".getBytes(UTF_8))))))
+      assert(rows2 == Seq(Seq(Some("x"))))
+      // COM_STMT_RESET discards streamed chunks without executing
+      sendLong("junk")
+      val b = new ByteArrayOutputStream()
+      b.write(0x1A)
+      (0 until 4).foreach(j => b.write(((sid >>> (8 * j)) & 0xFF).toInt))
+      c.writePacket(0, b.toByteArray)
+      assert((c.readPacket()._2(0) & 0xFF) == 0x00, "RESET answers OK")
+      val (_, _, rows3, _) = stmtExecute(c, sid,
+        Seq(BParam(0xFD, Some(lenencBytes("clean".getBytes(UTF_8))))))
+      assert(rows3 == Seq(Seq(Some("clean"))))
+      // COM_STMT_CLOSE has no response; the handle is gone afterwards
+      val cb = new ByteArrayOutputStream()
+      cb.write(0x19)
+      (0 until 4).foreach(j => cb.write(((sid >>> (8 * j)) & 0xFF).toInt))
+      c.writePacket(0, cb.toByteArray)
+      val gone = intercept[Engine.EngineError] {
+        stmtExecute(c, sid, Seq(BParam(0xFD, None)))
+      }
+      assert(gone.code == 1243)
+      c.close()
     } finally srv.close()
   }
 
