@@ -52,15 +52,19 @@ object MySqlServer {
   private[server] val ClientPluginAuth = 0x00080000
   private[server] val ClientConnectAttrs = 0x00100000
   private[server] val ClientPluginAuthLenenc = 0x00200000
+  private[server] val ClientMultiStatements = 0x00010000
+  private[server] val ClientMultiResults = 0x00020000
 
-  /** What the engine front-end advertises: protocol 4.1 text, initial-db,
-    * transactions-status, plugin-auth handshake shape. No SSL, no
+  /** What the engine front-end advertises: protocol 4.1 text + binary
+    * statements, initial-db, transactions-status, plugin-auth handshake
+    * shape, multi-statement batches with multi-result delivery. No SSL, no
     * compression (SURVEY §7.5 descopes), no DEPRECATE_EOF (we speak the
     * classic EOF-delimited result set). */
   private[server] val serverCaps: Int =
     ClientLongPassword | ClientLongFlag | ClientConnectWithDB |
       ClientProtocol41 | ClientTransactions | ClientSecureConnection |
-      ClientPluginAuth | ClientConnectAttrs
+      ClientPluginAuth | ClientConnectAttrs |
+      ClientMultiStatements | ClientMultiResults
 
   private[server] val MaxPayload = 0xFFFFFF // 2^24 - 1: the split boundary
 
@@ -547,7 +551,13 @@ final class MySqlServer private (listener: ServerSocket,
           case ComInitDb =>
             respond(out, session) { session.use(tail, databases); None }
           case ComQuery =>
-            respond(out, session) { Some(session.sqlMySql(tail)) }
+            // a MULTI_STATEMENTS client's batch streams one result set per
+            // statement (flush-per-result-set, gateway/relay.go:85-99)
+            val q = tail
+            if ((hello.caps & ClientMultiStatements) != 0 &&
+                Engine.splitStatements(q).length > 1)
+              respondMulti(out, session, q)
+            else respond(out, session) { Some(session.sqlMySql(q)) }
 
           case ComStmtPrepare =>
             try {
@@ -697,21 +707,61 @@ final class MySqlServer private (listener: ServerSocket,
       case None => writePacket(out, 1, okPayload(session.statusFlags))
       case Some(df) if df.schema.isEmpty =>
         writePacket(out, 1, okPayload(session.statusFlags))
-      case Some(df) =>
-        var seq = writePacket(out, 1,
-          new Payload().lenencInt(df.schema.length.toLong).result())
-        df.schema.fields.foreach { f =>
-          seq = writePacket(out, seq, columnDefPayload(f))
-        }
-        seq = writePacket(out, seq, eofPayload(session.statusFlags))
-        out.flush() // metadata first — rows may take a while
-        val it = df.toLocalIterator()
-        while (it.hasNext) seq = writePacket(out, seq, rowPayload(it.next()))
-        writePacket(out, seq, eofPayload(session.statusFlags))
+      case Some(df) => writeTextResultSet(out, 1, df, session.statusFlags)
     } catch {
       case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
       case e: Exception =>
         writePacket(out, 1, errPayload(Engine.EngineError(1105, "08S01",
           Option(e.getMessage).getOrElse(e.getClass.getName))))
     }
+
+  /** One EOF-delimited lenenc text result set streamed row by row; `status`
+    * rides both EOFs (the multi-result path ORs in MORE_RESULTS_EXISTS).
+    * Returns the next sequence id. */
+  private def writeTextResultSet(out: OutputStream, seq0: Int,
+      df: org.apache.spark.sql.DataFrame, status: Int): Int = {
+    var seq = writePacket(out, seq0,
+      new Payload().lenencInt(df.schema.length.toLong).result())
+    df.schema.fields.foreach { f =>
+      seq = writePacket(out, seq, columnDefPayload(f))
+    }
+    seq = writePacket(out, seq, eofPayload(status))
+    out.flush() // metadata first — rows may take a while
+    val it = df.toLocalIterator()
+    while (it.hasNext) seq = writePacket(out, seq, rowPayload(it.next()))
+    writePacket(out, seq, eofPayload(status))
+  }
+
+  /** CLIENT_MULTI_STATEMENTS COM_QUERY: each statement's result set (or OK)
+    * flushes to the client before the next statement RUNS — the flush-per-
+    * result-set outbound relay of gateway/relay.go:85-99 — with
+    * SERVER_MORE_RESULTS_EXISTS on every terminator except the last. An
+    * error ends the batch (MySQL semantics: remaining statements never
+    * execute); sequence ids continue across the whole response. */
+  private def respondMulti(out: OutputStream, session: Engine.Session,
+      batch: String): Unit = {
+    val stmts = Engine.splitStatements(Engine.translateMySql(batch))
+    var seq = 1
+    var i = 0
+    while (i < stmts.length) {
+      val more =
+        if (i < stmts.length - 1) Engine.Status.MoreResultsExists else 0
+      try {
+        val df = session.sql(stmts(i))
+        seq =
+          if (df.schema.isEmpty)
+            writePacket(out, seq, okPayload(session.statusFlags | more))
+          else writeTextResultSet(out, seq, df, session.statusFlags | more)
+      } catch {
+        case e: Engine.EngineError =>
+          writePacket(out, seq, errPayload(e)); return
+        case e: Exception =>
+          writePacket(out, seq, errPayload(Engine.EngineError(1105, "08S01",
+            Option(e.getMessage).getOrElse(e.getClass.getName))))
+          return
+      }
+      out.flush()
+      i += 1
+    }
+  }
 }

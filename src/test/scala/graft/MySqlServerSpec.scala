@@ -101,11 +101,13 @@ class MySqlServerSpec extends SparkSpec {
   }
 
   /** Build a HandshakeResponse41 (caps: 4.1 + secure + plugin-auth [+ db]). */
-  private def handshakeResponse(user: String, db: Option[String]): Array[Byte] = {
+  private def handshakeResponse(user: String, db: Option[String],
+      extraCaps: Int = 0): Array[Byte] = {
     val b = new ByteArrayOutputStream()
     var caps = 0x00000200 | 0x00008000 | 0x00080000 // 41 | secure | plugin auth
     if (db.isDefined) caps |= 0x00000008
     caps |= 0x00100000 // connect attrs
+    caps |= extraCaps
     def int4(v: Int): Unit =
       (0 until 4).foreach(k => b.write((v >>> (8 * k)) & 0xFF))
     int4(caps)
@@ -127,7 +129,7 @@ class MySqlServerSpec extends SparkSpec {
 
   /** Connect + authenticate; asserts the greeting shape on the way. */
   private def login(port: Int, user: String = "prod.alice",
-      db: Option[String] = None): Client = {
+      db: Option[String] = None, extraCaps: Int = 0): Client = {
     val c = new Client(port)
     val (seq0, greeting) = c.readPacket()
     assert(seq0 == 0)
@@ -144,7 +146,7 @@ class MySqlServerSpec extends SparkSpec {
     val saltLen = g.int1()
     g.skip(10)
     g.skip(math.max(13, saltLen - 8)) // salt part 2
-    c.writePacket(1, handshakeResponse(user, db))
+    c.writePacket(1, handshakeResponse(user, db, extraCaps))
     val (_, ok) = c.readPacket()
     assert((ok(0) & 0xFF) == 0x00, s"expected OK after auth, got 0x${(ok(0) & 0xFF).toHexString}")
     c
@@ -270,6 +272,78 @@ class MySqlServerSpec extends SparkSpec {
       val (_, rows) = query(c3, "SELECT count(*) AS n FROM region")
       assert(rows.head.head.exists(_.toLong > 0))
       c3.close()
+    } finally srv.close()
+  }
+
+  /** Read one TEXT result set whose column-count packet is `first`;
+    * returns (names, rows, final EOF status word). */
+  private def readTextSet(c: Client, first: Array[Byte])
+      : (Seq[String], Seq[Seq[Option[String]]], Int) = {
+    val ncols = new Reader(first).lenencInt().toInt
+    val names = (1 to ncols).map { _ =>
+      val (_, cd) = c.readPacket()
+      val r = new Reader(cd)
+      r.lenencString(); r.lenencString(); r.lenencString(); r.lenencString()
+      r.lenencString()
+    }
+    val (_, eof1) = c.readPacket()
+    assert((eof1(0) & 0xFF) == 0xFE && eof1.length < 9)
+    val rows = Seq.newBuilder[Seq[Option[String]]]
+    var status = 0
+    var done = false
+    while (!done) {
+      val (_, p) = c.readPacket()
+      if ((p(0) & 0xFF) == 0xFE && p.length < 9) {
+        val r = new Reader(p); r.int1(); r.int2(); status = r.int2()
+        done = true
+      } else {
+        val r = new Reader(p)
+        rows += (1 to ncols).map { _ =>
+          if ((p(r.i) & 0xFF) == 0xFB) { r.skip(1); None }
+          else Some(r.lenencString())
+        }
+      }
+    }
+    (names, rows.result(), status)
+  }
+
+  test("multi-statement COM_QUERY streams result sets with MORE_RESULTS transitions") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val MultiCaps = 0x00010000 | 0x00020000 // MULTI_STATEMENTS | MULTI_RESULTS
+      val c = login(srv.port, extraCaps = MultiCaps)
+      c.writePacket(0, Array[Byte](0x03) ++
+        "SET NAMES utf8mb4; SELECT 1 AS a; SELECT 2 AS b".getBytes(UTF_8))
+      // statement 1 (SET) answers OK with SERVER_MORE_RESULTS_EXISTS up
+      val (_, ok) = c.readPacket()
+      assert((ok(0) & 0xFF) == 0x00)
+      val okStatus = {
+        val r = new Reader(ok); r.int1(); r.lenencInt(); r.lenencInt(); r.int2()
+      }
+      assert((okStatus & 0x08) != 0, "MORE_RESULTS after a non-final OK")
+      // statement 2: result set, terminator still carries MORE_RESULTS
+      val (n1, r1, s1) = readTextSet(c, c.readPacket()._2)
+      assert(n1 == Seq("a") && r1 == Seq(Seq(Some("1"))) && (s1 & 0x08) != 0)
+      // statement 3: final result set, the bit drops
+      val (n2, r2, s2) = readTextSet(c, c.readPacket()._2)
+      assert(n2 == Seq("b") && r2 == Seq(Seq(Some("2"))) && (s2 & 0x08) == 0)
+      // an error ENDS the batch: set 1 arrives, ERR follows, statement 3
+      // never runs — and the connection survives
+      c.writePacket(0, Array[Byte](0x03) ++
+        "SELECT 3 AS a; SELECT x FROM not_there; SELECT 4 AS c".getBytes(UTF_8))
+      val (_, ra, sa) = readTextSet(c, c.readPacket()._2)
+      assert(ra == Seq(Seq(Some("3"))) && (sa & 0x08) != 0)
+      val (_, err) = c.readPacket()
+      assert((err(0) & 0xFF) == 0xFF, "batch error surfaces as ERR")
+      assert((simpleCommand(c, 0x0E)(0) & 0xFF) == 0x00, "connection survives")
+      // a NON-multi client's semicolon batch is a single (failing) statement
+      val c2 = login(srv.port)
+      c2.writePacket(0, Array[Byte](0x03) ++
+        "SELECT 1 AS a; SELECT 2 AS b".getBytes(UTF_8))
+      assert((c2.readPacket()._2(0) & 0xFF) == 0xFF,
+        "multi-statement without the capability must not be honored")
+      c2.close()
+      c.close()
     } finally srv.close()
   }
 
