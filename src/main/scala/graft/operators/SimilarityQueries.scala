@@ -114,23 +114,91 @@ object SimilarityQueries extends QueryModule {
     spark.table("embeddings").select($"vec_id", toD($"embedding").as("emb"))
   }
 
+  /** Exact cosine top-5 per probe WITH the rank column (qid, cid, cos, rn)
+    * — q80 surfaces it, q218's recall eval consumes the ranks. Probe side
+    * broadcast; corpus scanned once map-side; the only shuffle is the
+    * per-probe top-k. */
+  private def exactTop5Ranked(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n".as("qn"))
+    val scored = e.join(broadcast(probes), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"),
+        graft.api.Canon.r4(dot($"qemb", $"embedding") / ($"qn" * $"n")).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+  }
+
+  /** Banded sign-LSH ANN top-5 per probe WITH the rank column — q82's
+    * pipeline (equi-join candidates, never a product), shared with q218. */
+  private def annTop5Ranked(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cands = annCandidatesOf(embeddingsD(spark))
+    val scored = cands.select($"qid", $"cid",
+      (round(cosine($"qemb", $"cemb"), 4) + 0).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+  }
+
   /** Exact cosine top-5 per probe — shared by q80 (window formulation) and
     * q84 (UDAF formulation): identical rounding, ranking and tiebreak, so
     * both hash-match this one oracle. Cosine is a free double → rounded with
     * the IEEE floor pattern on both engines (CLAUDE.md ROUND invariant). */
-  private val topkOracleSql =
-    s"""WITH e AS ($withNormSql),
+  private val exactTopCtes =
+    s"""e AS ($withNormSql),
        |s AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
        |         ${graft.api.Canon.Oracle.r4("(list_dot_product(a.emb, b.emb) / (a.n * b.n))")} AS cos
        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
-       |  WHERE a.vec_id < 10)
-       |SELECT qid, cid, cos FROM (
+       |  WHERE a.vec_id < 10),
+       |exranked AS (
        |  SELECT qid, cid, cos,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
-       |  FROM s) t
+       |  FROM s)""".stripMargin
+
+  private val topkOracleSql =
+    s"""WITH $exactTopCtes
+       |SELECT qid, cid, cos FROM exranked
        |WHERE rn <= 5
        |ORDER BY qid, cid""".stripMargin
+
+  /** Oracle CTE chain replaying the whole banded sign-LSH ANN pipeline,
+    * ending `annranked`(qid, cid, cos, rn) — shared by q82 and the q218
+    * recall eval (the SQL twin embeds the plane literals; Double.toString
+    * round-trips exactly). CTE names are `a`-prefixed so the chain composes
+    * with [[exactTopCtes]] in one WITH. */
+  private def annTopCtes: String = {
+    def planeLit(i: Int): String =
+      planes(i).map(_.toString).mkString("[", ", ", "]")
+    def bucketSql(i0: Int): String = (0 until 4).map { r =>
+      s"(CASE WHEN list_dot_product(aemb, ${planeLit(i0 + r)}) > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
+    val corpusSelects = (0 until 4).map { b =>
+      s"SELECT vec_id, aemb, $b AS band, ${bucketSql(b * 4)} AS bucket FROM ae"
+    }.mkString("\nUNION ALL\n")
+    s"""ae AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS aemb FROM embeddings),
+       |banded AS (
+       |$corpusSelects),
+       |aprobes AS (
+       |  SELECT vec_id AS qid, aemb AS qemb, band, xor(bucket, p.x) AS bucket
+       |  FROM banded, (SELECT unnest([0, 1, 2, 4, 8]) AS x) p
+       |  WHERE vec_id < 10),
+       |acands AS (
+       |  SELECT DISTINCT p.qid, c.vec_id AS cid, p.qemb, c.aemb AS cemb
+       |  FROM banded c JOIN aprobes p
+       |    ON c.band = p.band AND c.bucket = p.bucket AND c.vec_id <> p.qid),
+       |ascored AS (
+       |  SELECT qid, cid,
+       |         ROUND(list_dot_product(qemb, cemb) /
+       |               (sqrt(list_dot_product(qemb, qemb)) *
+       |                sqrt(list_dot_product(cemb, cemb))), 4) + 0 AS cos
+       |  FROM acands),
+       |annranked AS (
+       |  SELECT qid, cid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+       |  FROM ascored)""".stripMargin
+  }
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -139,14 +207,7 @@ object SimilarityQueries extends QueryModule {
     // map-side scored; the only shuffle is the per-probe top-k (key = qid).
     q("q80_cosine_topk", topkOracleSql) { spark =>
       import spark.implicits._
-      val e = withNorm(spark)
-      val probes = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n".as("qn"))
-      val scored = e.join(broadcast(probes), $"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id".as("cid"),
-          graft.api.Canon.r4(dot($"qemb", $"embedding") / ($"qn" * $"n")).as("cos"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
-      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      exactTop5Ranked(spark)
         .select($"qid", $"cid", $"cos")
         .orderBy($"qid", $"cid")
     },
@@ -183,47 +244,69 @@ object SimilarityQueries extends QueryModule {
     // constants and the sign/bucket math is exact double arithmetic shared
     // by both engines, so the whole ANN pipeline is oracle-checked (the SQL
     // twin embeds the plane literals — Double.toString round-trips exactly).
-    q("q82_ann_lsh_topk", {
-      def planeLit(i: Int): String =
-        planes(i).map(_.toString).mkString("[", ", ", "]")
-      def bucketSql(i0: Int): String = (0 until 4).map { r =>
-        s"(CASE WHEN list_dot_product(emb, ${planeLit(i0 + r)}) > 0 THEN ${1 << r} ELSE 0 END)"
-      }.mkString(" + ")
-      val corpusSelects = (0 until 4).map { b =>
-        s"SELECT vec_id, emb, $b AS band, ${bucketSql(b * 4)} AS bucket FROM e"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |banded AS (
-         |$corpusSelects),
-         |probes AS (
-         |  SELECT vec_id AS qid, emb AS qemb, band, xor(bucket, p.x) AS bucket
-         |  FROM banded, (SELECT unnest([0, 1, 2, 4, 8]) AS x) p
-         |  WHERE vec_id < 10),
-         |cands AS (
-         |  SELECT DISTINCT p.qid, c.vec_id AS cid, p.qemb, c.emb AS cemb
-         |  FROM banded c JOIN probes p
-         |    ON c.band = p.band AND c.bucket = p.bucket AND c.vec_id <> p.qid),
-         |scored AS (
-         |  SELECT qid, cid,
-         |         ROUND(list_dot_product(qemb, cemb) /
-         |               (sqrt(list_dot_product(qemb, qemb)) *
-         |                sqrt(list_dot_product(cemb, cemb))), 4) + 0 AS cos
-         |  FROM cands)
-         |SELECT qid, cid, cos FROM (
-         |  SELECT qid, cid, cos,
-         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
-         |  FROM scored) t
+    q("q82_ann_lsh_topk",
+      s"""WITH $annTopCtes
+         |SELECT qid, cid, cos FROM annranked
          |WHERE rn <= 5
-         |ORDER BY qid, cid""".stripMargin
-    }) { spark =>
+         |ORDER BY qid, cid""".stripMargin) { spark =>
       import spark.implicits._
-      val cands = annCandidatesOf(embeddingsD(spark))
-      val scored = cands.select($"qid", $"cid",
-        (round(cosine($"qemb", $"cemb"), 4) + 0).as("cos"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
-      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      annTop5Ranked(spark)
         .select($"qid", $"cid", $"cos")
         .orderBy($"qid", $"cid")
+    },
+
+    // ANN quality eval AS AN OPERATOR (the q202 pattern for the vector
+    // path): recall@5 and reciprocal rank of the banded sign-LSH ANN (q82)
+    // against the exact cosine baseline (q80), per probe. Both rankings
+    // are deterministic (fixed in-code hyperplanes, rounded scores, cid
+    // tiebreaks), so unlike the usual randomized-ANN rows-only contract
+    // this eval is FULLY oracle-checked — DuckDB replays both pipelines
+    // and the same join/rollup. rr = 1/first-relevant-rank (0 when the ANN
+    // top-5 misses all true neighbors); recall/rr are exact small-integer
+    // ratios, floor-surfaced. Scale: both sides are the production top-k
+    // pipelines; the eval itself joins two ≤5·|probes|-row relations.
+    q("q218_ann_recall_eval",
+      s"""WITH $exactTopCtes,
+         |$annTopCtes,
+         |ex AS (SELECT qid, cid FROM exranked WHERE rn <= 5),
+         |an AS (SELECT qid, cid, rn AS rb FROM annranked WHERE rn <= 5),
+         |j AS (
+         |  SELECT an.qid, an.rb,
+         |         CASE WHEN ex.cid IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM an LEFT JOIN ex ON ex.qid = an.qid AND ex.cid = an.cid),
+         |per AS (
+         |  SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits,
+         |         MIN(CASE WHEN rel = 1 THEN rb END) AS fr
+         |  FROM j GROUP BY qid),
+         |qs AS (SELECT DISTINCT qid FROM ex)
+         |SELECT q.qid,
+         |  CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+         |  floor(CAST(COALESCE(p.n_hits, 0) AS DOUBLE) * 10000 / 5 + 0.5)
+         |    / 10000 AS recall5,
+         |  CAST(COALESCE(p.fr, 0) AS BIGINT) AS first_rel_rank,
+         |  CASE WHEN p.fr IS NULL THEN 0e0
+         |       ELSE floor(1e0 / p.fr * 1000000 + 0.5) / 1000000 END AS rr
+         |FROM qs q LEFT JOIN per p ON p.qid = q.qid
+         |ORDER BY q.qid""".stripMargin) { spark =>
+      import spark.implicits._
+      val ex = exactTop5Ranked(spark).select($"qid", $"cid", lit(1).as("rel"))
+      val an = annTop5Ranked(spark).select($"qid", $"cid", $"rn".as("rb"))
+      val per = an.join(ex, Seq("qid", "cid"), "left")
+        .select($"qid", $"rb", coalesce($"rel", lit(0)).as("rel"))
+        .groupBy($"qid")
+        .agg(sum($"rel").cast(LongType).as("n_hits"),
+          min(when($"rel" === 1, $"rb")).as("fr"))
+      ex.select($"qid").distinct()
+        .join(per, Seq("qid"), "left")
+        .select($"qid",
+          coalesce($"n_hits", lit(0L)).cast(LongType).as("n_hits"),
+          (floor(coalesce($"n_hits", lit(0L)).cast(DoubleType) * 10000 / 5
+            + 0.5) / 10000).as("recall5"),
+          coalesce($"fr", lit(0)).cast(LongType).as("first_rel_rank"),
+          when($"fr".isNull, lit(0.0))
+            .otherwise(floor(lit(1.0) / $"fr" * 1000000 + 0.5) / 1000000)
+            .as("rr"))
+        .orderBy($"qid")
     },
 
     // Exact top-5 again, but through the typed Aggregator UDAF instead of a
