@@ -331,6 +331,114 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
+    // Semantic (topic-shift) chunking — the RAG-era VARIABLE-boundary
+    // segmenter, vs q65b's fixed 150-char stride: a boundary is cut after
+    // token i where the Jaccard distance between the adjacent 5-token
+    // windows is ≥ 0.9 (cohesive/repetitive spans score low and stay
+    // uncut), subject to a greedy 20-token minimum chunk length — the
+    // TextTiling-family lexical-cohesion recipe as a relational operator.
+    // Determinism: window sets are exact (distinct-token intersections/
+    // unions — integer sizes, one double division, identical spelling both
+    // engines); greedy keep is an ascending left fold. ORACLE HAZARD
+    // (new CLAUDE.md entry): DuckDB 1.0 list_reduce with a DATA-DEPENDENT
+    // passthrough lambda (CASE … ELSE acc) over variable-length lists is
+    // corrupted under vectorized multi-row evaluation — the same row folds
+    // correctly alone and wrongly in a batch, for VARCHAR, struct, and
+    // even plain BIGINT accumulators (8/500 rows wrong here; the repo's
+    // safe uses are unconditional arithmetic folds or equal-length
+    // lists). The oracle therefore spells the greedy selection as the
+    // q198-style RECURSIVE CTE (immutable rows: each round keeps the
+    // minimal candidate ≥ last + gap via NOT EXISTS); the Spark side
+    // keeps the clean single-pass struct fold (functional, no hazard).
+    // Scale: everything is per-doc bounded map-side work (O(n·w) per
+    // doc), one ×chunks explode; no shuffle except the output sort.
+    q("q219_semantic_chunking",
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |cd AS (
+        |  SELECT doc_id, n,
+        |    list_filter(list_transform(range(1, n - 9 + 1), j -> j + 4),
+        |      i -> 1e0 -
+        |        CAST(len(list_intersect(list_distinct(toks[i-4:i]),
+        |                                list_distinct(toks[i+1:i+5])))
+        |             AS DOUBLE) /
+        |        len(list_distinct(list_concat(list_distinct(toks[i-4:i]),
+        |                                      list_distinct(toks[i+1:i+5]))))
+        |        >= 0.9e0) AS cands
+        |  FROM tk),
+        |cl AS (SELECT doc_id, unnest(cands) AS i FROM cd),
+        |sel AS (
+        |  SELECT c.doc_id, c.i AS k FROM cl c
+        |  WHERE c.i >= 20 AND NOT EXISTS (
+        |    SELECT 1 FROM cl c2
+        |    WHERE c2.doc_id = c.doc_id AND c2.i >= 20 AND c2.i < c.i)
+        |  UNION ALL
+        |  SELECT c.doc_id, c.i FROM sel s JOIN cl c
+        |    ON c.doc_id = s.doc_id AND c.i >= s.k + 20
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cl c2
+        |    WHERE c2.doc_id = c.doc_id AND c2.i >= s.k + 20 AND c2.i < c.i)),
+        |kk AS (SELECT doc_id, list_sort(list(k)) AS ks FROM sel
+        |       GROUP BY doc_id),
+        |ks AS (
+        |  SELECT cd.doc_id, cd.n,
+        |         COALESCE(kk.ks, CAST([] AS BIGINT[])) AS ks
+        |  FROM cd LEFT JOIN kk ON kk.doc_id = cd.doc_id),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ks) + 2),
+        |      ci -> struct_pack(
+        |        ci := CAST(ci AS BIGINT),
+        |        s := CASE WHEN ci = 1 THEN CAST(1 AS BIGINT)
+        |                  ELSE ks[CAST(ci AS INT) - 1] + 1 END,
+        |        e := CASE WHEN ci = len(ks) + 1 THEN n
+        |                  ELSE ks[CAST(ci AS INT)] END))) AS c
+        |  FROM ks)
+        |SELECT doc_id, c.ci AS chunk_idx, c.s AS start_tok, c.e AS end_tok,
+        |       CAST(c.e - c.s + 1 AS BIGINT) AS n_toks
+        |FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { spark =>
+      import spark.implicits._
+      val w = 5
+      val gap = 20
+      val base = Tables.spread(spark.table("documents"))
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").as("n"))
+      val cands = base.select($"doc_id", $"n",
+        filter(
+          transform(Canon.seq1($"n" - (2 * w - 1)), j => j + (w - 1)),
+          i => {
+            val prev = array_distinct(slice($"toks", i - (w - 1), lit(w)))
+            val nxt = array_distinct(slice($"toks", i + 1, lit(w)))
+            (lit(1.0) -
+              size(array_intersect(prev, nxt)).cast(DoubleType) /
+                size(array_union(prev, nxt))) >= lit(0.9)
+          }).as("cands"))
+      val kept = cands.select($"doc_id", $"n",
+        aggregate($"cands",
+          struct(lit(0).as("last"),
+            array().cast(ArrayType(IntegerType)).as("ks")),
+          (acc, i) => {
+            val keep = i - acc.getField("last") >= gap
+            struct(
+              when(keep, i).otherwise(acc.getField("last")).as("last"),
+              when(keep, concat(acc.getField("ks"), array(i)))
+                .otherwise(acc.getField("ks")).as("ks"))
+          }).getField("ks").as("ks"))
+      kept.select($"doc_id",
+          posexplode(zip_with(
+            concat(array(lit(1)), transform($"ks", k => k + 1)),
+            concat($"ks", array($"n")),
+            (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("ci", "c")))
+        .select($"doc_id", ($"ci" + 1).cast(LongType).as("chunk_idx"),
+          $"c.s".cast(LongType).as("start_tok"),
+          $"c.e".cast(LongType).as("end_tok"),
+          ($"c.e" - $"c.s" + 1).cast(LongType).as("n_toks"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // Document fingerprinting: raw md5 + an order/multiplicity-insensitive
     // canonical fingerprint (md5 of the sorted distinct token set — the
     // OpenRefine "fingerprint" method). md5 spells identically both engines.
