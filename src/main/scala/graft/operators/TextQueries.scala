@@ -1664,6 +1664,39 @@ object TextQueries extends QueryModule {
       langidPredictions(spark).orderBy($"doc_id")
     },
 
+    // Classifier CALIBRATION curve (reliability diagram) for the q150
+    // language-ID scores — the trust audit behind every score-thresholded
+    // gate: bucket predictions by confidence (score div 100) and compare
+    // each bucket's EMPIRICAL accuracy against its mean score; a
+    // well-ordered curve (accuracy rising with score) is what licenses
+    // using the score as a filter knob. Integer counts and integer score
+    // sums; the two surfaced ratios are floor-r4 over exact integers —
+    // fully hash-checked. Scale: q150's shapes plus one |bins|-bounded
+    // rollup.
+    q("q220_langid_calibration",
+      s"""WITH pred AS ($langidOracleSql)
+         |SELECT score // 100 AS score_bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  floor(CAST(SUM(score) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+         |    / 10000 AS mean_score,
+         |  floor(CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+         |    AS accuracy
+         |FROM pred
+         |GROUP BY score_bin
+         |ORDER BY score_bin""".stripMargin) { spark =>
+      import spark.implicits._
+      langidPredictions(spark)
+        .groupBy(expr("score div 100").as("score_bin"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          (floor(sum($"score").cast(DoubleType) / count(lit(1))
+            * 10000 + 0.5) / 10000).as("mean_score"),
+          (floor(sum(when($"lang_pred" === $"lang", 1).otherwise(0))
+            .cast(DoubleType) / count(lit(1)) * 10000 + 0.5) / 10000)
+            .as("accuracy"))
+        .orderBy($"score_bin")
+    },
+
     // Language-ID confusion matrix (the label-quality audit: where does
     // the q150 classifier disagree with the labeled lang, and is the
     // label or the classifier wrong?). Exactly q150's prediction relation
