@@ -579,6 +579,37 @@ class MySqlServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("two concurrent wire connections: isolated sessions, PROCESSLIST, cross-KILL") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c1 = login(srv.port, "prod.alice")
+      val c2 = login(srv.port, "prod.bob")
+      // each connection has its own engine session: session vars isolate
+      query(c1, "SET NAMES utf8mb4 COLLATE utf8mb4_general_ci")
+      val (_, v2) = query(c2, "SHOW VARIABLES LIKE 'collation_connection'")
+      assert(v2 == Seq(Seq(Some("collation_connection"), Some("utf8mb4_bin"))),
+        "c1's SET must not leak into c2's session")
+      // CONNECTION_ID() answers the ENGINE session id (the gateway split:
+      // its greeting carries the front-end counter, function results come
+      // from the routed backend)
+      val (_, idRows) = query(c1, "SELECT CONNECTION_ID() AS id")
+      val c1id = idRows.head.head.get.toLong
+      // both connections visible to SHOW PROCESSLIST with their programs
+      val (_, pl) = query(c2, "SHOW PROCESSLIST")
+      assert(pl.exists(_.head.contains(c1id.toString)),
+        s"c1 (id $c1id) missing from processlist: $pl")
+      assert(pl.size >= 2)
+      // cross-connection KILL QUERY: answers OK on c2, cancels only c1's
+      // job group — both connections stay usable afterwards
+      val (kc, kr) = query(c2, s"KILL QUERY $c1id")
+      assert(kc.isEmpty && kr.isEmpty, "KILL answers a bare OK")
+      val (_, alive1) = query(c1, "SELECT 1 AS ok")
+      val (_, alive2) = query(c2, "SELECT 1 AS ok")
+      assert(alive1 == Seq(Seq(Some("1"))) && alive2 == Seq(Seq(Some("1"))))
+      c1.close(); c2.close()
+    } finally srv.close()
+  }
+
   test("oversize result splits at the 2^24-1 packet boundary and reassembles") {
     val srv = MySqlServer.start(spark, backends, databases)
     try {
