@@ -85,6 +85,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q219 semantic chunks partition every doc and respect the min length") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val got = queries("q219_semantic_chunking")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = spark.table("documents").select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length == got.size, "every doc must chunk")
+    docs.foreach { case (d, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val n = toks.length
+      // brute-force replay of the boundary rule + greedy keep
+      val cands = (5 to n - 5).filter { i =>
+        val prev = toks.slice(i - 5, i).toSet
+        val nxt = toks.slice(i, i + 5).toSet
+        1.0 - prev.intersect(nxt).size.toDouble / prev.union(nxt).size >= 0.9
+      }
+      var last = 0L
+      val kept = cands.foldLeft(Vector.empty[Long]) { (ks, i) =>
+        if (i - last >= 20) { last = i; ks :+ i.toLong } else ks
+      }
+      val expect = (1L +: kept.map(_ + 1))
+        .zip(kept :+ n.toLong)
+        .zipWithIndex
+        .map { case ((s, e), ci) => (d, ci + 1L, s, e, e - s + 1) }
+      assert(got(d).toSeq == expect, s"doc $d: ${got(d).toSeq} vs $expect")
+      // invariants: chunks PARTITION [1..n]; interior chunks ≥ 20 tokens
+      val ch = got(d).toSeq
+      assert(ch.head._3 == 1 && ch.last._4 == n)
+      ch.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._4 + 1, s"gap in doc $d")
+        case _ => ()
+      }
+      ch.dropRight(1).foreach(c => assert(c._5 >= 20, s"short interior chunk in $d"))
+    }
+  }
+
   test("q112 fold-bound regime: fixture per-user event counts stay modest") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
