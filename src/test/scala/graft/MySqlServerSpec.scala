@@ -579,6 +579,33 @@ class MySqlServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("malformed and unknown packets answer ERR and the connection survives") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      // unknown command byte → MySQL's 1047 ER_UNKNOWN_COM_ERROR shape
+      c.writePacket(0, Array[Byte](0x63))
+      val (_, unk) = c.readPacket()
+      val r = new Reader(unk)
+      assert(r.int1() == 0xFF && r.int2() == 1047)
+      // a TRUNCATED COM_STMT_EXECUTE (valid stmt id, payload cut mid-way)
+      // must answer an ERR, not kill the connection
+      val (sid, _) = stmtPrepare(c, "SELECT ? AS v")
+      val b = new ByteArrayOutputStream()
+      b.write(0x17)
+      (0 until 4).foreach(j => b.write(((sid >>> (8 * j)) & 0xFF).toInt))
+      b.write(0) // flags — and then nothing: iteration count + params missing
+      c.writePacket(0, b.toByteArray)
+      val (_, err) = c.readPacket()
+      assert((err(0) & 0xFF) == 0xFF, "truncated execute must be an ERR")
+      // the connection and even the statement handle still work
+      val (_, _, rows, _) = stmtExecute(c, sid,
+        Seq(BParam(0x08, Some(le8(7L)))))
+      assert(rows == Seq(Seq(Some(7L))))
+      c.close()
+    } finally srv.close()
+  }
+
   test("two concurrent wire connections: isolated sessions, PROCESSLIST, cross-KILL") {
     val srv = MySqlServer.start(spark, backends, databases)
     try {
