@@ -498,6 +498,96 @@ object DedupQueries extends QueryModule {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Duplicate-span ALIGNMENT — the evidence op behind a dedup decision
+    // (the audit a pipeline runs before mass-dropping: WHERE do these two
+    // candidates actually overlap?): for every q73 MinHash candidate pair,
+    // the longest shared token span and its start offset in each document.
+    // Shared positional 8-grams (q124's occ relation) matched on digest
+    // form diagonals (pa − pb); a maximal run of consecutive matches on
+    // one diagonal is a shared span of run + 7 tokens — the classic
+    // gaps-and-islands grouping (pa − ROW_NUMBER over the diagonal), all
+    // integers, fully hash-checked. A band-collision FALSE POSITIVE
+    // (no shared 8-gram) surfaces as span 0 — exactly what the audit is
+    // for. Scale: matches are digest-keyed equi-joins over the
+    // LSH-capped pair set (per-pair volume ∝ shared-gram occurrences,
+    // never len_a × len_b); windows partition by (pair, diagonal).
+    q("q221_dupspan_align", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""$dupspanOccSql,
+         |sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |m AS (
+         |  SELECT p.id_a, p.id_b, oa.pos AS pa, ob.pos AS pb
+         |  FROM pairs p
+         |  JOIN occ oa ON oa.doc_id = p.id_a
+         |  JOIN occ ob ON ob.doc_id = p.id_b AND ob.h = oa.h),
+         |d AS (
+         |  SELECT id_a, id_b, pa, pb,
+         |         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb
+         |                                 ORDER BY pa) AS grp,
+         |         pa - pb AS diag
+         |  FROM m),
+         |runs AS (
+         |  SELECT id_a, id_b,
+         |         CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens,
+         |         CAST(MIN(pa) AS BIGINT) AS a_start,
+         |         CAST(MIN(pb) AS BIGINT) AS b_start
+         |  FROM d GROUP BY id_a, id_b, diag, grp),
+         |best AS (
+         |  SELECT id_a, id_b, span_tokens, a_start, b_start,
+         |         ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+         |           ORDER BY span_tokens DESC, a_start, b_start) AS rn
+         |  FROM runs)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(COALESCE(b.span_tokens, 0) AS BIGINT) AS span_tokens,
+         |  CAST(COALESCE(b.a_start, 0) AS BIGINT) AS a_start,
+         |  CAST(COALESCE(b.b_start, 0) AS BIGINT) AS b_start
+         |FROM pairs p LEFT JOIN best b
+         |  ON b.id_a = p.id_a AND b.id_b = p.id_b AND b.rn = 1
+         |ORDER BY p.id_a, p.id_b""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val bandStructs = array((0 until 4).map { b =>
+        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
+        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
+      }: _*)
+      val pairs = bandPairs(spark, bandStructs).localCheckpoint()
+      val occ = dupspanOcc(spark.table("documents"))
+        .localCheckpoint() // joined as BOTH pair sides
+      val oa = occ.select($"doc_id".as("id_a"), $"pos".as("pa"), $"h")
+      val ob = occ.select($"doc_id".as("oid_b"), $"pos".as("pb"),
+        $"h".as("hb"))
+      val m = pairs.join(oa, Seq("id_a"))
+        .join(ob, $"id_b" === $"oid_b" && $"h" === $"hb")
+        .select($"id_a", $"id_b", $"pa", $"pb")
+      val wDiag = Window.partitionBy($"id_a", $"id_b", $"diag").orderBy($"pa")
+      val runs = m.withColumn("diag", $"pa" - $"pb")
+        .withColumn("grp", $"pa" - row_number().over(wDiag))
+        .groupBy($"id_a", $"id_b", $"diag", $"grp")
+        .agg((count(lit(1)) + 7).cast(LongType).as("span_tokens"),
+          min($"pa").cast(LongType).as("a_start"),
+          min($"pb").cast(LongType).as("b_start"))
+      val wBest = Window.partitionBy($"id_a", $"id_b")
+        .orderBy($"span_tokens".desc, $"a_start".asc, $"b_start".asc)
+      val best = runs.withColumn("rn", row_number().over(wBest))
+        .filter($"rn" === 1)
+        .select($"id_a", $"id_b", $"span_tokens", $"a_start", $"b_start")
+      pairs.join(best, Seq("id_a", "id_b"), "left")
+        .select($"id_a", $"id_b",
+          coalesce($"span_tokens", lit(0L)).as("span_tokens"),
+          coalesce($"a_start", lit(0L)).as("a_start"),
+          coalesce($"b_start", lit(0L)).as("b_start"))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // End-to-end near-dup dedup: LSH candidate pairs → greedy keep-first
     // survivor set (a document is dropped iff some smaller-id document
     // shares a band bucket — one anti-join). At 100 TB the pair graph's
