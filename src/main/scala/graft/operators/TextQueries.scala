@@ -214,6 +214,51 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Exact-periodicity loop detector — the degenerate-GENERATION failure
+    // mode ("ab ab ab ab…", k-token copy loops) that q118's fuzzy dup-gram
+    // fractions and q64b's token-share both under-report: for each period
+    // p ≤ 8, the fraction of positions with t[i] == t[i+p]; the best
+    // (highest-fraction, smallest-p tiebreak) period gates at ≥ 0.9.
+    // Determinism: match counts are exact integers; frac = count/(n−p) is
+    // one integer-derived double division with identical bits cross-engine
+    // (ranked raw, surfaced r4-floored). p ranges only over 1..min(8, n−1)
+    // so n ≤ 1 docs have NO candidate rows — the left join keeps them with
+    // the (0, 0, not-loopy) default instead of dropping them (the q202
+    // degenerate-corpus rule). Scale: O(8·n) map-side work per doc, one
+    // doc_id-partitioned rank window, one left join back.
+    q("q222_periodicity",
+      s"""WITH tk AS (
+         |  SELECT doc_id, $tokSql AS toks,
+         |         CAST(len($tokSql) AS BIGINT) AS n
+         |  FROM documents),
+         |pf AS (
+         |  SELECT doc_id, n, unnest(range(1, least(8, n - 1) + 1)) AS p
+         |  FROM tk),
+         |fr AS (
+         |  SELECT f.doc_id, f.p,
+         |    CAST(len(list_filter(range(1, f.n - f.p + 1),
+         |           i -> t.toks[CAST(i AS INT)] =
+         |                t.toks[CAST(i + f.p AS INT)])) AS DOUBLE)
+         |      / (f.n - f.p) AS frac
+         |  FROM pf f JOIN tk t USING (doc_id)),
+         |best AS (
+         |  SELECT doc_id, p, frac,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY frac DESC, p) AS rn
+         |  FROM fr)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(b.p, 0) AS BIGINT) AS best_period,
+         |  floor(COALESCE(b.frac, 0e0) * 10000 + 0.5) / 10000
+         |    AS period_frac,
+         |  CAST(CASE WHEN COALESCE(b.frac, 0e0) >= 0.9e0 THEN 1 ELSE 0 END
+         |       AS INT) AS is_loopy
+         |FROM documents d
+         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      periodicityOf(spark.table("documents")).orderBy($"doc_id")
+    },
+
     // Repetition quality filter: most-frequent-token share per document —
     // the boilerplate/degenerate-text detector that complements q64's
     // length/stopword heuristics. explode → per-(doc, token) count →
@@ -2705,6 +2750,34 @@ object TextQueries extends QueryModule {
             / count(lit(1)) * 10000 + 0.5) / 10000).as("mean_h"))
         .orderBy($"source")
     })
+
+  /** q222's periodicity report over any (doc_id, text) frame — exposed so
+    * the spec can prove the gate FIRES on synthetic loops (the fixture's
+    * natural text never trips it). */
+  private[graft] def periodicityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tk = Tables.spread(docs)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("n"))
+    val fr = tk
+      .select($"doc_id", $"toks", $"n",
+        explode(Canon.seq1(least(lit(8), $"n" - 1))).as("p"))
+      .select($"doc_id", $"p",
+        (size(filter(Canon.seq1($"n" - $"p"), i =>
+          element_at($"toks", i) === element_at($"toks", i + $"p")))
+          .cast(DoubleType) / ($"n" - $"p")).as("frac"))
+    val w = Window.partitionBy($"doc_id").orderBy($"frac".desc, $"p".asc)
+    val best = fr.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"doc_id", $"p", $"frac")
+    docs.select($"doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"p", lit(0)).cast(LongType).as("best_period"),
+        (floor(coalesce($"frac", lit(0.0)) * 10000 + 0.5) / 10000)
+          .as("period_frac"),
+        when(coalesce($"frac", lit(0.0)) >= 0.9, 1).otherwise(0)
+          .cast(IntegerType).as("is_loopy"))
+  }
 
   /** q150/q206's shared prediction relation (doc_id, lang, lang_pred,
     * score): Cavnar-Trenkle rank profiles (top-40 trigrams per language,

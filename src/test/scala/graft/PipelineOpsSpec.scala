@@ -124,6 +124,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q222 periodicity gate fires on synthetic loops, stays quiet on noise") {
+    import spark.implicits._
+    import graft.operators.TextQueries
+    val docs = Seq(
+      (0L, Seq.fill(30)("ab cd").mkString(" ")), // pure period-2 loop
+      (1L, (1 to 60).map(i => s"w$i").mkString(" ")), // all-distinct noise
+      (2L, ("x " * 40).trim), // period-1 loop
+      (3L, "solo"), // n = 1: no candidate periods → default row
+      (4L, (Seq.fill(27)("r s t").mkString(" ") + " q q q q q q q q q"))
+    ).toDF("doc_id", "text")
+    val got = TextQueries.periodicityOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(got(0L) == ((2L, 1.0, 1)), s"period-2 loop: ${got(0L)}")
+    assert(got(2L) == ((1L, 1.0, 1)), s"period-1 loop: ${got(2L)}")
+    assert(got(1L)._3 == 0 && got(1L)._2 == 0.0, s"noise: ${got(1L)}")
+    assert(got(3L) == ((0L, 0.0, 0)), "single-token doc keeps the default row")
+    // doc 4 is period-3 up front with a tail — loopy but not perfect
+    assert(got(4L)._1 == 3L && got(4L)._2 > 0.8, s"mixed: ${got(4L)}")
+    assert(got.size == 5)
+  }
+
   test("q112 fold-bound regime: fixture per-user event counts stay modest") {
     import spark.implicits._
     graft.sources.Tables.register(spark, sf)
