@@ -119,7 +119,12 @@ class QueriesSmokeSpec extends SparkSpec {
       "q198_holt_forecast",
       // q204/q205: chunked two-phase prefix ranks must match the global
       // order under any partitioning; q203: zipWithIndex global sequence
-      "q204_ks_test", "q205_gini_revenue", "q203_epoch_shuffle")
+      "q204_ks_test", "q205_gini_revenue", "q203_epoch_shuffle",
+      // r09 additions with fold/rank arguments: q217/q218 integer rank
+      // fusion over two TakeOrdered cuts; q219 per-doc greedy fold;
+      // q221 diagonal islands over digest joins
+      "q217_rrf_fusion", "q218_ann_recall_eval", "q219_semantic_chunking",
+      "q221_dupspan_align")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
