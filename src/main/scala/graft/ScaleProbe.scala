@@ -144,6 +144,10 @@ object ScaleProbe {
         "tfidf" -> DedupQueries.tfidfPostingPairRows(docs,
           DedupQueries.hotShingleDfCap).count(),
         "dupspan" -> DedupQueries.dupspanDupOccurrences(docs).count(),
+        // q221 path: digest-matched alignment rows over the salted/capped
+        // LSH pair set — constant matches per near-dup pair ⇒ linear total
+        "align" -> DedupQueries.dupspanAlignMatchesOf(docs,
+          DedupQueries.defaultBucketCap).count(),
         // q207 path: CDC chunk count — mean chunk size is a constant of
         // the chunker's mask/min/max knobs, so chunks track total payload
         // BYTES (growth ≈ size ratio), independent of duplication
@@ -186,7 +190,7 @@ object ScaleProbe {
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
       "semdedup", "meanfold", "containment", "tfidf", "cdc", "dupspan",
-      "winnow", "basket", "trigram", "bitmap", "linkage", "stitch")
+      "align", "winnow", "basket", "trigram", "bitmap", "linkage", "stitch")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

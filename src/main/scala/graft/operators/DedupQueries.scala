@@ -2030,6 +2030,25 @@ object DedupQueries extends QueryModule {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
   }
 
+  /** q221's alignment work set over any (doc_id, text) frame, in the
+    * 100 TB shape (salted/capped LSH pairs instead of q73's raw fixture
+    * path): the digest-matched position rows the diagonal islands group.
+    * Per-pair volume ∝ shared 8-gram occurrences — near-dup clusters of
+    * constant size contribute constant matches per pair, so the total
+    * tracks the corpus linearly (ScaleProbe's `align` line measures it). */
+  private[graft] def dupspanAlignMatchesOf(docs: DataFrame, cap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = saltedBucketPairs(minhashBandRowsOf(docs), cap)
+      .localCheckpoint()
+    val occ = dupspanOcc(docs).localCheckpoint()
+    val oa = occ.select($"doc_id".as("id_a"), $"pos".as("pa"), $"h")
+    val ob = occ.select($"doc_id".as("oid_b"), $"pos".as("pb"),
+      $"h".as("hb"))
+    pairs.join(oa, Seq("id_a"))
+      .join(ob, $"id_b" === $"oid_b" && $"h" === $"hb")
+      .select($"id_a", $"id_b", $"pa", $"pb")
+  }
+
   /** Occurrences of corpus-repeated 8-grams — q124/q124b's work set and the
     * quantity ScaleProbe tracks for growth (carries `cnt` for the keeper
     * cap). Linear by construction: the count aggregate is map-side
