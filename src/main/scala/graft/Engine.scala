@@ -398,6 +398,14 @@ object Engine {
     private[graft] def statement(handle: Long): Option[PreparedStatement] =
       stmts.get(handle)
 
+    /** Per-STATEMENT cursor liveness — the wire front-end's COM_STMT_FETCH
+      * status word must report the FETCHED statement's cursor, not the
+      * session-level [[statusFlags]] bit that tracks only the most recently
+      * opened stream (two open cursors would otherwise never show
+      * LAST_ROW_SENT for the first one drained). */
+    private[graft] def cursorHasNext(handle: Long): Option[Boolean] =
+      stmtCursors.get(handle).map(_.hasNext)
+
     /** COM_QUIT analog: cancel in-flight work and leave the processlist
       * (temp views die with the session wrapper). */
     def close(): Unit = {

@@ -555,11 +555,7 @@ object DedupQueries extends QueryModule {
          |ORDER BY p.id_a, p.id_b""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val bandStructs = array((0 until 4).map { b =>
-        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
-        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
-      }: _*)
-      val pairs = bandPairs(spark, bandStructs).localCheckpoint()
+      val pairs = bandPairs(spark, minhashBandStructs).localCheckpoint()
       val occ = dupspanOcc(spark.table("documents"))
         .localCheckpoint() // joined as BOTH pair sides
       val oa = occ.select($"doc_id".as("id_a"), $"pos".as("pa"), $"h")

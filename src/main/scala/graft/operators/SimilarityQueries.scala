@@ -1570,9 +1570,15 @@ object SimilarityQueries extends QueryModule {
     (SparkSession, String, String), DataFrame]
 
   private def memoTrained(spark: SparkSession, kind: String)(
-      train: => DataFrame): DataFrame =
-    trainedMemo.computeIfAbsent((spark, Tables.boundDir(spark), kind),
+      train: => DataFrame): DataFrame = {
+    val dir = Tables.boundDir(spark)
+    // unbound session (caller registered views directly, no Tables.register):
+    // there is no safe cache key — train fresh instead of caching under ""
+    // and silently serving stale artifacts after a view swap
+    if (dir.isEmpty) train.localCheckpoint()
+    else trainedMemo.computeIfAbsent((spark, dir, kind),
       _ => train.localCheckpoint())
+  }
 
   /** Deterministic k-means centroids (cl, cemb): md5-order init over the
     * [[initSampleLt]] hash pre-sample + ivfIters Lloyd rounds with

@@ -250,10 +250,16 @@ final class MySqlServer private (listener: ServerSocket,
   @volatile private var running = true
   private val threadIds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Live client sockets — closed by [[close]] so shutdown actually ends
+    * established connections, not just the accept loop. */
+  private val conns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
   private val acceptor = new Thread(() => {
     while (running) {
       try {
         val sock = listener.accept()
+        conns.add(sock)
         val t = new Thread(() => serve(sock, threadIds.incrementAndGet()),
           s"graft-mysql-conn-${threadIds.get}")
         t.setDaemon(true)
@@ -266,7 +272,12 @@ final class MySqlServer private (listener: ServerSocket,
   acceptor.setDaemon(true)
   acceptor.start()
 
-  def close(): Unit = { running = false; listener.close() }
+  def close(): Unit = {
+    running = false
+    listener.close()
+    conns.forEach { s => try s.close() catch { case _: Exception => () } }
+    conns.clear()
+  }
 
   // ---- packet framing ------------------------------------------------------
 
@@ -283,17 +294,22 @@ final class MySqlServer private (listener: ServerSocket,
 
   /** Read one logical packet, reassembling the 2²⁴−1 split: a chunk of
     * exactly MaxPayload bytes is ALWAYS followed by a continuation (possibly
-    * empty) — /root/reference/mysql/conn.go:150-197's inbound rule. */
-  private def readPacket(in: InputStream): Array[Byte] = {
+    * empty) — /root/reference/mysql/conn.go:150-197's inbound rule. Returns
+    * (payload, last chunk's sequence id): a multi-chunk command consumes
+    * several sequence ids and the response must continue AFTER the last
+    * one, not restart at 1. */
+  private def readPacket(in: InputStream): (Array[Byte], Int) = {
     val out = new ByteArrayOutputStream(64)
     var continueRead = true
+    var seq = 0
     while (continueRead) {
       val h = readFully(in, 4)
       val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+      seq = h(3) & 0xFF
       if (len > 0) out.write(readFully(in, len), 0, len)
       continueRead = len == MaxPayload
     }
-    out.toByteArray
+    (out.toByteArray, seq)
   }
 
   /** Write one logical packet split at MaxPayload (exact-boundary payloads
@@ -481,16 +497,23 @@ final class MySqlServer private (listener: ServerSocket,
   }
 
   /** Column metadata + EOF for a binary result set (shared by the execute
-    * and cursor-open responses); returns the next sequence id. */
-  private def writeColumnBlock(out: OutputStream, seq0: Int,
-      schema: StructType, status: Int): Int = {
-    var seq = writePacket(out, seq0,
+    * and cursor-open responses); advances the caller's sequence cursor. */
+  private def writeColumnBlock(out: OutputStream, sr: SeqRef,
+      schema: StructType, status: Int): Unit = {
+    sr.v = writePacket(out, sr.v,
       new Payload().lenencInt(schema.length.toLong).result())
-    schema.fields.foreach { f => seq = writePacket(out, seq, columnDefPayload(f)) }
-    writePacket(out, seq, eofPayload(status))
+    schema.fields.foreach { f =>
+      sr.v = writePacket(out, sr.v, columnDefPayload(f))
+    }
+    sr.v = writePacket(out, sr.v, eofPayload(status))
   }
 
   // ---- the per-connection protocol loop ------------------------------------
+
+  /** Mutable sequence-id cursor threaded through a response so an error
+    * thrown MID-result-set can write its ERR at the CURRENT sequence id —
+    * an ERR at a stale id is a packets-out-of-order kill on real clients. */
+  private final class SeqRef(var v: Int)
 
   private def serve(sock: Socket, threadId: Long): Unit = {
     sock.setTcpNoDelay(true)
@@ -500,12 +523,12 @@ final class MySqlServer private (listener: ServerSocket,
     try {
       writePacket(out, 0, handshakePayload(threadId))
       out.flush()
-      val resp = readPacket(in)
+      val (resp, respSeq) = readPacket(in)
       val hello =
         try parseHandshakeResponse(resp)
         catch {
           case e: Engine.EngineError =>
-            writePacket(out, 2, errPayload(e)); out.flush(); return
+            writePacket(out, respSeq + 1, errPayload(e)); out.flush(); return
         }
       // handshake-username routing: split at the FIRST '.' like the
       // reference (gateway.go:253-259); bad cluster/db → ERR, close
@@ -519,9 +542,9 @@ final class MySqlServer private (listener: ServerSocket,
             user, hello.attrs)
         } catch {
           case e: Engine.EngineError =>
-            writePacket(out, 2, errPayload(e)); out.flush(); return
+            writePacket(out, respSeq + 1, errPayload(e)); out.flush(); return
         }
-      writePacket(out, 2, okPayload(session.statusFlags))
+      writePacket(out, respSeq + 1, okPayload(session.statusFlags))
       out.flush()
       // binary prepared-statement wire state: execute-time schema per
       // statement (cursor fetches re-use it), last bound parameter types
@@ -536,45 +559,65 @@ final class MySqlServer private (listener: ServerSocket,
         session.statement(sid).getOrElse(throw Engine.EngineError(1243, "HY000",
           s"Unknown prepared statement handler ($sid)"))
 
+      /** Session status word with the cursor bits replaced by the named
+        * STATEMENT's cursor state — the fetch/cursor-open responses must
+        * report their own cursor, not the last-opened stream's. */
+      def cursorStatus(sid: Long): Int = {
+        val base = session.statusFlags &
+          ~(Engine.Status.CursorExists | Engine.Status.LastRowSent)
+        session.cursorHasNext(sid) match {
+          case Some(true) => base | Engine.Status.CursorExists
+          case Some(false) => base | Engine.Status.LastRowSent
+          case None => base
+        }
+      }
+
       var open = true
       while (open) {
-        val cmd = readPacket(in)
+        val (cmd, cmdSeq) = readPacket(in)
         if (cmd.isEmpty) throw new EOFException
+        // a multi-chunk (≥ 2²⁴−1) command consumes several sequence ids;
+        // the response continues AFTER the last inbound one
+        val base = (cmdSeq + 1) & 0xFF
         def tail = new String(cmd, 1, cmd.length - 1, UTF_8)
         (cmd(0) & 0xFF) match {
           case ComQuit => open = false
-          case ComPing => writePacket(out, 1, okPayload(session.statusFlags))
+          case ComPing =>
+            writePacket(out, base, okPayload(session.statusFlags))
           case ComStatistics =>
             // COM_STATISTICS answers a bare human-readable string (no
             // OK/resultset wrapper) — the mysqladmin status shape
-            writePacket(out, 1, session.statistics.getBytes(UTF_8))
+            writePacket(out, base, session.statistics.getBytes(UTF_8))
           case ComInitDb =>
-            respond(out, session) { session.use(tail, databases); None }
+            respond(out, session, base) { session.use(tail, databases); None }
           case ComQuery =>
             // a MULTI_STATEMENTS client's batch streams one result set per
             // statement (flush-per-result-set, gateway/relay.go:85-99)
             val q = tail
             if ((hello.caps & ClientMultiStatements) != 0 &&
                 Engine.splitStatements(q).length > 1)
-              respondMulti(out, session, q)
-            else respond(out, session) { Some(session.sqlMySql(q)) }
+              respondMulti(out, session, base, q)
+            else respond(out, session, base) { Some(session.sqlMySql(q)) }
 
           case ComStmtPrepare =>
+            val sr = new SeqRef(base)
             try {
               val ps = session.prepareStatement(tail)
-              var seq = writePacket(out, 1,
+              sr.v = writePacket(out, sr.v,
                 prepareOkPayload(ps.statementId, ps.paramCount))
               if (ps.paramCount > 0) {
                 (0 until ps.paramCount).foreach { _ =>
-                  seq = writePacket(out, seq, paramDefPayload)
+                  sr.v = writePacket(out, sr.v, paramDefPayload)
                 }
-                writePacket(out, seq, eofPayload(session.statusFlags))
+                writePacket(out, sr.v, eofPayload(session.statusFlags))
               }
             } catch {
-              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+              case e: Engine.EngineError =>
+                writePacket(out, sr.v, errPayload(e))
             }
 
           case ComStmtExecute =>
+            val sr = new SeqRef(base)
             try {
               val r = new BinReader(cmd, 1)
               val sid = r.int4().toLong
@@ -606,27 +649,27 @@ final class MySqlServer private (listener: ServerSocket,
                 ps.executeCursor(args: _*)
                 stmtSchemas(sid) = ps.lastSchema
                 stmtPending.remove(sid)
-                writeColumnBlock(out, 1, ps.lastSchema, session.statusFlags)
+                writeColumnBlock(out, sr, ps.lastSchema, cursorStatus(sid))
               } else {
                 val df = ps.execute(args: _*)
                 stmtSchemas(sid) = df.schema
                 stmtPending.remove(sid)
                 if (df.schema.isEmpty)
-                  writePacket(out, 1, okPayload(session.statusFlags))
+                  writePacket(out, sr.v, okPayload(session.statusFlags))
                 else {
-                  var seq = writeColumnBlock(out, 1, df.schema,
-                    session.statusFlags)
+                  writeColumnBlock(out, sr, df.schema, session.statusFlags)
                   out.flush() // metadata first — rows may take a while
                   val it = df.toLocalIterator()
                   while (it.hasNext)
-                    seq = writePacket(out, seq,
+                    sr.v = writePacket(out, sr.v,
                       binaryRowPayload(it.next(), df.schema))
-                  writePacket(out, seq, eofPayload(session.statusFlags))
+                  writePacket(out, sr.v, eofPayload(session.statusFlags))
                 }
               }
             } catch {
-              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
-              case e: Exception => writePacket(out, 1, errPayload(
+              case e: Engine.EngineError =>
+                writePacket(out, sr.v, errPayload(e))
+              case e: Exception => writePacket(out, sr.v, errPayload(
                 Engine.EngineError(1105, "08S01",
                   Option(e.getMessage).getOrElse(e.getClass.getName))))
             }
@@ -646,6 +689,7 @@ final class MySqlServer private (listener: ServerSocket,
             }
 
           case ComStmtFetch =>
+            val sr = new SeqRef(base)
             try {
               val r = new BinReader(cmd, 1)
               val sid = r.int4().toLong
@@ -654,13 +698,13 @@ final class MySqlServer private (listener: ServerSocket,
                 throw Engine.EngineError(1105, "08S01",
                   s"no open cursor for statement $sid"))
               val rows = session.fetch(sid, count)
-              var seq = 1
               rows.foreach { row =>
-                seq = writePacket(out, seq, binaryRowPayload(row, schema))
+                sr.v = writePacket(out, sr.v, binaryRowPayload(row, schema))
               }
-              writePacket(out, seq, eofPayload(session.statusFlags))
+              writePacket(out, sr.v, eofPayload(cursorStatus(sid)))
             } catch {
-              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+              case e: Engine.EngineError =>
+                writePacket(out, sr.v, errPayload(e))
             }
 
           case ComStmtReset =>
@@ -669,9 +713,10 @@ final class MySqlServer private (listener: ServerSocket,
               val sid = r.int4().toLong
               stmtOf(sid).reset()
               stmtPending.remove(sid)
-              writePacket(out, 1, okPayload(session.statusFlags))
+              writePacket(out, base, okPayload(session.statusFlags))
             } catch {
-              case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+              case e: Engine.EngineError =>
+                writePacket(out, base, errPayload(e))
             }
 
           case ComStmtClose =>
@@ -683,8 +728,8 @@ final class MySqlServer private (listener: ServerSocket,
             stmtPending.remove(sid)
 
           case other =>
-            writePacket(out, 1, errPayload(Engine.EngineError(1047, "08S01",
-              s"Unknown command: $other")))
+            writePacket(out, base, errPayload(Engine.EngineError(1047,
+              "08S01", s"Unknown command: $other")))
         }
         out.flush()
       }
@@ -692,6 +737,7 @@ final class MySqlServer private (listener: ServerSocket,
       case _: EOFException | _: SocketException => () // client went away
     } finally {
       if (session != null) session.close()
+      conns.remove(sock)
       try sock.close() catch { case _: Exception => () }
     }
   }
@@ -701,35 +747,40 @@ final class MySqlServer private (listener: ServerSocket,
     * frame → the EOF-delimited lenenc text result set streamed row by row;
     * EngineError → its ERR packet, anything else → the 1105 wrap (the
     * gateway's single-ERR failure contract, gateway.go:242-251). */
-  private def respond(out: OutputStream, session: Engine.Session)(
-      body: => Option[org.apache.spark.sql.DataFrame]): Unit =
+  private def respond(out: OutputStream, session: Engine.Session, base: Int)(
+      body: => Option[org.apache.spark.sql.DataFrame]): Unit = {
+    val sr = new SeqRef(base)
     try body match {
-      case None => writePacket(out, 1, okPayload(session.statusFlags))
+      case None => writePacket(out, sr.v, okPayload(session.statusFlags))
       case Some(df) if df.schema.isEmpty =>
-        writePacket(out, 1, okPayload(session.statusFlags))
-      case Some(df) => writeTextResultSet(out, 1, df, session.statusFlags)
+        writePacket(out, sr.v, okPayload(session.statusFlags))
+      case Some(df) => writeTextResultSet(out, sr, df, session.statusFlags)
     } catch {
-      case e: Engine.EngineError => writePacket(out, 1, errPayload(e))
+      // ERR at the CURRENT sequence id — an execution-time failure after
+      // metadata packets already went out must not restart the sequence
+      case e: Engine.EngineError => writePacket(out, sr.v, errPayload(e))
       case e: Exception =>
-        writePacket(out, 1, errPayload(Engine.EngineError(1105, "08S01",
+        writePacket(out, sr.v, errPayload(Engine.EngineError(1105, "08S01",
           Option(e.getMessage).getOrElse(e.getClass.getName))))
     }
+  }
 
   /** One EOF-delimited lenenc text result set streamed row by row; `status`
     * rides both EOFs (the multi-result path ORs in MORE_RESULTS_EXISTS).
-    * Returns the next sequence id. */
-  private def writeTextResultSet(out: OutputStream, seq0: Int,
-      df: org.apache.spark.sql.DataFrame, status: Int): Int = {
-    var seq = writePacket(out, seq0,
+    * Advances the caller's sequence cursor as it writes, so a mid-stream
+    * failure's ERR lands at the right id. */
+  private def writeTextResultSet(out: OutputStream, sr: SeqRef,
+      df: org.apache.spark.sql.DataFrame, status: Int): Unit = {
+    sr.v = writePacket(out, sr.v,
       new Payload().lenencInt(df.schema.length.toLong).result())
     df.schema.fields.foreach { f =>
-      seq = writePacket(out, seq, columnDefPayload(f))
+      sr.v = writePacket(out, sr.v, columnDefPayload(f))
     }
-    seq = writePacket(out, seq, eofPayload(status))
+    sr.v = writePacket(out, sr.v, eofPayload(status))
     out.flush() // metadata first — rows may take a while
     val it = df.toLocalIterator()
-    while (it.hasNext) seq = writePacket(out, seq, rowPayload(it.next()))
-    writePacket(out, seq, eofPayload(status))
+    while (it.hasNext) sr.v = writePacket(out, sr.v, rowPayload(it.next()))
+    sr.v = writePacket(out, sr.v, eofPayload(status))
   }
 
   /** CLIENT_MULTI_STATEMENTS COM_QUERY: each statement's result set (or OK)
@@ -739,24 +790,23 @@ final class MySqlServer private (listener: ServerSocket,
     * error ends the batch (MySQL semantics: remaining statements never
     * execute); sequence ids continue across the whole response. */
   private def respondMulti(out: OutputStream, session: Engine.Session,
-      batch: String): Unit = {
+      base: Int, batch: String): Unit = {
     val stmts = Engine.splitStatements(Engine.translateMySql(batch))
-    var seq = 1
+    val sr = new SeqRef(base)
     var i = 0
     while (i < stmts.length) {
       val more =
         if (i < stmts.length - 1) Engine.Status.MoreResultsExists else 0
       try {
         val df = session.sql(stmts(i))
-        seq =
-          if (df.schema.isEmpty)
-            writePacket(out, seq, okPayload(session.statusFlags | more))
-          else writeTextResultSet(out, seq, df, session.statusFlags | more)
+        if (df.schema.isEmpty)
+          sr.v = writePacket(out, sr.v, okPayload(session.statusFlags | more))
+        else writeTextResultSet(out, sr, df, session.statusFlags | more)
       } catch {
         case e: Engine.EngineError =>
-          writePacket(out, seq, errPayload(e)); return
+          writePacket(out, sr.v, errPayload(e)); return
         case e: Exception =>
-          writePacket(out, seq, errPayload(Engine.EngineError(1105, "08S01",
+          writePacket(out, sr.v, errPayload(Engine.EngineError(1105, "08S01",
             Option(e.getMessage).getOrElse(e.getClass.getName))))
           return
       }

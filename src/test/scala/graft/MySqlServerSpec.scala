@@ -53,12 +53,18 @@ class MySqlServerSpec extends SparkSpec {
       (seq, buf.toByteArray)
     }
 
-    def writePacket(seq: Int, payload: Array[Byte]): Unit = {
-      val len = payload.length
-      require(len < 0xFFFFFF, "test client sends small packets only")
-      out.write(len & 0xFF); out.write((len >>> 8) & 0xFF)
-      out.write((len >>> 16) & 0xFF); out.write(seq & 0xFF)
-      out.write(payload)
+    def writePacket(seq0: Int, payload: Array[Byte]): Unit = {
+      var off = 0
+      var seq = seq0
+      var more = true
+      while (more) {
+        val n = math.min(0xFFFFFF, payload.length - off)
+        out.write(n & 0xFF); out.write((n >>> 8) & 0xFF)
+        out.write((n >>> 16) & 0xFF); out.write(seq & 0xFF)
+        out.write(payload, off, n)
+        off += n; seq += 1
+        more = n == 0xFFFFFF
+      }
       out.flush()
     }
 
@@ -634,6 +640,82 @@ class MySqlServerSpec extends SparkSpec {
       val (_, alive2) = query(c2, "SELECT 1 AS ok")
       assert(alive1 == Seq(Seq(Some("1"))) && alive2 == Seq(Seq(Some("1"))))
       c1.close(); c2.close()
+    } finally srv.close()
+  }
+
+  test("execution error mid-result-set: ERR continues the sequence, no restart") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      // analysis succeeds (metadata goes out), execution throws per row
+      // under ANSI mode: element_at past the array end
+      c.writePacket(0, Array[Byte](0x03) ++
+        ("SELECT element_at(array(n_nationkey), 5) AS x FROM nation")
+          .getBytes(UTF_8))
+      val (s1, colCount) = c.readPacket()
+      assert(s1 == 1 && new Reader(colCount).lenencInt() == 1)
+      val (s2, _) = c.readPacket() // column def
+      val (s3, eof) = c.readPacket() // metadata EOF
+      assert((eof(0) & 0xFF) == 0xFE && s2 == 2 && s3 == 3)
+      val (s4, err) = c.readPacket()
+      assert((err(0) & 0xFF) == 0xFF,
+        s"expected mid-stream ERR, got 0x${(err(0) & 0xFF).toHexString}")
+      assert(s4 == 4, s"ERR must continue the sequence (got seq $s4)")
+      // the connection survives the mid-stream failure
+      val (_, rows) = query(c, "SELECT 1 AS ok")
+      assert(rows == Seq(Seq(Some("1"))))
+      c.close()
+    } finally srv.close()
+  }
+
+  test("oversize COMMAND: response sequence continues after the inbound chunks") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      // a >2^24-1-byte COM_QUERY arrives as chunks seq 0 and 1; the
+      // response must start at seq 2, not restart at 1
+      val big = "a" * (0xFFFFFF + 100)
+      c.writePacket(0, Array[Byte](0x03) ++
+        s"SELECT length('$big') AS n".getBytes(UTF_8))
+      val (s1, colCount) = c.readPacket()
+      assert(s1 == 2, s"response must continue at seq 2 (got $s1)")
+      assert(new Reader(colCount).lenencInt() == 1)
+      c.readPacket(); c.readPacket() // col def, EOF
+      val (_, row) = c.readPacket()
+      assert(new Reader(row).lenencString() == (0xFFFFFF + 100).toString)
+      c.close()
+    } finally srv.close()
+  }
+
+  test("two open cursors report their own status bits independently") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val sql = "SELECT n_nationkey FROM nation WHERE n_nationkey < ? " +
+        "ORDER BY n_nationkey"
+      val (sa, _) = stmtPrepare(c, sql)
+      val (sb, _) = stmtPrepare(c, sql)
+      val (_, typesA, _, stA) = stmtExecute(c, sa,
+        Seq(BParam(0x08, Some(le8(3L)))), cursor = true)
+      val (_, _, _, _) = stmtExecute(c, sb,
+        Seq(BParam(0x08, Some(le8(3L)))), cursor = true)
+      assert((stA & 0x40) != 0)
+      def fetch(sid: Long, k: Int): Int = {
+        val b = new ByteArrayOutputStream()
+        b.write(0x1C)
+        (0 until 4).foreach(j => b.write(((sid >>> (8 * j)) & 0xFF).toInt))
+        Array(k, 0, 0, 0).foreach(b.write)
+        c.writePacket(0, b.toByteArray)
+        drainBinaryRows(c, typesA)._2
+      }
+      // drain A fully while B's cursor stays open: A's final EOF must
+      // carry LAST_ROW_SENT even though the session's LAST stream is B's
+      val stDrained = fetch(sa, 10)
+      assert((stDrained & 0x80) != 0,
+        s"drained cursor A must report LAST_ROW_SENT (status $stDrained)")
+      // B is untouched and still fetches its rows
+      assert((fetch(sb, 2) & 0x40) != 0, "cursor B still live")
+      c.close()
     } finally srv.close()
   }
 
