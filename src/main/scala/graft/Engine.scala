@@ -411,6 +411,10 @@ object Engine {
     def close(): Unit = {
       spark.sparkContext.cancelJobGroup(jobGroup)
       Engine.registry.remove(connectionId)
+      // release per-session caches (fixture binding, trained-artifact
+      // memos) — a long-lived server must not retain one SparkSession per
+      // departed connection (ADVICE r09)
+      graft.sources.Tables.release(spark)
     }
   }
 

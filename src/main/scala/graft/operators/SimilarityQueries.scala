@@ -1567,17 +1567,30 @@ object SimilarityQueries extends QueryModule {
     * memoization cannot change any result — SimilarityDedupSpec asserts
     * memo == fresh training bit-for-bit. */
   private val trainedMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]
+    (SparkSession, String, String, Long), DataFrame]
 
+  /** CONTRACT (ADVICE r09): memoized trainers run only against
+    * register-bound views — the supported rebinding paths are
+    * `Tables.register` (rebind bumps the generation) and
+    * `Tables.noteViewSwap` (for a direct `createOrReplaceTempView` on a
+    * bound session). The view generation rides the key, so either bump
+    * invalidates; a never-bound session trains fresh (no safe key).
+    * Retention: entries are dropped by [[releaseMemo]] when
+    * `Engine.Session.close()` releases the session, so a long-lived server
+    * does not hold one checkpointed frame per departed connection. */
   private def memoTrained(spark: SparkSession, kind: String)(
       train: => DataFrame): DataFrame = {
     val dir = Tables.boundDir(spark)
-    // unbound session (caller registered views directly, no Tables.register):
-    // there is no safe cache key — train fresh instead of caching under ""
-    // and silently serving stale artifacts after a view swap
     if (dir.isEmpty) train.localCheckpoint()
-    else trainedMemo.computeIfAbsent((spark, dir, kind),
+    else trainedMemo.computeIfAbsent(
+      (spark, dir, kind, Tables.viewGeneration(spark)),
       _ => train.localCheckpoint())
+  }
+
+  /** Drop every trained artifact cached for `spark` — see [[memoTrained]]. */
+  private[graft] def releaseMemo(spark: SparkSession): Unit = {
+    val it = trainedMemo.keySet.iterator
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
 
   /** Deterministic k-means centroids (cl, cemb): md5-order init over the

@@ -187,7 +187,20 @@ object MySqlServer {
   private[server] final case class ClientHello(caps: Int, user: String,
       db: Option[String], attrs: Map[String, String])
 
-  private[server] def parseHandshakeResponse(p: Array[Byte]): ClientHello = {
+  /** Parse Protocol::HandshakeResponse41. Defensive by contract: every
+    * client-supplied lenenc length is clamped to the remaining payload and
+    * any residual decode overrun converts to EngineError 1105, so a
+    * malformed response always reaches the ERR-packet path instead of
+    * killing the connection with a bare IndexOutOfBounds (ADVICE r09). */
+  private[server] def parseHandshakeResponse(p: Array[Byte]): ClientHello =
+    try parseHandshakeResponse0(p)
+    catch {
+      case e: Engine.EngineError => throw e
+      case _: Exception => throw Engine.EngineError(1105, "08S01",
+        "malformed handshake response")
+    }
+
+  private def parseHandshakeResponse0(p: Array[Byte]): ClientHello = {
     var i = 0
     def int1(): Int = { val v = p(i) & 0xFF; i += 1; v }
     def int2(): Int = int1() | (int1() << 8)
@@ -213,10 +226,11 @@ object MySqlServer {
     int1() // charset
     i += 23 // filler
     val user = nulString()
+    // clamp client-declared auth-response lengths to the remaining payload
     if ((caps & ClientPluginAuthLenenc) != 0) {
-      val n = lenencInt(); i += n.toInt
+      val n = lenencInt(); i += math.min(n, (p.length - i).toLong).toInt
     } else if ((caps & ClientSecureConnection) != 0) {
-      val n = int1(); i += n
+      val n = int1(); i += math.min(n, p.length - i)
     } else nulString(): Unit
     val db = if ((caps & ClientConnectWithDB) != 0 && i < p.length)
       Some(nulString()).filter(_.nonEmpty) else None
@@ -227,7 +241,7 @@ object MySqlServer {
         val end = math.min(p.length, i + total)
         val m = Map.newBuilder[String, String]
         def lenencStr(): String = {
-          val n = lenencInt().toInt
+          val n = math.min(lenencInt(), (p.length - i).toLong).toInt.max(0)
           val s = new String(p, i, n, UTF_8); i += n; s
         }
         while (i < end && i < p.length) m += (lenencStr() -> lenencStr())
@@ -260,8 +274,10 @@ final class MySqlServer private (listener: ServerSocket,
       try {
         val sock = listener.accept()
         conns.add(sock)
-        val t = new Thread(() => serve(sock, threadIds.incrementAndGet()),
-          s"graft-mysql-conn-${threadIds.get}")
+        // capture the id ONCE: reading the counter again for the thread
+        // name races a concurrent accept (ADVICE r09)
+        val id = threadIds.incrementAndGet()
+        val t = new Thread(() => serve(sock, id), s"graft-mysql-conn-$id")
         t.setDaemon(true)
         t.start()
       } catch {
@@ -614,6 +630,9 @@ final class MySqlServer private (listener: ServerSocket,
             } catch {
               case e: Engine.EngineError =>
                 writePacket(out, sr.v, errPayload(e))
+              case e: Exception => writePacket(out, sr.v, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
             }
 
           case ComStmtExecute =>
@@ -675,18 +694,20 @@ final class MySqlServer private (listener: ServerSocket,
             }
 
           case ComStmtSendLongData =>
-            // protocol: NO response packet, success or failure
-            val r = new BinReader(cmd, 1)
-            val sid = r.int4().toLong
-            val idx = r.int2()
-            session.statement(sid).foreach { ps =>
-              try {
+            // protocol: NO response packet, success or failure — the whole
+            // handler swallows, so even a < 7-byte truncated packet cannot
+            // kill the connection (ADVICE r09)
+            try {
+              val r = new BinReader(cmd, 1)
+              val sid = r.int4().toLong
+              val idx = r.int2()
+              session.statement(sid).foreach { ps =>
                 ps.sendLongData(idx, java.util.Arrays.copyOfRange(cmd, 7,
                   cmd.length))
                 stmtPending.getOrElseUpdate(sid,
                   scala.collection.mutable.Set.empty[Int]) += idx
-              } catch { case _: Engine.EngineError => () }
-            }
+              }
+            } catch { case _: Exception => () }
 
           case ComStmtFetch =>
             val sr = new SeqRef(base)
@@ -705,6 +726,12 @@ final class MySqlServer private (listener: ServerSocket,
             } catch {
               case e: Engine.EngineError =>
                 writePacket(out, sr.v, errPayload(e))
+              // truncated/garbage fetch payloads decode-fail outside
+              // EngineError — answer ERR like COM_STMT_EXECUTE does
+              // instead of killing the connection (ADVICE r09)
+              case e: Exception => writePacket(out, sr.v, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
             }
 
           case ComStmtReset =>
@@ -717,15 +744,21 @@ final class MySqlServer private (listener: ServerSocket,
             } catch {
               case e: Engine.EngineError =>
                 writePacket(out, base, errPayload(e))
+              case e: Exception => writePacket(out, base, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
             }
 
           case ComStmtClose =>
-            // protocol: no response
-            val r = new BinReader(cmd, 1)
-            val sid = r.int4().toLong
-            session.statement(sid).foreach(_.close())
-            stmtSchemas.remove(sid); stmtTypes.remove(sid)
-            stmtPending.remove(sid)
+            // protocol: no response (truncated payload swallowed, like
+            // SEND_LONG_DATA — the no-response contract means silence)
+            try {
+              val r = new BinReader(cmd, 1)
+              val sid = r.int4().toLong
+              session.statement(sid).foreach(_.close())
+              stmtSchemas.remove(sid); stmtTypes.remove(sid)
+              stmtPending.remove(sid)
+            } catch { case _: Exception => () }
 
           case other =>
             writePacket(out, base, errPayload(Engine.EngineError(1047,

@@ -168,13 +168,20 @@ object Tables {
     * file indexes per query is pure fixed overhead. Re-registering the SAME
     * session with a DIFFERENT dir still rebinds (last dir wins). */
   private val bound =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Long)]()
 
-  def register(spark: SparkSession, dir: String): Unit =
-    if (bound.put(spark, dir) != dir)
+  def register(spark: SparkSession, dir: String): Unit = {
+    val prev = bound.get(spark)
+    if (prev == null || prev._1 != dir) {
+      // the generation counter rides the memo keys so a REBIND (or an
+      // explicit noteViewSwap) can never serve artifacts trained on the
+      // previous binding (ADVICE r09)
+      bound.put(spark, (dir, if (prev == null) 0L else prev._2 + 1))
       all.foreach { case (name, _) =>
         table(spark, dir, name).createOrReplaceTempView(name)
       }
+    }
+  }
 
   /** The fixture dir currently bound to `spark` by [[register]] — the memo
     * key the per-(session, dir) trained-artifact caches use (k-means
@@ -182,5 +189,31 @@ object Tables {
     * bound yet (callers then just skip memo reuse safety-wise: the key
     * still distinguishes dirs once bound). */
   private[graft] def boundDir(spark: SparkSession): String =
-    Option(bound.get(spark)).getOrElse("")
+    Option(bound.get(spark)).map(_._1).getOrElse("")
+
+  /** Monotone per-session view generation: bumped by every rebinding
+    * [[register]] and by [[noteViewSwap]]. Trained-artifact memos key on it
+    * so stale artifacts cannot outlive the views they were trained on.
+    * −1 for a never-bound session (those skip memoization entirely). */
+  private[graft] def viewGeneration(spark: SparkSession): Long =
+    Option(bound.get(spark)).map(_._2).getOrElse(-1L)
+
+  /** MUST be called by any code path that swaps a fixture view on a
+    * register-bound session directly (`createOrReplaceTempView` outside
+    * [[register]]): it invalidates the session's trained-artifact memo
+    * generation. The ONLY supported rebinding path otherwise is
+    * [[register]] itself (ADVICE r09). */
+  private[graft] def noteViewSwap(spark: SparkSession): Unit = {
+    val prev = bound.get(spark)
+    if (prev != null) bound.put(spark, (prev._1, prev._2 + 1))
+  }
+
+  /** Drop everything cached for a session (binding + trained artifacts) —
+    * called from `Engine.Session.close()` so a long-lived server process
+    * does not strongly retain one SparkSession (and its checkpointed
+    * training frames) per departed connection (ADVICE r09). */
+  private[graft] def release(spark: SparkSession): Unit = {
+    bound.remove(spark)
+    graft.operators.SimilarityQueries.releaseMemo(spark)
+  }
 }

@@ -733,4 +733,59 @@ class MySqlServerSpec extends SparkSpec {
       c.close()
     } finally srv.close()
   }
+
+  test("truncated STMT_FETCH/RESET answer ERR; no-response commands stay silent") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val (sid, _) = stmtPrepare(c, "SELECT CAST(1 AS BIGINT) AS v")
+      // FETCH payload cut before the row count → ERR, connection survives
+      c.writePacket(0, Array[Byte](0x1C, 0x01))
+      val (_, fe) = c.readPacket()
+      assert((fe(0) & 0xFF) == 0xFF, "truncated fetch must be an ERR")
+      // RESET payload cut mid-statement-id → ERR, connection survives
+      c.writePacket(0, Array[Byte](0x1A, 0x01, 0x00))
+      val (_, re) = c.readPacket()
+      assert((re(0) & 0xFF) == 0xFF, "truncated reset must be an ERR")
+      // SEND_LONG_DATA shorter than its 7-byte fixed head → NO response
+      // (the protocol mandates silence on failure) and no connection kill
+      c.writePacket(0, Array[Byte](0x18, 0x02, 0x00))
+      // truncated CLOSE → also silent, also survivable
+      c.writePacket(0, Array[Byte](0x19, 0x03))
+      // prove the connection (and the statement) survived all four
+      val (_, _, rows, _) = stmtExecute(c, sid, Seq.empty)
+      assert(rows == Seq(Seq(Some(1L))))
+      c.close()
+    } finally srv.close()
+  }
+
+  test("malformed handshake responses: garbage gets an ERR, overrun lenenc clamps") {
+    // a response too short to carry the capability header → ERR 1105, not a
+    // silent socket kill
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c0 = new Client(srv.port)
+      c0.readPacket() // greeting
+      c0.writePacket(1, Array[Byte](0x0D, 0x0A, 0x00))
+      val (_, err) = c0.readPacket()
+      val r = new Reader(err)
+      assert(r.int1() == 0xFF && r.int2() == 1105)
+      c0.close()
+      // connect-attrs whose declared total overruns the payload: the parse
+      // clamps and authentication still completes
+      val c1 = new Client(srv.port)
+      c1.readPacket()
+      val base = handshakeResponse("prod.alice", None)
+      // the attrs block is the last section; bump its declared length byte
+      val idx =
+        base.length - ("program_name".length + "graft-spec".length + 2) - 1
+      val broken = base.clone()
+      broken(idx) = 250.toByte // declares 250 bytes; far fewer remain
+      c1.writePacket(1, broken)
+      val (_, ok) = c1.readPacket()
+      assert((ok(0) & 0xFF) == 0x00,
+        "clamped attrs must still authenticate (ERR also acceptable, death is not)")
+      c1.close()
+    } finally srv.close()
+  }
 }
