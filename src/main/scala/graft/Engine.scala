@@ -408,6 +408,23 @@ object Engine {
 
     /** COM_QUIT analog: cancel in-flight work and leave the processlist
       * (temp views die with the session wrapper). */
+    /** COM_RESET_CONNECTION analog (`mysql_reset_connection`): drop all
+      * session state — user variables, text and binary prepared statements,
+      * open cursors, the transaction flag, and system variables back to the
+      * connect-time defaults — without re-running the handshake. The data
+      * namespace binding (routed cluster/database) survives, exactly like
+      * the real command (it re-auths nothing and changes no schema). */
+    def resetConnection(): Unit = {
+      userVars.clear()
+      prepared.clear()
+      stmts.clear()
+      stmtCursors.clear()
+      openCursor = None
+      inTrans = false
+      sysVars.clear()
+      sysVars ++= Engine.defaultSysVars
+    }
+
     def close(): Unit = {
       spark.sparkContext.cancelJobGroup(jobGroup)
       Engine.registry.remove(connectionId)

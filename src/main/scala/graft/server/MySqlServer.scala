@@ -46,7 +46,9 @@ object MySqlServer {
   private[server] val ClientLongPassword = 0x00000001
   private[server] val ClientLongFlag = 0x00000004
   private[server] val ClientConnectWithDB = 0x00000008
+  private[server] val ClientCompress = 0x00000020
   private[server] val ClientProtocol41 = 0x00000200
+  private[server] val ClientSsl = 0x00000800
   private[server] val ClientTransactions = 0x00002000
   private[server] val ClientSecureConnection = 0x00008000
   private[server] val ClientPluginAuth = 0x00080000
@@ -57,22 +59,32 @@ object MySqlServer {
 
   /** What the engine front-end advertises: protocol 4.1 text + binary
     * statements, initial-db, transactions-status, plugin-auth handshake
-    * shape, multi-statement batches with multi-result delivery. No SSL, no
-    * compression (SURVEY §7.5 descopes), no DEPRECATE_EOF (we speak the
-    * classic EOF-delimited result set). */
+    * shape, multi-statement batches with multi-result delivery, the zlib
+    * COMPRESSED protocol (/root/reference/mysql/compress.go:36-153's wire
+    * layout), and — when started with an SSLContext — the TLS upgrade
+    * (/root/reference/gateway/tls.go:11-45). No DEPRECATE_EOF (we speak
+    * the classic EOF-delimited result set). */
   private[server] val serverCaps: Int =
     ClientLongPassword | ClientLongFlag | ClientConnectWithDB |
       ClientProtocol41 | ClientTransactions | ClientSecureConnection |
-      ClientPluginAuth | ClientConnectAttrs |
+      ClientPluginAuth | ClientConnectAttrs | ClientCompress |
       ClientMultiStatements | ClientMultiResults
+
+  private[server] def capsFor(ssl: Boolean): Int =
+    if (ssl) serverCaps | ClientSsl else serverCaps
 
   private[server] val MaxPayload = 0xFFFFFF // 2^24 - 1: the split boundary
 
   private val ComQuit = 0x01
   private val ComInitDb = 0x02
   private val ComQuery = 0x03
+  private val ComFieldList = 0x04
   private val ComStatistics = 0x09
+  private val ComProcessInfo = 0x0A
+  private val ComProcessKill = 0x0C
   private val ComPing = 0x0E
+  private val ComSetOption = 0x1B
+  private val ComResetConnection = 0x1F
   private val ComStmtPrepare = 0x16
   private val ComStmtExecute = 0x17
   private val ComStmtSendLongData = 0x18
@@ -93,12 +105,148 @@ object MySqlServer {
     * reproducible byte-for-byte in the integration spec. */
   private[server] val salt: Array[Byte] = (1 to 20).map(_.toByte).toArray
 
-  /** Start serving on a loopback-only socket (`port` 0 = ephemeral). */
+  /** Start serving on a loopback-only socket (`port` 0 = ephemeral). With
+    * `ssl` set the greeting advertises CLIENT_SSL and a client's SSLRequest
+    * upgrades the connection to TLS before authentication — the engine
+    * analog of the reference's optional server-TLS config
+    * (/root/reference/gateway/tls.go:11-45, gateway.go:88-100); without it
+    * the capability is not advertised and a bare SSL probe gets a clean
+    * ERR instead of a parse failure. */
   def start(spark: SparkSession, backends: Map[String, String],
-      databases: Map[String, String] = Map.empty, port: Int = 0): MySqlServer = {
+      databases: Map[String, String] = Map.empty, port: Int = 0,
+      ssl: Option[javax.net.ssl.SSLContext] = None): MySqlServer = {
     val ss = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
-    new MySqlServer(ss, spark, backends, databases)
+    new MySqlServer(ss, spark, backends, databases, ssl)
   }
+
+  // ---- the compressed protocol (CLIENT_COMPRESS) ---------------------------
+
+  /** Inbound side of the MySQL compressed protocol: 7-byte header (3-byte
+    * LE compressed length, 1-byte compressed sequence id, 3-byte LE
+    * uncompressed length; 0 uncompressed length = payload stored raw), zlib
+    * body — /root/reference/mysql/compress.go:36-84's read path. Presents
+    * the decompressed byte stream; plain MySQL packets are parsed out of it
+    * unchanged by the existing framing code. */
+  private[server] final class CompressedInput(raw: InputStream)
+      extends InputStream {
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    /** Compressed sequence id of the last inbound frame — the outbound side
+      * continues from it within a command-response exchange. */
+    var lastSeq: Int = 0
+
+    private def readFully(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val k = raw.read(b, off, n - off)
+        if (k < 0) throw new EOFException
+        off += k
+      }
+      b
+    }
+
+    private def ensure(): Unit =
+      while (pos >= cur.length) {
+        val h = readFully(7)
+        val clen = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+        lastSeq = h(3) & 0xFF
+        val ulen = (h(4) & 0xFF) | ((h(5) & 0xFF) << 8) | ((h(6) & 0xFF) << 16)
+        val body = readFully(clen)
+        cur = if (ulen == 0) body else {
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(body)
+          val u = new Array[Byte](ulen)
+          var got = 0
+          while (got < ulen && !inf.finished())
+            got += inf.inflate(u, got, ulen - got)
+          inf.end()
+          if (got != ulen) throw new EOFException("short zlib frame")
+          u
+        }
+        pos = 0
+      }
+
+    override def read(): Int = { ensure(); val v = cur(pos) & 0xFF; pos += 1; v }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      ensure()
+      val n = math.min(len, cur.length - pos)
+      System.arraycopy(cur, pos, b, off, n)
+      pos += n
+      n
+    }
+  }
+
+  /** Outbound side: buffers the plain packet bytes and, on flush, emits
+    * them as compressed frames. Frames under [[CompressThreshold]] bytes
+    * ship raw (uncompressed length 0) — the reference's small-payload
+    * escape (/root/reference/mysql/compress.go:11-12, :118-123) — as do
+    * frames zlib fails to shrink. */
+  private[server] final class CompressedOutput(raw: OutputStream)
+      extends OutputStream {
+    private val buf = new ByteArrayOutputStream(8192)
+    /** Next outbound compressed sequence id; the command loop re-syncs it to
+      * the inbound frame's id + 1 at each command boundary (both sides
+      * restart per command, like the plain sequence). */
+    var seq: Int = 0
+
+    override def write(b: Int): Unit = { buf.write(b); spill() }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      buf.write(b, off, len); spill()
+    }
+
+    /** Frame boundaries are arbitrary in the compressed layer, so once a
+      * MiB has accumulated we emit frames early — a >16 MiB result row
+      * must not sit whole in this buffer waiting for the response flush. */
+    private def spill(): Unit = if (buf.size >= (1 << 20)) emitFrames()
+
+    private def header(clen: Int, ulen: Int): Unit = {
+      raw.write(clen & 0xFF); raw.write((clen >>> 8) & 0xFF)
+      raw.write((clen >>> 16) & 0xFF)
+      raw.write(seq & 0xFF)
+      raw.write(ulen & 0xFF); raw.write((ulen >>> 8) & 0xFF)
+      raw.write((ulen >>> 16) & 0xFF)
+      seq += 1
+    }
+
+    private def emitFrames(): Unit = {
+      val data = buf.toByteArray
+      buf.reset()
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(MaxPayload, data.length - off)
+        if (n < CompressThreshold) {
+          header(n, 0)
+          raw.write(data, off, n)
+        } else {
+          val bo = new ByteArrayOutputStream(n / 2)
+          val ds = new java.util.zip.DeflaterOutputStream(bo)
+          ds.write(data, off, n)
+          ds.close()
+          val comp = bo.toByteArray
+          if (comp.length >= n) { // incompressible — ship raw
+            header(n, 0)
+            raw.write(data, off, n)
+          } else {
+            header(comp.length, n)
+            raw.write(comp, 0, comp.length)
+          }
+        }
+        off += n
+      }
+    }
+
+    override def flush(): Unit = {
+      emitFrames()
+      raw.flush()
+    }
+  }
+
+  /** Below this payload size the compressed protocol sends bytes raw — the
+    * zlib header + dictionary overhead beats any win
+    * (/root/reference/mysql/compress.go:11-12). */
+  private[server] val CompressThreshold = 128
 
   // ---- little-endian / lenenc byte building --------------------------------
 
@@ -255,7 +403,8 @@ object MySqlServer {
   * the accept loop and tears down the listener. */
 final class MySqlServer private (listener: ServerSocket,
     spark: SparkSession, backends: Map[String, String],
-    databases: Map[String, String]) {
+    databases: Map[String, String],
+    ssl: Option[javax.net.ssl.SSLContext]) {
 
   import MySqlServer._
 
@@ -367,10 +516,10 @@ final class MySqlServer private (listener: ServerSocket,
       .nulString(Engine.version)
       .int4(threadId)
       .bytes(salt.take(8)).int1(0) // auth-plugin-data part 1 + filler
-      .int2(serverCaps & 0xFFFF)
+      .int2(capsFor(ssl.isDefined) & 0xFFFF)
       .int1(DefaultCollationId)
       .int2(0) // status
-      .int2(serverCaps >>> 16)
+      .int2(capsFor(ssl.isDefined) >>> 16)
       .int1(salt.length + 1) // auth-plugin-data total length (incl. NUL)
       .zeros(10)
       .bytes(salt.drop(8)).int1(0) // part 2, NUL-terminated
@@ -397,20 +546,24 @@ final class MySqlServer private (listener: ServerSocket,
     case _ => (0xFD, DefaultCollationId, 1024, 0) // VAR_STRING
   }
 
-  private def columnDefPayload(f: StructField): Array[Byte] = {
+  private def columnDefPayload(f: StructField, table: String = "",
+      fieldList: Boolean = false): Array[Byte] = {
     val (tpe, cs, len, dec) = columnMeta(f.dataType)
     val notNull = if (f.nullable) 0 else 1
     val binFlag = f.dataType match {
       case BinaryType => 0x80
       case _ => 0
     }
-    new Payload()
-      .lenencString("def").lenencString("").lenencString("")
-      .lenencString("").lenencString(f.name).lenencString(f.name)
+    val p = new Payload()
+      .lenencString("def").lenencString("").lenencString(table)
+      .lenencString(table).lenencString(f.name).lenencString(f.name)
       .int1(0x0C) // fixed-length fields length
       .int2(cs).int4(len).int1(tpe)
       .int2(notNull | binFlag).int1(dec).int2(0)
-      .result()
+    // COM_FIELD_LIST column definitions carry a trailing default-value
+    // field; the engine's parquet-backed tables default to NULL (0xFB)
+    if (fieldList) p.int1(0xFB)
+    p.result()
   }
 
   private val tsFmt =
@@ -531,20 +684,53 @@ final class MySqlServer private (listener: ServerSocket,
     * an ERR at a stale id is a packets-out-of-order kill on real clients. */
   private final class SeqRef(var v: Int)
 
-  private def serve(sock: Socket, threadId: Long): Unit = {
-    sock.setTcpNoDelay(true)
-    val in = new BufferedInputStream(sock.getInputStream)
-    val out = new BufferedOutputStream(sock.getOutputStream)
+  private def serve(sock0: Socket, threadId: Long): Unit = {
+    sock0.setTcpNoDelay(true)
+    // the handshake runs over UNBUFFERED streams: a TLS upgrade swaps the
+    // socket mid-conversation, and a read-ahead buffer would strand the
+    // client's TLS ClientHello bytes on the plaintext side
+    var sock = sock0
+    var rawIn: InputStream = sock.getInputStream
+    var rawOut: OutputStream = sock.getOutputStream
     var session: Engine.Session = null
     try {
-      writePacket(out, 0, handshakePayload(threadId))
-      out.flush()
-      val (resp, respSeq) = readPacket(in)
+      writePacket(rawOut, 0, handshakePayload(threadId))
+      rawOut.flush()
+      var (resp, respSeq) = readPacket(rawIn)
+      // SSLRequest: a short response (caps/max-packet/charset/filler only)
+      // with CLIENT_SSL set — upgrade now, then read the REAL handshake
+      // response over TLS (its sequence id continues at 2). Without a
+      // server TLS config the cap was never advertised, so a bare probe is
+      // answered with a clean ERR, not a parse failure.
+      if (resp.length >= 4 && resp.length <= 36 &&
+          ((resp(1) & 0x08) != 0) /* CLIENT_SSL = 0x800, byte 1 bit 3 */ ) {
+        ssl match {
+          case Some(ctx) =>
+            val s = ctx.getSocketFactory.createSocket(sock,
+              sock.getInetAddress.getHostAddress, sock.getPort, true)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            s.setUseClientMode(false)
+            s.startHandshake()
+            sock = s
+            rawIn = s.getInputStream
+            rawOut = s.getOutputStream
+            val next = readPacket(rawIn)
+            resp = next._1
+            respSeq = next._2
+          case None =>
+            writePacket(rawOut, respSeq + 1, errPayload(Engine.EngineError(
+              1105, "08S01", "server does not support SSL")))
+            rawOut.flush()
+            return
+        }
+      }
       val hello =
         try parseHandshakeResponse(resp)
         catch {
           case e: Engine.EngineError =>
-            writePacket(out, respSeq + 1, errPayload(e)); out.flush(); return
+            writePacket(rawOut, respSeq + 1, errPayload(e))
+            rawOut.flush()
+            return
         }
       // handshake-username routing: split at the FIRST '.' like the
       // reference (gateway.go:253-259); bad cluster/db → ERR, close
@@ -558,10 +744,40 @@ final class MySqlServer private (listener: ServerSocket,
             user, hello.attrs)
         } catch {
           case e: Engine.EngineError =>
-            writePacket(out, respSeq + 1, errPayload(e)); out.flush(); return
+            writePacket(rawOut, respSeq + 1, errPayload(e))
+            rawOut.flush()
+            return
         }
-      writePacket(out, respSeq + 1, okPayload(session.statusFlags))
-      out.flush()
+      // the auth OK is the LAST uncompressed packet: with CLIENT_COMPRESS
+      // negotiated, everything from the first command on rides the
+      // compressed protocol (the reference wraps at the same boundary,
+      // /root/reference/mysql/compress.go:36-44)
+      writePacket(rawOut, respSeq + 1, okPayload(session.statusFlags))
+      rawOut.flush()
+      val (in, out, comp) =
+        if ((hello.caps & ClientCompress) != 0) {
+          val ci = new CompressedInput(rawIn)
+          val co = new CompressedOutput(rawOut)
+          (new BufferedInputStream(ci): InputStream,
+            new BufferedOutputStream(co): OutputStream, Some((ci, co)))
+        } else
+          (new BufferedInputStream(rawIn): InputStream,
+            new BufferedOutputStream(rawOut): OutputStream, None)
+      commandLoop(in, out, comp, session, hello)
+    } catch {
+      case _: EOFException | _: SocketException => () // client went away
+    } finally {
+      if (session != null) session.close()
+      conns.remove(sock0)
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** The post-handshake command loop over whatever stream stack the
+    * handshake negotiated (plain, TLS, compressed, or TLS+compressed). */
+  private def commandLoop(in: InputStream, out: OutputStream,
+      comp: Option[(CompressedInput, CompressedOutput)],
+      session: Engine.Session, hello: ClientHello): Unit = {
       // binary prepared-statement wire state: execute-time schema per
       // statement (cursor fetches re-use it), last bound parameter types
       // (clients may omit types after the first execute), and the set of
@@ -588,10 +804,16 @@ final class MySqlServer private (listener: ServerSocket,
         }
       }
 
+      // COM_SET_OPTION can toggle multi-statement parsing at runtime;
+      // seeded from the handshake capability
+      var multiStmts = (hello.caps & ClientMultiStatements) != 0
       var open = true
       while (open) {
         val (cmd, cmdSeq) = readPacket(in)
         if (cmd.isEmpty) throw new EOFException
+        // compressed protocol: the client restarts its compressed sequence
+        // per command; response frames continue after the inbound one
+        comp.foreach { case (ci, co) => co.seq = ci.lastSeq + 1 }
         // a multi-chunk (≥ 2²⁴−1) command consumes several sequence ids;
         // the response continues AFTER the last inbound one
         val base = (cmdSeq + 1) & 0xFF
@@ -610,10 +832,110 @@ final class MySqlServer private (listener: ServerSocket,
             // a MULTI_STATEMENTS client's batch streams one result set per
             // statement (flush-per-result-set, gateway/relay.go:85-99)
             val q = tail
-            if ((hello.caps & ClientMultiStatements) != 0 &&
-                Engine.splitStatements(q).length > 1)
+            if (multiStmts && Engine.splitStatements(q).length > 1)
               respondMulti(out, session, base, q)
             else respond(out, session, base) { Some(session.sqlMySql(q)) }
+
+          case ComFieldList =>
+            // COM_FIELD_LIST: NUL-terminated table name + field wildcard;
+            // answers one field-list column definition (with the trailing
+            // default-value byte) per matching column, then EOF — the
+            // legacy metadata command old ORMs and `mysql` tab-completion
+            // still issue
+            val sr = new SeqRef(base)
+            try {
+              var j = 1
+              while (j < cmd.length && cmd(j) != 0) j += 1
+              val tbl = new String(cmd, 1, j - 1, UTF_8)
+              val wild =
+                if (j + 1 < cmd.length)
+                  new String(cmd, j + 1, cmd.length - j - 1, UTF_8)
+                else ""
+              val schema =
+                try session.table(tbl).schema
+                catch {
+                  case _: Exception => throw Engine.EngineError(1146,
+                    "42S02", s"Table '$tbl' doesn't exist")
+                }
+              val re =
+                if (wild.isEmpty) null
+                else java.util.regex.Pattern.compile(
+                  wild.flatMap {
+                    case '%' => ".*"
+                    case '_' => "."
+                    case ch if "\\.[]{}()*+?^$|".indexOf(ch.toInt) >= 0 =>
+                      "\\" + ch
+                    case ch => ch.toString
+                  },
+                  java.util.regex.Pattern.CASE_INSENSITIVE)
+              schema.fields
+                .filter(f => re == null || re.matcher(f.name).matches())
+                .foreach { f =>
+                  sr.v = writePacket(out, sr.v,
+                    columnDefPayload(f, tbl, fieldList = true))
+                }
+              writePacket(out, sr.v, eofPayload(session.statusFlags))
+            } catch {
+              case e: Engine.EngineError =>
+                writePacket(out, sr.v, errPayload(e))
+              case e: Exception => writePacket(out, sr.v, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
+            }
+
+          case ComProcessInfo =>
+            // COM_PROCESS_INFO: the SHOW PROCESSLIST result set by command
+            // byte (deprecated but still sent by mysqladmin processlist)
+            respond(out, session, base) {
+              Some(session.sqlMySql("SHOW PROCESSLIST"))
+            }
+
+          case ComProcessKill =>
+            // COM_PROCESS_KILL: 4-byte LE connection id — the command-byte
+            // spelling of KILL <id> (mysqladmin kill); unknown ids answer
+            // MySQL's 1094 like the real server
+            try {
+              val r = new BinReader(cmd, 1)
+              val cid = r.int4().toLong & 0xFFFFFFFFL
+              if (!Engine.processList.exists(_._1 == cid))
+                throw Engine.EngineError(1094, "HY000",
+                  s"Unknown thread id: $cid")
+              session.sqlMySql(s"KILL $cid")
+              writePacket(out, base, okPayload(session.statusFlags))
+            } catch {
+              case e: Engine.EngineError =>
+                writePacket(out, base, errPayload(e))
+              case e: Exception => writePacket(out, base, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
+            }
+
+          case ComSetOption =>
+            // COM_SET_OPTION: 2-byte LE option — 0 enables / 1 disables
+            // multi-statement parsing; classic servers answer an EOF packet
+            try {
+              val r = new BinReader(cmd, 1)
+              r.int2() match {
+                case 0 => multiStmts = true
+                case 1 => multiStmts = false
+                case other => throw Engine.EngineError(1047, "08S01",
+                  s"Unknown COM_SET_OPTION option: $other")
+              }
+              writePacket(out, base, eofPayload(session.statusFlags))
+            } catch {
+              case e: Engine.EngineError =>
+                writePacket(out, base, errPayload(e))
+              case e: Exception => writePacket(out, base, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
+            }
+
+          case ComResetConnection =>
+            // COM_RESET_CONNECTION: connection-pool hygiene — clears all
+            // session state without re-authenticating
+            session.resetConnection()
+            stmtSchemas.clear(); stmtTypes.clear(); stmtPending.clear()
+            writePacket(out, base, okPayload(session.statusFlags))
 
           case ComStmtPrepare =>
             val sr = new SeqRef(base)
@@ -766,13 +1088,6 @@ final class MySqlServer private (listener: ServerSocket,
         }
         out.flush()
       }
-    } catch {
-      case _: EOFException | _: SocketException => () // client went away
-    } finally {
-      if (session != null) session.close()
-      conns.remove(sock)
-      try sock.close() catch { case _: Exception => () }
-    }
   }
 
   /** Run one command body; map its outcome onto the wire: None → OK, a

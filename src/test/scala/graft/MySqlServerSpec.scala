@@ -23,8 +23,44 @@ class MySqlServerSpec extends SparkSpec {
   private final class Client(port: Int) {
     val sock = new Socket("127.0.0.1", port)
     sock.setSoTimeout(120000)
-    private val in = new BufferedInputStream(sock.getInputStream)
-    private val out = new BufferedOutputStream(sock.getOutputStream)
+    // the raw (possibly TLS-wrapped) streams, and the packet-level
+    // (possibly compression-wrapped) streams over them
+    private var baseIn: InputStream = sock.getInputStream
+    private var baseOut: OutputStream = sock.getOutputStream
+    private var in = new BufferedInputStream(baseIn)
+    private var out = new BufferedOutputStream(baseOut)
+
+    /** Client side of the MySQL TLS upgrade: call right after sending the
+      * SSLRequest packet; subsequent packets ride the TLS session. */
+    def upgradeTls(): Unit = {
+      val trustAll = new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate],
+            a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate],
+            a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array(trustAll), null)
+      val s = ctx.getSocketFactory
+        .createSocket(sock, "127.0.0.1", sock.getPort, false)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      s.setUseClientMode(true)
+      s.startHandshake()
+      baseIn = s.getInputStream
+      baseOut = s.getOutputStream
+      in = new BufferedInputStream(baseIn)
+      out = new BufferedOutputStream(baseOut)
+    }
+
+    /** Client side of the compressed protocol: call right after the auth
+      * OK when CLIENT_COMPRESS was negotiated. Independent codec (zlib via
+      * Inflater/Deflater directly), so it cross-checks the server's. */
+    def enableCompression(): Unit = {
+      in = new BufferedInputStream(new CompIn(baseIn))
+      out = new BufferedOutputStream(new CompOut(baseOut))
+    }
 
     private def readFully(n: Int): Array[Byte] = {
       val b = new Array[Byte](n)
@@ -71,6 +107,122 @@ class MySqlServerSpec extends SparkSpec {
     def eofReached(): Boolean = in.read() == -1
 
     def close(): Unit = sock.close()
+  }
+
+  /** Spec-side compressed-protocol reader: 7-byte header (3-byte LE
+    * compressed len, seq, 3-byte LE uncompressed len; 0 = stored raw). */
+  private final class CompIn(raw: InputStream) extends InputStream {
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    private def readFully(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val k = raw.read(b, off, n - off)
+        if (k < 0) throw new EOFException
+        off += k
+      }
+      b
+    }
+    private def ensure(): Unit =
+      while (pos >= cur.length) {
+        val h = readFully(7)
+        val clen = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+        val ulen = (h(4) & 0xFF) | ((h(5) & 0xFF) << 8) | ((h(6) & 0xFF) << 16)
+        val body = readFully(clen)
+        cur =
+          if (ulen == 0) body
+          else {
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(body)
+            val u = new Array[Byte](ulen)
+            var got = 0
+            while (got < ulen && !inf.finished())
+              got += inf.inflate(u, got, ulen - got)
+            inf.end()
+            assert(got == ulen, "short zlib frame from server")
+            u
+          }
+        pos = 0
+      }
+    override def read(): Int = { ensure(); val v = cur(pos) & 0xFF; pos += 1; v }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      ensure()
+      val n = math.min(len, cur.length - pos)
+      System.arraycopy(cur, pos, b, off, n); pos += n; n
+    }
+  }
+
+  /** Spec-side compressed-protocol writer: compresses payloads ≥ 64 bytes
+    * (exercising the server's inflate path), ships smaller ones raw. */
+  private final class CompOut(raw: OutputStream) extends OutputStream {
+    private val buf = new ByteArrayOutputStream()
+    private var seq = 0
+    override def write(b: Int): Unit = buf.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      buf.write(b, off, len)
+    override def flush(): Unit = {
+      val data = buf.toByteArray
+      buf.reset()
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(0xFFFFFF, data.length - off)
+        val (body, ulen) =
+          if (n < 64) (java.util.Arrays.copyOfRange(data, off, off + n), 0)
+          else {
+            val bo = new ByteArrayOutputStream()
+            val ds = new java.util.zip.DeflaterOutputStream(bo)
+            ds.write(data, off, n); ds.close()
+            (bo.toByteArray, n)
+          }
+        raw.write(body.length & 0xFF); raw.write((body.length >>> 8) & 0xFF)
+        raw.write((body.length >>> 16) & 0xFF)
+        raw.write(seq & 0xFF); seq += 1
+        raw.write(ulen & 0xFF); raw.write((ulen >>> 8) & 0xFF)
+        raw.write((ulen >>> 16) & 0xFF)
+        raw.write(body, 0, body.length)
+        off += n
+      }
+      raw.flush()
+      seq = 0 // next command restarts the compressed sequence
+    }
+  }
+
+  /** A throwaway self-signed server SSLContext: keypair generated by the
+    * JDK's own keytool into a temp PKCS12 store (no checked-in binary). */
+  private lazy val serverSslContext: javax.net.ssl.SSLContext = {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ksFile = dir.resolve("ks.p12").toFile
+    val keytool = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "keytool")
+    val rc = Seq(keytool.getPath, "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksFile.getPath, "-storepass", "graftpass",
+      "-keypass", "graftpass", "-dname", "CN=localhost",
+      "-validity", "3650").!
+    assert(rc == 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksFile)
+    try ks.load(fis, "graftpass".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "graftpass".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** The 32-byte SSLRequest packet (caps with CLIENT_SSL, no user). */
+  private def sslRequest(extraCaps: Int = 0): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    val caps = 0x00000200 | 0x00008000 | 0x00080000 | 0x00000800 | extraCaps
+    (0 until 4).foreach(k => b.write((caps >>> (8 * k)) & 0xFF))
+    (0 until 4).foreach(k => b.write(((1 << 24) >>> (8 * k)) & 0xFF))
+    b.write(46)
+    (1 to 23).foreach(_ => b.write(0))
+    b.toByteArray
   }
 
   /** Cursor over a payload for parsing server packets. */
@@ -786,6 +938,208 @@ class MySqlServerSpec extends SparkSpec {
       assert((ok(0) & 0xFF) == 0x00,
         "clamped attrs must still authenticate (ERR also acceptable, death is not)")
       c1.close()
+    } finally srv.close()
+  }
+
+  test("TLS upgrade: SSLRequest → handshake over TLS → queries ride the TLS session") {
+    val srv = MySqlServer.start(spark, backends, databases,
+      ssl = Some(serverSslContext))
+    try {
+      val c = new Client(srv.port)
+      val (_, greeting) = c.readPacket()
+      val g = new Reader(greeting)
+      g.int1(); g.nulString(); g.int4(); g.skip(9)
+      val capsLow = g.int2()
+      assert((capsLow & 0x0800) != 0, "TLS-enabled server must advertise CLIENT_SSL")
+      c.writePacket(1, sslRequest())
+      c.upgradeTls()
+      // the REAL handshake response continues the sequence at 2, over TLS
+      c.writePacket(2, handshakeResponse("prod.alice", None))
+      val (_, ok) = c.readPacket()
+      assert((ok(0) & 0xFF) == 0x00, "auth over TLS must succeed")
+      val (_, rows) = query(c,
+        "SELECT n_name FROM nation WHERE n_nationkey = 0")
+      assert(rows.map(_.head.get).nonEmpty)
+      // a biggish result over TLS too
+      val (_, big) = query(c, "SELECT length(repeat('x', 300000)) AS n")
+      assert(big == Seq(Seq(Some("300000"))))
+      c.close()
+    } finally srv.close()
+  }
+
+  test("SSL probe against a non-TLS server answers a clean ERR, not a parse kill") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = new Client(srv.port)
+      val (_, greeting) = c.readPacket()
+      val g = new Reader(greeting)
+      g.int1(); g.nulString(); g.int4(); g.skip(9)
+      assert((g.int2() & 0x0800) == 0, "no-TLS server must not advertise CLIENT_SSL")
+      c.writePacket(1, sslRequest())
+      val (_, err) = c.readPacket()
+      val r = new Reader(err)
+      assert(r.int1() == 0xFF && r.int2() == 1105)
+      assert(new String(err, 9, err.length - 9, UTF_8).contains("SSL"))
+      c.close()
+    } finally srv.close()
+  }
+
+  test("compressed protocol: zlib frames both directions after the auth OK") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port, extraCaps = 0x20) // CLIENT_COMPRESS
+      c.enableCompression()
+      // small command + small result: raw frames (uncompressed-length 0)
+      val (_, one) = query(c, "SELECT 1 AS one")
+      assert(one == Seq(Seq(Some("1"))))
+      // long command (> 64 bytes → client-side zlib, exercising the server
+      // inflate path) + big result (> 128 bytes → server-side zlib,
+      // exercising the client inflate path)
+      val (_, rows) = query(c,
+        "SELECT n_nationkey, repeat(n_name, 200) AS blob_txt FROM nation " +
+          "WHERE n_nationkey IN (0, 1, 2, 3, 4) ORDER BY n_nationkey")
+      assert(rows.length == 5)
+      assert(rows.forall(_(1).exists(_.length >= 200)))
+      // a result crossing the 2^24-1 plain-packet split inside compressed
+      // frames: framing layers compose
+      val n = 0xFFFFFF + 77
+      val (_, huge) = query(c, s"SELECT length(repeat('a', $n)) AS len, repeat('a', $n) AS body")
+      assert(huge.head.head.contains(n.toString))
+      assert(huge.head(1).exists(_.length == n))
+      c.close()
+    } finally srv.close()
+  }
+
+  test("TLS + compression compose on one connection") {
+    val srv = MySqlServer.start(spark, backends, databases,
+      ssl = Some(serverSslContext))
+    try {
+      val c = new Client(srv.port)
+      c.readPacket()
+      c.writePacket(1, sslRequest(extraCaps = 0x20))
+      c.upgradeTls()
+      c.writePacket(2, handshakeResponse("prod.alice", None, extraCaps = 0x20))
+      val (_, ok) = c.readPacket()
+      assert((ok(0) & 0xFF) == 0x00)
+      c.enableCompression()
+      val (_, rows) = query(c,
+        "SELECT r_regionkey, repeat(r_name, 100) AS t FROM region ORDER BY r_regionkey")
+      assert(rows.length == 5)
+      c.close()
+    } finally srv.close()
+  }
+
+  test("COM_FIELD_LIST answers column definitions with default-value tails") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      // wildcard %key → the two key columns of nation
+      c.writePacket(0, Array[Byte](0x04) ++ "nation".getBytes(UTF_8) ++
+        Array[Byte](0x00) ++ "%key".getBytes(UTF_8))
+      val names = Seq.newBuilder[String]
+      var done = false
+      while (!done) {
+        val (_, p) = c.readPacket()
+        if ((p(0) & 0xFF) == 0xFE && p.length < 9) done = true
+        else {
+          val r = new Reader(p)
+          r.lenencString() // "def"
+          r.lenencString() // schema
+          val tbl = r.lenencString()
+          assert(tbl == "nation", "field-list defs carry the table name")
+          r.lenencString()
+          names += r.lenencString()
+          r.lenencString()
+          r.int1(); r.int2(); r.int4(); r.int1(); r.int2(); r.int1(); r.int2()
+          assert(r.int1() == 0xFB, "field-list def must end with the NULL default tail")
+          assert(r.remaining == 0)
+        }
+      }
+      assert(names.result().sorted == Seq("n_nationkey", "n_regionkey"))
+      // unknown table → ERR 1146
+      c.writePacket(0, Array[Byte](0x04) ++ "nope".getBytes(UTF_8) ++
+        Array[Byte](0x00))
+      val (_, err) = c.readPacket()
+      val r = new Reader(err)
+      assert(r.int1() == 0xFF && r.int2() == 1146)
+      c.close()
+    } finally srv.close()
+  }
+
+  test("COM_PROCESS_KILL / COM_PROCESS_INFO / COM_SET_OPTION / COM_RESET_CONNECTION") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val a = login(srv.port)
+      val b = login(srv.port, user = "prod.bob")
+      val (_, idRows) = query(b, "SELECT CONNECTION_ID() AS id")
+      val bid = idRows.head.head.get.toLong
+      // PROCESS_INFO: the processlist as a result set, by command byte
+      a.writePacket(0, Array[Byte](0x0A))
+      val (_, first) = a.readPacket()
+      val ncols = new Reader(first).lenencInt().toInt
+      assert(ncols > 0)
+      (1 to ncols).foreach(_ => a.readPacket())
+      a.readPacket() // EOF after defs
+      var rowCount = 0
+      var done = false
+      while (!done) {
+        val (_, p) = a.readPacket()
+        if ((p(0) & 0xFF) == 0xFE && p.length < 9) done = true else rowCount += 1
+      }
+      assert(rowCount >= 2, "both live connections must appear")
+      // PROCESS_KILL of an unknown id → MySQL's 1094
+      a.writePacket(0, Array[Byte](0x0C) ++
+        Array[Byte](0x3F, 0x42, 0x0F, 0x00)) // 999999
+      val (_, unkErr) = a.readPacket()
+      val ur = new Reader(unkErr)
+      assert(ur.int1() == 0xFF && ur.int2() == 1094)
+      // PROCESS_KILL of b's live id → OK
+      a.writePacket(0, Array[Byte](0x0C) ++
+        (0 until 4).map(k => ((bid >>> (8 * k)) & 0xFF).toByte).toArray)
+      val (_, killOk) = a.readPacket()
+      assert((killOk(0) & 0xFF) == 0x00)
+      // SET_OPTION: disable multi-statements → a batch now parse-fails
+      a.writePacket(0, Array[Byte](0x1B, 0x01, 0x00))
+      val (_, eof1) = a.readPacket()
+      assert((eof1(0) & 0xFF) == 0xFE && eof1.length < 9,
+        "COM_SET_OPTION answers the classic EOF")
+      assertThrows[Engine.EngineError] {
+        query(a, "SELECT 1 AS x; SELECT 2 AS x")
+      }
+      // …and re-enabling restores the two-result-set batch
+      a.writePacket(0, Array[Byte](0x1B, 0x00, 0x00))
+      a.readPacket()
+      val (_, batch1) = query(a, "SELECT 1 AS x; SELECT 2 AS x")
+      assert(batch1 == Seq(Seq(Some("1"))))
+      val (_, batch2) = { // drain the second result set of the batch
+        val (_, first2) = a.readPacket()
+        val nc = new Reader(first2).lenencInt().toInt
+        (1 to nc).foreach(_ => a.readPacket())
+        a.readPacket()
+        val rows = Seq.newBuilder[Seq[Option[String]]]
+        var d2 = false
+        while (!d2) {
+          val (_, p) = a.readPacket()
+          if ((p(0) & 0xFF) == 0xFE && p.length < 9) d2 = true
+          else {
+            val r = new Reader(p)
+            rows += Seq(if ((p(r.i) & 0xFF) == 0xFB) None
+              else Some(r.lenencString()))
+          }
+        }
+        (Nil, rows.result())
+      }
+      assert(batch2 == Seq(Seq(Some("2"))))
+      // RESET_CONNECTION drops session state (user vars) without re-auth
+      query(a, "SET @marker = 42")
+      val (_, before) = query(a, "SELECT @marker AS m")
+      assert(before == Seq(Seq(Some("42"))))
+      a.writePacket(0, Array[Byte](0x1F))
+      val (_, resetOk) = a.readPacket()
+      assert((resetOk(0) & 0xFF) == 0x00)
+      val (_, after) = query(a, "SELECT @marker AS m")
+      assert(after == Seq(Seq(None)), "user variables must not survive RESET_CONNECTION")
+      a.close(); b.close()
     } finally srv.close()
   }
 }
