@@ -21,13 +21,20 @@ import graft.Engine
   * sequence id, payloads split at the 2²⁴−1 boundary with the mandatory empty
   * terminator on an exact-boundary payload), the protocol-10 handshake, the
   * 4.1 handshake-response parse, the text command set COM_QUERY /
-  * COM_INIT_DB / COM_PING / COM_STATISTICS / COM_QUIT with lenenc text
-  * result sets, and the BINARY prepared-statement lifecycle COM_STMT_PREPARE
-  * / EXECUTE (typed LE params, NULL bitmap, optional CURSOR_TYPE_READ_ONLY)
-  * / FETCH / SEND_LONG_DATA (no response, per protocol) / RESET / CLOSE with
-  * binary result rows — the mode real connectors (JDBC, mysql-connector)
-  * default to. All layouts follow the public MySQL client/server protocol
-  * (the same one the reference relays byte-transparently).
+  * COM_INIT_DB / COM_PING / COM_STATISTICS / COM_QUIT plus the legacy
+  * commands COM_FIELD_LIST / COM_PROCESS_INFO / COM_PROCESS_KILL /
+  * COM_SET_OPTION / COM_RESET_CONNECTION, lenenc text result sets, the
+  * BINARY prepared-statement lifecycle COM_STMT_PREPARE / EXECUTE (typed LE
+  * params, NULL bitmap, optional CURSOR_TYPE_READ_ONLY) / FETCH /
+  * SEND_LONG_DATA (no response, per protocol) / RESET / CLOSE with binary
+  * result rows — the mode real connectors (JDBC, mysql-connector) default
+  * to — the TLS upgrade (SSLRequest → server-mode TLS wrap before auth,
+  * when started with an SSLContext; /root/reference/gateway/tls.go:11-45,
+  * gateway.go:88-100), and the zlib COMPRESSED protocol
+  * (/root/reference/mysql/compress.go:36-153) active from the first
+  * post-auth command when negotiated. All layouts follow the public MySQL
+  * client/server protocol (the same one the reference relays
+  * byte-transparently).
   *
   * Scale/behavior notes:
   *  - thread-per-connection over a shared SparkSession — the engine analog
