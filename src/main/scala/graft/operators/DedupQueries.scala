@@ -70,8 +70,12 @@ object DedupQueries extends QueryModule {
       .agg(sigCol(0), (1 until numHashes).map(sigCol): _*)
   }
 
+  /** The fixture corpus's MinHash signature relation, memoized per
+    * (session, fixture dir) — one row per doc, consumed by q72 and every
+    * LSH banding below. Deterministic (order-pinned MIN folds), so memo ==
+    * fresh is spec-pinned (DedupSpec). */
   private def signatures(spark: SparkSession): DataFrame =
-    signaturesOf(spark.table("documents"))
+    Memo.cached(spark, "minhash-sigs")(signaturesOf(spark.table("documents")))
 
   /** The 4-band (band, md5-concat bucket) struct array over sig0..sig15 —
     * the one LSH banding used by q73/q75/q77/q79/q101 and ScaleProbe. */
@@ -188,6 +192,22 @@ object DedupQueries extends QueryModule {
   private def bandPairs(spark: SparkSession, bandStructs: Column,
       cap: Int = defaultBucketCap): DataFrame =
     saltedBucketPairs(bandRows(spark, bandStructs), cap)
+
+  /** The q73 LSH candidate-pair relation at the standard 4-band/4-row
+    * banding and default bucket cap, memoized per (session, fixture dir)
+    * ([[Memo.cached]]) — nine queries (q73/q75/q77/q79/q101/q129/q138/
+    * q202/q221) consume this IDENTICAL deterministic relation, and each
+    * was rebuilding signatures → banding → salted bucket enumeration from
+    * scratch (the r08 k-means-retraining lesson, applied to pairs — VERDICT
+    * r09 §wrong-3). DedupSpec pins memo == fresh bit-for-bit. */
+  private[graft] def lshPairs(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "lsh-pairs")(bandPairs(spark, minhashBandStructs))
+
+  /** The exact PPJoin pair relation at threshold `tau`, memoized like
+    * [[lshPairs]] — q110/q202 share τ=0.6, q213's curve scans τ=0.5. */
+  private[graft] def ppjoinPairsShared(spark: SparkSession, tau: Double): DataFrame =
+    Memo.cached(spark, s"ppjoin-$tau")(
+      ppjoinPairs(spark.table("documents"), tau))
 
   private val signaturesSql =
     s"""SELECT doc_id,
@@ -328,7 +348,7 @@ object DedupQueries extends QueryModule {
          |WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       import spark.implicits._
-      ppjoinPairs(spark.table("documents"), 0.6).orderBy($"id_a", $"id_b")
+      ppjoinPairsShared(spark, 0.6).orderBy($"id_a", $"id_b")
     },
 
     // Edit-distance fuzzy matching: Levenshtein over document heads on a
@@ -490,11 +510,7 @@ object DedupQueries extends QueryModule {
       // within each bucket (bucket sizes are small by LSH design, so the
       // in-bucket product is bounded; a skewed bucket would surface here as
       // one hot key — the place to cap/salt at 100 TB).
-      val bandStructs = array((0 until 4).map { b =>
-        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
-        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
-      }: _*)
-      bandPairs(spark, bandStructs)
+      lshPairs(spark)
         .orderBy($"id_a", $"id_b")
     },
 
@@ -555,7 +571,7 @@ object DedupQueries extends QueryModule {
          |ORDER BY p.id_a, p.id_b""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val pairs = bandPairs(spark, minhashBandStructs).localCheckpoint()
+      val pairs = lshPairs(spark) // memoized + already checkpointed
       val occ = dupspanOcc(spark.table("documents"))
         .localCheckpoint() // joined as BOTH pair sides
       val oa = occ.select($"doc_id".as("id_a"), $"pos".as("pa"), $"h")
@@ -607,11 +623,7 @@ object DedupQueries extends QueryModule {
          |ORDER BY d.doc_id""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val bandStructs = array((0 until 4).map { b =>
-        val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
-        struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
-      }: _*)
-      val dropped = bandPairs(spark, bandStructs)
+      val dropped = lshPairs(spark)
         .select($"id_b".as("doc_id")).distinct()
       spark.table("documents")
         .join(dropped, Seq("doc_id"), "left_anti")
@@ -1167,7 +1179,7 @@ object DedupQueries extends QueryModule {
     }) { spark =>
       import spark.implicits._
       graphRankOf(spark.table("documents").select($"doc_id"),
-        bandPairs(spark, minhashBandStructs))
+        lshPairs(spark))
     },
 
     // Triangle counting + local clustering coefficient over the q73 LSH
@@ -1218,7 +1230,7 @@ object DedupQueries extends QueryModule {
          |FROM deg d LEFT JOIN tn t USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     }) { spark =>
-      trianglesOf(bandPairs(spark, minhashBandStructs))
+      trianglesOf(lshPairs(spark))
     },
 
     // Duplicate-SPAN statistics (Lee et al. ACL'22 "exact substring" dedup,
@@ -1717,9 +1729,9 @@ object DedupQueries extends QueryModule {
          |FROM s""".stripMargin
     }) { spark =>
       import spark.implicits._
-      val lsh = bandPairs(spark, minhashBandStructs)
+      val lsh = lshPairs(spark)
         .select($"id_a", $"id_b", lit(1).as("in_lsh"))
-      val exact = ppjoinPairs(spark.table("documents"), 0.6)
+      val exact = ppjoinPairsShared(spark, 0.6)
         .select($"id_a", $"id_b", lit(1).as("in_ex"))
       val j = lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
         .select(coalesce($"in_lsh", lit(0)).as("in_lsh"),
@@ -1792,8 +1804,7 @@ object DedupQueries extends QueryModule {
          |FROM c CROSS JOIN nn
          |ORDER BY tau""".stripMargin) { spark =>
       import spark.implicits._
-      val pairs = ppjoinPairs(spark.table("documents"), 0.5)
-        .localCheckpoint() // one exact pass feeds all five thresholds
+      val pairs = ppjoinPairsShared(spark, 0.5) // memoized one exact pass
       val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
       val nn = spark.table("documents")
         .agg(count(lit(1)).cast(LongType).as("n_docs"))
@@ -2251,11 +2262,7 @@ object DedupQueries extends QueryModule {
        |ORDER BY lang""".stripMargin
   }) { spark =>
     import spark.implicits._
-    val bandStructs = array((0 until 4).map { b =>
-      val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
-      struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
-    }: _*)
-    val neardup = bandPairs(spark, bandStructs)
+    val neardup = lshPairs(spark)
       .select($"id_b".as("doc_id")).distinct()
     val sh = spark.table("documents")
       .select($"doc_id", split(lower($"text"), " ").as("toks"))
@@ -2407,18 +2414,11 @@ object DedupQueries extends QueryModule {
     * [[propagateComponents]]. */
   private def components(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val bandStructs = array((0 until 4).map { b =>
-      val cat = concat((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)
-      struct(lit(b).as("band"), md5(cat.cast(BinaryType)).as("bh"))
-    }: _*)
-    val pairs = bandPairs(spark, bandStructs).cache()
+    val pairs = lshPairs(spark) // memoized + checkpointed
     val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
       .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
-      .cache()
     val nodes = spark.table("documents").select($"doc_id")
     val (labels, _) = propagateComponents(nodes, edges)
-    pairs.unpersist()
-    edges.unpersist()
     labels
   }
 

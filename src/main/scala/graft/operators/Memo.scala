@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Per-(session, fixture dir, view generation) cache for deterministic
+  * derived relations that many queries consume unchanged — trained model
+  * artifacts (k-means centroids, PQ codebooks, class prototypes) and the
+  * spec-pinned shared pair relations (MinHash signatures / LSH band pairs,
+  * PPJoin exact-Jaccard pairs).
+  *
+  * This is the `trainedMemo` pattern (r09) promoted to a shared home: the
+  * r08 bench regressions were one deterministic k-means training paid five
+  * times, and the identical lesson applied to the q73/q110 pair relations
+  * (rebuilt inside q75/q77/q79/q101/q129/q138/q202/q213/q221 each run).
+  * Every cached builder is deterministic — fixed init order, fixed
+  * iteration counts, order-pinned folds, order-pinned salted bucket
+  * enumeration — so memo == fresh build is spec-pinned
+  * (SimilarityDedupSpec / DedupSpec assert bit equality) and memoization
+  * cannot change any query result.
+  *
+  * Keying and lifecycle:
+  *  - key = (session, [[Tables.boundDir]], kind, [[Tables.viewGeneration]]).
+  *    The generation is bumped by every rebinding `Tables.register` and by
+  *    `Tables.noteViewSwap`, so a rebound session can never be served a
+  *    relation built from the previous binding (ADVICE r09). A never-bound
+  *    session has no safe key and builds fresh.
+  *  - entries hold `localCheckpoint`ed frames (bounded: signatures ≈ one
+  *    row per doc, pair relations ≈ the candidate set); [[release]] drops
+  *    a session's entries when `Engine.Session.close()` releases it, so a
+  *    long-lived server does not retain one SparkSession per departed
+  *    connection.
+  *
+  * At 100 TB this is exactly the "computed-once lineage" an engine should
+  * expose: the pair graph is a first-class materialization consumed by the
+  * survivor/component/evaluation family, not a subplan replayed per query.
+  */
+private[graft] object Memo {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Long), DataFrame]
+
+  /** Return the cached frame for `kind` on this (session, bound dir,
+    * generation), building + localCheckpoint-ing it on first use. Unbound
+    * sessions build fresh (still checkpointed — every caller is
+    * multi-consumer). */
+  def cached(spark: SparkSession, kind: String)(
+      build: => DataFrame): DataFrame = {
+    val dir = Tables.boundDir(spark)
+    if (dir.isEmpty) build.localCheckpoint()
+    else cache.computeIfAbsent(
+      (spark, dir, kind, Tables.viewGeneration(spark)),
+      _ => build.localCheckpoint())
+  }
+
+  /** Drop every relation cached for `spark` — see [[cached]]. */
+  def release(spark: SparkSession): Unit = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+}

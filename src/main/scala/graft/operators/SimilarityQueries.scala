@@ -1555,9 +1555,8 @@ object SimilarityQueries extends QueryModule {
       .select($"vec_id", $"emb", $"cl")
   }
 
-  /** Trained-artifact memo, keyed by (session, fixture dir, kind) — the
-    * compactedLayouts pattern (ScaleQueries.scala) applied to model state:
-    * q83/q119/q193/q104b/q104c/q135 each consume the IDENTICAL
+  /** Trained-artifact memo — [[Memo.cached]] under a `trained:` kind
+    * prefix: q83/q119/q193/q104b/q104c/q135 each consume the IDENTICAL
     * deterministic training run (fixed init order, fixed iteration count,
     * order-pinned folds), so bench reps, Verify, and the specs train once
     * per (JVM session, dir) and share the ≤ k·M-row localCheckpoint'ed
@@ -1565,33 +1564,12 @@ object SimilarityQueries extends QueryModule {
     * k-means-family bench regressions were exactly this cost ×5). The
     * oracle replays training from the same constants either way, so
     * memoization cannot change any result — SimilarityDedupSpec asserts
-    * memo == fresh training bit-for-bit. */
-  private val trainedMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String, Long), DataFrame]
-
-  /** CONTRACT (ADVICE r09): memoized trainers run only against
-    * register-bound views — the supported rebinding paths are
-    * `Tables.register` (rebind bumps the generation) and
-    * `Tables.noteViewSwap` (for a direct `createOrReplaceTempView` on a
-    * bound session). The view generation rides the key, so either bump
-    * invalidates; a never-bound session trains fresh (no safe key).
-    * Retention: entries are dropped by [[releaseMemo]] when
-    * `Engine.Session.close()` releases the session, so a long-lived server
-    * does not hold one checkpointed frame per departed connection. */
+    * memo == fresh training bit-for-bit. Keying/lifecycle contract
+    * (register-bound views only, generation bump on rebind, release on
+    * session close — ADVICE r09) lives with [[Memo]]. */
   private def memoTrained(spark: SparkSession, kind: String)(
-      train: => DataFrame): DataFrame = {
-    val dir = Tables.boundDir(spark)
-    if (dir.isEmpty) train.localCheckpoint()
-    else trainedMemo.computeIfAbsent(
-      (spark, dir, kind, Tables.viewGeneration(spark)),
-      _ => train.localCheckpoint())
-  }
-
-  /** Drop every trained artifact cached for `spark` — see [[memoTrained]]. */
-  private[graft] def releaseMemo(spark: SparkSession): Unit = {
-    val it = trainedMemo.keySet.iterator
-    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
-  }
+      train: => DataFrame): DataFrame =
+    Memo.cached(spark, s"trained:$kind")(train)
 
   /** Deterministic k-means centroids (cl, cemb): md5-order init over the
     * [[initSampleLt]] hash pre-sample + ivfIters Lloyd rounds with

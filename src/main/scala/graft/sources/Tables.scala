@@ -214,6 +214,6 @@ object Tables {
     * training frames) per departed connection (ADVICE r09). */
   private[graft] def release(spark: SparkSession): Unit = {
     bound.remove(spark)
-    graft.operators.SimilarityQueries.releaseMemo(spark)
+    graft.operators.Memo.release(spark)
   }
 }

@@ -430,6 +430,35 @@ class DedupSpec extends SparkSpec {
     assert(keep == ds.map(r => r.getLong(0) -> r.getInt(5)).toMap)
   }
 
+  test("memoized pair relations equal a fresh build bit-for-bit") {
+    // the Memo promotion of the r09 trainedMemo pattern to the shared
+    // q73/q110 pair relations: a pure cache — the second call returns the
+    // SAME checkpointed plan, and rows equal an un-memoized replay
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val lsh1 = DedupQueries.lshPairs(spark)
+    val lsh2 = DedupQueries.lshPairs(spark)
+    assert(lsh1 eq lsh2, "second call must hit the (session, dir) memo")
+    val lshFresh = DedupQueries.saltedBucketPairs(
+      DedupQueries.minhashBandRowsOf(docs), DedupQueries.defaultBucketCap)
+    assert(pairRows(lsh1) == pairRows(lshFresh),
+      "memoized LSH pairs diverged from a fresh deterministic build")
+    val pp1 = DedupQueries.ppjoinPairsShared(spark, 0.6)
+    val pp2 = DedupQueries.ppjoinPairsShared(spark, 0.6)
+    assert(pp1 eq pp2, "second call must hit the (session, dir, τ) memo")
+    assert(pp1 ne DedupQueries.ppjoinPairsShared(spark, 0.5),
+      "distinct thresholds must memoize separately")
+    val ppFresh = DedupQueries.ppjoinPairs(docs, 0.6)
+    def ppRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toList
+    assert(ppRows(pp1) == ppRows(ppFresh),
+      "memoized PPJoin pairs diverged from a fresh deterministic build")
+  }
+
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
     // a 32-bit band is the concatenation of two 16-bit bands: agreement on
     // it implies agreement on both halves, so the scale-mode candidate set
