@@ -149,6 +149,21 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("skyline: chunked prefix-max windows, never a bare price window") {
+    Tables.register(spark, sf)
+    val df = SparkEntry.queries("q144_skyline")(spark, sf)
+    val plan = planOf(df)
+    // the degenerate shape is one ORDER BY p_retailprice window over every
+    // distinct price — a single reducer whose size scales with the price
+    // domain; the two-phase rewrite runs the prefix max inside
+    // floor(price/100) chunks, and the only order-only window left (chunk
+    // offsets) runs over the chunk-count-sized relation
+    assert(!plan.matches("(?s).*windowspecdefinition\\(p_retailprice#\\d+.*"),
+      plan)
+    assert(plan.matches(
+      "(?s).*windowspecdefinition\\(chunk#\\d+L?, p_retailprice#.*"), plan)
+  }
+
   test("negative sampling: chunked prefix windows, never a bare token window") {
     Tables.register(spark, sf)
     import spark.implicits._
@@ -470,11 +485,14 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
     assert(!finalPlan.contains("CartesianProduct") &&
       !finalPlan.contains("BroadcastNestedLoop"), finalPlan)
-    // only the distinct-price aggregate (and the final sort) may exchange —
-    // the corpus-side scan feeds the broadcast join directly
+    // only the distinct-price side may hash-exchange (the price aggregate,
+    // the chunked-window re-partition, and the chunk-offset aggregate —
+    // all carrying the price-domain-bounded relation, r10's two-phase
+    // rewrite); the corpus-side scan feeds the broadcast join directly,
+    // so no fact-table exchange appears below the BroadcastHashJoin probe
     val hashExchanges = finalPlan.linesIterator
       .count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges <= 1, s"$hashExchanges hash exchanges:\n$finalPlan")
+    assert(hashExchanges <= 4, s"$hashExchanges hash exchanges:\n$finalPlan")
   }
 
   test("ab lift: one map-side-combinable global aggregate, no wide shuffle") {
