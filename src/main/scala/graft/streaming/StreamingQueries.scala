@@ -271,4 +271,60 @@ object StreamingQueries extends QueryModule {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update)
   }
+
+  /** q163's CUSUM drift monitor as STREAMING per-key state — the shape a
+    * pipeline actually deploys it in (daily ingest volumes arrive as the
+    * watermarked rollup closes each day; the monitor must not rescan
+    * history). Where the batch query computes the closed form S_t = P_t −
+    * min(0, min_{j≤t} P_j) with two windows, the stream runs the textbook
+    * Page recursion S_t = max(0, S_{t−1} + x_t − c) directly — the two are
+    * the same fold (the closed form IS the recursion unrolled), and every
+    * quantity is an INTEGER, so stream == batch is exact equality, not an
+    * epsilon (StreamingSpec asserts it across a micro-batch boundary).
+    * State per key is four Longs — O(1) at any event volume, vs the batch
+    * window's O(days) partition. The reference `c` is a training-time
+    * constant (the batch query derives it from the corpus mean; a deployed
+    * monitor pins it from the training window). */
+  private[graft] class CusumProcessor(c: Long, alarmAt: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("cusum",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      var (s, mx, nDays, nAlarm) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, 0L)
+      // within a micro-batch, apply strictly in day order (the event-time
+      // contract shared with Holt/EWMA: upstream emits closed days in order)
+      rows.toSeq.sortBy(_._2).foreach { case (_, _, cnt) =>
+        s = math.max(0L, s + cnt - c)
+        mx = math.max(mx, s)
+        nDays += 1
+        if (s >= alarmAt) nAlarm += 1
+      }
+      st.update((s, mx, nDays, nAlarm))
+      Iterator((user, nDays, mx, nAlarm))
+    }
+  }
+
+  /** (user_id, day, cnt) stream → per-user (user_id, n_days, max_cusum,
+    * n_alarm_days) updates via [[CusumProcessor]] — the streaming twin of
+    * q163's output columns. */
+  private[graft] def cusumStreamingState(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      c: Long, alarmAt: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new CusumProcessor(c, alarmAt),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
 }

@@ -502,6 +502,60 @@ class StreamingSpec extends SparkSpec {
     assert(rounded == q112)
   }
 
+  test("streaming CUSUM state equals q163's batch closed form across a batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    // the fixture's per-user daily rollup in day order, split mid-stream —
+    // per-user (S, max, n_days, n_alarms) state must carry the boundary
+    val dayUs = 86400000000L
+    val daily = spark.table("events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._2, x._1)).toSeq
+    // the batch query's integer reference c = tot div nd + 1
+    val nd = daily.length.toLong
+    val tot = daily.map(_._3).sum
+    val c = tot / nd + 1
+    val (first, second) = daily.splitAt(daily.length / 2)
+    val ms = MemoryStream[(Long, Long, Long)]
+    val out = graft.streaming.StreamingQueries
+      .cusumStreamingState(ms.toDS(), c, alarmAt = 3L)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = out.toDF("user_id", "n_days", "max_cusum", "n_alarm_days")
+      .writeStream.format("memory").queryName("t_cusum")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    val last = spark.table("t_cusum")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_days").desc)))
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // all-integer recursion vs all-integer closed form: EXACT equality
+    // with the oracle-checked q163 rows, no rounding anywhere
+    val q163 = SparkEntry.queries("q163_cusum_changepoint")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(last == q163)
+    assert(q163.values.exists(_._3 > 0), "fixture must trigger some alarms")
+  }
+
   test("streaming incremental LSH pairs equal the batch candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
