@@ -446,41 +446,7 @@ object TextQueries extends QueryModule {
         |FROM ch
         |ORDER BY doc_id, chunk_idx""".stripMargin) { spark =>
       import spark.implicits._
-      val w = 5
-      val gap = 20
-      val base = Tables.spread(spark.table("documents"))
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", $"toks", size($"toks").as("n"))
-      val cands = base.select($"doc_id", $"n",
-        filter(
-          transform(Canon.seq1($"n" - (2 * w - 1)), j => j + (w - 1)),
-          i => {
-            val prev = array_distinct(slice($"toks", i - (w - 1), lit(w)))
-            val nxt = array_distinct(slice($"toks", i + 1, lit(w)))
-            (lit(1.0) -
-              size(array_intersect(prev, nxt)).cast(DoubleType) /
-                size(array_union(prev, nxt))) >= lit(0.9)
-          }).as("cands"))
-      val kept = cands.select($"doc_id", $"n",
-        aggregate($"cands",
-          struct(lit(0).as("last"),
-            array().cast(ArrayType(IntegerType)).as("ks")),
-          (acc, i) => {
-            val keep = i - acc.getField("last") >= gap
-            struct(
-              when(keep, i).otherwise(acc.getField("last")).as("last"),
-              when(keep, concat(acc.getField("ks"), array(i)))
-                .otherwise(acc.getField("ks")).as("ks"))
-          }).getField("ks").as("ks"))
-      kept.select($"doc_id",
-          posexplode(zip_with(
-            concat(array(lit(1)), transform($"ks", k => k + 1)),
-            concat($"ks", array($"n")),
-            (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("ci", "c")))
-        .select($"doc_id", ($"ci" + 1).cast(LongType).as("chunk_idx"),
-          $"c.s".cast(LongType).as("start_tok"),
-          $"c.e".cast(LongType).as("end_tok"),
-          ($"c.e" - $"c.s" + 1).cast(LongType).as("n_toks"))
+      semanticChunkRowsOf(spark.table("documents"))
         .orderBy($"doc_id", $"chunk_idx")
     },
 
@@ -2721,10 +2687,11 @@ object TextQueries extends QueryModule {
         |ORDER BY source""".stripMargin) { spark =>
       import spark.implicits._
       // chars iterate CODE POINTS via substr(text, i, 1) — the oracle's
-      // substr loop exactly. split(text, "") splits BYTES on Spark 4.1
-      // UTF8String ('aé😀' → 7 pieces) and yields [""] for empty text
-      // while the oracle emits no rows, so any non-ASCII or empty doc
-      // would diverge (ADVICE r08). seq1 guards the empty doc to an
+      // substr loop exactly. split(text, "") yields [""] for empty text
+      // while the oracle emits no rows, so any empty doc would diverge
+      // (ADVICE r08; r10 re-measured the rest — split-by-empty is
+      // code-point-based on Spark 4.1.2, see TextRobustnessSpec). seq1
+      // guards the empty doc to an
       // empty array = the oracle's empty range. Base spread: per-char
       // explode is the heaviest generator in the repo and the fixture
       // is one row group (CLAUDE.md invariant).
@@ -2992,6 +2959,52 @@ object TextQueries extends QueryModule {
       .join(broadcast(ncnt), "needle")
       .filter($"nmatch" === $"ntri")
       .select($"doc_id", $"needle")
+  }
+
+  /** q219's semantic chunk rows for any (doc_id, text) corpus: boundary
+    * candidates where adjacent w=5 token windows' Jaccard dissimilarity
+    * crosses 0.9, greedily thinned to ≥ 20-token chunks by a left fold, then
+    * exploded into (chunk_idx, start_tok, end_tok, n_toks) rows. Exposed
+    * private[graft] so ScaleProbe can measure cut-count growth on synthetic
+    * corpora — cuts per doc are bounded by n_tokens/gap, so total chunk
+    * rows track corpus size (≈ linear), never its square. */
+  private[graft] def semanticChunkRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = 5
+    val gap = 20
+    val base = Tables.spread(docs)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("n"))
+    val cands = base.select($"doc_id", $"n",
+      filter(
+        transform(Canon.seq1($"n" - (2 * w - 1)), j => j + (w - 1)),
+        i => {
+          val prev = array_distinct(slice($"toks", i - (w - 1), lit(w)))
+          val nxt = array_distinct(slice($"toks", i + 1, lit(w)))
+          (lit(1.0) -
+            size(array_intersect(prev, nxt)).cast(DoubleType) /
+              size(array_union(prev, nxt))) >= lit(0.9)
+        }).as("cands"))
+    val kept = cands.select($"doc_id", $"n",
+      aggregate($"cands",
+        struct(lit(0).as("last"),
+          array().cast(ArrayType(IntegerType)).as("ks")),
+        (acc, i) => {
+          val keep = i - acc.getField("last") >= gap
+          struct(
+            when(keep, i).otherwise(acc.getField("last")).as("last"),
+            when(keep, concat(acc.getField("ks"), array(i)))
+              .otherwise(acc.getField("ks")).as("ks"))
+        }).getField("ks").as("ks"))
+    kept.select($"doc_id",
+        posexplode(zip_with(
+          concat(array(lit(1)), transform($"ks", k => k + 1)),
+          concat($"ks", array($"n")),
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("ci", "c")))
+      .select($"doc_id", ($"ci" + 1).cast(LongType).as("chunk_idx"),
+        $"c.s".cast(LongType).as("start_tok"),
+        $"c.e".cast(LongType).as("end_tok"),
+        ($"c.e" - $"c.s" + 1).cast(LongType).as("n_toks"))
   }
 
   /** q214's chunked cumulative-weight intervals over a (token, wt) vocab —
