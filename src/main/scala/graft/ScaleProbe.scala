@@ -156,6 +156,9 @@ object ScaleProbe {
             .as("payload"))).count(),
         "winnow" -> TextQueries.winnowedMatches(docs,
           TextQueries.matchDfCap).count(),
+        // q219 path: semantic chunk rows — cuts per doc are bounded by
+        // n_tokens/gap, so chunk rows track the doc count (≈ linear)
+        "chunking" -> TextQueries.semanticChunkRowsOf(docs).count(),
         // q156 path: baskets of fixed width 5 over an n/10 item vocabulary
         // — pair support candidates are C(5,2)·baskets, linear by the
         // basket-keyed join regardless of item popularity
@@ -190,7 +193,8 @@ object ScaleProbe {
     val sizeRatio = sizes.last.toDouble / sizes.head
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
       "semdedup", "meanfold", "containment", "tfidf", "cdc", "dupspan",
-      "align", "winnow", "basket", "trigram", "bitmap", "linkage", "stitch")
+      "align", "winnow", "chunking", "basket", "trigram", "bitmap",
+      "linkage", "stitch")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")
