@@ -998,7 +998,7 @@ object DedupQueries extends QueryModule {
       import spark.implicits._
       // The 64-vote signature aggregate feeds both the band explode and the
       // packed-XOR verify join: materialize it once (multi-consumer rule).
-      val sig = simhashes(spark).localCheckpoint()
+      val sig = simhashes(spark) // memoized + checkpointed
       val packs = sig.select($"doc_id",
         graft.functions.VectorExpressions.hexPack16($"simhash").as("pk"))
       saltedBucketPairs(bandsFromSimhashes(sig), defaultBucketCap)
@@ -2179,7 +2179,7 @@ object DedupQueries extends QueryModule {
   }
 
   private def simhashBands(spark: SparkSession): DataFrame =
-    simhashBandsOf(spark.table("documents"))
+    bandsFromSimhashes(simhashes(spark)) // memoized signature aggregate
 
   /** Per-band bucket-size histogram with closed-form uncapped vs capped
     * in-bucket pair counts (cap = [[defaultBucketCap]]): a bucket of n
@@ -2410,17 +2410,20 @@ object DedupQueries extends QueryModule {
   }
 
   /** doc_id → near-dup component id over the LSH pair graph. Shared by
-    * q77/q79/q101; the distributed fixpoint itself lives in
-    * [[propagateComponents]]. */
-  private def components(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val pairs = lshPairs(spark) // memoized + checkpointed
-    val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
-      .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
-    val nodes = spark.table("documents").select($"doc_id")
-    val (labels, _) = propagateComponents(nodes, edges)
-    labels
-  }
+    * q77/q79; the distributed fixpoint itself lives in
+    * [[propagateComponents]]. Memoized ([[Memo.cached]]) — the fixpoint is
+    * deterministic (min-label propagation over the memoized pair set), and
+    * q79 was re-running the whole iteration q77 had just finished. */
+  private[graft] def components(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "lsh-components") {
+      import spark.implicits._
+      val pairs = lshPairs(spark) // memoized + checkpointed
+      val edges = pairs.select($"id_a".as("a"), $"id_b".as("b"))
+        .unionAll(pairs.select($"id_b".as("a"), $"id_a".as("b")))
+      val nodes = spark.table("documents").select($"doc_id")
+      val (labels, _) = propagateComponents(nodes, edges)
+      labels
+    }
 
   /** Distributed connected components: min-label propagation with a
     * pointer-doubling jump each round.
@@ -2490,8 +2493,8 @@ object DedupQueries extends QueryModule {
     * then one shift+mask on that long — r02's 16 `ascii(substring)` string
     * slices per token were the q78 1.9× regression (VERDICT r02). Bit
     * (b%4) of hex nibble (b/4) lives at packed-bit ((15 − b/4)·4 + b%4). */
-  private def simhashes(spark: SparkSession): DataFrame =
-    simhashesOf(spark.table("documents"))
+  private[graft] def simhashes(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "simhash-sigs")(simhashesOf(spark.table("documents")))
 
   private[graft] def simhashesOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

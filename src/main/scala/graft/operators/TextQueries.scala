@@ -2750,7 +2750,12 @@ object TextQueries extends QueryModule {
     * score): Cavnar-Trenkle rank profiles (top-40 trigrams per language,
     * weight 41−rank) scored by distinct-trigram overlap, argmax per doc.
     * Scale notes live at the q150 declaration. */
-  private[graft] def langidPredictions(spark: SparkSession): DataFrame = {
+  private[graft] def langidPredictions(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "langid-pred")(langidPredictionsFresh(spark))
+
+  /** Un-memoized q150 build (see [[langidPredictions]]; deterministic —
+    * rank ties break on (count desc, trigram) and (score desc, plang)). */
+  private[graft] def langidPredictionsFresh(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val profileK = 40
     val tg = Tables.spread(spark.table("documents"))

@@ -459,6 +459,39 @@ class DedupSpec extends SparkSpec {
       "memoized PPJoin pairs diverged from a fresh deterministic build")
   }
 
+  test("memoized components, simhashes, and langid equal fresh builds") {
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+    // components: memo hit + equality against an un-memoized fixpoint
+    val c1 = DedupQueries.components(spark)
+    assert(c1 eq DedupQueries.components(spark))
+    val pairs = DedupQueries.lshPairs(spark)
+    import org.apache.spark.sql.functions.col
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val (freshLabels, _) = DedupQueries.propagateComponents(
+      docs.select(col("doc_id")), edges)
+    def labelRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(labelRows(c1) == labelRows(freshLabels),
+      "memoized components diverged from a fresh fixpoint")
+    // simhash signatures: memo hit + equality against the Of build
+    val s1 = DedupQueries.simhashes(spark)
+    assert(s1 eq DedupQueries.simhashes(spark))
+    def sigRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toList
+    assert(sigRows(s1) == sigRows(DedupQueries.simhashesOf(docs)),
+      "memoized simhashes diverged from a fresh build")
+    // langid predictions: memo hit + equality against the fresh build
+    val l1 = TextQueries.langidPredictions(spark)
+    assert(l1 eq TextQueries.langidPredictions(spark))
+    def predRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sorted.toList
+    assert(predRows(l1) == predRows(TextQueries.langidPredictionsFresh(spark)),
+      "memoized langid predictions diverged from a fresh build")
+  }
+
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
     // a 32-bit band is the concatenation of two 16-bit bands: agreement on
     // it implies agreement on both halves, so the scale-mode candidate set
