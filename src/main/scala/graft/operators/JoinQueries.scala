@@ -266,13 +266,11 @@ object JoinQueries extends QueryModule {
         |ORDER BY support DESC, pk_a, pk_b
         |LIMIT 500""".stripMargin) { spark =>
       import spark.implicits._
-      // the distinct items relation feeds three consumers (both self-join
-      // sides and the per-item counts) — materialize the scan+distinct once
-      val items = spark.table("lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        .localCheckpoint()
+      // the distinct items + pair-support relations are memoized per
+      // (session, fixture dir) — shared with q174/q199
+      val items = basketItems(spark)
       val n = items.groupBy($"pk").agg(count(lit(1)).cast(LongType).as("cnt"))
-      val pairs = basketPairSupport(items).filter($"support" >= 2)
+      val pairs = basketSupport(spark)
       pairs
         .join(n.as("na"), $"na.pk" === $"pk_a")
         .join(n.as("nb"), $"nb.pk" === $"pk_b")
@@ -318,13 +316,11 @@ object JoinQueries extends QueryModule {
         |ORDER BY lift DESC, ante, cons
         |LIMIT 200""".stripMargin) { spark =>
       import spark.implicits._
-      val items = spark.table("lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        .localCheckpoint() // feeds pair sides, item counts, basket total
+      val items = basketItems(spark) // memoized, shared with q156/q199
       val nb = items.agg(countDistinct($"ok").cast(LongType).as("n"))
       val cnt = items.groupBy($"pk")
         .agg(count(lit(1)).cast(LongType).as("c"))
-      val p = basketPairSupport(items).filter($"support" >= 2)
+      val p = basketSupport(spark)
       val r = p.select($"pk_a".as("ante"), $"pk_b".as("cons"),
           $"support".as("s"))
         .unionAll(p.select($"pk_b".as("ante"), $"pk_a".as("cons"),
@@ -496,11 +492,9 @@ object JoinQueries extends QueryModule {
         |WHERE rec_rank <= 3
         |ORDER BY item, rec_rank""".stripMargin) { spark =>
       import spark.implicits._
-      val items = spark.table("lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        .localCheckpoint() // feeds counts + both pair sides
+      val items = basketItems(spark) // memoized, shared with q156/q174
       val cnt = items.groupBy($"pk").agg(count(lit(1)).cast(LongType).as("c"))
-      val p = basketPairSupport(items).filter($"support" >= 2)
+      val p = basketSupport(spark)
       val dir = p.select($"pk_a".as("item"), $"pk_b".as("rec"),
           $"support".as("s"))
         .unionAll(p.select($"pk_b".as("item"), $"pk_a".as("rec"),
@@ -530,5 +524,30 @@ object JoinQueries extends QueryModule {
         $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
       .agg(count(lit(1)).cast(LongType).as("support"))
+  }
+
+  /** The distinct (order, part) basket relation over the fixture lineitem,
+    * memoized per (session, fixture dir) ([[Memo.cached]]) — feeds the
+    * pair-support self-join sides, item counts, and the basket total in
+    * q156/q174/q199. */
+  private[graft] def basketItems(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Memo.cached(spark, "basket-items")(
+      spark.table("lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct())
+  }
+
+  /** The basket-keyed pair-support relation (support ≥ 2) q156/q174/q199
+    * all consume — one exact deterministic aggregate, memoized like
+    * [[basketItems]]; three queries were each re-running the self-join
+    * (the r10 shared-relation memo rule). */
+  private[graft] def basketSupport(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Memo.cached(spark, "basket-support")(
+      basketPairSupport(basketItems(spark)).filter($"support" >= 2))
   }
 }

@@ -44,14 +44,30 @@ private[graft] object Memo {
   /** Return the cached frame for `kind` on this (session, bound dir,
     * generation), building + localCheckpoint-ing it on first use. Unbound
     * sessions build fresh (still checkpointed — every caller is
-    * multi-consumer). */
+    * multi-consumer).
+    *
+    * Get-then-putIfAbsent, NOT computeIfAbsent: builders nest (the LSH
+    * pair build consumes the signature memo), and ConcurrentHashMap
+    * forbids a recursive update from inside a computeIfAbsent mapping
+    * function (IllegalStateException when the keys share a bin — caught
+    * by DedupSpec's cold-map memo case). The relaxed pattern means two
+    * racing threads may both run a build; both builds are deterministic
+    * and the loser's checkpoint is simply dropped, so this trades a rare
+    * duplicated job for deadlock-freedom. */
   def cached(spark: SparkSession, kind: String)(
       build: => DataFrame): DataFrame = {
     val dir = Tables.boundDir(spark)
     if (dir.isEmpty) build.localCheckpoint()
-    else cache.computeIfAbsent(
-      (spark, dir, kind, Tables.viewGeneration(spark)),
-      _ => build.localCheckpoint())
+    else {
+      val key = (spark, dir, kind, Tables.viewGeneration(spark))
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val built = build.localCheckpoint() // may re-enter cached()
+        val prev = cache.putIfAbsent(key, built)
+        if (prev != null) prev else built
+      }
+    }
   }
 
   /** Drop every relation cached for `spark` — see [[cached]]. */

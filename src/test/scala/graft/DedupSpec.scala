@@ -490,6 +490,20 @@ class DedupSpec extends SparkSpec {
         r.getLong(3))).sorted.toList
     assert(predRows(l1) == predRows(TextQueries.langidPredictionsFresh(spark)),
       "memoized langid predictions diverged from a fresh build")
+    // basket pair support (q156/q174/q199's shared relation)
+    import graft.operators.JoinQueries
+    val bp1 = JoinQueries.basketSupport(spark)
+    assert(bp1 eq JoinQueries.basketSupport(spark))
+    val itemsFresh = spark.table("lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val bpFresh = JoinQueries.basketPairSupport(itemsFresh)
+      .filter(col("support") >= 2)
+    def supRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toList
+    assert(supRows(bp1) == supRows(bpFresh),
+      "memoized basket support diverged from a fresh build")
   }
 
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
