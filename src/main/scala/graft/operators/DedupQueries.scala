@@ -1266,7 +1266,7 @@ object DedupQueries extends QueryModule {
          |FROM t LEFT JOIN agg a USING (doc_id)
          |       LEFT JOIN starts s USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin) { spark =>
-      dupspanStatsOf(spark.table("documents"))
+      dupspanStatsFrom(dupspanCoreShared(spark), dupspanOccShared(spark))
     },
 
     // Duplicate-span REMOVAL accounting — Lee et al.'s actual dedup rule
@@ -1305,7 +1305,8 @@ object DedupQueries extends QueryModule {
          |  CAST(len(t.toks) - COALESCE(r.removed, 0) AS BIGINT) AS kept_tokens
          |FROM t LEFT JOIN rem r USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin) { spark =>
-      dupspanRemovalOf(spark.table("documents"), dupspanKeeperCap)
+      dupspanRemovalFrom(spark.table("documents"), dupspanOccShared(spark),
+        dupspanKeeperCap)
     },
 
     // Rule-based record linkage (entity resolution): candidate pairs from a
@@ -2082,9 +2083,26 @@ object DedupQueries extends QueryModule {
     * threshold live, consumed by both [[dupspanStatsOf]] (q124) and
     * [[dupspanKeepOf]] (the q136 pipeline gate) so the two — and their
     * oracles' shared span CTE — can only change together (ADVICE r08). */
-  private def dupspanCore(docs: DataFrame): DataFrame = {
+  private def dupspanCore(docs: DataFrame): DataFrame =
+    dupspanCoreFrom(docs, dupspanDupOccurrences(docs))
+
+  /** Session-shared dup-occurrence relation over the fixture corpus,
+    * memoized per (session, fixture dir) — q124/q124b/q136 each consumed
+    * an independently-rebuilt copy (the r10 shared-relation memo rule). */
+  private[graft] def dupspanOccShared(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "dupspan-occ")(
+      dupspanDupOccurrences(spark.table("documents")))
+
+  /** Session-shared q124 core gate (doc_id, n_tokens, covered_tokens,
+    * dup_frac, keep), memoized like [[dupspanOccShared]] — consumed whole
+    * by q124's stats and projected by q136's keep gate. */
+  private[graft] def dupspanCoreShared(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "dupspan-core")(
+      dupspanCoreFrom(spark.table("documents"), dupspanOccShared(spark)))
+
+  private def dupspanCoreFrom(docs: DataFrame, occ: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val cov = dupspanDupOccurrences(docs)
+    val cov = occ
       .select($"doc_id", explode(sequence($"pos", $"pos" + (dupspanN - 1)))
         .as("p"))
       .distinct()
@@ -2103,11 +2121,15 @@ object DedupQueries extends QueryModule {
   /** q124's duplicate-span statistics over any (doc_id, text) frame
     * (DedupSpec replays it brute-force on synthetic corpora): the
     * [[dupspanCore]] gate plus the dup_starts rollup. */
-  private[graft] def dupspanStatsOf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val starts = dupspanDupOccurrences(docs)
+  private[graft] def dupspanStatsOf(docs: DataFrame): DataFrame =
+    dupspanStatsFrom(dupspanCore(docs), dupspanDupOccurrences(docs))
+
+  private[graft] def dupspanStatsFrom(core: DataFrame,
+      occ: DataFrame): DataFrame = {
+    import core.sparkSession.implicits._
+    val starts = occ
       .groupBy($"doc_id").agg(count(lit(1)).as("dup_starts"))
-    dupspanCore(docs).join(starts, Seq("doc_id"), "left")
+    core.join(starts, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         coalesce($"dup_starts", lit(0L)).as("dup_starts"),
         $"covered_tokens", $"dup_frac", $"keep")
@@ -2125,9 +2147,13 @@ object DedupQueries extends QueryModule {
   }
 
   /** q124b's keeper-capped span removal over any (doc_id, text) frame. */
-  private[graft] def dupspanRemovalOf(docs: DataFrame, cap: Int): DataFrame = {
+  private[graft] def dupspanRemovalOf(docs: DataFrame, cap: Int): DataFrame =
+    dupspanRemovalFrom(docs, dupspanDupOccurrences(docs), cap)
+
+  private def dupspanRemovalFrom(docs: DataFrame, occ: DataFrame,
+      cap: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val d = dupspanDupOccurrences(docs)
+    val d = occ
     val wk = Window.partitionBy($"h").orderBy($"doc_id", $"pos")
     // hot keys filtered out BEFORE the rank window: partitions ≤ cap rows
     val small = d.filter($"cnt" <= cap)

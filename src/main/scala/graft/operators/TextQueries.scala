@@ -1639,7 +1639,8 @@ object TextQueries extends QueryModule {
       val rep = repetitionJoined(spark)
         .filter(dupR <= 0.85 && uniR <= 0.11 && biR <= 0.05)
         .select($"doc_id", $"n_tokens")
-      val span = DedupQueries.dupspanKeepOf(spark.table("documents"))
+      val span = DedupQueries.dupspanCoreShared(spark) // memoized gate
+        .select($"doc_id", $"keep")
         .filter($"keep" === 1).select($"doc_id")
       val cls = classifierScores(spark)
         .filter($"score" > 0).select($"doc_id")
