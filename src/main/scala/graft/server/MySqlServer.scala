@@ -121,9 +121,24 @@ object MySqlServer {
     * ERR instead of a parse failure. */
   def start(spark: SparkSession, backends: Map[String, String],
       databases: Map[String, String] = Map.empty, port: Int = 0,
-      ssl: Option[javax.net.ssl.SSLContext] = None): MySqlServer = {
+      ssl: Option[javax.net.ssl.SSLContext] = None,
+      passwords: Option[Map[String, String]] = None): MySqlServer = {
     val ss = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
-    new MySqlServer(ss, spark, backends, databases, ssl)
+    new MySqlServer(ss, spark, backends, databases, ssl, passwords)
+  }
+
+  /** mysql_native_password scramble: SHA1(pw) XOR SHA1(salt ++ SHA1(SHA1(pw)))
+    * — the public auth algorithm behind the plugin both greeting and check
+    * name. Exposed private[server] so the spec's raw-socket client computes
+    * the client side with the same helper it asserts against. */
+  private[server] def nativeScramble(password: String,
+      salt20: Array[Byte]): Array[Byte] = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+    val h1 = sha.digest(password.getBytes(UTF_8))
+    sha.reset(); val h2 = sha.digest(h1)
+    sha.reset(); sha.update(salt20); sha.update(h2)
+    val h3 = sha.digest()
+    h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
   }
 
   // ---- the compressed protocol (CLIENT_COMPRESS) ---------------------------
@@ -340,7 +355,8 @@ object MySqlServer {
   // ---- handshake-response parse (Protocol::HandshakeResponse41) ------------
 
   private[server] final case class ClientHello(caps: Int, user: String,
-      db: Option[String], attrs: Map[String, String])
+      db: Option[String], attrs: Map[String, String],
+      authResponse: Array[Byte] = Array.emptyByteArray)
 
   /** Parse Protocol::HandshakeResponse41. Defensive by contract: every
     * client-supplied lenenc length is clamped to the remaining payload and
@@ -381,12 +397,16 @@ object MySqlServer {
     int1() // charset
     i += 23 // filler
     val user = nulString()
-    // clamp client-declared auth-response lengths to the remaining payload
-    if ((caps & ClientPluginAuthLenenc) != 0) {
-      val n = lenencInt(); i += math.min(n, (p.length - i).toLong).toInt
-    } else if ((caps & ClientSecureConnection) != 0) {
-      val n = int1(); i += math.min(n, p.length - i)
-    } else nulString(): Unit
+    // clamp client-declared auth-response lengths to the remaining payload;
+    // the bytes themselves are captured for the optional password check
+    val auth =
+      if ((caps & ClientPluginAuthLenenc) != 0) {
+        val n = math.min(lenencInt(), (p.length - i).toLong).toInt
+        val b = java.util.Arrays.copyOfRange(p, i, i + n); i += n; b
+      } else if ((caps & ClientSecureConnection) != 0) {
+        val n = math.min(int1(), p.length - i)
+        val b = java.util.Arrays.copyOfRange(p, i, i + n); i += n; b
+      } else nulString().getBytes(UTF_8)
     val db = if ((caps & ClientConnectWithDB) != 0 && i < p.length)
       Some(nulString()).filter(_.nonEmpty) else None
     if ((caps & ClientPluginAuth) != 0 && i < p.length) nulString(): Unit
@@ -402,7 +422,7 @@ object MySqlServer {
         while (i < end && i < p.length) m += (lenencStr() -> lenencStr())
         m.result()
       } else Map.empty[String, String]
-    ClientHello(caps, user, db, attrs)
+    ClientHello(caps, user, db, attrs, auth)
   }
 }
 
@@ -411,7 +431,8 @@ object MySqlServer {
 final class MySqlServer private (listener: ServerSocket,
     spark: SparkSession, backends: Map[String, String],
     databases: Map[String, String],
-    ssl: Option[javax.net.ssl.SSLContext]) {
+    ssl: Option[javax.net.ssl.SSLContext],
+    passwords: Option[Map[String, String]] = None) {
 
   import MySqlServer._
 
@@ -739,6 +760,26 @@ final class MySqlServer private (listener: ServerSocket,
             rawOut.flush()
             return
         }
+      // OPTIONAL authentication (A8): by default any credential is
+      // accepted — the reference's delegate-to-backend stance
+      // (gateway/gateway.go:226-240) — but a server started with a
+      // password store verifies the mysql_native_password scramble
+      // against the greeting's salt; mismatch/unknown user → the real
+      // server's 1045/28000 before any session exists
+      passwords.foreach { store =>
+        val ok = store.get(hello.user).exists { pw =>
+          if (pw.isEmpty) hello.authResponse.isEmpty
+          else java.security.MessageDigest.isEqual(
+            hello.authResponse, nativeScramble(pw, salt))
+        }
+        if (!ok) {
+          writePacket(rawOut, respSeq + 1, errPayload(Engine.EngineError(
+            1045, "28000",
+            s"Access denied for user '${hello.user.take(64)}'")))
+          rawOut.flush()
+          return
+        }
+      }
       // handshake-username routing: split at the FIRST '.' like the
       // reference (gateway.go:253-259); bad cluster/db → ERR, close
       session =

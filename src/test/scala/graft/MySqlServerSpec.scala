@@ -260,7 +260,8 @@ class MySqlServerSpec extends SparkSpec {
 
   /** Build a HandshakeResponse41 (caps: 4.1 + secure + plugin-auth [+ db]). */
   private def handshakeResponse(user: String, db: Option[String],
-      extraCaps: Int = 0): Array[Byte] = {
+      extraCaps: Int = 0, auth: Array[Byte] = Array.emptyByteArray)
+      : Array[Byte] = {
     val b = new ByteArrayOutputStream()
     var caps = 0x00000200 | 0x00008000 | 0x00080000 // 41 | secure | plugin auth
     if (db.isDefined) caps |= 0x00000008
@@ -273,7 +274,8 @@ class MySqlServerSpec extends SparkSpec {
     b.write(46) // utf8mb4_bin
     (1 to 23).foreach(_ => b.write(0))
     b.write(user.getBytes(UTF_8), 0, user.getBytes(UTF_8).length); b.write(0)
-    b.write(0) // empty auth response (1-byte length form)
+    b.write(auth.length) // auth response (1-byte length form)
+    if (auth.nonEmpty) b.write(auth, 0, auth.length)
     db.foreach { d =>
       b.write(d.getBytes(UTF_8), 0, d.getBytes(UTF_8).length); b.write(0)
     }
@@ -352,6 +354,36 @@ class MySqlServerSpec extends SparkSpec {
   private def simpleCommand(c: Client, cmd: Byte, tail: String = ""): Array[Byte] = {
     c.writePacket(0, Array[Byte](cmd) ++ tail.getBytes(UTF_8))
     c.readPacket()._2
+  }
+
+  /** Read the greeting and return its full 20-byte auth-plugin nonce — the
+    * client side of mysql_native_password needs the real salt, exactly as
+    * a stock client reads it. */
+  private def greetingSalt(c: Client): Array[Byte] = {
+    val (_, greeting) = c.readPacket()
+    val g = new Reader(greeting)
+    g.int1(); g.nulString(); g.int4()
+    val part1 = (1 to 8).map(_ => g.int1().toByte).toArray
+    g.skip(1) // filler
+    g.int2(); g.int1(); g.int2(); g.int2()
+    val saltLen = g.int1()
+    g.skip(10)
+    val part2 = (1 to (saltLen - 8 - 1).max(12))
+      .map(_ => g.int1().toByte).toArray
+    part1 ++ part2
+  }
+
+  /** Independent client-side mysql_native_password scramble:
+    * SHA1(pw) XOR SHA1(salt ++ SHA1(SHA1(pw))) — written against the
+    * public algorithm, NOT the server's helper, so the spec checks the
+    * server implementation rather than echoing it. */
+  private def clientScramble(pw: String, salt: Array[Byte]): Array[Byte] = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+    val h1 = sha.digest(pw.getBytes(UTF_8))
+    sha.reset(); val h2 = sha.digest(h1)
+    sha.reset(); sha.update(salt); sha.update(h2)
+    val h3 = sha.digest()
+    h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
   }
 
   test("handshake + SELECT round-trip with correct column metadata over a raw socket") {
@@ -1140,6 +1172,50 @@ class MySqlServerSpec extends SparkSpec {
       val (_, after) = query(a, "SELECT @marker AS m")
       assert(after == Seq(Seq(None)), "user variables must not survive RESET_CONNECTION")
       a.close(); b.close()
+    } finally srv.close()
+  }
+
+  test("optional password store verifies the native scramble; default stays open") {
+    // A8: by default any credential is accepted (the reference delegates
+    // auth to its backend); started WITH a store, the server verifies the
+    // mysql_native_password scramble against the greeting's salt
+    val srv = MySqlServer.start(spark, backends, databases,
+      passwords = Some(Map("prod.alice" -> "sekret", "prod.nopw" -> "")))
+    try {
+      def attempt(user: String, auth: Array[Byte] => Array[Byte])
+          : (Client, Array[Byte]) = {
+        val c = new Client(srv.port)
+        val salt = greetingSalt(c)
+        c.writePacket(1, handshakeResponse(user, None, auth = auth(salt)))
+        (c, c.readPacket()._2)
+      }
+      // correct password: OK, and the session actually works
+      val (good, ok) = attempt("prod.alice", s => clientScramble("sekret", s))
+      assert((ok(0) & 0xFF) == 0x00, "correct scramble must authenticate")
+      val (_, rows) = query(good, "SELECT 1 AS one")
+      assert(rows == Seq(Seq(Some("1"))))
+      good.close()
+      // wrong password: the real server's 1045/28000, connection closed
+      val (bad, err) = attempt("prod.alice", s => clientScramble("wrong", s))
+      assert((err(0) & 0xFF) == 0xFF)
+      val r = new Reader(err); r.int1()
+      assert(r.int2() == 1045, "wrong password must answer ERR 1045")
+      bad.close()
+      // unknown user: same 1045 (no user-existence oracle)
+      val (unk, uerr) = attempt("prod.mallory",
+        s => clientScramble("sekret", s))
+      assert((uerr(0) & 0xFF) == 0xFF)
+      val ur = new Reader(uerr); ur.int1()
+      assert(ur.int2() == 1045)
+      unk.close()
+      // empty-password account: empty auth response authenticates, a
+      // non-empty one does not
+      val (e1, eok) = attempt("prod.nopw", _ => Array.emptyByteArray)
+      assert((eok(0) & 0xFF) == 0x00)
+      e1.close()
+      val (e2, eerr) = attempt("prod.nopw", s => clientScramble("x", s))
+      assert((eerr(0) & 0xFF) == 0xFF)
+      e2.close()
     } finally srv.close()
   }
 }
