@@ -364,6 +364,46 @@ object ScaleQueries extends QueryModule {
         .orderBy($"shard")
     },
 
+    // Sequence packing (the pretraining step between dedup and sharding:
+    // bin documents into fixed token-budget contexts so no GPU step pads
+    // against a short doc). Greedy first-fit in doc_id order WITHIN
+    // 64-doc blocks: a new pack opens when the doc doesn't fit (an
+    // oversize doc spills alone into its own pack — the standard rule).
+    // The block bound is the scale design: packing state is a ≤64-doc
+    // fold regardless of corpus size, blocks pack embarrassingly parallel,
+    // and pack identity is (blk, pack_id) — no cross-block coordination.
+    // The data-dependent fold runs as a Spark `aggregate` HOF per block;
+    // the oracle spells the SAME iteration as a recursive CTE (immutable
+    // rows) because DuckDB's list_reduce corrupts conditional folds
+    // (CLAUDE.md invariant, found r09). All-integer output → fully
+    // hash-checked.
+    q("q223_sequence_packing",
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, doc_id // 64 AS blk,
+         |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id // 64
+         |                            ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |s AS (
+         |  SELECT blk, rn, doc_id, n,
+         |         CAST(1 AS BIGINT) AS pack, n AS fill,
+         |         CAST(1 AS BIGINT) AS pos
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.blk, t.rn, t.doc_id, t.n,
+         |    CASE WHEN s.fill + t.n > $packBudget THEN s.pack + 1
+         |         ELSE s.pack END,
+         |    CASE WHEN s.fill + t.n > $packBudget THEN t.n
+         |         ELSE s.fill + t.n END,
+         |    CASE WHEN s.fill + t.n > $packBudget THEN CAST(1 AS BIGINT)
+         |         ELSE s.pos + 1 END
+         |  FROM s JOIN t ON t.blk = s.blk AND t.rn = s.rn + 1)
+         |SELECT doc_id, blk, pack AS pack_id, pos AS pack_pos,
+         |       n AS n_tokens
+         |FROM s ORDER BY doc_id""".stripMargin) { spark =>
+      sequencePackingOf(spark.table("documents")).orderBy("doc_id")
+    },
+
     // Table profiling (the SUMMARIZE / ANALYZE surface): per-column row,
     // null, and EXACT distinct counts over `orders`. Shape: one branch per
     // column, each a global aggregate over a scan pruned to THAT column —
@@ -639,6 +679,55 @@ object ScaleQueries extends QueryModule {
         .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
       outDir
     })
+
+  /** q223's token budget per packed context. Small enough that fixture
+    * packs hold several ~40-80-token docs, large enough that oversize
+    * spills stay rare — the operator's knob, mirrored in the oracle. */
+  private[graft] val packBudget = 128L
+
+  /** q223's packing block width: greedy state never exceeds this many
+    * docs, so the per-block fold is bounded at any corpus size. */
+  private[graft] val packBlock = 64L
+
+  /** Greedy first-fit sequence packing over any (doc_id, text) frame —
+    * (doc_id, blk, pack_id, pack_pos, n_tokens); see the q223 declaration
+    * for semantics. Exposed private[graft] for the PipelineOpsSpec
+    * brute-force replay. */
+  private[graft] def sequencePackingOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    val toks = docs.select($"doc_id",
+      expr(s"doc_id div $packBlock").as("blk"),
+      size(split(lower($"text"), " ")).cast(LongType).as("n"))
+    val outT = ArrayType(StructType(Seq(
+      StructField("doc_id", LongType), StructField("pack", LongType),
+      StructField("pos", LongType), StructField("n", LongType))))
+    val folded = toks
+      .groupBy($"blk")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n"))).as("l"))
+      .select($"blk", aggregate($"l",
+        struct(lit(0L).as("pack"), lit(0L).as("fill"), lit(0L).as("pos"),
+          array().cast(outT).as("out")),
+        (acc, x) => {
+          val n = x.getField("n")
+          val newPack = acc.getField("pack") === 0L ||
+            acc.getField("fill") + n > packBudget
+          val pack = when(newPack, acc.getField("pack") + 1L)
+            .otherwise(acc.getField("pack"))
+          val pos = when(newPack, lit(1L)).otherwise(acc.getField("pos") + 1L)
+          struct(pack.as("pack"),
+            when(newPack, n).otherwise(acc.getField("fill") + n).as("fill"),
+            pos.as("pos"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("doc_id").as("doc_id"), pack.as("pack"),
+              pos.as("pos"), n.as("n")))).as("out"))
+        }).getField("out").as("out"))
+    folded.select($"blk", explode($"out").as("o"))
+      .select($"o.doc_id".as("doc_id"), $"blk",
+        $"o.pack".as("pack_id"), $"o.pos".as("pack_pos"),
+        $"o.n".as("n_tokens"))
+  }
 
   /** 64-bit Morton (Z-order) value of two non-negative 32-bit keys: bit i
     * of `a` lands at bit 2i, bit i of `b` at 2i+1, so curve-contiguous rows

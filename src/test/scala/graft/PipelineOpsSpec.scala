@@ -1760,4 +1760,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cums.last == vocab)
     cums.sliding(2).foreach { case Array(a, b) => assert(a <= b) case _ => }
   }
+
+  test("q223 sequence packing equals a Scala greedy replay; fill invariants hold") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    import graft.operators.ScaleQueries
+    val got = queries("q223_sequence_packing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val docs = spark.table("documents").select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val B = ScaleQueries.packBudget
+    val W = ScaleQueries.packBlock
+    val expect = docs.groupBy(_._1 / W).toSeq.flatMap { case (blk, ds) =>
+      var pack = 0L; var fill = 0L; var pos = 0L
+      ds.sortBy(_._1).map { case (id, text) =>
+        val n = tokens(text).length.toLong
+        if (pack == 0L || fill + n > B) { pack += 1; fill = n; pos = 1 }
+        else { fill += n; pos += 1 }
+        (id, blk, pack, pos, n)
+      }
+    }.sortBy(_._1)
+    assert(got.sortBy(_._1) == expect)
+    // invariants: every doc packed exactly once; within a pack the fill
+    // stays <= budget unless the pack is a single oversize doc; pack ids
+    // are consecutive from 1 within each block
+    assert(got.map(_._1).distinct.length == docs.length)
+    val byPack = got.groupBy(t => (t._2, t._3))
+    byPack.foreach { case ((blk, pid), members) =>
+      val total = members.map(_._5).sum
+      assert(total <= B || members.length == 1,
+        s"pack ($blk, $pid) overfilled with ${members.length} members")
+      assert(members.map(_._4).sorted == (1L to members.length).toSeq)
+    }
+    got.groupBy(_._2).foreach { case (blk, ms) =>
+      val packs = ms.map(_._3).distinct.sorted
+      assert(packs == (1L to packs.length).toSeq,
+        s"block $blk pack ids not consecutive: $packs")
+    }
+    assert(byPack.exists(_._2.length > 1),
+      "fixture must produce at least one multi-doc pack")
+  }
 }
