@@ -84,6 +84,7 @@ object MySqlServer {
 
   private val ComQuit = 0x01
   private val ComInitDb = 0x02
+  private val ComChangeUser = 0x11
   private val ComQuery = 0x03
   private val ComFieldList = 0x04
   private val ComStatistics = 0x09
@@ -712,6 +713,10 @@ final class MySqlServer private (listener: ServerSocket,
     * an ERR at a stale id is a packets-out-of-order kill on real clients. */
   private final class SeqRef(var v: Int)
 
+  /** Holder so COM_CHANGE_USER can swap the live session while `serve`'s
+    * cleanup still closes whichever session is current. */
+  private final class SessionRef(var s: Engine.Session)
+
   private def serve(sock0: Socket, threadId: Long): Unit = {
     sock0.setTcpNoDelay(true)
     // the handshake runs over UNBUFFERED streams: a TLS upgrade swaps the
@@ -811,7 +816,9 @@ final class MySqlServer private (listener: ServerSocket,
         } else
           (new BufferedInputStream(rawIn): InputStream,
             new BufferedOutputStream(rawOut): OutputStream, None)
-      commandLoop(in, out, comp, session, hello)
+      val sref = new SessionRef(session)
+      try commandLoop(in, out, comp, sref, hello)
+      finally session = sref.s // CHANGE_USER may have swapped the session
     } catch {
       case _: EOFException | _: SocketException => () // client went away
     } finally {
@@ -825,7 +832,8 @@ final class MySqlServer private (listener: ServerSocket,
     * handshake negotiated (plain, TLS, compressed, or TLS+compressed). */
   private def commandLoop(in: InputStream, out: OutputStream,
       comp: Option[(CompressedInput, CompressedOutput)],
-      session: Engine.Session, hello: ClientHello): Unit = {
+      sref: SessionRef, hello: ClientHello): Unit = {
+      def session: Engine.Session = sref.s
       // binary prepared-statement wire state: execute-time schema per
       // statement (cursor fetches re-use it), last bound parameter types
       // (clients may omit types after the first execute), and the set of
@@ -970,6 +978,57 @@ final class MySqlServer private (listener: ServerSocket,
                   s"Unknown COM_SET_OPTION option: $other")
               }
               writePacket(out, base, eofPayload(session.statusFlags))
+            } catch {
+              case e: Engine.EngineError =>
+                writePacket(out, base, errPayload(e))
+              case e: Exception => writePacket(out, base, errPayload(
+                Engine.EngineError(1105, "08S01",
+                  Option(e.getMessage).getOrElse(e.getClass.getName))))
+            }
+
+          case ComChangeUser =>
+            // COM_CHANGE_USER: re-authenticate and rebind the connection
+            // without reconnecting (connection-pool re-use). Payload is a
+            // handshake-response-shaped tail: user NUL, 1-byte-length auth
+            // response (the client scrambles against the ORIGINAL
+            // greeting's salt), database NUL, charset — optional plugin
+            // name/attrs ignored. Failure (bad credential, unknown
+            // cluster) answers ERR and LEAVES the current session intact;
+            // success closes the old session and opens a fresh one (all
+            // session state, prepared statements included, is gone).
+            try {
+              var j = 1
+              while (j < cmd.length && cmd(j) != 0) j += 1
+              val user = new String(cmd, 1, j - 1, UTF_8)
+              j += 1
+              val alen = if (j < cmd.length) cmd(j) & 0xFF else 0
+              j += 1
+              val auth = java.util.Arrays.copyOfRange(cmd, j,
+                math.min(cmd.length, j + alen))
+              j += alen
+              var k = j
+              while (k < cmd.length && cmd(k) != 0) k += 1
+              val db = Option(new String(cmd, j, k - j, UTF_8))
+                .filter(_.nonEmpty)
+              passwords.foreach { store =>
+                val ok = store.get(user).exists { pw =>
+                  if (pw.isEmpty) auth.isEmpty
+                  else java.security.MessageDigest.isEqual(
+                    auth, nativeScramble(pw, salt))
+                }
+                if (!ok) throw Engine.EngineError(1045, "28000",
+                  s"Access denied for user '${user.take(64)}'")
+              }
+              val (clusterId, u) = user.split("\\.", 2) match {
+                case Array(c, x) => (c, x)
+                case Array(c) => (c, "")
+              }
+              val next = Engine.connect(spark, clusterId, backends, db,
+                databases, u, hello.attrs)
+              sref.s.close()
+              sref.s = next
+              stmtSchemas.clear(); stmtTypes.clear(); stmtPending.clear()
+              writePacket(out, base, okPayload(session.statusFlags))
             } catch {
               case e: Engine.EngineError =>
                 writePacket(out, base, errPayload(e))

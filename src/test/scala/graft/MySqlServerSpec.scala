@@ -1218,4 +1218,52 @@ class MySqlServerSpec extends SparkSpec {
       e2.close()
     } finally srv.close()
   }
+
+  test("COM_CHANGE_USER re-authenticates and rebinds; failure keeps the session") {
+    val srv = MySqlServer.start(spark, backends, databases,
+      passwords = Some(Map("prod.alice" -> "sekret", "prod.bob" -> "hunter2",
+        "nope.x" -> "pw")))
+    try {
+      val c = new Client(srv.port)
+      val salt = greetingSalt(c)
+      c.writePacket(1, handshakeResponse("prod.alice", None,
+        auth = clientScramble("sekret", salt)))
+      assert((c.readPacket()._2(0) & 0xFF) == 0x00)
+      query(c, "SET @who = 'alice'")
+      // the change-user payload: user NUL, 1-byte-length auth (scrambled
+      // against the ORIGINAL greeting salt, as real clients do), db NUL,
+      // charset — built by hand like every other packet in this spec
+      def changeUser(user: String, auth: Array[Byte]): Array[Byte] = {
+        val b = new ByteArrayOutputStream()
+        b.write(0x11)
+        val ub = user.getBytes(UTF_8); b.write(ub, 0, ub.length); b.write(0)
+        b.write(auth.length); if (auth.nonEmpty) b.write(auth, 0, auth.length)
+        b.write(0) // empty database, NUL
+        b.write(46); b.write(0) // charset
+        c.writePacket(0, b.toByteArray)
+        c.readPacket()._2
+      }
+      // wrong credential: ERR 1045 and the CURRENT session survives intact
+      val bad = changeUser("prod.bob", clientScramble("wrong", salt))
+      assert((bad(0) & 0xFF) == 0xFF)
+      val br = new Reader(bad); br.int1()
+      assert(br.int2() == 1045)
+      val (_, still) = query(c, "SELECT @who AS w")
+      assert(still == Seq(Seq(Some("alice"))),
+        "failed CHANGE_USER must leave the old session state intact")
+      // correct credential: OK and a FRESH session (user vars gone)
+      val ok = changeUser("prod.bob", clientScramble("hunter2", salt))
+      assert((ok(0) & 0xFF) == 0x00)
+      val (_, fresh) = query(c, "SELECT @who AS w")
+      assert(fresh == Seq(Seq(None)),
+        "CHANGE_USER must discard the previous session's state")
+      // unknown cluster (credential valid): ERR, current session survives
+      query(c, "SET @who = 'bob'")
+      val unk = changeUser("nope.x", clientScramble("pw", salt))
+      assert((unk(0) & 0xFF) == 0xFF)
+      val (_, keep) = query(c, "SELECT @who AS w")
+      assert(keep == Seq(Seq(Some("bob"))))
+      c.close()
+    } finally srv.close()
+  }
 }
