@@ -401,7 +401,73 @@ object ScaleQueries extends QueryModule {
          |SELECT doc_id, blk, pack AS pack_id, pos AS pack_pos,
          |       n AS n_tokens
          |FROM s ORDER BY doc_id""".stripMargin) { spark =>
-      sequencePackingOf(spark.table("documents")).orderBy("doc_id")
+      sequencePacking(spark).orderBy("doc_id")
+    },
+
+    // Packing-efficiency readout (the monitor a pipeline runs on q223's
+    // output before burning GPU-hours: how many contexts, how much
+    // padding, where do oversize docs spill): per 64-doc block — packs,
+    // docs, tokens, oversize spills (single docs beyond the budget),
+    // padded slots Σ max(budget − fill, 0), and the fill ratio
+    // tokens/(packs·budget) as a floor-r4 free double over exact
+    // integers. Shares q223's memoized packing relation; the rollup is
+    // one map-side-combinable aggregate over it.
+    q("q224_packing_efficiency",
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, doc_id // 64 AS blk,
+         |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id // 64
+         |                            ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |s AS (
+         |  SELECT blk, rn, doc_id, n,
+         |         CAST(1 AS BIGINT) AS pack, n AS fill,
+         |         CAST(1 AS BIGINT) AS pos
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.blk, t.rn, t.doc_id, t.n,
+         |    CASE WHEN s.fill + t.n > $packBudget THEN s.pack + 1
+         |         ELSE s.pack END,
+         |    CASE WHEN s.fill + t.n > $packBudget THEN t.n
+         |         ELSE s.fill + t.n END,
+         |    CASE WHEN s.fill + t.n > $packBudget THEN CAST(1 AS BIGINT)
+         |         ELSE s.pos + 1 END
+         |  FROM s JOIN t ON t.blk = s.blk AND t.rn = s.rn + 1),
+         |packs AS (
+         |  SELECT blk, pack, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n) AS BIGINT) AS fill
+         |  FROM s GROUP BY blk, pack)
+         |SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_packs,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(fill) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN fill > $packBudget THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_oversize,
+         |  CAST(SUM(CASE WHEN fill <= $packBudget
+         |                THEN $packBudget - fill ELSE 0 END) AS BIGINT)
+         |    AS padded_slots,
+         |  floor(CAST(SUM(fill) AS DOUBLE)
+         |        / (COUNT(*) * $packBudget) * 10000 + 0.5) / 10000
+         |    AS fill_ratio
+         |FROM packs GROUP BY blk
+         |ORDER BY blk""".stripMargin) { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      val packs = sequencePacking(spark)
+        .groupBy($"blk", $"pack_id")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"n_tokens").cast(LongType).as("fill"))
+      packs.groupBy($"blk")
+        .agg(count(lit(1)).cast(LongType).as("n_packs"),
+          sum($"n_docs").cast(LongType).as("n_docs"),
+          sum($"fill").cast(LongType).as("total_tokens"),
+          sum(when($"fill" > packBudget, 1L).otherwise(0L))
+            .cast(LongType).as("n_oversize"),
+          sum(when($"fill" <= packBudget, lit(packBudget) - $"fill")
+            .otherwise(0L)).cast(LongType).as("padded_slots"),
+          (floor(sum($"fill").cast(DoubleType)
+            / (count(lit(1)) * packBudget) * 10000 + 0.5) / 10000)
+            .as("fill_ratio"))
+        .orderBy($"blk")
     },
 
     // Table profiling (the SUMMARIZE / ANALYZE surface): per-column row,
@@ -688,6 +754,14 @@ object ScaleQueries extends QueryModule {
   /** q223's packing block width: greedy state never exceeds this many
     * docs, so the per-block fold is bounded at any corpus size. */
   private[graft] val packBlock = 64L
+
+  /** q223/q224's shared packing relation over the fixture corpus,
+    * memoized per (session, fixture dir) ([[Memo.cached]]). */
+  private def sequencePacking(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    Memo.cached(spark, "seq-packing")(
+      sequencePackingOf(spark.table("documents")))
 
   /** Greedy first-fit sequence packing over any (doc_id, text) frame —
     * (doc_id, blk, pack_id, pack_pos, n_tokens); see the q223 declaration

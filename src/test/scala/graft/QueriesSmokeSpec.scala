@@ -124,7 +124,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // fusion over two TakeOrdered cuts; q219 per-doc greedy fold;
       // q221 diagonal islands over digest joins
       "q217_rrf_fusion", "q218_ann_recall_eval", "q219_semantic_chunking",
-      "q221_dupspan_align")
+      "q221_dupspan_align",
+      // r10: q223's per-block greedy packing fold (sort_array-pinned
+      // member order, conditional accumulator)
+      "q223_sequence_packing")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
