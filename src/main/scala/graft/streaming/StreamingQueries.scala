@@ -327,4 +327,55 @@ object StreamingQueries extends QueryModule {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update)
   }
+
+  /** q223's sequence packing as STREAMING per-block state — the continuous
+    * ingestion shape: documents arrive in doc_id order per block (the
+    * operator's contract, like the Holt/EWMA/CUSUM event-time rule) and
+    * each arrival either extends the block's open pack or seals it and
+    * opens the next. State per block is three Longs (open pack id, fill,
+    * position) — O(1) at any corpus size, and a block never reopens a
+    * sealed pack, so emissions are FINAL on arrival (append semantics in
+    * spirit, though emitted through the Update sink like the other twins).
+    * Every quantity is an integer, so stream == batch is exact equality
+    * with q223's oracle-checked rows (StreamingSpec, across a micro-batch
+    * boundary). */
+  private[graft] class PackingProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("pack",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(blk: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      var (pack, fill, pos) =
+        if (st.exists()) st.get() else (0L, 0L, 0L)
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, docId, n) =>
+        if (pack == 0L || fill + n > budget) { pack += 1; fill = n; pos = 1 }
+        else { fill += n; pos += 1 }
+        out += ((docId, blk, pack, pos, n))
+      }
+      st.update((pack, fill, pos))
+      out.result().iterator
+    }
+  }
+
+  /** (blk, doc_id, n_tokens) stream → (doc_id, blk, pack_id, pack_pos,
+    * n_tokens) assignments via [[PackingProcessor]]. */
+  private[graft] def packingStreamingState(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      budget: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new PackingProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
 }

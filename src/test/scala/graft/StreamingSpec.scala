@@ -556,6 +556,53 @@ class StreamingSpec extends SparkSpec {
     assert(q163.values.exists(_._3 > 0), "fixture must trigger some alarms")
   }
 
+  test("streaming sequence packing equals q223's batch fold across a batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    // the per-block (blk, doc_id, n_tokens) arrival stream in doc order,
+    // split mid-stream — the open pack's (pack, fill, pos) state must
+    // carry the boundary so a pack can straddle two micro-batches
+    val arrivals = spark.table("documents")
+      .select(expr("doc_id div 64").as("blk"), col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2).toSeq
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val ms = MemoryStream[(Long, Long, Long)]
+    val out = graft.streaming.StreamingQueries
+      .packingStreamingState(ms.toDS(), budget = 128L)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = out.toDF("doc_id", "blk", "pack_id", "pack_pos", "n_tokens")
+      .writeStream.format("memory").queryName("t_pack")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    // each doc is assigned exactly once, on arrival — the union of both
+    // micro-batches' emissions IS the assignment; all integers → exact
+    // equality with the oracle-checked batch rows
+    val got = spark.table("t_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    val batch = SparkEntry.queries("q223_sequence_packing")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == batch)
+    assert(got.map(_._1).distinct.length == got.length,
+      "every doc must be assigned exactly once")
+  }
+
   test("streaming incremental LSH pairs equal the batch candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
