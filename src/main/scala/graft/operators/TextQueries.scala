@@ -285,6 +285,69 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Readability scoring (Flesch reading-ease + Flesch-Kincaid grade —
+    // the classic corpus-filtering quality features): sentences = non-blank
+    // '.'-splits (floored at 1), words = the repo's whitespace-token
+    // convention, syllables = vowel-group count over the lowered text (the
+    // standard heuristic; [aeiouy]+ is greedy and identical on both regex
+    // engines). Every ratio divides EXACT integers, the linear combos use
+    // identical double literals left-to-right (e0-typed in the oracle so
+    // DuckDB doesn't promote to DECIMAL), and both surfaced scores are
+    // free doubles → IEEE floor-round, with the readability flag comparing
+    // the ROUNDED value so the threshold can't straddle a half boundary.
+    // Map-side only; no shuffle until the ORDER BY.
+    q("q225_readability",
+      """SELECT doc_id,
+        |  CAST(greatest(1, len(list_filter(string_split(text, '.'),
+        |    s -> trim(s) <> ''))) AS BIGINT) AS n_sentences,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  floor((206.835e0
+        |    - 1.015e0 * (CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+        |      / greatest(1, len(list_filter(string_split(text, '.'),
+        |          s -> trim(s) <> ''))))
+        |    - 84.6e0 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS DOUBLE) / len(string_split(lower(text), ' '))))
+        |    * 10000 + 0.5) / 10000 AS flesch,
+        |  floor((0.39e0 * (CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+        |      / greatest(1, len(list_filter(string_split(text, '.'),
+        |          s -> trim(s) <> ''))))
+        |    + 11.8e0 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS DOUBLE) / len(string_split(lower(text), ' ')))
+        |    - 15.59e0) * 10000 + 0.5) / 10000 AS fk_grade,
+        |  CAST(CASE WHEN floor((206.835e0
+        |    - 1.015e0 * (CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+        |      / greatest(1, len(list_filter(string_split(text, '.'),
+        |          s -> trim(s) <> ''))))
+        |    - 84.6e0 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS DOUBLE) / len(string_split(lower(text), ' '))))
+        |    * 10000 + 0.5) / 10000 >= 60e0 THEN 1 ELSE 0 END AS INT)
+        |    AS is_easy
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val base = spark.table("documents").select($"doc_id",
+        greatest(lit(1),
+          size(filter(split($"text", "\\."), s => trim(s) =!= "")))
+          .cast(LongType).as("n_sentences"),
+        size(split(lower($"text"), " ")).cast(LongType).as("n_words"),
+        size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+          .cast(LongType).as("n_syllables"))
+      val wps = $"n_words".cast(DoubleType) / $"n_sentences"
+      val spw = $"n_syllables".cast(DoubleType) / $"n_words"
+      val flesch =
+        floor((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          * 10000 + 0.5) / 10000
+      base.select($"doc_id", $"n_sentences", $"n_words", $"n_syllables",
+          flesch.as("flesch"),
+          (floor((lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+            * 10000 + 0.5) / 10000).as("fk_grade"),
+          when(flesch >= 60.0, 1).otherwise(0).cast(IntegerType)
+            .as("is_easy"))
+        .orderBy($"doc_id")
+    },
+
     // Character-entropy quality score: Shannon entropy (nats) of the
     // per-document character distribution — low entropy flags degenerate /
     // repetitive text, high flags noise. Sorted-bin fold + floor-round keep
