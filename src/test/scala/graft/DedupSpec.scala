@@ -504,6 +504,19 @@ class DedupSpec extends SparkSpec {
         .sorted.toList
     assert(supRows(bp1) == supRows(bpFresh),
       "memoized basket support diverged from a fresh build")
+    // BPE: the shared (needFinalWords = true) training's merge table must
+    // equal the flag-off run q192 used to make — the flag only skips the
+    // final-words materialization
+    val (merges, fw) = TextQueries.bpeShared(spark)
+    assert(merges eq TextQueries.bpeShared(spark)._1)
+    assert(fw eq TextQueries.bpeShared(spark)._2)
+    val (mFresh, _) = TextQueries.bpeLearn(spark.table("documents"),
+      rounds = TextQueries.bpeRounds, needFinalWords = false)
+    def mergeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sorted.toList
+    assert(mergeRows(merges) == mergeRows(mFresh),
+      "memoized BPE merges diverged from the flag-off training")
   }
 
   test("wider SimHash bands produce a subset of the 16-bit pair set") {
