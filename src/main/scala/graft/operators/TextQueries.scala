@@ -348,6 +348,45 @@ object TextQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Span-corruption mask manifest (T5/UL2 denoising pretraining: ~15% of
+    // tokens masked in ~mean-3 spans). Deterministic "randomness" via the
+    // repo's md5-draw idiom (q59 family): the doc is cut into k = max(1,
+    // ⌊0.15·n⌋ div 3) equal strata and each stratum places one span at
+    // lo + (draw mod (len − sl + 1)) — spans provably stay inside their
+    // stratum, so they never overlap and the manifest is stable across
+    // engines, runs, and partitionings. Docs under 7 tokens emit no spans
+    // (mask budget 0). All-integer output, one generator + map-side
+    // arithmetic — no shuffle until the ORDER BY.
+    q("q226_span_corruption",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (SELECT doc_id, n, (n * 15) // 100 AS m FROM t),
+        |kk AS (SELECT doc_id, n, greatest(1, m // 3) AS k
+        |       FROM p WHERE m >= 1),
+        |sp AS (SELECT doc_id, n, k, unnest(range(1, k + 1)) AS i FROM kk),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS span_idx, n,
+        |         (i - 1) * n // k + 1 AS lo, i * n // k AS hi
+        |  FROM sp),
+        |d AS (
+        |  SELECT doc_id, span_idx, n, lo, hi - lo + 1 AS len,
+        |         least(3, hi - lo + 1) AS sl,
+        |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |             || ':' || CAST(span_idx AS VARCHAR)), 1, 8))
+        |           AS UBIGINT) AS BIGINT) AS draw
+        |  FROM g)
+        |SELECT doc_id, span_idx,
+        |       lo + (draw % (len - sl + 1)) AS start_tok,
+        |       sl AS span_len, n AS n_tokens
+        |FROM d
+        |ORDER BY doc_id, span_idx""".stripMargin) { spark =>
+      import spark.implicits._
+      spanCorruptionOf(spark.table("documents"))
+        .orderBy($"doc_id", $"span_idx")
+    },
+
     // Character-entropy quality score: Shannon entropy (nats) of the
     // per-document character distribution — low entropy flags degenerate /
     // repetitive text, high flags noise. Sorted-bin fold + floor-round keep
@@ -3039,6 +3078,35 @@ object TextQueries extends QueryModule {
       .join(broadcast(ncnt), "needle")
       .filter($"nmatch" === $"ntri")
       .select($"doc_id", $"needle")
+  }
+
+  /** q226's deterministic span-corruption manifest for any (doc_id, text)
+    * corpus — (doc_id, span_idx, start_tok, span_len, n_tokens); see the
+    * q226 declaration for the strata/draw scheme. Exposed private[graft]
+    * for the PipelineOpsSpec invariant replay (in-stratum containment ⇒
+    * non-overlap, mask-budget tracking). */
+  private[graft] def spanCorruptionOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs
+      .select($"doc_id",
+        size(split(lower($"text"), " ")).cast(LongType).as("n"))
+      .withColumn("m", expr("n * 15 div 100"))
+      .filter($"m" >= 1)
+      .withColumn("k", greatest(lit(1L), expr("m div 3")))
+      .select($"doc_id", $"n", $"k",
+        explode(Canon.seq1($"k".cast(IntegerType))).as("i"))
+    base
+      .withColumn("lo", expr("(i - 1) * n div k + 1"))
+      .withColumn("hi", expr("i * n div k"))
+      .withColumn("len", $"hi" - $"lo" + 1)
+      .withColumn("sl", least(lit(3L), $"len"))
+      .withColumn("draw", conv(substring(md5(
+          concat($"doc_id".cast(StringType), lit(":"),
+            $"i".cast(StringType)).cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType))
+      .select($"doc_id", $"i".cast(LongType).as("span_idx"),
+        ($"lo" + pmod($"draw", $"len" - $"sl" + 1)).as("start_tok"),
+        $"sl".as("span_len"), $"n".as("n_tokens"))
   }
 
   /** q219's semantic chunk rows for any (doc_id, text) corpus: boundary

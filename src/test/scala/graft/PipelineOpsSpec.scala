@@ -1801,4 +1801,76 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byPack.exists(_._2.length > 1),
       "fixture must produce at least one multi-doc pack")
   }
+
+  test("q223 packing edge cases: empty, oversize, and exact-budget docs") {
+    import spark.implicits._
+    import graft.operators.ScaleQueries
+    val B = ScaleQueries.packBudget.toInt
+    // doc 0: empty text (1 token by the split convention); doc 1: exactly
+    // the budget; doc 2: oversize (spills alone, fill > budget); doc 3/4:
+    // two small docs that share the next pack; doc 64: next block
+    // restarts pack ids at 1
+    val docs = Seq(
+      (0L, ""),
+      (1L, Seq.fill(B)("w").mkString(" ")),
+      (2L, Seq.fill(B + 40)("w").mkString(" ")),
+      (3L, Seq.fill(10)("w").mkString(" ")),
+      (4L, Seq.fill(10)("w").mkString(" ")),
+      (64L, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = ScaleQueries.sequencePackingOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(0L) == ((0L, 1L, 1L, 1L)), "empty doc: 1 token, opens pack 1")
+    // 1 + B > B → doc 1 seals pack 1 and opens pack 2 at exactly-budget fill
+    assert(got(1L) == ((0L, 2L, 1L, B.toLong)))
+    // oversize doc spills alone into pack 3 (fill > budget is allowed for
+    // a single member)
+    assert(got(2L) == ((0L, 3L, 1L, (B + 40).toLong)))
+    // the two small docs share pack 4
+    assert(got(3L) == ((0L, 4L, 1L, 10L)))
+    assert(got(4L) == ((0L, 4L, 2L, 10L)))
+    // a new block restarts pack numbering — no cross-block coordination
+    assert(got(64L) == ((1L, 1L, 1L, 5L)))
+  }
+
+  test("q226 span corruption: spans stay in bounds, never overlap, track the budget") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val spans = queries("q226_span_corruption")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(spans.nonEmpty)
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val n = ss.head._5
+      // every span inside the doc
+      ss.foreach { case (_, _, start, len, _) =>
+        assert(start >= 1 && start + len - 1 <= n,
+          s"doc $doc span [$start, ${start + len - 1}] outside 1..$n")
+      }
+      // strata containment makes spans disjoint
+      val sorted = ss.sortBy(_._3).toSeq
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._3 + a._4 <= b._3, s"doc $doc spans overlap: $a $b")
+      }
+      // masked volume tracks the 15% budget: k·3 ≤ m + 3 and ≥ min(m, 3)
+      val masked = ss.map(_._4).sum
+      val m = n * 15 / 100
+      assert(masked <= m + 3 && masked >= math.min(m, 3L),
+        s"doc $doc masked $masked vs budget $m")
+      // span indices are 1..k
+      assert(ss.map(_._2).sorted.toSeq == (1L to ss.length).toSeq)
+    }
+    // docs under the mask budget emit nothing
+    val docsWithSpans = spans.map(_._1).toSet
+    val tiny = spark.table("documents")
+      .select($"doc_id", size(split(lower($"text"), " ")).as("n"))
+      .collect().filter(_.getInt(1) < 7).map(_.getLong(0))
+    tiny.foreach(d => assert(!docsWithSpans.contains(d)))
+    // determinism across partitioning
+    val alt = graft.operators.TextQueries
+      .spanCorruptionOf(spark.table("documents").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(alt == spans.sorted.toSeq)
+  }
 }
