@@ -531,4 +531,26 @@ class DedupSpec extends SparkSpec {
     assert(p32.subsetOf(p16), s"${(p32 -- p16).take(5)} not in 16-bit set")
     assert(p16.nonEmpty)
   }
+
+  test("memo races: concurrent cold builds converge to one cached frame") {
+    // the get-then-putIfAbsent pattern (recursion fix) allows two racing
+    // threads to both run a build; both are deterministic and later calls
+    // must settle on ONE cached frame with the same rows
+    graft.sources.Tables.register(spark, sf)
+    graft.sources.Tables.noteViewSwap(spark) // fresh generation: cold memo
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val builds = Await.result(
+      Future.sequence((1 to 4).map(_ =>
+        Future(DedupQueries.lshPairs(spark)))), 120.seconds)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val expect = rows(builds.head)
+    builds.tail.foreach(b => assert(rows(b) == expect))
+    val settled = DedupQueries.lshPairs(spark)
+    assert(builds.exists(_ eq settled),
+      "post-race call must return one of the raced frames (the cached one)")
+    assert(settled eq DedupQueries.lshPairs(spark))
+  }
 }
