@@ -709,6 +709,62 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"dropped")
     },
 
+    // Contrastive triplet mining (anchor, positive, hard negative — the
+    // training-data op behind embedding-model fine-tuning: easy negatives
+    // teach nothing, so the negative comes from the anchor's OWN cluster,
+    // just below the near-dup bar). Positives are q119's semantic
+    // near-dups (within-cluster r4 cosine ≥ 0.4, argmax per anchor);
+    // the hard negative is the highest-cosine same-cluster vector BELOW
+    // the bar. Both ranks order on the r4-ROUNDED cosine with the id as
+    // tiebreak (the committed pair-surface value), so the triplets are
+    // fully hash-checked. Scale: within-cluster pairs only — the q119
+    // shape, cluster-bounded, never corpus²; training memoized.
+    q("q227_contrastive_triplets",
+      s"""WITH $ivfListsCtes,
+         |p AS (
+         |  SELECT a.vec_id AS anchor, b.vec_id AS other,
+         |         ${graft.api.Canon.Oracle.r4(
+                     ivfCosSql("a.emb", "b.emb"))} AS cos
+         |  FROM lists a JOIN lists b
+         |    ON a.cl = b.cl AND a.vec_id <> b.vec_id),
+         |pos AS (
+         |  SELECT anchor, other AS positive, cos AS pos_cos FROM (
+         |    SELECT anchor, other, cos,
+         |           ROW_NUMBER() OVER (PARTITION BY anchor
+         |             ORDER BY cos DESC, other) AS rn
+         |    FROM p WHERE cos >= 0.4e0) t WHERE rn = 1),
+         |neg AS (
+         |  SELECT anchor, other AS negative, cos AS neg_cos FROM (
+         |    SELECT anchor, other, cos,
+         |           ROW_NUMBER() OVER (PARTITION BY anchor
+         |             ORDER BY cos DESC, other) AS rn
+         |    FROM p WHERE cos < 0.4e0) t WHERE rn = 1)
+         |SELECT pos.anchor, positive, pos_cos, negative, neg_cos
+         |FROM pos JOIN neg ON neg.anchor = pos.anchor
+         |ORDER BY pos.anchor""".stripMargin) { spark =>
+      import spark.implicits._
+      val lists = ivfAssign(spark, ivfCentroids(spark))
+      val a = lists.select($"cl", $"vec_id".as("anchor"), $"emb".as("ea"))
+      val b = lists.select($"cl".as("clb"), $"vec_id".as("other"),
+        $"emb".as("eb"))
+      // within-cluster pair surface feeds BOTH ranks — materialize once
+      val pairs = a.join(b, $"cl" === $"clb" && $"anchor" =!= $"other")
+        .select($"anchor", $"other",
+          graft.api.Canon.r4(cosine($"ea", $"eb")).as("cos"))
+        .localCheckpoint()
+      val w = Window.partitionBy($"anchor").orderBy($"cos".desc, $"other")
+      val pos = pairs.filter($"cos" >= 0.4)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"anchor", $"other".as("positive"), $"cos".as("pos_cos"))
+      val neg = pairs.filter($"cos" < 0.4)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"anchor".as("na"), $"other".as("negative"),
+          $"cos".as("neg_cos"))
+      pos.join(neg, $"anchor" === $"na")
+        .select($"anchor", $"positive", $"pos_cos", $"negative", $"neg_cos")
+        .orderBy($"anchor")
+    },
+
     // Nearest-class-mean (prototype) classification — embedding-model
     // inference as an operator (Rocchio/NCM; the supervised sibling of
     // q83's unsupervised k-means): one prototype per label = the class

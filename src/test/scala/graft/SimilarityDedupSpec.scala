@@ -461,4 +461,22 @@ class SimilarityDedupSpec extends SparkSpec {
         s"qid $q: MMR mean pair sim $mmrSim > top-5 $topSim")
     }
   }
+
+  test("contrastive triplets: positive above the bar, hard negative just below") {
+    graft.sources.Tables.register(spark, sf)
+    val t = queries("q227_contrastive_triplets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    // sf0.001's tiny embedding fixture may mine no triplets — invariants
+    // hold on whatever is mined (values are oracle-hash-checked at both
+    // driver scale factors)
+    t.foreach { case (a, p, pc, n, nc) =>
+      assert(pc >= 0.4, s"positive below the bar: $pc")
+      assert(nc < 0.4, s"negative at/above the bar: $nc")
+      assert(pc >= nc, "positive must not rank below the hard negative")
+      assert(a != p && a != n && p != n, s"degenerate triplet ($a, $p, $n)")
+    }
+    assert(t.map(_._1).distinct.length == t.length,
+      "one triplet per anchor")
+  }
 }
