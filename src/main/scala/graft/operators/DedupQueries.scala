@@ -631,6 +631,65 @@ object DedupQueries extends QueryModule {
         .orderBy($"doc_id")
     },
 
+    // Leakage-free train/test split — the eval-hygiene op q79b's
+    // benchmark-decontamination is the special case of: a deterministic
+    // md5-prefix test draw (~3%, the q59c idiom), then every TRAIN doc
+    // that shares an LSH band bucket with ANY test doc is EXCLUDED —
+    // near-duplicate leakage poisons evals exactly like verbatim leakage,
+    // and an exact-hash split alone misses it. Per-doc assignment
+    // (test / excluded / train), fully hash-checked. Scale: the memoized
+    // pair relation + one broadcast-sized test set semi-join — no new
+    // pair enumeration.
+    q("q228_leakage_free_split", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |adj AS (
+         |  SELECT id_a AS x, id_b AS y FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |test AS (SELECT doc_id FROM documents
+         |         WHERE substr(md5(text), 1, 2) < '08'),
+         |excl AS (
+         |  SELECT DISTINCT a.x AS doc_id FROM adj a
+         |  JOIN test t ON t.doc_id = a.y
+         |  WHERE a.x NOT IN (SELECT doc_id FROM test))
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM test) THEN 'test'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM excl) THEN 'excluded'
+         |       ELSE 'train' END AS split
+         |FROM documents d
+         |ORDER BY d.doc_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val test = spark.table("documents")
+        .filter(substring(md5($"text".cast(BinaryType)), 1, 2) < "08")
+        .select($"doc_id")
+      val pairs = lshPairs(spark) // memoized
+      val adj = pairs.select($"id_a".as("x"), $"id_b".as("y"))
+        .unionAll(pairs.select($"id_b".as("x"), $"id_a".as("y")))
+      val excl = adj
+        .join(test.withColumnRenamed("doc_id", "y"), Seq("y"), "left_semi")
+        .select($"x".as("doc_id")).distinct()
+        .join(test, Seq("doc_id"), "left_anti")
+      spark.table("documents").select($"doc_id")
+        .join(test.withColumn("t", lit(1)), Seq("doc_id"), "left")
+        .join(excl.withColumn("e", lit(1)), Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"t" === 1, "test")
+            .when($"e" === 1, "excluded")
+            .otherwise("train").as("split"))
+        .orderBy($"doc_id")
+    },
+
     // Dedup group assignment: connected components over the LSH pair graph
     // via iterative min-label propagation (the Pregel/GraphX pattern — each
     // round is one distributed join+aggregate; convergence in graph-diameter
