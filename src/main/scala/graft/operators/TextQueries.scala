@@ -2433,6 +2433,76 @@ object TextQueries extends QueryModule {
         .orderBy($"source")
     },
 
+    // Mixing-temperature sweep (the knob readout run before committing an
+    // α — q213's threshold-curve pattern applied to q186's α-sampling):
+    // for each α in the grid, the mixture's concentration (largest source
+    // share), oversampling risk (max per-source epochs at a 1M-token
+    // allocation), and diversity (share entropy). max is taken over the
+    // FLOOR-ROUNDED per-source values so both engines max over identical
+    // numbers; the entropy fold runs source-sorted (the q186/q64c
+    // error-bounded class, surfaced r4). Scale: one per-source token
+    // rollup + a |sources|×|αs| broadcast grid — metadata-sized after the
+    // first aggregate.
+    q("q229_mixing_sweep",
+      s"""WITH d AS (
+         |  SELECT source, CAST(SUM(len($tokSql)) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source),
+         |a AS (SELECT unnest([0.2e0, 0.3e0, 0.5e0, 0.7e0, 1.0e0])
+         |        AS alpha),
+         |g AS (
+         |  SELECT alpha, source, toks,
+         |         exp(alpha * ln(CAST(toks AS DOUBLE))) AS w
+         |  FROM d CROSS JOIN a),
+         |t AS (
+         |  SELECT alpha, list_reduce(list_prepend(0.0e0,
+         |    list_transform(list_sort(list(struct_pack(source := source,
+         |                                              w := w))),
+         |                   x -> x.w)), (p, q) -> p + q) AS wsum
+         |  FROM g GROUP BY alpha),
+         |sc AS (
+         |  SELECT g.alpha, g.source, g.w / t.wsum AS p,
+         |         floor(g.w / t.wsum * 1000000 + 0.5) / 1000000 AS share_r6,
+         |         floor(g.w / t.wsum * 1000000.0 / CAST(g.toks AS DOUBLE)
+         |               * 10000 + 0.5) / 10000 AS ep_r4
+         |  FROM g JOIN t ON t.alpha = g.alpha)
+         |SELECT alpha, MAX(share_r6) AS top_share,
+         |  MAX(ep_r4) AS max_epochs,
+         |  floor(-list_reduce(list_prepend(0.0e0,
+         |      list_transform(list_sort(list(struct_pack(source := source,
+         |                                                p := p))),
+         |                     x -> x.p * ln(x.p))), (p, q) -> p + q)
+         |    * 10000 + 0.5) / 10000 AS share_entropy
+         |FROM sc GROUP BY alpha
+         |ORDER BY alpha""".stripMargin) { spark =>
+      import spark.implicits._
+      val per = spark.table("documents")
+        .groupBy($"source")
+        .agg(sum(size(split(lower($"text"), " ")).cast(LongType))
+          .cast(LongType).as("toks"))
+      val alphas = Seq(0.2, 0.3, 0.5, 0.7, 1.0).toDF("alpha")
+      val grid = per.crossJoin(broadcast(alphas))
+        .withColumn("w", exp($"alpha" * log($"toks".cast(DoubleType))))
+      val wsums = grid.groupBy($"alpha")
+        .agg(sort_array(collect_list(struct($"source", $"w"))).as("l"))
+        .select($"alpha", aggregate($"l", lit(0.0),
+          (acc, x) => acc + x.getField("w")).as("wsum"))
+      val sc = grid.join(broadcast(wsums), Seq("alpha"))
+        .select($"alpha", $"source",
+          ($"w" / $"wsum").as("p"),
+          Canon.r6($"w" / $"wsum").as("share_r6"),
+          Canon.r4($"w" / $"wsum" * lit(1000000.0) /
+            $"toks".cast(DoubleType)).as("ep_r4"))
+      sc.groupBy($"alpha")
+        .agg(sort_array(collect_list(struct($"source", $"p"))).as("l"),
+          max($"share_r6").as("top_share"),
+          max($"ep_r4").as("max_epochs"))
+        .select($"alpha", $"top_share", $"max_epochs",
+          Canon.r4(-aggregate($"l", lit(0.0),
+            (acc, x) => acc + x.getField("p") * log(x.getField("p"))))
+            .as("share_entropy"))
+        .orderBy($"alpha")
+    },
+
     // Per-source length-percentile gate (the "trim the tails" pre-filter a
     // pipeline runs before quality scoring): token-length p05/p95 per source
     // via the exact interpolated percentile both engines share
