@@ -126,18 +126,28 @@ class QueriesSmokeSpec extends SparkSpec {
       "q217_rrf_fusion", "q218_ann_recall_eval", "q219_semantic_chunking",
       "q221_dupspan_align",
       // r10: q223's per-block greedy packing fold (sort_array-pinned
-      // member order, conditional accumulator)
-      "q223_sequence_packing")
+      // member order, conditional accumulator); q229's source-sorted
+      // entropy fold + rounded-maxima grid
+      "q223_sequence_packing", "q229_mixing_sweep")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
       val base = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
       try {
         spark.conf.set(conf, "7")
+        // bump the memo generation so memo-backed queries REBUILD their
+        // shared relations under the 7-partition config — otherwise the
+        // sweep compares a cached frame to itself and proves nothing for
+        // them (r10, after the shared-relation memo landed)
+        graft.sources.Tables.noteViewSwap(spark)
         val alt = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
         assert(base.sameElements(alt),
           s"$name differs at 7 shuffle partitions (n=${base.length} vs ${alt.length})")
-      } finally spark.conf.set(conf, before)
+      } finally {
+        spark.conf.set(conf, before)
+        // drop the sweep's per-name cold generation builds again
+        graft.sources.Tables.noteViewSwap(spark)
+      }
     }
   }
 
