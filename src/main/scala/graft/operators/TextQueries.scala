@@ -2503,6 +2503,151 @@ object TextQueries extends QueryModule {
         .orderBy($"alpha")
     },
 
+    // Deterministic weighted sampling without replacement (Efraimidis &
+    // Spirakis IPL'06 A-Res — the curation primitive behind "sample k docs
+    // per stratum proportional to weight"): each doc draws a md5-uniform
+    // u ∈ (0,1) (the q120/q214 idiom, +0.5 so u is never 0) and scores
+    // key = ln(u)/w with w = n_chars; the top-k keys per language ARE a
+    // weight-proportional sample without replacement. Both engines spell
+    // key identically (IEEE ln/divide on identical inputs); md5 draws make
+    // order-statistic gaps ~1e-3 so a last-ULP ln difference can never flip
+    // top-k membership. Scale: the score is map-side (no join), the only
+    // shuffle is the per-lang top-k window (q31's top-k-per-group shape —
+    // at 100 TB the rank prunes with a per-partition pre-filter, never a
+    // global sort); output is k×|langs| rows. The surfaced score is
+    // floor-rounded (free double) with `+ 0` guarding the tiny-negative
+    // -0.0 divergence (CLAUDE.md ROUND invariant).
+    q("q230_weighted_sample",
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+        |                             1, 8)) AS UBIGINT) + 0.5)
+        |       / 4294967296.0) / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars, key,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY key DESC, doc_id) AS rnk
+        |  FROM s)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
+        |  floor(key * 1000000 + 0.5) / 1000000 + 0 AS score
+        |FROM r WHERE rnk <= 25
+        |ORDER BY lang, rnk""".stripMargin) { spark =>
+      import spark.implicits._
+      val scored = spark.table("documents")
+        .select($"doc_id", $"lang", $"n_chars",
+          (log((conv(substring(md5(concat(lit("ws:"),
+            $"doc_id".cast(StringType)).cast(BinaryType)), 1, 8), 16, 10)
+            .cast(DoubleType) + 0.5) / 4294967296.0) /
+            $"n_chars".cast(DoubleType)).as("key"))
+      val byLang = Window.partitionBy($"lang")
+        .orderBy($"key".desc, $"doc_id")
+      scored
+        .withColumn("rnk", row_number().over(byLang).cast(LongType))
+        .filter($"rnk" <= 25)
+        .select($"lang", $"rnk", $"doc_id", $"n_chars",
+          (floor($"key" * 1000000 + 0.5) / 1000000 + lit(0)).as("score"))
+        .orderBy($"lang", $"rnk")
+    },
+
+    // Vocabulary-coverage / OOV curve (the readout behind "how big a vocab
+    // does this corpus need": token share covered by the top-V types for a
+    // V grid — Zipf's law made actionable for tokenizer sizing). Scale: the
+    // only corpus-sized stages are the token-count rollup (map-side
+    // partial) and a TakeOrdered top-Vmax — never a vocab-global sort; the
+    // rank window runs on the POST-LIMIT 3000-row relation (bounded by
+    // construction, the limit-16-vocab precedent), and the grid join is a
+    // broadcast non-equi over 3000×4 rows. Covered counts are exact BIGINT
+    // sums (no IEEE fold anywhere); only the surfaced shares divide.
+    q("q231_vocab_coverage",
+      s"""WITH c AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM
+         |    (SELECT unnest($tokSql) AS token FROM documents) t
+         |  GROUP BY token),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |               CAST(COUNT(*) AS BIGINT) AS vocab_size FROM c),
+         |top AS (SELECT token, n,
+         |          ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+         |        FROM c ORDER BY n DESC, token LIMIT 3000),
+         |v AS (SELECT unnest([100, 300, 1000, 3000]) AS v_size),
+         |cov AS (SELECT v.v_size, CAST(SUM(top.n) AS BIGINT)
+         |          AS covered_tokens
+         |        FROM v JOIN top ON top.rnk <= v.v_size GROUP BY v.v_size)
+         |SELECT CAST(cov.v_size AS BIGINT) AS v_size, tot.vocab_size,
+         |  cov.covered_tokens, tot.total_tokens,
+         |  floor(CAST(cov.covered_tokens AS DOUBLE) / tot.total_tokens
+         |        * 1000000 + 0.5) / 1000000 AS coverage_share,
+         |  floor(CAST(tot.total_tokens - cov.covered_tokens AS DOUBLE)
+         |        / tot.total_tokens * 1000000 + 0.5) / 1000000 AS oov_share
+         |FROM cov CROSS JOIN tot ORDER BY v_size""".stripMargin) { spark =>
+      import spark.implicits._
+      val c = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).cast(LongType).as("n"))
+        .localCheckpoint() // feeds the totals AND the top-Vmax rank
+      val tot = c.agg(sum($"n").cast(LongType).as("total_tokens"),
+        count(lit(1)).cast(LongType).as("vocab_size"))
+      val ranked = c.orderBy($"n".desc, $"token").limit(3000)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy($"n".desc, $"token")).cast(LongType))
+      val grid = Seq(100, 300, 1000, 3000).toDF("v_size")
+      ranked.join(broadcast(grid), $"rnk" <= $"v_size")
+        .groupBy($"v_size")
+        .agg(sum($"n").cast(LongType).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select($"v_size".cast(LongType).as("v_size"), $"vocab_size",
+          $"covered_tokens", $"total_tokens",
+          (floor($"covered_tokens".cast(DoubleType) / $"total_tokens"
+            * 1000000 + 0.5) / 1000000).as("coverage_share"),
+          (floor(($"total_tokens" - $"covered_tokens").cast(DoubleType)
+            / $"total_tokens" * 1000000 + 0.5) / 1000000).as("oov_share"))
+        .orderBy($"v_size")
+    },
+
+    // Context-window truncation waste (the sizing readout run before
+    // committing a training sequence length: per candidate context L, how
+    // many docs overflow and what token share a hard truncation throws
+    // away — the complement of q223's packing efficiency). Scale: one
+    // map-side per-doc token length, a ×|L-grid| broadcast cross (4×, then
+    // immediately partial-aggregated), all-integer sums; only the surfaced
+    // share divides.
+    q("q232_truncation_waste",
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS toks
+         |  FROM documents),
+         |l AS (SELECT unnest([128, 256, 512, 1024]) AS l_ctx),
+         |g AS (SELECT l.l_ctx, d.toks FROM d CROSS JOIN l)
+         |SELECT CAST(l_ctx AS BIGINT) AS l_ctx,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN toks > l_ctx THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_truncated,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN toks > l_ctx THEN toks - l_ctx ELSE 0 END)
+         |    AS BIGINT) AS tokens_lost,
+         |  floor(CAST(SUM(CASE WHEN toks > l_ctx THEN toks - l_ctx
+         |                      ELSE 0 END) AS DOUBLE)
+         |        / SUM(toks) * 1000000 + 0.5) / 1000000 AS lost_share
+         |FROM g GROUP BY l_ctx ORDER BY l_ctx""".stripMargin) { spark =>
+      import spark.implicits._
+      val lens = spark.table("documents")
+        .select($"doc_id",
+          size(split(lower($"text"), " ")).cast(LongType).as("toks"))
+      val grid = Seq(128, 256, 512, 1024).toDF("l_ctx")
+      lens.crossJoin(broadcast(grid))
+        .groupBy($"l_ctx")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(when($"toks" > $"l_ctx", lit(1L)).otherwise(lit(0L)))
+            .cast(LongType).as("docs_truncated"),
+          sum($"toks").cast(LongType).as("total_tokens"),
+          sum(when($"toks" > $"l_ctx", $"toks" - $"l_ctx")
+            .otherwise(lit(0L))).cast(LongType).as("tokens_lost"))
+        .select($"l_ctx".cast(LongType).as("l_ctx"), $"n_docs",
+          $"docs_truncated", $"total_tokens", $"tokens_lost",
+          (floor($"tokens_lost".cast(DoubleType) / $"total_tokens"
+            * 1000000 + 0.5) / 1000000).as("lost_share"))
+        .orderBy($"l_ctx")
+    },
+
     // Per-source length-percentile gate (the "trim the tails" pre-filter a
     // pipeline runs before quality scoring): token-length p05/p95 per source
     // via the exact interpolated percentile both engines share
