@@ -851,4 +851,33 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("Join"), finalPlan)
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
   }
+
+  test("weighted sample: map-side WindowGroupLimit prunes before the one " +
+      "lang exchange; scan pruned to the 3 used columns") {
+    val df = SparkEntry.queries("q230_weighted_sample")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the top-k-per-group rank must prune PARTIALLY before the shuffle —
+    // at 100 TB each task forwards ≤k rows per lang, never the corpus
+    assert(finalPlan.contains("WindowGroupLimit"), finalPlan)
+    val langExchanges = finalPlan.linesIterator.count(
+      _.matches(".*Exchange hashpartitioning\\(lang#\\d+, \\d+\\).*"))
+    assert(langExchanges == 1, s"$langExchanges lang exchanges:\n$finalPlan")
+    val readSchema = finalPlan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("vocab coverage: top-V is a TakeOrdered, grid join broadcasts") {
+    val df = SparkEntry.queries("q231_vocab_coverage")(spark, sf)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // top-Vmax must be a bounded TakeOrdered (never a vocab-global sort
+    // feeding an unbounded window) and the count rollup combines map-side;
+    // the V-grid non-equi join stays a broadcast over ≤3000×4 rows
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
+    assert(finalPlan.contains("partial_count"), finalPlan)
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
 }
