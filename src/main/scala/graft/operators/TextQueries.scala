@@ -2648,6 +2648,105 @@ object TextQueries extends QueryModule {
         .orderBy($"l_ctx")
     },
 
+    // Token-budget water-filling (the allocation step after q229 picks a
+    // temperature: give each language stratum alloc = min(capacity, λ·w)
+    // with λ chosen so the allocations exactly exhaust a global budget B —
+    // the capped-proportional allocator every mixture trainer runs when a
+    // stratum is too small to fill its proportional share). B = 90% of
+    // corpus tokens and the flattening weight w = toks^0.25 (the q186
+    // exp/ln spelling) put BOTH regimes live on the fixture: the small
+    // languages saturate at capacity, the dominant one takes the
+    // remainder. λ solves exactly over the sorted saturation boundaries:
+    // strata sorted by r = cap/w; boundary j-1 saturates rows 1..j-1, so
+    // λ_j = (B − csum_{j−1}) / (total_w − wsum_{j−1}), valid iff
+    // r_{j−1} ≤ λ_j ≤ r_j — unique for B < total capacity, picked as the
+    // min-j valid row. Every post-rollup relation is |langs| rows
+    // (bounded — the sources-grid window precedent); prefix folds run in
+    // (r, lang) order as identical sequential IEEE left folds on both
+    // engines, suffix sums are total − prefix (never a FOLLOWING frame,
+    // whose in-frame accumulation order the engines need not share).
+    q("q233_budget_waterfill",
+      s"""WITH per AS (
+         |  SELECT lang, CAST(SUM(len($tokSql)) AS BIGINT) AS toks
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT (CAST(SUM(toks) AS BIGINT) * 9) // 10 AS b
+         |        FROM per),
+         |wr AS (
+         |  SELECT lang, toks, exp(0.25 * ln(CAST(toks AS DOUBLE))) AS w,
+         |    CAST(toks AS DOUBLE) / exp(0.25 * ln(CAST(toks AS DOUBLE)))
+         |      AS r
+         |  FROM per),
+         |srt AS (
+         |  SELECT lang, toks, w, r,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY r, lang) AS BIGINT) AS i,
+         |    CAST(SUM(toks) OVER (ORDER BY r, lang
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pc,
+         |    SUM(w) OVER (ORDER BY r, lang ROWS UNBOUNDED PRECEDING)
+         |      AS pw,
+         |    lag(r) OVER (ORDER BY r, lang) AS r_prev
+         |  FROM wr),
+         |tw AS (SELECT pw AS total_w FROM srt
+         |       WHERE i = (SELECT MAX(i) FROM srt)),
+         |cand AS (
+         |  SELECT srt.i, srt.r, srt.r_prev,
+         |    (CAST(tot.b AS DOUBLE) - CAST(srt.pc - srt.toks AS DOUBLE))
+         |      / (tw.total_w - (srt.pw - srt.w)) AS lam
+         |  FROM srt CROSS JOIN tot CROSS JOIN tw),
+         |sel AS (
+         |  SELECT lam FROM cand
+         |  WHERE (i = 1 OR r_prev <= lam) AND lam <= r
+         |  ORDER BY i LIMIT 1)
+         |SELECT wr.lang AS lang, wr.toks AS toks,
+         |  wr.r <= sel.lam AS saturated,
+         |  floor(CASE WHEN wr.r <= sel.lam THEN CAST(wr.toks AS DOUBLE)
+         |             ELSE sel.lam * wr.w END * 10000 + 0.5) / 10000
+         |    AS alloc_tokens,
+         |  floor(CASE WHEN wr.r <= sel.lam THEN CAST(wr.toks AS DOUBLE)
+         |             ELSE sel.lam * wr.w END / CAST(tot.b AS DOUBLE)
+         |        * 1000000 + 0.5) / 1000000 AS budget_share
+         |FROM wr CROSS JOIN sel CROSS JOIN tot
+         |ORDER BY lang""".stripMargin) { spark =>
+      import spark.implicits._
+      val per = spark.table("documents")
+        .groupBy($"lang")
+        .agg(sum(size(split(lower($"text"), " ")).cast(LongType))
+          .cast(LongType).as("toks"))
+        .localCheckpoint() // feeds the budget scalar AND the fold
+      val tot = per.agg(sum($"toks").cast(LongType).as("total_toks"))
+        .select(expr("(total_toks * 9) div 10").as("b"))
+      val wr = per
+        .withColumn("w", exp(lit(0.25) * log($"toks".cast(DoubleType))))
+        .withColumn("r", $"toks".cast(DoubleType) / $"w")
+      // |langs|-row relation: the unpartitioned windows are bounded
+      val ord = Window.orderBy($"r", $"lang")
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val srt = wr
+        .withColumn("i", row_number().over(ord).cast(LongType))
+        .withColumn("pc", sum($"toks").over(run).cast(LongType))
+        .withColumn("pw", sum($"w").over(run))
+        .withColumn("r_prev", lag($"r", 1).over(ord))
+        .localCheckpoint() // feeds total_w AND the candidate grid
+      val n = srt.agg(max($"i").as("mi"))
+      val tw = srt.join(broadcast(n), $"i" === $"mi")
+        .select($"pw".as("total_w"))
+      val cand = srt.crossJoin(broadcast(tot)).crossJoin(broadcast(tw))
+        .select($"i", $"r", $"r_prev",
+          (($"b".cast(DoubleType) - ($"pc" - $"toks").cast(DoubleType)) /
+            ($"total_w" - ($"pw" - $"w"))).as("lam"))
+      val sel = cand
+        .filter(($"i" === 1 || $"r_prev" <= $"lam") && $"lam" <= $"r")
+        .orderBy($"i").limit(1).select($"lam")
+      val alloc = when($"r" <= $"lam", $"toks".cast(DoubleType))
+        .otherwise($"lam" * $"w")
+      wr.crossJoin(broadcast(sel)).crossJoin(broadcast(tot))
+        .select($"lang", $"toks",
+          ($"r" <= $"lam").as("saturated"),
+          (floor(alloc * 10000 + 0.5) / 10000).as("alloc_tokens"),
+          (floor(alloc / $"b".cast(DoubleType) * 1000000 + 0.5) / 1000000)
+            .as("budget_share"))
+        .orderBy($"lang")
+    },
+
     // Per-source length-percentile gate (the "trim the tails" pre-filter a
     // pipeline runs before quality scoring): token-length p05/p95 per source
     // via the exact interpolated percentile both engines share
