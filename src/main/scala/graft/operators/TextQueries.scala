@@ -2503,20 +2503,20 @@ object TextQueries extends QueryModule {
         .orderBy($"alpha")
     },
 
-    // Deterministic weighted sampling without replacement (Efraimidis &
-    // Spirakis IPL'06 A-Res — the curation primitive behind "sample k docs
-    // per stratum proportional to weight"): each doc draws a md5-uniform
-    // u ∈ (0,1) (the q120/q214 idiom, +0.5 so u is never 0) and scores
-    // key = ln(u)/w with w = n_chars; the top-k keys per language ARE a
-    // weight-proportional sample without replacement. Both engines spell
-    // key identically (IEEE ln/divide on identical inputs); md5 draws make
-    // order-statistic gaps ~1e-3 so a last-ULP ln difference can never flip
-    // top-k membership. Scale: the score is map-side (no join), the only
-    // shuffle is the per-lang top-k window (q31's top-k-per-group shape —
-    // at 100 TB the rank prunes with a per-partition pre-filter, never a
-    // global sort); output is k×|langs| rows. The surfaced score is
-    // floor-rounded (free double) with `+ 0` guarding the tiny-negative
-    // -0.0 divergence (CLAUDE.md ROUND invariant).
+    // STRATIFIED weighted sampling without replacement — q154's
+    // Efraimidis-Spirakis A-Res run per language stratum instead of
+    // globally ("sample k docs from EACH language proportional to weight",
+    // the quota-sampling shape a multilingual curation pass needs so a
+    // dominant language can't crowd out the rest). Same key = ln(u)/w
+    // score from a md5-uniform (u via +0.5 so ln never sees 0), but the
+    // distributed shape is genuinely different from q154's global
+    // TakeOrdered: the per-lang top-k is a rank window whose
+    // WindowGroupLimit prunes to ≤k rows per lang MAP-SIDE before the one
+    // lang exchange (PlanSpec-pinned), so at 100 TB each task forwards k
+    // rows per stratum, never the corpus. Unlike q154 the rounded score is
+    // surfaced (floor-r6 with the `+ 0` tiny-negative guard); md5 draws
+    // keep adjacent order-statistic gaps ≫ ULP so a libm ln() divergence
+    // can't flip membership (the q122/q134 ln-agreement precedent).
     q("q230_weighted_sample",
       """WITH s AS (
         |  SELECT doc_id, lang, n_chars,

@@ -1873,4 +1873,78 @@ class PipelineOpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).sorted.toSeq
     assert(alt == spans.sorted.toSeq)
   }
+
+  test("q230 stratified sample equals the per-lang exponential-races replay") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    def key(id: Long, nc: Long): Double = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+      math.log((h + 0.5) / 4294967296.0) / nc.toDouble
+    }
+    val docs = spark.table("documents")
+      .select($"doc_id", $"lang", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map { case (id, _, nc) => (id, nc, key(id, nc)) }
+        .sortBy { case (id, _, k) => (-k, id) }
+        .take(25).zipWithIndex
+        .map { case ((id, nc, k), i) =>
+          (lang, i + 1L, id, nc, math.floor(k * 1000000 + 0.5) / 1000000 + 0)
+        }
+    }.sortBy { case (lang, rnk, _, _, _) => (lang, rnk) }
+    val got = queries("q230_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"got ${got.take(3)}…, expect ${expect.take(3)}…")
+    // every stratum is fully represented: rank runs 1..min(25, |lang|)
+    val perLang = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted ==
+        (1L to math.min(25, perLang(lang)).toLong), lang)
+    }
+  }
+
+  test("q233 water-filling equals the sorted-boundary replay and " +
+      "exhausts the budget") {
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val perLang = spark.table("documents")
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), tokens(r.getString(1)).length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val b = perLang.values.sum * 9 / 10
+    val rows = perLang.toSeq.map { case (lang, toks) =>
+      val w = math.exp(0.25 * math.log(toks.toDouble))
+      (lang, toks, w, toks.toDouble / w)
+    }.sortBy { case (lang, _, _, r) => (r, lang) }
+    // identical sequential prefix folds to the engine's (r, lang) windows
+    val pc = rows.scanLeft(0L) { case (a, (_, t, _, _)) => a + t }.tail
+    val pw = rows.scanLeft(0.0) { case (a, (_, _, w, _)) => a + w }.tail
+    val totalW = pw.last
+    val lam = rows.indices.map { j =>
+      (b.toDouble - (pc(j) - rows(j)._2).toDouble) /
+        (totalW - (pw(j) - rows(j)._3))
+    }.zipWithIndex.collectFirst { case (l, j)
+        if (j == 0 || rows(j - 1)._4 <= l) && l <= rows(j)._4 => l }.get
+    val expect = rows.map { case (lang, toks, w, r) =>
+      val raw = if (r <= lam) toks.toDouble else lam * w
+      (lang, toks, r <= lam, math.floor(raw * 10000 + 0.5) / 10000,
+        math.floor(raw / b.toDouble * 1000000 + 0.5) / 1000000)
+    }.sortBy(_._1)
+    val got = queries("q233_budget_waterfill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expect, s"got $got, expect $expect")
+    // the allocation is feasible (never above capacity) and exhausts the
+    // budget exactly (up to the surfaced r4 rounding)
+    got.foreach { case (lang, toks, sat, alloc, _) =>
+      assert(alloc <= toks.toDouble, lang)
+      assert(sat == (alloc == toks.toDouble), lang)
+    }
+    assert(math.abs(got.map(_._4).sum - b) < 0.01,
+      s"${got.map(_._4).sum} != $b")
+  }
 }
