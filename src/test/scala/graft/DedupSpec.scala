@@ -459,6 +459,34 @@ class DedupSpec extends SparkSpec {
       "memoized PPJoin pairs diverged from a fresh deterministic build")
   }
 
+  test("memoized tfidf postings and containment shingles equal fresh builds") {
+    // the r11 drift fix (q140/q71c): same Memo contract as lshPairs —
+    // second call is the SAME checkpointed frame, rows equal an
+    // un-memoized deterministic replay
+    graft.sources.Tables.register(spark, sf)
+    val docs = spark.table("documents")
+    val w1 = DedupQueries.tfidfPostingsShared(spark)
+    assert(w1 eq DedupQueries.tfidfPostingsShared(spark),
+      "second call must hit the (session, dir) memo")
+    def postRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sorted.toList
+    val wFresh = DedupQueries.tfidfPostings(
+      graft.sources.Tables.spread(docs), DedupQueries.hotShingleDfCap)
+    assert(postRows(w1) == postRows(wFresh),
+      "memoized tfidf postings diverged from a fresh build")
+    val s1 = DedupQueries.containmentShinglesShared(spark)
+    assert(s1 eq DedupQueries.containmentShinglesShared(spark),
+      "second call must hit the (session, dir) memo")
+    def shRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shingle").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toList
+    val sFresh = DedupQueries.containmentShingles(docs,
+      DedupQueries.hotShingleDfCap)
+    assert(shRows(s1) == shRows(sFresh),
+      "memoized containment shingles diverged from a fresh build")
+  }
+
   test("memoized components, simhashes, and langid equal fresh builds") {
     graft.sources.Tables.register(spark, sf)
     val docs = spark.table("documents")
