@@ -75,4 +75,13 @@ private[graft] object Memo {
     val it = cache.keySet.iterator
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
+
+  /** Number of relations cached for `spark` — the EngineSpec abandon-path
+    * probe (a leaked session's entries must not survive a registry sweep). */
+  private[graft] def entriesFor(spark: SparkSession): Int = {
+    var n = 0
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next()._1 eq spark) n += 1
+    n
+  }
 }
