@@ -425,6 +425,32 @@ object Engine {
       sysVars ++= Engine.defaultSysVars
     }
 
+    /** Wire-level `LOAD DATA LOCAL INFILE` body: append client-supplied
+      * delimited bytes into an existing session table. The target schema
+      * drives the parse exactly like the statement-level server-path form
+      * (the 0xFB file-request exchange the reference advertises via
+      * ClientLocalFiles and relays opaquely — /root/reference/mysql/
+      * constants.go:48, gateway/relay.go:47-99). Returns the appended row
+      * count; the view rebuild is the same lazy UNION ALL, so nothing is
+      * driver-materialized beyond the received wire bytes themselves. */
+    def loadLocalData(table: String, sep: String, data: Array[Byte]): Long = {
+      val existing =
+        try spark.table(table)
+        catch { case _: Exception =>
+          throw EngineError(1146, "42S02", s"Table '$table' doesn't exist")
+        }
+      import spark.implicits._
+      val lines = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        new String(data, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\r?\n")).filter(_.nonEmpty)
+      val csv = spark.read.schema(existing.schema).option("sep", sep)
+        .csv(spark.createDataset(lines))
+      val n = csv.count()
+      existing.unionAll(csv).createOrReplaceTempView(table)
+      graft.sources.Tables.noteViewSwap(spark)
+      n
+    }
+
     def close(): Unit = {
       spark.sparkContext.cancelJobGroup(jobGroup)
       Engine.registry.remove(connectionId)
@@ -768,6 +794,10 @@ object Engine {
           .option("sep", Option(sep).getOrElse("\t"))
           .csv(path)
         existing.unionAll(csv).createOrReplaceTempView(table)
+        // direct view swap on a register-bound session: invalidate the
+        // memoized-relation generation, or post-load queries could be
+        // served relations built on the pre-load view
+        graft.sources.Tables.noteViewSwap(s.spark)
         Some(s.spark.emptyDataFrame)
       case killRe(connId) =>
         // COM_PROCESS_KILL analog: cancel the target connection's in-flight

@@ -54,6 +54,7 @@ object MySqlServer {
   private[server] val ClientLongFlag = 0x00000004
   private[server] val ClientConnectWithDB = 0x00000008
   private[server] val ClientCompress = 0x00000020
+  private[server] val ClientLocalFiles = 0x00000080
   private[server] val ClientProtocol41 = 0x00000200
   private[server] val ClientSsl = 0x00000800
   private[server] val ClientTransactions = 0x00002000
@@ -75,7 +76,7 @@ object MySqlServer {
     ClientLongPassword | ClientLongFlag | ClientConnectWithDB |
       ClientProtocol41 | ClientTransactions | ClientSecureConnection |
       ClientPluginAuth | ClientConnectAttrs | ClientCompress |
-      ClientMultiStatements | ClientMultiResults
+      ClientLocalFiles | ClientMultiStatements | ClientMultiResults
 
   private[server] def capsFor(ssl: Boolean): Int =
     if (ssl) serverCaps | ClientSsl else serverCaps
@@ -106,6 +107,15 @@ object MySqlServer {
     * (/root/reference/mysql/constants.go:6). */
   private[server] val DefaultCollationId = 46
 
+  /** `LOAD DATA LOCAL INFILE` — the LOCAL keyword is what selects the
+    * client-file wire flow (0xFB request + chunk stream); the non-LOCAL
+    * form stays a plain statement reading a server-side path
+    * ([[graft.Engine]]'s statement-level handler). Same statement shape as
+    * the engine's `loadDataRe`, with LOCAL mandatory. */
+  private[server] val localInfileRe =
+    ("""(?is)^\s*LOAD\s+DATA\s+LOCAL\s+INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+""" +
+      """([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""").r
+
   /** Fixed 20-byte nonce for the native-password handshake: the front-end
     * accepts any credential (the reference relays auth to its backend; the
     * embedded engine has no password store — [[graft.Engine.login]]), so the
@@ -119,14 +129,29 @@ object MySqlServer {
     * analog of the reference's optional server-TLS config
     * (/root/reference/gateway/tls.go:11-45, gateway.go:88-100); without it
     * the capability is not advertised and a bare SSL probe gets a clean
-    * ERR instead of a parse failure. */
+    * ERR instead of a parse failure. `sslMinVersion` is the TLS floor knob
+    * the reference exposes (tls.go:34-44, the tls-version flag at
+    * main.go:30) with the same TLSv1.2 default: the upgraded socket only
+    * enables protocol versions at or above it, so a client capped below
+    * the floor fails its handshake cleanly. */
   def start(spark: SparkSession, backends: Map[String, String],
       databases: Map[String, String] = Map.empty, port: Int = 0,
       ssl: Option[javax.net.ssl.SSLContext] = None,
-      passwords: Option[Map[String, String]] = None): MySqlServer = {
+      passwords: Option[Map[String, String]] = None,
+      sslMinVersion: String = "TLSv1.2"): MySqlServer = {
+    require(tlsOrder.contains(sslMinVersion),
+      s"unknown TLS version '$sslMinVersion' (expected one of " +
+        tlsOrder.mkString(", ") + ")")
     val ss = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
-    new MySqlServer(ss, spark, backends, databases, ssl, passwords)
+    new MySqlServer(ss, spark, backends, databases, ssl, passwords,
+      sslMinVersion)
   }
+
+  /** TLS protocol names in floor order — the reference's version table
+    * (/root/reference/gateway/tls.go:34-44). Names below the configured
+    * floor (and non-TLS entries like SSLv3, which index at −1) are never
+    * enabled on an upgraded socket. */
+  private[server] val tlsOrder = Seq("TLSv1", "TLSv1.1", "TLSv1.2", "TLSv1.3")
 
   /** mysql_native_password scramble: SHA1(pw) XOR SHA1(salt ++ SHA1(SHA1(pw)))
     * — the public auth algorithm behind the plugin both greeting and check
@@ -357,7 +382,8 @@ object MySqlServer {
 
   private[server] final case class ClientHello(caps: Int, user: String,
       db: Option[String], attrs: Map[String, String],
-      authResponse: Array[Byte] = Array.emptyByteArray)
+      authResponse: Array[Byte] = Array.emptyByteArray,
+      plugin: String = "")
 
   /** Parse Protocol::HandshakeResponse41. Defensive by contract: every
     * client-supplied lenenc length is clamped to the remaining payload and
@@ -410,7 +436,8 @@ object MySqlServer {
       } else nulString().getBytes(UTF_8)
     val db = if ((caps & ClientConnectWithDB) != 0 && i < p.length)
       Some(nulString()).filter(_.nonEmpty) else None
-    if ((caps & ClientPluginAuth) != 0 && i < p.length) nulString(): Unit
+    val plugin =
+      if ((caps & ClientPluginAuth) != 0 && i < p.length) nulString() else ""
     val attrs =
       if ((caps & ClientConnectAttrs) != 0 && i < p.length) {
         val total = lenencInt().toInt
@@ -423,7 +450,7 @@ object MySqlServer {
         while (i < end && i < p.length) m += (lenencStr() -> lenencStr())
         m.result()
       } else Map.empty[String, String]
-    ClientHello(caps, user, db, attrs, auth)
+    ClientHello(caps, user, db, attrs, auth, plugin)
   }
 }
 
@@ -433,7 +460,8 @@ final class MySqlServer private (listener: ServerSocket,
     spark: SparkSession, backends: Map[String, String],
     databases: Map[String, String],
     ssl: Option[javax.net.ssl.SSLContext],
-    passwords: Option[Map[String, String]] = None) {
+    passwords: Option[Map[String, String]] = None,
+    sslMinVersion: String = "TLSv1.2") {
 
   import MySqlServer._
 
@@ -527,8 +555,8 @@ final class MySqlServer private (listener: ServerSocket,
 
   // ---- response packets ----------------------------------------------------
 
-  private def okPayload(status: Int): Array[Byte] =
-    new Payload().int1(0x00).lenencInt(0).lenencInt(0)
+  private def okPayload(status: Int, affected: Long = 0L): Array[Byte] =
+    new Payload().int1(0x00).lenencInt(affected).lenencInt(0)
       .int2(status).int2(0).result()
 
   private def eofPayload(status: Int): Array[Byte] =
@@ -743,6 +771,11 @@ final class MySqlServer private (listener: ServerSocket,
               sock.getInetAddress.getHostAddress, sock.getPort, true)
               .asInstanceOf[javax.net.ssl.SSLSocket]
             s.setUseClientMode(false)
+            // minimum-version floor (gateway/tls.go:34-44): only TLS
+            // versions at or above the configured floor are enabled
+            val floor = tlsOrder.indexOf(sslMinVersion)
+            s.setEnabledProtocols(s.getSupportedProtocols
+              .filter(p => tlsOrder.indexOf(p) >= floor))
             s.startHandshake()
             sock = s
             rawIn = s.getInputStream
@@ -770,15 +803,35 @@ final class MySqlServer private (listener: ServerSocket,
       // (gateway/gateway.go:226-240) — but a server started with a
       // password store verifies the mysql_native_password scramble
       // against the greeting's salt; mismatch/unknown user → the real
-      // server's 1045/28000 before any session exists
+      // server's 1045/28000 before any session exists. A verifying client
+      // whose handshake response named a DIFFERENT plugin (MySQL-8-era
+      // connectors default to caching_sha2_password) is driven back with
+      // an AuthSwitchRequest (0xFE + plugin + nonce) to
+      // mysql_native_password — the reference's whole A7 trick is exactly
+      // this auth-switch forcing (gateway/gateway.go:132-143, the
+      // deliberately-invalid plugin at mysql/constants.go:70). The nonce
+      // re-sent with the switch is the greeting's salt (the deterministic
+      // fixed salt — same scramble base either way).
+      var authBytes = hello.authResponse
+      var authSeq = respSeq
+      if (passwords.isDefined && (hello.caps & ClientPluginAuth) != 0 &&
+          hello.plugin.nonEmpty && hello.plugin != "mysql_native_password") {
+        writePacket(rawOut, authSeq + 1, new Payload().int1(0xFE)
+          .nulString("mysql_native_password")
+          .bytes(salt).int1(0).result())
+        rawOut.flush()
+        val (sw, swSeq) = readPacket(rawIn)
+        authBytes = sw
+        authSeq = swSeq
+      }
       passwords.foreach { store =>
         val ok = store.get(hello.user).exists { pw =>
-          if (pw.isEmpty) hello.authResponse.isEmpty
+          if (pw.isEmpty) authBytes.isEmpty
           else java.security.MessageDigest.isEqual(
-            hello.authResponse, nativeScramble(pw, salt))
+            authBytes, nativeScramble(pw, salt))
         }
         if (!ok) {
-          writePacket(rawOut, respSeq + 1, errPayload(Engine.EngineError(
+          writePacket(rawOut, authSeq + 1, errPayload(Engine.EngineError(
             1045, "28000",
             s"Access denied for user '${hello.user.take(64)}'")))
           rawOut.flush()
@@ -797,7 +850,7 @@ final class MySqlServer private (listener: ServerSocket,
             user, hello.attrs)
         } catch {
           case e: Engine.EngineError =>
-            writePacket(rawOut, respSeq + 1, errPayload(e))
+            writePacket(rawOut, authSeq + 1, errPayload(e))
             rawOut.flush()
             return
         }
@@ -805,7 +858,7 @@ final class MySqlServer private (listener: ServerSocket,
       // negotiated, everything from the first command on rides the
       // compressed protocol (the reference wraps at the same boundary,
       // /root/reference/mysql/compress.go:36-44)
-      writePacket(rawOut, respSeq + 1, okPayload(session.statusFlags))
+      writePacket(rawOut, authSeq + 1, okPayload(session.statusFlags))
       rawOut.flush()
       val (in, out, comp) =
         if ((hello.caps & ClientCompress) != 0) {
@@ -888,9 +941,59 @@ final class MySqlServer private (listener: ServerSocket,
             // a MULTI_STATEMENTS client's batch streams one result set per
             // statement (flush-per-result-set, gateway/relay.go:85-99)
             val q = tail
-            if (multiStmts && Engine.splitStatements(q).length > 1)
-              respondMulti(out, session, base, q)
-            else respond(out, session, base) { Some(session.sqlMySql(q)) }
+            q match {
+              case localInfileRe(path, table, sep) =>
+                // LOAD DATA LOCAL INFILE — the wire-level client-file flow
+                // the reference advertises (ClientLocalFiles,
+                // /root/reference/mysql/constants.go:48) and relays
+                // opaquely (gateway/relay.go:47-99): a 0xFB file-request
+                // packet carrying the filename, the client's chunk stream,
+                // an empty terminator packet, then OK/ERR. Gated on the
+                // negotiated capability — a client that did not set
+                // CLIENT_LOCAL_FILES gets MySQL's 1148 instead of a
+                // request it would never answer.
+                if ((hello.caps & ClientLocalFiles) == 0)
+                  writePacket(out, base, errPayload(Engine.EngineError(1148,
+                    "42000",
+                    "The used command is not allowed with this MySQL version")))
+                else {
+                  val sr = new SeqRef(base)
+                  try {
+                    // validate the target BEFORE requesting the file — an
+                    // invalid statement answers ERR without starting an
+                    // upload the server would then have to drain
+                    try session.table(table).schema
+                    catch { case _: Exception =>
+                      throw Engine.EngineError(1146, "42S02",
+                        s"Table '$table' doesn't exist")
+                    }
+                    sr.v = writePacket(out, sr.v, new Payload().int1(0xFB)
+                      .bytes(path.getBytes(UTF_8)).result())
+                    out.flush()
+                    val buf = new ByteArrayOutputStream()
+                    var more = true
+                    while (more) {
+                      val (p, s) = readPacket(in)
+                      sr.v = (s + 1) & 0xFF
+                      if (p.isEmpty) more = false
+                      else buf.write(p, 0, p.length)
+                    }
+                    val n = session.loadLocalData(table,
+                      Option(sep).getOrElse("\t"), buf.toByteArray)
+                    writePacket(out, sr.v, okPayload(session.statusFlags, n))
+                  } catch {
+                    case e: Engine.EngineError =>
+                      writePacket(out, sr.v, errPayload(e))
+                    case e: Exception => writePacket(out, sr.v, errPayload(
+                      Engine.EngineError(1105, "08S01",
+                        Option(e.getMessage).getOrElse(e.getClass.getName))))
+                  }
+                }
+              case _ =>
+                if (multiStmts && Engine.splitStatements(q).length > 1)
+                  respondMulti(out, session, base, q)
+                else respond(out, session, base) { Some(session.sqlMySql(q)) }
+            }
 
           case ComFieldList =>
             // COM_FIELD_LIST: NUL-terminated table name + field wildcard;

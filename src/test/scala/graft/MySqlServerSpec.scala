@@ -31,8 +31,10 @@ class MySqlServerSpec extends SparkSpec {
     private var out = new BufferedOutputStream(baseOut)
 
     /** Client side of the MySQL TLS upgrade: call right after sending the
-      * SSLRequest packet; subsequent packets ride the TLS session. */
-    def upgradeTls(): Unit = {
+      * SSLRequest packet; subsequent packets ride the TLS session.
+      * `protocols` caps the client's enabled TLS versions (the floor-knob
+      * refusal case). */
+    def upgradeTls(protocols: Option[Array[String]] = None): Unit = {
       val trustAll = new javax.net.ssl.X509TrustManager {
         def checkClientTrusted(c: Array[java.security.cert.X509Certificate],
             a: String): Unit = ()
@@ -47,6 +49,7 @@ class MySqlServerSpec extends SparkSpec {
         .createSocket(sock, "127.0.0.1", sock.getPort, false)
         .asInstanceOf[javax.net.ssl.SSLSocket]
       s.setUseClientMode(true)
+      protocols.foreach(s.setEnabledProtocols)
       s.startHandshake()
       baseIn = s.getInputStream
       baseOut = s.getOutputStream
@@ -260,8 +263,8 @@ class MySqlServerSpec extends SparkSpec {
 
   /** Build a HandshakeResponse41 (caps: 4.1 + secure + plugin-auth [+ db]). */
   private def handshakeResponse(user: String, db: Option[String],
-      extraCaps: Int = 0, auth: Array[Byte] = Array.emptyByteArray)
-      : Array[Byte] = {
+      extraCaps: Int = 0, auth: Array[Byte] = Array.emptyByteArray,
+      plugin: String = "mysql_native_password"): Array[Byte] = {
     val b = new ByteArrayOutputStream()
     var caps = 0x00000200 | 0x00008000 | 0x00080000 // 41 | secure | plugin auth
     if (db.isDefined) caps |= 0x00000008
@@ -279,7 +282,7 @@ class MySqlServerSpec extends SparkSpec {
     db.foreach { d =>
       b.write(d.getBytes(UTF_8), 0, d.getBytes(UTF_8).length); b.write(0)
     }
-    b.write("mysql_native_password".getBytes(UTF_8), 0, 21); b.write(0)
+    val pb = plugin.getBytes(UTF_8); b.write(pb, 0, pb.length); b.write(0)
     // connect attrs: program_name → graft-spec
     val attrs = new ByteArrayOutputStream()
     lenencStr(attrs, "program_name"); lenencStr(attrs, "graft-spec")
@@ -1264,6 +1267,133 @@ class MySqlServerSpec extends SparkSpec {
       val (_, keep) = query(c, "SELECT @who AS w")
       assert(keep == Seq(Seq(Some("bob"))))
       c.close()
+    } finally srv.close()
+  }
+
+  test("LOAD DATA LOCAL INFILE: 0xFB request, chunked upload, OK; capability-gated") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      // CLIENT_LOCAL_FILES client: full wire flow against the session's
+      // own `region` view (5 fixture rows; schema key BIGINT + 2 strings)
+      val c = login(srv.port, extraCaps = 0x80)
+      val stmt = "LOAD DATA LOCAL INFILE 'client.csv' INTO TABLE region " +
+        "FIELDS TERMINATED BY ','"
+      c.writePacket(0, Array[Byte](0x03) ++ stmt.getBytes(UTF_8))
+      val (reqSeq, req) = c.readPacket()
+      assert((req(0) & 0xFF) == 0xFB, "server must request the client file")
+      assert(new String(req, 1, req.length - 1, UTF_8) == "client.csv",
+        "the 0xFB request must carry the statement's filename")
+      // the file streams as MULTIPLE packets, then the empty terminator
+      c.writePacket(reqSeq + 1,
+        "7,wireland,pushed over the wire\n".getBytes(UTF_8))
+      c.writePacket(reqSeq + 2,
+        "8,bytesia,second chunk\n".getBytes(UTF_8))
+      c.writePacket(reqSeq + 3, Array.emptyByteArray)
+      val (_, ok) = c.readPacket()
+      assert((ok(0) & 0xFF) == 0x00, "upload must answer OK")
+      assert(new Reader(ok.drop(1)).lenencInt() == 2L,
+        "OK must report 2 affected rows")
+      // content landed: same semantics as the statement-level CSV append
+      val (_, n) = query(c, "SELECT COUNT(*) AS n FROM region")
+      assert(n == Seq(Seq(Some("7"))))
+      val (_, got) = query(c,
+        "SELECT r_name FROM region WHERE r_regionkey >= 7 ORDER BY r_regionkey")
+      assert(got == Seq(Seq(Some("wireland")), Seq(Some("bytesia"))))
+      // unknown table: ERR 1146 BEFORE any 0xFB request
+      c.writePacket(0, Array[Byte](0x03) ++
+        "LOAD DATA LOCAL INFILE 'x' INTO TABLE no_such".getBytes(UTF_8))
+      val (_, terr) = c.readPacket()
+      val tr = new Reader(terr)
+      assert(tr.int1() == 0xFF && tr.int2() == 1146)
+      c.close()
+      // capability-gated: a client WITHOUT CLIENT_LOCAL_FILES gets
+      // MySQL's 1148, never a file request it would not answer
+      val c2 = login(srv.port)
+      c2.writePacket(0, Array[Byte](0x03) ++ stmt.getBytes(UTF_8))
+      val (_, err) = c2.readPacket()
+      val r = new Reader(err)
+      assert(r.int1() == 0xFF && r.int2() == 1148,
+        "LOCAL INFILE without the capability must answer ERR 1148")
+      c2.close()
+    } finally srv.close()
+  }
+
+  test("AuthSwitchRequest drives a caching_sha2_password client to the native scramble") {
+    val srv = MySqlServer.start(spark, backends, databases,
+      passwords = Some(Map("prod.alice" -> "sekret")))
+    try {
+      def switchLogin(pw: String): (Client, Array[Byte]) = {
+        val c = new Client(srv.port)
+        greetingSalt(c): Unit
+        // a MySQL-8-era connector: names caching_sha2_password and sends
+        // an auth response the server cannot use
+        c.writePacket(1, handshakeResponse("prod.alice", None,
+          auth = Array.fill[Byte](32)(0x55), plugin = "caching_sha2_password"))
+        val (swSeq, sw) = c.readPacket()
+        assert((sw(0) & 0xFF) == 0xFE, "server must answer AuthSwitchRequest")
+        val sr = new Reader(sw); sr.int1()
+        assert(sr.nulString() == "mysql_native_password",
+          "the switch must name the plugin the server verifies")
+        // switch data: 20-byte nonce + NUL terminator
+        val nonce = sw.slice(sw.length - 21, sw.length - 1)
+        assert(nonce.length == 20)
+        c.writePacket(swSeq + 1, clientScramble(pw, nonce))
+        (c, c.readPacket()._2)
+      }
+      val (good, ok) = switchLogin("sekret")
+      assert((ok(0) & 0xFF) == 0x00, "correct scramble after switch must authenticate")
+      val (_, rows) = query(good, "SELECT 1 AS one")
+      assert(rows == Seq(Seq(Some("1"))))
+      good.close()
+      val (bad, err) = switchLogin("wrong")
+      val r = new Reader(err)
+      assert(r.int1() == 0xFF && r.int2() == 1045,
+        "wrong password after switch must answer ERR 1045")
+      bad.close()
+      // a delegate-mode server (no password store) never switches: the
+      // foreign-plugin client authenticates straight through
+      val open = MySqlServer.start(spark, backends, databases)
+      try {
+        val c = new Client(open.port)
+        greetingSalt(c): Unit
+        c.writePacket(1, handshakeResponse("prod.alice", None,
+          auth = Array.fill[Byte](32)(0x55), plugin = "caching_sha2_password"))
+        assert((c.readPacket()._2(0) & 0xFF) == 0x00,
+          "delegate mode must accept any plugin without switching")
+        c.close()
+      } finally open.close()
+    } finally srv.close()
+  }
+
+  test("TLS minimum-version floor: below-floor client refused, at-floor client works") {
+    val srv = MySqlServer.start(spark, backends, databases,
+      ssl = Some(serverSslContext), sslMinVersion = "TLSv1.3")
+    try {
+      // a client capped at TLSv1.2 fails its handshake cleanly
+      val low = new Client(srv.port)
+      low.readPacket()
+      low.writePacket(1, sslRequest())
+      intercept[java.io.IOException] {
+        low.upgradeTls(Some(Array("TLSv1.2")))
+        // some JSSE stacks only surface the alert on first read
+        low.readPacket()
+      }
+      low.close()
+      // a TLSv1.3-capable client authenticates and queries normally
+      val hi = new Client(srv.port)
+      hi.readPacket()
+      hi.writePacket(1, sslRequest())
+      hi.upgradeTls(Some(Array("TLSv1.3")))
+      hi.writePacket(2, handshakeResponse("prod.alice", None))
+      assert((hi.readPacket()._2(0) & 0xFF) == 0x00)
+      val (_, rows) = query(hi, "SELECT 2 + 2 AS four")
+      assert(rows == Seq(Seq(Some("4"))))
+      hi.close()
+      // the knob validates its input like the reference's version table
+      intercept[IllegalArgumentException] {
+        MySqlServer.start(spark, backends, databases,
+          ssl = Some(serverSslContext), sslMinVersion = "TLSv9")
+      }
     } finally srv.close()
   }
 }
