@@ -378,4 +378,77 @@ object StreamingQueries extends QueryModule {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update)
   }
+
+  /** Independent Scala replay of q118's Gopher repetition keep rule — the
+    * SAME tokenization (`split(lower(text), " ")` semantics: -1 limit keeps
+    * trailing empties, an empty doc is one empty token) and the SAME IEEE
+    * double divisions/literals as the batch Catalyst expressions, so the
+    * per-doc verdict is bit-identical, not merely close. */
+  private[graft] object RepetitionGate {
+    def keep(text: String): Boolean = {
+      val toks = text.toLowerCase.split(" ", -1)
+      val n = toks.length.toLong
+      val uc = toks.groupBy(identity).map(_._2.length.toLong)
+      val topUni = uc.max
+      val dupToks = uc.filter(_ > 1L).sum
+      val (topBi, nBi) =
+        if (toks.length < 2) (0L, 0L)
+        else {
+          val bc = (0 until toks.length - 1)
+            .map(i => toks(i) + " " + toks(i + 1))
+            .groupBy(identity).map(_._2.size.toLong)
+          (bc.max, bc.sum)
+        }
+      val dupR = dupToks.toDouble / n
+      val uniR = topUni.toDouble / n
+      val biR = if (nBi == 0L) 0.0 else topBi.toDouble / nBi
+      dupR <= 0.85 && uniR <= 0.11 && biR <= 0.05
+    }
+  }
+
+  /** q118's repetition gate as STREAMING per-lang state — the ingest-time
+    * deployment the quality-gate family is FOR (gates run as documents
+    * arrive, not as a post-hoc batch pass). Per-doc scoring is STATELESS
+    * ([[RepetitionGate.keep]], an independent replay of the batch
+    * expressions); what the stream keeps is the per-lang admission monitor
+    * a pipeline watches at ingestion: (n_docs, n_keep) — two Longs per
+    * lang, O(1) state at any corpus size. All quantities are integers, so
+    * stream == batch is EXACT equality with the oracle-checked q118 rows
+    * rolled up per lang (StreamingSpec, across a micro-batch boundary). */
+  private[graft] class RepetitionGateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, String), (String, Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("gate",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(lang: String,
+        rows: Iterator[(String, Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long)] = {
+      var (nDocs, nKeep) = if (st.exists()) st.get() else (0L, 0L)
+      // doc_id order within a micro-batch — the shared event-time contract
+      rows.toSeq.sortBy(_._2).foreach { case (_, _, text) =>
+        nDocs += 1
+        if (RepetitionGate.keep(text)) nKeep += 1
+      }
+      st.update((nDocs, nKeep))
+      Iterator((lang, nDocs, nKeep))
+    }
+  }
+
+  /** (lang, doc_id, text) stream → per-lang (lang, n_docs, n_keep) gate
+    * monitor updates via [[RepetitionGateProcessor]]. */
+  private[graft] def repetitionGateStreamingState(
+      rows: org.apache.spark.sql.Dataset[(String, Long, String)])
+      : org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new RepetitionGateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
 }

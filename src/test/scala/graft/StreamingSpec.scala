@@ -603,6 +603,57 @@ class StreamingSpec extends SparkSpec {
       "every doc must be assigned exactly once")
   }
 
+  test("streaming repetition gate equals q118's batch keep rollup across a batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    // the ingest arrival stream (lang, doc_id, text) in doc order, split
+    // mid-stream — per-lang (n_docs, n_keep) state must carry the boundary
+    val arrivals = spark.table("documents")
+      .select(col("lang"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._2).toSeq
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val ms = MemoryStream[(String, Long, String)]
+    val out = graft.streaming.StreamingQueries
+      .repetitionGateStreamingState(ms.toDS())
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = out.toDF("lang", "n_docs", "n_keep")
+      .writeStream.format("memory").queryName("t_repgate")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    val last = spark.table("t_repgate")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("n_docs").desc)))
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the Scala per-doc replay vs the Catalyst batch expressions, rolled
+    // up per lang from the oracle-checked q118 rows — all integers, EXACT
+    val keepByDoc = SparkEntry.queries("q118_repetition_stats")(spark, sf)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = arrivals.groupBy(_._1).view.mapValues { docs =>
+      (docs.length.toLong, docs.map(d => keepByDoc(d._2).toLong).sum)
+    }.toMap
+    assert(last == batch)
+    assert(batch.values.exists(v => v._2 < v._1),
+      "fixture must contain repetition-gate failures")
+    assert(batch.values.exists(_._2 > 0),
+      "fixture must contain repetition-gate passes")
+  }
+
   test("streaming incremental LSH pairs equal the batch candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
