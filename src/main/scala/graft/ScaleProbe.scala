@@ -183,7 +183,15 @@ object ScaleProbe {
         "stitch" -> DedupQueries.continuationCandidates(
           DedupQueries.continuationPages(docs.withColumn("source",
             expr("concat('s', cast(doc_id % 10 as string))"))),
-          DedupQueries.continuationDfCap).count())
+          DedupQueries.continuationDfCap).count(),
+        // q230 path: A-Res per-stratum prune survivors — the
+        // WindowGroupLimit keeps top-25 per lang, so the pruned relation
+        // is ~|langs|·k rows REGARDLESS of corpus size (expected growth 1)
+        "aresPrune" -> TextQueries.aresTopPerStratum(
+          docs.select(col("doc_id"),
+            concat(lit("l"), pmod(col("doc_id"), lit(8)).cast("string"))
+              .as("lang"),
+            length(col("text")).as("n_chars")), 25).count())
       finally docs.unpersist()
     }
 
@@ -194,7 +202,7 @@ object ScaleProbe {
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
       "semdedup", "meanfold", "containment", "tfidf", "cdc", "dupspan",
       "align", "winnow", "chunking", "basket", "trigram", "bitmap",
-      "linkage", "stitch")
+      "linkage", "stitch", "aresPrune")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")
@@ -204,6 +212,82 @@ object ScaleProbe {
       s""""size_ratio":$sizeRatio,""" +
       paths.map(p => s""""${p}_cands":${arr(p)}""").mkString(",") +
       s""","growth":$growth}""")
+
+    // ---- wall-time probe (VERDICT r10 #1): measured TIME, not candidate
+    // counts, for the heaviest query families at a 16× synthetic scale-up.
+    // Enabled via SPARK_GRAFT_TIME_SIZES="base,big" (doc counts); each
+    // family is the exact production shape (the same private[graft]
+    // builders the queries call), built FRESH at both sizes — memoization
+    // deliberately bypassed, the probe times the work the memo caches.
+    // Base is measured min-of-2 (JIT-warm conservative: a lower base
+    // RAISES the reported ratio), the big size once. time_ok per family =
+    // ratio ≤ size_ratio × 1.3 (fixed job overhead makes true ratios
+    // sub-linear; 1.3 absorbs GC/JIT noise without hiding a quadratic,
+    // which at 16× would show as ≳100×).
+    sys.env.get("SPARK_GRAFT_TIME_SIZES").foreach { spec =>
+      val Array(base, big) = spec.split(",").map(_.trim.toLong)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def families(n: Long): Seq[(String, () => Unit)] = {
+        val docs = synthDocs(spark, n).localCheckpoint()
+        val emb = synthEmbeddings(spark, n / 4)
+          .select(col("vec_id"), col("emb").as("embedding"))
+          .withColumn("n", sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x * x)))
+          .localCheckpoint()
+        Seq(
+          ("tfidf", () => DedupQueries.tfidfPostingPairRows(docs,
+            DedupQueries.hotShingleDfCap)
+            .groupBy("id_a", "id_b").count().count(): Unit),
+          ("containment", () => DedupQueries.containmentPairs(docs,
+            DedupQueries.hotShingleDfCap, 0.7).count(): Unit),
+          // q78's documented scale knob: 32-bit bands (hexPerBand = 8) —
+          // the 16-bit default is the measured birthday regime the
+          // candidate probe documents (simhash16 growth line)
+          ("simhash", () => DedupQueries.saltedBucketPairs(
+            DedupQueries.simhashBandsOf(docs, hexPerBand = 8),
+            DedupQueries.defaultBucketCap).count(): Unit),
+          ("dupspan", () => DedupQueries.dupspanDupOccurrences(docs)
+            .count(): Unit),
+          // the at-scale shape (k capped, salted cluster cap): the flat
+          // k∝n shape measured 45× time at 16× corpus (Lloyd's n·k
+          // distance work turns quadratic once k rides n) — the knob fix
+          // this probe exists to force (VERDICT r10 #1)
+          ("semdedup", () => SimilarityQueries.semdedupCandidatesAtScale(
+            synthEmbeddings(spark, n / 4), k = (n / 2500).toInt)
+            .count(): Unit),
+          ("ppjoin", () => DedupQueries.ppjoinPairs(docs, 0.6)
+            .count(): Unit),
+          ("coverage", () => DedupQueries.coverageSelectOf(docs, 3)
+            .count(): Unit),
+          ("kcenter", () => SimilarityQueries.kcenterCoresetOf(emb, 3)
+            .count(): Unit),
+          ("packing", () => graft.operators.ScaleQueries
+            .sequencePackingOf(docs).count(): Unit),
+          ("linkage", () => DedupQueries.saltedBucketPairs(
+            DedupQueries.linkageBlockRows(synthParts(spark, n)),
+            DedupQueries.defaultBucketCap).count(): Unit))
+      }
+      val baseTimes = {
+        val fams = families(base)
+        val r1 = fams.map { case (k, f) => k -> timed(f()) }.toMap
+        val r2 = fams.map { case (k, f) => k -> timed(f()) }.toMap
+        r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+      }
+      val bigTimes = families(big).map { case (k, f) => k -> timed(f()) }.toMap
+      val tRatio = big.toDouble / base
+      val keys = Seq("tfidf", "containment", "simhash", "dupspan",
+        "semdedup", "ppjoin", "coverage", "kcenter", "packing", "linkage")
+      val entries = keys.map { k =>
+        val r = bigTimes(k) / math.max(baseTimes(k), 0.001)
+        f""""$k":{"base_s":${baseTimes(k)}%.2f,"big_s":${bigTimes(k)}%.2f,""" +
+          f""""ratio":$r%.2f,"ok":${r <= tRatio * 1.3}}"""
+      }.mkString(",")
+      println(
+        s"""{"metric":"time_probe","sizes":[$base,$big],""" +
+        s""""size_ratio":$tRatio,"time_growth":{$entries}}""")
+    }
     spark.stop()
   }
 }

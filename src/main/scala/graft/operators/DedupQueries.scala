@@ -129,6 +129,10 @@ object DedupQueries extends QueryModule {
     * never a pair enumeration. */
   private[graft] val dupspanN = 8
 
+  /** q236: digests carried by more sources than this are boilerplate —
+    * bounds the per-digest source-pair fan-out at C(cap, 2). */
+  private[graft] val sourceOverlapDfCap = 8
+
   /** Keeper-rank cap for span REMOVAL (q124b): an n-gram with more corpus
     * occurrences than this is boilerplate — every occurrence is removed
     * (no keeper), so the keeper-rank window only ever partitions over
@@ -303,6 +307,68 @@ object DedupQueries extends QueryModule {
          |WHERE CAST(i AS DOUBLE) / sa.n >= 0.7
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       containmentPairsOf(containmentShinglesShared(spark), 0.7)
+    },
+
+    // Cross-source contamination matrix (the "how much does source A
+    // duplicate source B" readout a pipeline checks before mixing — shared
+    // passages mean the mixing weights double-count content): distinct
+    // 8-gram digests per source (the q124 window width), digests carried
+    // by more than [[sourceOverlapDfCap]] sources dropped as corpus
+    // boilerplate (the q71c hot-set guard: per-digest pair fan-out is then
+    // ≤ C(cap, 2), so the join is linear in digest volume, never
+    // quadratic in sources), then a digest-keyed source-pair count with
+    // the overlap coefficient shared/min(|A|, |B|). Output is ≤ C(|src|,2)
+    // rows — a broadcast-size matrix at any corpus scale.
+    q("q236_source_overlap",
+      s"""WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks
+         |           FROM documents),
+         |occ AS (SELECT source, unnest(list_transform(
+         |          range(1, len(toks) - ${dupspanN - 2}),
+         |          i -> md5(array_to_string(toks[i:i+${dupspanN - 1}], ' '))))
+         |          AS h
+         |        FROM t),
+         |u AS (SELECT DISTINCT source, h FROM occ),
+         |hot AS (SELECT h FROM u GROUP BY h
+         |        HAVING COUNT(*) > $sourceOverlapDfCap),
+         |uf AS (SELECT source, h FROM u
+         |       WHERE h NOT IN (SELECT h FROM hot)),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM uf
+         |       GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM uf a JOIN uf b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, shared,
+         |  floor(CAST(shared AS DOUBLE) / least(sa.n, sb.n) * 1000000
+         |        + 0.5) / 1000000 AS overlap_coef
+         |FROM inter JOIN sz sa ON sa.source = src_a
+         |           JOIN sz sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val u = Tables.spread(spark.table("documents"))
+        .select($"source", split(lower($"text"), " ").as("toks"))
+        .select($"source",
+          explode(transform(Canon.seq1(size($"toks") - (dupspanN - 1)),
+            i => md5(concat_ws(" ", slice($"toks", i, lit(dupspanN)))
+              .cast(BinaryType)))).as("h"))
+        .distinct()
+      val hot = u.groupBy($"h").agg(count(lit(1)).as("ns"))
+        .filter($"ns" > sourceOverlapDfCap).select($"h")
+      val uf = u.join(broadcast(hot), Seq("h"), "left_anti")
+      val sz = uf.groupBy($"source").agg(count(lit(1)).cast(LongType).as("n"))
+      uf.as("a").join(uf.as("b"),
+          $"a.h" === $"b.h" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).cast(LongType).as("shared"))
+        .join(broadcast(sz.select($"source".as("src_a"), $"n".as("n_a"))),
+          "src_a")
+        .join(broadcast(sz.select($"source".as("src_b"), $"n".as("n_b"))),
+          "src_b")
+        .select($"src_a", $"src_b", $"n_a", $"n_b", $"shared",
+          (floor($"shared".cast(DoubleType) / least($"n_a", $"n_b")
+            * 1000000 + 0.5) / 1000000).as("overlap_coef"))
+        .orderBy($"src_a", $"src_b")
     },
 
     // Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs family,
@@ -1894,14 +1960,28 @@ object DedupQueries extends QueryModule {
     // linear per round, nothing quadratic.
     q("q210_coverage_select", coverageOracleSql) { spark =>
       import spark.implicits._
-      val tok = spark.table("documents")
+      coverageSelectOf(spark.table("documents"), coverageRounds)
+        .withColumn("cum_coverage",
+          sum($"gain").over(Window.orderBy($"sel_round")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType))
+        .orderBy($"sel_round")
+    }) :+ pipelineQuery
+
+  /** q210's greedy max-coverage rounds over any (doc_id, text) frame —
+    * (sel_round, doc_id, gain) without the cumulative window. Exposed
+    * private[graft] so ScaleProbe times the exact production shape. */
+  private[graft] def coverageSelectOf(docs: DataFrame,
+      rounds: Int): DataFrame = {
+      import docs.sparkSession.implicits._
+      val tok = docs
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", explode(shingles($"toks")).as("shingle"))
         .localCheckpoint() // feeds every round's anti-join and the fold
       var covered: DataFrame = null // shingle set of the selected docs
       var selIds: DataFrame = null
       var out: DataFrame = null
-      for (r <- 1 to coverageRounds) {
+      for (r <- 1 to rounds) {
         val fresh0 = if (covered == null) tok
           else tok.join(broadcast(covered), Seq("shingle"), "left_anti")
         val fresh = if (selIds == null) fresh0
@@ -1919,11 +1999,8 @@ object DedupQueries extends QueryModule {
         selIds = (if (selIds == null) m.select($"doc_id")
           else selIds.unionByName(m.select($"doc_id"))).localCheckpoint()
       }
-      val w = Window.orderBy($"sel_round")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      out.withColumn("cum_coverage", sum($"gain").over(w).cast(LongType))
-        .orderBy($"sel_round")
-    }) :+ pipelineQuery
+      out
+  }
 
   /** q210's greedy depth. */
   private[graft] val coverageRounds = 5

@@ -1088,35 +1088,8 @@ object SimilarityQueries extends QueryModule {
     // per-point MIN, and a TakeOrdered — linear per round, pairwise
     // nothing.
     q("q211_kcenter_coreset", kcenterOracleSql) { spark =>
-      import spark.implicits._
-      val e = withNorm(spark).localCheckpoint() // scanned every round
-      var cents = e.orderBy($"vec_id").limit(1)
-        .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"n".as("cn"))
-        .localCheckpoint()
-      var out: DataFrame = null
-      for (r <- 1 to kcenterRounds) {
-        // group by vec_id ONLY (keying the hash aggregate on the 64-float
-        // embedding array measured ~10% slower); the winner's embedding is
-        // re-fetched with a 1-row broadcast join — per-round cost is the
-        // fixed job overhead of scan+TakeOrdered+checkpoint, linear in k
-        val dmin = e.join(broadcast(cents), $"vec_id" =!= $"cid")
-          .join(broadcast(cents.select($"cid".as("xcid"))),
-            $"vec_id" === $"xcid", "left_anti")
-          .select($"vec_id",
-            (lit(1.0) - graft.api.Canon.r4(
-              dot($"embedding", $"cemb") / ($"n" * $"cn"))).as("d"))
-          .groupBy($"vec_id").agg(min($"d").as("dmin"))
-        val m = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
-          .localCheckpoint() // feeds the output row AND the center fold
-        val row = m.select(lit(r).as("sel_round"), $"vec_id",
-          graft.api.Canon.r4($"dmin").as("radius"))
-        out = if (out == null) row else out.unionByName(row)
-        cents = cents.unionByName(
-          e.join(broadcast(m.select($"vec_id")), Seq("vec_id"))
-            .select($"vec_id".as("cid"), $"embedding".as("cemb"),
-              $"n".as("cn"))).localCheckpoint()
-      }
-      out.orderBy($"sel_round")
+      kcenterCoresetOf(withNorm(spark), kcenterRounds)
+        .orderBy(col("sel_round"))
     },
 
     // Matryoshka truncation-fidelity eval (Kusupati et al., NeurIPS'22 —
@@ -1208,6 +1181,42 @@ object SimilarityQueries extends QueryModule {
 
   /** q211's expansion rounds (6 centers total with the seed). */
   private[graft] val kcenterRounds = 5
+
+  /** q211's Gonzalez k-center rounds over any (vec_id, embedding, n) frame
+    * — (sel_round, vec_id, radius), unordered. Exposed private[graft] so
+    * ScaleProbe times the exact production shape. */
+  private[graft] def kcenterCoresetOf(normed: DataFrame,
+      rounds: Int): DataFrame = {
+    import normed.sparkSession.implicits._
+    val e = normed.localCheckpoint() // scanned every round
+    var cents = e.orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"n".as("cn"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      // group by vec_id ONLY (keying the hash aggregate on the 64-float
+      // embedding array measured ~10% slower); the winner's embedding is
+      // re-fetched with a 1-row broadcast join — per-round cost is the
+      // fixed job overhead of scan+TakeOrdered+checkpoint, linear in k
+      val dmin = e.join(broadcast(cents), $"vec_id" =!= $"cid")
+        .join(broadcast(cents.select($"cid".as("xcid"))),
+          $"vec_id" === $"xcid", "left_anti")
+        .select($"vec_id",
+          (lit(1.0) - graft.api.Canon.r4(
+            dot($"embedding", $"cemb") / ($"n" * $"cn"))).as("d"))
+        .groupBy($"vec_id").agg(min($"d").as("dmin"))
+      val m = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
+        .localCheckpoint() // feeds the output row AND the center fold
+      val row = m.select(lit(r).as("sel_round"), $"vec_id",
+        graft.api.Canon.r4($"dmin").as("radius"))
+      out = if (out == null) row else out.unionByName(row)
+      cents = cents.unionByName(
+        e.join(broadcast(m.select($"vec_id")), Seq("vec_id"))
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+            $"n".as("cn"))).localCheckpoint()
+    }
+    out
+  }
 
   /** q211's oracle: the identical farthest-point rounds, generated. */
   private lazy val kcenterOracleSql: String = {
@@ -1755,6 +1764,37 @@ object SimilarityQueries extends QueryModule {
     lists.select($"cl", $"vec_id".as("id_a"))
       .join(lists.select($"cl".as("clb"), $"vec_id".as("id_b")),
         $"cl" === $"clb" && $"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+  }
+
+  /** k ceiling for [[semdedupCandidatesAtScale]]: Lloyd training +
+    * assignment cost is n·k cosines per round, so the §2C "k grows with
+    * the corpus" rule — which keeps PAIR volume linear — makes the
+    * DISTANCE work quadratic once k rides n. ScaleProbe r11 measured it:
+    * 45× wall-time at a 16× corpus for the flat shape, against 16× for
+    * every capped family. */
+  private[graft] val semdedupKMax = 256
+
+  /** SemDeDup candidates in the at-scale shape: k capped at
+    * [[semdedupKMax]] (training + assignment stay O(n·kMax) — linear in
+    * the corpus) and within-cluster enumeration routed through the salted
+    * hot-bucket cap exactly like q73's LSH buckets, so a wider-than-cap
+    * cluster contributes ≤ C(cap, 2) pairs per salt chunk instead of
+    * C(width, 2), with the same dropped-pair accounting story as q73c.
+    * IDENTICAL to [[semdedupCandidatesOf]] whenever k ≤ kMax and no
+    * cluster exceeds the cap — the fixture regime, spec-pinned in
+    * SimilarityDedupSpec; beyond the cap the recall trade is explicit,
+    * and the banded sign-LSH route (q82) remains the recall-accounted
+    * alternative. ScaleProbe times THIS shape at 16×. */
+  private[graft] def semdedupCandidatesAtScale(e: DataFrame, k: Int,
+      cap: Int = DedupQueries.defaultBucketCap): DataFrame = {
+    import e.sparkSession.implicits._
+    val lists = assignOf(e, centroidsOf(e, math.min(k, semdedupKMax)))
+      .select($"vec_id", $"cl")
+    DedupQueries.saltedBucketPairs(
+      lists.select(lit(0).as("band"), $"cl".cast("string").as("bh"),
+        $"vec_id".as("doc_id")),
+      cap)
       .select($"id_a", $"id_b")
   }
 }

@@ -2534,17 +2534,7 @@ object TextQueries extends QueryModule {
         |FROM r WHERE rnk <= 25
         |ORDER BY lang, rnk""".stripMargin) { spark =>
       import spark.implicits._
-      val scored = spark.table("documents")
-        .select($"doc_id", $"lang", $"n_chars",
-          (log((conv(substring(md5(concat(lit("ws:"),
-            $"doc_id".cast(StringType)).cast(BinaryType)), 1, 8), 16, 10)
-            .cast(DoubleType) + 0.5) / 4294967296.0) /
-            $"n_chars".cast(DoubleType)).as("key"))
-      val byLang = Window.partitionBy($"lang")
-        .orderBy($"key".desc, $"doc_id")
-      scored
-        .withColumn("rnk", row_number().over(byLang).cast(LongType))
-        .filter($"rnk" <= 25)
+      aresTopPerStratum(spark.table("documents"), 25)
         .select($"lang", $"rnk", $"doc_id", $"n_chars",
           (floor($"key" * 1000000 + 0.5) / 1000000 + lit(0)).as("score"))
         .orderBy($"lang", $"rnk")
@@ -2745,6 +2735,147 @@ object TextQueries extends QueryModule {
           (floor(alloc / $"b".cast(DoubleType) * 1000000 + 0.5) / 1000000)
             .as("budget_share"))
         .orderBy($"lang")
+    },
+
+    // Corpus-LM quality score (the CCNet/KenLM perplexity-filter shape,
+    // Wenzek et al. LREC'20, with the corpus's own unigram LM standing in
+    // for the trained KenLM — the OPERATOR is the deliverable): per doc,
+    // the mean negative log-probability of its tokens under the corpus
+    // unigram distribution, surfaced with the perplexity exp(nll). Docs of
+    // common words score low nll (predictable), rare-word docs high — the
+    // signal perplexity filtering thresholds on. Scale: one token shuffle
+    // for the count join, map-side-combinable; the per-doc fold follows
+    // the q122 determinism pattern (sorted struct list, identical
+    // sequential IEEE left fold on both engines: mean nll = ln N − Σln c/n).
+    q("q234_unigram_lm_score",
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS ct FROM t GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t),
+         |d AS (
+         |  SELECT t.doc_id,
+         |         list_sort(list(struct_pack(token := t.token,
+         |                                    ct := c.ct))) AS tl
+         |  FROM t JOIN c USING (token) GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_toks,
+         |  floor((ln(CAST((SELECT nt FROM n) AS DOUBLE))
+         |         - list_reduce(list_transform(tl,
+         |             x -> ln(CAST(x.ct AS DOUBLE))), (a, b) -> a + b)
+         |           / len(tl)) * 10000 + 0.5) / 10000 AS avg_nll,
+         |  floor(exp(ln(CAST((SELECT nt FROM n) AS DOUBLE))
+         |         - list_reduce(list_transform(tl,
+         |             x -> ln(CAST(x.ct AS DOUBLE))), (a, b) -> a + b)
+         |           / len(tl)) * 10000 + 0.5) / 10000 AS ppl
+         |FROM d ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      val c = toks.groupBy($"token").agg(count(lit(1)).as("ct"))
+      val n = toks.agg(count(lit(1)).cast(LongType).as("nt"))
+      val nll = log($"nt".cast(DoubleType)) -
+        aggregate($"tl", lit(0.0), (acc, x) =>
+          acc + log(x.getField("ct").cast(DoubleType))) / size($"tl")
+      toks.join(c, "token")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"token", $"ct"))).as("tl"))
+        .join(broadcast(n))
+        .select($"doc_id", size($"tl").cast(LongType).as("n_toks"),
+          (floor(nll * 10000 + 0.5) / 10000).as("avg_nll"),
+          (floor(exp(nll) * 10000 + 0.5) / 10000).as("ppl"))
+        .orderBy($"doc_id")
+    },
+
+    // Robust per-stratum length-outlier gate (median/MAD, the outlier rule
+    // that survives the heavy tails a mean/stddev gate is wrecked by): per
+    // lang, median document length and the median absolute deviation from
+    // it; a doc is an outlier when |n − med| > 3·MAD. The exact
+    // interpolated percentile is the engine-shared spelling (q187/q177
+    // precedent); med/MAD of integers are exact .0/.5 doubles, so the flag
+    // comparison is IEEE-identical on both engines. Scale: two bounded
+    // |lang|-group percentile rollups + a broadcast stats join — the
+    // per-group collect is the fixture path, q178's mergeable quantile
+    // sketch is the 100 TB stand-in (same contract as q187).
+    q("q235_mad_outliers",
+      """WITH s AS (
+        |  SELECT lang, QUANTILE_CONT(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |m AS (
+        |  SELECT d.lang, s.med,
+        |         QUANTILE_CONT(abs(d.n_chars - s.med), 0.5) AS mad
+        |  FROM documents d JOIN s USING (lang) GROUP BY d.lang, s.med)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  floor(m.med * 10 + 0.5) / 10 AS med,
+        |  floor(m.mad * 10 + 0.5) / 10 AS mad,
+        |  CAST(CASE WHEN abs(d.n_chars - m.med) > 3 * m.mad
+        |       THEN 1 ELSE 0 END AS INT) AS is_outlier
+        |FROM documents d JOIN m USING (lang)
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val s = spark.table("documents")
+        .groupBy($"lang").agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val m = spark.table("documents").join(broadcast(s), "lang")
+        .groupBy($"lang", $"med")
+        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      spark.table("documents").join(broadcast(m), "lang")
+        .select($"doc_id", $"lang", $"n_chars",
+          (floor($"med" * 10 + 0.5) / 10).as("med"),
+          (floor($"mad" * 10 + 0.5) / 10).as("mad"),
+          when(abs($"n_chars" - $"med") > lit(3) * $"mad", 1)
+            .otherwise(0).cast("int").as("is_outlier"))
+        .orderBy($"doc_id")
+    },
+
+    // PMI collocation mining (pointwise mutual information over adjacent
+    // token pairs — the classic phrase/multiword-expression detector, and
+    // the statistic BPE-style merge rules approximate): for bigrams seen
+    // ≥ 5 times, pmi = ln( (c_xy / N_bi) / ((c_x/N_tok)·(c_y/N_tok)) ),
+    // top 50 by (pmi DESC, bigram). Every input to the single ln is an
+    // exact integer ratio — one free double per row through the
+    // floor-round, no fold anywhere. Scale: one bigram shuffle + two
+    // broadcast unigram-count joins (Zipf-small after the ≥5 cut) and a
+    // TakeOrdered — never a global sort.
+    q("q237_pmi_collocations",
+      s"""WITH t AS (SELECT unnest($tokSql) AS token FROM documents),
+         |u AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+         |ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+         |bg AS (
+         |  SELECT toks[i] AS x, toks[i + 1] AS y
+         |  FROM (SELECT $tokSql AS toks FROM documents) d,
+         |       UNNEST(range(1, len(toks))) AS g(i)),
+         |bc AS (SELECT x, y, COUNT(*) AS cxy FROM bg GROUP BY x, y
+         |       HAVING COUNT(*) >= 5),
+         |nbi AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg)
+         |SELECT x || ' ' || y AS bigram, CAST(cxy AS BIGINT) AS n_pair,
+         |  floor(ln((CAST(cxy AS DOUBLE) / nbi.nb) /
+         |           ((CAST(ux.c AS DOUBLE) / ntok.n) *
+         |            (CAST(uy.c AS DOUBLE) / ntok.n)))
+         |        * 10000 + 0.5) / 10000 AS pmi
+         |FROM bc JOIN u ux ON ux.token = bc.x
+         |        JOIN u uy ON uy.token = bc.y
+         |        CROSS JOIN ntok CROSS JOIN nbi
+         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin) { spark =>
+      import spark.implicits._
+      val toks = spark.table("documents")
+        .select(explode(split(lower($"text"), " ")).as("token"))
+      val u = toks.groupBy($"token").agg(count(lit(1)).as("c"))
+      val ntok = toks.agg(count(lit(1)).cast(LongType).as("n"))
+      val tl = spark.table("documents")
+        .select(split(lower($"text"), " ").as("toks"))
+      val bg = tl.select(posexplode(slice($"toks", lit(1),
+          greatest(size($"toks") - 1, lit(0)))).as(Seq("p0", "x")),
+          $"toks")
+        .select($"x", element_at($"toks", $"p0" + 2).as("y"))
+      val bc = bg.groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+        .filter($"cxy" >= 5)
+      val nbi = bg.agg(count(lit(1)).cast(LongType).as("nb"))
+      val pmi = log(($"cxy".cast(DoubleType) / $"nb") /
+        (($"cx".cast(DoubleType) / $"n") * ($"cy".cast(DoubleType) / $"n")))
+      bc.join(broadcast(u.select($"token".as("x"), $"c".as("cx"))), "x")
+        .join(broadcast(u.select($"token".as("y"), $"c".as("cy"))), "y")
+        .crossJoin(broadcast(ntok)).crossJoin(broadcast(nbi))
+        .select(concat($"x", lit(" "), $"y").as("bigram"),
+          $"cxy".cast(LongType).as("n_pair"),
+          (floor(pmi * 10000 + 0.5) / 10000).as("pmi"))
+        .orderBy($"pmi".desc, $"bigram").limit(50)
     },
 
     // Per-source length-percentile gate (the "trim the tails" pre-filter a
@@ -3165,6 +3296,28 @@ object TextQueries extends QueryModule {
     * score): Cavnar-Trenkle rank profiles (top-40 trigrams per language,
     * weight 41−rank) scored by distinct-trigram overlap, argmax per doc.
     * Scale notes live at the q150 declaration. */
+  /** q230's A-Res scoring + per-stratum top-k prune over any
+    * (doc_id, lang, n_chars) frame: Efraimidis-Spirakis keys
+    * ln(u)/weight with the md5-hash uniform draw, ranked per lang and
+    * pruned to k — the WindowGroupLimit plan shape the query pins.
+    * Output (lang, rnk, doc_id, n_chars, key); exposed private[graft] so
+    * ScaleProbe measures the pruned-row volume of the exact production
+    * shape (expected ~|langs|·k, constant in corpus size). */
+  private[graft] def aresTopPerStratum(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = docs
+      .select($"doc_id", $"lang", $"n_chars",
+        (log((conv(substring(md5(concat(lit("ws:"),
+          $"doc_id".cast(StringType)).cast(BinaryType)), 1, 8), 16, 10)
+          .cast(DoubleType) + 0.5) / 4294967296.0) /
+          $"n_chars".cast(DoubleType)).as("key"))
+    val byLang = Window.partitionBy($"lang")
+      .orderBy($"key".desc, $"doc_id")
+    scored
+      .withColumn("rnk", row_number().over(byLang).cast(LongType))
+      .filter($"rnk" <= k)
+  }
+
   private[graft] def langidPredictions(spark: SparkSession): DataFrame =
     Memo.cached(spark, "langid-pred")(langidPredictionsFresh(spark))
 

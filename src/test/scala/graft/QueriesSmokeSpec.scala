@@ -128,7 +128,10 @@ class QueriesSmokeSpec extends SparkSpec {
       // r10: q223's per-block greedy packing fold (sort_array-pinned
       // member order, conditional accumulator); q229's source-sorted
       // entropy fold + rounded-maxima grid
-      "q223_sequence_packing", "q229_mixing_sweep")
+      "q223_sequence_packing", "q229_mixing_sweep",
+      // r11: q234's per-doc sorted ln-count fold (q122's determinism
+      // pattern); q236's digest-keyed distinct + pair rollup
+      "q234_unigram_lm_score", "q236_source_overlap")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>

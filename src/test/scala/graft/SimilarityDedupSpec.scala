@@ -479,4 +479,36 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(t.map(_._1).distinct.length == t.length,
       "one triplet per anchor")
   }
+
+  test("semdedup at-scale shape equals the flat shape in the fixture regime") {
+    // the r11 ScaleProbe knob fix: capped k + salted cluster cap must be a
+    // pure no-op whenever k ≤ kMax and no cluster exceeds the cap — the
+    // fixture regime — so the probe times a shape whose small-scale
+    // results ARE the flat operator's
+    import spark.implicits._
+    graft.sources.Tables.register(spark, sf)
+    val e = spark.table("embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("emb"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k = 4
+    val flat = pairs(operators.SimilarityQueries.semdedupCandidatesOf(e, k))
+    val scaled = pairs(
+      operators.SimilarityQueries.semdedupCandidatesAtScale(e, k))
+    assert(flat == scaled,
+      s"at-scale shape diverged: ${(flat -- scaled).take(3)} / " +
+        s"${(scaled -- flat).take(3)}")
+    assert(flat.nonEmpty)
+    // and the salted cap actually binds on a degenerate one-cluster corpus:
+    // 600 identical vectors >> cap 16 → far fewer than C(600,2) pairs,
+    // every pair still inside the one cluster
+    val onecl = spark.range(600).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)), _ => lit(1.0)).as("emb"))
+    val capped = operators.SimilarityQueries
+      .semdedupCandidatesAtScale(onecl, 1, cap = 16)
+    val n = capped.count()
+    assert(n < 600L * 599 / 2 && n > 0,
+      s"salted cap must bound a degenerate cluster (got $n pairs)")
+  }
 }
