@@ -133,6 +133,22 @@ object DedupQueries extends QueryModule {
     * bounds the per-digest source-pair fan-out at C(cap, 2). */
   private[graft] val sourceOverlapDfCap = 8
 
+  /** q236's df-capped distinct (source, 8-gram digest) relation — the
+    * subplan its size rollup AND both pair-join sides consume. */
+  private[graft] def sourceDigests(docs: DataFrame, dfCap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val u = Tables.spread(docs)
+      .select($"source", split(lower($"text"), " ").as("toks"))
+      .select($"source",
+        explode(transform(Canon.seq1(size($"toks") - (dupspanN - 1)),
+          i => md5(concat_ws(" ", slice($"toks", i, lit(dupspanN)))
+            .cast(BinaryType)))).as("h"))
+      .distinct()
+    val hot = u.groupBy($"h").agg(count(lit(1)).as("ns"))
+      .filter($"ns" > dfCap).select($"h")
+    u.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
   /** Keeper-rank cap for span REMOVAL (q124b): an n-gram with more corpus
     * occurrences than this is boilerplate — every occurrence is removed
     * (no keeper), so the keeper-rank window only ever partitions over
@@ -346,16 +362,11 @@ object DedupQueries extends QueryModule {
          |           JOIN sz sb ON sb.source = src_b
          |ORDER BY src_a, src_b""".stripMargin) { spark =>
       import spark.implicits._
-      val u = Tables.spread(spark.table("documents"))
-        .select($"source", split(lower($"text"), " ").as("toks"))
-        .select($"source",
-          explode(transform(Canon.seq1(size($"toks") - (dupspanN - 1)),
-            i => md5(concat_ws(" ", slice($"toks", i, lit(dupspanN)))
-              .cast(BinaryType)))).as("h"))
-        .distinct()
-      val hot = u.groupBy($"h").agg(count(lit(1)).as("ns"))
-        .filter($"ns" > sourceOverlapDfCap).select($"h")
-      val uf = u.join(broadcast(hot), Seq("h"), "left_anti")
+      // the df-capped (source, digest) relation feeds the size rollup AND
+      // both join sides — the q140/q71c 3-consumer shape, memoized the
+      // same way (memo == fresh spec-pinned in DedupSpec)
+      val uf = Memo.cached(spark, "source-overlap-uf")(
+        sourceDigests(spark.table("documents"), sourceOverlapDfCap))
       val sz = uf.groupBy($"source").agg(count(lit(1)).cast(LongType).as("n"))
       uf.as("a").join(uf.as("b"),
           $"a.h" === $"b.h" && $"a.source" < $"b.source")

@@ -1092,6 +1092,52 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("sel_round"))
     },
 
+    // Per-source embedding centroid similarity (the "are these two crawls
+    // the same distribution" readout in EMBEDDING space — the semantic
+    // companion of q184's token KL and q236's shared-digest matrix; near-1
+    // centroid cosine between sources flags redundant acquisitions before
+    // mixing): deterministic per-source mean vector via the q184/k-means
+    // two-level md5-bucketed fold (no aggregation buffer ever holds a
+    // source-sized array; both levels order-pinned, so the oracle replays
+    // the identical IEEE association), then the ≤C(|src|,2)-row pairwise
+    // cosine matrix on broadcast centroids. Output bounded by |sources|²
+    // at any corpus scale; the corpus-sized work is ONE exploded-dim
+    // rollup.
+    q("q238_source_centroid_sim",
+      s"""WITH e AS (
+         |  SELECT e.vec_id, d.source, CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |${meanFoldSql("", "e", "emb", Seq("source"))},
+         |cent AS (
+         |  SELECT source, list_transform(list_sort(list(
+         |           struct_pack(dim := dim, cx := cx))), p -> p.cx) AS cemb
+         |  FROM ct GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  floor(list_dot_product(a.cemb, b.cemb) /
+         |        (sqrt(list_dot_product(a.cemb, a.cemb)) *
+         |         sqrt(list_dot_product(b.cemb, b.cemb)))
+         |        * 10000 + 0.5) / 10000 AS cos
+         |FROM cent a JOIN cent b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin) { spark =>
+      import spark.implicits._
+      val e = Tables.spread(spark.table("embeddings"))
+        .select($"vec_id", toD($"embedding").as("emb"))
+        .join(spark.table("documents").select($"doc_id", $"source"),
+          $"vec_id" === $"doc_id")
+      val cent = meanFold(
+        e.select($"source", $"vec_id", posexplode($"emb").as(Seq("dim", "x"))),
+        Seq("source"))
+        .groupBy($"source")
+        .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
+        .select($"source", transform($"pairs", p => p("cx")).as("cemb"))
+      cent.as("a")
+        .join(broadcast(cent.as("b")), $"a.source" < $"b.source")
+        .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+          (floor(cosine($"a.cemb", $"b.cemb") * 10000 + 0.5) / 10000)
+            .as("cos"))
+        .orderBy($"src_a", $"src_b")
+    },
+
     // Matryoshka truncation-fidelity eval (Kusupati et al., NeurIPS'22 —
     // the storage/serving question behind MRL embeddings: can the FIRST d
     // dims stand in for all 64?): rank the probe set by truncated cosine
