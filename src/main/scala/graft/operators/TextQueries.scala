@@ -2737,53 +2737,6 @@ object TextQueries extends QueryModule {
         .orderBy($"lang")
     },
 
-    // Corpus-LM quality score (the CCNet/KenLM perplexity-filter shape,
-    // Wenzek et al. LREC'20, with the corpus's own unigram LM standing in
-    // for the trained KenLM — the OPERATOR is the deliverable): per doc,
-    // the mean negative log-probability of its tokens under the corpus
-    // unigram distribution, surfaced with the perplexity exp(nll). Docs of
-    // common words score low nll (predictable), rare-word docs high — the
-    // signal perplexity filtering thresholds on. Scale: one token shuffle
-    // for the count join, map-side-combinable; the per-doc fold follows
-    // the q122 determinism pattern (sorted struct list, identical
-    // sequential IEEE left fold on both engines: mean nll = ln N − Σln c/n).
-    q("q234_unigram_lm_score",
-      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
-         |c AS (SELECT token, COUNT(*) AS ct FROM t GROUP BY token),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t),
-         |d AS (
-         |  SELECT t.doc_id,
-         |         list_sort(list(struct_pack(token := t.token,
-         |                                    ct := c.ct))) AS tl
-         |  FROM t JOIN c USING (token) GROUP BY t.doc_id)
-         |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_toks,
-         |  floor((ln(CAST((SELECT nt FROM n) AS DOUBLE))
-         |         - list_reduce(list_transform(tl,
-         |             x -> ln(CAST(x.ct AS DOUBLE))), (a, b) -> a + b)
-         |           / len(tl)) * 10000 + 0.5) / 10000 AS avg_nll,
-         |  floor(exp(ln(CAST((SELECT nt FROM n) AS DOUBLE))
-         |         - list_reduce(list_transform(tl,
-         |             x -> ln(CAST(x.ct AS DOUBLE))), (a, b) -> a + b)
-         |           / len(tl)) * 10000 + 0.5) / 10000 AS ppl
-         |FROM d ORDER BY doc_id""".stripMargin) { spark =>
-      import spark.implicits._
-      val toks = spark.table("documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
-      val c = toks.groupBy($"token").agg(count(lit(1)).as("ct"))
-      val n = toks.agg(count(lit(1)).cast(LongType).as("nt"))
-      val nll = log($"nt".cast(DoubleType)) -
-        aggregate($"tl", lit(0.0), (acc, x) =>
-          acc + log(x.getField("ct").cast(DoubleType))) / size($"tl")
-      toks.join(c, "token")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"token", $"ct"))).as("tl"))
-        .join(broadcast(n))
-        .select($"doc_id", size($"tl").cast(LongType).as("n_toks"),
-          (floor(nll * 10000 + 0.5) / 10000).as("avg_nll"),
-          (floor(exp(nll) * 10000 + 0.5) / 10000).as("ppl"))
-        .orderBy($"doc_id")
-    },
-
     // Robust per-stratum length-outlier gate (median/MAD, the outlier rule
     // that survives the heavy tails a mean/stddev gate is wrecked by): per
     // lang, median document length and the median absolute deviation from

@@ -129,11 +129,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // member order, conditional accumulator); q229's source-sorted
       // entropy fold + rounded-maxima grid
       "q223_sequence_packing", "q229_mixing_sweep",
-      // r11: q234's per-doc sorted ln-count fold (q122's determinism
-      // pattern); q236's digest-keyed distinct + pair rollup; q238's
+      // r11: q236's digest-keyed distinct + pair rollup; q238's
       // two-level md5-bucketed centroid mean fold
-      "q234_unigram_lm_score", "q236_source_overlap",
-      "q238_source_centroid_sim")
+      "q236_source_overlap", "q238_source_centroid_sim")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
