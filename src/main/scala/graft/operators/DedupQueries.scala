@@ -129,25 +129,6 @@ object DedupQueries extends QueryModule {
     * never a pair enumeration. */
   private[graft] val dupspanN = 8
 
-  /** q236: digests carried by more sources than this are boilerplate —
-    * bounds the per-digest source-pair fan-out at C(cap, 2). */
-  private[graft] val sourceOverlapDfCap = 8
-
-  /** q236's df-capped distinct (source, 8-gram digest) relation — the
-    * subplan its size rollup AND both pair-join sides consume. */
-  private[graft] def sourceDigests(docs: DataFrame, dfCap: Int): DataFrame = {
-    import docs.sparkSession.implicits._
-    val u = Tables.spread(docs)
-      .select($"source", split(lower($"text"), " ").as("toks"))
-      .select($"source",
-        explode(transform(Canon.seq1(size($"toks") - (dupspanN - 1)),
-          i => md5(concat_ws(" ", slice($"toks", i, lit(dupspanN)))
-            .cast(BinaryType)))).as("h"))
-      .distinct()
-    val hot = u.groupBy($"h").agg(count(lit(1)).as("ns"))
-      .filter($"ns" > dfCap).select($"h")
-    u.join(broadcast(hot), Seq("h"), "left_anti")
-  }
 
   /** Keeper-rank cap for span REMOVAL (q124b): an n-gram with more corpus
     * occurrences than this is boilerplate — every occurrence is removed
@@ -323,63 +304,6 @@ object DedupQueries extends QueryModule {
          |WHERE CAST(i AS DOUBLE) / sa.n >= 0.7
          |ORDER BY id_a, id_b""".stripMargin) { spark =>
       containmentPairsOf(containmentShinglesShared(spark), 0.7)
-    },
-
-    // Cross-source contamination matrix (the "how much does source A
-    // duplicate source B" readout a pipeline checks before mixing — shared
-    // passages mean the mixing weights double-count content): distinct
-    // 8-gram digests per source (the q124 window width), digests carried
-    // by more than [[sourceOverlapDfCap]] sources dropped as corpus
-    // boilerplate (the q71c hot-set guard: per-digest pair fan-out is then
-    // ≤ C(cap, 2), so the join is linear in digest volume, never
-    // quadratic in sources), then a digest-keyed source-pair count with
-    // the overlap coefficient shared/min(|A|, |B|). Output is ≤ C(|src|,2)
-    // rows — a broadcast-size matrix at any corpus scale.
-    q("q236_source_overlap",
-      s"""WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks
-         |           FROM documents),
-         |occ AS (SELECT source, unnest(list_transform(
-         |          range(1, len(toks) - ${dupspanN - 2}),
-         |          i -> md5(array_to_string(toks[i:i+${dupspanN - 1}], ' '))))
-         |          AS h
-         |        FROM t),
-         |u AS (SELECT DISTINCT source, h FROM occ),
-         |hot AS (SELECT h FROM u GROUP BY h
-         |        HAVING COUNT(*) > $sourceOverlapDfCap),
-         |uf AS (SELECT source, h FROM u
-         |       WHERE h NOT IN (SELECT h FROM hot)),
-         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM uf
-         |       GROUP BY source),
-         |inter AS (
-         |  SELECT a.source AS src_a, b.source AS src_b,
-         |         CAST(COUNT(*) AS BIGINT) AS shared
-         |  FROM uf a JOIN uf b ON a.h = b.h AND a.source < b.source
-         |  GROUP BY 1, 2)
-         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, shared,
-         |  floor(CAST(shared AS DOUBLE) / least(sa.n, sb.n) * 1000000
-         |        + 0.5) / 1000000 AS overlap_coef
-         |FROM inter JOIN sz sa ON sa.source = src_a
-         |           JOIN sz sb ON sb.source = src_b
-         |ORDER BY src_a, src_b""".stripMargin) { spark =>
-      import spark.implicits._
-      // the df-capped (source, digest) relation feeds the size rollup AND
-      // both join sides — the q140/q71c 3-consumer shape, memoized the
-      // same way (memo == fresh spec-pinned in DedupSpec)
-      val uf = Memo.cached(spark, "source-overlap-uf")(
-        sourceDigests(spark.table("documents"), sourceOverlapDfCap))
-      val sz = uf.groupBy($"source").agg(count(lit(1)).cast(LongType).as("n"))
-      uf.as("a").join(uf.as("b"),
-          $"a.h" === $"b.h" && $"a.source" < $"b.source")
-        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
-        .agg(count(lit(1)).cast(LongType).as("shared"))
-        .join(broadcast(sz.select($"source".as("src_a"), $"n".as("n_a"))),
-          "src_a")
-        .join(broadcast(sz.select($"source".as("src_b"), $"n".as("n_b"))),
-          "src_b")
-        .select($"src_a", $"src_b", $"n_a", $"n_b", $"shared",
-          (floor($"shared".cast(DoubleType) / least($"n_a", $"n_b")
-            * 1000000 + 0.5) / 1000000).as("overlap_coef"))
-        .orderBy($"src_a", $"src_b")
     },
 
     // Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs family,

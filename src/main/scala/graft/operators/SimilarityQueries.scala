@@ -1094,7 +1094,7 @@ object SimilarityQueries extends QueryModule {
 
     // Per-source embedding centroid similarity (the "are these two crawls
     // the same distribution" readout in EMBEDDING space — the semantic
-    // companion of q184's token KL and q236's shared-digest matrix; near-1
+    // companion of q184's token KL and q162's shared-shingle matrix; near-1
     // centroid cosine between sources flags redundant acquisitions before
     // mixing): deterministic per-source mean vector via the q184/k-means
     // two-level md5-bucketed fold (no aggregation buffer ever holds a

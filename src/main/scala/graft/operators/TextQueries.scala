@@ -2737,100 +2737,6 @@ object TextQueries extends QueryModule {
         .orderBy($"lang")
     },
 
-    // Robust per-stratum length-outlier gate (median/MAD, the outlier rule
-    // that survives the heavy tails a mean/stddev gate is wrecked by): per
-    // lang, median document length and the median absolute deviation from
-    // it; a doc is an outlier when |n − med| > 3·MAD. The exact
-    // interpolated percentile is the engine-shared spelling (q187/q177
-    // precedent); med/MAD of integers are exact .0/.5 doubles, so the flag
-    // comparison is IEEE-identical on both engines. Scale: two bounded
-    // |lang|-group percentile rollups + a broadcast stats join — the
-    // per-group collect is the fixture path, q178's mergeable quantile
-    // sketch is the 100 TB stand-in (same contract as q187).
-    q("q235_mad_outliers",
-      """WITH s AS (
-        |  SELECT lang, QUANTILE_CONT(n_chars, 0.5) AS med
-        |  FROM documents GROUP BY lang),
-        |m AS (
-        |  SELECT d.lang, s.med,
-        |         QUANTILE_CONT(abs(d.n_chars - s.med), 0.5) AS mad
-        |  FROM documents d JOIN s USING (lang) GROUP BY d.lang, s.med)
-        |SELECT d.doc_id, d.lang, d.n_chars,
-        |  floor(m.med * 10 + 0.5) / 10 AS med,
-        |  floor(m.mad * 10 + 0.5) / 10 AS mad,
-        |  CAST(CASE WHEN abs(d.n_chars - m.med) > 3 * m.mad
-        |       THEN 1 ELSE 0 END AS INT) AS is_outlier
-        |FROM documents d JOIN m USING (lang)
-        |ORDER BY d.doc_id""".stripMargin) { spark =>
-      import spark.implicits._
-      val s = spark.table("documents")
-        .groupBy($"lang").agg(expr("percentile(n_chars, 0.5)").as("med"))
-      val m = spark.table("documents").join(broadcast(s), "lang")
-        .groupBy($"lang", $"med")
-        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
-      spark.table("documents").join(broadcast(m), "lang")
-        .select($"doc_id", $"lang", $"n_chars",
-          (floor($"med" * 10 + 0.5) / 10).as("med"),
-          (floor($"mad" * 10 + 0.5) / 10).as("mad"),
-          when(abs($"n_chars" - $"med") > lit(3) * $"mad", 1)
-            .otherwise(0).cast("int").as("is_outlier"))
-        .orderBy($"doc_id")
-    },
-
-    // PMI collocation mining (pointwise mutual information over adjacent
-    // token pairs — the classic phrase/multiword-expression detector, and
-    // the statistic BPE-style merge rules approximate): for bigrams seen
-    // ≥ 5 times, pmi = ln( (c_xy / N_bi) / ((c_x/N_tok)·(c_y/N_tok)) ),
-    // top 50 by (pmi DESC, bigram). Every input to the single ln is an
-    // exact integer ratio — one free double per row through the
-    // floor-round, no fold anywhere. Scale: one bigram shuffle + two
-    // broadcast unigram-count joins (Zipf-small after the ≥5 cut) and a
-    // TakeOrdered — never a global sort.
-    q("q237_pmi_collocations",
-      s"""WITH t AS (SELECT unnest($tokSql) AS token FROM documents),
-         |u AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
-         |ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
-         |bg AS (
-         |  SELECT toks[i] AS x, toks[i + 1] AS y
-         |  FROM (SELECT $tokSql AS toks FROM documents) d,
-         |       UNNEST(range(1, len(toks))) AS g(i)),
-         |bc AS (SELECT x, y, COUNT(*) AS cxy FROM bg GROUP BY x, y
-         |       HAVING COUNT(*) >= 5),
-         |nbi AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg)
-         |SELECT x || ' ' || y AS bigram, CAST(cxy AS BIGINT) AS n_pair,
-         |  floor(ln((CAST(cxy AS DOUBLE) / nbi.nb) /
-         |           ((CAST(ux.c AS DOUBLE) / ntok.n) *
-         |            (CAST(uy.c AS DOUBLE) / ntok.n)))
-         |        * 10000 + 0.5) / 10000 AS pmi
-         |FROM bc JOIN u ux ON ux.token = bc.x
-         |        JOIN u uy ON uy.token = bc.y
-         |        CROSS JOIN ntok CROSS JOIN nbi
-         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin) { spark =>
-      import spark.implicits._
-      val toks = spark.table("documents")
-        .select(explode(split(lower($"text"), " ")).as("token"))
-      val u = toks.groupBy($"token").agg(count(lit(1)).as("c"))
-      val ntok = toks.agg(count(lit(1)).cast(LongType).as("n"))
-      val tl = spark.table("documents")
-        .select(split(lower($"text"), " ").as("toks"))
-      val bg = tl.select(posexplode(slice($"toks", lit(1),
-          greatest(size($"toks") - 1, lit(0)))).as(Seq("p0", "x")),
-          $"toks")
-        .select($"x", element_at($"toks", $"p0" + 2).as("y"))
-      val bc = bg.groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
-        .filter($"cxy" >= 5)
-      val nbi = bg.agg(count(lit(1)).cast(LongType).as("nb"))
-      val pmi = log(($"cxy".cast(DoubleType) / $"nb") /
-        (($"cx".cast(DoubleType) / $"n") * ($"cy".cast(DoubleType) / $"n")))
-      bc.join(broadcast(u.select($"token".as("x"), $"c".as("cx"))), "x")
-        .join(broadcast(u.select($"token".as("y"), $"c".as("cy"))), "y")
-        .crossJoin(broadcast(ntok)).crossJoin(broadcast(nbi))
-        .select(concat($"x", lit(" "), $"y").as("bigram"),
-          $"cxy".cast(LongType).as("n_pair"),
-          (floor(pmi * 10000 + 0.5) / 10000).as("pmi"))
-        .orderBy($"pmi".desc, $"bigram").limit(50)
-    },
-
     // Per-source length-percentile gate (the "trim the tails" pre-filter a
     // pipeline runs before quality scoring): token-length p05/p95 per source
     // via the exact interpolated percentile both engines share

@@ -485,18 +485,6 @@ class DedupSpec extends SparkSpec {
       DedupQueries.hotShingleDfCap)
     assert(shRows(s1) == shRows(sFresh),
       "memoized containment shingles diverged from a fresh build")
-    // q236's digest relation: same 3-consumer memo contract
-    val d1 = graft.operators.Memo.cached(spark, "source-overlap-uf")(
-      DedupQueries.sourceDigests(docs, DedupQueries.sourceOverlapDfCap))
-    assert(d1 eq graft.operators.Memo.cached(spark, "source-overlap-uf")(
-      DedupQueries.sourceDigests(docs, DedupQueries.sourceOverlapDfCap)))
-    def dRows(df: org.apache.spark.sql.DataFrame) =
-      df.select("source", "h").collect()
-        .map(r => (r.getString(0), r.getString(1))).sorted.toList
-    val dFresh = DedupQueries.sourceDigests(docs,
-      DedupQueries.sourceOverlapDfCap)
-    assert(dRows(d1) == dRows(dFresh),
-      "memoized source digests diverged from a fresh build")
   }
 
   test("memoized components, simhashes, and langid equal fresh builds") {

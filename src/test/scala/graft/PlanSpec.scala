@@ -880,29 +880,4 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
   }
-
-  test("PMI collocations: broadcast unigram joins + TakeOrdered, never a global sort") {
-    Tables.register(spark, sf)
-    val plan = planOf(SparkEntry.queries("q237_pmi_collocations")(spark, sf))
-    // the top-50 must be TakeOrdered; the unigram-count joins broadcast
-    // (Zipf-small after the ≥5 cut), so the bigram relation never shuffles
-    // on a join key; no pair product anywhere
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    // the corpus-sized bigram rollup combines map-side before its shuffle
-    assert(plan.contains("partial_count"), plan)
-  }
-
-  test("source overlap: digest-keyed pair join, hot set broadcast back as anti-join") {
-    Tables.register(spark, sf)
-    val plan = planOf(SparkEntry.queries("q236_source_overlap")(spark, sf))
-    // pair enumeration keys on the 8-gram digest (equi-join), never a
-    // source-pair product; the Zipf-small hot-digest set comes back as a
-    // broadcast anti-join, so the digest relation shuffles only for its
-    // own rollups
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
-  }
 }

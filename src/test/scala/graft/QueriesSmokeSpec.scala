@@ -129,9 +129,8 @@ class QueriesSmokeSpec extends SparkSpec {
       // member order, conditional accumulator); q229's source-sorted
       // entropy fold + rounded-maxima grid
       "q223_sequence_packing", "q229_mixing_sweep",
-      // r11: q236's digest-keyed distinct + pair rollup; q238's
-      // two-level md5-bucketed centroid mean fold
-      "q236_source_overlap", "q238_source_centroid_sim")
+      // r11: q238's two-level md5-bucketed centroid mean fold
+      "q238_source_centroid_sim")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
