@@ -2005,6 +2005,61 @@ object TextQueries extends QueryModule {
         .orderBy($"source")
     },
 
+    // Differentially-private statistics release (Dwork et al., TCC'06 —
+    // the mechanism, distinct from q212's k-anonymity SUPPRESSION: q212
+    // filters risky rows, this RELEASES noisy aggregates with an explicit
+    // privacy budget): per-lang doc counts (sensitivity 1) and CLIPPED
+    // per-lang token sums (each doc's contribution capped at 500 tokens —
+    // the standard clip that bounds an otherwise-unbounded sensitivity),
+    // each perturbed with Laplace(Δ/ε) noise via the inverse CDF and
+    // post-process-clamped at 0. Disjoint lang cells compose in parallel,
+    // so the whole release costs ONE ε per statistic. The Laplace draw is
+    // a DETERMINISTIC md5-seeded uniform — replayable noise for the gate
+    // and for release-approval reruns; a production release swaps in a
+    // real RNG at this one seam (same honesty contract as the stubbed
+    // media decode). Scale: one map-side-combinable rollup + |langs| rows
+    // of noise arithmetic.
+    q("q239_dp_release",
+      s"""WITH agg AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(least(len($tokSql), 500)) AS BIGINT) AS toks_clipped
+         |  FROM documents GROUP BY lang),
+         |u AS (
+         |  SELECT lang, n_docs, toks_clipped,
+         |    (CAST(('0x' || substr(md5('dp:docs:' || lang), 1, 8))
+         |        AS UBIGINT) + 0.5) / 4294967296.0 AS ud,
+         |    (CAST(('0x' || substr(md5('dp:toks:' || lang), 1, 8))
+         |        AS UBIGINT) + 0.5) / 4294967296.0 AS ut
+         |  FROM agg)
+         |SELECT lang, 0.5 AS epsilon,
+         |  floor(greatest(0.0, n_docs
+         |      - (1.0 / 0.5) * sign(ud - 0.5) * ln(1 - 2 * abs(ud - 0.5)))
+         |    * 10000 + 0.5) / 10000 AS dp_docs,
+         |  floor(greatest(0.0, toks_clipped
+         |      - (500.0 / 0.5) * sign(ut - 0.5) * ln(1 - 2 * abs(ut - 0.5)))
+         |    * 10000 + 0.5) / 10000 AS dp_tokens
+         |FROM u ORDER BY lang""".stripMargin) { spark =>
+      import spark.implicits._
+      def unif(tag: String): Column =
+        (conv(substring(md5(concat(lit(tag), $"lang").cast(BinaryType)),
+          1, 8), 16, 10).cast(DoubleType) + 0.5) / 4294967296.0
+      def lap(u: Column, b: Double): Column =
+        lit(-b) * signum(u - 0.5) * log(lit(1) - lit(2) * abs(u - 0.5))
+      spark.table("documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(least(size(split(lower($"text"), " ")), lit(500)))
+            .cast(LongType).as("toks_clipped"))
+        .select($"lang", lit(0.5).as("epsilon"),
+          (floor(greatest(lit(0.0),
+            $"n_docs" + lap(unif("dp:docs:"), 1.0 / 0.5))
+            * 10000 + 0.5) / 10000).as("dp_docs"),
+          (floor(greatest(lit(0.0),
+            $"toks_clipped" + lap(unif("dp:toks:"), 500.0 / 0.5))
+            * 10000 + 0.5) / 10000).as("dp_tokens"))
+        .orderBy($"lang")
+    },
+
     // Stratified k-fold assignment (cross-validation splits that preserve
     // per-source proportions — q59e's hash split is IID, this one is
     // BALANCED: within every source the folds differ by at most one doc).

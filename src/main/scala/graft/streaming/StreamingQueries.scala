@@ -379,6 +379,75 @@ object StreamingQueries extends QueryModule {
         OutputMode.Update)
   }
 
+  /** q161's HLL distinct-count sketch as STREAMING per-key state — the
+    * mergeable-sketch-at-ingestion shape (a monitor keeps "distinct users
+    * per event type" live without storing user ids): state is the 64-byte
+    * register array itself, and the register update is MAX — commutative,
+    * associative, idempotent — so stream == batch is EXACT register
+    * equality whatever the arrival order or micro-batch split, with no
+    * ordering contract at all (unlike the fold twins). The per-batch
+    * emission carries the same register checksum and estimate q161
+    * surfaces; the estimate's Σ 1/2^m is a sum of dyadic rationals, exact
+    * in a double in ANY order (q161's partition-invariance argument), so
+    * the last emission matches the oracle-checked batch rows bit-for-bit
+    * after the shared r4 floor-round. State per key: 64 bytes, O(1) at any
+    * event volume. The bucket/rho derivation replays q161's md5 split
+    * independently in Scala (first 8 hex → bucket mod 64, next 8 →
+    * 33 − bitlength). */
+  private[graft] class HllProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Double)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("hll",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(eventType: String,
+        rows: Iterator[(String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Double)] = {
+      val reg = if (st.exists()) st.get() else new Array[Byte](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { case (_, userId) =>
+        md.reset()
+        val hex = md.digest(userId.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val bucket = (java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          % 64).toInt
+        val w = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        val rho =
+          (if (w == 0L) 33
+           else 33 - java.lang.Long.toBinaryString(w).length).toByte
+        if (rho > reg(bucket)) reg(bucket) = rho
+      }
+      st.update(reg)
+      var checksum = 0L
+      var s = 0.0
+      var b = 0
+      while (b < 64) {
+        checksum += reg(b).toLong * (b + 1)
+        s += 1.0 / (1L << reg(b)).toDouble
+        b += 1
+      }
+      Iterator((eventType, checksum, 0.709 * 4096 / s))
+    }
+  }
+
+  /** (event_type, user_id) stream → per-type (event_type, reg_checksum,
+    * estimate) sketch updates via [[HllProcessor]]. */
+  private[graft] def hllStreamingState(
+      rows: org.apache.spark.sql.Dataset[(String, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new HllProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Independent Scala replay of q118's Gopher repetition keep rule — the
     * SAME tokenization (`split(lower(text), " ")` semantics: -1 limit keeps
     * trailing empties, an empty doc is one empty token) and the SAME IEEE

@@ -654,6 +654,58 @@ class StreamingSpec extends SparkSpec {
       "fixture must contain repetition-gate passes")
   }
 
+  test("streaming HLL sketch state equals q161's batch registers across a batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    // NO ordering contract: register max-merge is commutative/associative/
+    // idempotent, so arrivals stream in an adversarial order (reversed,
+    // with duplicates across the boundary) and must still converge to the
+    // batch registers exactly
+    val arrivals = spark.table("events")
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .reverse.toSeq
+    val (first, second) = arrivals.splitAt(arrivals.length / 3)
+    val ms = MemoryStream[(String, Long)]
+    val out = graft.streaming.StreamingQueries.hllStreamingState(ms.toDS())
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = out.toDF("event_type", "reg_checksum", "est")
+      .writeStream.format("memory").queryName("t_hll")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      // re-send some already-seen users too: idempotence across batches
+      ms.addData((second ++ first.take(50)): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    // the LAST emission per type carries the converged registers; compare
+    // checksum exactly and the estimate at q161's r4 floor-round
+    val got = spark.table("t_hll")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("reg_checksum").desc)))
+      .collect().groupBy(_.getString(0)).view.mapValues { rows =>
+        // checksum is monotone under max-merge: the max checksum row is
+        // the final state
+        val last = rows.maxBy(_.getLong(1))
+        (last.getLong(1),
+          math.floor(last.getDouble(2) * 10000 + 0.5) / 10000)
+      }.toMap
+    val batch = SparkEntry.queries("q161_hll_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("reg_checksum"), r.getAs[Double]("hll_est")))).toMap
+    assert(got == batch,
+      s"stream registers diverged: got $got vs batch $batch")
+  }
+
   test("streaming incremental LSH pairs equal the batch candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
