@@ -364,6 +364,91 @@ object ScaleQueries extends QueryModule {
         .orderBy($"shard")
     },
 
+    // Rendezvous (highest-random-weight) sharding with the MIGRATION-COST
+    // readout that justifies it over q123's mod-S manifest (Thaler &
+    // Ravishankar, IEEE/ACM ToN 1998; the consistent-placement family
+    // memcached/Ceph use): each doc lands on argmax over shards of
+    // md5(shard, doc) — when the fleet grows 8 → 9 shards, ONLY the docs
+    // whose new shard wins move (≈ 1/9), where mod-S reshuffles ≈ 8/9 of
+    // the corpus. Output is the 9-row shard table (counts under both
+    // fleets, HRW inflow per shard) with the two measured global moved
+    // shares attached — the elastic-rescale readout itself. Scale: the
+    // argmax explodes a |shards|-bounded grid per doc (17 rows/doc),
+    // map-side max_by, two bounded rollups; the hex keys compare as ASCII
+    // on both engines, and md5 uniqueness makes the argmax tie-free.
+    q("q240_rendezvous_sharding",
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |a8 AS (SELECT doc_id, arg_max(s, md5('hrw:' || s || ':' || doc_id))
+        |         AS sh
+        |       FROM docs, (SELECT unnest(range(0, 8)) AS s) g
+        |       GROUP BY doc_id),
+        |a9 AS (SELECT doc_id, arg_max(s, md5('hrw:' || s || ':' || doc_id))
+        |         AS sh
+        |       FROM docs, (SELECT unnest(range(0, 9)) AS s) g
+        |       GROUP BY doc_id),
+        |j AS (SELECT a9.doc_id, a8.sh AS s8, a9.sh AS s9
+        |      FROM a8 JOIN a9 USING (doc_id)),
+        |gshare AS (
+        |  SELECT CAST(SUM(CASE WHEN s8 != s9 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / COUNT(*) AS hrw_moved,
+        |         (SELECT CAST(SUM(CASE WHEN doc_id % 8 != doc_id % 9
+        |                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |          FROM docs) AS mod_moved
+        |  FROM j),
+        |grid AS (SELECT unnest(range(0, 9)) AS shard)
+        |SELECT CAST(grid.shard AS BIGINT) AS shard,
+        |  CAST(coalesce(n8.n, 0) AS BIGINT) AS n_docs_8,
+        |  CAST(coalesce(n9.n, 0) AS BIGINT) AS n_docs_9,
+        |  CAST(coalesce(infl.n, 0) AS BIGINT) AS hrw_inflow,
+        |  floor(gshare.hrw_moved * 1000000 + 0.5) / 1000000 AS hrw_moved_share,
+        |  floor(gshare.mod_moved * 1000000 + 0.5) / 1000000 AS mod_moved_share
+        |FROM grid
+        |LEFT JOIN (SELECT s8 AS shard, COUNT(*) AS n FROM j GROUP BY 1) n8
+        |  ON n8.shard = grid.shard
+        |LEFT JOIN (SELECT s9 AS shard, COUNT(*) AS n FROM j GROUP BY 1) n9
+        |  ON n9.shard = grid.shard
+        |LEFT JOIN (SELECT s9 AS shard, COUNT(*) AS n FROM j
+        |           WHERE s8 != s9 GROUP BY 1) infl
+        |  ON infl.shard = grid.shard
+        |CROSS JOIN gshare
+        |ORDER BY shard""".stripMargin) { spark =>
+      import spark.implicits._
+      val docs = spark.table("documents").select($"doc_id")
+      def hrw(nShards: Int): org.apache.spark.sql.DataFrame = docs
+        .select($"doc_id",
+          explode(sequence(lit(0L), lit(nShards - 1L))).as("s"))
+        .select($"doc_id", $"s",
+          md5(concat(lit("hrw:"), $"s".cast("string"), lit(":"),
+            $"doc_id".cast("string")).cast("binary")).as("k"))
+        .groupBy($"doc_id").agg(max_by($"s", $"k").as("sh"))
+      val j = hrw(8).withColumnRenamed("sh", "s8")
+        .join(hrw(9).withColumnRenamed("sh", "s9"), "doc_id")
+        .localCheckpoint() // feeds glob + three shard rollups
+      val glob = j
+        .agg((sum(when($"s8" =!= $"s9", 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("hrw_moved"))
+        .crossJoin(docs.agg((sum(when($"doc_id" % 8 =!= $"doc_id" % 9, 1)
+          .otherwise(0)).cast("double") / count(lit(1))).as("mod_moved")))
+      val grid = spark.range(9).select($"id".as("shard"))
+      val n8 = j.groupBy($"s8".as("shard")).agg(count(lit(1)).as("n8"))
+      val n9 = j.groupBy($"s9".as("shard")).agg(count(lit(1)).as("n9"))
+      val infl = j.filter($"s8" =!= $"s9")
+        .groupBy($"s9".as("shard")).agg(count(lit(1)).as("ni"))
+      grid.join(broadcast(n8), Seq("shard"), "left")
+        .join(broadcast(n9), Seq("shard"), "left")
+        .join(broadcast(infl), Seq("shard"), "left")
+        .crossJoin(broadcast(glob))
+        .select($"shard",
+          coalesce($"n8", lit(0L)).cast("long").as("n_docs_8"),
+          coalesce($"n9", lit(0L)).cast("long").as("n_docs_9"),
+          coalesce($"ni", lit(0L)).cast("long").as("hrw_inflow"),
+          (floor($"hrw_moved" * 1000000 + 0.5) / 1000000)
+            .as("hrw_moved_share"),
+          (floor($"mod_moved" * 1000000 + 0.5) / 1000000)
+            .as("mod_moved_share"))
+        .orderBy($"shard")
+    },
+
     // Sequence packing (the pretraining step between dedup and sharding:
     // bin documents into fixed token-budget contexts so no GPU step pads
     // against a short doc). Greedy first-fit in doc_id order WITHIN

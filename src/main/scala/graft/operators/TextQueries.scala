@@ -1778,6 +1778,94 @@ object TextQueries extends QueryModule {
       langidPredictions(spark).orderBy($"doc_id")
     },
 
+    // WITHIN-doc language consistency (code-switch detection — the
+    // cleaning step after whole-doc language ID: a doc whose SPANS vote
+    // for different languages is mixed-language content that a doc-level
+    // label silently mislabels; pipelines split or drop it): the doc's
+    // characters split into three equal spans, each span scored against
+    // the SAME whole-doc trigram profiles q150 trains, per-doc readout =
+    // majority span vote + distinct-vote count + mixed flag. Distinct
+    // from q150/q206 (whole-doc prediction / label confusion): the unit
+    // of classification here is the span, the readout the DISAGREEMENT.
+    // Scale: 3× q150's trigram volume, same broadcast-profile join, all
+    // rollups |doc|- or |langs|-bounded; all-integer output → fully
+    // hash-checked.
+    q("q241_mixed_language",
+      """WITH docs AS (
+        |  SELECT doc_id, lang, lower(text) AS txt FROM documents),
+        |tg AS (
+        |  SELECT doc_id, lang, substr(txt, i, 3) AS tg
+        |  FROM (SELECT doc_id, lang, txt,
+        |          unnest(range(1, greatest(length(txt) - 1, 1))) AS i
+        |        FROM docs) t),
+        |prof AS (
+        |  SELECT plang, tg, 41 - rk AS w FROM (
+        |    SELECT lang AS plang, tg,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY COUNT(*) DESC, tg ASC) AS rk
+        |    FROM tg GROUP BY lang, tg) p
+        |  WHERE rk <= 40),
+        |spans AS (
+        |  SELECT doc_id, lang, g.s,
+        |         substr(txt, g.s * (length(txt) // 3) + 1,
+        |                CASE WHEN g.s = 2 THEN length(txt)
+        |                     ELSE length(txt) // 3 END) AS seg
+        |  FROM docs, (SELECT unnest(range(0, 3)) AS s) g),
+        |stg AS (
+        |  SELECT DISTINCT doc_id, s, substr(seg, i, 3) AS tg
+        |  FROM (SELECT *, unnest(range(1, greatest(length(seg) - 1, 1)))
+        |          AS i
+        |        FROM spans) t),
+        |sc AS (
+        |  SELECT stg.doc_id, stg.s, p.plang, SUM(p.w) AS score
+        |  FROM stg JOIN prof p USING (tg)
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, s, plang FROM (
+        |    SELECT doc_id, s, plang,
+        |           row_number() OVER (PARTITION BY doc_id, s
+        |                              ORDER BY score DESC, plang ASC) AS rn
+        |    FROM sc) b
+        |  WHERE rn = 1),
+        |votes AS (
+        |  SELECT sp.doc_id, sp.lang, coalesce(b.plang, 'unknown') AS pred
+        |  FROM spans sp LEFT JOIN best b
+        |    ON b.doc_id = sp.doc_id AND b.s = sp.s),
+        |vc AS (SELECT doc_id, lang, pred, COUNT(*) AS nv
+        |       FROM votes GROUP BY 1, 2, 3),
+        |major AS (
+        |  SELECT doc_id, lang, pred AS major_pred FROM (
+        |    SELECT doc_id, lang, pred,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY nv DESC, pred ASC) AS rn
+        |    FROM vc) m
+        |  WHERE rn = 1),
+        |nl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_span_langs
+        |       FROM vc GROUP BY doc_id)
+        |SELECT m.doc_id, m.lang, m.major_pred, nl.n_span_langs,
+        |  CAST(CASE WHEN nl.n_span_langs > 1 THEN 1 ELSE 0 END AS INT)
+        |    AS is_mixed
+        |FROM major m JOIN nl USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      // the (doc, lang, pred, nv) vote relation feeds the majority rank
+      // AND the distinct-vote count — memoized like every 2-consumer
+      // deterministic relation (memo == fresh pinned in DedupSpec)
+      val vc = Memo.cached(spark, "mixedlang-votes")(
+        mixedLanguageVotesFresh(spark))
+      val wMaj = Window.partitionBy($"doc_id").orderBy($"nv".desc, $"pred")
+      val major = vc.withColumn("rn", row_number().over(wMaj))
+        .filter($"rn" === 1).select($"doc_id", $"lang",
+          $"pred".as("major_pred"))
+      val nl = vc.groupBy($"doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_span_langs"))
+      major.join(nl, "doc_id")
+        .select($"doc_id", $"lang", $"major_pred", $"n_span_langs",
+          when($"n_span_langs" > 1, 1).otherwise(0).cast("int")
+            .as("is_mixed"))
+        .orderBy($"doc_id")
+    },
+
     // Classifier CALIBRATION curve (reliability diagram) for the q150
     // language-ID scores — the trust audit behind every score-thresholded
     // gate: bucket predictions by confidence (score div 100) and compare
@@ -3237,7 +3325,47 @@ object TextQueries extends QueryModule {
 
   /** Un-memoized q150 build (see [[langidPredictions]]; deterministic —
     * rank ties break on (count desc, trigram) and (score desc, plang)). */
-  private[graft] def langidPredictionsFresh(spark: SparkSession): DataFrame = {
+  /** q241's per-doc span-vote counts (doc_id, lang, pred, nv): three equal
+    * char spans scored against [[langidProfiles]], per-span argmax, votes
+    * rolled up per doc. */
+  private[graft] def mixedLanguageVotesFresh(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = Tables.spread(spark.table("documents"))
+      .select($"doc_id", $"lang", lower($"text").as("txt"))
+    val third = (length($"txt") / lit(3)).cast(IntegerType)
+    val spans = base
+      .select($"doc_id", $"lang", $"txt",
+        explode(sequence(lit(0), lit(2))).as("s"))
+      .select($"doc_id", $"lang", $"s",
+        $"txt".substr($"s" * third + 1,
+          when($"s" === 2, length($"txt")).otherwise(third)).as("seg"))
+    val stg = spans
+      .select($"doc_id", $"s", explode(array_distinct(
+        transform(Canon.seq1(length($"seg") - 2),
+          i => $"seg".substr(i, lit(3))))).as("tg"))
+    val sc = stg.join(broadcast(langidProfiles(spark)), "tg")
+      .groupBy($"doc_id", $"s", $"plang")
+      .agg(sum($"w").as("score"))
+    val wBest = Window.partitionBy($"doc_id", $"s")
+      .orderBy($"score".desc, $"plang")
+    val best = sc.withColumn("rn", row_number().over(wBest))
+      .filter($"rn" === 1).select($"doc_id", $"s", $"plang")
+    spans.as("sp")
+      .join(best.as("b"),
+        $"b.doc_id" === $"sp.doc_id" && $"b.s" === $"sp.s", "left")
+      .select($"sp.doc_id".as("doc_id"), $"sp.lang".as("lang"),
+        coalesce($"b.plang", lit("unknown")).as("pred"))
+      .groupBy($"doc_id", $"lang", $"pred")
+      .agg(count(lit(1)).as("nv"))
+  }
+
+  /** q150/q241's shared per-lang trigram profile (plang, tg, w): top-40
+    * whole-doc trigrams per labeled lang, rank-weighted. Memoized —
+    * consumed by the whole-doc prediction build AND the span-vote build. */
+  private[graft] def langidProfiles(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "langid-prof")(langidProfilesFresh(spark))
+
+  private[graft] def langidProfilesFresh(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val profileK = 40
     val tg = Tables.spread(spark.table("documents"))
@@ -3246,11 +3374,16 @@ object TextQueries extends QueryModule {
         explode(Canon.seq1(length($"txt") - 2)).as("i"))
       .select($"doc_id", $"lang", $"txt".substr($"i", lit(3)).as("tg"))
     val wProf = Window.partitionBy($"plang").orderBy($"c".desc, $"tg")
-    val prof = tg.groupBy($"lang".as("plang"), $"tg")
+    tg.groupBy($"lang".as("plang"), $"tg")
       .agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(wProf))
       .filter($"rk" <= profileK)
       .select($"plang", $"tg", (lit(profileK + 1) - $"rk").as("w"))
+  }
+
+  private[graft] def langidPredictionsFresh(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val prof = langidProfiles(spark)
     // per-doc DISTINCT trigrams via a map-side array_distinct (not a
     // corpus-wide (doc_id, tg) distinct shuffle); the broadcast-profile
     // join then prunes to ≤ nlangs·K trigram keys, so the only scoring

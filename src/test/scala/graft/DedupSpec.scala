@@ -485,6 +485,25 @@ class DedupSpec extends SparkSpec {
       DedupQueries.hotShingleDfCap)
     assert(shRows(s1) == shRows(sFresh),
       "memoized containment shingles diverged from a fresh build")
+    // r11: the langid trigram profiles (q150 ⋈ q241 shared) and q241's
+    // span-vote relation under the same contract
+    val p1 = TextQueries.langidProfiles(spark)
+    assert(p1 eq TextQueries.langidProfiles(spark))
+    def profRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .sorted.toList
+    assert(profRows(p1) == profRows(TextQueries.langidProfilesFresh(spark)),
+      "memoized langid profiles diverged from a fresh build")
+    val v1 = graft.operators.Memo.cached(spark, "mixedlang-votes")(
+      TextQueries.mixedLanguageVotesFresh(spark))
+    assert(v1 eq graft.operators.Memo.cached(spark, "mixedlang-votes")(
+      TextQueries.mixedLanguageVotesFresh(spark)))
+    def voteRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sorted.toList
+    assert(voteRows(v1) == voteRows(
+      TextQueries.mixedLanguageVotesFresh(spark)),
+      "memoized span votes diverged from a fresh build")
   }
 
   test("memoized components, simhashes, and langid equal fresh builds") {

@@ -129,8 +129,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // member order, conditional accumulator); q229's source-sorted
       // entropy fold + rounded-maxima grid
       "q223_sequence_packing", "q229_mixing_sweep",
-      // r11: q238's two-level md5-bucketed centroid mean fold
-      "q238_source_centroid_sim")
+      // r11: q238's two-level md5-bucketed centroid mean fold; q241's
+      // span-vote majority over the memoized vote relation
+      "q238_source_centroid_sim", "q241_mixed_language")
     val conf = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(conf)
     sensitive.foreach { name =>
