@@ -504,6 +504,15 @@ class DedupSpec extends SparkSpec {
     assert(voteRows(v1) == voteRows(
       TextQueries.mixedLanguageVotesFresh(spark)),
       "memoized span votes diverged from a fresh build")
+    // r11: q66b/q66c's shared winnowed fingerprint relation
+    val f1 = graft.operators.Memo.cached(spark, "winnow-sels")(
+      TextQueries.winnowedDistinctOf(docs))
+    assert(f1 eq graft.operators.Memo.cached(spark, "winnow-sels")(
+      TextQueries.winnowedDistinctOf(docs)))
+    def fpRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toList
+    assert(fpRows(f1) == fpRows(TextQueries.winnowedDistinctOf(docs)),
+      "memoized winnow fingerprints diverged from a fresh build")
   }
 
   test("memoized components, simhashes, and langid equal fresh builds") {
