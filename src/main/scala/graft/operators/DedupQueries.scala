@@ -1151,7 +1151,12 @@ object DedupQueries extends QueryModule {
       val docs = spark.table("documents")
       val flagged = docs.select($"doc_id",
         (substring(md5($"text".cast(BinaryType)), 1, 2) >= "e6").as("is_new"))
-      val bands = minhashBandRowsOf(docs).join(flagged, Seq("doc_id"))
+      // the banded signature rows and the raw shingle relation are both
+      // multi-consumer here (bands feed base + fresh; sh feeds sizes and
+      // both intersection sides) — memoized like the other deterministic
+      // shared relations (memo == fresh pinned in DedupSpec)
+      val bands = Memo.cached(spark, "minhash-band-rows")(
+        minhashBandRowsOf(docs)).join(flagged, Seq("doc_id"))
       val wb = Window.partitionBy($"band", $"bh").orderBy($"doc_id")
       val base = bands.filter(!$"is_new")
         .withColumn("rn", row_number().over(wb))
@@ -1161,9 +1166,7 @@ object DedupQueries extends QueryModule {
         .select($"band", $"bh", $"doc_id".as("id_new"))
       val cand = fresh.join(base, Seq("band", "bh"))
         .select($"id_new", $"id_base").distinct()
-      val sh = docs
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+      val sh = Memo.cached(spark, "shingle-rows")(shingleRowsOf(docs))
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("a"), $"a.doc_id" === $"id_new")
@@ -2416,6 +2419,15 @@ object DedupQueries extends QueryModule {
   private[graft] def containmentPairs(docs: DataFrame, dfCap: Int,
       tau: Double): DataFrame =
     containmentPairsOf(containmentShingles(docs, dfCap), tau)
+
+  /** Raw (doc_id, 3-shingle) rows over any (doc_id, text) frame — the
+    * un-capped relation q121's sizes and intersection sides share. */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    Tables.spread(docs)
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(shingles($"toks")).as("shingle"))
+  }
 
   /** q71c's df-capped (doc_id, shingle) relation — the subplan the sizes
     * rollup AND both self-join sides consume. Split out so the query path

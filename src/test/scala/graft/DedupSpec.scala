@@ -513,6 +513,22 @@ class DedupSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toList
     assert(fpRows(f1) == fpRows(TextQueries.winnowedDistinctOf(docs)),
       "memoized winnow fingerprints diverged from a fresh build")
+    // r11: q121's shared band rows + raw shingle rows
+    val b1 = graft.operators.Memo.cached(spark, "minhash-band-rows")(
+      DedupQueries.minhashBandRowsOf(docs))
+    assert(b1 eq graft.operators.Memo.cached(spark, "minhash-band-rows")(
+      DedupQueries.minhashBandRowsOf(docs)))
+    def bandRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .sorted.toList
+    assert(bandRows(b1) == bandRows(DedupQueries.minhashBandRowsOf(docs)),
+      "memoized band rows diverged from a fresh build")
+    val sr1 = graft.operators.Memo.cached(spark, "shingle-rows")(
+      DedupQueries.shingleRowsOf(docs))
+    assert(sr1 eq graft.operators.Memo.cached(spark, "shingle-rows")(
+      DedupQueries.shingleRowsOf(docs)))
+    assert(shRows(sr1) == shRows(DedupQueries.shingleRowsOf(docs)),
+      "memoized shingle rows diverged from a fresh build")
   }
 
   test("memoized components, simhashes, and langid equal fresh builds") {
