@@ -725,6 +725,73 @@ object DedupQueries extends QueryModule {
       components(spark).orderBy($"doc_id")
     },
 
+    // Duplication spectrum — the cluster-SIZE histogram of the near-dup
+    // component graph (the readout dedup papers lead with, and the number
+    // an engineer checks before committing a dedup pass: how much of the
+    // corpus sits in clusters of 2, of 3, of 10+, and how many docs a
+    // keep-one policy would remove). Rolled up from q77's memoized
+    // component labels: two bounded shuffles past the already-materialized
+    // fixpoint, nothing rescanned. removable = (size − 1) per cluster =
+    // exactly the docs q75/q79's keep-one survivors drop; doc_share is the
+    // corpus fraction per size bucket. Distinct from q213 (pair count vs
+    // LSH threshold) and q78b/q73c (bucket-size accounting): the unit here
+    // is the CLOSED component, the readout the removal budget.
+    q("q242_dup_spectrum", {
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE sigs AS ($signaturesSql),
+         |bands AS (
+         |$bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |         LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component
+         |  FROM documents d
+         |  LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+         |    ON m.a = d.doc_id),
+         |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY component),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM comp)
+         |SELECT cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS removable,
+         |  floor(CAST(cluster_size * COUNT(*) AS DOUBLE) / tot.n
+         |        * 1000000 + 0.5) / 1000000 AS doc_share
+         |FROM cs CROSS JOIN tot
+         |GROUP BY cluster_size, tot.n
+         |ORDER BY cluster_size""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val cs = components(spark)
+        .groupBy($"component").agg(count(lit(1)).cast(LongType)
+          .as("cluster_size"))
+      val tot = components(spark)
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      cs.groupBy($"cluster_size")
+        .agg(count(lit(1)).cast(LongType).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").cast(LongType).as("n_docs"),
+          (($"cluster_size" - 1) * $"n_clusters").cast(LongType)
+            .as("removable"),
+          (floor(($"cluster_size" * $"n_clusters").cast(DoubleType) / $"n"
+            * 1000000 + 0.5) / 1000000).as("doc_share"))
+        .orderBy($"cluster_size")
+    },
+
     // Quality-aware dedup: keep the BEST document per near-dup component
     // (not merely the lowest id) — the realistic end of a training-data
     // pipeline: components from iterative min-propagation (q77 machinery),
