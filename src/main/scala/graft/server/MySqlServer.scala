@@ -978,6 +978,11 @@ final class MySqlServer private (listener: ServerSocket,
                       if (p.isEmpty) more = false
                       else buf.write(p, 0, p.length)
                     }
+                    // compressed protocol: the upload consumed inbound
+                    // frames, so the OK's outbound frame must continue
+                    // AFTER the client's last one (same resync rule as the
+                    // command boundary)
+                    comp.foreach { case (ci, co) => co.seq = ci.lastSeq + 1 }
                     val n = session.loadLocalData(table,
                       Option(sep).getOrElse("\t"), buf.toByteArray)
                     writePacket(out, sr.v, okPayload(session.statusFlags, n))

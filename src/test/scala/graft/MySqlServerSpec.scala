@@ -1315,6 +1315,24 @@ class MySqlServerSpec extends SparkSpec {
       assert(r.int1() == 0xFF && r.int2() == 1148,
         "LOCAL INFILE without the capability must answer ERR 1148")
       c2.close()
+      // the upload composes with the COMPRESSED protocol: file chunks ride
+      // zlib frames, and the server's OK continues the compressed sequence
+      // AFTER the client's upload frames (the mid-command resync)
+      val c3 = login(srv.port, extraCaps = 0x20 | 0x80)
+      c3.enableCompression()
+      c3.writePacket(0, Array[Byte](0x03) ++ stmt.getBytes(UTF_8))
+      val (zSeq, zReq) = c3.readPacket()
+      assert((zReq(0) & 0xFF) == 0xFB)
+      // > 128 B payload so the client side actually deflates the chunk
+      val big = (9 to 20).map(k => s"$k,zsrc$k,${"x" * 20}").mkString("\n")
+      c3.writePacket(zSeq + 1, (big + "\n").getBytes(UTF_8))
+      c3.writePacket(zSeq + 2, Array.emptyByteArray)
+      val (_, zOk) = c3.readPacket()
+      assert((zOk(0) & 0xFF) == 0x00, "compressed upload must answer OK")
+      assert(new Reader(zOk.drop(1)).lenencInt() == 12L)
+      val (_, zn) = query(c3, "SELECT COUNT(*) AS n FROM region")
+      assert(zn == Seq(Seq(Some("17"))))
+      c3.close()
     } finally srv.close()
   }
 
