@@ -45,6 +45,7 @@ object Engine {
     "collation_connection" -> "utf8mb4_bin",
     "time_zone" -> "UTC",
     "max_execution_time" -> "0",
+    "long_query_time" -> "10",
     "sql_select_limit" -> "0",
     "wait_timeout" -> "28800",
     "net_write_timeout" -> "60",
@@ -177,11 +178,43 @@ object Engine {
       * matching MySQL). */
     private[Engine] var questions = 0L
 
+    /** MySQL `Slow_queries`: actions on this session whose measured
+      * execution exceeded `long_query_time` seconds. Bumped from the
+      * listener below (listener-bus thread) and read by SHOW STATUS
+      * (connection thread), hence atomic. */
+    private[graft] val slowQueries = new java.util.concurrent.atomic.AtomicLong
+
+    // Slow-query accounting seam. Session.sql returns a LAZY frame — the
+    // engine never sees execution time there — so the counter hangs off
+    // Spark's own action callback instead: a QueryExecutionListener on this
+    // session's listener manager observes every action's measured duration
+    // (embedded collect() and the wire server's result materialization hit
+    // the same seam). The reference (a relay) has no analog because it
+    // never executes; `long_query_time`/`Slow_queries` are the MySQL
+    // surface its clients' monitoring expects. NOTE: Spark delivers these
+    // callbacks asynchronously on the listener bus — the counter is
+    // eventually consistent with the action, which matches MySQL's own
+    // status-counter semantics (no read-your-writes guarantee).
+    // The listener reaches this Session ONLY through a weak reference
+    // (it is CONSTRUCTED in the Engine object so no $outer edge to the
+    // Session sneaks in): it lives on the SparkSession — pinned by memo
+    // frames until swept — and a strong sess→Session edge would make the
+    // abandoned-session registry sweep, which keys on the WRAPPER being
+    // collectable, never fire (the EngineSpec GC-prune case catches it).
+    Engine.registerSlowQueryListener(this)
+
+    /** `long_query_time` in seconds (fractional allowed, MySQL surface);
+      * unparsable values fall back to the 10 s default. */
+    private[Engine] def longQueryThresholdSec: Double =
+      try sysVars.getOrElse("long_query_time", "10").toDouble
+      catch { case _: NumberFormatException => 10.0 }
+
     /** The SHOW STATUS / COM_STATISTICS counter set (name, value-string). */
     private[Engine] def statusCounters: Seq[(String, String)] = Seq(
       "Uptime" -> ((System.nanoTime() - Engine.startNanos) / 1000000000L)
         .toString,
       "Questions" -> questions.toString,
+      "Slow_queries" -> slowQueries.get.toString,
       "Threads_connected" -> Engine.registry.size.toString,
       "Connections" -> Engine.connCounter.get.toString)
 
@@ -458,6 +491,7 @@ object Engine {
       // memos) — a long-lived server must not retain one SparkSession per
       // departed connection (ADVICE r09)
       graft.sources.Tables.release(spark)
+      Engine.lifecycle("close", connectionId, clusterId)
     }
   }
 
@@ -727,7 +761,7 @@ object Engine {
   private val showStatusRe =
     """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val loadDataRe =
-    """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""".r
+    """(?is)^\s*LOAD\s+DATA\s+(?:(LOCAL)\s+)?INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""".r
   private val showCreateRe =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+((?:`[A-Za-z0-9_]+`|[A-Za-z0-9_]+)(?:\.(?:`[A-Za-z0-9_]+`|[A-Za-z0-9_]+))?)\s*;?\s*$""".r
 
@@ -777,14 +811,25 @@ object Engine {
             (if (f.nullable) "" else " NOT NULL")).mkString(",\n")
         Some(Seq((tbl, s"CREATE TABLE `$tbl` (\n$cols\n)"))
           .toDF("Table", "Create Table"))
-      case loadDataRe(path, table, sep) =>
-        // LOAD DATA LOCAL INFILE — the ClientLocalFiles capability the
-        // gateway advertises and relays (/root/reference/mysql/
-        // constants.go:7-11): append a client-side delimited file into an
-        // existing session table. The target schema drives the CSV parse
-        // (MySQL's column-order contract); default separator is TAB like
-        // MySQL. The view is rebuilt as old-plan UNION ALL file-scan —
-        // lazy, distributed, no driver materialization.
+      case loadDataRe(local, path, table, sep) =>
+        // LOAD DATA INFILE (server-side path). The LOCAL form is
+        // EXCLUSIVELY the capability-gated 0xFB wire flow in MySqlServer
+        // (localInfileRe intercepts it before this dispatch): if a LOCAL
+        // statement reaches here — a multi-statement batch or an embedded
+        // caller, where no client file stream exists — reading the
+        // client's filename as a SERVER path would silently load the
+        // wrong file (ADVICE r11). MySQL's own refusal code is 1148.
+        if (local != null)
+          throw EngineError(1148, "42000",
+            "LOAD DATA LOCAL is only available on a client connection " +
+              "with CLIENT_LOCAL_FILES (the wire protocol streams the file)")
+        // The ClientLocalFiles capability the gateway advertises and
+        // relays (/root/reference/mysql/constants.go:7-11): append a
+        // delimited file into an existing session table. The target schema
+        // drives the CSV parse (MySQL's column-order contract); default
+        // separator is TAB like MySQL. The view is rebuilt as old-plan
+        // UNION ALL file-scan — lazy, distributed, no driver
+        // materialization.
         val existing =
           try s.spark.table(table)
           catch { case _: Exception =>
@@ -1227,7 +1272,50 @@ object Engine {
     sweepRegistry() // reclaim sessions abandoned without close()
     registry.put(s.connectionId,
       (new java.lang.ref.WeakReference(s), new java.lang.ref.WeakReference(sess)))
+    lifecycle("connect", s.connectionId,
+      s"cluster=$clusterId user=$user")
     s
+  }
+
+  /** Overridable connection-lifecycle / slow-query logging seam — the
+    * engine analog of the reference's structured logger around
+    * accept/route/close (/root/reference/utility/logger.go:1-8, used at
+    * main.go:37,41 and throughout gateway/gateway.go). Default is silent
+    * (a library must not invent a logging framework); a deployment installs
+    * one sink and gets connection history + slow-query records.
+    * Events emitted: `connect` (detail = routed cluster + user), `close`
+    * (detail = cluster), `slow_query` (detail = action + duration ms).
+    * Hook failures are swallowed — logging must never break the engine. */
+  @volatile var lifecycleHook: (String, Long, String) => Unit = null
+
+  private[graft] def lifecycle(event: String, connId: Long,
+      detail: String): Unit = {
+    val h = lifecycleHook
+    if (h != null) try h(event, connId, detail) catch { case _: Exception => () }
+  }
+
+  /** See the call site in the Session constructor: the slow-query listener
+    * is built HERE (static outer) so its only path back to the Session is
+    * the explicit WeakReference — never an implicit $outer field. */
+  private def registerSlowQueryListener(session: Session): Unit = {
+    val weakSelf = new java.lang.ref.WeakReference(session)
+    val connId = session.connectionId
+    session.spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val self = weakSelf.get
+          if (self != null && durationNs > self.longQueryThresholdSec * 1e9) {
+            self.slowQueries.incrementAndGet()
+            lifecycle("slow_query", connId,
+              s"$funcName ${durationNs / 1000000} ms")
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
   }
 
   /** Live-connection registry (weak — a dropped Session disappears on GC):
@@ -1261,6 +1349,13 @@ object Engine {
       }
     }
   }
+
+  /** The live SparkSession behind connection `id`, if any — a spec probe:
+    * the wire idle-reap case asserts the reaped session's memo entries and
+    * binding were actually released, which needs the underlying session
+    * object the server never otherwise exposes. */
+  private[graft] def sessionSpark(id: Long): Option[SparkSession] =
+    Option(registry.get(id)).flatMap(e => Option(e._2.get))
 
   private[graft] def processList: Seq[(Long, String, String, String, String)] = {
     import scala.jdk.CollectionConverters._

@@ -76,6 +76,21 @@ private[graft] object Memo {
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
 
+  /** Drop `spark`'s entries whose generation key is below `gen`. Swept by
+    * every generation bump (`Tables.noteViewSwap` / rebinding `register`):
+    * entries keyed on an older generation can never be served again — the
+    * lookup key always carries the current generation — so without this a
+    * long-lived connection interleaving LOAD DATA with memoized queries
+    * accumulates unreachable localCheckpoint'ed frames until close()
+    * (ADVICE r11). */
+  private[graft] def releaseStale(spark: SparkSession, gen: Long): Unit = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if ((k._1 eq spark) && k._4 < gen) it.remove()
+    }
+  }
+
   /** Number of relations cached for `spark` — the EngineSpec abandon-path
     * probe (a leaked session's entries must not survive a registry sweep). */
   private[graft] def entriesFor(spark: SparkSession): Int = {

@@ -1124,12 +1124,18 @@ object SimilarityQueries extends QueryModule {
         .select($"vec_id", toD($"embedding").as("emb"))
         .join(spark.table("documents").select($"doc_id", $"source"),
           $"vec_id" === $"doc_id")
+      // materialized before the self-join: both sides (broadcast + probe)
+      // get separate plans — exchange reuse does not apply — so an
+      // unmaterialized cent would run the corpus-sized exploded-dim rollup
+      // TWICE (ADVICE r11); checkpointing the |sources|-row frame keeps it
+      // one pass
       val cent = meanFold(
         e.select($"source", $"vec_id", posexplode($"emb").as(Seq("dim", "x"))),
         Seq("source"))
         .groupBy($"source")
         .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
         .select($"source", transform($"pairs", p => p("cx")).as("cemb"))
+        .localCheckpoint()
       cent.as("a")
         .join(broadcast(cent.as("b")), $"a.source" < $"b.source")
         .select($"a.source".as("src_a"), $"b.source".as("src_b"),

@@ -2119,7 +2119,7 @@ object TextQueries extends QueryModule {
          |    (CAST(('0x' || substr(md5('dp:toks:' || lang), 1, 8))
          |        AS UBIGINT) + 0.5) / 4294967296.0 AS ut
          |  FROM agg)
-         |SELECT lang, 0.5 AS epsilon,
+         |SELECT lang, CAST(0.5 AS DOUBLE) AS epsilon,
          |  floor(greatest(0.0, n_docs
          |      - (1.0 / 0.5) * sign(ud - 0.5) * ln(1 - 2 * abs(ud - 0.5)))
          |    * 10000 + 0.5) / 10000 AS dp_docs,

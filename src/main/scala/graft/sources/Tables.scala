@@ -183,7 +183,12 @@ object Tables {
       // the generation counter rides the memo keys so a REBIND (or an
       // explicit noteViewSwap) can never serve artifacts trained on the
       // previous binding (ADVICE r09)
-      bound.put(spark, (dir, if (prev == null) 0L else prev._2 + 1))
+      val gen = if (prev == null) 0L else prev._2 + 1
+      bound.put(spark, (dir, gen))
+      // a rebind invalidates older-generation memo entries; drop them now
+      // rather than letting them pin checkpointed frames until close()
+      // (ADVICE r11)
+      if (prev != null) graft.operators.Memo.releaseStale(spark, gen)
       all.foreach { case (name, _) =>
         table(spark, dir, name).createOrReplaceTempView(name)
       }
@@ -212,7 +217,13 @@ object Tables {
     * [[register]] itself (ADVICE r09). */
   private[graft] def noteViewSwap(spark: SparkSession): Unit = {
     val prev = bound.get(spark)
-    if (prev != null) bound.put(spark, (prev._1, prev._2 + 1))
+    if (prev != null) {
+      bound.put(spark, (prev._1, prev._2 + 1))
+      // entries keyed below the new generation are unreachable from now on;
+      // drop them immediately (ADVICE r11 — LOAD DATA interleaved with
+      // memoized queries must not accumulate stale checkpointed frames)
+      graft.operators.Memo.releaseStale(spark, prev._2 + 1)
+    }
   }
 
   /** Drop everything cached for a session (binding + trained artifacts) —

@@ -259,8 +259,8 @@ class EngineSpec extends SparkSpec {
     def status(): Map[String, String] = s.sql("SHOW STATUS").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val st0 = status()
-    assert(st0.keySet == Set("Uptime", "Questions", "Threads_connected",
-      "Connections"), st0)
+    assert(st0.keySet == Set("Uptime", "Questions", "Slow_queries",
+      "Threads_connected", "Connections"), st0)
     val q0 = st0("Questions").toLong
     s.sql("SELECT 1 AS x").collect()
     s.sql("SELECT 2 AS y").collect()
@@ -412,25 +412,35 @@ class EngineSpec extends SparkSpec {
       s"both broken lines must land in the quarantine column, got $corrupt")
   }
 
-  test("LOAD DATA LOCAL INFILE appends a delimited file into a session table") {
+  test("LOAD DATA INFILE appends a delimited file into a session table") {
     val s = Engine.connect(spark, "prod", backends)
     s.sql("CREATE OR REPLACE TEMPORARY VIEW stage AS " +
       "SELECT r_regionkey, r_name FROM region WHERE 1 = 0")
     val f = java.nio.file.Files.createTempFile("graft_load_", ".csv")
     java.nio.file.Files.writeString(f, "7,mars\n8,venus\n")
-    s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE stage " +
+    s.sql(s"LOAD DATA INFILE '$f' INTO TABLE stage " +
       "FIELDS TERMINATED BY ','")
     assert(s.sql("SELECT COUNT(*) AS n FROM stage").head().getLong(0) == 2)
     // a second load APPENDS (MySQL semantics), schema comes from the table
-    s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE stage " +
+    s.sql(s"LOAD DATA INFILE '$f' INTO TABLE stage " +
       "FIELDS TERMINATED BY ','")
     val rows = s.sql("SELECT r_regionkey, r_name FROM stage ORDER BY 1, 2")
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(rows.toSeq == Seq((7, "mars"), (7, "mars"), (8, "venus"), (8, "venus")))
     // unknown target table → MySQL error 1146
     assert(intercept[Engine.EngineError] {
-      s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE nope")
+      s.sql(s"LOAD DATA INFILE '$f' INTO TABLE nope")
     }.code == 1146)
+    // the LOCAL form is EXCLUSIVELY the capability-gated wire flow: on the
+    // statement/embedded path (no client file stream) it must refuse with
+    // MySQL's 1148 rather than read the CLIENT's filename as a SERVER path
+    // (ADVICE r11)
+    assert(intercept[Engine.EngineError] {
+      s.sql(s"LOAD DATA LOCAL INFILE '$f' INTO TABLE stage " +
+        "FIELDS TERMINATED BY ','")
+    }.code == 1148)
+    // ... and the refusal must not have appended anything
+    assert(s.sql("SELECT COUNT(*) AS n FROM stage").head().getLong(0) == 4)
   }
 
   test("connect attrs surface in SHOW PROCESSLIST's Program column") {
@@ -881,6 +891,57 @@ class EngineSpec extends SparkSpec {
     assert(first.size == 1 && second.size == 1 && first != second)
     // literals bind too (scalar expression, no table)
     assert(s.prepare("SELECT :x + 1 AS y")(Map("x" -> 41)).head().getInt(0) == 42)
+  }
+
+  test("long_query_time governs the Slow_queries status counter") {
+    val s = Engine.connect(spark, "prod", backends)
+    def slow(): Long = s.sql("SHOW STATUS LIKE 'Slow_queries'")
+      .collect().head.getString(1).toLong
+    assert(slow() == 0, "a fresh session starts with Slow_queries = 0")
+    // threshold 0: every measured action now counts as slow. Spark
+    // delivers QueryExecutionListener callbacks asynchronously on the
+    // listener bus, so the counter is eventually consistent — poll.
+    s.sql("SET long_query_time = 0")
+    s.sql("SELECT COUNT(*) AS n FROM nation").collect()
+    var tries = 0
+    while (slow() < 1 && tries < 100) { Thread.sleep(50); tries += 1 }
+    assert(slow() >= 1, "an action past the threshold must bump Slow_queries")
+    // back at the 10 s default nothing in this test is slow; let the
+    // in-flight threshold-0 callbacks land first
+    s.sql("SET long_query_time = 10")
+    Thread.sleep(300)
+    val before = slow()
+    s.sql("SELECT 1 AS x").collect()
+    Thread.sleep(300)
+    assert(slow() == before,
+      "fast actions must not count at the default threshold")
+    s.close()
+  }
+
+  test("lifecycle hook observes connect, slow queries, and close") {
+    import scala.jdk.CollectionConverters._
+    val events =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]
+    Engine.lifecycleHook = (e, id, d) => events.add((e, id, d))
+    try {
+      val s = Engine.connect(spark, "prod", backends, user = "hooked")
+      assert(events.asScala.exists { case (e, id, d) =>
+        e == "connect" && id == s.connectionId &&
+          d.contains("cluster=prod") && d.contains("user=hooked")
+      }, s"connect event missing: ${events.asScala.mkString(", ")}")
+      s.sql("SET long_query_time = 0")
+      s.sql("SELECT COUNT(*) AS n FROM region").collect()
+      var tries = 0
+      def sawSlow() = events.asScala.exists { case (e, id, _) =>
+        e == "slow_query" && id == s.connectionId
+      }
+      while (!sawSlow() && tries < 100) { Thread.sleep(50); tries += 1 }
+      assert(sawSlow(), "slow_query event must flow through the hook")
+      s.close()
+      assert(events.asScala.exists { case (e, id, _) =>
+        e == "close" && id == s.connectionId
+      }, "close event must flow through the hook")
+    } finally Engine.lifecycleHook = null
   }
 
   test("close() releases a session's memoized relations and binding") {
