@@ -216,6 +216,179 @@ object DedupQueries extends QueryModule {
        |FROM (SELECT doc_id, unnest($shingleSql) AS shingle FROM documents) t
        |GROUP BY doc_id""".stripMargin
 
+  // ---- q243 URL canonicalization -----------------------------------------
+
+  /** Deterministic raw-URL synthesis from doc_id (Spark dialect): every 4
+    * consecutive doc_ids (g = doc_id div 4) share one canonical URL —
+    * scheme (http/https) keyed on g, host `www.site<g%7>.com`, path
+    * `/p/<g>`, real param `id=<g>` — while md5-derived per-doc variation
+    * covers every canonicalization rule: scheme/host CASE, default-port
+    * presence, trailing slash, tracking-param position, fragment. */
+  private val urlSynthSpark: String =
+    """SELECT doc_id, source,
+      |  concat(scheme_raw, '://', host_raw, port_raw, path_raw, '?', q_raw,
+      |         frag_raw) AS url
+      |FROM (
+      |  SELECT doc_id, source, g,
+      |    CASE WHEN hs % 2 = 0 THEN scheme_l ELSE upper(scheme_l) END
+      |      AS scheme_raw,
+      |    CASE WHEN hh % 2 = 0 THEN host_b ELSE upper(host_b) END
+      |      AS host_raw,
+      |    CASE WHEN hp % 2 = 0
+      |         THEN CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END
+      |         ELSE '' END AS port_raw,
+      |    concat('/p/', g, CASE WHEN hsl % 2 = 0 THEN '/' ELSE '' END)
+      |      AS path_raw,
+      |    CASE WHEN hq % 3 = 0 THEN concat('id=', g)
+      |         WHEN hq % 3 = 1 THEN concat('utm_source=feed&id=', g)
+      |         ELSE concat('id=', g, '&utm_campaign=c1&fbclid=x') END
+      |      AS q_raw,
+      |    CASE WHEN hf % 3 = 0 THEN concat('#sec', hf % 5) ELSE '' END
+      |      AS frag_raw
+      |  FROM (
+      |    SELECT doc_id, source, g,
+      |      CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme_l,
+      |      concat('www.site', g % 7, '.com') AS host_b,
+      |      CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) AS hs,
+      |      CAST(conv(substring(h, 3, 2), 16, 10) AS BIGINT) AS hp,
+      |      CAST(conv(substring(h, 5, 2), 16, 10) AS BIGINT) AS hsl,
+      |      CAST(conv(substring(h, 7, 2), 16, 10) AS BIGINT) AS hf,
+      |      CAST(conv(substring(h, 9, 2), 16, 10) AS BIGINT) AS hq,
+      |      CAST(conv(substring(h, 11, 2), 16, 10) AS BIGINT) AS hh
+      |    FROM (
+      |      SELECT doc_id, source, doc_id div 4 AS g,
+      |             md5(concat('url:', CAST(doc_id AS STRING))) AS h
+      |      FROM documents) h0) h1) h2""".stripMargin
+
+  /** [[urlSynthSpark]]'s DuckDB twin — identical derivation, dialect-only
+    * differences (`//` integer divide, `'0x'||hex` UBIGINT cast for conv). */
+  private val urlSynthDuck: String =
+    """SELECT doc_id, source,
+      |  scheme_raw || '://' || host_raw || port_raw || path_raw || '?' ||
+      |    q_raw || frag_raw AS url
+      |FROM (
+      |  SELECT doc_id, source, g,
+      |    CASE WHEN hs % 2 = 0 THEN scheme_l ELSE upper(scheme_l) END
+      |      AS scheme_raw,
+      |    CASE WHEN hh % 2 = 0 THEN host_b ELSE upper(host_b) END
+      |      AS host_raw,
+      |    CASE WHEN hp % 2 = 0
+      |         THEN CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END
+      |         ELSE '' END AS port_raw,
+      |    '/p/' || g || CASE WHEN hsl % 2 = 0 THEN '/' ELSE '' END
+      |      AS path_raw,
+      |    CASE WHEN hq % 3 = 0 THEN 'id=' || g
+      |         WHEN hq % 3 = 1 THEN 'utm_source=feed&id=' || g
+      |         ELSE 'id=' || g || '&utm_campaign=c1&fbclid=x' END
+      |      AS q_raw,
+      |    CASE WHEN hf % 3 = 0 THEN '#sec' || (hf % 5) ELSE '' END
+      |      AS frag_raw
+      |  FROM (
+      |    SELECT doc_id, source, g,
+      |      CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme_l,
+      |      'www.site' || (g % 7) || '.com' AS host_b,
+      |      CAST(CAST(('0x' || substr(h, 1, 2)) AS UBIGINT) AS BIGINT) AS hs,
+      |      CAST(CAST(('0x' || substr(h, 3, 2)) AS UBIGINT) AS BIGINT) AS hp,
+      |      CAST(CAST(('0x' || substr(h, 5, 2)) AS UBIGINT) AS BIGINT) AS hsl,
+      |      CAST(CAST(('0x' || substr(h, 7, 2)) AS UBIGINT) AS BIGINT) AS hf,
+      |      CAST(CAST(('0x' || substr(h, 9, 2)) AS UBIGINT) AS BIGINT) AS hq,
+      |      CAST(CAST(('0x' || substr(h, 11, 2)) AS UBIGINT) AS BIGINT) AS hh
+      |    FROM (
+      |      SELECT doc_id, source, doc_id // 4 AS g,
+      |             md5('url:' || doc_id) AS h
+      |      FROM documents) h0) h1) h2""".stripMargin
+
+  /** URL canonicalization over any relation carrying a `url` column (Spark
+    * dialect) — adds `canon`, `stripped_ct` (BIGINT), `had_frag` (0/1) and
+    * passes every input column through. Rules (the standard crawl-pipeline
+    * canonicalizer): lowercase scheme + host; strip the scheme's default
+    * port (:80 http, :443 https — non-default and mismatched ports kept);
+    * drop the fragment; drop tracking params (utm_*, fbclid, gclid) keeping
+    * the rest in original order; strip one trailing slash from a non-root
+    * path; path CASE and param order preserved. `private[graft]` so the
+    * DedupSpec adversarial-URL cases drive exactly the production SQL. */
+  private[graft] def urlCanonSpark(src: String): String =
+    s"""SELECT *,
+       |  CAST(size(params) - size(kept) AS BIGINT) AS stripped_ct,
+       |  concat(scheme, '://', host, path,
+       |         CASE WHEN size(kept) > 0
+       |              THEN concat('?', array_join(kept, '&')) ELSE '' END)
+       |    AS canon
+       |FROM (
+       |  SELECT *,
+       |    filter(params, p -> NOT (startswith(p, 'utm_')
+       |                          OR startswith(p, 'fbclid=')
+       |                          OR startswith(p, 'gclid='))) AS kept
+       |  FROM (
+       |    SELECT *,
+       |      filter(split(qstr, '&'), p -> p <> '') AS params,
+       |      CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+       |           THEN left(path0, length(path0) - 1) ELSE path0 END AS path
+       |    FROM (
+       |      SELECT *, split_part(nofrag, '?', 1) AS path0,
+       |             split_part(nofrag, '?', 2) AS qstr
+       |      FROM (
+       |        SELECT *,
+       |          CASE WHEN scheme = 'http' AND hostl LIKE '%:80'
+       |               THEN left(hostl, length(hostl) - 3)
+       |               WHEN scheme = 'https' AND hostl LIKE '%:443'
+       |               THEN left(hostl, length(hostl) - 4)
+       |               ELSE hostl END AS host,
+       |          CASE WHEN tail LIKE '%#%' THEN 1 ELSE 0 END AS had_frag,
+       |          split_part(tail, '#', 1) AS nofrag
+       |        FROM (
+       |          SELECT *, lower(auth) AS hostl,
+       |                 substring(rest, length(auth) + 1) AS tail
+       |          FROM (
+       |            SELECT *, split_part(rest, '/', 1) AS auth
+       |            FROM (
+       |              SELECT *, lower(split_part(url, '://', 1)) AS scheme,
+       |                substring(url, length(split_part(url, '://', 1)) + 4)
+       |                  AS rest
+       |              FROM $src u0) u1) u2) u3) u4) u5) u6) u7""".stripMargin
+
+  /** [[urlCanonSpark]]'s DuckDB twin — identical rule chain, dialect-only
+    * differences (string_split/list_filter/array_to_string/len). */
+  private def urlCanonDuck(src: String): String =
+    s"""SELECT *,
+       |  CAST(len(params) - len(kept) AS BIGINT) AS stripped_ct,
+       |  scheme || '://' || host || path ||
+       |    CASE WHEN len(kept) > 0
+       |         THEN '?' || array_to_string(kept, '&') ELSE '' END
+       |    AS canon
+       |FROM (
+       |  SELECT *,
+       |    list_filter(params, p -> NOT (starts_with(p, 'utm_')
+       |                               OR starts_with(p, 'fbclid=')
+       |                               OR starts_with(p, 'gclid='))) AS kept
+       |  FROM (
+       |    SELECT *,
+       |      list_filter(string_split(qstr, '&'), p -> p <> '') AS params,
+       |      CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+       |           THEN left(path0, length(path0) - 1) ELSE path0 END AS path
+       |    FROM (
+       |      SELECT *, split_part(nofrag, '?', 1) AS path0,
+       |             split_part(nofrag, '?', 2) AS qstr
+       |      FROM (
+       |        SELECT *,
+       |          CASE WHEN scheme = 'http' AND hostl LIKE '%:80'
+       |               THEN left(hostl, length(hostl) - 3)
+       |               WHEN scheme = 'https' AND hostl LIKE '%:443'
+       |               THEN left(hostl, length(hostl) - 4)
+       |               ELSE hostl END AS host,
+       |          CASE WHEN tail LIKE '%#%' THEN 1 ELSE 0 END AS had_frag,
+       |          split_part(tail, '#', 1) AS nofrag
+       |        FROM (
+       |          SELECT *, lower(auth) AS hostl,
+       |                 substring(rest, length(auth) + 1) AS tail
+       |          FROM (
+       |            SELECT *, split_part(rest, '/', 1) AS auth
+       |            FROM (
+       |              SELECT *, lower(split_part(url, '://', 1)) AS scheme,
+       |                substring(url, length(split_part(url, '://', 1)) + 4)
+       |                  AS rest
+       |              FROM $src u0) u1) u2) u3) u4) u5) u6) u7""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Exact dedup: sha256 content groups; keeper = lowest doc_id per group.
@@ -790,6 +963,51 @@ object DedupQueries extends QueryModule {
           (floor(($"cluster_size" * $"n_clusters").cast(DoubleType) / $"n"
             * 1000000 + 0.5) / 1000000).as("doc_share"))
         .orderBy($"cluster_size")
+    },
+
+    // URL-level dedup (VERDICT r11 #3): the stage real crawl pipelines run
+    // BEFORE any content pass — canonicalize each document's URL
+    // (lowercase scheme+host, strip default port / fragment / tracking
+    // params / trailing slash, preserve path case and param order) and
+    // keep-first per canonical URL. The fixture has no URL column, so raw
+    // URLs are synthesized deterministically from doc_id (the q194
+    // synthesize-then-detect pattern): every 4 consecutive doc_ids share
+    // one canonical URL but differ in scheme/host case, default-port
+    // presence, trailing slash, tracking-param mix, and fragment — so the
+    // true collapse is known by construction and every canonicalization
+    // rule is exercised. Keeper = global MIN(doc_id) per canonical URL;
+    // output is the per-source collapse accounting. Scale: all string work
+    // is map-side; the only shuffles are the canon-key window and the
+    // source rollup — linear at any corpus size, the same plan 100 TB of
+    // crawl metadata wants (URLs shuffle by canonical key, never pairwise).
+    q("q243_url_dedup",
+      s"""WITH k AS (
+         |  SELECT *, MIN(doc_id) OVER (PARTITION BY canon) AS keeper
+         |  FROM (${urlCanonDuck(s"(\n$urlSynthDuck\n)")}) c)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon,
+         |  CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_dropped,
+         |  CAST(SUM(stripped_ct) AS BIGINT) AS n_params_stripped,
+         |  CAST(SUM(had_frag) AS BIGINT) AS n_fragments
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { spark =>
+      spark.sql(
+        s"""WITH k AS (
+           |  SELECT *, MIN(doc_id) OVER (PARTITION BY canon) AS keeper
+           |  FROM (${urlCanonSpark(s"(\n$urlSynthSpark\n)")}) c)
+           |SELECT source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+           |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon,
+           |  CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_dropped,
+           |  CAST(SUM(stripped_ct) AS BIGINT) AS n_params_stripped,
+           |  CAST(SUM(had_frag) AS BIGINT) AS n_fragments
+           |FROM k GROUP BY source ORDER BY source""".stripMargin)
     },
 
     // Quality-aware dedup: keep the BEST document per near-dup component

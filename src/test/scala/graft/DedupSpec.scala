@@ -625,4 +625,43 @@ class DedupSpec extends SparkSpec {
       "post-race call must return one of the raced frames (the cached one)")
     assert(settled eq DedupQueries.lshPairs(spark))
   }
+
+  test("URL canonicalization: adversarial forms through the production SQL") {
+    import spark.implicits._
+    // each case pins one rule of q243's canonicalizer (urlCanonSpark IS the
+    // production SQL — the spec drives the same string, not a re-spelling)
+    val cases = Seq(
+      // every rule at once: scheme+host case, default port, trailing slash,
+      // tracking param stripped (real param kept), fragment dropped
+      (1L, "HTTP://WWW.Ex.COM:80/a/?utm_source=x&id=1#frag",
+        "http://www.ex.com/a?id=1", 1L, 1L),
+      // root path: the lone trailing slash is NOT stripped
+      (2L, "https://ex.com:443/", "https://ex.com/", 0L, 0L),
+      // all params tracking → no '?' in canonical form
+      (3L, "http://ex.com/a?utm_source=1&utm_medium=2",
+        "http://ex.com/a", 2L, 0L),
+      // non-default port survives
+      (4L, "http://ex.com:8080/a", "http://ex.com:8080/a", 0L, 0L),
+      // MISMATCHED default port (http's :80 on https) survives
+      (5L, "https://ex.com:80/a", "https://ex.com:80/a", 0L, 0L),
+      // fbclid + gclid stripped, param order of the rest preserved
+      (6L, "http://ex.com/a?fbclid=z&gclid=y&id=2&b=3",
+        "http://ex.com/a?id=2&b=3", 2L, 0L),
+      // path case PRESERVED (only scheme + host lowercase)
+      (7L, "HtTpS://A.B.C/Path", "https://a.b.c/Path", 0L, 0L),
+      // 'utm_' is a PREFIX match, 'idx' is not 'id' but is kept (not utm)
+      (8L, "http://ex.com/a?idx=1&utm_x=2", "http://ex.com/a?idx=1", 1L, 0L),
+      // no path at all: empty canonical path, no slash invented
+      (9L, "http://EX.com", "http://ex.com", 0L, 0L))
+    cases.map { case (id, url, _, _, _) => (id, url) }
+      .toDF("doc_id", "url").createOrReplaceTempView("raw_urls_spec")
+    val out = spark.sql(DedupQueries.urlCanonSpark("raw_urls_spec"))
+      .select($"doc_id", $"canon", $"stripped_ct", $"had_frag")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getInt(3).toLong))).toMap
+    cases.foreach { case (id, url, canon, stripped, frag) =>
+      assert(out(id) == ((canon, stripped, frag)),
+        s"url $url → expected ($canon, $stripped, $frag), got ${out(id)}")
+    }
+  }
 }
