@@ -288,6 +288,49 @@ object ScaleProbe {
         s"""{"metric":"time_probe","sizes":[$base,$big],""" +
         s""""size_ratio":$tRatio,"time_growth":{$entries}}""")
     }
+
+    // ---- second-octave probe (VERDICT r11 #4): a quadratic with a small
+    // constant can hide inside ONE measured octave — the two worst 16×
+    // ratios (semdedup 13.73×, dupspan 10.28×) get a three-point run
+    // (base, mid, big — equal 4× steps) asserting the per-step ratio does
+    // not ACCELERATE. t = c + a·n amortizes its fixed cost, so step2 may
+    // legitimately exceed step1 (→ never compare steps to each other);
+    // t = a·n² shows step2 ≈ step-size² = 16 at a 4× step. ok per family =
+    // BOTH steps ≤ step-size × 1.3 — the same linear-with-noise bar the
+    // 16× block uses, now held at two consecutive octaves.
+    // Enabled via SPARK_GRAFT_TIME2_SIZES="base,mid,big".
+    sys.env.get("SPARK_GRAFT_TIME2_SIZES").foreach { spec =>
+      val Array(base, mid, big) = spec.split(",").map(_.trim.toLong)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def fams(n: Long): Seq[(String, () => Unit)] = Seq(
+        ("semdedup", () => SimilarityQueries.semdedupCandidatesAtScale(
+          synthEmbeddings(spark, n / 4), k = (n / 2500).toInt)
+          .count(): Unit),
+        ("dupspan", () => DedupQueries.dupspanDupOccurrences(
+          synthDocs(spark, n).localCheckpoint()).count(): Unit))
+      def once(n: Long): Map[String, Double] =
+        fams(n).map { case (k, f) => k -> timed(f()) }.toMap
+      val tBase = { // min-of-2, same JIT-warm-conservative rule as above
+        val r1 = once(base); val r2 = once(base)
+        r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+      }
+      val tMid = once(mid)
+      val tBig = once(big)
+      val (s1, s2) = (mid.toDouble / base, big.toDouble / mid)
+      val entries = Seq("semdedup", "dupspan").map { k =>
+        val r1 = tMid(k) / math.max(tBase(k), 0.001)
+        val r2 = tBig(k) / math.max(tMid(k), 0.001)
+        val ok = r1 <= s1 * 1.3 && r2 <= s2 * 1.3
+        f""""$k":{"base_s":${tBase(k)}%.2f,"mid_s":${tMid(k)}%.2f,""" +
+          f""""big_s":${tBig(k)}%.2f,"step1":$r1%.2f,"step2":$r2%.2f,""" +
+          f""""ok":$ok}"""
+      }.mkString(",")
+      println(
+        s"""{"metric":"time_probe2","sizes":[$base,$mid,$big],""" +
+        s""""step_ratios":[$s1,$s2],"time_growth":{$entries}}""")
+    }
     spark.stop()
   }
 }

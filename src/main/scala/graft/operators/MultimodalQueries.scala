@@ -226,6 +226,82 @@ object MultimodalQueries extends QueryModule {
         .orderBy($"id_a", $"id_b")
     },
 
+    // PERCEPTUAL frame near-dup (VERDICT r11 #5): q92b's md5 fingerprint is
+    // defeated by a one-byte change; this is the aHash move image dedup
+    // actually uses — per frame, 64 cell "brightnesses" (4-byte sums over
+    // the stub-decode seam's raw bytes; a codec drop-in would feed pixel
+    // blocks through the identical shape), bit i = cell_i above the frame
+    // mean (all-integer: cell·64 > total), packed into 16 hex chars. Pairs:
+    // 4-band Hamming-bucket join (a ≤3-bit difference leaves ≥1 band intact
+    // — pigeonhole, EXACT recall at the τ = 3 verify bar, unlike the
+    // probabilistic text-LSH paths) through the q73 salted cap, then the
+    // q78c packed-xor/popcount verify. Cross-video rollup only. Scale: the
+    // fingerprint pass is map-side; pairs come from bucket equi-joins —
+    // never all-pairs — and the verify join touches candidates only.
+    q("q244_frame_perceptual_dedup", {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT fid AS doc_id, $b AS band, substr(ahash, ${4 * b + 1}, 4) AS bh FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH idx AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, greatest(
+         |           CAST(ceil(length(text) / 256.0) AS INT), 1))) AS i
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, i,
+         |         substring(text, CAST(i * 256 + 1 AS INT), 256) AS frame
+         |  FROM idx),
+         |cel AS (
+         |  SELECT doc_id, i,
+         |    list_transform(range(1, 65), c ->
+         |      ascii(substr(frame, CAST(c * 4 - 3 AS INT), 1)) +
+         |      ascii(substr(frame, CAST(c * 4 - 2 AS INT), 1)) +
+         |      ascii(substr(frame, CAST(c * 4 - 1 AS INT), 1)) +
+         |      ascii(substr(frame, CAST(c * 4 AS INT), 1))) AS cells
+         |  FROM fr),
+         |tot AS (SELECT doc_id, i, cells,
+         |        list_reduce(cells, (a, b) -> a + b) AS total FROM cel),
+         |sig AS (
+         |  SELECT doc_id, i, doc_id * 4096 + i AS fid,
+         |    array_to_string(list_transform(range(1, 17), j ->
+         |      substr('0123456789abcdef',
+         |        (CASE WHEN cells[4 * j - 3] * 64 > total THEN 8 ELSE 0 END) +
+         |        (CASE WHEN cells[4 * j - 2] * 64 > total THEN 4 ELSE 0 END) +
+         |        (CASE WHEN cells[4 * j - 1] * 64 > total THEN 2 ELSE 0 END) +
+         |        (CASE WHEN cells[4 * j] * 64 > total THEN 1 ELSE 0 END) + 1,
+         |        1)), '') AS ahash
+         |  FROM tot),
+         |bands AS (
+         |$bandSelects),
+         |ranked AS (
+         |  SELECT band, bh, doc_id,
+         |         (ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id)
+         |          - 1) // ${DedupQueries.defaultBucketCap} AS salt
+         |  FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS fa, b.doc_id AS fb
+         |  FROM ranked a JOIN ranked b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.salt = b.salt
+         |    AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT c.fa // 4096 AS id_a, c.fb // 4096 AS id_b,
+         |    CAST(bit_count(xor(('0x' || sa.ahash)::UBIGINT,
+         |                       ('0x' || sb.ahash)::UBIGINT)) AS INT)
+         |      AS hamming
+         |  FROM cand c
+         |  JOIN sig sa ON sa.fid = c.fa
+         |  JOIN sig sb ON sb.fid = c.fb
+         |  WHERE bit_count(xor(('0x' || sa.ahash)::UBIGINT,
+         |                      ('0x' || sb.ahash)::UBIGINT)) <= 3
+         |    AND c.fa // 4096 <> c.fb // 4096)
+         |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_near_frames,
+         |       MIN(hamming) AS min_hamming
+         |FROM ver GROUP BY id_a, id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { spark =>
+      frameAhashPairs(spark.table("documents"))
+    },
+
     // Content-defined chunking dedup (the FastCDC/rsync family — storage-
     // level dedup for media payloads): a rolling hash cuts each payload at
     // content-determined boundaries (min 16 / mask 6 bits / max 128
@@ -281,6 +357,74 @@ object MultimodalQueries extends QueryModule {
         }
       }
       .toDF("doc_id", "idx", "clen", "digest")
+  }
+
+  /** q244's perceptual frame fingerprints over any (doc_id, text) corpus:
+    * (doc_id, i, fid, ahash) — one 16-hex-char aHash per 256-byte frame
+    * (64 integer cell sums, bit = cell above frame mean via cell·64 >
+    * total; no doubles anywhere). `fid = doc_id·4096 + i` packs the frame
+    * identity for the shared pair machinery (fixture frames per doc ≪
+    * 4096; a production key stays a struct). Checkpointed: the relation
+    * feeds both the band explode and the packed-XOR verify join
+    * (multi-consumer rule). */
+  private[graft] def frameAhashSigs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val frameSize = 256
+    val nFrames = ceil(length($"text") / lit(frameSize.toDouble))
+      .cast(IntegerType)
+    val frames = graft.sources.Tables.spread(docs.select($"doc_id", $"text"))
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("i"))
+      .select($"doc_id", $"i",
+        substring($"text", $"i" * frameSize + 1, lit(frameSize)).as("frame"))
+    def cellAt(c: Column): Column =
+      ascii(substring($"frame", c * 4 - 3, lit(1))) +
+        ascii(substring($"frame", c * 4 - 2, lit(1))) +
+        ascii(substring($"frame", c * 4 - 1, lit(1))) +
+        ascii(substring($"frame", c * 4, lit(1)))
+    // cells/total in their own projections before the hex lambda (the
+    // interpreted-HOF no-CSE rule)
+    frames
+      .withColumn("cells",
+        transform(graft.api.Canon.seq1(lit(64)), c => cellAt(c)))
+      .withColumn("total", aggregate($"cells", lit(0), (a, x) => a + x))
+      .select($"doc_id", $"i", ($"doc_id" * 4096 + $"i").as("fid"),
+        array_join(transform(graft.api.Canon.seq1(lit(16)), j => {
+          def bit(k: Column, w: Int): Column =
+            when(element_at($"cells", k) * 64 > $"total", lit(w))
+              .otherwise(lit(0))
+          substring(lit("0123456789abcdef"),
+            bit(j * 4 - 3, 8) + bit(j * 4 - 2, 4) + bit(j * 4 - 1, 2) +
+              bit(j * 4, 1) + lit(1), lit(1))
+        }), "").as("ahash"))
+      .localCheckpoint()
+  }
+
+  /** q244's full pair pipeline over any (doc_id, text) corpus — banded
+    * Hamming buckets through the q73 salted cap, q78c packed-xor/popcount
+    * verify at τ = 3, cross-doc rollup. Exposed for the planted-near-dup
+    * liveness spec (the spec feeds crafted frames through exactly this). */
+  private[graft] def frameAhashPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sig = frameAhashSigs(docs)
+    val bands = sig.select($"fid".as("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring($"ahash", 4 * b + 1, 4).as("bh"))): _*)).as("s"))
+      .select($"s.band".as("band"), $"s.bh".as("bh"), $"doc_id")
+    val packs = sig.select($"fid",
+      graft.functions.VectorExpressions.hexPack16($"ahash").as("pk"))
+    DedupQueries.saltedBucketPairs(bands, DedupQueries.defaultBucketCap)
+      .join(packs.select($"fid".as("id_a"), $"pk".as("pa")), "id_a")
+      .join(packs.select($"fid".as("id_b"), $"pk".as("pb")), "id_b")
+      .select(expr("id_a div 4096").as("da"),
+        expr("id_b div 4096").as("db"),
+        bit_count($"pa".bitwiseXOR($"pb")).cast(IntegerType).as("hamming"))
+      .filter($"hamming" <= 3 && $"da" =!= $"db")
+      .groupBy($"da".as("id_a"), $"db".as("id_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_near_frames"),
+        min($"hamming").as("min_hamming"))
+      .orderBy($"id_a", $"id_b")
   }
 
   /** The gear rolling-hash table: a deterministic Knuth-multiplicative

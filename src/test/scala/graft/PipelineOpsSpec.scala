@@ -1947,4 +1947,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.map(_._4).sum - b) < 0.01,
       s"${got.map(_._4).sum} != $b")
   }
+
+  test("q244 perceptual frame dedup: planted near-dup survives a byte edit " +
+      "that defeats md5") {
+    import spark.implicits._
+    // doc 1: two frames of clearly bimodal content (cells far from the
+    // mean, so single-byte noise cannot flip unrelated borderline bits);
+    // doc 2: same frames with (a) one char changed in frame 0 — aHash
+    // IDENTICAL, md5 different — and (b) one whole 4-byte cell rewritten
+    // in frame 1 — exactly one bit flips (hamming 1). q92b's exact-md5
+    // join finds NEITHER; the perceptual path must find both frames.
+    val f0 = "a" * 128 + "z" * 128
+    val f1 = "z" * 128 + "a" * 128
+    val f0edit = "a" * 60 + "b" + "a" * 67 + "z" * 128 // one byte inside a cell
+    val f1edit = "z" * 128 + "a" * 60 + "zzzz" + "a" * 64 // one whole cell
+    val docs = Seq((1L, f0 + f1), (2L, f0edit + f1edit)).toDF("doc_id", "text")
+    val pairs = graft.operators.MultimodalQueries.frameAhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(pairs.length == 1, pairs.toSeq)
+    val (a, b2, n, minH) = pairs.head
+    assert((a, b2) == ((1L, 2L)))
+    assert(n == 2L, s"both planted near-dup frames must match, got $n")
+    assert(minH <= 3)
+    // ...and md5 equality (q92b's fingerprint) really is defeated
+    assert(java.security.MessageDigest.getInstance("MD5").digest(
+      f0.getBytes("UTF-8")).toSeq !=
+      java.security.MessageDigest.getInstance("MD5").digest(
+        f0edit.getBytes("UTF-8")).toSeq)
+    // signature sanity: byte-edit frame pins hamming 0, cell-edit ≤ 3
+    val sigs = graft.operators.MultimodalQueries.frameAhashSigs(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    assert(sigs((1L, 0)) == sigs((2L, 0)),
+      "a single-byte edit inside a cell must not move the aHash")
+    assert(sigs((1L, 1)) != sigs((2L, 1)),
+      "a whole-cell rewrite must move the aHash (within the verify bar)")
+  }
 }
