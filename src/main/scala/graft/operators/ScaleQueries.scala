@@ -555,6 +555,71 @@ object ScaleQueries extends QueryModule {
         .orderBy($"blk")
     },
 
+    // Tokenizer-TRUE sequence packing (VERDICT r11 #6): q223/q232/q233
+    // budget in whitespace tokens, but real context budgets are TOKENIZER
+    // tokens — so this op re-counts every document in q192's learned BPE
+    // units (the memoized bpeShared merge chain, shared with q192/q200 —
+    // trained ONCE per session/fixture) and runs the identical greedy
+    // first-fit block packing on those counts. Per-doc count = one
+    // vocab-sized join (word → |syms| after the learned merges) + one
+    // map-side rollup; the packing fold is q223's bounded 64-doc block
+    // state with a BPE-scaled budget. All-integer → fully hash-checked.
+    q("q245_bpe_packing",
+      s"""WITH RECURSIVE ${TextQueries.bpeCtes(TextQueries.bpeRounds)},
+         |pd AS (
+         |  SELECT doc_id, word FROM
+         |    (SELECT doc_id, unnest(${TextQueries.tokSql}) AS word
+         |     FROM documents) x
+         |  WHERE len(word) > 0),
+         |cnt AS (
+         |  SELECT pd.doc_id,
+         |         CAST(SUM(len(w${TextQueries.bpeRounds}.syms)) AS BIGINT)
+         |           AS n
+         |  FROM pd JOIN w${TextQueries.bpeRounds}
+         |    ON w${TextQueries.bpeRounds}.word = pd.word
+         |  GROUP BY pd.doc_id),
+         |t AS (
+         |  SELECT d.doc_id, d.doc_id // $packBlock AS blk,
+         |         COALESCE(cnt.n, 0) AS n,
+         |         ROW_NUMBER() OVER (PARTITION BY d.doc_id // $packBlock
+         |                            ORDER BY d.doc_id) AS rn
+         |  FROM documents d LEFT JOIN cnt USING (doc_id)),
+         |s AS (
+         |  SELECT blk, rn, doc_id, n,
+         |         CAST(1 AS BIGINT) AS pack, n AS fill,
+         |         CAST(1 AS BIGINT) AS pos
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.blk, t.rn, t.doc_id, t.n,
+         |    CASE WHEN s.fill + t.n > $bpePackBudget THEN s.pack + 1
+         |         ELSE s.pack END,
+         |    CASE WHEN s.fill + t.n > $bpePackBudget THEN t.n
+         |         ELSE s.fill + t.n END,
+         |    CASE WHEN s.fill + t.n > $bpePackBudget THEN CAST(1 AS BIGINT)
+         |         ELSE s.pos + 1 END
+         |  FROM s JOIN t ON t.blk = s.blk AND t.rn = s.rn + 1)
+         |SELECT doc_id, blk, pack AS pack_id, pos AS pack_pos,
+         |       n AS n_bpe_tokens
+         |FROM s ORDER BY doc_id""".stripMargin) { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      val (_, fw) = TextQueries.bpeShared(spark)
+      val pd = spark.table("documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+        .filter(length($"word") > 0)
+      val cnt = pd
+        .join(fw.select($"word", size($"syms").cast(LongType).as("sl")),
+          Seq("word"))
+        .groupBy($"doc_id").agg(sum($"sl").cast(LongType).as("n"))
+      val counts = spark.table("documents").select($"doc_id")
+        .join(cnt, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n", lit(0L)).as("n"))
+      packCounts(counts, bpePackBudget)
+        .select($"doc_id", $"blk", $"pack_id", $"pack_pos",
+          $"n_tokens".as("n_bpe_tokens"))
+        .orderBy($"doc_id")
+    },
+
     // Table profiling (the SUMMARIZE / ANALYZE surface): per-column row,
     // null, and EXACT distinct counts over `orders`. Shape: one branch per
     // column, each a global aggregate over a scan pruned to THAT column —
@@ -840,6 +905,11 @@ object ScaleQueries extends QueryModule {
     * docs, so the per-block fold is bounded at any corpus size. */
   private[graft] val packBlock = 64L
 
+  /** q245's token budget in BPE units — after only [[TextQueries.bpeRounds]]
+    * merges a symbol is ≈ one character, so the BPE-true budget sits near
+    * the character scale the way q223's sits at the whitespace scale. */
+  private[graft] val bpePackBudget = 1024L
+
   /** q223/q224's shared packing relation over the fixture corpus,
     * memoized per (session, fixture dir) ([[Memo.cached]]). */
   private def sequencePacking(
@@ -856,9 +926,20 @@ object ScaleQueries extends QueryModule {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.types._
-    val toks = docs.select($"doc_id",
-      expr(s"doc_id div $packBlock").as("blk"),
-      size(split(lower($"text"), " ")).cast(LongType).as("n"))
+    packCounts(docs.select($"doc_id",
+      size(split(lower($"text"), " ")).cast(LongType).as("n")), packBudget)
+  }
+
+  /** The packing fold itself over any (doc_id, n) count relation — q223
+    * feeds whitespace counts, q245 feeds BPE symbol counts (a budget is a
+    * TOKENIZER-true number there); same greedy first-fit per 64-doc block,
+    * same bounded state. */
+  private[graft] def packCounts(counts: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    import counts.sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    val toks = counts.select($"doc_id",
+      expr(s"doc_id div $packBlock").as("blk"), $"n")
     val outT = ArrayType(StructType(Seq(
       StructField("doc_id", LongType), StructField("pack", LongType),
       StructField("pos", LongType), StructField("n", LongType))))
@@ -871,7 +952,7 @@ object ScaleQueries extends QueryModule {
         (acc, x) => {
           val n = x.getField("n")
           val newPack = acc.getField("pack") === 0L ||
-            acc.getField("fill") + n > packBudget
+            acc.getField("fill") + n > budget
           val pack = when(newPack, acc.getField("pack") + 1L)
             .otherwise(acc.getField("pack"))
           val pos = when(newPack, lit(1L)).otherwise(acc.getField("pos") + 1L)

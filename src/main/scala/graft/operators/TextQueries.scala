@@ -23,7 +23,7 @@ import graft.sources.Tables
 object TextQueries extends QueryModule {
 
   /** Whitespace tokenizer both engines spell identically. */
-  private val tokSql = "string_split(lower(text), ' ')"
+  private[graft] val tokSql = "string_split(lower(text), ' ')"
 
   /** q139/q217's fixed lexical query. */
   private val bm25Terms = Seq("join", "vector", "fast")
@@ -3449,7 +3449,7 @@ object TextQueries extends QueryModule {
     * per-round pair counts pcR, argmax mR, merged words wR. Unreferenced
     * tail CTEs are pruned by DuckDB, so q192 (merges only) and q200 (the
     * final w$rounds) share one spelling. */
-  private def bpeCtes(rounds: Int): String = {
+  private[graft] def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""px$r AS (SELECT c, syms, unnest(range(1, len(syms))) AS i
          |        FROM w${r - 1}),
