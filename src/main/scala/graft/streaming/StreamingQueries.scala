@@ -520,4 +520,89 @@ object StreamingQueries extends QueryModule {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update)
   }
+
+  // ---- incremental semantic dedup (q119's ingestion twin, VERDICT r11 #7)
+
+  /** Exact replica of the batch scoring chain: the codegen'd
+    * `graft_dot` left fold (s += a(i)·b(i) in index order), the same
+    * division shape `dot/(√dot·√dot)`, then the Canon floor-round — so a
+    * streaming cosine equals the batch column bit-for-bit. */
+  private[graft] def cosScala(a: Array[Double], b: Array[Double],
+      scale: Double): Double = {
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var s = 0.0d; var i = 0
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      * scale + 0.5) / scale
+  }
+
+  /** The FROZEN-cluster assignment an arriving embedding gets — the same
+    * argmax the batch `assignOf` computes (r6-rounded cosine DESC, cluster
+    * id ASC) against the memoized, already-trained centroids. Incremental
+    * ingestion never re-trains: the cluster structure is the trained
+    * artifact, new vectors only route through it. */
+  private[graft] def semdedupAssign(emb: Array[Double],
+      cents: Seq[(Int, Array[Double])]): Int =
+    cents.map { case (cl, cemb) => (cl, cosScala(emb, cemb, 1e6)) }
+      .sortBy { case (cl, c) => (-c, cl) }.head._1
+
+  /** q119's drop rule as per-cluster streaming state: each arriving
+    * embedding compares against every ALREADY-ARRIVED member of its
+    * cluster with a lower id (kept or dropped — the batch pair surface
+    * conditions only on id order), emits a drop row (dropped, keeper =
+    * lowest matching id, cluster, that pair's r4 cosine) when any r4
+    * cosine clears τ, then joins the cluster state itself. State is the
+    * cluster's member list — bounded by cluster width, the same bound the
+    * batch per-cluster pair join rides; rows apply in vec_id order within
+    * a micro-batch and the ingestion contract is id-ordered arrival (the
+    * event-time contract every twin here shares). */
+  private[graft] class SemdedupProcessor(tau: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, (Int, Long, Array[Double]), (Long, Long, Int, Double)] {
+    @transient private var st: org.apache.spark.sql.streaming.ListState[
+      (Long, Array[Double])] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getListState[(Long, Array[Double])]("members",
+        org.apache.spark.sql.Encoders.product[(Long, Array[Double])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(cl: Int,
+        rows: Iterator[(Int, Long, Array[Double])],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Int, Double)] = {
+      val members = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Array[Double])]
+      members ++= st.get()
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Int, Double)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, emb) =>
+        val hits = members.iterator
+          .filter { case (ida, _) => ida < id }
+          .map { case (ida, ea) => (ida, cosScala(ea, emb, 1e4)) }
+          .filter { case (_, c) => c >= tau }
+        if (hits.hasNext) {
+          val (keeper, cos) = hits.minBy(_._1)
+          out += ((id, keeper, cl, cos))
+        }
+        members += ((id, emb))
+        st.appendValue((id, emb))
+      }
+      out.iterator
+    }
+  }
+
+  /** (cl, vec_id, emb) stream → (dropped, keeper, cl, cos) drop rows via
+    * [[SemdedupProcessor]] at q119's τ = 0.4. */
+  private[graft] def semdedupStreamingState(
+      rows: org.apache.spark.sql.Dataset[(Int, Long, Array[Double])])
+      : org.apache.spark.sql.Dataset[(Long, Long, Int, Double)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new SemdedupProcessor(0.4),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
 }

@@ -740,6 +740,68 @@ class StreamingSpec extends SparkSpec {
     assert(batchPairs.nonEmpty, "fixture must contain planted near-dups")
   }
 
+  test("streaming semantic dedup equals q119's batch drop set across a " +
+      "batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Tables.register(spark, sf)
+    import graft.operators.SimilarityQueries
+    // frozen trained artifact: the memoized centroids — incremental
+    // ingestion routes new vectors through them, never re-trains
+    val centFrame = SimilarityQueries.ivfCentroids(spark)
+    val cents = centFrame.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+    val assigned = SimilarityQueries.ivfAssign(spark, centFrame)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    // the twin's frozen-cluster argmax must equal the batch assignment for
+    // every fixture vector (same r6 cosine, same tie rule)
+    assigned.foreach { case (id, emb, cl) =>
+      assert(graft.streaming.StreamingQueries.semdedupAssign(emb, cents)
+        == cl, s"assignment diverged for vec $id")
+    }
+    // id-ordered arrival split mid-stream: a cluster's member state must
+    // carry the micro-batch boundary (late vectors compare against early
+    // arrivals held in RocksDB state)
+    val arrivals = assigned.map { case (id, emb, cl) => (cl, id, emb) }
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val ms = MemoryStream[(Int, Long, Array[Double])]
+    val out = graft.streaming.StreamingQueries
+      .semdedupStreamingState(ms.toDS())
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q = out.toDF("dropped", "keeper", "cl", "cos")
+      .writeStream.format("memory").queryName("t_semdedup")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(first: _*)
+      q.processAllAvailable()
+      ms.addData(second: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    }
+    // drop decisions are final on arrival; the union of both batches'
+    // emissions is the drop set. Cosines are the identical IEEE fold +
+    // r4 floor-round on both paths → EXACT equality, doubles included.
+    val got = spark.table("t_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val batch = SparkEntry.queries("q119_semantic_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == batch,
+      s"stream-only: ${(got.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- got.toSet).take(3)}")
+    assert(batch.nonEmpty, "fixture must contain semantic near-dups")
+  }
+
   test("streaming bitmap distinct state equals the batch popcounts") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
