@@ -177,6 +177,14 @@ object ScaleProbe {
         "linkage" -> DedupQueries.saltedBucketPairs(
           DedupQueries.linkageBlockRows(synthParts(spark, n)),
           DedupQueries.defaultBucketCap).count(),
+        // q244 path: perceptual-frame Hamming-bucket candidates through the
+        // salted cap — frames are linear in corpus BYTES and near-dup
+        // density is constant (cluster members share frames), so candidates
+        // track the frame count like every capped pair family
+        "ahash" -> DedupQueries.saltedBucketPairs(
+          MultimodalQueries.frameAhashBandRows(
+            MultimodalQueries.frameAhashSigs(docs)),
+          DedupQueries.defaultBucketCap).count(),
         // q194 path: stitch candidates from the boundary-key equi-join —
         // synth docs have near-unique 30-word bodies, so candidates track
         // the page count (≈1 stitch per doc) through the df cap
@@ -202,7 +210,7 @@ object ScaleProbe {
     val paths = Seq("minhash", "simhash16", "simhash32", "ppjoin", "ann",
       "semdedup", "meanfold", "containment", "tfidf", "cdc", "dupspan",
       "align", "winnow", "chunking", "basket", "trigram", "bitmap",
-      "linkage", "stitch", "aresPrune")
+      "linkage", "stitch", "ahash", "aresPrune")
     def arr(p: String): String = s"[${lo(p)},${hi(p)}]"
     val growth = paths
       .map(p => f""""$p":${hi(p).toDouble / math.max(lo(p), 1)}%.2f""")

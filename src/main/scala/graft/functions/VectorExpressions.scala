@@ -243,4 +243,93 @@ object VectorExpressions {
   /** Column API: pack 32 sign bits starting at `offset` (0-based). */
   def signPack32(a: Column, offset: Column): Column =
     Bridge.column(SignPack32(Bridge.expression(a), Bridge.expression(offset)))
+
+  /** q244's perceptual frame fingerprint: 16 lowercase-hex chars encoding
+    * 64 aHash bits over an ≤256-byte ASCII frame — cell c (0-based) sums
+    * bytes 4c..4c+3 (missing tail bytes read 0), bit c = cell_c·64 > total,
+    * nibble j packs bits 4j..4j+3 (first bit highest). Bit-identical to the
+    * interpreted spelling `ascii(substring(frame, p, 1))` sums + the CASE
+    * nibble build (the committed DuckDB oracle chain) on ASCII input —
+    * the fixture contract (q92's octet_length == length assert); non-ASCII
+    * frames are outside the contract like HexPack16's non-hex input. One
+    * pass, zero boxing — replaces 256 interpreted HOF lambda calls per
+    * frame (q244 measured 3.1 s at sf0.1 on the lambda spelling). */
+  case class Ahash16(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_ahash16"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val n = math.min(s.numBytes(), 256)
+      val cells = new Array[Int](64)
+      var i = 0
+      while (i < n) { cells(i >> 2) += s.getByte(i) & 0xff; i += 1 }
+      var total = 0
+      i = 0
+      while (i < 64) { total += cells(i); i += 1 }
+      val out = new Array[Byte](16)
+      var j = 0
+      while (j < 16) {
+        var nib = 0
+        var b = 0
+        while (b < 4) {
+          nib = (nib << 1) | (if (cells(j * 4 + b) * 64 > total) 1 else 0)
+          b += 1
+        }
+        out(j) = Ahash16.hexDigits(nib)
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n")
+        val cells = ctx.freshName("cells")
+        val total = ctx.freshName("total")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val b = ctx.freshName("b")
+        val nib = ctx.freshName("nib")
+        s"""
+           |int $n = java.lang.Math.min($in.numBytes(), 256);
+           |int[] $cells = new int[64];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $cells[$i >> 2] += $in.getByte($i) & 0xFF;
+           |}
+           |int $total = 0;
+           |for (int $i = 0; $i < 64; $i++) $total += $cells[$i];
+           |byte[] $out = new byte[16];
+           |for (int $j = 0; $j < 16; $j++) {
+           |  int $nib = 0;
+           |  for (int $b = 0; $b < 4; $b++) {
+           |    $nib = ($nib << 1) | (($cells[$j * 4 + $b] * 64 > $total) ? 1 : 0);
+           |  }
+           |  $out[$j] = graft.functions.VectorExpressions.Ahash16.hexDigit($nib);
+           |}
+           |${ev.value} = UTF8String.fromBytes($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object Ahash16 {
+    private[functions] val hexDigits: Array[Byte] =
+      "0123456789abcdef".getBytes("US-ASCII")
+    /** Codegen helper (generated Java can't see the private array). */
+    def hexDigit(nib: Int): Byte = hexDigits(nib)
+  }
+
+  /** Column API: 16-hex-char perceptual aHash of an ASCII frame string. */
+  def ahash16(c: Column): Column =
+    Bridge.column(Ahash16(Bridge.expression(c)))
 }

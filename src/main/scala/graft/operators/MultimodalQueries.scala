@@ -377,26 +377,14 @@ object MultimodalQueries extends QueryModule {
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("i"))
       .select($"doc_id", $"i",
         substring($"text", $"i" * frameSize + 1, lit(frameSize)).as("frame"))
-    def cellAt(c: Column): Column =
-      ascii(substring($"frame", c * 4 - 3, lit(1))) +
-        ascii(substring($"frame", c * 4 - 2, lit(1))) +
-        ascii(substring($"frame", c * 4 - 1, lit(1))) +
-        ascii(substring($"frame", c * 4, lit(1)))
-    // cells/total in their own projections before the hex lambda (the
-    // interpreted-HOF no-CSE rule)
+    // the fingerprint itself is the native codegen'd expression — the
+    // interpreted-HOF spelling (64 cell lambdas × 4 ascii/substring each,
+    // plus the 16-nibble CASE build) measured 3.1 s at sf0.1; the oracle
+    // keeps that spelling as the semantic definition and Ahash16 is
+    // bit-identical to it on the fixture's ASCII contract
     frames
-      .withColumn("cells",
-        transform(graft.api.Canon.seq1(lit(64)), c => cellAt(c)))
-      .withColumn("total", aggregate($"cells", lit(0), (a, x) => a + x))
       .select($"doc_id", $"i", ($"doc_id" * 4096 + $"i").as("fid"),
-        array_join(transform(graft.api.Canon.seq1(lit(16)), j => {
-          def bit(k: Column, w: Int): Column =
-            when(element_at($"cells", k) * 64 > $"total", lit(w))
-              .otherwise(lit(0))
-          substring(lit("0123456789abcdef"),
-            bit(j * 4 - 3, 8) + bit(j * 4 - 2, 4) + bit(j * 4 - 1, 2) +
-              bit(j * 4, 1) + lit(1), lit(1))
-        }), "").as("ahash"))
+        graft.functions.VectorExpressions.ahash16($"frame").as("ahash"))
       .localCheckpoint()
   }
 
@@ -404,14 +392,22 @@ object MultimodalQueries extends QueryModule {
     * Hamming buckets through the q73 salted cap, q78c packed-xor/popcount
     * verify at τ = 3, cross-doc rollup. Exposed for the planted-near-dup
     * liveness spec (the spec feeds crafted frames through exactly this). */
-  private[graft] def frameAhashPairs(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val sig = frameAhashSigs(docs)
-    val bands = sig.select($"fid".as("doc_id"),
+  /** q244's (band, bh, fid-as-doc_id) Hamming-bucket rows from a signature
+    * relation — split out so ScaleProbe's growth line counts exactly the
+    * production candidate stage. */
+  private[graft] def frameAhashBandRows(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    sig.select($"fid".as("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           substring($"ahash", 4 * b + 1, 4).as("bh"))): _*)).as("s"))
       .select($"s.band".as("band"), $"s.bh".as("bh"), $"doc_id")
+  }
+
+  private[graft] def frameAhashPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sig = frameAhashSigs(docs)
+    val bands = frameAhashBandRows(sig)
     val packs = sig.select($"fid",
       graft.functions.VectorExpressions.hexPack16($"ahash").as("pk"))
     DedupQueries.saltedBucketPairs(bands, DedupQueries.defaultBucketCap)
