@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,6 +65,57 @@ object MultimodalQueries extends QueryModule {
         (lit(64) + ($"doc_id" % 5) * 32).cast(IntegerType).as("height")).as("meta"),
       $"text".cast(BinaryType).as("payload"))
   }
+
+  /** q246's cut threshold: a scene cut is a step of ≥ this many of the 64
+    * aHash bits between consecutive frames — far above near-dup noise
+    * (q244 verifies at ≤ 3), far below the 32-bit expectation of unrelated
+    * content. */
+  private[graft] val sceneCutBits = 16
+
+  /** q244/q246's shared fingerprint relation over the fixture corpus,
+    * memoized per (session, fixture dir) — the standard multi-consumer
+    * promotion (two queries would otherwise rebuild the frame explode +
+    * ahash pass each; deterministic, so memo == fresh is spec-pinned in
+    * PipelineOpsSpec). */
+  private[graft] def frameSigs(spark: SparkSession): DataFrame =
+    Memo.cached(spark, "frame-ahash")(
+      frameAhashSigs(spark.table("documents")))
+
+  /** The q244/q246 oracle's shared frame-fingerprint chain: 256-byte frames
+    * of `documents.text`, 64 integer cell sums each, aHash = 16 hex chars
+    * (bit = cell·64 > frame total). This interpreted spelling IS the
+    * semantic definition; the Spark side computes it with the codegen'd
+    * `graft_ahash16` (bit-identical on the fixture's ASCII contract). */
+  private val ahashSigCtes: String =
+    """idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, greatest(
+      |           CAST(ceil(length(text) / 256.0) AS INT), 1))) AS i
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, i,
+      |         substring(text, CAST(i * 256 + 1 AS INT), 256) AS frame
+      |  FROM idx),
+      |cel AS (
+      |  SELECT doc_id, i,
+      |    list_transform(range(1, 65), c ->
+      |      ascii(substr(frame, CAST(c * 4 - 3 AS INT), 1)) +
+      |      ascii(substr(frame, CAST(c * 4 - 2 AS INT), 1)) +
+      |      ascii(substr(frame, CAST(c * 4 - 1 AS INT), 1)) +
+      |      ascii(substr(frame, CAST(c * 4 AS INT), 1))) AS cells
+      |  FROM fr),
+      |tot AS (SELECT doc_id, i, cells,
+      |        list_reduce(cells, (a, b) -> a + b) AS total FROM cel),
+      |sig AS (
+      |  SELECT doc_id, i, doc_id * 4096 + i AS fid,
+      |    array_to_string(list_transform(range(1, 17), j ->
+      |      substr('0123456789abcdef',
+      |        (CASE WHEN cells[4 * j - 3] * 64 > total THEN 8 ELSE 0 END) +
+      |        (CASE WHEN cells[4 * j - 2] * 64 > total THEN 4 ELSE 0 END) +
+      |        (CASE WHEN cells[4 * j - 1] * 64 > total THEN 2 ELSE 0 END) +
+      |        (CASE WHEN cells[4 * j] * 64 > total THEN 1 ELSE 0 END) + 1,
+      |        1)), '') AS ahash
+      |  FROM tot)""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -242,35 +294,7 @@ object MultimodalQueries extends QueryModule {
       val bandSelects = (0 until 4).map { b =>
         s"SELECT fid AS doc_id, $b AS band, substr(ahash, ${4 * b + 1}, 4) AS bh FROM sig"
       }.mkString("\nUNION ALL\n")
-      s"""WITH idx AS (
-         |  SELECT doc_id, text,
-         |         unnest(range(0, greatest(
-         |           CAST(ceil(length(text) / 256.0) AS INT), 1))) AS i
-         |  FROM documents),
-         |fr AS (
-         |  SELECT doc_id, i,
-         |         substring(text, CAST(i * 256 + 1 AS INT), 256) AS frame
-         |  FROM idx),
-         |cel AS (
-         |  SELECT doc_id, i,
-         |    list_transform(range(1, 65), c ->
-         |      ascii(substr(frame, CAST(c * 4 - 3 AS INT), 1)) +
-         |      ascii(substr(frame, CAST(c * 4 - 2 AS INT), 1)) +
-         |      ascii(substr(frame, CAST(c * 4 - 1 AS INT), 1)) +
-         |      ascii(substr(frame, CAST(c * 4 AS INT), 1))) AS cells
-         |  FROM fr),
-         |tot AS (SELECT doc_id, i, cells,
-         |        list_reduce(cells, (a, b) -> a + b) AS total FROM cel),
-         |sig AS (
-         |  SELECT doc_id, i, doc_id * 4096 + i AS fid,
-         |    array_to_string(list_transform(range(1, 17), j ->
-         |      substr('0123456789abcdef',
-         |        (CASE WHEN cells[4 * j - 3] * 64 > total THEN 8 ELSE 0 END) +
-         |        (CASE WHEN cells[4 * j - 2] * 64 > total THEN 4 ELSE 0 END) +
-         |        (CASE WHEN cells[4 * j - 1] * 64 > total THEN 2 ELSE 0 END) +
-         |        (CASE WHEN cells[4 * j] * 64 > total THEN 1 ELSE 0 END) + 1,
-         |        1)), '') AS ahash
-         |  FROM tot),
+      s"""WITH $ahashSigCtes,
          |bands AS (
          |$bandSelects),
          |ranked AS (
@@ -299,7 +323,51 @@ object MultimodalQueries extends QueryModule {
          |FROM ver GROUP BY id_a, id_b
          |ORDER BY id_a, id_b""".stripMargin
     }) { spark =>
-      frameAhashPairs(spark.table("documents"))
+      frameAhashPairsFromSigs(frameSigs(spark))
+    },
+
+    // Scene-cut detection (temporal segmentation — the other use of the
+    // q244 perceptual fingerprint): a cut is a LARGE Hamming step between
+    // CONSECUTIVE frames of the same video (τ_cut = 16 of 64 bits — well
+    // above near-dup noise), segments are the runs between cuts — the
+    // per-shot structure frame-sampling pipelines key on (sample per shot,
+    // not per fixed stride). Per video: frame count, cuts, segments, the
+    // longest segment, and the maximum step. All integer; the lag/step
+    // windows partition by doc_id only — one shuffle, linear at any
+    // corpus size (temporal comparison is per-video by construction,
+    // no cross-video work at all).
+    q("q246_scene_cuts",
+      s"""WITH $ahashSigCtes,
+         |pk AS (
+         |  SELECT doc_id, i, ('0x' || ahash)::UBIGINT AS v FROM sig),
+         |step AS (
+         |  SELECT doc_id, i,
+         |    CAST(bit_count(xor(v, lag(v) OVER
+         |      (PARTITION BY doc_id ORDER BY i))) AS INT) AS ham
+         |  FROM pk),
+         |cut AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN ham >= $sceneCutBits THEN 1 ELSE 0 END AS is_cut,
+         |    ham
+         |  FROM step),
+         |seg AS (
+         |  SELECT doc_id, i, ham, is_cut,
+         |    SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY i) AS seg_id
+         |  FROM cut),
+         |segs AS (
+         |  SELECT doc_id, seg_id, CAST(COUNT(*) AS BIGINT) AS seg_len
+         |  FROM seg GROUP BY doc_id, seg_id)
+         |SELECT s.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(SUM(s.is_cut) AS BIGINT) AS n_cuts,
+         |  CAST(SUM(s.is_cut) + 1 AS BIGINT) AS n_segments,
+         |  CAST(MAX(g.mx) AS BIGINT) AS longest_segment,
+         |  CAST(COALESCE(MAX(s.ham), 0) AS INT) AS max_step
+         |FROM seg s JOIN (SELECT doc_id, MAX(seg_len) AS mx FROM segs
+         |                 GROUP BY doc_id) g ON g.doc_id = s.doc_id
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin) { spark =>
+      sceneCutsFromSigs(frameSigs(spark))
     },
 
     // Content-defined chunking dedup (the FastCDC/rsync family — storage-
@@ -404,9 +472,11 @@ object MultimodalQueries extends QueryModule {
       .select($"s.band".as("band"), $"s.bh".as("bh"), $"doc_id")
   }
 
-  private[graft] def frameAhashPairs(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val sig = frameAhashSigs(docs)
+  private[graft] def frameAhashPairs(docs: DataFrame): DataFrame =
+    frameAhashPairsFromSigs(frameAhashSigs(docs))
+
+  private[graft] def frameAhashPairsFromSigs(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
     val bands = frameAhashBandRows(sig)
     val packs = sig.select($"fid",
       graft.functions.VectorExpressions.hexPack16($"ahash").as("pk"))
@@ -421,6 +491,40 @@ object MultimodalQueries extends QueryModule {
       .agg(count(lit(1)).cast(LongType).as("n_near_frames"),
         min($"hamming").as("min_hamming"))
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** q246's full scene-cut pipeline over any (doc_id, text) corpus —
+    * consecutive-frame Hamming steps on the q244 fingerprints, cuts at
+    * [[sceneCutBits]], per-video segment accounting. Exposed for the
+    * planted-cut liveness spec (the fixture's word-soup frames always cut,
+    * so the no-cut direction needs crafted frames). */
+  private[graft] def sceneCutsOf(docs: DataFrame): DataFrame =
+    sceneCutsFromSigs(frameAhashSigs(docs))
+
+  private[graft] def sceneCutsFromSigs(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    val pk = sig.select($"doc_id", $"i",
+      graft.functions.VectorExpressions.hexPack16($"ahash").as("v"))
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"i")
+    val seg = pk
+      .withColumn("ham",
+        bit_count($"v".bitwiseXOR(lag($"v", 1).over(wOrd)))
+          .cast(IntegerType))
+      .withColumn("is_cut",
+        when($"ham" >= sceneCutBits, 1).otherwise(0))
+      .withColumn("seg_id", sum($"is_cut").over(wOrd))
+    val longest = seg.groupBy($"doc_id", $"seg_id")
+      .agg(count(lit(1)).cast(LongType).as("seg_len"))
+      .groupBy($"doc_id").agg(max($"seg_len").as("mx"))
+    seg.groupBy($"doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_frames"),
+        sum($"is_cut").cast(LongType).as("n_cuts"),
+        (sum($"is_cut") + 1).cast(LongType).as("n_segments"),
+        coalesce(max($"ham"), lit(0)).cast(IntegerType).as("max_step"))
+      .join(longest, Seq("doc_id"))
+      .select($"doc_id", $"n_frames", $"n_cuts", $"n_segments",
+        $"mx".cast(LongType).as("longest_segment"), $"max_step")
+      .orderBy($"doc_id")
   }
 
   /** The gear rolling-hash table: a deterministic Knuth-multiplicative

@@ -1983,4 +1983,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sigs((1L, 1)) != sigs((2L, 1)),
       "a whole-cell rewrite must move the aHash (within the verify bar)")
   }
+
+  test("q246 scene cuts: planted cut detected, steady scene uncut") {
+    import spark.implicits._
+    // frame contents engineered bimodal (q244's trick): f0 and f1 have
+    // COMPLEMENTARY aHashes (hamming 64 — a hard cut); f0edit differs from
+    // f0 by one byte inside a cell (hamming 0 — same scene). The fixture's
+    // word-soup frames always step ≥ τ_cut, so the NO-cut direction only
+    // exists via crafted frames.
+    val f0 = "a" * 128 + "z" * 128
+    val f1 = "z" * 128 + "a" * 128
+    val f0edit = "a" * 60 + "b" + "a" * 67 + "z" * 128
+    val docs = Seq(
+      (1L, f0 + f0edit), // two frames, same scene: 0 cuts, longest 2
+      (2L, f0 + f1 + f1), // cut at frame 1, then steady: 1 cut, 2 segments
+      (3L, f0)) // single frame: degenerate — 0 cuts, 1 segment
+      .toDF("doc_id", "text")
+    val got = graft.operators.MultimodalQueries.sceneCutsOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getInt(5)))).toMap
+    // (n_frames, n_cuts, n_segments, longest_segment, max_step)
+    assert(got(1L) == ((2L, 0L, 1L, 2L, 0)), got(1L))
+    assert(got(2L) == ((3L, 1L, 2L, 2L, 64)), got(2L))
+    assert(got(3L) == ((1L, 0L, 1L, 1L, 0)), got(3L))
+  }
+
+  test("memoized frame fingerprints equal a fresh build bit-for-bit") {
+    graft.sources.Tables.register(spark, sf)
+    graft.sources.Tables.noteViewSwap(spark) // fresh generation: cold memo
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    val memoized = graft.operators.MultimodalQueries.frameSigs(spark)
+    val fresh = graft.operators.MultimodalQueries
+      .frameAhashSigs(spark.table("documents"))
+    assert(rows(memoized) == rows(fresh),
+      "memo == fresh must hold for the shared q244/q246 fingerprints")
+    assert(memoized eq graft.operators.MultimodalQueries.frameSigs(spark),
+      "second call must serve the cached frame")
+  }
 }
