@@ -184,6 +184,14 @@ object Engine {
       * (connection thread), hence atomic. */
     private[graft] val slowQueries = new java.util.concurrent.atomic.AtomicLong
 
+    /** The registered slow-query listener, unregistered by [[close]] so a
+      * departed connection leaves nothing behind on its session's listener
+      * bus (the bus itself holds only a sessionUUID string — verified
+      * against Spark 4.1.2's ExecutionListenerBus — so it never pins the
+      * SparkSession either way). */
+    private[Engine] var slowListener:
+        org.apache.spark.sql.util.QueryExecutionListener = _
+
     // Slow-query accounting seam. Session.sql returns a LAZY frame — the
     // engine never sees execution time there — so the counter hangs off
     // Spark's own action callback instead: a QueryExecutionListener on this
@@ -491,6 +499,9 @@ object Engine {
       // memos) — a long-lived server must not retain one SparkSession per
       // departed connection (ADVICE r09)
       graft.sources.Tables.release(spark)
+      if (slowListener != null)
+        try spark.listenerManager.unregister(slowListener)
+        catch { case _: Exception => () }
       Engine.lifecycle("close", connectionId, clusterId)
     }
   }
@@ -1300,7 +1311,7 @@ object Engine {
   private def registerSlowQueryListener(session: Session): Unit = {
     val weakSelf = new java.lang.ref.WeakReference(session)
     val connId = session.connectionId
-    session.spark.listenerManager.register(
+    val listener =
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
@@ -1315,7 +1326,9 @@ object Engine {
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             e: Exception): Unit = ()
-      })
+      }
+    session.spark.listenerManager.register(listener)
+    session.slowListener = listener
   }
 
   /** Live-connection registry (weak — a dropped Session disappears on GC):
