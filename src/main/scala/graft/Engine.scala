@@ -211,11 +211,13 @@ object Engine {
     // collectable, never fire (the EngineSpec GC-prune case catches it).
     Engine.registerSlowQueryListener(this)
 
-    /** `long_query_time` in seconds (fractional allowed, MySQL surface);
-      * unparsable values fall back to the 10 s default. */
+    /** `long_query_time` in seconds (fractional allowed, MySQL surface),
+      * published as a volatile snapshot by [[setSysVar]] so the
+      * listener-bus thread never reads the mutable sysVars map while the
+      * connection thread mutates it. */
+    @volatile private[Engine] var longQueryThresholdSnapshot: Double = 10.0
     private[Engine] def longQueryThresholdSec: Double =
-      try sysVars.getOrElse("long_query_time", "10").toDouble
-      catch { case _: NumberFormatException => 10.0 }
+      longQueryThresholdSnapshot
 
     /** The SHOW STATUS / COM_STATISTICS counter set (name, value-string). */
     private[Engine] def statusCounters: Seq[(String, String)] = Seq(
@@ -281,6 +283,13 @@ object Engine {
               else value
       sysVars(name) = v
       if (name == "time_zone") spark.conf.set("spark.sql.session.timeZone", v)
+      // the one sysvar read OFF-THREAD (the slow-query listener runs on the
+      // listener bus): publish through a volatile snapshot instead of
+      // letting another thread read the unsynchronized mutable map mid-SET
+      // (code-review r12)
+      if (name == "long_query_time")
+        longQueryThresholdSnapshot =
+          try v.toDouble catch { case _: NumberFormatException => 10.0 }
     }
     private[Engine] def setUserVar(name: String, value: String): Unit =
       userVars(name) = value
@@ -464,6 +473,7 @@ object Engine {
       inTrans = false
       sysVars.clear()
       sysVars ++= Engine.defaultSysVars
+      longQueryThresholdSnapshot = 10.0
     }
 
     /** Wire-level `LOAD DATA LOCAL INFILE` body: append client-supplied

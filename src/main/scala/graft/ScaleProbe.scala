@@ -312,12 +312,18 @@ object ScaleProbe {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      def fams(n: Long): Seq[(String, () => Unit)] = Seq(
-        ("semdedup", () => SimilarityQueries.semdedupCandidatesAtScale(
-          synthEmbeddings(spark, n / 4), k = (n / 2500).toInt)
-          .count(): Unit),
-        ("dupspan", () => DedupQueries.dupspanDupOccurrences(
-          synthDocs(spark, n).localCheckpoint()).count(): Unit))
+      // inputs built OUTSIDE the timed thunks, same as the 16× probe's
+      // families() — the probe times the production builders, not corpus
+      // synthesis (code-review r12)
+      def fams(n: Long): Seq[(String, () => Unit)] = {
+        val docs = synthDocs(spark, n).localCheckpoint()
+        val emb = synthEmbeddings(spark, n / 4).localCheckpoint()
+        Seq(
+          ("semdedup", () => SimilarityQueries.semdedupCandidatesAtScale(
+            emb, k = (n / 2500).toInt).count(): Unit),
+          ("dupspan", () => DedupQueries.dupspanDupOccurrences(docs)
+            .count(): Unit))
+      }
       def once(n: Long): Map[String, Double] =
         fams(n).map { case (k, f) => k -> timed(f()) }.toMap
       val tBase = { // min-of-2, same JIT-warm-conservative rule as above

@@ -78,8 +78,8 @@ object MultimodalQueries extends QueryModule {
     * ahash pass each; deterministic, so memo == fresh is spec-pinned in
     * PipelineOpsSpec). */
   private[graft] def frameSigs(spark: SparkSession): DataFrame =
-    Memo.cached(spark, "frame-ahash")(
-      frameAhashSigs(spark.table("documents")))
+    Memo.cached(spark, "frame-ahash")( // cached() does the ONE checkpoint
+      frameAhashSigsRaw(spark.table("documents")))
 
   /** The q244/q246 oracle's shared frame-fingerprint chain: 256-byte frames
     * of `documents.text`, 64 integer cell sums each, aHash = 16 hex chars
@@ -284,10 +284,12 @@ object MultimodalQueries extends QueryModule {
     // the stub-decode seam's raw bytes; a codec drop-in would feed pixel
     // blocks through the identical shape), bit i = cell_i above the frame
     // mean (all-integer: cell·64 > total), packed into 16 hex chars. Pairs:
-    // 4-band Hamming-bucket join (a ≤3-bit difference leaves ≥1 band intact
-    // — pigeonhole, EXACT recall at the τ = 3 verify bar, unlike the
-    // probabilistic text-LSH paths) through the q73 salted cap, then the
-    // q78c packed-xor/popcount verify. Cross-video rollup only. Scale: the
+    // 4-band Hamming-bucket join (a ≤3-bit difference leaves ≥1 band
+    // intact — pigeonhole, so recall at the τ = 3 verify bar is exact
+    // WITHIN a salt chunk; once a hot bucket overflows the q73 salted cap,
+    // cross-chunk pairs are traded away exactly like every capped family —
+    // q78b's bucket-stats machinery is the quantification pattern) then
+    // the q78c packed-xor/popcount verify. Cross-video rollup only. Scale: the
     // fingerprint pass is map-side; pairs come from bucket equi-joins —
     // never all-pairs — and the verify join touches candidates only.
     q("q244_frame_perceptual_dedup", {
@@ -435,7 +437,10 @@ object MultimodalQueries extends QueryModule {
     * 4096; a production key stays a struct). Checkpointed: the relation
     * feeds both the band explode and the packed-XOR verify join
     * (multi-consumer rule). */
-  private[graft] def frameAhashSigs(docs: DataFrame): DataFrame = {
+  private[graft] def frameAhashSigs(docs: DataFrame): DataFrame =
+    frameAhashSigsRaw(docs).localCheckpoint()
+
+  private[graft] def frameAhashSigsRaw(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val frameSize = 256
     val nFrames = ceil(length($"text") / lit(frameSize.toDouble))
@@ -453,13 +458,8 @@ object MultimodalQueries extends QueryModule {
     frames
       .select($"doc_id", $"i", ($"doc_id" * 4096 + $"i").as("fid"),
         graft.functions.VectorExpressions.ahash16($"frame").as("ahash"))
-      .localCheckpoint()
   }
 
-  /** q244's full pair pipeline over any (doc_id, text) corpus — banded
-    * Hamming buckets through the q73 salted cap, q78c packed-xor/popcount
-    * verify at τ = 3, cross-doc rollup. Exposed for the planted-near-dup
-    * liveness spec (the spec feeds crafted frames through exactly this). */
   /** q244's (band, bh, fid-as-doc_id) Hamming-bucket rows from a signature
     * relation — split out so ScaleProbe's growth line counts exactly the
     * production candidate stage. */
@@ -472,6 +472,10 @@ object MultimodalQueries extends QueryModule {
       .select($"s.band".as("band"), $"s.bh".as("bh"), $"doc_id")
   }
 
+  /** q244's full pair pipeline over any (doc_id, text) corpus — banded
+    * Hamming buckets through the q73 salted cap, q78c packed-xor/popcount
+    * verify at τ = 3, cross-doc rollup. Exposed for the planted-near-dup
+    * liveness spec (the spec feeds crafted frames through exactly this). */
   private[graft] def frameAhashPairs(docs: DataFrame): DataFrame =
     frameAhashPairsFromSigs(frameAhashSigs(docs))
 

@@ -1017,6 +1017,13 @@ final class MySqlServer private (listener: ServerSocket,
                       Option(sep).getOrElse("\t"), buf.toByteArray)
                     writePacket(out, sr.v, okPayload(session.statusFlags, n))
                   } catch {
+                    // a timeout or disconnect MID-UPLOAD must propagate to
+                    // the serve() reaper, NOT degrade to an ERR packet: the
+                    // chunk stream is half-consumed, so answering and
+                    // returning to the command loop would parse the rest of
+                    // the client's file bytes as command packets
+                    // (code-review r12 finding on the read-deadline change)
+                    case e @ (_: java.io.IOException) => throw e
                     case e: Engine.EngineError =>
                       writePacket(out, sr.v, errPayload(e))
                     case e: Exception => writePacket(out, sr.v, errPayload(
