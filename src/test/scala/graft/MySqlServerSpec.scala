@@ -1417,6 +1417,44 @@ class MySqlServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("mid-upload stall past the read deadline reaps the connection, " +
+      "never resynchronizes on file bytes") {
+    // a LOAD DATA LOCAL client that stalls mid-chunk-stream leaves the
+    // packet stream half-consumed; degrading the timeout to an ERR and
+    // returning to the command loop would parse the REST of the file as
+    // command packets (code-review r12). The only safe exit is the reaper:
+    // socket closed, session released.
+    val srv = MySqlServer.start(spark, backends, databases,
+      readTimeoutMs = 600)
+    try {
+      val c = login(srv.port, user = "prod.staller", extraCaps = 0x80)
+      val id = Engine.processList.find(_._2 == "staller")
+        .getOrElse(fail("wire session must appear in PROCESSLIST"))._1
+      c.writePacket(0, Array[Byte](0x03) ++
+        ("LOAD DATA LOCAL INFILE 'c.csv' INTO TABLE region " +
+          "FIELDS TERMINATED BY ','").getBytes(UTF_8))
+      val (reqSeq, req) = c.readPacket()
+      assert((req(0) & 0xFF) == 0xFB)
+      // one chunk, then silence — NO terminator packet
+      c.writePacket(reqSeq + 1, "7,stall\n".getBytes(UTF_8))
+      assert(c.eofReached(),
+        "server must close a connection stalled mid-upload, not answer it")
+      c.close()
+      var tries = 0
+      while (Engine.processList.exists(_._1 == id) && tries < 100) {
+        Thread.sleep(20); tries += 1
+      }
+      assert(!Engine.processList.exists(_._1 == id),
+        "stalled uploader must be reaped from PROCESSLIST")
+      // the half-finished upload appended nothing
+      val probe = login(srv.port)
+      val (_, n) = query(probe, "SELECT COUNT(*) AS n FROM region")
+      assert(n == Seq(Seq(Some("5"))),
+        "a reaped half-upload must not have appended rows")
+      probe.close()
+    } finally srv.close()
+  }
+
   test("AuthSwitchRequest drives a caching_sha2_password client to the native scramble") {
     val srv = MySqlServer.start(spark, backends, databases,
       passwords = Some(Map("prod.alice" -> "sekret")))
