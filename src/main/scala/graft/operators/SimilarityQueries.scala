@@ -1146,6 +1146,94 @@ object SimilarityQueries extends QueryModule {
         .orderBy($"src_a", $"src_b")
     },
 
+    // Embedding-space anisotropy / collapse diagnostics (Mu & Viswanath
+    // ICLR'18 "All-but-the-Top", Ethayarajh EMNLP'19): the
+    // representation-quality readout a pipeline runs before trusting
+    // cosine-based dedup/retrieval — a collapsed embedding space (one
+    // dominant direction, large common mean) makes every cosine look high.
+    // Computed on a DETERMINISTIC BOUNDED SAMPLE (TakeOrdered 512 by
+    // (md5(vec_id), vec_id) — the standard PCA-diagnostic practice, and
+    // the scale design: one corpus pass selects the sample + counts, and
+    // every downstream cost is O(sample·d²) REGARDLESS of corpus size):
+    // sample mean, centered d² covariance via single-level vec-ordered
+    // folds (the bounded sample caps every fold buffer, so no bucketing
+    // needed), the top eigenvalue via 4 deterministic power-iteration
+    // rounds (all-ones start, ordered-fold matvec — no convergence
+    // tolerance, both engines replay the exact double sequence), PC1's
+    // variance share, ‖μ‖², and the mean-offset share ‖μ‖²/E‖x‖². On the
+    // isotropic fixture var_explained sits at the 1/d floor and
+    // anisotropy near 0 — collapsed real embeddings spike both
+    // (spec-planted); the OPERATOR is the deliverable.
+    q("q247_embedding_anisotropy", {
+      def fold(listExpr: String): String =
+        s"list_reduce(list_prepend(0.0, $listExpr), (p, q) -> p + q)"
+      def vfold(structList: String, field: String): String =
+        fold(s"list_transform(list_sort($structList), q -> q.$field)")
+      def round(r: Int, prev: String): String =
+        s"""w$r AS (
+           |  SELECT i, list_sort(list(struct_pack(j := j, p := c * vj)))
+           |           AS ps
+           |  FROM cov JOIN $prev USING (j) GROUP BY i),
+           |ws$r AS (SELECT i, ${fold("list_transform(ps, q -> q.p)")} AS w
+           |         FROM w$r),
+           |nr$r AS (SELECT sqrt(${fold(
+                "list_transform(list_sort(list(struct_pack(i := i, " +
+                  "p := w * w))), q -> q.p)")}) AS nrm
+           |         FROM ws$r),
+           |v$r AS (SELECT i AS j, w / (SELECT nrm FROM nr$r) AS vj
+           |        FROM ws$r)""".stripMargin
+      s"""WITH eall AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |smp AS (
+         |  SELECT vec_id, emb FROM eall
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $anisotropySample),
+         |ex AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+         |              unnest(emb) AS x FROM smp),
+         |mu AS (
+         |  SELECT dim AS md,
+         |    ${vfold("list(struct_pack(v := vec_id, x := x))", "x")}
+         |      / CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM ex GROUP BY dim),
+         |cent AS (SELECT vec_id, dim, x - m AS cx
+         |         FROM ex JOIN mu ON dim = md),
+         |pr AS (SELECT a.dim AS i, b.dim AS j, a.vec_id AS vec_id,
+         |              a.cx * b.cx AS x
+         |       FROM cent a JOIN cent b ON a.vec_id = b.vec_id),
+         |cov AS (
+         |  SELECT i, j,
+         |    ${vfold("list(struct_pack(v := vec_id, x := x))", "x")}
+         |      / CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pr GROUP BY i, j),
+         |v0 AS (SELECT DISTINCT i AS j, CAST(1 AS DOUBLE) AS vj FROM cov),
+         |${round(1, "v0")},
+         |${round(2, "v1")},
+         |${round(3, "v2")},
+         |${round(4, "v3")},
+         |tr AS (SELECT ${fold(
+              "list_transform(list_sort(list(struct_pack(i := i, " +
+                "c := c))), q -> q.c)")} AS tr
+         |       FROM cov WHERE i = j),
+         |mu2 AS (SELECT ${fold(
+              "list_transform(list_sort(list(struct_pack(md := md, " +
+                "p := m * m))), q -> q.p)")} AS mu2
+         |        FROM mu),
+         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM eall),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM smp)
+         |SELECT n_corpus, n_sample,
+         |  floor(tr * 1000000 + 0.5) / 1000000 AS trace_var,
+         |  floor(nrm * 1000000 + 0.5) / 1000000 AS lambda1,
+         |  floor(nrm / tr * 10000 + 0.5) / 10000 AS var_explained,
+         |  floor(mu2 * 1000000 + 0.5) / 1000000 AS mean_sq_norm,
+         |  floor(mu2 / (tr + mu2) * 10000 + 0.5) / 10000 AS anisotropy
+         |FROM cnt, ns, tr, nr4, mu2""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      anisotropyOf(Tables.spread(spark.table("embeddings"))
+        .select($"vec_id", toD($"embedding").as("emb")))
+    },
+
     // Matryoshka truncation-fidelity eval (Kusupati et al., NeurIPS'22 —
     // the storage/serving question behind MRL embeddings: can the FIRST d
     // dims stand in for all 64?): rank the probe set by truncated cosine
@@ -1737,6 +1825,94 @@ object SimilarityQueries extends QueryModule {
     * Both levels are order-pinned, so every oracle replays the identical
     * IEEE association ([[meanFoldSql]]). Input carries (keys…, vec_id,
     * dim, x); output is (keys…, dim, cx). */
+
+  /** q247's sample cap: diagnostics run on the TakeOrdered-by-hash top
+    * [[anisotropySample]] vectors, so every downstream fold buffer and the
+    * d²-cell covariance cost are corpus-independent. */
+  private[graft] val anisotropySample = 512
+
+  /** q247's full computation over any (vec_id, emb double[]) corpus —
+    * deterministic bounded sample, sample mean + centered d² covariance
+    * via single-level vec-ordered folds, 4 power-iteration rounds, the
+    * readouts. Exposed for the planted-collapse liveness spec (the
+    * fixture is isotropic, so the spiking direction needs crafted
+    * vectors). */
+  private[graft] def anisotropyOf(eall: DataFrame): DataFrame = {
+    import eall.sparkSession.implicits._
+    // one corpus pass: the TakeOrdered hash sample (bounded at any scale)
+    val smp = eall
+      .withColumn("h", md5($"vec_id".cast("string").cast(BinaryType)))
+      .orderBy($"h", $"vec_id").limit(anisotropySample)
+      .select($"vec_id", $"emb")
+    val ex = smp
+      .select($"vec_id", posexplode($"emb").as(Seq("dim", "x")))
+      .localCheckpoint() // feeds the mean AND the centering join
+    def xfold(ps: Column): Column =
+      aggregate(ps, lit(0.0), (acc, s) => acc + s.getField("x"))
+    def foldP(ps: Column): Column =
+      aggregate(ps, lit(0.0), (acc, s) => acc + s.getField("p"))
+    val mu = ex.groupBy($"dim")
+      .agg(sort_array(collect_list(
+        struct($"vec_id".as("v"), $"x"))).as("ps"),
+        count(lit(1)).cast(LongType).as("cn"))
+      .select($"dim".as("md"), (xfold($"ps") / $"cn").as("m"))
+      .localCheckpoint() // feeds centering AND the mean-norm readout
+    val cent = ex.join(broadcast(mu), $"dim" === $"md")
+      .select($"vec_id", $"dim", ($"x" - $"m").as("cx"))
+      .localCheckpoint() // feeds both sides of the dim-pair product
+    val cov = cent.as("a").join(cent.as("b"), "vec_id")
+      .select($"a.dim".as("i"), $"b.dim".as("j"),
+        struct($"vec_id".as("v"), ($"a.cx" * $"b.cx").as("x")).as("vx"))
+      .groupBy($"i", $"j")
+      .agg(sort_array(collect_list($"vx")).as("ps"),
+        count(lit(1)).cast(LongType).as("cn"))
+      .select($"i", $"j", (xfold($"ps") / $"cn").as("c"))
+      .localCheckpoint() // the d²-row matrix every round re-joins
+    var v = cov.select($"i".as("j")).distinct()
+      .select($"j", lit(1.0).as("vj"))
+    var lambda: DataFrame = null
+    for (_ <- 1 to 4) {
+      // w/nrm materialized per round (the fixpoint rule): the norm rides a
+      // broadcast consumer beside v, so lazy rounds double lineage per
+      // round — measured 16.5 s vs ~3 s solo at sf0.1 on the first shape
+      val w = cov.join(v, "j")
+        .groupBy($"i")
+        .agg(sort_array(collect_list(
+          struct($"j", ($"c" * $"vj").as("p")))).as("ps"))
+        .select($"i", foldP($"ps").as("w"))
+        .localCheckpoint()
+      // nrm stays lazy: it derives from the CHECKPOINTED w, so its
+      // broadcast adds depth-1 lineage, not a doubling
+      val nrm = w
+        .agg(sort_array(collect_list(
+          struct($"i", ($"w" * $"w").as("p")))).as("ps"))
+        .select(sqrt(foldP($"ps")).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select($"i".as("j"), ($"w" / $"nrm").as("vj"))
+      lambda = nrm
+    }
+    val tr = cov.filter($"i" === $"j")
+      .agg(sort_array(collect_list(struct($"i", $"c".as("p")))).as("ps"))
+      .select(foldP($"ps").as("tr"))
+    val mu2 = mu
+      .agg(sort_array(collect_list(
+        struct($"md", ($"m" * $"m").as("p")))).as("ps"))
+      .select(foldP($"ps").as("mu2"))
+    eall.agg(count(lit(1)).cast(LongType).as("n_corpus"))
+      .crossJoin(broadcast(
+        smp.agg(count(lit(1)).cast(LongType).as("n_sample"))))
+      .crossJoin(broadcast(tr))
+      .crossJoin(broadcast(lambda))
+      .crossJoin(broadcast(mu2))
+      .select($"n_corpus", $"n_sample",
+        (floor($"tr" * 1000000 + 0.5) / 1000000).as("trace_var"),
+        (floor($"nrm" * 1000000 + 0.5) / 1000000).as("lambda1"),
+        (floor($"nrm" / $"tr" * 10000 + 0.5) / 10000).as("var_explained"),
+        (floor($"mu2" * 1000000 + 0.5) / 1000000).as("mean_sq_norm"),
+        (floor($"mu2" / ($"tr" + $"mu2") * 10000 + 0.5) / 10000)
+          .as("anisotropy"))
+  }
+
   private def meanFold(exploded: DataFrame, keys: Seq[String]): DataFrame = {
     import exploded.sparkSession.implicits._
     val kd = (keys :+ "dim").map(col)

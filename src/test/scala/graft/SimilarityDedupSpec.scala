@@ -511,4 +511,32 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(n < 600L * 599 / 2 && n > 0,
       s"salted cap must bound a degenerate cluster (got $n pairs)")
   }
+
+  test("q247 anisotropy: planted collapsed space spikes, isotropic stays " +
+      "at the floor") {
+    import spark.implicits._
+    // deterministic crafted vectors (sin/cos of the id — no RNG): the
+    // COLLAPSED space has a large common offset and one dominant direction;
+    // the CONTROL spreads equal variance over all 8 dims
+    def vecs(offset: Double, dominant: Boolean) = (0 until 200).map { k =>
+      val v = Array.tabulate(8) { d =>
+        if (dominant)
+          offset + (if (d == 0) math.sin(k.toDouble)
+                    else 0.01 * math.cos(k.toDouble * (d + 1)))
+        else math.sin(k.toDouble * (d + 1))
+      }
+      (k.toLong, v)
+    }.toDF("vec_id", "emb")
+    def readout(df: org.apache.spark.sql.DataFrame) = {
+      val r = graft.operators.SimilarityQueries.anisotropyOf(df).head()
+      (r.getDouble(r.fieldIndex("var_explained")),
+        r.getDouble(r.fieldIndex("anisotropy")))
+    }
+    val (veC, anC) = readout(vecs(1.0, dominant = true))
+    assert(veC > 0.9, s"collapsed space must load PC1, got $veC")
+    assert(anC > 0.9, s"common offset must dominate the norm, got $anC")
+    val (veI, anI) = readout(vecs(0.0, dominant = false))
+    assert(anI < 0.05, s"zero-mean control must stay near 0, got $anI")
+    assert(veI < 0.5, s"isotropic control must not load one PC, got $veI")
+  }
 }
