@@ -52,6 +52,12 @@ object Engine {
     "interactive_timeout" -> "28800",
     "transaction_isolation" -> "REPEATABLE-READ")
 
+  /** The one sysvar default read OFF the variable map (the slow-query
+    * listener's volatile snapshot) — derived from [[defaultSysVars]] so the
+    * map and the snapshot can never disagree on the default. */
+  private[Engine] val defaultLongQueryTime: Double =
+    defaultSysVars("long_query_time").toDouble
+
   /** Server status bits (/root/reference/mysql/constants.go:22-37) — the
     * flag word the gateway forwards in OK/EOF packets. The engine derives
     * the live ones from session state ([[Session.statusFlags]]);
@@ -215,7 +221,8 @@ object Engine {
       * published as a volatile snapshot by [[setSysVar]] so the
       * listener-bus thread never reads the mutable sysVars map while the
       * connection thread mutates it. */
-    @volatile private[Engine] var longQueryThresholdSnapshot: Double = 10.0
+    @volatile private[Engine] var longQueryThresholdSnapshot: Double =
+      Engine.defaultLongQueryTime
     private[Engine] def longQueryThresholdSec: Double =
       longQueryThresholdSnapshot
 
@@ -289,7 +296,8 @@ object Engine {
       // (code-review r12)
       if (name == "long_query_time")
         longQueryThresholdSnapshot =
-          try v.toDouble catch { case _: NumberFormatException => 10.0 }
+          try v.toDouble
+          catch { case _: NumberFormatException => Engine.defaultLongQueryTime }
     }
     private[Engine] def setUserVar(name: String, value: String): Unit =
       userVars(name) = value
@@ -473,7 +481,7 @@ object Engine {
       inTrans = false
       sysVars.clear()
       sysVars ++= Engine.defaultSysVars
-      longQueryThresholdSnapshot = 10.0
+      longQueryThresholdSnapshot = Engine.defaultLongQueryTime
     }
 
     /** Wire-level `LOAD DATA LOCAL INFILE` body: append client-supplied

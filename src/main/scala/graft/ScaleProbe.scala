@@ -239,7 +239,8 @@ object ScaleProbe {
       }
       def families(n: Long): Seq[(String, () => Unit)] = {
         val docs = synthDocs(spark, n).localCheckpoint()
-        val emb = synthEmbeddings(spark, n / 4)
+        val embRaw = synthEmbeddings(spark, n / 4).localCheckpoint()
+        val emb = embRaw
           .select(col("vec_id"), col("emb").as("embedding"))
           .withColumn("n", sqrt(aggregate(col("embedding"), lit(0.0),
             (a, x) => a + x * x)))
@@ -262,8 +263,11 @@ object ScaleProbe {
           // k∝n shape measured 45× time at 16× corpus (Lloyd's n·k
           // distance work turns quadratic once k rides n) — the knob fix
           // this probe exists to force (VERDICT r10 #1)
+          // inputs pre-checkpointed like every other family — the probe
+          // times the production builder, not corpus synthesis (the r12
+          // review fix, applied to BOTH probes so their numbers compare)
           ("semdedup", () => SimilarityQueries.semdedupCandidatesAtScale(
-            synthEmbeddings(spark, n / 4), k = (n / 2500).toInt)
+            embRaw, k = (n / 2500).toInt)
             .count(): Unit),
           ("ppjoin", () => DedupQueries.ppjoinPairs(docs, 0.6)
             .count(): Unit),
@@ -324,14 +328,18 @@ object ScaleProbe {
           ("dupspan", () => DedupQueries.dupspanDupOccurrences(docs)
             .count(): Unit))
       }
-      def once(n: Long): Map[String, Double] =
-        fams(n).map { case (k, f) => k -> timed(f()) }.toMap
-      val tBase = { // min-of-2, same JIT-warm-conservative rule as above
-        val r1 = once(base); val r2 = once(base)
+      def once(fs: Seq[(String, () => Unit)]): Map[String, Double] =
+        fs.map { case (k, f) => k -> timed(f()) }.toMap
+      val tBase = { // min-of-2, same JIT-warm-conservative rule as above;
+        // inputs built ONCE per size, both reps share them (the 16× probe's
+        // `val fams = families(base)` pattern — a per-rep rebuild would
+        // leave duplicate checkpointed corpora pinned through the big run)
+        val fs = fams(base)
+        val r1 = once(fs); val r2 = once(fs)
         r1.map { case (k, v) => k -> math.min(v, r2(k)) }
       }
-      val tMid = once(mid)
-      val tBig = once(big)
+      val tMid = once(fams(mid))
+      val tBig = once(fams(big))
       val (s1, s2) = (mid.toDouble / base, big.toDouble / mid)
       val entries = Seq("semdedup", "dupspan").map { k =>
         val r1 = tMid(k) / math.max(tBase(k), 0.001)

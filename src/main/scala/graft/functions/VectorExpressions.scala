@@ -312,7 +312,12 @@ object VectorExpressions {
            |  for (int $b = 0; $b < 4; $b++) {
            |    $nib = ($nib << 1) | (($cells[$j * 4 + $b] * 64 > $total) ? 1 : 0);
            |  }
-           |  $out[$j] = graft.functions.VectorExpressions.Ahash16.hexDigit($nib);
+           |  // inline hex digit: a nested Scala object's method is not
+           |  // addressable as plain Java (Janino failed on
+           |  // VectorExpressions.Ahash16.hexDigit and Spark silently fell
+           |  // back to interpreted eval — caught via the probe's codegen
+           |  // CompileException log)
+           |  $out[$j] = (byte) ($nib < 10 ? 48 + $nib : 87 + $nib);
            |}
            |${ev.value} = UTF8String.fromBytes($out);
          """.stripMargin
@@ -325,8 +330,6 @@ object VectorExpressions {
   object Ahash16 {
     private[functions] val hexDigits: Array[Byte] =
       "0123456789abcdef".getBytes("US-ASCII")
-    /** Codegen helper (generated Java can't see the private array). */
-    def hexDigit(nib: Int): Byte = hexDigits(nib)
   }
 
   /** Column API: 16-hex-char perceptual aHash of an ASCII frame string. */

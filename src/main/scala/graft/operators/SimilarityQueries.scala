@@ -1826,6 +1826,60 @@ object SimilarityQueries extends QueryModule {
     * IEEE association ([[meanFoldSql]]). Input carries (keys…, vec_id,
     * dim, x); output is (keys…, dim, cx). */
 
+  private def meanFold(exploded: DataFrame, keys: Seq[String]): DataFrame = {
+    import exploded.sparkSession.implicits._
+    val kd = (keys :+ "dim").map(col)
+    exploded
+      .withColumn("bkt",
+        conv(substring(md5($"vec_id".cast("string").cast("binary")), 1, 8),
+          16, 10).cast(LongType) % meanFoldBuckets)
+      .groupBy(kd :+ $"bkt": _*)
+      .agg(sort_array(collect_list($"x")).as("xs"))
+      .select(kd ++ Seq($"bkt",
+        aggregate($"xs", lit(0.0), _ + _).as("s"),
+        size($"xs").cast(LongType).as("n")): _*)
+      .groupBy(kd: _*)
+      .agg(sort_array(collect_list(struct($"bkt", $"s"))).as("ps"),
+        sum($"n").as("n"))
+      .select(kd :+ ((aggregate($"ps", lit(0.0),
+        (acc, p) => acc + p.getField("s")) / $"n").as("cx")): _*)
+  }
+
+  /** Oracle twin of [[meanFold]]: the CTE chain `ex/bk/cd/cp/cg/ct$prefix`
+    * from `src` (carrying `keys`, vec_id, and array column `arrCol`) to
+    * `ct$prefix`(keys…, dim, cx) — same bucketing (first 8 md5 hex chars of
+    * the vec_id string as uint32, mod [[meanFoldBuckets]]), same per-bucket
+    * value-sorted fold, same bucket-ordered fold of partials. */
+  private def meanFoldSql(prefix: String, src: String, arrCol: String,
+      keys: Seq[String]): String = {
+    val k = keys.mkString(", ")
+    s"""ex$prefix AS (SELECT $k, vec_id,
+       |                generate_subscripts($arrCol, 1) - 1 AS dim,
+       |                unnest($arrCol) AS x FROM $src),
+       |bk$prefix AS (SELECT $k, dim,
+       |                CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+       |                                          1, 8))
+       |                          AS UBIGINT) % $meanFoldBuckets AS BIGINT)
+       |                  AS bkt, x
+       |              FROM ex$prefix),
+       |cd$prefix AS (SELECT $k, dim, bkt, list_sort(list(x)) AS xs
+       |              FROM bk$prefix GROUP BY $k, dim, bkt),
+       |cp$prefix AS (SELECT $k, dim, bkt,
+       |                list_reduce(list_prepend(0.0, xs), (p, q) -> p + q)
+       |                  AS s,
+       |                CAST(len(xs) AS BIGINT) AS n
+       |              FROM cd$prefix),
+       |cg$prefix AS (SELECT $k, dim,
+       |                list_sort(list(struct_pack(bkt := bkt, s := s))) AS ps,
+       |                CAST(SUM(n) AS BIGINT) AS n
+       |              FROM cp$prefix GROUP BY $k, dim),
+       |ct$prefix AS (SELECT $k, dim,
+       |                list_reduce(list_prepend(0.0,
+       |                  list_transform(ps, p -> p.s)), (p, q) -> p + q) / n
+       |                  AS cx
+       |              FROM cg$prefix)""".stripMargin
+  }
+
   /** q247's sample cap: diagnostics run on the TakeOrdered-by-hash top
     * [[anisotropySample]] vectors, so every downstream fold buffer and the
     * d²-cell covariance cost are corpus-independent. */
@@ -1844,6 +1898,8 @@ object SimilarityQueries extends QueryModule {
       .withColumn("h", md5($"vec_id".cast("string").cast(BinaryType)))
       .orderBy($"h", $"vec_id").limit(anisotropySample)
       .select($"vec_id", $"emb")
+      .localCheckpoint() // feeds the explode AND the n_sample count —
+      // without this the corpus-sized TakeOrdered pass runs twice
     val ex = smp
       .select($"vec_id", posexplode($"emb").as(Seq("dim", "x")))
       .localCheckpoint() // feeds the mean AND the centering join
@@ -1911,60 +1967,6 @@ object SimilarityQueries extends QueryModule {
         (floor($"mu2" * 1000000 + 0.5) / 1000000).as("mean_sq_norm"),
         (floor($"mu2" / ($"tr" + $"mu2") * 10000 + 0.5) / 10000)
           .as("anisotropy"))
-  }
-
-  private def meanFold(exploded: DataFrame, keys: Seq[String]): DataFrame = {
-    import exploded.sparkSession.implicits._
-    val kd = (keys :+ "dim").map(col)
-    exploded
-      .withColumn("bkt",
-        conv(substring(md5($"vec_id".cast("string").cast("binary")), 1, 8),
-          16, 10).cast(LongType) % meanFoldBuckets)
-      .groupBy(kd :+ $"bkt": _*)
-      .agg(sort_array(collect_list($"x")).as("xs"))
-      .select(kd ++ Seq($"bkt",
-        aggregate($"xs", lit(0.0), _ + _).as("s"),
-        size($"xs").cast(LongType).as("n")): _*)
-      .groupBy(kd: _*)
-      .agg(sort_array(collect_list(struct($"bkt", $"s"))).as("ps"),
-        sum($"n").as("n"))
-      .select(kd :+ ((aggregate($"ps", lit(0.0),
-        (acc, p) => acc + p.getField("s")) / $"n").as("cx")): _*)
-  }
-
-  /** Oracle twin of [[meanFold]]: the CTE chain `ex/bk/cd/cp/cg/ct$prefix`
-    * from `src` (carrying `keys`, vec_id, and array column `arrCol`) to
-    * `ct$prefix`(keys…, dim, cx) — same bucketing (first 8 md5 hex chars of
-    * the vec_id string as uint32, mod [[meanFoldBuckets]]), same per-bucket
-    * value-sorted fold, same bucket-ordered fold of partials. */
-  private def meanFoldSql(prefix: String, src: String, arrCol: String,
-      keys: Seq[String]): String = {
-    val k = keys.mkString(", ")
-    s"""ex$prefix AS (SELECT $k, vec_id,
-       |                generate_subscripts($arrCol, 1) - 1 AS dim,
-       |                unnest($arrCol) AS x FROM $src),
-       |bk$prefix AS (SELECT $k, dim,
-       |                CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
-       |                                          1, 8))
-       |                          AS UBIGINT) % $meanFoldBuckets AS BIGINT)
-       |                  AS bkt, x
-       |              FROM ex$prefix),
-       |cd$prefix AS (SELECT $k, dim, bkt, list_sort(list(x)) AS xs
-       |              FROM bk$prefix GROUP BY $k, dim, bkt),
-       |cp$prefix AS (SELECT $k, dim, bkt,
-       |                list_reduce(list_prepend(0.0, xs), (p, q) -> p + q)
-       |                  AS s,
-       |                CAST(len(xs) AS BIGINT) AS n
-       |              FROM cd$prefix),
-       |cg$prefix AS (SELECT $k, dim,
-       |                list_sort(list(struct_pack(bkt := bkt, s := s))) AS ps,
-       |                CAST(SUM(n) AS BIGINT) AS n
-       |              FROM cp$prefix GROUP BY $k, dim),
-       |ct$prefix AS (SELECT $k, dim,
-       |                list_reduce(list_prepend(0.0,
-       |                  list_transform(ps, p -> p.s)), (p, q) -> p + q) / n
-       |                  AS cx
-       |              FROM cg$prefix)""".stripMargin
   }
 
   /** Mean-fold cell sizes (cl, dim, bkt, n) of a trained k-means run over

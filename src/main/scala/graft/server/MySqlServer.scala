@@ -1023,7 +1023,7 @@ final class MySqlServer private (listener: ServerSocket,
                     // returning to the command loop would parse the rest of
                     // the client's file bytes as command packets
                     // (code-review r12 finding on the read-deadline change)
-                    case e @ (_: java.io.IOException) => throw e
+                    case e: java.io.IOException => throw e
                     case e: Engine.EngineError =>
                       writePacket(out, sr.v, errPayload(e))
                     case e: Exception => writePacket(out, sr.v, errPayload(
