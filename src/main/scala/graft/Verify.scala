@@ -37,6 +37,10 @@ object Verify {
       case '\r' => "\\r"
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // non-ASCII (q248's mojibake literals): escape to \uXXXX so the
+      // emitted JSON is pure ASCII — immune to any reader-side charset
+      // default (surrogate halves escape to valid JSON pairs)
+      case c if c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql

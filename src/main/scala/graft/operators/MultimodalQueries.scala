@@ -455,8 +455,16 @@ object MultimodalQueries extends QueryModule {
     // plus the 16-nibble CASE build) measured 3.1 s at sf0.1; the oracle
     // keeps that spelling as the semantic definition and Ahash16 is
     // bit-identical to it on the fixture's ASCII contract
+    // fid packing guard (ADVICE r12): a document with ≥ 4096 frames would
+    // silently collide packed frame identities — assert_true raises ON THE
+    // EXECUTORS (no driver action, no silent filter) the moment an
+    // out-of-contract corpus shows up; for in-contract data the coalesce
+    // adds a constant 0
     frames
-      .select($"doc_id", $"i", ($"doc_id" * 4096 + $"i").as("fid"),
+      .select($"doc_id", $"i",
+        ($"doc_id" * 4096 + $"i" + coalesce(assert_true($"i" < 4096,
+          lit("fid packing requires < 4096 frames per document"))
+          .cast("bigint"), lit(0L))).as("fid"),
         graft.functions.VectorExpressions.ahash16($"frame").as("ahash"))
   }
 

@@ -260,7 +260,10 @@ class EngineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val st0 = status()
     assert(st0.keySet == Set("Uptime", "Questions", "Slow_queries",
-      "Threads_connected", "Connections"), st0)
+      "Threads_connected", "Max_used_connections", "Connections"), st0)
+    assert(st0("Max_used_connections").toLong >=
+      st0("Threads_connected").toLong,
+      "the peak must dominate the live count")
     val q0 = st0("Questions").toLong
     s.sql("SELECT 1 AS x").collect()
     s.sql("SELECT 2 AS y").collect()
@@ -915,6 +918,70 @@ class EngineSpec extends SparkSpec {
     Thread.sleep(300)
     assert(slow() == before,
       "fast actions must not count at the default threshold")
+    s.close()
+  }
+
+  test("Slow_queries is global under SHOW GLOBAL STATUS; bad " +
+      "long_query_time answers 1232") {
+    // ADVICE r12: MySQL's Slow_queries is a GLOBAL status counter —
+    // monitoring reading SHOW GLOBAL STATUS must see the process-wide
+    // count, not this connection's. SESSION scope keeps the per-connection
+    // counter.
+    val s = Engine.connect(spark, "prod", backends)
+    val s2 = Engine.connect(spark, "prod", backends)
+    def read(sess: Engine.Session, scope: String): Long =
+      sess.sql(s"SHOW $scope STATUS LIKE 'Slow_queries'")
+        .collect().head.getString(1).toLong
+    val g0 = read(s2, "GLOBAL")
+    s.sql("SET long_query_time = 0")
+    s.sql("SELECT COUNT(*) AS n FROM nation").collect()
+    var tries = 0
+    while (read(s, "SESSION") < 1 && tries < 100) {
+      Thread.sleep(50); tries += 1
+    }
+    assert(read(s, "SESSION") >= 1)
+    // the OTHER connection's GLOBAL read sees the bump; its SESSION
+    // counter stays untouched
+    assert(read(s2, "GLOBAL") > g0,
+      "GLOBAL Slow_queries must aggregate across connections")
+    assert(read(s2, "SESSION") == 0,
+      "SESSION Slow_queries stays per-connection")
+    // a non-numeric SET must error (MySQL 1232), never silently diverge
+    // the visible variable from the active threshold (ADVICE r12)
+    val e = intercept[Engine.EngineError] {
+      s.sql("SET long_query_time = 'banana'")
+    }
+    assert(e.code == 1232, e)
+    assert(s.variable("long_query_time").contains("0"),
+      "a rejected SET must leave the stored value untouched")
+    s.close(); s2.close()
+  }
+
+  test("max_allowed_packet: default, clamped SET, 1232 on junk, and the " +
+      "long-data accumulation bound (1153 at EXECUTE)") {
+    val s = Engine.connect(spark, "prod", backends)
+    assert(s.variable("max_allowed_packet").contains("67108864"),
+      "MySQL's 64 MiB default")
+    // MySQL clamps a SET into [1 KiB, 1 GiB] and stores the clamp — the
+    // stored value IS the active bound, so they can never disagree
+    s.sql("SET max_allowed_packet = 1")
+    assert(s.variable("max_allowed_packet").contains("1024"))
+    assert(s.maxAllowedPacketSnapshot == 1024L)
+    val e = intercept[Engine.EngineError] {
+      s.sql("SET max_allowed_packet = 'lots'")
+    }
+    assert(e.code == 1232, e)
+    // long-data accumulation past the bound: chunks are DROPPED (memory
+    // stays bounded) and the next EXECUTE answers MySQL's 1153
+    val ps = s.prepareStatement("SELECT length(?) AS n")
+    ps.sendLongData(0, new Array[Byte](800))
+    ps.sendLongData(0, new Array[Byte](800)) // 1600 > 1024 → overflow
+    val oe = intercept[Engine.EngineError] { ps.execute(null) }
+    assert(oe.code == 1153, oe)
+    // the failed EXECUTE discarded the partial chunks; the statement
+    // itself stays usable
+    ps.sendLongData(0, "abc".getBytes("UTF-8"))
+    assert(ps.execute(null).head().getInt(0) == 3)
     s.close()
   }
 

@@ -1417,6 +1417,160 @@ class MySqlServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("max_allowed_packet bounds every inbound payload join: oversize " +
+      "command answers 1153 and the connection survives") {
+    // VERDICT r12 #1 / the reference's per-connection packet bound
+    // (mysql/conn.go:89-90, SetMaxAllowedPacket conn.go:118-121): a client
+    // streaming arbitrarily large payloads must never grow a server-side
+    // buffer past the bound. The oversize payload is DRAINED (fixed 64 KiB
+    // scratch), answered ER 1153, and the conversation continues.
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      // shrink the session bound so the spec never ships 64 MiB
+      query(c, "SET max_allowed_packet = 65536")
+      val (_, vr) = query(c, "SHOW VARIABLES LIKE 'max_allowed_packet'")
+      assert(vr == Seq(Seq(Some("max_allowed_packet"), Some("65536"))),
+        "the SET value must be the visible AND active bound")
+      // sub-floor values clamp like MySQL (never below 1 KiB)
+      query(c, "SET max_allowed_packet = 1")
+      val (_, cl) = query(c, "SHOW VARIABLES LIKE 'max_allowed_packet'")
+      assert(cl == Seq(Seq(Some("max_allowed_packet"), Some("1024"))))
+      query(c, "SET max_allowed_packet = 65536")
+      // an oversize COM_QUERY payload (one 100 001-byte chunk > 65 536)
+      val big = new Array[Byte](100001)
+      big(0) = 0x03
+      java.util.Arrays.fill(big, 1, big.length, ' '.toByte)
+      c.writePacket(0, big)
+      val (_, err) = c.readPacket()
+      val r = new Reader(err)
+      assert(r.int1() == 0xFF && r.int2() == 1153,
+        "oversize payload must answer ER 1153")
+      // MySQL semantics: the connection SURVIVES in sync
+      val (_, rows) = query(c, "SELECT 1 AS x")
+      assert(rows == Seq(Seq(Some("1"))))
+      // an oversize LOAD DATA LOCAL upload: per-chunk AND total bounds —
+      // the stream drains to the terminator, 1153 is the upload's answer,
+      // and the connection stays usable (no file byte is ever parsed as a
+      // command packet)
+      c.close()
+      val c2 = login(srv.port, extraCaps = 0x80)
+      query(c2, "SET max_allowed_packet = 65536")
+      val stmt = "LOAD DATA LOCAL INFILE 'big.csv' INTO TABLE region " +
+        "FIELDS TERMINATED BY ','"
+      c2.writePacket(0, Array[Byte](0x03) ++ stmt.getBytes(UTF_8))
+      val (reqSeq, req) = c2.readPacket()
+      assert((req(0) & 0xFF) == 0xFB)
+      // three 30 000-byte chunks: each under the bound, total 90 000 over
+      (1 to 3).foreach { k =>
+        c2.writePacket(reqSeq + k, Array.fill(30000)('x'.toByte))
+      }
+      c2.writePacket(reqSeq + 4, Array.emptyByteArray)
+      val (_, lerr) = c2.readPacket()
+      val lr = new Reader(lerr)
+      assert(lr.int1() == 0xFF && lr.int2() == 1153,
+        "oversize upload total must answer ER 1153")
+      val (_, n) = query(c2, "SELECT COUNT(*) AS n FROM region")
+      assert(n == Seq(Seq(Some("5"))), "no oversize row may land")
+      // one single chunk over the bound takes the PacketTooLarge drain
+      // path inside the upload loop — same 1153, still in sync
+      c2.writePacket(0, Array[Byte](0x03) ++ stmt.getBytes(UTF_8))
+      val (rq2, _) = c2.readPacket()
+      c2.writePacket(rq2 + 1, Array.fill(70000)('y'.toByte))
+      c2.writePacket(rq2 + 2, Array.emptyByteArray)
+      val (_, lerr2) = c2.readPacket()
+      val lr2 = new Reader(lerr2)
+      assert(lr2.int1() == 0xFF && lr2.int2() == 1153)
+      val (_, again) = query(c2, "SELECT 2 AS x")
+      assert(again == Seq(Seq(Some("2"))))
+      c2.close()
+      // the wire SEND_LONG_DATA accumulation rides the same bound: chunks
+      // past it are dropped and EXECUTE answers 1153 (the engine-level
+      // twin is in EngineSpec)
+      val c3 = login(srv.port)
+      query(c3, "SET max_allowed_packet = 1024")
+      val (sid, np) = stmtPrepare(c3, "SELECT length(?) AS n")
+      assert(np == 1)
+      def sendLong(bytes: Array[Byte]): Unit = {
+        val b = new ByteArrayOutputStream()
+        b.write(0x18)
+        (0 until 4).foreach(k => b.write(((sid >>> (8 * k)) & 0xFF).toInt))
+        b.write(0); b.write(0) // param index 0
+        b.write(bytes, 0, bytes.length)
+        c3.writePacket(0, b.toByteArray) // no response by protocol
+      }
+      sendLong(new Array[Byte](800))
+      sendLong(new Array[Byte](800)) // 1600 > 1024 → deferred overflow
+      val ee = intercept[Engine.EngineError] {
+        stmtExecute(c3, sid, Seq(BParam(0xFE, Some(Array.empty),
+          sendValue = false)))
+      }
+      assert(ee.code == 1153, ee)
+      c3.close()
+    } finally srv.close()
+  }
+
+  test("handshake-phase oversize payload: drained at the default bound, " +
+      "answered 1153, closed") {
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = new Client(srv.port)
+      c.readPacket() // greeting
+      // a 64 MiB + 1 handshake "response": the server must never buffer
+      // it (skipFully drains in 64 KiB blocks) — it answers 1153 and
+      // closes, since there is no authenticated conversation to resume
+      c.writePacket(1, new Array[Byte](67108865))
+      val (_, err) = c.readPacket()
+      val r = new Reader(err)
+      assert(r.int1() == 0xFF && r.int2() == 1153)
+      assert(c.eofReached(), "handshake-phase overrun must close")
+      c.close()
+    } finally srv.close()
+  }
+
+  test("connection cap: over-cap client answers ER 1040 and a freed slot " +
+      "admits a new one; Max_used_connections tracks the peak") {
+    // VERDICT r12 #6: thread-per-connection carries ~1 MiB of stack per
+    // conn, so the accept loop needs MySQL's max_connections bound.
+    val srv = MySqlServer.start(spark, backends, databases,
+      maxConnections = 2)
+    try {
+      val c1 = login(srv.port)
+      val c2 = login(srv.port)
+      // the third TCP connect is answered ER 1040 in place of a greeting
+      val c3 = new Client(srv.port)
+      val (_, p) = c3.readPacket()
+      val r = new Reader(p)
+      assert(r.int1() == 0xFF && r.int2() == 1040,
+        "over-cap connect must answer Too many connections")
+      assert(c3.eofReached(), "the refused socket must close")
+      c3.close()
+      // the peak shows up in SHOW STATUS (registry-wide; other suites'
+      // sessions may contribute, so >= 2)
+      val (_, mu) = query(c2, "SHOW STATUS LIKE 'Max_used_connections'")
+      assert(mu.head(1).exists(_.toLong >= 2L), mu)
+      // QUIT one: the slot frees once serve() unwinds — poll briefly
+      c1.writePacket(0, Array[Byte](0x01))
+      assert(c1.eofReached())
+      c1.close()
+      var admitted = false
+      var tries = 0
+      while (!admitted && tries < 100) {
+        try {
+          val c4 = login(srv.port)
+          val (_, rows) = query(c4, "SELECT 1 AS x")
+          assert(rows == Seq(Seq(Some("1"))))
+          c4.close()
+          admitted = true
+        } catch {
+          case _: Throwable => Thread.sleep(50); tries += 1
+        }
+      }
+      assert(admitted, "a freed slot must admit a new connection")
+      c2.close()
+    } finally srv.close()
+  }
+
   test("mid-upload stall past the read deadline reaps the connection, " +
       "never resynchronizes on file bytes") {
     // a LOAD DATA LOCAL client that stalls mid-chunk-stream leaves the
