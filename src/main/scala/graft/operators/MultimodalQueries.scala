@@ -404,7 +404,131 @@ object MultimodalQueries extends QueryModule {
           sum($"is_dup").cast(LongType).as("dup_chunks"),
           sum($"is_dup" * $"clen").cast(LongType).as("dup_bytes"))
         .orderBy($"source")
+    },
+
+    // Cross-modal consistency gate (VERDICT r12 "what's missing" #3 — the
+    // multimodal analog of q170's embedding decontamination): join each
+    // video's q244 frame-signature profile (visual modality: set-bit rate
+    // of the per-frame aHashes) to its document's embedding profile (text
+    // modality: mean embedding coordinate), then flag docs that are a
+    // >2.5σ outlier within their label group in EXACTLY ONE modality —
+    // the caption/content-mismatch candidates (an outlier in BOTH is
+    // plain corruption, an outlier in NEITHER is consistent). The outlier
+    // test is the integer-exact spelling (n·x − Σx)²·(n−1)·100 >
+    // 625·n·(n·Σx² − (Σx)²) evaluated in DOUBLE over exact BIGINT sums —
+    // no accumulation-order dependence anywhere, fully hash-checkable.
+    // Scale: per-doc profiles are one-pass rollups (frame sigs memoized,
+    // shared with q244/q246), label stats are a |labels|-row broadcast —
+    // no pair space, no corpus-sized state.
+    q("q249_crossmodal_consistency",
+      s"""WITH $ahashSigCtes,
+         |prof AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |         CAST(SUM(bit_count(('0x' || ahash)::UBIGINT)) AS BIGINT)
+         |           AS pop_total
+         |  FROM sig GROUP BY doc_id),
+         |pr AS (
+         |  SELECT doc_id,
+         |    CAST(floor(pop_total * 10000.0 / (64.0 * n_frames) + 0.5)
+         |         AS BIGINT) AS r
+         |  FROM prof),
+         |em AS (
+         |  SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label,
+         |    CAST(floor(list_reduce(list_prepend(0.0,
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE))),
+         |           (a, b) -> a + b) / 64.0 * 10000 + 0.5) AS BIGINT) AS e
+         |  FROM embeddings),
+         |j AS (
+         |  SELECT pr.doc_id, em.label, pr.r, em.e
+         |  FROM pr JOIN em ON em.doc_id = pr.doc_id),
+         |st AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(r) AS BIGINT) AS sum_r,
+         |         CAST(SUM(r * r) AS BIGINT) AS ssq_r,
+         |         CAST(SUM(e) AS BIGINT) AS sum_e,
+         |         CAST(SUM(e * e) AS BIGINT) AS ssq_e
+         |  FROM j GROUP BY label),
+         |fl AS (
+         |  SELECT j.doc_id, j.label,
+         |    CASE WHEN n >= 8 AND
+         |      CAST(n * r - sum_r AS DOUBLE) * CAST(n * r - sum_r AS DOUBLE)
+         |        * CAST(n - 1 AS DOUBLE) * 100.0 >
+         |      625.0 * CAST(n AS DOUBLE)
+         |        * CAST(n * ssq_r - sum_r * sum_r AS DOUBLE)
+         |      THEN 1 ELSE 0 END AS vis_out,
+         |    CASE WHEN n >= 8 AND
+         |      CAST(n * e - sum_e AS DOUBLE) * CAST(n * e - sum_e AS DOUBLE)
+         |        * CAST(n - 1 AS DOUBLE) * 100.0 >
+         |      625.0 * CAST(n AS DOUBLE)
+         |        * CAST(n * ssq_e - sum_e * sum_e AS DOUBLE)
+         |      THEN 1 ELSE 0 END AS emb_out
+         |  FROM j JOIN st ON st.label = j.label)
+         |SELECT label,
+         |  CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(vis_out) AS BIGINT) AS vis_outliers,
+         |  CAST(SUM(emb_out) AS BIGINT) AS emb_outliers,
+         |  CAST(SUM(CASE WHEN vis_out + emb_out = 1 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS mismatch_docs,
+         |  CAST(SUM(CASE WHEN vis_out + emb_out = 2 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS both_docs,
+         |  COALESCE(MIN(CASE WHEN vis_out + emb_out = 1 THEN doc_id END), -1)
+         |    AS first_mismatch
+         |FROM fl GROUP BY label ORDER BY label""".stripMargin) { spark =>
+      crossModalOf(frameSigs(spark), spark.table("embeddings"))
     })
+
+  /** q249's full cross-modal pipeline over any signature relation
+    * (doc_id, ahash) and embedding relation (vec_id, embedding, label) —
+    * exposed private[graft] so the planted-mismatch liveness spec drives
+    * exactly the production chain on crafted frames/embeddings. Outlier
+    * spelling: (n·x − Σx)²·(n−1)·100 > 625·n·(n·Σx² − (Σx)²) — the
+    * 2.5σ sample-variance test over EXACT integer sums, compared in
+    * DOUBLE (both engines do the identical IEEE products; BIGINT would
+    * overflow at ~5e7² · n · 100). */
+  private[graft] def crossModalOf(sig: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    val prof = sig.groupBy($"doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_frames"),
+        sum(bit_count(graft.functions.VectorExpressions.hexPack16($"ahash")))
+          .cast(LongType).as("pop_total"))
+    val pr = prof.select($"doc_id",
+      floor($"pop_total" * 10000.0 / (lit(64.0) * $"n_frames") + 0.5)
+        .cast(LongType).as("r"))
+    val em = embeddings.select($"vec_id".as("doc_id"),
+      $"label".cast(LongType).as("label"),
+      floor(aggregate($"embedding", lit(0.0),
+        (a, x) => a + x.cast(DoubleType)) / 64.0 * 10000 + 0.5)
+        .cast(LongType).as("e"))
+    val j = pr.join(em, "doc_id")
+    val st = j.groupBy($"label").agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum($"r").cast(LongType).as("sum_r"),
+      sum($"r" * $"r").cast(LongType).as("ssq_r"),
+      sum($"e").cast(LongType).as("sum_e"),
+      sum($"e" * $"e").cast(LongType).as("ssq_e"))
+    def outlier(x: Column, sx: Column, ssq: Column): Column = {
+      val dd = ($"n" * x - sx).cast(DoubleType)
+      ($"n" >= 8) &&
+        (dd * dd * ($"n" - 1).cast(DoubleType) * 100.0 >
+          lit(625.0) * $"n".cast(DoubleType) *
+            ($"n" * ssq - sx * sx).cast(DoubleType))
+    }
+    val fl = j.join(broadcast(st), "label").select($"doc_id", $"label",
+      when(outlier($"r", $"sum_r", $"ssq_r"), 1).otherwise(0).as("vis_out"),
+      when(outlier($"e", $"sum_e", $"ssq_e"), 1).otherwise(0).as("emb_out"))
+    fl.groupBy($"label").agg(
+      count(lit(1)).cast(LongType).as("docs"),
+      sum($"vis_out").cast(LongType).as("vis_outliers"),
+      sum($"emb_out").cast(LongType).as("emb_outliers"),
+      sum(when($"vis_out" + $"emb_out" === 1, 1).otherwise(0))
+        .cast(LongType).as("mismatch_docs"),
+      sum(when($"vis_out" + $"emb_out" === 2, 1).otherwise(0))
+        .cast(LongType).as("both_docs"),
+      coalesce(min(when($"vis_out" + $"emb_out" === 1, $"doc_id")),
+        lit(-1L)).as("first_mismatch"))
+      .orderBy($"label")
+  }
 
   /** q207's chunk relation (doc_id, idx, clen, digest) over any
     * (doc_id, payload) frame — [[cdcChunks]] run in mapPartitions (payload

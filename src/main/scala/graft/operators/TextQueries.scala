@@ -3264,7 +3264,119 @@ object TextQueries extends QueryModule {
           (floor(sum($"h4".cast(DecimalType(18, 4))).cast(DoubleType)
             / count(lit(1)) * 10000 + 0.5) / 10000).as("mean_h"))
         .orderBy($"source")
+    },
+
+    // Encoding repair / mojibake gate (VERDICT r12 "what's missing" #2):
+    // the cleaning stage real web pipelines run right after NFC — detect
+    // CP1252-in-UTF8 double-encoding ("â€™" where ’ was meant) and
+    // replacement-char (U+FFFD) density, repair via the fixed translate
+    // map, report per-source repair rates + a keep gate. The fixture text
+    // is ASCII-clean, so corruption is PLANTED deterministically from
+    // md5(doc_id): classes 0-2 insert a double-encoded token (+ a second
+    // one when reps ≥ 2), class 3 inserts 1-3 replacement chars, classes
+    // 4-9 stay clean controls — every detector sees planted positives AND
+    // clean negatives at every SF. All-integer outputs (counts + the
+    // integer keep gate repl_ct·100 ≤ len) → fully hash-checkable.
+    // Scale: pure map-side string ops + one |sources|-key rollup — no
+    // join, no shuffle beyond the final aggregation; at 100 TB this is
+    // the cheapest possible shape (embarrassingly parallel scan).
+    q("q248_mojibake_repair",
+      mojiQuerySql(
+        "md5('moji:' || doc_id)",
+        off => s"CAST(CAST(('0x' || substr(h, $off, 2)) AS UBIGINT) AS BIGINT)")) {
+      spark =>
+        spark.sql(mojiQuerySql(
+          "md5(concat('moji:', CAST(doc_id AS STRING)))",
+          off => s"CAST(conv(substring(h, $off, 2), 16, 10) AS BIGINT)"))
     })
+
+  // ---- q248 encoding repair / mojibake -------------------------------------
+
+  /** CP1252 mojibake tokens (the UTF-8 byte sequence of the intended
+    * character, each byte re-read as CP1252) paired with their repairs.
+    * UTF-8 source literals are safe in this build (TextRobustnessSpec's
+    * 'aé😀' fixtures compile and pass); the same Scala strings feed both
+    * dialects, and Verify escapes them to pure-ASCII \\uXXXX JSON for the
+    * DuckDB side. Repair order matters: repairing "â€œ" → U+201C before
+    * "â€“" (whose third char IS U+201C) could synthesize a fresh en-dash
+    * match on adversarial input, so the en-dash token repairs first. */
+  private[graft] val mojiPairs: Seq[(String, String)] = Seq(
+    // RIGHT SINGLE QUOTE U+2019 shipped as â€™ (E2 80 99 via CP1252)
+    "â€™" -> "’",
+    // EN DASH U+2013 shipped as â€“ (E2 80 93; 93 is CP1252 “)
+    "â€“" -> "–",
+    // LEFT DOUBLE QUOTE U+201C shipped as â€œ (E2 80 9C; 9C is CP1252 œ)
+    "â€œ" -> "“",
+    // e-acute U+00E9 shipped as Ã© (C3 A9)
+    "Ã©" -> "é")
+  private[graft] val replChar = "�"
+
+  /** The repair chain as SQL (identical in both dialects — nested
+    * `replace` in [[mojiPairs]] order). */
+  private def mojiFixExpr(col: String): String =
+    mojiPairs.foldLeft(col) { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
+
+  /** Detect/repair scoring over any relation carrying (…, raw) — shared
+    * verbatim by both engines (pure string ops) and exposed so the spec
+    * drives the exact production chain on planted adversarial strings.
+    * Adds `fixed`, `len_raw`, `moji_chars` (code points recovered by the
+    * repair map: each 3→1 repair counts 2, each 2→1 counts 1) and
+    * `repl_ct` (U+FFFD occurrences). */
+  private[graft] def mojiScoreSql(src: String): String =
+    s"""SELECT *,
+       |  length(raw) AS len_raw,
+       |  length(raw) - length(fixed) AS moji_chars,
+       |  length(raw) - length(replace(raw, '$replChar', '')) AS repl_ct
+       |FROM (SELECT *, ${mojiFixExpr("raw")} AS fixed FROM $src) f0""".stripMargin
+
+  /** Full q248 SQL for one dialect: `mdfive` = the doc-keyed md5 spelling,
+    * `hx(off)` = hex-pair-at-offset → BIGINT. Synthesis plants corruption
+    * into ~40% of docs (30% double-encoded, 10% replacement chars) keyed
+    * on the hash; the rollup reports per-source detection/repair rates and
+    * the keep gate (replacement density ≤ 1%, the integer spelling
+    * repl_ct·100 ≤ len). */
+  private def mojiQuerySql(mdfive: String, hx: Int => String): String = {
+    val m = mojiPairs.map(_._1)
+    s"""WITH h0 AS (
+       |  SELECT doc_id, source, text, $mdfive AS h FROM documents),
+       |syn AS (
+       |  SELECT doc_id, source, text,
+       |         ${hx(1)} % 10 AS cls,
+       |         1 + ${hx(3)} % 3 AS reps
+       |  FROM h0),
+       |planted AS (
+       |  SELECT doc_id, source, cls,
+       |    CASE
+       |      WHEN cls <= 2 THEN
+       |        concat(left(text, 40),
+       |               CASE WHEN cls = 0 THEN '${m(0)}'
+       |                    WHEN cls = 1 THEN '${m(2)}'
+       |                    ELSE '${m(3)}' END,
+       |               substring(text, 41, 60),
+       |               CASE WHEN reps >= 2 THEN '${m(1)}' ELSE '' END,
+       |               substring(text, 101))
+       |      WHEN cls = 3 THEN
+       |        concat(left(text, 25),
+       |               repeat('$replChar', CAST(reps AS INT)),
+       |               substring(text, 26))
+       |      ELSE text END AS raw
+       |  FROM syn),
+       |sc AS (${mojiScoreSql("planted")})
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS docs,
+       |  CAST(SUM(CASE WHEN moji_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS moji_docs,
+       |  CAST(SUM(moji_chars) AS BIGINT) AS repaired_chars,
+       |  CAST(SUM(CASE WHEN repl_ct > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS repl_docs,
+       |  CAST(SUM(CASE WHEN repl_ct * 100 > len_raw THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS dropped_docs,
+       |  CAST(SUM(CASE WHEN repl_ct * 100 <= len_raw THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS kept_docs
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** q222's periodicity report over any (doc_id, text) frame — exposed so
     * the spec can prove the gate FIRES on synthetic loops (the fixture's

@@ -2009,6 +2009,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L, 1L, 1L, 0)), got(3L))
   }
 
+  test("q249 cross-modal consistency: one-modality mismatches flagged, " +
+      "both-modality corruption separated, small groups guarded") {
+    import spark.implicits._
+    // crafted signatures (popcount-controlled aHashes) + embeddings drive
+    // the exact production chain. r = popcount·10000/64: 31→4844,
+    // 32→5000, 33→5156, 2→313; e = mean(embedding)·10000: 0.5→5000,
+    // 0.9→9000. Hand-checked against the integer outlier spelling:
+    // label 0's planted visual outlier has LHS 3.80e12 > RHS 2.17e12.
+    def emb(v: Float) = Array.fill(64)(v)
+    val sigRows = Seq.newBuilder[(Long, String)]
+    val embRows = Seq.newBuilder[(Long, Array[Float], Int)]
+    // label 0: 12 normals with r-jitter (31/33 bits), doc 12 visually
+    // extreme (2 bits) with a NORMAL embedding → caption mismatch
+    for (d <- 0 until 12) sigRows +=
+      ((d.toLong, if (d % 2 == 0) "fffffff700000000" else "ffffffff10000000"))
+    sigRows += ((12L, "3000000000000000"))
+    for (d <- 0 to 12) embRows += ((d.toLong, emb(0.5f), 0))
+    // doc 0 gets a second identical frame — the per-doc rate must average
+    sigRows += ((0L, "fffffff700000000"))
+    // label 1: embedding outlier with normal visuals → the other mismatch
+    for (d <- 20 to 31) {
+      sigRows += ((d.toLong, "ffffffff00000000"))
+      embRows += ((d.toLong, emb(0.5f), 1))
+    }
+    sigRows += ((32L, "ffffffff00000000")); embRows += ((32L, emb(0.9f), 1))
+    // label 2: outlier in BOTH modalities → corruption, not mismatch
+    for (d <- 40 to 51) {
+      sigRows += ((d.toLong, "ffffffff00000000"))
+      embRows += ((d.toLong, emb(0.5f), 2))
+    }
+    sigRows += ((52L, "3000000000000000")); embRows += ((52L, emb(0.9f), 2))
+    // label 3: n = 5 < 8 — the small-group guard must mute even an
+    // extreme doc (not enough mass to estimate a spread)
+    for (d <- 60 to 63) {
+      sigRows += ((d.toLong, "ffffffff00000000"))
+      embRows += ((d.toLong, emb(0.5f), 3))
+    }
+    sigRows += ((64L, "0000000000000000")); embRows += ((64L, emb(0.9f), 3))
+    val got = graft.operators.MultimodalQueries.crossModalOf(
+      sigRows.result().toDF("doc_id", "ahash"),
+      embRows.result().toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // (docs, vis_outliers, emb_outliers, mismatch, both, first_mismatch)
+    assert(got(0L) == ((13L, 1L, 0L, 1L, 0L, 12L)), got(0L))
+    assert(got(1L) == ((13L, 0L, 1L, 1L, 0L, 32L)), got(1L))
+    assert(got(2L) == ((13L, 1L, 1L, 0L, 1L, -1L)), got(2L))
+    assert(got(3L) == ((5L, 0L, 0L, 0L, 0L, -1L)), got(3L))
+  }
+
   test("memoized frame fingerprints equal a fresh build bit-for-bit") {
     graft.sources.Tables.register(spark, sf)
     graft.sources.Tables.noteViewSwap(spark) // fresh generation: cold memo

@@ -136,4 +136,41 @@ class TextRobustnessSpec extends SparkSpec {
     assert(per(0L) == 0L, "empty doc: no period candidates → best_period 0")
     assert(per(3L) == 2L, "'😀😀😀😀 x 😀😀😀😀' repeats at token period 2")
   }
+
+  test("q248 mojibake repair: planted positives repaired, clean controls " +
+      "untouched, replacement-density gate fires (production SQL)") {
+    // drive the EXACT production detect/repair chain (mojiScoreSql) over
+    // planted adversarial strings — the r12-verdict done-criterion
+    val cases = Seq(
+      (0L, "s0", "Itâ€™s a â€œtestâ€œ â€“ fine"), // all four token kinds
+      (1L, "s1", "clean ascii text stays"), // clean control
+      (2L, "s2", "caf" + "Ã©" + " menu"), // Ã© → é
+      (3L, "s3", "a" + ("�" * 5)), // dense replacement chars (5 of 6)
+      (4L, "s4", "x" + ("y" * 198) + "�"), // 1 of 200 → under the 1% gate
+      (5L, "s5", "pÃ©â€™â€œq"), // stacked tokens repair independently
+      // adversarial ordering case: the left-dq repair EMITS “, which with
+      // the preceding â€ forms the en-dash PATTERN — the en-dash repair
+      // runs first (m4-before-m2), so repair output is never re-repaired
+      (6L, "s6", "xâ€â€œy"))
+    cases.toDF("doc_id", "source", "raw").createOrReplaceTempView("moji_in")
+    val got = spark.sql(TextQueries.mojiScoreSql("moji_in"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def fixed(id: Long) = got(id).getString(got(id).fieldIndex("fixed"))
+    def moji(id: Long) = got(id).getInt(got(id).fieldIndex("moji_chars"))
+    def repl(id: Long) = got(id).getInt(got(id).fieldIndex("repl_ct"))
+    def len(id: Long) = got(id).getInt(got(id).fieldIndex("len_raw"))
+    assert(fixed(0L) == "It’s a “test“ – fine", fixed(0L))
+    assert(moji(0L) == 8, "four 3→1 repairs recover 2 code points each")
+    assert(fixed(1L) == "clean ascii text stays" && moji(1L) == 0 &&
+      repl(1L) == 0, "clean control must be untouched")
+    assert(fixed(2L) == "café menu" && moji(2L) == 1)
+    assert(repl(3L) == 5 && repl(3L) * 100 > len(3L),
+      "dense replacement chars must trip the drop gate")
+    assert(repl(4L) == 1 && repl(4L) * 100 <= len(4L),
+      "sparse replacement chars stay under the 1% keep gate")
+    assert(fixed(5L) == "pé’“q", fixed(5L))
+    assert(fixed(6L) == "xâ€“y",
+      "repair output must never be re-repaired (a half-token stays visible)")
+    assert(repl(0L) == 0 && moji(3L) == 0)
+  }
 }
