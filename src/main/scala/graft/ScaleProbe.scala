@@ -178,9 +178,14 @@ object ScaleProbe {
           DedupQueries.linkageBlockRows(synthParts(spark, n)),
           DedupQueries.defaultBucketCap).count(),
         // q244 path: perceptual-frame Hamming-bucket candidates through the
-        // salted cap — frames are linear in corpus BYTES and near-dup
-        // density is constant (cluster members share frames), so candidates
-        // track the frame count like every capped pair family
+        // salted cap. Bands are 16-bit (4 hex chars), so like simhash16
+        // this family lives in the BIRTHDAY regime: as frames grow, more
+        // unrelated frames collide per 16-bit bucket and candidates grow
+        // super-linearly (measured 5.92x at 4x corpus, ADVICE r12) until
+        // the salt cap's closed-form per-frame ceiling binds — the
+        // wall-time line below is the authoritative scale check, and the
+        // cap (not band width) is the production knob, exactly as for
+        // simhash16's 10.8x
         "ahash" -> DedupQueries.saltedBucketPairs(
           MultimodalQueries.frameAhashBandRows(
             MultimodalQueries.frameAhashSigs(docs)),
@@ -279,7 +284,13 @@ object ScaleProbe {
             .sequencePackingOf(docs).count(): Unit),
           ("linkage", () => DedupQueries.saltedBucketPairs(
             DedupQueries.linkageBlockRows(synthParts(spark, n)),
-            DedupQueries.defaultBucketCap).count(): Unit))
+            DedupQueries.defaultBucketCap).count(): Unit),
+          // q244's full pair pipeline (VERDICT r12 #5): the candidate
+          // probe measured 5.92× at 4× (16-bit-band birthday regime), so
+          // the TIME line is the authoritative check that the salt cap's
+          // per-frame candidate ceiling holds in wall-clock too
+          ("ahash", () => MultimodalQueries.frameAhashPairs(docs)
+            .count(): Unit))
       }
       val baseTimes = {
         val fams = families(base)
@@ -290,7 +301,8 @@ object ScaleProbe {
       val bigTimes = families(big).map { case (k, f) => k -> timed(f()) }.toMap
       val tRatio = big.toDouble / base
       val keys = Seq("tfidf", "containment", "simhash", "dupspan",
-        "semdedup", "ppjoin", "coverage", "kcenter", "packing", "linkage")
+        "semdedup", "ppjoin", "coverage", "kcenter", "packing", "linkage",
+        "ahash")
       val entries = keys.map { k =>
         val r = bigTimes(k) / math.max(baseTimes(k), 0.001)
         f""""$k":{"base_s":${baseTimes(k)}%.2f,"big_s":${bigTimes(k)}%.2f,""" +
@@ -352,6 +364,34 @@ object ScaleProbe {
       println(
         s"""{"metric":"time_probe2","sizes":[$base,$mid,$big],""" +
         s""""step_ratios":[$s1,$s2],"time_growth":{$entries}}""")
+    }
+
+    // ---- flatness probe (VERDICT r12 #5): q247's headline design claim is
+    // "O(sample·d²) REGARDLESS of corpus size" — every corpus-sized pass
+    // is exactly one TakeOrdered-512 scan, all downstream work runs on the
+    // bounded sample. Assert it in wall-clock: the anisotropy pipeline at
+    // a 4× corpus must stay ~FLAT. ok = ratio ≤ 1.5 (the scan is the only
+    // growing term and is a small share of the fixed d² cost; a linear
+    // pipeline would show ~4×, the bar catches any regression to one).
+    // Enabled via SPARK_GRAFT_FLAT_SIZES="base,big" (embedding counts).
+    sys.env.get("SPARK_GRAFT_FLAT_SIZES").foreach { spec =>
+      val Array(base, big) = spec.split(",").map(_.trim.toLong)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def run(n: Long): Double = {
+        val emb = synthEmbeddings(spark, n).localCheckpoint()
+        val t1 = timed(SimilarityQueries.anisotropyOf(emb).count(): Unit)
+        val t2 = timed(SimilarityQueries.anisotropyOf(emb).count(): Unit)
+        math.min(t1, t2) // min-of-2 at BOTH sizes: the fixed cost is the
+        // claim under test, so JIT warm-up must not masquerade as growth
+      }
+      val (tBase, tBig) = (run(base), run(big))
+      val r = tBig / math.max(tBase, 0.001)
+      println(
+        f"""{"metric":"flat_probe","sizes":[$base,$big],""" +
+        f""""anisotropy":{"base_s":$tBase%.2f,"big_s":$tBig%.2f,""" +
+        f""""ratio":$r%.2f,"ok":${r <= 1.5}}}""")
     }
     spark.stop()
   }
