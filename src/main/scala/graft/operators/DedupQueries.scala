@@ -1010,6 +1010,63 @@ object DedupQueries extends QueryModule {
            |FROM k GROUP BY source ORDER BY source""".stripMargin)
     },
 
+    // Robots/crawl-permission gate (RFC 9309 — the Robots Exclusion
+    // Protocol): the governance stage a crawl pipeline runs between the
+    // URL frontier and the fetch (and re-runs retroactively for
+    // compliance audits). Per-host rule sets with the REP's decision
+    // semantics: longest-path-prefix match wins; on equal length Allow
+    // beats Disallow (least-restrictive tie rule, RFC 9309 §2.2.2); a
+    // host with no matching rule is allowed. Hosts come from q243's
+    // synthesized URLs; the rule table encodes three host policies
+    // (open = no rules, guarded = Disallow /p/ with an Allow /p/1
+    // carve-out and an equal-length /p/3 tie pair, closed = Disallow /
+    // with an Allow /p/2 re-allow) so every decision branch is live at
+    // every SF. Decision = MAX(2·prefix_len + is_allow) % 2 — one
+    // integer per candidate rule carries BOTH the longest-match and the
+    // tie rule, no window, no double anywhere. Scale: the rule table is
+    // a ≤|hosts|·4-row broadcast; one map-side join + a source rollup.
+    q("q250_robots_gate",
+      s"""WITH u AS (
+         |  SELECT doc_id, source, host, path0
+         |  FROM (${urlCanonDuck(s"(\n$urlSynthDuck\n)")}) c),
+         |rules AS (${robotsRulesSql}),
+         |m AS (
+         |  SELECT u.doc_id, u.source,
+         |    MAX(CASE WHEN u.path0 LIKE concat(r.prefix, '%')
+         |             THEN length(r.prefix) * 2 + r.is_allow END) AS best
+         |  FROM u LEFT JOIN rules r ON r.host = u.host
+         |  GROUP BY u.doc_id, u.source)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(SUM(CASE WHEN best IS NULL OR best % 2 = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |  CAST(SUM(CASE WHEN best IS NOT NULL AND best % 2 = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+         |  CAST(SUM(CASE WHEN best IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_no_rule
+         |FROM m GROUP BY source ORDER BY source""".stripMargin) { spark =>
+      spark.sql(
+        s"""WITH u AS (
+           |  SELECT doc_id, source, host, path0
+           |  FROM (${urlCanonSpark(s"(\n$urlSynthSpark\n)")}) c),
+           |rules AS (${robotsRulesSql}),
+           |m AS (
+           |  SELECT u.doc_id, u.source,
+           |    MAX(CASE WHEN u.path0 LIKE concat(r.prefix, '%')
+           |             THEN length(r.prefix) * 2 + r.is_allow END) AS best
+           |  FROM u LEFT JOIN rules r ON r.host = u.host
+           |  GROUP BY u.doc_id, u.source)
+           |SELECT source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+           |  CAST(SUM(CASE WHEN best IS NULL OR best % 2 = 1
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           |  CAST(SUM(CASE WHEN best IS NOT NULL AND best % 2 = 0
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           |  CAST(SUM(CASE WHEN best IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_no_rule
+           |FROM m GROUP BY source ORDER BY source""".stripMargin)
+    },
+
     // Quality-aware dedup: keep the BEST document per near-dup component
     // (not merely the lowest id) — the realistic end of a training-data
     // pipeline: components from iterative min-propagation (q77 machinery),
