@@ -389,6 +389,53 @@ object DedupQueries extends QueryModule {
        |                  AS rest
        |              FROM $src u0) u1) u2) u3) u4) u5) u6) u7""".stripMargin
 
+  /** q250's per-host robots rule table — one SQL literal, valid verbatim
+    * in BOTH dialects (plain UNION ALL of constant SELECTs; no VALUES
+    * syntax divergence). Hosts are q243's `www.site<g%7>.com`; four
+    * policies keep every RFC 9309 decision branch live at every SF:
+    *   - open (site0, site3): no rows — no rules at all → allowed;
+    *   - guarded (site1, site4): Disallow /p/ with an Allow /p/1
+    *     carve-out plus an equal-length /p/3 Allow/Disallow tie pair
+    *     (Allow wins, RFC 9309 §2.2.2);
+    *   - closed (site2, site5): Disallow / with an Allow /p/2 re-allow;
+    *   - scoped (site6): Disallow /admin/ only — rules exist but never
+    *     match a /p/<g> path → default-allow with rules present.
+    * 13 rows total (≤ |hosts|·4), broadcast-sized at any corpus scale.
+    * Prefixes are matched with a literal left()-compare, never LIKE, so
+    * `_`/`%` in a prefix can never act as wildcards. */
+  private val robotsRulesSql: String =
+    Seq(
+      (1, "/p/", 0), (1, "/p/1", 1), (1, "/p/3", 0), (1, "/p/3", 1),
+      (4, "/p/", 0), (4, "/p/1", 1), (4, "/p/3", 0), (4, "/p/3", 1),
+      (2, "/", 0), (2, "/p/2", 1),
+      (5, "/", 0), (5, "/p/2", 1),
+      (6, "/admin/", 0))
+      .map { case (h, p, a) =>
+        s"SELECT 'www.site$h.com' AS host, '$p' AS prefix, $a AS is_allow"
+      }
+      .mkString("\n  UNION ALL ")
+
+  /** q250's per-URL robots decision over any relation carrying
+    * (doc_id, source, host, path0) — dialect-neutral (identical text runs
+    * on Spark and DuckDB), `private[graft]` so DedupSpec drives exactly
+    * the production SQL. One integer per candidate rule,
+    * `2·prefix_len + is_allow`, carries BOTH RFC 9309 decisions: MAX picks
+    * the longest matching prefix, and at equal length the Allow (odd)
+    * value wins the tie (§2.2.2 least-restrictive rule). `n_rules` counts
+    * the host's rules so the rollup can split "host has no rules" from
+    * "rules present, none match" (both allowed; conflated in the r13
+    * draft). Prefix match is a literal left()-compare, never LIKE, so
+    * `_`/`%` inside a rule prefix are inert. */
+  private[graft] def robotsDecision(src: String): String =
+    s"""SELECT u.doc_id, u.source,
+       |  COUNT(r.prefix) AS n_rules,
+       |  MAX(CASE WHEN left(u.path0, length(r.prefix)) = r.prefix
+       |           THEN length(r.prefix) * 2 + r.is_allow END) AS best
+       |FROM $src u LEFT JOIN (
+       |$robotsRulesSql
+       |) r ON r.host = u.host
+       |GROUP BY u.doc_id, u.source""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Exact dedup: sha256 content groups; keeper = lowest doc_id per group.
@@ -1017,53 +1064,50 @@ object DedupQueries extends QueryModule {
     // semantics: longest-path-prefix match wins; on equal length Allow
     // beats Disallow (least-restrictive tie rule, RFC 9309 §2.2.2); a
     // host with no matching rule is allowed. Hosts come from q243's
-    // synthesized URLs; the rule table encodes three host policies
-    // (open = no rules, guarded = Disallow /p/ with an Allow /p/1
-    // carve-out and an equal-length /p/3 tie pair, closed = Disallow /
-    // with an Allow /p/2 re-allow) so every decision branch is live at
-    // every SF. Decision = MAX(2·prefix_len + is_allow) % 2 — one
-    // integer per candidate rule carries BOTH the longest-match and the
-    // tie rule, no window, no double anywhere. Scale: the rule table is
-    // a ≤|hosts|·4-row broadcast; one map-side join + a source rollup.
+    // synthesized URLs; [[robotsRulesSql]] encodes four host policies
+    // (open / guarded / closed / scoped — see its Scaladoc) so every
+    // decision branch is live at every SF. The per-URL decision is
+    // [[robotsDecision]] — one dialect-neutral SQL string driven
+    // verbatim by both engines AND by DedupSpec's branch-liveness cases.
+    // `n_no_rule` counts hosts with ZERO rules;
+    // `n_unmatched` counts rules-present-but-none-match (both allowed
+    // under RFC 9309, reported separately — the two cases were
+    // conflated in the r13 draft). Prefixes match via literal
+    // left()-compare, so `_`/`%` in a rule are inert. Scale: the rule
+    // table is a ≤|hosts|·4-row broadcast; map-side join + rollup.
     q("q250_robots_gate",
       s"""WITH u AS (
          |  SELECT doc_id, source, host, path0
          |  FROM (${urlCanonDuck(s"(\n$urlSynthDuck\n)")}) c),
-         |rules AS (${robotsRulesSql}),
          |m AS (
-         |  SELECT u.doc_id, u.source,
-         |    MAX(CASE WHEN u.path0 LIKE concat(r.prefix, '%')
-         |             THEN length(r.prefix) * 2 + r.is_allow END) AS best
-         |  FROM u LEFT JOIN rules r ON r.host = u.host
-         |  GROUP BY u.doc_id, u.source)
+         |${robotsDecision("u")})
          |SELECT source,
          |  CAST(COUNT(*) AS BIGINT) AS n_urls,
          |  CAST(SUM(CASE WHEN best IS NULL OR best % 2 = 1
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
          |  CAST(SUM(CASE WHEN best IS NOT NULL AND best % 2 = 0
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
-         |  CAST(SUM(CASE WHEN best IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_no_rule
+         |  CAST(SUM(CASE WHEN n_rules = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_no_rule,
+         |  CAST(SUM(CASE WHEN n_rules > 0 AND best IS NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
          |FROM m GROUP BY source ORDER BY source""".stripMargin) { spark =>
       spark.sql(
         s"""WITH u AS (
            |  SELECT doc_id, source, host, path0
            |  FROM (${urlCanonSpark(s"(\n$urlSynthSpark\n)")}) c),
-           |rules AS (${robotsRulesSql}),
            |m AS (
-           |  SELECT u.doc_id, u.source,
-           |    MAX(CASE WHEN u.path0 LIKE concat(r.prefix, '%')
-           |             THEN length(r.prefix) * 2 + r.is_allow END) AS best
-           |  FROM u LEFT JOIN rules r ON r.host = u.host
-           |  GROUP BY u.doc_id, u.source)
+           |${robotsDecision("u")})
            |SELECT source,
            |  CAST(COUNT(*) AS BIGINT) AS n_urls,
            |  CAST(SUM(CASE WHEN best IS NULL OR best % 2 = 1
            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
            |  CAST(SUM(CASE WHEN best IS NOT NULL AND best % 2 = 0
            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
-           |  CAST(SUM(CASE WHEN best IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_no_rule
+           |  CAST(SUM(CASE WHEN n_rules = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_no_rule,
+           |  CAST(SUM(CASE WHEN n_rules > 0 AND best IS NULL
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
            |FROM m GROUP BY source ORDER BY source""".stripMargin)
     },
 

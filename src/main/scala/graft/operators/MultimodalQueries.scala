@@ -415,8 +415,9 @@ object MultimodalQueries extends QueryModule {
     // the caption/content-mismatch candidates (an outlier in BOTH is
     // plain corruption, an outlier in NEITHER is consistent). The outlier
     // test is the integer-exact spelling (n·x − Σx)²·(n−1)·100 >
-    // 625·n·(n·Σx² − (Σx)²) evaluated in DOUBLE over exact BIGINT sums —
-    // no accumulation-order dependence anywhere, fully hash-checkable.
+    // 625·n·(n·Σx² − (Σx)²) over exact BIGINT sums, every factor cast
+    // to DOUBLE before any product (no BIGINT overflow at any scale,
+    // no accumulation-order dependence anywhere) — fully hash-checkable.
     // Scale: per-doc profiles are one-pass rollups (frame sigs memoized,
     // shared with q244/q246), label stats are a |labels|-row broadcast —
     // no pair space, no corpus-sized state.
@@ -451,16 +452,22 @@ object MultimodalQueries extends QueryModule {
          |fl AS (
          |  SELECT j.doc_id, j.label,
          |    CASE WHEN n >= 8 AND
-         |      CAST(n * r - sum_r AS DOUBLE) * CAST(n * r - sum_r AS DOUBLE)
+         |      (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) - CAST(sum_r AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+         |           - CAST(sum_r AS DOUBLE))
          |        * CAST(n - 1 AS DOUBLE) * 100.0 >
          |      625.0 * CAST(n AS DOUBLE)
-         |        * CAST(n * ssq_r - sum_r * sum_r AS DOUBLE)
+         |        * (CAST(n AS DOUBLE) * CAST(ssq_r AS DOUBLE)
+         |           - CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE))
          |      THEN 1 ELSE 0 END AS vis_out,
          |    CASE WHEN n >= 8 AND
-         |      CAST(n * e - sum_e AS DOUBLE) * CAST(n * e - sum_e AS DOUBLE)
+         |      (CAST(n AS DOUBLE) * CAST(e AS DOUBLE) - CAST(sum_e AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(e AS DOUBLE)
+         |           - CAST(sum_e AS DOUBLE))
          |        * CAST(n - 1 AS DOUBLE) * 100.0 >
          |      625.0 * CAST(n AS DOUBLE)
-         |        * CAST(n * ssq_e - sum_e * sum_e AS DOUBLE)
+         |        * (CAST(n AS DOUBLE) * CAST(ssq_e AS DOUBLE)
+         |           - CAST(sum_e AS DOUBLE) * CAST(sum_e AS DOUBLE))
          |      THEN 1 ELSE 0 END AS emb_out
          |  FROM j JOIN st ON st.label = j.label)
          |SELECT label,
@@ -482,9 +489,10 @@ object MultimodalQueries extends QueryModule {
     * exposed private[graft] so the planted-mismatch liveness spec drives
     * exactly the production chain on crafted frames/embeddings. Outlier
     * spelling: (n·x − Σx)²·(n−1)·100 > 625·n·(n·Σx² − (Σx)²) — the
-    * 2.5σ sample-variance test over EXACT integer sums, compared in
-    * DOUBLE (both engines do the identical IEEE products; BIGINT would
-    * overflow at ~5e7² · n · 100). */
+    * 2.5σ sample-variance test over exact BIGINT sums with EVERY factor
+    * cast to DOUBLE before any product (identical IEEE multiply order on
+    * both engines; in-BIGINT products would overflow at ~3e5 docs per
+    * label group — ADVICE r13). */
   private[graft] def crossModalOf(sig: DataFrame,
       embeddings: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
@@ -508,11 +516,18 @@ object MultimodalQueries extends QueryModule {
       sum($"e").cast(LongType).as("sum_e"),
       sum($"e" * $"e").cast(LongType).as("ssq_e"))
     def outlier(x: Column, sx: Column, ssq: Column): Column = {
-      val dd = ($"n" * x - sx).cast(DoubleType)
+      // every factor cast to DOUBLE BEFORE any product (ADVICE r13):
+      // n·ssq and sum² in BIGINT overflow at ~3e5 docs/label — Spark
+      // (ANSI off) would wrap silently where DuckDB raises. The IEEE
+      // products are identical on both engines and exact (< 2^53) at
+      // every fixture SF, so hash results are unchanged.
+      val nD = $"n".cast(DoubleType)
+      val dd = nD * x.cast(DoubleType) - sx.cast(DoubleType)
       ($"n" >= 8) &&
         (dd * dd * ($"n" - 1).cast(DoubleType) * 100.0 >
-          lit(625.0) * $"n".cast(DoubleType) *
-            ($"n" * ssq - sx * sx).cast(DoubleType))
+          lit(625.0) * nD *
+            (nD * ssq.cast(DoubleType) -
+              sx.cast(DoubleType) * sx.cast(DoubleType)))
     }
     val fl = j.join(broadcast(st), "label").select($"doc_id", $"label",
       when(outlier($"r", $"sum_r", $"ssq_r"), 1).otherwise(0).as("vis_out"),

@@ -664,4 +664,58 @@ class DedupSpec extends SparkSpec {
         s"url $url → expected ($canon, $stripped, $frag), got ${out(id)}")
     }
   }
+
+  test("robots gate: every RFC 9309 decision branch through the production SQL") {
+    import spark.implicits._
+    // robotsDecision IS q250's per-URL decision (same string, not a
+    // re-spelling); each case pins one branch against the production
+    // rule table. best = 2·prefix_len + is_allow; allowed ⇔ best IS NULL
+    // (no matching rule) or best is odd (longest match is an Allow).
+    // expected = (n_rules for the host, best or -1 for NULL, category)
+    val cases = Seq(
+      // longest-match win: Allow /p/1 (len4→9) beats Disallow /p/ (len3→6)
+      (1L, "www.site1.com", "/p/1", 4L, 9L, "allowed"),
+      // only the shorter Disallow matches → blocked
+      (2L, "www.site1.com", "/p/5", 4L, 6L, "blocked"),
+      // equal-length tie: /p/3 has Disallow(8) AND Allow(9) → Allow wins
+      (3L, "www.site1.com", "/p/3", 4L, 9L, "allowed"),
+      // open host: zero rules → NULL best, counted as no_rule
+      (4L, "www.site0.com", "/p/0", 0L, -1L, "no_rule"),
+      // scoped host: rules exist but none match → NULL best, unmatched
+      (5L, "www.site6.com", "/p/9", 1L, -1L, "unmatched"),
+      // ...and the same host's rule still blocks where it does match
+      (6L, "www.site6.com", "/admin/x", 1L, 14L, "blocked"),
+      // closed host: Disallow / (len1→2) blocks everything...
+      (7L, "www.site2.com", "/x", 2L, 2L, "blocked"),
+      // ...except the Allow /p/2 re-allow (len4→9)
+      (8L, "www.site2.com", "/p/2", 2L, 9L, "allowed"),
+      // prefix is a PREFIX: /p/1 carve-out also re-allows /p/10/deep
+      (9L, "www.site1.com", "/p/10/deep", 4L, 9L, "allowed"),
+      // left()-compare strictness: '/pX1' shares 3 chars with '/p/'
+      // only positionally — no rule matches → unmatched (guarded host)
+      (10L, "www.site1.com", "/pX1", 4L, -1L, "unmatched"),
+      // unknown host: LEFT JOIN keeps the URL; zero rules → no_rule
+      (11L, "www.other.com", "/p/1", 0L, -1L, "no_rule"))
+    cases.map { case (id, h, p, _, _, _) => (id, "s", h, p) }
+      .toDF("doc_id", "source", "host", "path0")
+      .createOrReplaceTempView("robots_urls_spec")
+    val out = spark.sql(DedupQueries.robotsDecision("robots_urls_spec"))
+      .collect().map { r =>
+        // n_rules is COUNT (long); best is INT arithmetic over length()
+        val best = if (r.isNullAt(3)) -1L else r.getAs[Number](3).longValue
+        r.getLong(0) -> ((r.getAs[Number](2).longValue, best))
+      }.toMap
+    assert(out.size == cases.size, "one decision row per URL")
+    cases.foreach { case (id, h, p, nRules, best, cat) =>
+      assert(out(id) == ((nRules, best)),
+        s"$h$p → expected (n_rules=$nRules, best=$best), got ${out(id)}")
+      // the rollup's categorization, re-derived from the pinned values
+      val derived =
+        if (best >= 0 && best % 2 == 0) "blocked"
+        else if (best >= 0) "allowed"
+        else if (nRules == 0) "no_rule"
+        else "unmatched"
+      assert(derived == cat, s"$h$p category: $derived != $cat")
+    }
+  }
 }

@@ -1613,13 +1613,24 @@ class MySqlServerSpec extends SparkSpec {
       val connectSec = (System.nanoTime() - t0) / 1e9
       val peak = connThreads() - before
       assert(peak >= 1000, s"expected 1000 live conn threads, saw $peak")
-      System.gc(); Thread.sleep(100)
-      val heap1 = rt.totalMemory() - rt.freeMemory()
-      val perConnKb = (heap1 - heap0).max(0L) / 1000 / 1024
       // heap envelope: buffered streams + socket state, no per-conn
       // corpus-sized buffer (thread STACKS are off-heap; this bounds the
-      // heap side). Generous bar — the point is catching a per-conn MB+.
-      assert(perConnKb < 256, s"per-conn heap $perConnKb KiB")
+      // heap side). ABSOLUTE budget (ADVICE r13): a single GC-delta
+      // sample is environment-sensitive (concurrent SparkSession
+      // allocation, GC nondeterminism), so re-GC and re-measure up to 5×
+      // before failing — the hard check is "not a per-conn MB+", i.e.
+      // total delta < 256 MiB; per-conn is reported as info only.
+      var heap1 = 0L
+      var gcTries = 0
+      do {
+        System.gc(); Thread.sleep(200)
+        heap1 = rt.totalMemory() - rt.freeMemory()
+        gcTries += 1
+      } while (heap1 - heap0 >= 256L * 1024 * 1024 && gcTries < 5)
+      val totalMb = (heap1 - heap0).max(0L) / 1024 / 1024
+      val perConnKb = (heap1 - heap0).max(0L) / 1000 / 1024
+      assert(totalMb < 256,
+        s"1000-conn heap delta $totalMb MiB after $gcTries GC samples")
       info(f"1000 idle conns: connect+greet $connectSec%.1f s, " +
         f"peak threads +$peak, ~$perConnKb KiB heap/conn")
       // the deadline reaps every idler: threads gone, sockets EOF

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# The ONLY allowed commit path (CLAUDE.md gate; added after the r13
+# end-of-round snapshot committed 57 uncompiled lines 3 minutes after the
+# gates had run — VERDICT r13 "what's wrong" #2). Usage:
+#
+#   tools/gate.sh            # compile + Verify/check.py at sf0.01, then commit:
+#   tools/gate.sh -m "msg"   # ...gate, then `git commit -am "msg"` on success
+#   FULL=1 tools/gate.sh     # additionally run the whole ScalaTest suite
+#   SF=/root/testdata/sf0.1 tools/gate.sh   # gate on a different fixture
+#
+# Exit code is non-zero on ANY gate failure; the commit (if requested)
+# only happens after every gate passed in THIS invocation — there is no
+# way to commit through this script with a red gate.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF="${SF:-/root/testdata/sf0.01}"
+OUT="${OUT:-/tmp/gate_verify_out}"
+MSG=""
+if [[ "${1:-}" == "-m" ]]; then MSG="${2:?-m needs a message}"; fi
+
+echo "[gate] 1/3 sbt compile + Test/compile"
+sbt -batch compile Test/compile
+
+if [[ "${FULL:-0}" == "1" ]]; then
+  echo "[gate] 1b/3 sbt test (FULL=1)"
+  sbt -batch test
+fi
+
+echo "[gate] 2/3 graft.Verify $SF -> $OUT"
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify $SF $OUT"
+
+echo "[gate] 3/3 tools/check.py"
+python3 tools/check.py "$OUT" "$SF" | tee /tmp/gate_check.log
+grep -q " 0 fail" /tmp/gate_check.log || {
+  echo "[gate] FAIL: check.py reported failures"; exit 1; }
+
+echo "[gate] ALL GREEN"
+if [[ -n "$MSG" ]]; then
+  git add -A
+  git commit -m "$MSG" -m "Gate: tools/gate.sh green (compile + Verify/check.py @ $(basename "$SF")${FULL:+ + full suite})"
+fi
