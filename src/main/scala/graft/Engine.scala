@@ -51,7 +51,36 @@ object Engine {
     "wait_timeout" -> "28800",
     "net_write_timeout" -> "60",
     "interactive_timeout" -> "28800",
-    "transaction_isolation" -> "REPEATABLE-READ")
+    "transaction_isolation" -> "REPEATABLE-READ",
+    // the rest of the variables a STOCK connector's opening burst reads
+    // (r14 conformance sweep — no stock driver ships in this container,
+    // so the burst queries are replayed verbatim by MySqlServerSpec):
+    // mysql-connector-j 8.x SELECTs all of these with aliases right after
+    // auth and aborts the connection on ER 1193 for any one of them;
+    // tx_isolation is the pre-8.0.3 spelling older connectors read.
+    "auto_increment_increment" -> "1",
+    "auto_increment_offset" -> "1",
+    "character_set_server" -> "utf8mb4",
+    "collation_server" -> "utf8mb4_bin",
+    "character_set_database" -> "utf8mb4",
+    "collation_database" -> "utf8mb4_bin",
+    "init_connect" -> "",
+    "license" -> "Apache-2.0",
+    "lower_case_table_names" -> "0",
+    "performance_schema" -> "0",
+    "system_time_zone" -> "UTC",
+    "net_read_timeout" -> "30",
+    "sql_auto_is_null" -> "0",
+    "query_cache_size" -> "0",
+    "query_cache_type" -> "0",
+    "tx_isolation" -> "REPEATABLE-READ")
+
+  /** Sentinel for a system/user variable SET to literal NULL
+    * (`SET character_set_results = NULL` is in mysql-connector-j's opening
+    * burst). Reads substitute a NULL literal; SHOW VARIABLES displays the
+    * empty string, both per MySQL. The sentinel is NUL-prefixed so no
+    * quoted client value can collide (NUL never survives [[unquote]]). */
+  private[graft] val SysVarNull: String = "\u0000NULL"
 
   /** The one sysvar default read OFF the variable map (the slow-query
     * listener's volatile snapshot) — derived from [[defaultSysVars]] so the
@@ -982,7 +1011,8 @@ object Engine {
             if (!a.startsWith("@") || a.startsWith("@@"))
               throw EngineError(1064, "42000",
                 s"EXECUTE USING expects user variables, got '$a'")
-            s.userVar(a.stripPrefix("@")).map(sqlLiteral).getOrElse("NULL")
+            s.userVar(a.stripPrefix("@")).filterNot(_ == SysVarNull)
+              .map(sqlLiteral).getOrElse("NULL")
           }
         Some(s.sql(bindPositional(stmt, args)))
       case deallocRe(name) =>
@@ -1015,12 +1045,19 @@ object Engine {
         import s.spark.implicits._
         val rows = s.sysVarSnapshot.toSeq
           .filter { case (n, _) => re.forall(_.matches(n)) }.sorted
+          // a NULL-set variable displays as empty, per MySQL
+          .map { case (n, v) => (n, if (v == SysVarNull) "" else v) }
         Some(rows.toDF("Variable_name", "Value"))
       case setStmtRe(body) =>
         val assigns = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
         val parsed = assigns.map {
           case assignRe(scope, ats, dotScope, name, value) =>
-            val v = unquote(value.trim)
+            // bare (unquoted) NULL is the NULL value — the string 'NULL'
+            // stays a string; mysql-connector-j's opening burst sends
+            // `SET character_set_results = NULL`
+            val raw = value.trim
+            val v = if (raw.equalsIgnoreCase("null")) SysVarNull
+                    else unquote(raw)
             val n = name.toLowerCase
             if (ats == "@@" || scope != null || dotScope != null)
               Some(() => s.setSysVar(n, switchNorm(v)))
@@ -1179,14 +1216,18 @@ object Engine {
             val name = m.group(2).toLowerCase
             val v = sys.getOrElse(name, throw EngineError(1193, "HY000",
               s"Unknown system variable '$name'"))
-            out.append(sqlLiteral(v))
+            // a NULL-set variable reads as typed NULL (CAST keeps the
+            // column off Spark's NullType, which has no wire mapping)
+            out.append(
+              if (v == SysVarNull) "CAST(NULL AS STRING)" else sqlLiteral(v))
             i += 1 + m.matched.length
           case None => out.append(c)
         }
       } else if (c == '@') {
         varNameRe.findFirstMatchIn(query.substring(i + 1)) match {
           case Some(m) if m.group(1) == null =>
-            out.append(user.get(m.group(2).toLowerCase).map(sqlLiteral)
+            out.append(user.get(m.group(2).toLowerCase)
+              .filterNot(_ == SysVarNull).map(sqlLiteral)
               .getOrElse("NULL"))
             i += m.matched.length
           case _ => out.append(c)

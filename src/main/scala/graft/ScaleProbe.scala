@@ -393,6 +393,106 @@ object ScaleProbe {
         f""""anisotropy":{"base_s":$tBase%.2f,"big_s":$tBig%.2f,""" +
         f""""ratio":$r%.2f,"ok":${r <= 1.5}}}""")
     }
+
+    // ---- q249 cross-modal growth probe (VERDICT r13 #5): the gate's
+    // design claim is corpus-PROPORTIONAL cost with BOUNDED state — per-doc
+    // profiles are one-pass rollups, label stats a |labels|-row broadcast,
+    // and the profile join has no hidden super-linear term (no pair space:
+    // each doc joins exactly its own embedding row and its label's single
+    // stats row). Assert both halves: wall-clock at a 4× corpus grows
+    // ≤ 4×·1.3, and the output stays exactly |labels| rows at any size.
+    // Enabled via SPARK_GRAFT_XMODAL_SIZES="base,big" (doc counts).
+    sys.env.get("SPARK_GRAFT_XMODAL_SIZES").foreach { spec =>
+      val Array(base, big) = spec.split(",").map(_.trim.toLong)
+      val nLabels = 10
+      def inputs(n: Long): (DataFrame, DataFrame) = {
+        import spark.implicits._
+        // 4 frames per doc, 16-hex aHash — the q244 signature shape
+        val sig = spark.range(n).select($"id".as("doc_id"),
+          explode(transform(sequence(lit(0), lit(3)), f =>
+            substring(md5(concat(lit("xm:"), $"id".cast("string"),
+              lit(":"), f.cast("string"))), 1, 16))).as("ahash"))
+        val emb = spark.range(n).select($"id".as("vec_id"),
+          transform(sequence(lit(0), lit(63)), d =>
+            (pmod(xxhash64($"id".cast("string"), lit(":"), d.cast("string")),
+              lit(2000L)).cast("double") / 1000.0 - 1.0).cast("float"))
+            .as("embedding"),
+          pmod(xxhash64(lit("lb:"), $"id".cast("string")), lit(nLabels))
+            .cast("int").as("label"))
+        (sig.localCheckpoint(), emb.localCheckpoint())
+      }
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def run(n: Long): (Double, Long) = {
+        val (sig, emb) = inputs(n)
+        val t1 = timed(
+          graft.operators.MultimodalQueries.crossModalOf(sig, emb).count())
+        val rows =
+          graft.operators.MultimodalQueries.crossModalOf(sig, emb).count()
+        val t2 = timed(
+          graft.operators.MultimodalQueries.crossModalOf(sig, emb).count())
+        (math.min(t1, t2), rows) // min-of-2: JIT warm-up is not growth
+      }
+      val ((tBase, rowsBase), (tBig, rowsBig)) = (run(base), run(big))
+      val scale = big.toDouble / base
+      val r = tBig / math.max(tBase, 0.001)
+      val ok = r <= scale * 1.3 && rowsBase <= nLabels && rowsBig <= nLabels
+      println(
+        f"""{"metric":"xmodal_probe","sizes":[$base,$big],""" +
+        f""""crossmodal":{"base_s":$tBase%.2f,"big_s":$tBig%.2f,""" +
+        f""""ratio":$r%.2f,"out_rows":[$rowsBase,$rowsBig],""" +
+        f""""label_bound":$nLabels,"ok":$ok}}""")
+    }
+
+    // ---- q250 robots-gate probe (VERDICT r13 #5): the rule relation must
+    // stay ≤ |hosts|·4 rows at ANY corpus scale (it is a policy table, not
+    // data-derived) and the decision join must BROADCAST it — a shuffle on
+    // host would repartition the whole corpus for a ≤28-row build side.
+    // Growth leg: decision wall-clock at a 4× corpus grows ≤ 4×·1.3 (one
+    // map-side join + rollup has no super-linear term to hide).
+    // Enabled via SPARK_GRAFT_ROBOTS_SIZES="base,big" (url counts).
+    sys.env.get("SPARK_GRAFT_ROBOTS_SIZES").foreach { spec =>
+      val Array(base, big) = spec.split(",").map(_.trim.toLong)
+      import spark.implicits._
+      val nHosts = 7 // q243's www.site<g%7>.com universe
+      val ruleRows = spark.sql(
+        graft.operators.DedupQueries.robotsRulesSql).count()
+      def urls(n: Long): DataFrame =
+        spark.range(n).select($"id".as("doc_id"),
+          concat(lit("s"), pmod($"id", lit(3)).cast("string")).as("source"),
+          concat(lit("www.site"), pmod($"id", lit(nHosts)).cast("string"),
+            lit(".com")).as("host"),
+          concat(lit("/p/"), ($"id" / 4).cast("long").cast("string"))
+            .as("path0")).localCheckpoint()
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def run(n: Long): Double = {
+        urls(n).createOrReplaceTempView("robots_probe_urls")
+        val df = spark.sql(graft.operators.DedupQueries
+          .robotsDecision("robots_probe_urls"))
+        val t1 = timed(df.count()); val t2 = timed(df.count())
+        math.min(t1, t2)
+      }
+      val plan = {
+        urls(base).createOrReplaceTempView("robots_probe_urls")
+        spark.sql(graft.operators.DedupQueries
+          .robotsDecision("robots_probe_urls"))
+          .queryExecution.executedPlan.toString
+      }
+      val broadcasts = plan.contains("BroadcastHashJoin")
+      val (tBase, tBig) = (run(base), run(big))
+      val scale = big.toDouble / base
+      val r = tBig / math.max(tBase, 0.001)
+      val ok = broadcasts && r <= scale * 1.3 && ruleRows <= nHosts * 4
+      println(
+        f"""{"metric":"robots_probe","sizes":[$base,$big],""" +
+        f""""robots":{"base_s":$tBase%.2f,"big_s":$tBig%.2f,""" +
+        f""""ratio":$r%.2f,"rule_rows":$ruleRows,""" +
+        f""""rule_rows_bound":${nHosts * 4},""" +
+        f""""broadcast_join":$broadcasts,"ok":$ok}}""")
+    }
     spark.stop()
   }
 }

@@ -403,7 +403,7 @@ object DedupQueries extends QueryModule {
     * 13 rows total (≤ |hosts|·4), broadcast-sized at any corpus scale.
     * Prefixes are matched with a literal left()-compare, never LIKE, so
     * `_`/`%` in a prefix can never act as wildcards. */
-  private val robotsRulesSql: String =
+  private[graft] val robotsRulesSql: String =
     Seq(
       (1, "/p/", 0), (1, "/p/1", 1), (1, "/p/3", 0), (1, "/p/3", 1),
       (4, "/p/", 0), (4, "/p/1", 1), (4, "/p/3", 0), (4, "/p/3", 1),

@@ -298,7 +298,9 @@ class EngineSpec extends SparkSpec {
     val vars = s.sql("SHOW VARIABLES LIKE 'character_set_%'")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(vars("character_set_client") == "utf8mb4", vars)
-    assert(vars.size == 3, vars)
+    // client/connection/results (the SET NAMES trio) + the server/database
+    // charsets a stock connector reads at connect (r14)
+    assert(vars.size == 5, vars)
     // full listing contains the seeded defaults
     assert(s.sql("SHOW VARIABLES").count() >= 15)
   }

