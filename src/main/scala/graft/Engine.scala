@@ -305,17 +305,21 @@ object Engine {
 
     def sql(query: String): DataFrame = {
       questions += 1
-      Engine.sessionCommand(this, query).getOrElse {
+      // a WHOLE-statement version-conditional comment executes its body
+      // (mysqldump's opening/closing sequences) — one seam covers every
+      // caller: sql, stream, sqlBatch/streamBatch, the wire COM_QUERY path
+      val query0 = Engine.unwrapVersionComment(query)
+      Engine.sessionCommand(this, query0).getOrElse {
         // tag the calling thread's jobs with this connection's group so a
         // peer's KILL QUERY <connection_id> can cancel them mid-flight
-        spark.sparkContext.setJobGroup(jobGroup, query.take(120),
+        spark.sparkContext.setJobGroup(jobGroup, query0.take(120),
           interruptOnCancel = true)
         val q =
-          if (query.indexOf('@') >= 0 ||
-              Engine.clientFnDetect.findFirstIn(query).isDefined)
-            Engine.substituteVars(query, sysVars.toMap, userVars.toMap,
+          if (query0.indexOf('@') >= 0 ||
+              Engine.clientFnDetect.findFirstIn(query0).isDefined)
+            Engine.substituteVars(query0, sysVars.toMap, userVars.toMap,
               clientFnSubs)
-          else query
+          else query0
         try spark.sql(q)
         catch {
           case e: org.apache.spark.sql.AnalysisException =>
@@ -894,7 +898,37 @@ object Engine {
     """(?is)^\s*(?:(GLOBAL|SESSION|LOCAL)\s+)?(@{0,2})(?:(session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)\s*:?=\s*(.+?)\s*$""".r
 
   private val beginRe =
-    """(?is)^\s*(?:BEGIN|START\s+TRANSACTION(?:\s+READ\s+(?:ONLY|WRITE))?)\s*;?\s*$""".r
+    """(?is)^\s*(?:BEGIN|START\s+TRANSACTION(?:\s*(?:/\*.*?\*/|WITH\s+CONSISTENT\s+SNAPSHOT|READ\s+(?:ONLY|WRITE)|,))*)\s*;?\s*$""".r
+  private val setTxIsoRe =
+    """(?is)^\s*SET\s+(?:(?:SESSION|GLOBAL)\s+)?TRANSACTION\s+(.+?)\s*;?\s*$""".r
+  private val lockFlushRe =
+    """(?is)^\s*(?:LOCK\s+TABLES?\s+.+|UNLOCK\s+TABLES?|FLUSH\s+(?:LOCAL\s+)?TABLES?(?:\s+.+)?)\s*;?\s*$""".r
+  private val alterKeysRe =
+    """(?is)^\s*ALTER\s+TABLE\s+\S+\s+(?:DISABLE|ENABLE)\s+KEYS\s*;?\s*$""".r
+  private val sysRefRe =
+    """(?is)^@@(?:(?:session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val userRefRe = """(?is)^@([A-Za-z_][A-Za-z0-9_]*)$""".r
+
+  /** MySQL version-conditional comment — "slash-star-bang-40103 SET …
+    * star-slash" covering the
+    * WHOLE statement — mysqldump's opening/closing sequences arrive as
+    * these. MySQL executes the body when the server version ≥ the 5-digit
+    * prefix; this engine's MySQL-compat level for that comparison is
+    * [[effectiveMysqlVersion]]. Bodies above it are comments → the
+    * statement is empty → MySQL's ER 1065. INLINE versioned comments
+    * (a `SQL_NO_CACHE` wrapped mid-SELECT) are deliberately NOT unwrapped:
+    * Spark ignores them as plain comments, which is exactly the
+    * "unsupported optional feature" semantics for hints we don't have. */
+  private[graft] val effectiveMysqlVersion = 80000
+  private val versionCommentRe =
+    """(?s)^\s*/\*!(\d{4,6})\s+(.*?)\*/\s*;?\s*$""".r
+  private[graft] def unwrapVersionComment(query: String): String =
+    query match {
+      case versionCommentRe(num, body) =>
+        if (num.toInt <= effectiveMysqlVersion) body.trim
+        else throw EngineError(1065, "42000", "Query was empty")
+      case _ => query
+    }
   private val commitRe = """(?is)^\s*(?:COMMIT|ROLLBACK)\s*;?\s*$""".r
   private val killRe =
     """(?is)^\s*KILL\s+(?:QUERY\s+|CONNECTION\s+)?(\d+)\s*;?\s*$""".r
@@ -923,6 +957,43 @@ object Engine {
     query match {
       case beginRe() => s.inTrans = true; Some(s.spark.emptyDataFrame)
       case commitRe() => s.inTrans = false; Some(s.spark.emptyDataFrame)
+      case setTxIsoRe(chars) =>
+        // SET [SESSION|GLOBAL] TRANSACTION <characteristics> — mysqldump's
+        // 4th statement (ISOLATION LEVEL REPEATABLE READ). Characteristics
+        // update the variable pair (both MySQL spellings); READ ONLY/WRITE
+        // is accepted and dropped (every read here is snapshot-consistent,
+        // and writes are session-scoped view swaps). Unknown words relay
+        // nothing — they are MySQL's ER 1064 shape.
+        val parts = splitTopLevel(chars, ',').map(_.trim).filter(_.nonEmpty)
+        val isoRe = """(?is)^ISOLATION\s+LEVEL\s+(.+)$""".r
+        val rwRe = """(?is)^READ\s+(?:ONLY|WRITE)$""".r
+        if (parts.isEmpty || !parts.forall(p =>
+            isoRe.matches(p) || rwRe.matches(p)))
+          throw EngineError(1064, "42000",
+            s"Unsupported TRANSACTION characteristics: '$chars'")
+        parts.foreach {
+          case isoRe(level) =>
+            val norm = level.trim.toUpperCase.split("\\s+").mkString("-")
+            if (!Set("REPEATABLE-READ", "READ-COMMITTED",
+                "READ-UNCOMMITTED", "SERIALIZABLE").contains(norm))
+              throw EngineError(1064, "42000",
+                s"Unknown isolation level: '$level'")
+            s.setSysVar("transaction_isolation", norm)
+            s.setSysVar("tx_isolation", norm)
+          case _ => () // READ ONLY / READ WRITE
+        }
+        Some(s.spark.emptyDataFrame)
+      case lockFlushRe() =>
+        // LOCK/UNLOCK/FLUSH TABLES — mysqldump without --single-transaction
+        // brackets every table in these. Reads here are snapshot-consistent
+        // (parquet + immutable memoized relations) and the engine is
+        // single-process, so the lock is a no-op OK, per the reference's
+        // relay-and-let-the-backend-decide posture.
+        Some(s.spark.emptyDataFrame)
+      case alterKeysRe() =>
+        // ALTER TABLE … DISABLE/ENABLE KEYS — dump-restore bracketing; no
+        // secondary index structures exist to toggle. No-op OK.
+        Some(s.spark.emptyDataFrame)
       case processListRe() =>
         import s.spark.implicits._
         Some(Engine.processList
@@ -1054,10 +1125,22 @@ object Engine {
           case assignRe(scope, ats, dotScope, name, value) =>
             // bare (unquoted) NULL is the NULL value — the string 'NULL'
             // stays a string; mysql-connector-j's opening burst sends
-            // `SET character_set_results = NULL`
+            // `SET character_set_results = NULL`. An RHS that is exactly
+            // a @@sysvar / @uservar reference resolves to its CURRENT
+            // value (mysqldump's save/restore pair:
+            // SET @OLD_TIME_ZONE=@@TIME_ZONE … SET TIME_ZONE=@OLD_TIME_ZONE);
+            // quoted forms stay literal strings.
             val raw = value.trim
-            val v = if (raw.equalsIgnoreCase("null")) SysVarNull
-                    else unquote(raw)
+            val v = raw match {
+              case _ if raw.equalsIgnoreCase("null") => SysVarNull
+              case sysRefRe(rn) =>
+                s.sysVarSnapshot.getOrElse(rn.toLowerCase,
+                  throw EngineError(1193, "HY000",
+                    s"Unknown system variable '${rn.toLowerCase}'"))
+              case userRefRe(rn) =>
+                s.userVar(rn.toLowerCase).getOrElse(SysVarNull)
+              case _ => unquote(raw)
+            }
             val n = name.toLowerCase
             if (ats == "@@" || scope != null || dotScope != null)
               Some(() => s.setSysVar(n, switchNorm(v)))

@@ -288,6 +288,56 @@ class EngineSpec extends SparkSpec {
     assert(line.matches("""Uptime: \d+  Threads: \d+  Questions: \d+"""), line)
   }
 
+  test("mysqldump session replay: versioned comments, TX isolation, " +
+      "save/restore via user vars, LOCK/FLUSH no-ops") {
+    // r14 conformance: the exact statement sequence mysqldump 8.0 sends
+    // (opening with --single-transaction, table bracketing without it,
+    // and the closing restore) — each line verbatim from a real dump run.
+    val s = Engine.connect(spark, "prod", backends)
+    // opening burst: whole-statement version-conditional comments EXECUTE
+    s.sql("/*!40100 SET @@SQL_MODE='' */")
+    assert(s.variable("sql_mode").contains(""), "SQL_MODE must be set empty")
+    s.sql("/*!40103 SET @OLD_TIME_ZONE=@@TIME_ZONE */")
+    s.sql("/*!40103 SET TIME_ZONE='+00:00' */")
+    assert(s.variable("time_zone").contains("+00:00"))
+    // flip isolation first so the explicit SET is observable
+    s.sql("SET SESSION TRANSACTION ISOLATION LEVEL READ COMMITTED")
+    assert(s.variable("transaction_isolation").contains("READ-COMMITTED"))
+    assert(s.variable("tx_isolation").contains("READ-COMMITTED"))
+    s.sql("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    assert(s.variable("transaction_isolation").contains("REPEATABLE-READ"))
+    // START TRANSACTION with the inline versioned comment is absorbed
+    s.sql("START TRANSACTION /*!40100 WITH CONSISTENT SNAPSHOT */")
+    // probe mysqldump runs against NDB — must answer an EMPTY set, not ERR
+    assert(s.sql("SHOW VARIABLES LIKE 'ndbinfo_version'").count() == 0)
+    // the per-table dump pair still works inside the transaction
+    assert(s.sql("SHOW CREATE TABLE region").count() == 1)
+    assert(s.sql(
+      "SELECT /*!40001 SQL_NO_CACHE */ * FROM region").count() == 5)
+    s.sql("COMMIT")
+    // table bracketing (no --single-transaction): all no-op OKs
+    s.sql("LOCK TABLES `region` READ /*!32311 LOCAL */")
+    s.sql("UNLOCK TABLES")
+    s.sql("FLUSH TABLES")
+    s.sql("ALTER TABLE region DISABLE KEYS")
+    s.sql("ALTER TABLE region ENABLE KEYS")
+    // closing restore: RHS user-var reference resolves to the SAVED value
+    s.sql("/*!40103 SET TIME_ZONE=@OLD_TIME_ZONE */")
+    assert(s.variable("time_zone").contains("UTC"),
+      s"restore must read @OLD_TIME_ZONE back, got ${s.variable("time_zone")}")
+    // a version gate ABOVE the engine's compat level is a comment → the
+    // statement is empty → MySQL's ER 1065
+    val e = intercept[Engine.EngineError](s.sql("/*!990000 SELECT 1 */"))
+    assert(e.code == 1065, s"above-version comment must be 1065, got $e")
+    // quoted RHS stays a literal string, never a reference
+    s.sql("SET @lit = '@@time_zone'")
+    assert(s.sql("SELECT @lit AS v").head().getString(0) == "@@time_zone")
+    // unknown characteristics stay MySQL-shaped errors
+    val e2 = intercept[Engine.EngineError](
+      s.sql("SET SESSION TRANSACTION ISOLATION LEVEL CHAOS"))
+    assert(e2.code == 1064)
+  }
+
   test("mysql-CLI handshake sequence: version_comment, SET NAMES, SHOW VARIABLES") {
     val s = Engine.connect(spark, "prod", backends)
     // the mysql CLI's literal first statement after connecting
