@@ -308,7 +308,14 @@ object Engine {
       // a WHOLE-statement version-conditional comment executes its body
       // (mysqldump's opening/closing sequences) — one seam covers every
       // caller: sql, stream, sqlBatch/streamBatch, the wire COM_QUERY path
-      val query0 = Engine.unwrapVersionComment(query)
+      val query1 = Engine.unwrapVersionComment(query)
+      // information_schema introspection: (re)materialize the metadata
+      // views, then rewrite the qualified names onto them (token-safe)
+      val query0 =
+        if (Engine.infoSchemaDetect.findFirstIn(query1).isDefined) {
+          Engine.registerInfoSchema(this)
+          Engine.rewriteInfoSchema(query1)
+        } else query1
       Engine.sessionCommand(this, query0).getOrElse {
         // tag the calling thread's jobs with this connection's group so a
         // peer's KILL QUERY <connection_id> can cancel them mid-flight
@@ -909,6 +916,21 @@ object Engine {
     """(?is)^@@(?:(?:session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)$""".r
   private val userRefRe = """(?is)^@([A-Za-z_][A-Za-z0-9_]*)$""".r
 
+  private val showCollationRe =
+    """(?is)^\s*SHOW\s+COLLATION(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  private val showCharsetRe =
+    """(?is)^\s*SHOW\s+(?:CHARACTER\s+SET|CHARSET)(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  private val showIndexRe =
+    """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+((?:`[A-Za-z0-9_]+`|[A-Za-z0-9_]+))\s*;?\s*$""".r
+  private val showEnginesRe =
+    """(?is)^\s*SHOW\s+(?:STORAGE\s+)?ENGINES\s*;?\s*$""".r
+
+  /** SQL LIKE pattern → anchored case-insensitive regex (the SHOW-family
+    * wildcard semantics: `%` any run, `_` any single char). */
+  private def likeRegex(like: String): Option[scala.util.matching.Regex] =
+    Option(like).map(p => ("(?i)^" + java.util.regex.Pattern
+      .quote(p).replace("%", """\E.*\Q""").replace("_", """\E.\Q""") + "$").r)
+
   /** MySQL version-conditional comment — "slash-star-bang-40103 SET …
     * star-slash" covering the
     * WHOLE statement — mysqldump's opening/closing sequences arrive as
@@ -983,6 +1005,69 @@ object Engine {
           case _ => () // READ ONLY / READ WRITE
         }
         Some(s.spark.emptyDataFrame)
+      case showCollationRe(like) =>
+        // SHOW COLLATION — pre-8 connector-j and GUI tools read the whole
+        // registry at connect. Served table-driven from [[Collations]]
+        // (the reference's full 220-entry id↔name table); Default marks
+        // the engine default (utf8mb4_bin, constants.go:6). MySQL's
+        // column order: Collation, Charset, Id, Default, Compiled, Sortlen.
+        val re = likeRegex(like)
+        import s.spark.implicits._
+        val rows = Collations.byId.toSeq.sortBy(_._1).map { case (id, n) =>
+          val charset =
+            if (n == "binary") "binary" else n.takeWhile(_ != '_')
+          (n, charset, id.toLong,
+            if (id == Collations.defaultId) "Yes" else "",
+            "Yes", 1L)
+        }.filter { case (n, _, _, _, _, _) => re.forall(_.matches(n)) }
+        Some(rows.toDF("Collation", "Charset", "Id", "Default",
+          "Compiled", "Sortlen"))
+      case showCharsetRe(like) =>
+        // SHOW CHARACTER SET — derived from the same registry: one row per
+        // distinct charset prefix, default collation = the engine default
+        // for utf8mb4, else the charset's lowest-id collation.
+        val re = likeRegex(like)
+        import s.spark.implicits._
+        val byCharset = Collations.byId.toSeq.groupBy { case (_, n) =>
+          if (n == "binary") "binary" else n.takeWhile(_ != '_')
+        }
+        def maxlen(cs: String): Long = cs match {
+          case "utf8mb4" | "utf16" | "utf32" => 4L
+          case "utf8" | "utf8mb3" => 3L
+          case "ucs2" => 2L
+          case _ => 1L
+        }
+        val rows = byCharset.toSeq.sortBy(_._1).map { case (cs, colls) =>
+          val default =
+            if (cs == "utf8mb4") Collations.byId(Collations.defaultId)
+            else colls.minBy(_._1)._2
+          (cs, s"$cs charset", default, maxlen(cs))
+        }.filter { case (cs, _, _, _) => re.forall(_.matches(cs)) }
+        Some(rows.toDF("Charset", "Description", "Default collation",
+          "Maxlen"))
+      case showIndexRe(raw) =>
+        // SHOW INDEX/KEYS FROM t — GUI tools send it per table; parquet
+        // relations have no secondary indexes, so the correct answer is
+        // the EMPTY result set with MySQL's column shape (unknown table
+        // is 1146 like SHOW CREATE TABLE).
+        val tbl = raw.replace("`", "")
+        try s.spark.table(tbl)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          throw EngineError(1146, "42S02", s"Table '$tbl' doesn't exist")
+        }
+        import s.spark.implicits._
+        Some(Seq.empty[(String, Long, String, Long, String, String,
+          Long, String, String, String, String, String, String)]
+          .toDF("Table", "Non_unique", "Key_name", "Seq_in_index",
+            "Column_name", "Collation", "Cardinality", "Sub_part",
+            "Packed", "Null", "Index_type", "Comment", "Index_comment"))
+      case showEnginesRe() =>
+        import s.spark.implicits._
+        Some(Seq(("graft", "DEFAULT",
+          "Spark-backed analytics engine (parquet relations)",
+          "NO", "NO", "NO"))
+          .toDF("Engine", "Support", "Comment", "Transactions", "XA",
+            "Savepoints"))
       case lockFlushRe() =>
         // LOCK/UNLOCK/FLUSH TABLES — mysqldump without --single-transaction
         // brackets every table in these. Reads here are snapshot-consistent
@@ -1261,6 +1346,134 @@ object Engine {
     * matches `user` inside `current_user`. */
   private val clientFnNames = Seq("connection_id", "current_user",
     "session_user", "system_user", "database", "schema", "user")
+
+  /** information_schema emulation (r14) — ORMs and GUI tools introspect
+    * `information_schema.tables` / `.columns` / `.schemata` with arbitrary
+    * SELECTs (joins, predicates, aggregates), so interception-by-statement
+    * can't work; instead the three relations are materialized as session
+    * temp views (metadata-sized, rebuilt per referencing query so they
+    * always reflect the live catalog) and the qualified names are
+    * rewritten to them token-safely. The helper views themselves are
+    * excluded from the listing, like MySQL keeps information_schema out
+    * of SHOW TABLES. */
+  private[graft] val infoSchemaDetect =
+    """(?i)information_schema\s*\.\s*(tables|columns|schemata|statistics|key_column_usage|referential_constraints)""".r
+
+  private[graft] def rewriteInfoSchema(query: String): String = {
+    // token-safe: quoted strings / backticks / comments pass untouched
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def at(j: Int, c: Char): Boolean =
+      j < query.length && query.charAt(j) == c
+    val headRe = """(?is)^information_schema\s*\.\s*(tables|columns|schemata|statistics|key_column_usage|referential_constraints)\b""".r
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < query.length) {
+          out.append(query.charAt(i + 1)); i += 1
+        }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c) }
+      else if (c == '-' && at(i + 1, '-')) {
+        while (i < query.length && query.charAt(i) != '\n') {
+          out.append(query.charAt(i)); i += 1
+        }
+        i -= 1
+      } else if (c == '/' && at(i + 1, '*')) {
+        out.append("/*"); i += 2
+        while (i < query.length &&
+            !(query.charAt(i) == '*' && at(i + 1, '/'))) {
+          out.append(query.charAt(i)); i += 1
+        }
+        if (i < query.length) { out.append("*/"); i += 1 }
+      } else if ((c == 'i' || c == 'I') &&
+          (i == 0 || { val p = query.charAt(i - 1)
+            !Character.isLetterOrDigit(p) && p != '_' && p != '.' && p != '`' })) {
+        headRe.findFirstMatchIn(query.substring(i)) match {
+          case Some(m) =>
+            out.append("graft_is_").append(m.group(1).toLowerCase)
+            i += m.matched.length - 1
+          case None => out.append(c)
+        }
+      } else out.append(c)
+      i += 1
+    }
+    out.toString
+  }
+
+  private[graft] def registerInfoSchema(s: Session): Unit = {
+    val spark = s.spark
+    import spark.implicits._
+    val db = spark.catalog.currentDatabase
+    val names = spark.catalog.listTables().collect().map(_.name)
+      .filterNot(_.startsWith("graft_is_")).sorted.toSeq
+    names.map(t => ("def", db, t, "BASE TABLE", "graft"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type",
+        "engine")
+      .createOrReplaceTempView("graft_is_tables")
+    def mysqlType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType => "bigint"
+        case IntegerType => "int"
+        case ShortType => "smallint"
+        case ByteType => "tinyint"
+        case DoubleType => "double"
+        case FloatType => "float"
+        case StringType => "varchar"
+        case BooleanType => "tinyint"
+        case _: DecimalType => "decimal"
+        case DateType => "date"
+        case _: TimestampType => "timestamp"
+        case BinaryType => "blob"
+        case _ => "json" // arrays/maps/structs — the MySQL escape hatch
+      }
+    }
+    names.flatMap { t =>
+      val fields =
+        try spark.table(t).schema.fields
+        catch { case _: Exception => Array.empty[org.apache.spark.sql.types.StructField] }
+      fields.zipWithIndex.map { case (f, i) =>
+        val dt = mysqlType(f.dataType)
+        val ct = f.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            s"decimal(${d.precision},${d.scale})"
+          case _ => dt
+        }
+        ("def", db, t, f.name, (i + 1).toLong, dt, ct,
+          if (f.nullable) "YES" else "NO")
+      }
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "data_type", "column_type", "is_nullable")
+      .createOrReplaceTempView("graft_is_columns")
+    Seq(("def", db, "utf8mb4", "utf8mb4_bin"))
+      .toDF("catalog_name", "schema_name", "default_character_set_name",
+        "default_collation_name")
+      .createOrReplaceTempView("graft_is_schemata")
+    // the key/index relations tools read for FK and index discovery —
+    // correctly EMPTY (parquet relations carry no index/constraint
+    // structures), with MySQL's column shape so tool queries still parse
+    Seq.empty[(String, String, String, Long, String, Long, String, Long,
+        String)]
+      .toDF("table_catalog", "table_schema", "table_name", "non_unique",
+        "index_name", "seq_in_index", "column_name", "cardinality",
+        "index_type")
+      .createOrReplaceTempView("graft_is_statistics")
+    Seq.empty[(String, String, String, String, String, String, Long,
+        String, String, String)]
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_schema", "table_name", "column_name", "ordinal_position",
+        "referenced_table_schema", "referenced_table_name",
+        "referenced_column_name")
+      .createOrReplaceTempView("graft_is_key_column_usage")
+    Seq.empty[(String, String, String, String, String, String, String)]
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "unique_constraint_schema", "update_rule", "delete_rule",
+        "referenced_table_name")
+      .createOrReplaceTempView("graft_is_referential_constraints")
+  }
 
   /** Substitute `@@[scope.]name` (system) and `@name` (user) references —
     * plus MySQL client-identity argless calls (`USER()`, `DATABASE()`, …)

@@ -288,6 +288,75 @@ class EngineSpec extends SparkSpec {
     assert(line.matches("""Uptime: \d+  Threads: \d+  Questions: \d+"""), line)
   }
 
+  test("GUI/ORM introspection surface: SHOW COLLATION/CHARSET/INDEX/ENGINES " +
+      "and information_schema tables/columns/schemata") {
+    // r14 conformance: the statements DBeaver-class tools and ORMs send
+    // at connect/refresh. information_schema is emulated as metadata-sized
+    // session views with a token-safe name rewrite, so ARBITRARY SQL over
+    // it (predicates, joins, aggregates) runs through Spark unchanged.
+    val s = Engine.connect(spark, "prod", backends)
+    // SHOW COLLATION serves the full 220-entry registry; the engine
+    // default (utf8mb4_bin, id 46) is the one marked Default
+    val coll = s.sql("SHOW COLLATION").collect()
+    assert(coll.length == Collations.byId.size)
+    val defaults = coll.filter(_.getString(3) == "Yes")
+    assert(defaults.map(_.getString(0)).toSeq == Seq("utf8mb4_bin"))
+    assert(s.sql("SHOW COLLATION LIKE 'utf8mb4%'").collect()
+      .forall(_.getString(1) == "utf8mb4"))
+    // SHOW CHARACTER SET: utf8mb4 is 4-byte with the engine default
+    val cs = s.sql("SHOW CHARACTER SET LIKE 'utf8mb4'").collect()
+    assert(cs.length == 1 && cs(0).getLong(3) == 4 &&
+      cs(0).getString(2) == "utf8mb4_bin", cs.toSeq)
+    // SHOW INDEX: empty result with MySQL's column shape; unknown → 1146
+    val idx = s.sql("SHOW INDEX FROM region")
+    assert(idx.columns.length == 13 && idx.count() == 0)
+    assert(idx.columns.take(3).toSeq == Seq("Table", "Non_unique", "Key_name"))
+    val e = intercept[Engine.EngineError](s.sql("SHOW KEYS FROM no_such"))
+    assert(e.code == 1146)
+    assert(s.sql("SHOW ENGINES").collect().map(_.getString(1)).toSeq ==
+      Seq("DEFAULT"))
+    // information_schema.tables with the filter every tool sends
+    val tbls = s.sql("SELECT table_name FROM information_schema.tables " +
+      "WHERE table_schema = DATABASE() ORDER BY table_name")
+      .collect().map(_.getString(0)).toSet
+    Seq("region", "nation", "documents").foreach(t =>
+      assert(tbls.contains(t), s"information_schema.tables missing $t"))
+    assert(!tbls.exists(_.startsWith("graft_is_")),
+      "helper views must not list themselves")
+    // columns: names, MySQL-ish types, 1-based ordinals
+    val cols = s.sql("SELECT column_name, data_type, ordinal_position " +
+      "FROM information_schema.columns WHERE table_name = 'region' " +
+      "ORDER BY ordinal_position").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cols.head == (("r_regionkey", "int", 1L)), cols.toSeq)
+    assert(cols.map(_._3).toSeq == (1L to cols.length).toSeq)
+    // arbitrary SQL over the emulation: a join + aggregate
+    val joined = s.sql(
+      "SELECT t.table_name, COUNT(*) AS n FROM information_schema.tables t " +
+      "JOIN information_schema.columns c ON c.table_name = t.table_name " +
+      "WHERE t.table_name IN ('region','nation') GROUP BY t.table_name " +
+      "ORDER BY t.table_name").collect()
+    assert(joined.length == 2 && joined.forall(_.getLong(1) >= 2))
+    // schemata: one row, the engine's charset identity
+    val sch = s.sql("SELECT default_character_set_name, " +
+      "default_collation_name FROM information_schema.schemata").collect()
+    assert(sch.toSeq.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("utf8mb4", "utf8mb4_bin")))
+    // token-safety: the name inside a string literal stays a literal
+    assert(s.sql("SELECT 'information_schema.tables' AS lit")
+      .head().getString(0) == "information_schema.tables")
+    // FK/index discovery relations: correctly empty, right shape (the
+    // JDBC getImportedKeys / getIndexInfo queries must parse, not error)
+    assert(s.sql("SELECT column_name FROM " +
+      "information_schema.key_column_usage WHERE table_name = 'region' " +
+      "AND referenced_table_name IS NOT NULL").count() == 0)
+    assert(s.sql("SELECT index_name, seq_in_index FROM " +
+      "information_schema.statistics WHERE table_schema = DATABASE() " +
+      "AND table_name = 'region' ORDER BY seq_in_index").count() == 0)
+    assert(s.sql("SELECT constraint_name FROM " +
+      "information_schema.referential_constraints").count() == 0)
+  }
+
   test("mysqldump session replay: versioned comments, TX isolation, " +
       "save/restore via user vars, LOCK/FLUSH no-ops") {
     // r14 conformance: the exact statement sequence mysqldump 8.0 sends
