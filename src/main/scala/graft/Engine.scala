@@ -222,6 +222,12 @@ object Engine {
       * engine error like cluster routing does. */
     def use(db: String, databases: Map[String, String]): Unit =
       Tables.register(spark, Engine.resolve(db, databases, "database"))
+
+    /** The database map bound at [[Engine.connect]] — lets the text
+      * `USE db` statement (dump files, script replay, multi-statement
+      * batches) resolve exactly like the wire's COM_INIT_DB, which passes
+      * the same map explicitly. */
+    private[Engine] var boundDatabases: Map[String, String] = Map.empty
     /** The "relay": execute SQL against the routed namespace. MySQL
       * session-state statements (`SET NAMES`, `SET @@x = v`, `SET @u = v`,
       * `SHOW VARIABLES`) are absorbed into this session's variable store —
@@ -924,6 +930,8 @@ object Engine {
     """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+((?:`[A-Za-z0-9_]+`|[A-Za-z0-9_]+))\s*;?\s*$""".r
   private val showEnginesRe =
     """(?is)^\s*SHOW\s+(?:STORAGE\s+)?ENGINES\s*;?\s*$""".r
+  private val useDbRe =
+    """(?is)^\s*USE\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
 
   /** SQL LIKE pattern → anchored case-insensitive regex (the SHOW-family
     * wildcard semantics: `%` any run, `_` any single char). */
@@ -1061,6 +1069,13 @@ object Engine {
           .toDF("Table", "Non_unique", "Key_name", "Seq_in_index",
             "Column_name", "Collation", "Cardinality", "Sub_part",
             "Packed", "Null", "Index_type", "Comment", "Index_comment"))
+      case useDbRe(quoted, bare) =>
+        // text `USE db` — dump files (`mysqldump --databases` output) and
+        // script replays send it as a statement; the mysql CLI translates
+        // the same action to COM_INIT_DB. Both resolve through the same
+        // map, so the two spellings can never route differently.
+        s.use(Option(quoted).getOrElse(bare), s.boundDatabases)
+        Some(s.spark.emptyDataFrame)
       case showEnginesRe() =>
         import s.spark.implicits._
         Some(Seq(("graft", "DEFAULT",
@@ -1726,6 +1741,7 @@ object Engine {
     val sess = shared.newSession()
     Tables.register(sess, db.fold(dir)(resolve(_, databases, "database")))
     val s = new Session(sess, clusterId, user, attrs)
+    s.boundDatabases = databases
     sweepRegistry() // reclaim sessions abandoned without close()
     registry.put(s.connectionId,
       (new java.lang.ref.WeakReference(s), new java.lang.ref.WeakReference(sess)))

@@ -29,6 +29,16 @@ class EngineSpec extends SparkSpec {
     // COM_INIT_DB / USE analog on a live session
     s.use("tiny", dbs)
     assert(s.sql("SELECT COUNT(*) n FROM customer").head().getLong(0) == nTiny)
+    // the text `USE db` STATEMENT (dump files / script replay) resolves
+    // through the same bound map — backticked and bare spellings both
+    s.sql("USE `small`")
+    assert(s.sql("SELECT COUNT(*) n FROM customer").head().getLong(0) ==
+      nSmall)
+    s.sql("use TINY;")
+    assert(s.sql("SELECT COUNT(*) n FROM customer").head().getLong(0) ==
+      nTiny)
+    val eUse = intercept[Engine.EngineError](s.sql("USE nodb"))
+    assert(eUse.code == 1105 && eUse.getMessage.contains("nodb"))
     // unknown database: same structured error contract as cluster routing
     val e = intercept[Engine.EngineError] {
       Engine.connect(spark, "prod", backends, Some("nodb"), dbs)
