@@ -314,25 +314,13 @@ object Engine {
       // a WHOLE-statement version-conditional comment executes its body
       // (mysqldump's opening/closing sequences) — one seam covers every
       // caller: sql, stream, sqlBatch/streamBatch, the wire COM_QUERY path
-      val query1 = Engine.unwrapVersionComment(query)
-      // information_schema introspection: (re)materialize the metadata
-      // views, then rewrite the qualified names onto them (token-safe)
-      val query0 =
-        if (Engine.infoSchemaDetect.findFirstIn(query1).isDefined) {
-          Engine.registerInfoSchema(this)
-          Engine.rewriteInfoSchema(query1)
-        } else query1
+      val query0 = preprocess(query)
       Engine.sessionCommand(this, query0).getOrElse {
         // tag the calling thread's jobs with this connection's group so a
         // peer's KILL QUERY <connection_id> can cancel them mid-flight
         spark.sparkContext.setJobGroup(jobGroup, query0.take(120),
           interruptOnCancel = true)
-        val q =
-          if (query0.indexOf('@') >= 0 ||
-              Engine.clientFnDetect.findFirstIn(query0).isDefined)
-            Engine.substituteVars(query0, sysVars.toMap, userVars.toMap,
-              clientFnSubs)
-          else query0
+        val q = substituted(query0)
         try spark.sql(q)
         catch {
           case e: org.apache.spark.sql.AnalysisException =>
@@ -340,6 +328,30 @@ object Engine {
         }
       }
     }
+
+    /** Statement-text preprocessing shared by the text path ([[sql]]) and
+      * the binary prepared-statement path ([[PreparedStatement]]): a
+      * WHOLE-statement version-conditional comment executes its body, and
+      * information_schema references (re)materialize the metadata views
+      * and rewrite onto them (token-safe). */
+    private[Engine] def preprocess(query: String): String = {
+      val q1 = Engine.unwrapVersionComment(query)
+      if (Engine.infoSchemaDetect.findFirstIn(q1).isDefined) {
+        Engine.registerInfoSchema(this)
+        Engine.rewriteInfoSchema(q1)
+      } else q1
+    }
+
+    /** `@@sysvar` / `@uservar` / client-identity-function substitution —
+      * shared by both protocol paths; the binary path applies it at
+      * EXECUTE time, per MySQL (session state is read when the statement
+      * RUNS, not when it was prepared). */
+    private[Engine] def substituted(query: String): String =
+      if (query.indexOf('@') >= 0 ||
+          Engine.clientFnDetect.findFirstIn(query).isDefined)
+        Engine.substituteVars(query, sysVars.toMap, userVars.toMap,
+          clientFnSubs)
+      else query
 
     /** Spark job-group id carrying this connection's identity — the handle
       * `KILL QUERY <connection_id>` cancels (COM_PROCESS_KILL analog: the
@@ -719,13 +731,28 @@ object Engine {
           .map(chunks => chunks.toArray.flatten: Any)
           .getOrElse(a)
       }
+      // The text-protocol preprocessing applies to the binary protocol too
+      // (connector-j with useServerPrepStmts PREPAREs the same session
+      // statements it otherwise sends as text — SELECT @@x, SHOW …,
+      // information_schema reads): version-comment unwrap + IS rewrite,
+      // session-command interception, and @@/client-fn substitution, all
+      // evaluated at EXECUTE time per MySQL (session state is read when
+      // the statement runs, not when it was prepared).
+      val pq = s.preprocess(query)
+      Engine.sessionCommand(s, pq) match {
+        case Some(df) =>
+          longData.clear(); longDataBytes = 0L
+          lastSchema = df.schema
+          return df
+        case None => ()
+      }
       // Bind through NAMED parameters: the nth token-safe `?` becomes
       // `:_gp_n` and the value binds by name. (Spark's positional Array
       // overload substitutes `?`s in parameter-MAP iteration order, which
       // stops matching insertion order at ≥5 params — Scala's Map4→HashMap
       // switch — observed scrambling a 6-param bind on Spark 4.1; named
       // binding is order-free by construction.)
-      val (named, names) = Engine.nameParams(query)
+      val (named, names) = Engine.nameParams(s.substituted(pq))
       val df =
         try s.spark.sql(named, names.zip(effective).toMap)
         catch {

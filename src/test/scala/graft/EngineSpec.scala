@@ -756,6 +756,32 @@ class EngineSpec extends SparkSpec {
     s.close()
   }
 
+  test("binary protocol prepares session statements: @@vars, SHOW, " +
+      "information_schema — evaluated at EXECUTE time") {
+    // r14: connector-j with useServerPrepStmts=true PREPAREs the same
+    // statements it otherwise sends as text; the binary path must apply
+    // the identical preprocessing (session state read at EXECUTE, per
+    // MySQL — prepare once, observe later SETs).
+    val s = Engine.connect(spark, "prod", backends)
+    val psVar = s.prepareStatement("SELECT @@sql_mode AS m")
+    assert(psVar.execute().head().getString(0) == "STRICT_TRANS_TABLES")
+    s.sql("SET sql_mode='ANSI_QUOTES'")
+    // the SAME handle sees the new session state on re-execute
+    assert(psVar.execute().head().getString(0) == "ANSI_QUOTES")
+    // SHOW through the binary path answers the interception result set
+    val psShow = s.prepareStatement("SHOW VARIABLES LIKE 'autocommit'")
+    assert(psShow.execute().collect().map(_.getString(1)).toSeq == Seq("1"))
+    // information_schema reads prepare + execute (JDBC metadata calls)
+    val psIs = s.prepareStatement("SELECT COUNT(*) AS n FROM " +
+      "information_schema.columns WHERE table_name = ? ")
+    assert(psIs.execute("region").head().getLong(0) >= 2)
+    // client-identity functions substitute per-execute too
+    val psId = s.prepareStatement("SELECT CONNECTION_ID() AS cid")
+    assert(psId.execute().head().get(0).toString == s.connectionId.toString)
+    psVar.close(); psShow.close(); psIs.close(); psId.close()
+    s.close()
+  }
+
   test("typed binds never touch the SQL text (injection-proof by construction)") {
     val s = Engine.connect(spark, "prod", backends)
     val ps = s.prepareStatement(
