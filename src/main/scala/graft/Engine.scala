@@ -26,7 +26,15 @@ object Engine {
 
   /** Engine identity string — analog of the server-version the gateway greets
     * with ("5.7.25-TiDB…", /root/reference/gateway/gateway.go:183-195). */
-  val version = "graft-0.1-spark"
+  /** Server version string, greeting + `@@version`. MySQL-parseable
+    * `major.minor.patch-<suffix>` on purpose (r14): stock connectors parse
+    * the numeric prefix from the greeting to gate capabilities and some
+    * (connector-j's ServerVersion) degrade to 0.0.0 on a non-numeric
+    * string — the same reason TiDB self-reports "8.0.11-TiDB-v…", which is
+    * exactly what the reference gateway's clients see in the greeting it
+    * relays (/root/reference/mysql/packet_handshake.go:19-21). The 80000
+    * compat level in [[effectiveMysqlVersion]] matches the prefix. */
+  val version = "8.0.11-graft-0.1-spark"
 
   /** Per-session system-variable defaults — the variables every MySQL client
     * touches right after the handshake the gateway relays
