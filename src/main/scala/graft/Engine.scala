@@ -967,6 +967,14 @@ object Engine {
     """(?is)^\s*SHOW\s+(?:STORAGE\s+)?ENGINES\s*;?\s*$""".r
   private val useDbRe =
     """(?is)^\s*USE\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
+  private val showTablesRe =
+    """(?is)^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*)))?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  private val showColumnsRe =
+    """(?is)^\s*SHOW\s+(FULL\s+)?(?:COLUMNS|FIELDS)\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))(?:\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*)))?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  private val descTableRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
+  private val showGrantsRe =
+    """(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+\S+)?\s*;?\s*$""".r
 
   /** SQL LIKE pattern → anchored case-insensitive regex (the SHOW-family
     * wildcard semantics: `%` any run, `_` any single char). */
@@ -1111,6 +1119,50 @@ object Engine {
         // map, so the two spellings can never route differently.
         s.use(Option(quoted).getOrElse(bare), s.boundDatabases)
         Some(s.spark.emptyDataFrame)
+      case showTablesRe(full, dbQ, dbB, like) =>
+        // MySQL's SHOW [FULL] TABLES shape — one `Tables_in_<db>` column
+        // (+ Table_type under FULL), exactly what the reference's clients
+        // see from its MySQL-compatible backend; relaying Spark's
+        // 3-column (namespace, tableName, isTemporary) shape broke tools
+        // that read the column by name. FROM <db> lists the declared
+        // fixture set after the same 1105 resolve as USE (every namespace
+        // binds the same declared tables); helper views stay hidden.
+        import s.spark.implicits._
+        val re = likeRegex(like)
+        val fromDb = Option(dbQ).orElse(Option(dbB))
+        val names: Seq[String] = fromDb match {
+          case Some(db) =>
+            Engine.resolve(db, s.boundDatabases, "database")
+            Tables.all.map(_._1).sorted
+          case None =>
+            s.spark.catalog.listTables().collect().map(_.name)
+              .filterNot(_.startsWith("graft_is_")).sorted.toSeq
+        }
+        val col =
+          s"Tables_in_${fromDb.getOrElse(s.spark.catalog.currentDatabase)}"
+        val rows = names.filter(n => re.forall(_.matches(n)))
+        Some(
+          if (full != null) rows.map((_, "BASE TABLE"))
+            .toDF(col, "Table_type")
+          else rows.map(Tuple1(_)).toDF(col))
+      case showColumnsRe(full, tQ, tB, dbQ, dbB, like) =>
+        // MySQL's SHOW [FULL] COLUMNS/FIELDS shape: Field, Type, Null,
+        // Key, Default, Extra (+ Collation, Privileges, Comment for FULL)
+        Option(dbQ).orElse(Option(dbB))
+          .foreach(Engine.resolve(_, s.boundDatabases, "database"))
+        Some(describeShape(s, Option(tQ).getOrElse(tB), full != null,
+          likeRegex(like)))
+      case descTableRe(tQ, tB) =>
+        // DESCRIBE/DESC <table> is SHOW COLUMNS in MySQL
+        Some(describeShape(s, Option(tQ).getOrElse(tB), full = false, None))
+      case showGrantsRe() =>
+        // GUI tools probe privileges at connect; the engine has no grant
+        // system (the reference relays auth to the backend) — answer the
+        // one all-privileges row MySQL shows a root-like account
+        import s.spark.implicits._
+        val who = if (s.user.isEmpty) "root" else s.user
+        Some(Seq(s"GRANT ALL PRIVILEGES ON *.* TO '$who'@'%'")
+          .map(Tuple1(_)).toDF(s"Grants for $who@%"))
       case showEnginesRe() =>
         import s.spark.implicits._
         Some(Seq(("graft", "DEFAULT",
@@ -1453,6 +1505,57 @@ object Engine {
     out.toString
   }
 
+  /** SHOW [FULL] COLUMNS / DESCRIBE result in MySQL's column shape —
+    * Field, Type, Null, Key, Default, Extra, plus Collation / Privileges /
+    * Comment under FULL. Unknown tables answer 1146 like SHOW CREATE. */
+  private def describeShape(s: Session, table: String, full: Boolean,
+      re: Option[scala.util.matching.Regex]): DataFrame = {
+    import s.spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema =
+      try s.spark.table(table).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        throw EngineError(1146, "42S02", s"Table '$table' doesn't exist")
+      }
+    val fields = schema.fields.toSeq
+      .filter(f => re.forall(_.matches(f.name)))
+    if (full)
+      fields.map { f =>
+        val coll: Option[String] =
+          if (f.dataType == StringType) Some("utf8mb4_bin") else None
+        (f.name, mysqlType(f.dataType),
+          if (f.nullable) "YES" else "NO", "", Option.empty[String], "",
+          coll, "select,insert,update,references", "")
+      }.toDF("Field", "Type", "Null", "Key", "Default", "Extra",
+        "Collation", "Privileges", "Comment")
+    else
+      fields.map { f =>
+        (f.name, mysqlType(f.dataType),
+          if (f.nullable) "YES" else "NO", "", Option.empty[String], "")
+      }.toDF("Field", "Type", "Null", "Key", "Default", "Extra")
+  }
+
+  /** Spark type → the MySQL data_type name tools expect — shared by the
+    * information_schema emulation and the SHOW COLUMNS / DESCRIBE shapes. */
+  private def mysqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "bigint"
+      case IntegerType => "int"
+      case ShortType => "smallint"
+      case ByteType => "tinyint"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case StringType => "varchar"
+      case BooleanType => "tinyint"
+      case _: DecimalType => "decimal"
+      case DateType => "date"
+      case _: TimestampType => "timestamp"
+      case BinaryType => "blob"
+      case _ => "json" // arrays/maps/structs — the MySQL escape hatch
+    }
+  }
+
   private[graft] def registerInfoSchema(s: Session): Unit = {
     val spark = s.spark
     import spark.implicits._
@@ -1463,24 +1566,6 @@ object Engine {
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "engine")
       .createOrReplaceTempView("graft_is_tables")
-    def mysqlType(dt: org.apache.spark.sql.types.DataType): String = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case LongType => "bigint"
-        case IntegerType => "int"
-        case ShortType => "smallint"
-        case ByteType => "tinyint"
-        case DoubleType => "double"
-        case FloatType => "float"
-        case StringType => "varchar"
-        case BooleanType => "tinyint"
-        case _: DecimalType => "decimal"
-        case DateType => "date"
-        case _: TimestampType => "timestamp"
-        case BinaryType => "blob"
-        case _ => "json" // arrays/maps/structs — the MySQL escape hatch
-      }
-    }
     names.flatMap { t =>
       val fields =
         try spark.table(t).schema.fields

@@ -120,7 +120,7 @@ class EngineSpec extends SparkSpec {
 
   test("introspection statements relay through the session (SHOW/DESCRIBE/EXPLAIN)") {
     val s = Engine.connect(spark, "prod", backends)
-    val shown = s.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    val shown = s.sql("SHOW TABLES").collect().map(_.getString(0)).toSet
     assert(Set("region", "nation", "lineitem", "events").subsetOf(shown), shown)
     val cols = s.sql("DESCRIBE region").collect().map(_.getString(0)).toSet
     assert(cols.contains("r_regionkey") && cols.contains("r_name"), cols)
@@ -969,32 +969,49 @@ class EngineSpec extends SparkSpec {
     assert(killer.sql("SELECT 1 AS x").head().getInt(0) == 1)
   }
 
-  test("metadata surface relays: SHOW TABLES / SHOW COLUMNS / DESCRIBE") {
-    // The statements a MySQL client fires right after connect (the
-    // gateway relays them to the backend byte-transparently,
-    // /root/reference/gateway/relay.go:17); here they hit the session's
-    // registered namespace.
+  test("metadata surface answers MySQL shapes: SHOW [FULL] TABLES / " +
+      "SHOW [FULL] COLUMNS / DESCRIBE / SHOW GRANTS") {
+    // The statements a MySQL client fires right after connect. The
+    // reference's clients see its MySQL-compatible backend's shapes
+    // (gateway relays byte-transparently, relay.go:17) — so the engine
+    // answers MySQL's column shapes, not Spark's (r14; Spark's 3-column
+    // SHOW TABLES broke tools reading `Tables_in_<db>` by name).
     val s = Engine.connect(spark, "prod", backends)
-    val tables = s.sql("SHOW TABLES").collect()
-      .map(_.getAs[String]("tableName")).toSet
+    val st = s.sql("SHOW TABLES")
+    assert(st.columns.length == 1 && st.columns.head.startsWith("Tables_in_"),
+      st.columns.toSeq)
+    val tables = st.collect().map(_.getString(0)).toSet
     for (t <- Seq("lineitem", "orders", "documents", "embeddings", "events"))
       assert(tables.contains(t), s"SHOW TABLES missing $t in $tables")
-    val cols = s.sql("SHOW COLUMNS FROM lineitem").collect()
-      .map(_.getString(0)).toSet
-    assert(cols == Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-      "l_linestatus", "l_shipdate"))
+    // FULL adds Table_type; LIKE filters with MySQL wildcard semantics
+    val ft = s.sql("SHOW FULL TABLES LIKE 'l%'").collect()
+    assert(ft.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("lineitem", "BASE TABLE")))
+    val cols = s.sql("SHOW COLUMNS FROM lineitem")
+    assert(cols.columns.toSeq ==
+      Seq("Field", "Type", "Null", "Key", "Default", "Extra"))
+    assert(cols.collect().map(_.getString(0)).toSet ==
+      Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+    val fullCols = s.sql("SHOW FULL COLUMNS FROM nation").collect()
+      .map(r => r.getString(0) -> r.getString(6)).toMap
+    assert(fullCols("n_name") == "utf8mb4_bin", // string cols carry collation
+      fullCols.toString)
     val desc = s.sql("DESCRIBE orders").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc("o_orderkey") == "bigint" && desc("o_orderdate") == "timestamp")
+    assert(intercept[Engine.EngineError](
+      s.sql("SHOW COLUMNS FROM no_such")).code == 1146)
+    // SHOW GRANTS: the one all-privileges row a root-like account sees
+    val g = s.sql("SHOW GRANTS").collect()
+    assert(g.length == 1 && g(0).getString(0).startsWith("GRANT ALL"))
     // the two sessions' namespaces stay isolated: a view created in one
     // must not appear in the other's SHOW TABLES
     val s2 = Engine.connect(spark, "staging", backends)
     s2.sql("CREATE OR REPLACE TEMPORARY VIEW _scratch AS SELECT 1 AS x")
-    assert(s2.sql("SHOW TABLES").collect()
-      .exists(_.getAs[String]("tableName") == "_scratch"))
-    assert(!s.sql("SHOW TABLES").collect()
-      .exists(_.getAs[String]("tableName") == "_scratch"))
+    assert(s2.sql("SHOW TABLES").collect().exists(_.getString(0) == "_scratch"))
+    assert(!s.sql("SHOW TABLES").collect().exists(_.getString(0) == "_scratch"))
   }
 
   test("transaction statements flip the in-trans status bit (SERVER_STATUS_IN_TRANS)") {
