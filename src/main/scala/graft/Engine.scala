@@ -975,6 +975,14 @@ object Engine {
     """(?is)^\s*DESC(?:RIBE)?\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
   private val showGrantsRe =
     """(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+\S+)?\s*;?\s*$""".r
+  private val dropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
+  // group(4) carries "body ) [table options]" — the matching close paren is
+  // found by a token-safe scan (ENUM/DECIMAL args and quoted defaults nest)
+  private val createTableRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*\((.*)$""".r
+  private val insertRe =
+    """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*(?:\(([^)]*)\)\s*)?((?:VALUES|VALUE)\s*\(.*|SELECT\b.*)$""".r
 
   /** SQL LIKE pattern → anchored case-insensitive regex (the SHOW-family
     * wildcard semantics: `%` any run, `_` any single char). */
@@ -1155,6 +1163,115 @@ object Engine {
       case descTableRe(tQ, tB) =>
         // DESCRIBE/DESC <table> is SHOW COLUMNS in MySQL
         Some(describeShape(s, Option(tQ).getOrElse(tB), full = false, None))
+      case dropTableRe(ifExists, tQ, tB) =>
+        // DROP TABLE [IF EXISTS] — every mysqldump table section opens
+        // with the IF EXISTS form. A session temp view drops here; a real
+        // catalog table relays to Spark's own DROP TABLE (None); a missing
+        // name without IF EXISTS is MySQL's 1051.
+        val tbl = Option(tQ).getOrElse(tB)
+        if (s.spark.catalog.dropTempView(tbl)) {
+          Tables.noteViewSwap(s.spark)
+          Some(s.spark.emptyDataFrame)
+        } else if (s.spark.catalog.tableExists(tbl)) None
+        else if (ifExists != null) Some(s.spark.emptyDataFrame)
+        else throw EngineError(1051, "42S02", s"Unknown table '$tbl'")
+      case createTableRe(ifNot, tQ, tB, bodyAndTail)
+          if matchingClose(bodyAndTail) >= 0 && {
+            // MySQL-dialect CREATE only: after the close paren the tail is
+            // table options (ENGINE=/CHARSET=/…) or empty — a Spark-dialect
+            // `CREATE TABLE x (…) USING parquet` relays untouched
+            val close = matchingClose(bodyAndTail)
+            val tail = bodyAndTail.substring(close + 1).trim
+            tail.isEmpty || """(?is)^(?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|AUTO_INCREMENT|COMMENT|ROW_FORMAT|KEY_BLOCK_SIZE|STATS_)""".r
+              .findFirstIn(tail).isDefined || tail == ";"
+          } =>
+        // CREATE TABLE in MySQL's dialect — the restore direction of the
+        // dump round-trip. Column defs map through sparkTypeOf (unsigned
+        // widens, ENUM/SET/TEXT → string); PRIMARY KEY/KEY/CONSTRAINT/…
+        // lines are index metadata with no Spark analog and drop like
+        // ALTER … KEYS does. The table lands as an EMPTY session temp
+        // view (the namespace model every fixture table already uses);
+        // INSERT below appends to it.
+        val tbl = Option(tQ).getOrElse(tB)
+        val exists =
+          try { s.spark.table(tbl); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (exists && ifNot == null)
+          throw EngineError(1050, "42S01", s"Table '$tbl' already exists")
+        if (!exists) {
+          val close = matchingClose(bodyAndTail)
+          val body = bodyAndTail.substring(0, close)
+          val fields = splitColumnDefs(body).flatMap {
+            case d if constraintHeadRe.matches(d) => None
+            case d => parseColDef(d).orElse(
+              throw EngineError(1064, "42000",
+                s"Unparseable column definition: '$d'"))
+          }
+          if (fields.isEmpty)
+            throw EngineError(1113, "42000",
+              "A table must have at least 1 column")
+          val schema = org.apache.spark.sql.types.StructType(fields)
+          s.spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema).createOrReplaceTempView(tbl)
+          Tables.noteViewSwap(s.spark)
+        }
+        Some(s.spark.emptyDataFrame)
+      case insertRe(tQ, tB, colList, tail)
+          if {
+            val t = Option(tQ).getOrElse(tB)
+            // session temp views only — INSERT into a real catalog table
+            // relays to Spark's own INSERT INTO path
+            s.spark.catalog.tableExists(t) &&
+              (try s.spark.catalog.getTable(t).isTemporary
+               catch { case _: Exception => false })
+          } =>
+        // INSERT INTO a session view — VALUES rows or SELECT source. Spark
+        // can't INSERT into a temp view, so the view is rebuilt as
+        // old UNION ALL new (the LOAD DATA pattern at loadDataRe): lazy,
+        // distributed, no driver materialization. A column subset fills
+        // the rest with typed NULLs; every source column casts to the
+        // target type (MySQL's insert coercion). Non-view targets never
+        // reach here (the guard) and relay to Spark's own INSERT INTO.
+        import org.apache.spark.sql.functions.{col, lit}
+        val tbl = Option(tQ).getOrElse(tB)
+        val target = s.spark.table(tbl)
+        val specified: Seq[String] = Option(colList)
+          .map(_.split(",").toSeq.map(_.trim.replace("`", ""))
+            .filter(_.nonEmpty))
+          .getOrElse(target.columns.toSeq)
+        val unknown = specified.filterNot(c =>
+          target.columns.exists(_.equalsIgnoreCase(c)))
+        if (unknown.nonEmpty)
+          throw EngineError(1054, "42S22",
+            s"Unknown column '${unknown.head}' in 'field list'")
+        val srcSql =
+          if (tail.toUpperCase.startsWith("VALUE"))
+            // no alias column list: Spark auto-names col1..colN, so an
+            // arity mismatch surfaces as MySQL's 1136 below instead of an
+            // alias-count analysis error
+            s"SELECT * FROM ${tail.replaceFirst("(?is)^VALUES?", "VALUES")}"
+          else tail // INSERT INTO … SELECT
+        val src =
+          try s.spark.sql(srcSql)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw EngineError(1105, "08S01", e.getMessage)
+          }
+        if (src.columns.length != specified.length)
+          throw EngineError(1136, "21S01",
+            "Column count doesn't match value count")
+        val renamed = src.toDF(specified: _*)
+        val aligned = target.columns.toSeq.map { c =>
+          val dt = target.schema(c).dataType
+          if (specified.exists(_.equalsIgnoreCase(c)))
+            col(s"`$c`").cast(dt).as(c)
+          else lit(null).cast(dt).as(c)
+        }
+        target.unionAll(renamed.select(aligned: _*))
+          .createOrReplaceTempView(tbl)
+        Tables.noteViewSwap(s.spark)
+        Some(s.spark.emptyDataFrame)
       case showGrantsRe() =>
         // GUI tools probe privileges at connect; the engine has no grant
         // system (the reference relays auth to the backend) — answer the
@@ -1534,6 +1651,116 @@ object Engine {
           if (f.nullable) "YES" else "NO", "", Option.empty[String], "")
       }.toDF("Field", "Type", "Null", "Key", "Default", "Extra")
   }
+
+  // ---- dump-restore DDL/DML (r14) --------------------------------------
+
+  /** MySQL column type → Spark DataType — the restore direction of the
+    * dump round-trip (SHOW CREATE TABLE + SELECT is the dump direction).
+    * Unsigned integers widen one step; TIME stays a string (Spark has no
+    * time-of-day type); ENUM/SET/JSON are strings. */
+  private def sparkTypeOf(mysqlT: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val t = mysqlT.trim
+    val base = t.takeWhile(c => c.isLetter).toLowerCase
+    val unsigned = """(?i)\bunsigned\b""".r.findFirstIn(t).isDefined
+    def args: Seq[Int] = {
+      val m = """\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r.findFirstMatchIn(t)
+      m.toSeq.flatMap(mm =>
+        Seq(mm.group(1).toInt) ++ Option(mm.group(2)).map(_.toInt))
+    }
+    base match {
+      case "tinyint" =>
+        // MySQL's BOOLEAN is tinyint(1); keep it integral (dumps store 0/1)
+        if (unsigned) ShortType else ByteType
+      case "smallint" => if (unsigned) IntegerType else ShortType
+      case "mediumint" => IntegerType
+      case "int" | "integer" => if (unsigned) LongType else IntegerType
+      case "bigint" =>
+        if (unsigned) DecimalType(20, 0) else LongType
+      case "float" => FloatType
+      case "double" | "real" => DoubleType
+      case "decimal" | "numeric" =>
+        val a = args; DecimalType(a.headOption.getOrElse(10),
+          a.drop(1).headOption.getOrElse(0))
+      case "bit" => LongType
+      case "bool" | "boolean" => BooleanType
+      case "date" => DateType
+      case "datetime" | "timestamp" => TimestampType
+      case "year" => IntegerType
+      case "binary" | "varbinary" | "tinyblob" | "blob" | "mediumblob" |
+          "longblob" => BinaryType
+      case _ => StringType // char/varchar/*text/enum/set/json/time/…
+    }
+  }
+
+  /** Split a CREATE TABLE body on TOP-LEVEL commas — parens (type args,
+    * ENUM lists) and quoted strings (defaults, comments) nest. */
+  private def splitColumnDefs(body: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < body.length) {
+          cur.append(body.charAt(i + 1)); i += 1
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index just past the close paren matching an already-consumed open
+    * paren at the start of `rest` (token-safe), or -1 if unbalanced. */
+  private def matchingClose(rest: String): Int = {
+    var depth = 1
+    var quote: Char = 0
+    var i = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < rest.length) i += 1
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val constraintHeadRe =
+    """(?is)^(?:PRIMARY\s+KEY|UNIQUE(?:\s+KEY|\s+INDEX)?|KEY|INDEX|CONSTRAINT|FULLTEXT|SPATIAL|FOREIGN\s+KEY|CHECK)\b.*""".r
+  private val colDefRe =
+    """(?is)^(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s+(.+)$""".r
+
+  /** Parse one MySQL column definition into a StructField. */
+  private def parseColDef(defn: String): Option[org.apache.spark.sql.types.StructField] =
+    defn match {
+      case colDefRe(q, b, rest) =>
+        val name = Option(q).getOrElse(b)
+        val notNull = """(?is)\bNOT\s+NULL\b""".r.findFirstIn(rest).isDefined
+        Some(org.apache.spark.sql.types.StructField(
+          name, sparkTypeOf(rest), nullable = !notNull))
+      case _ => None
+    }
 
   /** Spark type → the MySQL data_type name tools expect — shared by the
     * information_schema emulation and the SHOW COLUMNS / DESCRIBE shapes. */

@@ -367,6 +367,82 @@ class EngineSpec extends SparkSpec {
       "information_schema.referential_constraints").count() == 0)
   }
 
+  test("dump RESTORE: a mysqldump table section replays end-to-end " +
+      "(DROP/CREATE/LOCK/INSERT with MySQL types and escapes)") {
+    // r14: the restore direction of the dump round-trip — the exact
+    // statement shapes mysqldump 8.0 emits for one table, fed through the
+    // session as a batch the way a client replays a dump file.
+    val s = Engine.connect(spark, "prod", backends)
+    val dump =
+      """DROP TABLE IF EXISTS `t_dump`;
+        |/*!40101 SET @saved_cs_client = @@character_set_client */;
+        |/*!50503 SET character_set_client = utf8mb4 */;
+        |CREATE TABLE `t_dump` (
+        |  `id` int(11) NOT NULL AUTO_INCREMENT,
+        |  `name` varchar(64) COLLATE utf8mb4_bin NOT NULL,
+        |  `bal` decimal(12,2) DEFAULT NULL,
+        |  `note` text,
+        |  `kind` enum('a','b') DEFAULT 'a',
+        |  `created` datetime DEFAULT NULL,
+        |  `payload` blob,
+        |  `n_u` int(10) unsigned DEFAULT NULL,
+        |  `big_u` bigint(20) unsigned DEFAULT NULL,
+        |  PRIMARY KEY (`id`),
+        |  UNIQUE KEY `uq_name` (`name`),
+        |  KEY `ix_kind` (`kind`,`created`)
+        |) ENGINE=InnoDB AUTO_INCREMENT=4 DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin;
+        |/*!40101 SET character_set_client = @saved_cs_client */;
+        |LOCK TABLES `t_dump` WRITE;
+        |/*!40000 ALTER TABLE `t_dump` DISABLE KEYS */;
+        |INSERT INTO `t_dump` VALUES (1,'alice',10.50,'first, (note)','a','2024-01-02 03:04:05',NULL,7,18446744073709551615),(2,'bob\'s',NULL,'it\'s',NULL,NULL,NULL,NULL,NULL);
+        |/*!40000 ALTER TABLE `t_dump` ENABLE KEYS */;
+        |UNLOCK TABLES;""".stripMargin
+    s.sqlBatch(dump)
+    // the restored table is a first-class session relation
+    assert(s.sql("SHOW TABLES LIKE 't_dump'").count() == 1)
+    val types = s.sql("DESCRIBE t_dump").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("id") == "int" && types("name") == "varchar" &&
+      types("bal") == "decimal" && types("created") == "timestamp" &&
+      types("payload") == "blob", types.toString)
+    // unsigned widening: int unsigned → bigint, bigint unsigned → decimal
+    assert(types("n_u") == "bigint" && types("big_u") == "decimal", types)
+    val rows = s.sql("SELECT id, name, note, CAST(bal AS STRING) AS bal, " +
+      "CAST(big_u AS STRING) AS bu FROM t_dump ORDER BY id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "alice" &&
+      rows(0).getString(3) == "10.50" &&
+      rows(0).getString(4) == "18446744073709551615")
+    // MySQL's backslash escapes survive the literal path
+    assert(rows(1).getString(1) == "bob's" && rows(1).getString(2) == "it's")
+    // column-subset INSERT fills the rest with typed NULLs
+    s.sql("INSERT INTO t_dump (id, name) VALUES (3, 'carol')")
+    val carol = s.sql("SELECT bal, kind FROM t_dump WHERE id = 3").head()
+    assert(carol.isNullAt(0) && carol.isNullAt(1))
+    // INSERT … SELECT appends through the same path
+    s.sql("INSERT INTO t_dump (id, name) SELECT 4, 'dave'")
+    assert(s.sql("SELECT COUNT(*) AS n FROM t_dump").head().getLong(0) == 4)
+    // MySQL error contract: 1050 duplicate CREATE (IF NOT EXISTS is OK),
+    // 1051 unknown DROP, 1054 unknown column, 1136 arity
+    assert(intercept[Engine.EngineError](
+      s.sql("CREATE TABLE t_dump (x int)")).code == 1050)
+    s.sql("CREATE TABLE IF NOT EXISTS t_dump (x int)") // absorbed, no-op
+    assert(intercept[Engine.EngineError](
+      s.sql("DROP TABLE no_such_t")).code == 1051)
+    assert(intercept[Engine.EngineError](
+      s.sql("INSERT INTO t_dump (nope) VALUES (1)")).code == 1054)
+    assert(intercept[Engine.EngineError](
+      s.sql("INSERT INTO t_dump (id, name) VALUES (9)")).code == 1136)
+    // a Spark-dialect CREATE with USING relays untouched (not intercepted:
+    // Spark itself rejects the unknown format — its error class, not ours,
+    // proves the statement reached the relay)
+    intercept[Exception](
+      s.sql("CREATE TABLE t_spark (a int) USING nosuchformat OPTIONS (x 'y')"))
+    assert(s.sql("SHOW TABLES LIKE 't_spark'").count() == 0)
+    s.sql("DROP TABLE t_dump")
+    assert(s.sql("SHOW TABLES LIKE 't_dump'").count() == 0)
+  }
+
   test("mysqldump session replay: versioned comments, TX isolation, " +
       "save/restore via user vars, LOCK/FLUSH no-ops") {
     // r14 conformance: the exact statement sequence mysqldump 8.0 sends
