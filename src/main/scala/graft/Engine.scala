@@ -979,8 +979,10 @@ object Engine {
     """(?is)^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
   // group(4) carries "body ) [table options]" — the matching close paren is
   // found by a token-safe scan (ENUM/DECIMAL args and quoted defaults nest)
+  // CREATE [TEMPORARY] TABLE — a session temp view IS MySQL's
+  // connection-scoped temporary table, so both spellings land there
   private val createTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*\((.*)$""".r
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*\((.*)$""".r
   private val insertRe =
     """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*(?:\(([^)]*)\)\s*)?((?:VALUES|VALUE)\s*\(.*|SELECT\b.*)$""".r
 
@@ -1233,6 +1235,10 @@ object Engine {
         // the rest with typed NULLs; every source column casts to the
         // target type (MySQL's insert coercion). Non-view targets never
         // reach here (the guard) and relay to Spark's own INSERT INTO.
+        // Scale note: each statement adds ONE union arm, so plan depth is
+        // the statement count — fine for mysqldump's extended-insert
+        // default (~1 MiB of rows per statement); a single-row-INSERT
+        // workload belongs on LOAD DATA or a real catalog table instead.
         import org.apache.spark.sql.functions.{col, lit}
         val tbl = Option(tQ).getOrElse(tB)
         val target = s.spark.table(tbl)
