@@ -1582,7 +1582,7 @@ object Engine {
     * excluded from the listing, like MySQL keeps information_schema out
     * of SHOW TABLES. */
   private[graft] val infoSchemaDetect =
-    """(?i)information_schema\s*\.\s*(tables|columns|schemata|statistics|key_column_usage|referential_constraints)""".r
+    """(?i)`?information_schema`?\s*\.\s*`?(tables|columns|schemata|statistics|key_column_usage|referential_constraints)""".r
 
   private[graft] def rewriteInfoSchema(query: String): String = {
     // token-safe: quoted strings / backticks / comments pass untouched
@@ -1591,7 +1591,10 @@ object Engine {
     var i = 0
     def at(j: Int, c: Char): Boolean =
       j < query.length && query.charAt(j) == c
-    val headRe = """(?is)^information_schema\s*\.\s*(tables|columns|schemata|statistics|key_column_usage|referential_constraints)\b""".r
+    // both spellings: bare and the backticked form GUI tools emit
+    // (`information_schema`.`tables`); trailing lookahead instead of \b
+    // because a closing backtick may follow the name
+    val headRe = """(?is)^`?information_schema`?\s*\.\s*`?(tables|columns|schemata|statistics|key_column_usage|referential_constraints)`?(?![A-Za-z0-9_])""".r
     while (i < query.length) {
       val c = query.charAt(i)
       if (quote != 0) {
@@ -1599,6 +1602,19 @@ object Engine {
         if (c == quote) quote = 0
         else if (c == '\\' && quote != '`' && i + 1 < query.length) {
           out.append(query.charAt(i + 1)); i += 1
+        }
+      } else if ((c == 'i' || c == 'I' || c == '`') &&
+          (i == 0 || { val p = query.charAt(i - 1)
+            !Character.isLetterOrDigit(p) && p != '_' && p != '.' && p != '`' })) {
+        // try the information_schema head BEFORE generic backtick-quote
+        // handling, so the backticked spelling rewrites too
+        headRe.findFirstMatchIn(query.substring(i)) match {
+          case Some(m) =>
+            out.append("graft_is_").append(m.group(1).toLowerCase)
+            i += m.matched.length - 1
+          case None =>
+            if (c == '`') quote = c
+            out.append(c)
         }
       } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c) }
       else if (c == '-' && at(i + 1, '-')) {
@@ -1613,15 +1629,6 @@ object Engine {
           out.append(query.charAt(i)); i += 1
         }
         if (i < query.length) { out.append("*/"); i += 1 }
-      } else if ((c == 'i' || c == 'I') &&
-          (i == 0 || { val p = query.charAt(i - 1)
-            !Character.isLetterOrDigit(p) && p != '_' && p != '.' && p != '`' })) {
-        headRe.findFirstMatchIn(query.substring(i)) match {
-          case Some(m) =>
-            out.append("graft_is_").append(m.group(1).toLowerCase)
-            i += m.matched.length - 1
-          case None => out.append(c)
-        }
       } else out.append(c)
       i += 1
     }

@@ -355,6 +355,10 @@ class EngineSpec extends SparkSpec {
     // token-safety: the name inside a string literal stays a literal
     assert(s.sql("SELECT 'information_schema.tables' AS lit")
       .head().getString(0) == "information_schema.tables")
+    // the backticked spelling GUI tools emit rewrites too
+    assert(s.sql("SELECT COUNT(*) AS n FROM " +
+      "`information_schema`.`tables` WHERE table_name = 'region'")
+      .head().getLong(0) == 1)
     // FK/index discovery relations: correctly empty, right shape (the
     // JDBC getImportedKeys / getIndexInfo queries must parse, not error)
     assert(s.sql("SELECT column_name FROM " +

@@ -490,6 +490,34 @@ class MySqlServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("metadata statements over the wire: MySQL shapes, NULL Default " +
+      "cells, space-bearing column names") {
+    // r14: the same statements a GUI tool sends, but at the BYTE level —
+    // the lenenc column definitions must carry names with spaces
+    // ('Grants for …'), and SHOW COLUMNS' NULL Default cells must encode
+    // as the 0xFB marker, not the string 'NULL'.
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val (tCols, tRows) = query(c, "SHOW TABLES LIKE 'region'")
+      assert(tCols.length == 1 && tCols.head.startsWith("Tables_in_"))
+      assert(tRows == Seq(Seq(Some("region"))))
+      val (cCols, cRows) = query(c, "SHOW COLUMNS FROM region")
+      assert(cCols == Seq("Field", "Type", "Null", "Key", "Default", "Extra"))
+      assert(cRows.nonEmpty && cRows.forall(_(4).isEmpty),
+        "Default must be a typed NULL (0xFB), not a string")
+      val (gCols, gRows) = query(c, "SHOW GRANTS")
+      assert(gCols.length == 1 && gCols.head.startsWith("Grants for "),
+        gCols.toString)
+      assert(gRows.head.head.exists(_.startsWith("GRANT ALL")))
+      val (_, isRows) = query(c, "SELECT table_name FROM " +
+        "information_schema.tables WHERE table_name = 'nation'")
+      assert(isRows == Seq(Seq(Some("nation"))))
+      c.writePacket(0, Array[Byte](0x01))
+      c.close()
+    } finally srv.close()
+  }
+
   test("idle connection past the read deadline is reaped: socket closed, " +
       "session + memo entries released") {
     // VERDICT r11 "what's missing" #1 / the reference's per-connection read
