@@ -975,6 +975,8 @@ object Engine {
     """(?is)^\s*DESC(?:RIBE)?\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
   private val showGrantsRe =
     """(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+\S+)?\s*;?\s*$""".r
+  private val showTableStatusRe =
+    """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*)))?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
   // group(4) carries "body ) [table options]" — the matching close paren is
@@ -1278,6 +1280,30 @@ object Engine {
           .createOrReplaceTempView(tbl)
         Tables.noteViewSwap(s.spark)
         Some(s.spark.emptyDataFrame)
+      case showTableStatusRe(dbQ, dbB, like) =>
+        // SHOW TABLE STATUS — DBeaver-class refresh statement; MySQL's
+        // 18-column shape with the stats the engine genuinely has (Name,
+        // Engine, Collation) and typed NULLs for the InnoDB-specific
+        // counters (NULL Rows is valid even on real MySQL — tools
+        // re-query COUNT(*) when they need exact cardinality).
+        Option(dbQ).orElse(Option(dbB))
+          .foreach(Engine.resolve(_, s.boundDatabases, "database"))
+        val re = likeRegex(like)
+        import s.spark.implicits._
+        val names = s.spark.catalog.listTables().collect().map(_.name)
+          .filterNot(_.startsWith("graft_is_")).sorted.toSeq
+          .filter(n => re.forall(_.matches(n)))
+        Some(names.map(n => (n, "graft", Option.empty[Long], "Dynamic",
+            Option.empty[Long], Option.empty[Long], Option.empty[Long],
+            Option.empty[Long], Option.empty[Long], Option.empty[Long],
+            Option.empty[Long], Option.empty[String], Option.empty[String],
+            Option.empty[String], "utf8mb4_bin", Option.empty[Long],
+            "", ""))
+          .toDF("Name", "Engine", "Version", "Row_format", "Rows",
+            "Avg_row_length", "Data_length", "Max_data_length",
+            "Index_length", "Data_free", "Auto_increment", "Create_time",
+            "Update_time", "Check_time", "Collation", "Checksum",
+            "Create_options", "Comment"))
       case showGrantsRe() =>
         // GUI tools probe privileges at connect; the engine has no grant
         // system (the reference relays auth to the backend) — answer the

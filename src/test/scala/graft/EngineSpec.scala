@@ -325,6 +325,13 @@ class EngineSpec extends SparkSpec {
     assert(e.code == 1146)
     assert(s.sql("SHOW ENGINES").collect().map(_.getString(1)).toSeq ==
       Seq("DEFAULT"))
+    // SHOW TABLE STATUS: MySQL's 18-column shape, typed-NULL counters
+    val ts = s.sql("SHOW TABLE STATUS LIKE 'region'")
+    assert(ts.columns.length == 18 && ts.columns.take(2).toSeq ==
+      Seq("Name", "Engine"))
+    val tsRow = ts.head()
+    assert(tsRow.getString(0) == "region" && tsRow.getString(1) == "graft" &&
+      tsRow.isNullAt(4) && tsRow.getString(14) == "utf8mb4_bin")
     // information_schema.tables with the filter every tool sends
     val tbls = s.sql("SELECT table_name FROM information_schema.tables " +
       "WHERE table_schema = DATABASE() ORDER BY table_name")
