@@ -383,7 +383,15 @@ object Engine {
     private[Engine] def setSysVar(name: String, value: String): Unit = {
       // the one variable with an engine-level effect: MySQL time_zone maps
       // onto Spark's session time zone (offsets like '+05:30' parse in both;
-      // SYSTEM normalizes to the engine's pinned UTC default)
+      // SYSTEM normalizes to the engine's pinned UTC default). NULL is not
+      // a time zone: MySQL answers ER 1231 and leaves the session healthy —
+      // storing the sentinel would poison spark.sql.session.timeZone for
+      // every later timestamp query (code-review r14). The other
+      // engine-effect vars (long_query_time, max_allowed_packet) already
+      // reject the sentinel through their numeric parse → ER 1232.
+      if (name == "time_zone" && value == Engine.SysVarNull)
+        throw EngineError(1231, "42000",
+          "Variable 'time_zone' can't be set to the value of 'NULL'")
       val v = if (name == "time_zone" && value.equalsIgnoreCase("SYSTEM")) "UTC"
               else value
       // numeric variables with an ACTIVE engine-side effect validate before
@@ -747,7 +755,17 @@ object Engine {
       // evaluated at EXECUTE time per MySQL (session state is read when
       // the statement runs, not when it was prepared).
       val pq = s.preprocess(query)
-      Engine.sessionCommand(s, pq) match {
+      // Session-command interception must never see raw `?` markers: a
+      // prepared `SET @x = ?` would store the literal string "?" and a
+      // prepared `INSERT INTO <view> VALUES (?, ?)` — the canonical JDBC
+      // pattern against a restored table — would run the markers verbatim
+      // (code-review r14). With params bound, the probe text substitutes
+      // the typed values as SQL literals FIRST; the typed named-param
+      // path below still runs on the marker text when no command matches.
+      val probe =
+        if (paramCount == 0) pq
+        else Engine.bindPositional(pq, effective.map(Engine.literalOf))
+      Engine.sessionCommand(s, probe) match {
         case Some(df) =>
           longData.clear(); longDataBytes = 0L
           lastSchema = df.schema
@@ -989,10 +1007,27 @@ object Engine {
     """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*(?:\(([^)]*)\)\s*)?((?:VALUES|VALUE)\s*\(.*|SELECT\b.*)$""".r
 
   /** SQL LIKE pattern → anchored case-insensitive regex (the SHOW-family
-    * wildcard semantics: `%` any run, `_` any single char). */
+    * wildcard semantics: `%` any run, `_` any single char, and MySQL's
+    * backslash escapes — JDBC DatabaseMetaData escapes identifier
+    * wildcards as `\_`/`\%`, which must match LITERALLY
+    * (code-review r14). */
   private def likeRegex(like: String): Option[scala.util.matching.Regex] =
-    Option(like).map(p => ("(?i)^" + java.util.regex.Pattern
-      .quote(p).replace("%", """\E.*\Q""").replace("_", """\E.\Q""") + "$").r)
+    Option(like).map { p =>
+      val out = new StringBuilder("(?i)^")
+      var i = 0
+      while (i < p.length) {
+        p.charAt(i) match {
+          case '\\' if i + 1 < p.length =>
+            out.append(java.util.regex.Pattern.quote(p.charAt(i + 1).toString))
+            i += 1
+          case '%' => out.append(".*")
+          case '_' => out.append(".")
+          case c => out.append(java.util.regex.Pattern.quote(c.toString))
+        }
+        i += 1
+      }
+      (out.append("$").toString).r
+    }
 
   /** MySQL version-conditional comment — "slash-star-bang-40103 SET …
     * star-slash" covering the
@@ -1009,7 +1044,12 @@ object Engine {
     """(?s)^\s*/\*!(\d{4,6})\s+(.*?)\*/\s*;?\s*$""".r
   private[graft] def unwrapVersionComment(query: String): String =
     query match {
-      case versionCommentRe(num, body) =>
+      case versionCommentRe(num, body) if !body.contains("*/") =>
+        // single-segment only: a multi-segment statement (mysqldump's
+        // trigger/routine blocks — `/*!50003 CREATE*/ /*!50017 …*/ …`)
+        // must NOT stitch here (the lazy body would end at the LAST `*/`
+        // and execute garbage, code-review r14); it relays untouched and
+        // fails loudly — this engine has no trigger/routine surface.
         if (num.toInt <= effectiveMysqlVersion) body.trim
         else throw EngineError(1065, "42000", "Query was empty")
       case _ => query
@@ -1101,8 +1141,17 @@ object Engine {
           case _ => 1L
         }
         val rows = byCharset.toSeq.sortBy(_._1).map { case (cs, colls) =>
+          // MySQL's per-charset default is `<cs>_general_ci` for almost
+          // every charset (latin1 is swedish_ci) — NOT the lowest id
+          // (latin1's lowest is german1_ci; code-review r14). utf8mb4
+          // reports the ENGINE default (utf8mb4_bin, constants.go:6).
+          val names = colls.map(_._2).toSet
           val default =
             if (cs == "utf8mb4") Collations.byId(Collations.defaultId)
+            else if (names.contains(s"${cs}_swedish_ci") && cs == "latin1")
+              s"${cs}_swedish_ci"
+            else if (names.contains(s"${cs}_general_ci"))
+              s"${cs}_general_ci"
             else colls.minBy(_._1)._2
           (cs, s"$cs charset", default, maxlen(cs))
         }.filter { case (cs, _, _, _) => re.forall(_.matches(cs)) }
@@ -1142,13 +1191,20 @@ object Engine {
         import s.spark.implicits._
         val re = likeRegex(like)
         val fromDb = Option(dbQ).orElse(Option(dbB))
+        def live: Seq[String] =
+          s.spark.catalog.listTables().collect().map(_.name)
+            .filterNot(_.startsWith("graft_is_")).sorted.toSeq
         val names: Seq[String] = fromDb match {
           case Some(db) =>
-            Engine.resolve(db, s.boundDatabases, "database")
-            Tables.all.map(_._1).sorted
-          case None =>
-            s.spark.catalog.listTables().collect().map(_.name)
-              .filterNot(_.startsWith("graft_is_")).sorted.toSeq
+            // FROM the CURRENTLY-bound namespace → the live catalog (a
+            // qualified refresh must see session-created/restored tables
+            // exactly like the unqualified form — code-review r14); a
+            // DIFFERENT namespace → its declared fixture set (no session
+            // views exist there by construction)
+            val dir = Engine.resolve(db, s.boundDatabases, "database")
+            if (dir == Tables.boundDir(s.spark)) live
+            else Tables.all.map(_._1).sorted
+          case None => live
         }
         val col =
           s"Tables_in_${fromDb.getOrElse(s.spark.catalog.currentDatabase)}"
@@ -1585,6 +1641,21 @@ object Engine {
     if (numericLit.matches(v)) v
     else "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+  /** Render a TYPED prepared-statement argument as a SQL literal — used
+    * only to probe session-command interception with bound values (the
+    * relay path keeps typed named-parameter binding; this never runs for
+    * plain relayed statements). */
+  private[graft] def literalOf(a: Any): String = a match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case b: Array[Byte] => "X'" + b.map("%02x".format(_)).mkString + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
+    case d: java.sql.Date => s"DATE '${d.toString}'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case n: Number => n.toString
+    case other => literalOf(other.toString)
+  }
+
   private val varNameRe = """^(?:(session|global|local)\.)?([A-Za-z_][A-Za-z0-9_]*)""".r
 
   /** Cheap trigger for the client-identity function rewrite (CONNECTION_ID,
@@ -1822,6 +1893,18 @@ object Engine {
     }
   }
 
+  /** Table-name set the columns view was last built from, per session —
+    * graft_is_columns schema-analyzes EVERY table, so rebuilding it on
+    * each referencing query makes an ORM's one-query-per-table
+    * introspection burst O(N²) in schema analyses (code-review r14).
+    * The name SET is the invalidation key: any CREATE/DROP changes it.
+    * (A same-name view replaced with a different schema would serve one
+    * stale columns read — no such statement exists on this surface;
+    * CREATE OR REPLACE arrives only through raw Spark relay.) */
+  private val infoSchemaColsKey =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Seq[String]]())
+
   private[graft] def registerInfoSchema(s: Session): Unit = {
     val spark = s.spark
     import spark.implicits._
@@ -1832,6 +1915,12 @@ object Engine {
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "engine")
       .createOrReplaceTempView("graft_is_tables")
+    if (infoSchemaColsKey.get(spark) == names) {
+      // columns view is current (and the cheap static views below are
+      // rebuilt-identical every time — skip them too)
+      return
+    }
+    infoSchemaColsKey.put(spark, names)
     names.flatMap { t =>
       val fields =
         try spark.table(t).schema.fields

@@ -426,10 +426,13 @@ object ScaleProbe {
       }
       def run(n: Long): (Double, Long) = {
         val (sig, emb) = inputs(n)
-        val t1 = timed(
-          graft.operators.MultimodalQueries.crossModalOf(sig, emb).count())
-        val rows =
-          graft.operators.MultimodalQueries.crossModalOf(sig, emb).count()
+        // capture the row count from the FIRST timed run — a dedicated
+        // count pass would re-execute the whole corpus-scale pipeline
+        var rows = 0L
+        val t1 = timed {
+          rows = graft.operators.MultimodalQueries.crossModalOf(sig, emb)
+            .count()
+        }
         val t2 = timed(
           graft.operators.MultimodalQueries.crossModalOf(sig, emb).count())
         (math.min(t1, t2), rows) // min-of-2: JIT warm-up is not growth

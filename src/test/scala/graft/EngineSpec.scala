@@ -39,6 +39,14 @@ class EngineSpec extends SparkSpec {
       nTiny)
     val eUse = intercept[Engine.EngineError](s.sql("USE nodb"))
     assert(eUse.code == 1105 && eUse.getMessage.contains("nodb"))
+    // SHOW TABLES FROM the CURRENT binding lists the live catalog
+    // (session-created views included); another namespace lists its
+    // declared fixture set (code-review r14)
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW _from_probe AS SELECT 1 AS x")
+    assert(s.sql("SHOW TABLES FROM tiny").collect()
+      .exists(_.getString(0) == "_from_probe"))
+    assert(!s.sql("SHOW TABLES FROM small").collect()
+      .exists(_.getString(0) == "_from_probe"))
     // unknown database: same structured error contract as cluster routing
     val e = intercept[Engine.EngineError] {
       Engine.connect(spark, "prod", backends, Some("nodb"), dbs)
@@ -411,6 +419,9 @@ class EngineSpec extends SparkSpec {
     s.sqlBatch(dump)
     // the restored table is a first-class session relation
     assert(s.sql("SHOW TABLES LIKE 't_dump'").count() == 1)
+    // JDBC metadata escapes wildcards: \_ must match a LITERAL underscore
+    assert(s.sql("SHOW TABLES LIKE 't\\_dump'").count() == 1)
+    assert(s.sql("SHOW TABLES LIKE 'tXdump'").count() == 0)
     val types = s.sql("DESCRIBE t_dump").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(types("id") == "int" && types("name") == "varchar" &&
@@ -495,6 +506,16 @@ class EngineSpec extends SparkSpec {
     // statement is empty → MySQL's ER 1065
     val e = intercept[Engine.EngineError](s.sql("/*!990000 SELECT 1 */"))
     assert(e.code == 1065, s"above-version comment must be 1065, got $e")
+    // SET time_zone = NULL answers 1231 and leaves the session healthy
+    // (storing the sentinel would poison spark.sql.session.timeZone)
+    val eTz = intercept[Engine.EngineError](s.sql("SET time_zone = NULL"))
+    assert(eTz.code == 1231, eTz.toString)
+    assert(s.sql("SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' AS STRING) " +
+      "AS t").head().getString(0).startsWith("2024-01-01"))
+    // a MULTI-segment versioned statement (trigger/routine blocks) must
+    // NOT stitch into garbage — it relays untouched and fails loudly
+    intercept[Exception](s.sql(
+      "/*!50003 CREATE*/ /*!50017 DEFINER=`u`@`h`*/ /*!50003 TRIGGER x */"))
     // quoted RHS stays a literal string, never a reference
     s.sql("SET @lit = '@@time_zone'")
     assert(s.sql("SELECT @lit AS v").head().getString(0) == "@@time_zone")
@@ -865,7 +886,24 @@ class EngineSpec extends SparkSpec {
     // client-identity functions substitute per-execute too
     val psId = s.prepareStatement("SELECT CONNECTION_ID() AS cid")
     assert(psId.execute().head().get(0).toString == s.connectionId.toString)
+    // session-command-shaped statements WITH parameters: the bound value
+    // must reach the command, never the literal '?' (code-review r14)
+    val psSet = s.prepareStatement("SET @bound = ?")
+    psSet.execute("from-binary")
+    assert(s.sql("SELECT @bound AS v").head().getString(0) == "from-binary",
+      "prepared SET must bind the typed value, not the marker")
+    // the canonical JDBC restore pattern: prepared INSERT into a session
+    // table created through the dump-DDL path
+    s.sql("CREATE TABLE t_ps_ins (id int, name varchar(16))")
+    val psIns = s.prepareStatement("INSERT INTO t_ps_ins VALUES (?, ?)")
+    psIns.execute(1, "a")
+    psIns.execute(2, "b'quoted")
+    val got = s.sql("SELECT id, name FROM t_ps_ins ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b'quoted")), got.toString)
+    s.sql("DROP TABLE t_ps_ins")
     psVar.close(); psShow.close(); psIs.close(); psId.close()
+    psSet.close(); psIns.close()
     s.close()
   }
 

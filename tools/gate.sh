@@ -35,6 +35,11 @@ echo "[gate] 3/3 tools/check.py"
 python3 tools/check.py "$OUT" "$SF" | tee /tmp/gate_check.log
 grep -q " 0 fail" /tmp/gate_check.log || {
   echo "[gate] FAIL: check.py reported failures"; exit 1; }
+# "0 ok, 0 fail" must NOT pass: an empty oracle dump is exactly the r13
+# incident shape (CORRECTNESS_r13.json = {}). Floor = 270 verified queries.
+N_OK=$(sed -n 's/^== \([0-9]*\) ok.*/\1/p' /tmp/gate_check.log | tail -1)
+[ "${N_OK:-0}" -ge 270 ] || {
+  echo "[gate] FAIL: only ${N_OK:-0} queries verified (floor 270)"; exit 1; }
 
 echo "[gate] ALL GREEN"
 if [[ -n "$MSG" ]]; then
