@@ -108,6 +108,13 @@ object Engine {
   private[graft] val MaxAllowedPacketFloor = 1024L
   private[graft] val MaxAllowedPacketCeil = 1073741824L
 
+  /** Session-view append arms between plan compactions
+    * ([[Session.swapAppendedView]]): small enough that per-statement
+    * analyzer cost on a single-row-INSERT restore stays flat, large enough
+    * that mysqldump's extended-insert default (a handful of statements per
+    * table) never pays a checkpoint at all. */
+  private[graft] val appendCompactEvery = 64
+
   /** Process-global `Slow_queries` — MySQL surfaces this counter as GLOBAL
     * status only; every session's slow action bumps it alongside the
     * per-session count SHOW SESSION STATUS reports (ADVICE r12). */
@@ -645,10 +652,45 @@ object Engine {
       val csv = spark.read.schema(existing.schema).option("sep", sep)
         .csv(spark.createDataset(lines))
       val n = csv.count()
-      existing.unionAll(csv).createOrReplaceTempView(table)
-      graft.sources.Tables.noteViewSwap(spark)
+      swapAppendedView(table, existing.unionAll(csv))
       n
     }
+
+    /** UNION ALL arms stacked onto each session view since its last
+      * compaction. The append paths (INSERT INTO view, LOAD DATA, wire
+      * LOCAL INFILE) each add one arm per statement — fine for mysqldump's
+      * extended-insert default, but a `--skip-extended-insert` dump (one
+      * INSERT per row) would build an N-deep plan: O(N²) total analyzer
+      * cost and eventual planner stack overflow (VERDICT r14 #1). */
+    private val appendArms = scala.collection.mutable.Map.empty[String, Int]
+
+    /** Swap `table`'s temp view to `unioned`, compacting the accumulated
+      * plan through an eager `localCheckpoint()` every
+      * [[Engine.appendCompactEvery]] appends so per-statement analyzer work
+      * stays O(K) — the same truncate-the-lineage pattern the iterative
+      * fixpoint rule uses. The checkpoint materializes real data (one
+      * distributed job per K statements, amortized O(rows/K) per
+      * statement); correctness is untouched — a checkpointed plan is the
+      * same rows behind a leaf scan. */
+    private[Engine] def swapAppendedView(table: String,
+        unioned: org.apache.spark.sql.DataFrame): Unit = {
+      val key = table.toLowerCase
+      val arms = appendArms.getOrElse(key, 0) + 1
+      if (arms >= Engine.appendCompactEvery) {
+        unioned.localCheckpoint(true).createOrReplaceTempView(table)
+        appendArms(key) = 0
+      } else {
+        unioned.createOrReplaceTempView(table)
+        appendArms(key) = arms
+      }
+      graft.sources.Tables.noteViewSwap(spark)
+    }
+
+    /** A DROP/CREATE of the name starts a fresh plan — reset its arm
+      * count so compaction cadence tracks the live view, not a departed
+      * namesake. */
+    private[Engine] def resetAppendArms(table: String): Unit =
+      appendArms.remove(table.toLowerCase)
 
     def close(): Unit = {
       spark.sparkContext.cancelJobGroup(jobGroup)
@@ -1006,14 +1048,20 @@ object Engine {
   private val insertRe =
     """(?is)^\s*INSERT\s+(?:IGNORE\s+)?INTO\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*(?:\(([^)]*)\)\s*)?((?:VALUES|VALUE)\s*\(.*|SELECT\b.*)$""".r
 
-  /** SQL LIKE pattern → anchored case-insensitive regex (the SHOW-family
-    * wildcard semantics: `%` any run, `_` any single char, and MySQL's
-    * backslash escapes — JDBC DatabaseMetaData escapes identifier
-    * wildcards as `\_`/`\%`, which must match LITERALLY
-    * (code-review r14). */
-  private def likeRegex(like: String): Option[scala.util.matching.Regex] =
+  /** SQL LIKE pattern → anchored regex (the SHOW-family wildcard
+    * semantics: `%` any run, `_` any single char, and MySQL's backslash
+    * escapes — JDBC DatabaseMetaData escapes identifier wildcards as
+    * `\_`/`\%`, which must match LITERALLY (code-review r14)).
+    *
+    * Identifier contexts (SHOW TABLES/TABLE STATUS/COLUMNS) match
+    * CASE-SENSITIVELY: the engine advertises lower_case_table_names=0 and
+    * utf8mb4_bin, under which real MySQL compares those names byte-wise —
+    * SHOW TABLES LIKE 'REGION' finds nothing (ADVICE r14). Variable /
+    * collation / charset names stay case-insensitive like MySQL's. */
+  private def likeRegex(like: String, caseSensitive: Boolean = false)
+      : Option[scala.util.matching.Regex] =
     Option(like).map { p =>
-      val out = new StringBuilder("(?i)^")
+      val out = new StringBuilder(if (caseSensitive) "^" else "(?i)^")
       var i = 0
       while (i < p.length) {
         p.charAt(i) match {
@@ -1039,7 +1087,11 @@ object Engine {
     * (a `SQL_NO_CACHE` wrapped mid-SELECT) are deliberately NOT unwrapped:
     * Spark ignores them as plain comments, which is exactly the
     * "unsupported optional feature" semantics for hints we don't have. */
-  private[graft] val effectiveMysqlVersion = 80000
+  // = the numeric prefix of [[version]] ("8.0.11" → 80011): the greeting
+  // and the versioned-comment gate must agree, or a whole-statement
+  // /*!80011 …*/ body would get ER 1065 from a server that advertises
+  // 8.0.11 (ADVICE r14)
+  private[graft] val effectiveMysqlVersion = 80011
   private val versionCommentRe =
     """(?s)^\s*/\*!(\d{4,6})\s+(.*?)\*/\s*;?\s*$""".r
   private[graft] def unwrapVersionComment(query: String): String =
@@ -1189,7 +1241,7 @@ object Engine {
         // fixture set after the same 1105 resolve as USE (every namespace
         // binds the same declared tables); helper views stay hidden.
         import s.spark.implicits._
-        val re = likeRegex(like)
+        val re = likeRegex(like, caseSensitive = true)
         val fromDb = Option(dbQ).orElse(Option(dbB))
         def live: Seq[String] =
           s.spark.catalog.listTables().collect().map(_.name)
@@ -1216,10 +1268,24 @@ object Engine {
       case showColumnsRe(full, tQ, tB, dbQ, dbB, like) =>
         // MySQL's SHOW [FULL] COLUMNS/FIELDS shape: Field, Type, Null,
         // Key, Default, Extra (+ Collation, Privileges, Comment for FULL)
-        Option(dbQ).orElse(Option(dbB))
-          .foreach(Engine.resolve(_, s.boundDatabases, "database"))
-        Some(describeShape(s, Option(tQ).getOrElse(tB), full != null,
-          likeRegex(like)))
+        // FROM the currently-bound namespace describes the live view
+        // (session-created tables included); FROM a DIFFERENT namespace
+        // describes that namespace's DECLARED schema — never the current
+        // binding's namesake, whose session-local schema could differ
+        // (ADVICE r14).
+        val tbl = Option(tQ).getOrElse(tB)
+        val other: Option[org.apache.spark.sql.types.StructType] =
+          Option(dbQ).orElse(Option(dbB))
+            .map(Engine.resolve(_, s.boundDatabases, "database"))
+            .filter(_ != Tables.boundDir(s.spark))
+            .map { _ =>
+              Tables.all.collectFirst {
+                case (n, sch) if n.equalsIgnoreCase(tbl) => sch
+              }.getOrElse(throw EngineError(1146, "42S02",
+                s"Table '$tbl' doesn't exist"))
+            }
+        Some(describeShape(s, tbl, full != null,
+          likeRegex(like, caseSensitive = true), other))
       case descTableRe(tQ, tB) =>
         // DESCRIBE/DESC <table> is SHOW COLUMNS in MySQL
         Some(describeShape(s, Option(tQ).getOrElse(tB), full = false, None))
@@ -1230,6 +1296,7 @@ object Engine {
         // name without IF EXISTS is MySQL's 1051.
         val tbl = Option(tQ).getOrElse(tB)
         if (s.spark.catalog.dropTempView(tbl)) {
+          s.resetAppendArms(tbl)
           Tables.noteViewSwap(s.spark)
           Some(s.spark.emptyDataFrame)
         } else if (s.spark.catalog.tableExists(tbl)) None
@@ -1274,6 +1341,7 @@ object Engine {
           s.spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             schema).createOrReplaceTempView(tbl)
+          s.resetAppendArms(tbl)
           Tables.noteViewSwap(s.spark)
         }
         Some(s.spark.emptyDataFrame)
@@ -1293,10 +1361,10 @@ object Engine {
         // the rest with typed NULLs; every source column casts to the
         // target type (MySQL's insert coercion). Non-view targets never
         // reach here (the guard) and relay to Spark's own INSERT INTO.
-        // Scale note: each statement adds ONE union arm, so plan depth is
-        // the statement count — fine for mysqldump's extended-insert
-        // default (~1 MiB of rows per statement); a single-row-INSERT
-        // workload belongs on LOAD DATA or a real catalog table instead.
+        // Scale note: each statement adds ONE union arm;
+        // [[Session.swapAppendedView]] compacts the accumulated plan via
+        // localCheckpoint every K appends, so even a --skip-extended-insert
+        // dump (one INSERT per row) stays O(K) analyzer work per statement.
         import org.apache.spark.sql.functions.{col, lit}
         val tbl = Option(tQ).getOrElse(tB)
         val target = s.spark.table(tbl)
@@ -1332,9 +1400,7 @@ object Engine {
             col(s"`$c`").cast(dt).as(c)
           else lit(null).cast(dt).as(c)
         }
-        target.unionAll(renamed.select(aligned: _*))
-          .createOrReplaceTempView(tbl)
-        Tables.noteViewSwap(s.spark)
+        s.swapAppendedView(tbl, target.unionAll(renamed.select(aligned: _*)))
         Some(s.spark.emptyDataFrame)
       case showTableStatusRe(dbQ, dbB, like) =>
         // SHOW TABLE STATUS — DBeaver-class refresh statement; MySQL's
@@ -1342,12 +1408,17 @@ object Engine {
         // Engine, Collation) and typed NULLs for the InnoDB-specific
         // counters (NULL Rows is valid even on real MySQL — tools
         // re-query COUNT(*) when they need exact cardinality).
-        Option(dbQ).orElse(Option(dbB))
-          .foreach(Engine.resolve(_, s.boundDatabases, "database"))
-        val re = likeRegex(like)
+        // FROM a DIFFERENT namespace lists its declared fixture set (the
+        // SHOW TABLES rule) — never the current binding's live views
+        // (ADVICE r14)
+        val otherNs = Option(dbQ).orElse(Option(dbB))
+          .map(Engine.resolve(_, s.boundDatabases, "database"))
+          .exists(_ != Tables.boundDir(s.spark))
+        val re = likeRegex(like, caseSensitive = true)
         import s.spark.implicits._
-        val names = s.spark.catalog.listTables().collect().map(_.name)
-          .filterNot(_.startsWith("graft_is_")).sorted.toSeq
+        val names = (if (otherNs) Tables.all.map(_._1)
+          else s.spark.catalog.listTables().collect().map(_.name).toSeq)
+          .filterNot(_.startsWith("graft_is_")).sorted
           .filter(n => re.forall(_.matches(n)))
         Some(names.map(n => (n, "graft", Option.empty[Long], "Dynamic",
             Option.empty[Long], Option.empty[Long], Option.empty[Long],
@@ -1450,11 +1521,10 @@ object Engine {
         val csv = s.spark.read.schema(existing.schema)
           .option("sep", Option(sep).getOrElse("\t"))
           .csv(path)
-        existing.unionAll(csv).createOrReplaceTempView(table)
-        // direct view swap on a register-bound session: invalidate the
-        // memoized-relation generation, or post-load queries could be
-        // served relations built on the pre-load view
-        graft.sources.Tables.noteViewSwap(s.spark)
+        // swapAppendedView also invalidates the memoized-relation
+        // generation, or post-load queries could be served relations built
+        // on the pre-load view
+        s.swapAppendedView(table, existing.unionAll(csv))
         Some(s.spark.emptyDataFrame)
       case killRe(connId) =>
         // COM_PROCESS_KILL analog: cancel the target connection's in-flight
@@ -1736,14 +1806,16 @@ object Engine {
     * Field, Type, Null, Key, Default, Extra, plus Collation / Privileges /
     * Comment under FULL. Unknown tables answer 1146 like SHOW CREATE. */
   private def describeShape(s: Session, table: String, full: Boolean,
-      re: Option[scala.util.matching.Regex]): DataFrame = {
+      re: Option[scala.util.matching.Regex],
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import s.spark.implicits._
     import org.apache.spark.sql.types._
-    val schema =
+    val schema = schemaOverride.getOrElse(
       try s.spark.table(table).schema
       catch { case _: org.apache.spark.sql.AnalysisException =>
         throw EngineError(1146, "42S02", s"Table '$table' doesn't exist")
-      }
+      })
     val fields = schema.fields.toSeq
       .filter(f => re.forall(_.matches(f.name)))
     if (full)
@@ -1893,17 +1965,19 @@ object Engine {
     }
   }
 
-  /** Table-name set the columns view was last built from, per session —
-    * graft_is_columns schema-analyzes EVERY table, so rebuilding it on
-    * each referencing query makes an ORM's one-query-per-table
-    * introspection burst O(N²) in schema analyses (code-review r14).
-    * The name SET is the invalidation key: any CREATE/DROP changes it.
-    * (A same-name view replaced with a different schema would serve one
-    * stale columns read — no such statement exists on this surface;
-    * CREATE OR REPLACE arrives only through raw Spark relay.) */
+  /** (view generation, table-name set) the columns view was last built
+    * from, per session — graft_is_columns schema-analyzes EVERY table, so
+    * rebuilding it on each referencing query makes an ORM's
+    * one-query-per-table introspection burst O(N²) in schema analyses
+    * (code-review r14). The generation counter (bumped by noteViewSwap in
+    * every DROP/CREATE/INSERT/LOAD handler) catches a DROP + same-name
+    * CREATE with a different schema — the mysqldump re-restore sequence —
+    * which leaves the name SET unchanged (ADVICE r14); the burst case
+    * (introspection with no DDL between queries) keeps a constant
+    * generation, so the memo still holds where it matters. */
   private val infoSchemaColsKey =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, Seq[String]]())
+      new java.util.WeakHashMap[SparkSession, (Long, Seq[String])]())
 
   private[graft] def registerInfoSchema(s: Session): Unit = {
     val spark = s.spark
@@ -1915,12 +1989,13 @@ object Engine {
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "engine")
       .createOrReplaceTempView("graft_is_tables")
-    if (infoSchemaColsKey.get(spark) == names) {
+    val memoKey = (Tables.viewGeneration(spark), names)
+    if (infoSchemaColsKey.get(spark) == memoKey) {
       // columns view is current (and the cheap static views below are
       // rebuilt-identical every time — skip them too)
       return
     }
-    infoSchemaColsKey.put(spark, names)
+    infoSchemaColsKey.put(spark, memoKey)
     names.flatMap { t =>
       val fields =
         try spark.table(t).schema.fields

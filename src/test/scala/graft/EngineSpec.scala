@@ -465,6 +465,65 @@ class EngineSpec extends SparkSpec {
     assert(s.sql("SHOW TABLES LIKE 't_dump'").count() == 0)
   }
 
+  test("skip-extended-insert restore: 1000 single-row INSERTs stay O(K) " +
+      "per statement (append-chain compaction, VERDICT r14 #1)") {
+    // a --skip-extended-insert dump emits one INSERT per row; before r15
+    // each statement stacked one UNION ALL arm, so the analyzer re-walked
+    // an ever-deeper plan — O(N²) total and an eventual planner stack
+    // overflow. swapAppendedView compacts through localCheckpoint every
+    // appendCompactEvery statements, so the ANALYZED PLAN SIZE (the direct
+    // driver of per-statement analyzer cost) stays bounded by K, not N.
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("DROP TABLE IF EXISTS t_flat")
+    s.sql("CREATE TABLE t_flat (id int, v varchar(32))")
+    val n = 1000
+    var planSizeMax = 0
+    (1 to n).foreach { i =>
+      s.sql(s"INSERT INTO t_flat VALUES ($i, 'row$i')")
+      if (i % 100 == 0) {
+        val size = s.spark.table("t_flat").queryExecution.analyzed.collect {
+          case p => p }.size
+        planSizeMax = planSizeMax.max(size)
+      }
+    }
+    // plan size bounded by the compaction window, not the statement count:
+    // each un-compacted arm is ~7 nodes (Union + alignment Projects +
+    // LocalRelation), so the ceiling is ~7K ≈ 450 — vs ~7000 nodes
+    // uncompacted at N=1000
+    val bound = Engine.appendCompactEvery * 8
+    assert(planSizeMax <= bound,
+      s"analyzed plan grew to $planSizeMax nodes (bound $bound) — " +
+        "append compaction is not firing")
+    // a checkpoint actually happened: the view's lineage was truncated to
+    // a materialized leaf (LogicalRDD / scan-of-checkpoint), so the plan
+    // no longer contains the CREATE-time empty LocalRelation root
+    val leafy = s.spark.table("t_flat").queryExecution.analyzed
+    assert(leafy.collectLeaves().exists(
+      _.getClass.getSimpleName.contains("LogicalRDD")),
+      s"expected a checkpointed leaf, got ${leafy.collectLeaves()}")
+    // correctness across every checkpoint boundary: nothing lost, nothing
+    // doubled, values intact
+    val agg = s.sql("SELECT COUNT(*) AS c, CAST(SUM(id) AS BIGINT) AS t " +
+      "FROM t_flat").head()
+    assert(agg.getLong(0) == n && agg.getLong(1) == n.toLong * (n + 1) / 2)
+    assert(s.sql("SELECT v FROM t_flat WHERE id = 1").head()
+      .getString(0) == "row1")
+    assert(s.sql("SELECT v FROM t_flat WHERE id = 937").head()
+      .getString(0) == "row937")
+    // DROP + same-name CREATE resets the arm counter AND information_schema
+    // serves the NEW schema (the memo is generation-keyed, ADVICE r14)
+    s.sql("SELECT table_name FROM information_schema.tables " +
+      "WHERE table_name = 't_flat'") // warm the memo on the old schema
+    s.sql("DROP TABLE t_flat")
+    s.sql("CREATE TABLE t_flat (other_col bigint)")
+    val cols = s.sql("SELECT column_name FROM information_schema.columns " +
+      "WHERE table_name = 't_flat' ORDER BY ordinal_position").collect()
+      .map(_.getString(0)).toSeq
+    assert(cols == Seq("other_col"),
+      s"information_schema served a stale schema: $cols")
+    s.sql("DROP TABLE t_flat")
+  }
+
   test("mysqldump session replay: versioned comments, TX isolation, " +
       "save/restore via user vars, LOCK/FLUSH no-ops") {
     // r14 conformance: the exact statement sequence mysqldump 8.0 sends
@@ -506,6 +565,13 @@ class EngineSpec extends SparkSpec {
     // statement is empty → MySQL's ER 1065
     val e = intercept[Engine.EngineError](s.sql("/*!990000 SELECT 1 */"))
     assert(e.code == 1065, s"above-version comment must be 1065, got $e")
+    // ...but the gate must agree with the ADVERTISED version: a server
+    // greeting 8.0.11 executes a /*!80011 …*/ body (ADVICE r14)
+    assert(Engine.effectiveMysqlVersion ==
+      Engine.version.takeWhile(c => c.isDigit || c == '.')
+        .split('.').map(_.toInt).reduceLeft(_ * 100 + _),
+      "effectiveMysqlVersion must equal the numeric prefix of the greeting")
+    assert(s.sql("/*!80011 SELECT 1 AS one */").count() == 1)
     // SET time_zone = NULL answers 1231 and leaves the session healthy
     // (storing the sentinel would poison spark.sql.session.timeZone)
     val eTz = intercept[Engine.EngineError](s.sql("SET time_zone = NULL"))
@@ -1112,6 +1178,15 @@ class EngineSpec extends SparkSpec {
     val ft = s.sql("SHOW FULL TABLES LIKE 'l%'").collect()
     assert(ft.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("lineitem", "BASE TABLE")))
+    // identifier LIKE is CASE-SENSITIVE under lower_case_table_names=0 +
+    // utf8mb4_bin, matching the advertised server (ADVICE r14); variable /
+    // collation / charset names stay case-insensitive like MySQL's
+    assert(s.sql("SHOW TABLES LIKE 'REGION'").count() == 0)
+    assert(s.sql("SHOW TABLE STATUS LIKE 'Lineitem'").count() == 0)
+    assert(s.sql("SHOW COLUMNS FROM nation LIKE 'N\\_NAME'").count() == 0)
+    assert(s.sql("SHOW COLUMNS FROM nation LIKE 'n\\_name'").count() == 1)
+    assert(s.sql("SHOW VARIABLES LIKE 'MAX_ALLOWED_PACKET'").count() == 1)
+    assert(s.sql("SHOW COLLATION LIKE 'UTF8MB4\\_BIN'").count() == 1)
     val cols = s.sql("SHOW COLUMNS FROM lineitem")
     assert(cols.columns.toSeq ==
       Seq("Field", "Type", "Null", "Key", "Default", "Extra"))

