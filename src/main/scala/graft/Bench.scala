@@ -34,6 +34,17 @@ object Bench {
 
   val tripwireFactor = 3.0
 
+  /** Budget-envelope policy (VERDICT r14 #5): pins BELOW this many seconds
+    * sit inside the JIT/catalyst fixed-cost envelope, where solo replays
+    * systematically read HIGHER than in-bench times (a solo JVM re-pays
+    * codegen/classloading the full bench amortizes across 284 queries —
+    * the q194/q63 false-drift pattern, measured r10/r12/r14). Drift audits
+    * therefore compare sub-envelope pins ONLY against in-bench minima;
+    * solo min-of-N re-measurement is reserved for queries at or above the
+    * envelope. The tripwire itself stays 3× for every query — it always
+    * consumes in-bench minima, so no second threshold applies. */
+  val soloEnvelopeSeconds = 1.0
+
   /** Queries whose measured min exceeds tripwireFactor × committed budget —
     * a REAL regression (min-of-N already filtered one-off host noise).
     * Queries without a budget entry (new since the last regeneration) are

@@ -385,7 +385,11 @@ object Engine {
       "system_user" -> s"'$user@$clusterId'",
       "user" -> s"'$user@$clusterId'",
       "database" -> "current_database()",
-      "schema" -> "current_database()")
+      "schema" -> "current_database()",
+      // SQLAlchemy's _get_server_version_info parses SELECT VERSION();
+      // Spark's own version() answers the SPARK version string, which a
+      // MySQL client would mis-parse (r15)
+      "version" -> s"'${Engine.version}'")
 
     private[Engine] def setSysVar(name: String, value: String): Unit = {
       // the one variable with an engine-level effect: MySQL time_zone maps
@@ -1029,6 +1033,11 @@ object Engine {
     """(?is)^\s*USE\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
   private val showTablesRe =
     """(?is)^\s*SHOW\s+(FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*)))?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  // JDBC getCatalogs / DBeaver's database tree both read MySQL's one-column
+  // `Database` shape — Spark's own SHOW DATABASES answers `namespace`,
+  // which breaks clients reading the column by name (r15)
+  private val showDatabasesRe =
+    """(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val showColumnsRe =
     """(?is)^\s*SHOW\s+(FULL\s+)?(?:COLUMNS|FIELDS)\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))(?:\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*)))?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val descTableRe =
@@ -1265,6 +1274,18 @@ object Engine {
           if (full != null) rows.map((_, "BASE TABLE"))
             .toDF(col, "Table_type")
           else rows.map(Tuple1(_)).toDF(col))
+      case showDatabasesRe(like) =>
+        // MySQL's one-column `Database` shape: information_schema first
+        // (MySQL always lists it) then the session's bound namespaces —
+        // the rows JDBC getCatalogs and DBeaver's tree expect. Identifier
+        // LIKE is case-sensitive under lower_case_table_names=0.
+        val re = likeRegex(like, caseSensitive = true)
+        import s.spark.implicits._
+        val dbs = ("information_schema" +:
+          (if (s.boundDatabases.nonEmpty) s.boundDatabases.keys.toSeq.sorted
+           else Seq(s.spark.catalog.currentDatabase)))
+          .filter(n => re.forall(_.matches(n)))
+        Some(dbs.map(Tuple1(_)).toDF("Database"))
       case showColumnsRe(full, tQ, tB, dbQ, dbB, like) =>
         // MySQL's SHOW [FULL] COLUMNS/FIELDS shape: Field, Type, Null,
         // Key, Default, Extra (+ Collation, Privileges, Comment for FULL)
@@ -1732,12 +1753,12 @@ object Engine {
     * USER, DATABASE, …) — may over-match inside strings; the token-safe scan
     * below decides for real. */
   private[graft] val clientFnDetect =
-    """(?i)\b(connection_id|current_user|session_user|system_user|user|database|schema)\s*\(""".r
+    """(?i)\b(connection_id|current_user|session_user|system_user|user|database|schema|version)\s*\(""".r
 
   /** Argless-call substitution targets, longest name first so the scan never
     * matches `user` inside `current_user`. */
   private val clientFnNames = Seq("connection_id", "current_user",
-    "session_user", "system_user", "database", "schema", "user")
+    "session_user", "system_user", "database", "version", "schema", "user")
 
   /** information_schema emulation (r14) — ORMs and GUI tools introspect
     * `information_schema.tables` / `.columns` / `.schemata` with arbitrary
@@ -1985,9 +2006,14 @@ object Engine {
     val db = spark.catalog.currentDatabase
     val names = spark.catalog.listTables().collect().map(_.name)
       .filterNot(_.startsWith("graft_is_")).sorted.toSeq
-    names.map(t => ("def", db, t, "BASE TABLE", "graft"))
+    // the extra MySQL TABLES columns JDBC getTables-style queries read
+    // (connector-j aliases TABLE_COMMENT AS REMARKS; DBeaver reads
+    // TABLE_COLLATION / TABLE_ROWS — NULL rows is valid, tools re-query
+    // COUNT(*) when they need cardinality)
+    names.map(t => ("def", db, t, "BASE TABLE", "graft",
+        Option.empty[Long], "utf8mb4_bin", ""))
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
-        "engine")
+        "engine", "table_rows", "table_collation", "table_comment")
       .createOrReplaceTempView("graft_is_tables")
     val memoKey = (Tables.viewGeneration(spark), names)
     if (infoSchemaColsKey.get(spark) == memoKey) {
@@ -2001,17 +2027,49 @@ object Engine {
         try spark.table(t).schema.fields
         catch { case _: Exception => Array.empty[org.apache.spark.sql.types.StructField] }
       fields.zipWithIndex.map { case (f, i) =>
+        import org.apache.spark.sql.types._
         val dt = mysqlType(f.dataType)
         val ct = f.dataType match {
-          case d: org.apache.spark.sql.types.DecimalType =>
-            s"decimal(${d.precision},${d.scale})"
+          case d: DecimalType => s"decimal(${d.precision},${d.scale})"
           case _ => dt
         }
+        // the MySQL COLUMNS metadata JDBC getColumns-style queries alias
+        // (CHARACTER_MAXIMUM_LENGTH AS COLUMN_SIZE, NUMERIC_SCALE AS
+        // DECIMAL_DIGITS, …); typed NULL where the concept has no parquet
+        // analog, MySQL's documented values where it does
+        val (charMax, numPrec, numScale) = f.dataType match {
+          case StringType => (Some(65535L), None, None)
+          case BinaryType => (Some(65535L), None, None)
+          case ByteType => (None, Some(3L), Some(0L))
+          case ShortType => (None, Some(5L), Some(0L))
+          case IntegerType => (None, Some(10L), Some(0L))
+          case LongType => (None, Some(19L), Some(0L))
+          case FloatType => (None, Some(12L), None)
+          case DoubleType => (None, Some(22L), None)
+          case d: DecimalType =>
+            (None, Some(d.precision.toLong), Some(d.scale.toLong))
+          case _ => (None, None, None)
+        }
+        val dtPrec: Option[Long] = f.dataType match {
+          case _: TimestampType => Some(6L) // micros end-to-end
+          case DateType => Some(0L)
+          case _ => None
+        }
+        val (csName, collName) = f.dataType match {
+          case StringType => (Some("utf8mb4"), Some("utf8mb4_bin"))
+          case _ => (None, None)
+        }
         ("def", db, t, f.name, (i + 1).toLong, dt, ct,
-          if (f.nullable) "YES" else "NO")
+          if (f.nullable) "YES" else "NO", Option.empty[String],
+          charMax, numPrec, numScale, dtPrec, csName, collName,
+          "", "", "select,insert,update,references", "")
       }
     }.toDF("table_catalog", "table_schema", "table_name", "column_name",
-        "ordinal_position", "data_type", "column_type", "is_nullable")
+        "ordinal_position", "data_type", "column_type", "is_nullable",
+        "column_default", "character_maximum_length", "numeric_precision",
+        "numeric_scale", "datetime_precision", "character_set_name",
+        "collation_name", "column_key", "extra", "privileges",
+        "column_comment")
       .createOrReplaceTempView("graft_is_columns")
     Seq(("def", db, "utf8mb4", "utf8mb4_bin"))
       .toDF("catalog_name", "schema_name", "default_character_set_name",

@@ -45,6 +45,18 @@ class BenchSpec extends AnyFunSuite {
     assert(cited.size > 200, s"§2D parse degraded: only ${cited.size} names")
   }
 
+  test("budget-envelope policy constants are pinned (VERDICT r14 #5)") {
+    // the policy the drift audits follow: sub-1 s pins are compared
+    // in-bench only (solo replays re-pay the JIT/codegen fixed cost the
+    // bench amortizes), and the tripwire is 3× on in-bench minima for
+    // EVERY query — one threshold, no per-size carve-outs
+    assert(Bench.soloEnvelopeSeconds == 1.0)
+    assert(Bench.tripwireFactor == 3.0)
+    // the envelope matters: a real population of pins sits under it
+    val under = Bench.budgets.values.count(_ < Bench.soloEnvelopeSeconds)
+    assert(under > 100, s"only $under sub-envelope pins — policy stale?")
+  }
+
   test("tripwire flags an injected slowdown and only that") {
     val name = Bench.budgets.head._1
     val budget = Bench.budgets(name)

@@ -386,6 +386,119 @@ class EngineSpec extends SparkSpec {
       "information_schema.referential_constraints").count() == 0)
   }
 
+  test("JDBC DatabaseMetaData burst: getCatalogs/getTables/getColumns/" +
+      "getPrimaryKeys statement shapes answer JDBC's column names") {
+    // r15 conformance (VERDICT r14 #4): connector-j's DatabaseMetaData
+    // (useInformationSchema, the 8.0.3+ default) builds its JDBC result
+    // sets IN SQL — info-schema columns aliased to the JDBC spec names,
+    // DATABASE() in the predicate, CASE over TABLE_TYPE — so the engine
+    // must run these shapes verbatim and answer the exact column names a
+    // client reads via ResultSet.getString("TABLE_CAT").
+    val s = Engine.connect(spark, "prod", backends)
+    // getCatalogs → SHOW DATABASES, MySQL's one-column `Database` shape
+    val cats = s.sql("SHOW DATABASES")
+    assert(cats.columns.toSeq == Seq("Database"), cats.columns.toSeq)
+    assert(cats.collect().map(_.getString(0)).contains("information_schema"))
+    // getTables — the info-schema query shape with JDBC's 10 columns
+    val tables = s.sql(
+      "SELECT TABLE_SCHEMA AS TABLE_CAT, NULL AS TABLE_SCHEM, TABLE_NAME, " +
+      "CASE WHEN TABLE_TYPE='BASE TABLE' THEN CASE WHEN TABLE_SCHEMA = " +
+      "'mysql' OR TABLE_SCHEMA = 'performance_schema' THEN 'SYSTEM TABLE' " +
+      "ELSE 'TABLE' END WHEN TABLE_TYPE='TEMPORARY' THEN 'LOCAL TEMPORARY' " +
+      "ELSE TABLE_TYPE END AS TABLE_TYPE, TABLE_COMMENT AS REMARKS, " +
+      "NULL AS TYPE_CAT, NULL AS TYPE_SCHEM, NULL AS TYPE_NAME, " +
+      "NULL AS SELF_REFERENCING_COL_NAME, NULL AS REF_GENERATION " +
+      "FROM INFORMATION_SCHEMA.TABLES " +
+      "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME LIKE 'nat%' " +
+      "ORDER BY TABLE_TYPE, TABLE_SCHEMA, TABLE_NAME")
+    assert(tables.columns.toSeq == Seq("TABLE_CAT", "TABLE_SCHEM",
+      "TABLE_NAME", "TABLE_TYPE", "REMARKS", "TYPE_CAT", "TYPE_SCHEM",
+      "TYPE_NAME", "SELF_REFERENCING_COL_NAME", "REF_GENERATION"))
+    val tRows = tables.collect()
+    assert(tRows.length == 1 && tRows(0).getString(2) == "nation" &&
+      tRows(0).getString(3) == "TABLE", tRows.toSeq)
+    // getColumns — aliases over the full MySQL COLUMNS metadata
+    val gc = s.sql(
+      "SELECT TABLE_SCHEMA AS TABLE_CAT, NULL AS TABLE_SCHEM, TABLE_NAME, " +
+      "COLUMN_NAME, UPPER(DATA_TYPE) AS TYPE_NAME, " +
+      "CHARACTER_MAXIMUM_LENGTH AS COLUMN_SIZE, " +
+      "NUMERIC_SCALE AS DECIMAL_DIGITS, NUMERIC_PRECISION, " +
+      "DATETIME_PRECISION, COLUMN_DEFAULT AS COLUMN_DEF, IS_NULLABLE, " +
+      "ORDINAL_POSITION, CHARACTER_SET_NAME, COLLATION_NAME, COLUMN_KEY, " +
+      "EXTRA, COLUMN_COMMENT AS REMARKS " +
+      "FROM INFORMATION_SCHEMA.COLUMNS " +
+      "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = 'nation' " +
+      "ORDER BY TABLE_NAME, ORDINAL_POSITION").collect()
+    assert(gc.length == 3, gc.mkString("; "))
+    val byName = gc.map(r => r.getString(3) ->
+      (r.getString(4), Option(r.get(5)), Option(r.get(7)))).toMap
+    assert(byName("n_name") == (("VARCHAR", Some(65535L), None)),
+      byName.toString) // string: COLUMN_SIZE from char max, no precision
+    assert(byName("n_nationkey")._1 == "INT" &&
+      byName("n_nationkey")._3 == Some(10L), byName.toString)
+    // getPrimaryKeys (info-schema path) — parses and answers empty
+    // (parquet carries no PK structures; same contract as getIndexInfo)
+    val pk = s.sql(
+      "SELECT TABLE_SCHEMA AS TABLE_CAT, NULL AS TABLE_SCHEM, TABLE_NAME, " +
+      "COLUMN_NAME, SEQ_IN_INDEX AS KEY_SEQ, 'PRIMARY' AS PK_NAME " +
+      "FROM INFORMATION_SCHEMA.STATISTICS " +
+      "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = 'nation' " +
+      "AND INDEX_NAME = 'PRIMARY' " +
+      "ORDER BY TABLE_NAME, INDEX_NAME, SEQ_IN_INDEX")
+    assert(pk.columns.toSeq == Seq("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME",
+      "COLUMN_NAME", "KEY_SEQ", "PK_NAME"))
+    assert(pk.count() == 0)
+    // getPrimaryKeys (SHOW path, pre-8.0.3 and DBeaver's fallback)
+    val keys = s.sql("SHOW KEYS FROM `nation`")
+    assert(keys.columns.length == 13 && keys.count() == 0)
+    // getTables on TABLE_ROWS/TABLE_COLLATION (DBeaver's tree columns):
+    // typed NULL rows, the engine collation
+    val meta = s.sql("SELECT TABLE_ROWS, TABLE_COLLATION FROM " +
+      "information_schema.tables WHERE table_name = 'nation'").head()
+    assert(meta.isNullAt(0) && meta.getString(1) == "utf8mb4_bin")
+  }
+
+  test("SQLAlchemy connect burst: dialect initialization statements " +
+      "round-trip (differs from connector-j's)") {
+    // r15 conformance (VERDICT r14 #4): SQLAlchemy's MySQL dialect opens
+    // with a DIFFERENT burst than connector-j — individual SHOW VARIABLES
+    // probes, SELECT DATABASE(), and two CAST round-trip canaries the
+    // dialect uses to detect broken charset handling. Each statement in
+    // the dialect's own spelling.
+    val s = Engine.connect(spark, "prod", backends)
+    // dialect._get_server_version_info → SELECT VERSION()
+    assert(s.sql("SELECT VERSION()").head().getString(0)
+      .startsWith("8.0.11"))
+    // dialect initialize(): sql_mode probe decides ANSI-quote handling
+    val mode = s.sql("SHOW VARIABLES LIKE 'sql_mode'").collect()
+    assert(mode.length == 1 && mode(0).getString(0) == "sql_mode")
+    val lct = s.sql("SHOW VARIABLES LIKE 'lower_case_table_names'").collect()
+    assert(lct.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("lower_case_table_names", "0")))
+    // default schema name
+    assert(s.sql("SELECT DATABASE()").count() == 1)
+    // the two returns-canaries (sqlalchemy engine/default.py): a dialect
+    // that can't round-trip these marks the connection unusable
+    val plain = s.sql(
+      "SELECT CAST('test plain returns' AS CHAR(60)) AS anon_1").head()
+    assert(plain.getString(0) == "test plain returns")
+    val uni = s.sql(
+      "SELECT CAST('test unicode returns' AS CHAR(60)) AS anon_1").head()
+    assert(uni.getString(0) == "test unicode returns")
+    // has_table() probe: DESCRIBE inside a try — present table answers,
+    // absent table raises the 1146 the dialect catches
+    assert(s.sql("DESCRIBE `nation`").count() == 3)
+    assert(intercept[Engine.EngineError](
+      s.sql("DESCRIBE `no_such_table`")).code == 1146)
+    // reflection reads SHOW CREATE TABLE's 2-column shape
+    val sct = s.sql("SHOW CREATE TABLE `nation`")
+    assert(sct.columns.toSeq == Seq("Table", "Create Table"))
+    assert(sct.head().getString(1).startsWith("CREATE TABLE `nation`"))
+    // pool reset between checkouts
+    s.sql("ROLLBACK")
+    assert(s.sql("SELECT 1 AS ping").head().get(0) == 1)
+  }
+
   test("dump RESTORE: a mysqldump table section replays end-to-end " +
       "(DROP/CREATE/LOCK/INSERT with MySQL types and escapes)") {
     // r14: the restore direction of the dump round-trip — the exact
