@@ -125,6 +125,19 @@ object Bench {
       pref.map { case (k, p) => k -> (if (dup(p)) k else p) }.toMap
     }
 
+    // Drift-audit aid (VERDICT r14 #3): SPARK_GRAFT_BENCH_PASSDETAIL=q71c_…
+    // prints EVERY pass's seconds for the named queries (the committed
+    // artifact carries only the min — per-pass shape is what separates
+    // "memo flushed between passes" from "uniformly slower in-fleet").
+    sys.env.get("SPARK_GRAFT_BENCH_PASSDETAIL").foreach { spec =>
+      spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+        times.get(n).foreach { ts =>
+          println(s"""{"metric":"passdetail","query":"$n","passes":[${
+            ts.reverse.map(s3).mkString(",")}]}""")
+        }
+      }
+    }
+
     // Full-detail line FIRST (local logs; the driver's 2000-char tail may
     // truncate its head): per-query min + per-pass wall totals.
     val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + s3(v) }
