@@ -236,7 +236,27 @@ object Engine {
       * connection, new default schema. Unknown names raise the structured
       * engine error like cluster routing does. */
     def use(db: String, databases: Map[String, String]): Unit =
-      Tables.register(spark, Engine.resolve(db, databases, "database"))
+      if (db.equalsIgnoreCase("information_schema")) {
+        // MySQL's always-present metadata schema: USE only flips which
+        // namespace the unqualified SHOW/DESCRIBE family lists — the data
+        // binding is untouched (there is no data dir to rebind to), same
+        // as a real server where information_schema holds no user tables
+        inInfoSchema = true
+      } else {
+        inInfoSchema = false
+        if (databases.isEmpty &&
+            db.equalsIgnoreCase(spark.catalog.currentDatabase)) {
+          // a session routed WITHOUT a databases map still advertises its
+          // current database in SHOW DATABASES — that row must round-trip
+          // through USE as the one namespace it already is (code-review
+          // r15); resolving it through the empty map answered 1105
+        } else Tables.register(spark, Engine.resolve(db, databases, "database"))
+      }
+
+    /** True after `USE information_schema`: unqualified SHOW TABLES /
+      * SHOW COLUMNS / SHOW TABLE STATUS / DATABASE() answer the metadata
+      * schema until the next USE, like MySQL. */
+    private[Engine] var inInfoSchema = false
 
     /** The database map bound at [[Engine.connect]] — lets the text
       * `USE db` statement (dump files, script replay, multi-statement
@@ -384,8 +404,10 @@ object Engine {
       "session_user" -> s"'$user@$clusterId'",
       "system_user" -> s"'$user@$clusterId'",
       "user" -> s"'$user@$clusterId'",
-      "database" -> "current_database()",
-      "schema" -> "current_database()",
+      "database" ->
+        (if (inInfoSchema) "'information_schema'" else "current_database()"),
+      "schema" ->
+        (if (inInfoSchema) "'information_schema'" else "current_database()"),
       // SQLAlchemy's _get_server_version_info parses SELECT VERSION();
       // Spark's own version() answers the SPARK version string, which a
       // MySQL client would mis-parse (r15)
@@ -1255,23 +1277,32 @@ object Engine {
         def live: Seq[String] =
           s.spark.catalog.listTables().collect().map(_.name)
             .filterNot(_.startsWith("graft_is_")).sorted.toSeq
-        val names: Seq[String] = fromDb match {
-          case Some(db) =>
+        // None = the information_schema surface (qualified or via USE)
+        val ns: Option[String] = fromDb match {
+          case Some(db) => Engine.resolveShowDb(s, db)
+          case None =>
+            if (s.inInfoSchema) None else Some(Tables.boundDir(s.spark))
+        }
+        val names: Seq[String] = ns match {
+          case None => Engine.infoSchemaTables
+          case Some(dir) =>
             // FROM the CURRENTLY-bound namespace → the live catalog (a
             // qualified refresh must see session-created/restored tables
             // exactly like the unqualified form — code-review r14); a
             // DIFFERENT namespace → its declared fixture set (no session
             // views exist there by construction)
-            val dir = Engine.resolve(db, s.boundDatabases, "database")
             if (dir == Tables.boundDir(s.spark)) live
             else Tables.all.map(_._1).sorted
-          case None => live
         }
-        val col =
-          s"Tables_in_${fromDb.getOrElse(s.spark.catalog.currentDatabase)}"
+        val dbName = fromDb.getOrElse(
+          if (s.inInfoSchema) "information_schema"
+          else s.spark.catalog.currentDatabase)
+        val col = s"Tables_in_$dbName"
+        // MySQL types information_schema rows SYSTEM VIEW under FULL
+        val ttype = if (ns.isEmpty) "SYSTEM VIEW" else "BASE TABLE"
         val rows = names.filter(n => re.forall(_.matches(n)))
         Some(
-          if (full != null) rows.map((_, "BASE TABLE"))
+          if (full != null) rows.map((_, ttype))
             .toDF(col, "Table_type")
           else rows.map(Tuple1(_)).toDF(col))
       case showDatabasesRe(like) =>
@@ -1291,22 +1322,36 @@ object Engine {
         // Key, Default, Extra (+ Collation, Privileges, Comment for FULL)
         // FROM the currently-bound namespace describes the live view
         // (session-created tables included); FROM a DIFFERENT namespace
-        // describes that namespace's DECLARED schema — never the current
-        // binding's namesake, whose session-local schema could differ
-        // (ADVICE r14).
+        // describes that namespace's SURFACED schema via Tables.table —
+        // never the current binding's namesake, whose session-local schema
+        // could differ (ADVICE r14), and never the raw DECLARED StructType,
+        // which for events carries the pre-conversion bigint ts no reader
+        // ever sees (code-review r15). Column-name LIKE stays
+        // case-INsensitive: MySQL column names are not case-sensitive on
+        // any platform, regardless of lower_case_table_names/collation
+        // (code-review r15) — only database/table identifiers are.
         val tbl = Option(tQ).getOrElse(tB)
-        val other: Option[org.apache.spark.sql.types.StructType] =
-          Option(dbQ).orElse(Option(dbB))
-            .map(Engine.resolve(_, s.boundDatabases, "database"))
-            .filter(_ != Tables.boundDir(s.spark))
-            .map { _ =>
-              Tables.all.collectFirst {
-                case (n, sch) if n.equalsIgnoreCase(tbl) => sch
-              }.getOrElse(throw EngineError(1146, "42S02",
-                s"Table '$tbl' doesn't exist"))
-            }
-        Some(describeShape(s, tbl, full != null,
-          likeRegex(like, caseSensitive = true), other))
+        val ns: Option[String] = Option(dbQ).orElse(Option(dbB)) match {
+          case Some(db) => Engine.resolveShowDb(s, db)
+          case None =>
+            if (s.inInfoSchema) None else Some(Tables.boundDir(s.spark))
+        }
+        val other: Option[org.apache.spark.sql.types.StructType] = ns match {
+          case None =>
+            // information_schema table: describe the backing metadata view
+            if (!Engine.infoSchemaTables.exists(_.equalsIgnoreCase(tbl)))
+              throw EngineError(1146, "42S02", s"Table '$tbl' doesn't exist")
+            Engine.registerInfoSchema(s)
+            Some(s.spark.table("graft_is_" + tbl.toLowerCase).schema)
+          case Some(dir) if dir != Tables.boundDir(s.spark) =>
+            val name = Tables.all.collectFirst {
+              case (n, _) if n.equalsIgnoreCase(tbl) => n
+            }.getOrElse(throw EngineError(1146, "42S02",
+              s"Table '$tbl' doesn't exist"))
+            Some(Tables.table(s.spark, dir, name).schema)
+          case _ => None
+        }
+        Some(describeShape(s, tbl, full != null, likeRegex(like), other))
       case descTableRe(tQ, tB) =>
         // DESCRIBE/DESC <table> is SHOW COLUMNS in MySQL
         Some(describeShape(s, Option(tQ).getOrElse(tB), full = false, None))
@@ -1319,6 +1364,7 @@ object Engine {
         if (s.spark.catalog.dropTempView(tbl)) {
           s.resetAppendArms(tbl)
           Tables.noteViewSwap(s.spark)
+          Engine.noteSchemaSwap(s.spark)
           Some(s.spark.emptyDataFrame)
         } else if (s.spark.catalog.tableExists(tbl)) None
         else if (ifExists != null) Some(s.spark.emptyDataFrame)
@@ -1364,6 +1410,7 @@ object Engine {
             schema).createOrReplaceTempView(tbl)
           s.resetAppendArms(tbl)
           Tables.noteViewSwap(s.spark)
+          Engine.noteSchemaSwap(s.spark)
         }
         Some(s.spark.emptyDataFrame)
       case insertRe(tQ, tB, colList, tail)
@@ -1431,17 +1478,25 @@ object Engine {
         // re-query COUNT(*) when they need exact cardinality).
         // FROM a DIFFERENT namespace lists its declared fixture set (the
         // SHOW TABLES rule) — never the current binding's live views
-        // (ADVICE r14)
-        val otherNs = Option(dbQ).orElse(Option(dbB))
-          .map(Engine.resolve(_, s.boundDatabases, "database"))
-          .exists(_ != Tables.boundDir(s.spark))
+        // (ADVICE r14); information_schema lists its metadata views with
+        // MySQL's NULL engine (code-review r15)
+        val ns: Option[String] = Option(dbQ).orElse(Option(dbB)) match {
+          case Some(db) => Engine.resolveShowDb(s, db)
+          case None =>
+            if (s.inInfoSchema) None else Some(Tables.boundDir(s.spark))
+        }
         val re = likeRegex(like, caseSensitive = true)
         import s.spark.implicits._
-        val names = (if (otherNs) Tables.all.map(_._1)
-          else s.spark.catalog.listTables().collect().map(_.name).toSeq)
-          .filterNot(_.startsWith("graft_is_")).sorted
+        val engineCol: Option[String] =
+          if (ns.isEmpty) None else Some("graft")
+        val names = (ns match {
+          case None => Engine.infoSchemaTables
+          case Some(dir) if dir != Tables.boundDir(s.spark) =>
+            Tables.all.map(_._1)
+          case _ => s.spark.catalog.listTables().collect().map(_.name).toSeq
+        }).filterNot(_.startsWith("graft_is_")).sorted
           .filter(n => re.forall(_.matches(n)))
-        Some(names.map(n => (n, "graft", Option.empty[Long], "Dynamic",
+        Some(names.map(n => (n, engineCol, Option.empty[Long], "Dynamic",
             Option.empty[Long], Option.empty[Long], Option.empty[Long],
             Option.empty[Long], Option.empty[Long], Option.empty[Long],
             Option.empty[Long], Option.empty[String], Option.empty[String],
@@ -1986,19 +2041,41 @@ object Engine {
     }
   }
 
-  /** (view generation, table-name set) the columns view was last built
-    * from, per session — graft_is_columns schema-analyzes EVERY table, so
-    * rebuilding it on each referencing query makes an ORM's
+  /** (schema-DDL generation, table-name set) the columns view was last
+    * built from, per session — graft_is_columns schema-analyzes EVERY
+    * table, so rebuilding it on each referencing query makes an ORM's
     * one-query-per-table introspection burst O(N²) in schema analyses
-    * (code-review r14). The generation counter (bumped by noteViewSwap in
-    * every DROP/CREATE/INSERT/LOAD handler) catches a DROP + same-name
-    * CREATE with a different schema — the mysqldump re-restore sequence —
-    * which leaves the name SET unchanged (ADVICE r14); the burst case
+    * (code-review r14). The generation counter ([[noteSchemaSwap]], bumped
+    * by the DROP/CREATE handlers ONLY — appends never change a schema)
+    * catches a DROP + same-name CREATE with a different schema — the
+    * mysqldump re-restore sequence — which leaves the name SET unchanged
+    * (ADVICE r14); the burst case
     * (introspection with no DDL between queries) keeps a constant
     * generation, so the memo still holds where it matters. */
   private val infoSchemaColsKey =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, (Long, Seq[String])]())
+
+  /** Schema-DDL generation, bumped ONLY by statements that can REPLACE a
+    * table's schema under an unchanged name set (DROP/CREATE). The
+    * info-schema columns memo keys on THIS, not Tables.viewGeneration:
+    * the view generation bumps on every INSERT/LOAD append (data changes
+    * the relation memos must see), so keying the columns view on it made a
+    * reflect-after-write workload rebuild the O(N-tables) schema analysis
+    * after every single-row INSERT (code-review r15). Appends never change
+    * any schema; CREATE/DROP of a NEW name is already caught by the name
+    * set in the memo key. */
+  private val schemaGen = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+
+  private[graft] def noteSchemaSwap(spark: SparkSession): Unit =
+    schemaGen.synchronized {
+      schemaGen.put(spark,
+        java.lang.Long.valueOf(schemaGeneration(spark) + 1L))
+    }
+
+  private def schemaGeneration(spark: SparkSession): Long =
+    Option(schemaGen.get(spark)).map(_.longValue).getOrElse(0L)
 
   private[graft] def registerInfoSchema(s: Session): Unit = {
     val spark = s.spark
@@ -2015,7 +2092,7 @@ object Engine {
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "engine", "table_rows", "table_collation", "table_comment")
       .createOrReplaceTempView("graft_is_tables")
-    val memoKey = (Tables.viewGeneration(spark), names)
+    val memoKey = (schemaGeneration(spark), names)
     if (infoSchemaColsKey.get(spark) == memoKey) {
       // columns view is current (and the cheap static views below are
       // rebuilt-identical every time — skip them too)
@@ -2329,6 +2406,24 @@ object Engine {
     table.collectFirst {
       case (id, d) if id.equalsIgnoreCase(name) => d
     }.getOrElse(throw EngineError(1105, "08S01", s"unknown $kind: $name"))
+
+  /** The metadata tables `SHOW TABLES FROM information_schema` lists —
+    * MySQL's names for the views the engine's info-schema rewrite serves
+    * (each backed by the matching graft_is_* temp view). */
+  private[graft] val infoSchemaTables = Seq("COLUMNS", "KEY_COLUMN_USAGE",
+    "REFERENTIAL_CONSTRAINTS", "SCHEMATA", "STATISTICS", "TABLES")
+
+  /** Resolve a `SHOW ... FROM <db>` qualifier. Every row SHOW DATABASES
+    * advertises must round-trip here (code-review r15): `information_schema`
+    * answers None (the metadata surface), a bound name resolves through the
+    * session map, and a session routed WITHOUT a databases map accepts the
+    * advertised current database as a synonym for its one namespace. */
+  private def resolveShowDb(s: Session, db: String): Option[String] =
+    if (db.equalsIgnoreCase("information_schema")) None
+    else if (s.boundDatabases.isEmpty &&
+        db.equalsIgnoreCase(s.spark.catalog.currentDatabase))
+      Some(Tables.boundDir(s.spark))
+    else Some(resolve(db, s.boundDatabases, "database"))
 
   /** Routing table: cluster id → data directory. The reference falls through
     * silently on unknown ids (treats the id as a literal address,

@@ -390,8 +390,17 @@ object MySqlServer {
       case _ => new String(lenencBytes(), UTF_8) // string/decimal/varchar…
     }
 
+    /** Malformed binary temporal struct: the length byte names fewer
+      * bytes than the fields the type requires. Reading past it would
+      * consume the NEXT parameter's bytes and silently desync every
+      * later bind (code-review r15) — answer MySQL's 1210 instead. */
+    private def malformed(tp: String, n: Int): Nothing =
+      throw Engine.EngineError(1210, "HY000",
+        s"Incorrect arguments to mysqld_stmt_execute (binary $tp length $n)")
+
     private def dateVal(): Any = int1() match {
       case 0 => null // the zero date
+      case n if n < 4 => malformed("DATE", n)
       case n =>
         val (y, mo, d) = (int2(), int1(), int1())
         i += n - 4 // tolerate over-long encodings
@@ -408,6 +417,7 @@ object MySqlServer {
       * the text protocol prints durations. */
     private def timeVal(): Any = int1() match {
       case 0 => "00:00:00" // the zero duration (MySQL prints it, not NULL)
+      case n if n < 8 => malformed("TIME", n)
       case n =>
         val neg = int1() != 0
         val days = int4()
@@ -420,6 +430,7 @@ object MySqlServer {
 
     private def datetimeVal(): Any = int1() match {
       case 0 => null
+      case n if n < 4 => malformed("DATETIME", n)
       case n =>
         val (y, mo, d) = (int2(), int1(), int1())
         val (h, mi, s) = if (n >= 7) (int1(), int1(), int1()) else (0, 0, 0)

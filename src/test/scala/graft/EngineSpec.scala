@@ -386,6 +386,69 @@ class EngineSpec extends SparkSpec {
       "information_schema.referential_constraints").count() == 0)
   }
 
+  test("every SHOW DATABASES row round-trips: information_schema and the " +
+      "empty-map current database answer the qualified SHOW family and USE") {
+    // code-review r15: the tree walk DBeaver/connector-j run enumerates
+    // SHOW DATABASES and then issues SHOW FULL TABLES FROM / SHOW TABLE
+    // STATUS FROM / USE against every advertised row — each row must
+    // resolve, including information_schema (never a bound namespace) and,
+    // on a session routed WITHOUT a databases map, the advertised current
+    // database itself.
+    val s = Engine.connect(spark, "prod", backends)
+    val advertised = s.sql("SHOW DATABASES").collect().map(_.getString(0))
+    assert(advertised.contains("information_schema"), advertised.toSeq)
+    for (db <- advertised) {
+      assert(s.sql(s"SHOW FULL TABLES FROM `$db`").count() > 0, db)
+      assert(s.sql(s"SHOW TABLE STATUS FROM `$db`").count() > 0, db)
+    }
+    // information_schema lists its metadata views as SYSTEM VIEW with the
+    // MySQL column name, engine NULL in TABLE STATUS
+    val ist = s.sql("SHOW FULL TABLES FROM information_schema").collect()
+    assert(ist.map(_.getString(0)).toSet ==
+      Set("COLUMNS", "KEY_COLUMN_USAGE", "REFERENTIAL_CONSTRAINTS",
+        "SCHEMATA", "STATISTICS", "TABLES"))
+    assert(ist.forall(_.getString(1) == "SYSTEM VIEW"))
+    val isSt = s.sql("SHOW TABLE STATUS FROM information_schema").collect()
+    assert(isSt.forall(_.isNullAt(1)), "system views carry Engine NULL")
+    // SHOW COLUMNS against an information_schema table describes the
+    // backing metadata view (name lookup case-insensitive, like MySQL)
+    val isCols = s.sql("SHOW COLUMNS FROM tables FROM information_schema")
+      .collect().map(_.getString(0)).toSet
+    assert(isCols.contains("table_name") && isCols.contains("table_schema"),
+      isCols)
+    assert(intercept[Engine.EngineError](
+      s.sql("SHOW COLUMNS FROM nope FROM information_schema")).code == 1146)
+    // USE information_schema flips DATABASE() and the unqualified listing
+    // without touching the data binding; USE back restores it
+    val current = s.sql("SELECT DATABASE() AS d").head().getString(0)
+    s.sql("USE information_schema")
+    assert(s.sql("SELECT DATABASE() AS d").head().getString(0) ==
+      "information_schema")
+    assert(s.sql("SHOW TABLES").collect().map(_.getString(0)).toSet
+      .contains("TABLES"))
+    s.sql(s"USE `$current`")
+    assert(s.sql("SELECT DATABASE() AS d").head().getString(0) == current)
+    assert(s.sql("SELECT COUNT(*) AS n FROM region").head().getLong(0) == 5)
+  }
+
+  test("cross-namespace SHOW COLUMNS reports the SURFACED schema: events " +
+      "ts is timestamp in every namespace, never the raw declared bigint") {
+    // code-review r15: the declared StructType for events carries the
+    // pre-conversion nanos Long, but Tables.table always surfaces ts as
+    // TimestampType — qualified introspection must describe what a reader
+    // of that namespace actually gets
+    val dbs = Map("tiny" -> sf, "small" -> "/root/testdata/sf0.01")
+    val s = Engine.connect(spark, "prod", backends, db = Some("tiny"),
+      databases = dbs)
+    val qualified = s.sql("SHOW COLUMNS FROM events FROM small").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(qualified("ts") == "timestamp", qualified.toString)
+    s.use("small", dbs)
+    val live = s.sql("SHOW COLUMNS FROM events").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(live("ts") == "timestamp", live.toString)
+  }
+
   test("JDBC DatabaseMetaData burst: getCatalogs/getTables/getColumns/" +
       "getPrimaryKeys statement shapes answer JDBC's column names") {
     // r15 conformance (VERDICT r14 #4): connector-j's DatabaseMetaData
@@ -1291,12 +1354,15 @@ class EngineSpec extends SparkSpec {
     val ft = s.sql("SHOW FULL TABLES LIKE 'l%'").collect()
     assert(ft.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("lineitem", "BASE TABLE")))
-    // identifier LIKE is CASE-SENSITIVE under lower_case_table_names=0 +
-    // utf8mb4_bin, matching the advertised server (ADVICE r14); variable /
-    // collation / charset names stay case-insensitive like MySQL's
+    // database/table identifier LIKE is CASE-SENSITIVE under
+    // lower_case_table_names=0 + utf8mb4_bin, matching the advertised
+    // server (ADVICE r14); COLUMN names are case-INsensitive on every
+    // MySQL platform regardless of those settings (manual §9.2.3 —
+    // code-review r15), and variable / collation / charset names stay
+    // case-insensitive like MySQL's
     assert(s.sql("SHOW TABLES LIKE 'REGION'").count() == 0)
     assert(s.sql("SHOW TABLE STATUS LIKE 'Lineitem'").count() == 0)
-    assert(s.sql("SHOW COLUMNS FROM nation LIKE 'N\\_NAME'").count() == 0)
+    assert(s.sql("SHOW COLUMNS FROM nation LIKE 'N\\_NAME'").count() == 1)
     assert(s.sql("SHOW COLUMNS FROM nation LIKE 'n\\_name'").count() == 1)
     assert(s.sql("SHOW VARIABLES LIKE 'MAX_ALLOWED_PACKET'").count() == 1)
     assert(s.sql("SHOW COLLATION LIKE 'UTF8MB4\\_BIN'").count() == 1)

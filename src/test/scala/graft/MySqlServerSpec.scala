@@ -914,6 +914,20 @@ class MySqlServerSpec extends SparkSpec {
         BParam(0x0B, Some(Array(0.toByte))))) // length 0 = zero duration
       assert(rows == Seq(Seq(Some("12:34:56"), Some("26:03:04.500000"),
         Some("-00:00:01"), Some("00:00:00"))), rows.toString)
+      // under-long temporal structs (length byte names fewer bytes than
+      // the type's fields) answer ER 1210 instead of reading past the
+      // declared length into the next parameter's bytes (code-review r15)
+      val (sid2, _) = stmtPrepare(c, "SELECT CAST(? AS STRING) AS t")
+      val e = intercept[Engine.EngineError](stmtExecute(c, sid2, Seq(
+        BParam(0x0B, Some(Array[Byte](5, 0, 1, 2, 3, 4))))))
+      assert(e.code == 1210, e.toString)
+      val e2 = intercept[Engine.EngineError](stmtExecute(c, sid2, Seq(
+        BParam(0x0A, Some(Array[Byte](2, 0xE6.toByte, 7))))))
+      assert(e2.code == 1210, e2.toString)
+      // the connection and the statement survive both rejections
+      val (_, _, ok, _) = stmtExecute(c, sid2, Seq(
+        BParam(0x0B, Some(time8(0, 0, 1, 2, 3)))))
+      assert(ok == Seq(Seq(Some("01:02:03"))), ok.toString)
       c.close()
     } finally srv.close()
   }
