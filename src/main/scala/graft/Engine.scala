@@ -371,10 +371,14 @@ object Engine {
       * and rewrite onto them (token-safe). */
     private[Engine] def preprocess(query: String): String = {
       val q1 = Engine.unwrapVersionComment(query)
-      if (Engine.infoSchemaDetect.findFirstIn(q1).isDefined) {
+      // after USE information_schema, bare table refs (`FROM TABLES`)
+      // resolve in the metadata schema like any default db — qualify them
+      // so the single qualified-rewrite path below serves both spellings
+      val q2 = if (inInfoSchema) Engine.qualifyBareInfoSchema(q1) else q1
+      if (Engine.infoSchemaDetect.findFirstIn(q2).isDefined) {
         Engine.registerInfoSchema(this)
-        Engine.rewriteInfoSchema(q1)
-      } else q1
+        Engine.rewriteInfoSchema(q2)
+      } else q2
     }
 
     /** `@@sysvar` / `@uservar` / client-identity-function substitution —
@@ -1826,6 +1830,67 @@ object Engine {
     * of SHOW TABLES. */
   private[graft] val infoSchemaDetect =
     """(?i)`?information_schema`?\s*\.\s*`?(tables|columns|schemata|statistics|key_column_usage|referential_constraints)""".r
+
+  /** Qualify BARE info-schema table references (`FROM TABLES`, `JOIN
+    * columns c`) with `information_schema.` — the resolution a session
+    * whose default schema IS information_schema (after `USE
+    * information_schema`) owes them, mysql-CLI style. Token-safe walker:
+    * strings/backticks/comments pass untouched, only the word directly
+    * after FROM/JOIN is considered (comma-separated FROM lists keep their
+    * later elements unqualified — qualify those by hand), already-dotted
+    * names stay as written, and SHOW/DESCRIBE/USE/SET statements are
+    * excluded (their namespace logic is the statement handler's). */
+  private[graft] def qualifyBareInfoSchema(query: String): String = {
+    if ("""(?is)^\s*(show|desc|describe|use|set)\b""".r
+        .findFirstIn(query).isDefined) return query
+    val names = infoSchemaTables.map(_.toLowerCase).toSet
+    val out = new StringBuilder
+    var quote: Char = 0
+    var prevWord = ""
+    var i = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < query.length) {
+          out.append(query.charAt(i + 1)); i += 1
+        }
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '-' && i + 1 < query.length &&
+          query.charAt(i + 1) == '-') {
+        while (i < query.length && query.charAt(i) != '\n') {
+          out.append(query.charAt(i)); i += 1
+        }
+      } else if (c == '/' && i + 1 < query.length &&
+          query.charAt(i + 1) == '*') {
+        out.append("/*"); i += 2
+        while (i < query.length && !(query.charAt(i) == '*' &&
+            i + 1 < query.length && query.charAt(i + 1) == '/')) {
+          out.append(query.charAt(i)); i += 1
+        }
+        if (i < query.length) { out.append("*/"); i += 2 }
+      } else if (Character.isLetter(c) || c == '_') {
+        val start = i
+        while (i < query.length && {
+          val w = query.charAt(i)
+          Character.isLetterOrDigit(w) || w == '_'
+        }) i += 1
+        val w = query.substring(start, i)
+        val lw = w.toLowerCase
+        val afterDot = start > 0 && query.charAt(start - 1) == '.'
+        val beforeDot = i < query.length && query.charAt(i) == '.'
+        if (names(lw) && (prevWord == "from" || prevWord == "join") &&
+            !afterDot && !beforeDot)
+          out.append("information_schema.").append(lw)
+        else out.append(w)
+        prevWord = lw
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   private[graft] def rewriteInfoSchema(query: String): String = {
     // token-safe: quoted strings / backticks / comments pass untouched

@@ -426,6 +426,15 @@ class EngineSpec extends SparkSpec {
       "information_schema")
     assert(s.sql("SHOW TABLES").collect().map(_.getString(0)).toSet
       .contains("TABLES"))
+    // bare refs resolve in the metadata schema like any default db —
+    // the mysql-CLI browse flow (SELECT ... FROM TABLES unqualified);
+    // strings/comments stay untouched, SHOW keeps its own logic
+    assert(s.sql("SELECT COUNT(*) AS n FROM TABLES").head().getLong(0) > 0)
+    assert(s.sql("SELECT t.table_name FROM tables t " +
+      "JOIN columns USING (table_name) WHERE t.table_name = 'region' " +
+      "LIMIT 1").head().getString(0) == "region")
+    assert(s.sql("SELECT 'from tables' AS lit").head().getString(0) ==
+      "from tables")
     s.sql(s"USE `$current`")
     assert(s.sql("SELECT DATABASE() AS d").head().getString(0) == current)
     assert(s.sql("SELECT COUNT(*) AS n FROM region").head().getLong(0) == 5)
