@@ -243,14 +243,24 @@ object Engine {
         // as a real server where information_schema holds no user tables
         inInfoSchema = true
       } else {
-        inInfoSchema = false
         if (databases.isEmpty &&
             db.equalsIgnoreCase(spark.catalog.currentDatabase)) {
           // a session routed WITHOUT a databases map still advertises its
           // current database in SHOW DATABASES — that row must round-trip
           // through USE as the one namespace it already is (code-review
           // r15); resolving it through the empty map answered 1105
-        } else Tables.register(spark, Engine.resolve(db, databases, "database"))
+        } else {
+          // resolve BEFORE mutating any session state: a failed USE must
+          // leave the default schema (incl. information_schema) untouched,
+          // like MySQL (code-review r15 #2)
+          val dir = Engine.resolve(db, databases, "database")
+          Tables.register(spark, dir)
+          // a rebind replaces every fixture-named view's schema, which a
+          // session-local DROP+CREATE may have shadowed — the DDL-only
+          // schema generation must see it (code-review r15 #1)
+          Engine.noteSchemaSwap(spark)
+        }
+        inInfoSchema = false
       }
 
     /** True after `USE information_schema`: unqualified SHOW TABLES /
@@ -1276,17 +1286,16 @@ object Engine {
         // fixture set after the same 1105 resolve as USE (every namespace
         // binds the same declared tables); helper views stay hidden.
         import s.spark.implicits._
-        val re = likeRegex(like, caseSensitive = true)
         val fromDb = Option(dbQ).orElse(Option(dbB))
         def live: Seq[String] =
           s.spark.catalog.listTables().collect().map(_.name)
             .filterNot(_.startsWith("graft_is_")).sorted.toSeq
         // None = the information_schema surface (qualified or via USE)
-        val ns: Option[String] = fromDb match {
-          case Some(db) => Engine.resolveShowDb(s, db)
-          case None =>
-            if (s.inInfoSchema) None else Some(Tables.boundDir(s.spark))
-        }
+        val ns: Option[String] = Engine.resolveShowDb(s, fromDb)
+        // information_schema identifiers compare case-INsensitively on
+        // every platform (manual §9.2.3) — only data-namespace table names
+        // follow lower_case_table_names=0 (code-review r15 #6)
+        val re = likeRegex(like, caseSensitive = ns.isDefined)
         val names: Seq[String] = ns match {
           case None => Engine.infoSchemaTables
           case Some(dir) =>
@@ -1335,30 +1344,18 @@ object Engine {
         // any platform, regardless of lower_case_table_names/collation
         // (code-review r15) — only database/table identifiers are.
         val tbl = Option(tQ).getOrElse(tB)
-        val ns: Option[String] = Option(dbQ).orElse(Option(dbB)) match {
-          case Some(db) => Engine.resolveShowDb(s, db)
-          case None =>
-            if (s.inInfoSchema) None else Some(Tables.boundDir(s.spark))
-        }
-        val other: Option[org.apache.spark.sql.types.StructType] = ns match {
-          case None =>
-            // information_schema table: describe the backing metadata view
-            if (!Engine.infoSchemaTables.exists(_.equalsIgnoreCase(tbl)))
-              throw EngineError(1146, "42S02", s"Table '$tbl' doesn't exist")
-            Engine.registerInfoSchema(s)
-            Some(s.spark.table("graft_is_" + tbl.toLowerCase).schema)
-          case Some(dir) if dir != Tables.boundDir(s.spark) =>
-            val name = Tables.all.collectFirst {
-              case (n, _) if n.equalsIgnoreCase(tbl) => n
-            }.getOrElse(throw EngineError(1146, "42S02",
-              s"Table '$tbl' doesn't exist"))
-            Some(Tables.table(s.spark, dir, name).schema)
-          case _ => None
-        }
-        Some(describeShape(s, tbl, full != null, likeRegex(like), other))
+        val ns: Option[String] =
+          Engine.resolveShowDb(s, Option(dbQ).orElse(Option(dbB)))
+        Some(describeShape(s, tbl, full != null, likeRegex(like),
+          namespaceSchema(s, ns, tbl)))
       case descTableRe(tQ, tB) =>
-        // DESCRIBE/DESC <table> is SHOW COLUMNS in MySQL
-        Some(describeShape(s, Option(tQ).getOrElse(tB), full = false, None))
+        // DESCRIBE/DESC <table> is SHOW COLUMNS in MySQL — including the
+        // default-schema rule: after USE information_schema it describes
+        // the metadata views, and data tables answer 1146 there, exactly
+        // like the unqualified SHOW COLUMNS (code-review r15 #3)
+        val tbl = Option(tQ).getOrElse(tB)
+        Some(describeShape(s, tbl, full = false, None,
+          namespaceSchema(s, Engine.resolveShowDb(s, None), tbl)))
       case dropTableRe(ifExists, tQ, tB) =>
         // DROP TABLE [IF EXISTS] — every mysqldump table section opens
         // with the IF EXISTS form. A session temp view drops here; a real
@@ -1484,12 +1481,10 @@ object Engine {
         // SHOW TABLES rule) — never the current binding's live views
         // (ADVICE r14); information_schema lists its metadata views with
         // MySQL's NULL engine (code-review r15)
-        val ns: Option[String] = Option(dbQ).orElse(Option(dbB)) match {
-          case Some(db) => Engine.resolveShowDb(s, db)
-          case None =>
-            if (s.inInfoSchema) None else Some(Tables.boundDir(s.spark))
-        }
-        val re = likeRegex(like, caseSensitive = true)
+        val ns: Option[String] =
+          Engine.resolveShowDb(s, Option(dbQ).orElse(Option(dbB)))
+        // info-schema names match case-insensitively (the SHOW TABLES rule)
+        val re = likeRegex(like, caseSensitive = ns.isDefined)
         import s.spark.implicits._
         val engineCol: Option[String] =
           if (ns.isEmpty) None else Some("graft")
@@ -1835,19 +1830,32 @@ object Engine {
     * columns c`) with `information_schema.` — the resolution a session
     * whose default schema IS information_schema (after `USE
     * information_schema`) owes them, mysql-CLI style. Token-safe walker:
-    * strings/backticks/comments pass untouched, only the word directly
-    * after FROM/JOIN is considered (comma-separated FROM lists keep their
-    * later elements unqualified — qualify those by hand), already-dotted
-    * names stay as written, and SHOW/DESCRIBE/USE/SET statements are
-    * excluded (their namespace logic is the statement handler's). */
+    * strings/comments pass untouched, only the word directly after
+    * FROM/JOIN is considered (comma-separated FROM lists keep their later
+    * elements unqualified — qualify those by hand), the backtick-quoted
+    * spelling qualifies like the bare one, CTE/named-window names shadow
+    * the metadata views (the MySQL scoping rule), already-dotted names
+    * stay as written, and SHOW/DESCRIBE/USE/SET statements are excluded
+    * (their namespace logic is the statement handler's). */
   private[graft] def qualifyBareInfoSchema(query: String): String = {
     if ("""(?is)^\s*(show|desc|describe|use|set)\b""".r
         .findFirstIn(query).isDefined) return query
     val names = infoSchemaTables.map(_.toLowerCase).toSet
+    // CTE / named-window names SHADOW schema tables in MySQL: `WITH tables
+    // AS (…) SELECT … FROM tables` must read the CTE, not the metadata
+    // view (code-review r15 #4). The `name [ (cols) ] AS (` shape is
+    // distinctive; over-excluding (a window name, say) merely skips a
+    // qualification, which is the safe direction.
+    val shadowed: Set[String] =
+      """(?is)([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^()]*\))?\s+as\s*\(""".r
+        .findAllMatchIn(query).map(_.group(1).toLowerCase).toSet
     val out = new StringBuilder
     var quote: Char = 0
     var prevWord = ""
     var i = 0
+    def qualifies(lw: String, afterDot: Boolean, beforeDot: Boolean) =
+      names(lw) && !shadowed(lw) &&
+        (prevWord == "from" || prevWord == "join") && !afterDot && !beforeDot
     while (i < query.length) {
       val c = query.charAt(i)
       if (quote != 0) {
@@ -1857,7 +1865,23 @@ object Engine {
           out.append(query.charAt(i + 1)); i += 1
         }
         i += 1
-      } else if (c == '\'' || c == '"' || c == '`') {
+      } else if (c == '`') {
+        // a backtick-quoted ref resolves identically to the bare spelling
+        // in MySQL (code-review r15 #5): peek the quoted name and qualify
+        // the whole token when it is an info-schema table in table position
+        val close = query.indexOf('`', i + 1)
+        val content = if (close < 0) "" else query.substring(i + 1, close)
+        val lw = content.toLowerCase
+        if (close > 0 && qualifies(lw,
+            afterDot = i > 0 && query.charAt(i - 1) == '.',
+            beforeDot = close + 1 < query.length &&
+              query.charAt(close + 1) == '.')) {
+          out.append("information_schema.")
+            .append(query.substring(i, close + 1))
+          prevWord = lw
+          i = close + 1
+        } else { quote = c; out.append(c); i += 1 }
+      } else if (c == '\'' || c == '"') {
         quote = c; out.append(c); i += 1
       } else if (c == '-' && i + 1 < query.length &&
           query.charAt(i + 1) == '-') {
@@ -1880,10 +1904,8 @@ object Engine {
         }) i += 1
         val w = query.substring(start, i)
         val lw = w.toLowerCase
-        val afterDot = start > 0 && query.charAt(start - 1) == '.'
-        val beforeDot = i < query.length && query.charAt(i) == '.'
-        if (names(lw) && (prevWord == "from" || prevWord == "join") &&
-            !afterDot && !beforeDot)
+        if (qualifies(lw, afterDot = start > 0 && query.charAt(start - 1) == '.',
+            beforeDot = i < query.length && query.charAt(i) == '.'))
           out.append("information_schema.").append(lw)
         else out.append(w)
         prevWord = lw
@@ -2478,17 +2500,50 @@ object Engine {
   private[graft] val infoSchemaTables = Seq("COLUMNS", "KEY_COLUMN_USAGE",
     "REFERENTIAL_CONSTRAINTS", "SCHEMATA", "STATISTICS", "TABLES")
 
-  /** Resolve a `SHOW ... FROM <db>` qualifier. Every row SHOW DATABASES
+  /** Resolve a `SHOW ... FROM <db>` qualifier — or, for the unqualified
+    * form (None), the session's default schema. Every row SHOW DATABASES
     * advertises must round-trip here (code-review r15): `information_schema`
-    * answers None (the metadata surface), a bound name resolves through the
+    * answers None (the metadata surface — also the unqualified default
+    * after USE information_schema), a bound name resolves through the
     * session map, and a session routed WITHOUT a databases map accepts the
-    * advertised current database as a synonym for its one namespace. */
-  private def resolveShowDb(s: Session, db: String): Option[String] =
-    if (db.equalsIgnoreCase("information_schema")) None
-    else if (s.boundDatabases.isEmpty &&
-        db.equalsIgnoreCase(s.spark.catalog.currentDatabase))
-      Some(Tables.boundDir(s.spark))
-    else Some(resolve(db, s.boundDatabases, "database"))
+    * advertised current database as a synonym for its one namespace.
+    * Shared by SHOW TABLES / SHOW COLUMNS / SHOW TABLE STATUS so a
+    * namespace-rule change can never diverge the family (code-review
+    * r15 #7). */
+  private def resolveShowDb(s: Session, db: Option[String]): Option[String] =
+    db match {
+      case None =>
+        if (s.inInfoSchema) None else Some(Tables.boundDir(s.spark))
+      case Some(d) if d.equalsIgnoreCase("information_schema") => None
+      case Some(d) if s.boundDatabases.isEmpty &&
+          d.equalsIgnoreCase(s.spark.catalog.currentDatabase) =>
+        Some(Tables.boundDir(s.spark))
+      case Some(d) => Some(resolve(d, s.boundDatabases, "database"))
+    }
+
+  /** Schema override for SHOW COLUMNS / DESCRIBE against a resolved
+    * namespace (`ns` per [[resolveShowDb]]): None for the live current
+    * binding; the backing metadata view for information_schema (name
+    * lookup case-insensitive, unknown → 1146 — in that schema, DATA
+    * tables do not exist); the SURFACED schema via Tables.table for a
+    * different data namespace (never the raw declared StructType —
+    * code-review r15 #3). */
+  private def namespaceSchema(s: Session, ns: Option[String],
+      tbl: String): Option[org.apache.spark.sql.types.StructType] =
+    ns match {
+      case None =>
+        if (!infoSchemaTables.exists(_.equalsIgnoreCase(tbl)))
+          throw EngineError(1146, "42S02", s"Table '$tbl' doesn't exist")
+        registerInfoSchema(s)
+        Some(s.spark.table("graft_is_" + tbl.toLowerCase).schema)
+      case Some(dir) if dir != Tables.boundDir(s.spark) =>
+        val name = Tables.all.collectFirst {
+          case (n, _) if n.equalsIgnoreCase(tbl) => n
+        }.getOrElse(throw EngineError(1146, "42S02",
+          s"Table '$tbl' doesn't exist"))
+        Some(Tables.table(s.spark, dir, name).schema)
+      case _ => None
+    }
 
   /** Routing table: cluster id → data directory. The reference falls through
     * silently on unknown ids (treats the id as a literal address,

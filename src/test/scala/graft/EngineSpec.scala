@@ -435,9 +435,49 @@ class EngineSpec extends SparkSpec {
       "LIMIT 1").head().getString(0) == "region")
     assert(s.sql("SELECT 'from tables' AS lit").head().getString(0) ==
       "from tables")
+    // the backtick-quoted spelling resolves identically (quote-always
+    // clients); CTE names SHADOW the metadata views, MySQL's scoping rule
+    assert(s.sql("SELECT COUNT(*) AS n FROM `TABLES`").head().getLong(0) > 0)
+    assert(s.sql("WITH tables AS (SELECT 42 AS n) SELECT n FROM tables")
+      .head().getInt(0) == 42)
+    // DESC follows the default schema: metadata views describe, data
+    // tables answer 1146 here (they do not exist in information_schema)
+    assert(s.sql("DESC tables").collect().map(_.getString(0)).toSet
+      .contains("table_name"))
+    assert(intercept[Engine.EngineError](s.sql("DESC region")).code == 1146)
+    // info-schema identifiers match LIKE case-insensitively (manual
+    // §9.2.3), unlike data-namespace table names under l_c_t_n=0
+    assert(s.sql("SHOW TABLES LIKE 'tables'").count() == 1)
+    assert(s.sql("SHOW TABLES FROM information_schema LIKE 'Columns'")
+      .count() == 1)
+    // a FAILED USE leaves the default schema untouched, like MySQL
+    assert(intercept[Engine.EngineError](s.sql("USE nope_db")).code == 1105)
+    assert(s.sql("SELECT DATABASE() AS d").head().getString(0) ==
+      "information_schema")
     s.sql(s"USE `$current`")
     assert(s.sql("SELECT DATABASE() AS d").head().getString(0) == current)
     assert(s.sql("SELECT COUNT(*) AS n FROM region").head().getLong(0) == 5)
+  }
+
+  test("USE rebind invalidates the info-schema columns memo: a shadowed " +
+      "schema never outlives the binding that created it") {
+    // code-review r15 #1: the DDL-only schema generation must also see a
+    // REBIND, which swaps every fixture-named view back to its declared
+    // schema under an unchanged name set
+    val dbs = Map("tiny" -> sf, "small" -> "/root/testdata/sf0.01")
+    val s = Engine.connect(spark, "prod", backends, db = Some("tiny"),
+      databases = dbs)
+    def regionCols(): Seq[String] =
+      s.sql("SELECT column_name FROM information_schema.columns " +
+        "WHERE table_name = 'region' ORDER BY ordinal_position")
+        .collect().map(_.getString(0)).toSeq
+    assert(regionCols() == Seq("r_regionkey", "r_name"))
+    s.sql("DROP TABLE region")
+    s.sql("CREATE TABLE region (shadow_col bigint)")
+    assert(regionCols() == Seq("shadow_col"), "shadow schema visible")
+    s.use("small", dbs) // rebind restores the fixture views
+    assert(regionCols() == Seq("r_regionkey", "r_name"),
+      "memo served the departed shadow schema across a USE rebind")
   }
 
   test("cross-namespace SHOW COLUMNS reports the SURFACED schema: events " +
