@@ -1836,7 +1836,10 @@ object Engine {
     * spelling qualifies like the bare one, CTE/named-window names shadow
     * the metadata views (the MySQL scoping rule), already-dotted names
     * stay as written, and SHOW/DESCRIBE/USE/SET statements are excluded
-    * (their namespace logic is the statement handler's). */
+    * (their namespace logic is the statement handler's). A bare FROM/JOIN
+    * ref that is NOT a metadata view answers 1146 — data tables do not
+    * exist in information_schema, and SELECT must agree with
+    * DESCRIBE/SHOW COLUMNS, which already error there (ADVICE r15). */
   private[graft] def qualifyBareInfoSchema(query: String): String = {
     if ("""(?is)^\s*(show|desc|describe|use|set)\b""".r
         .findFirstIn(query).isDefined) return query
@@ -1856,6 +1859,25 @@ object Engine {
     def qualifies(lw: String, afterDot: Boolean, beforeDot: Boolean) =
       names(lw) && !shadowed(lw) &&
         (prevWord == "from" || prevWord == "join") && !afterDot && !beforeDot
+    // A bare FROM/JOIN ref that is NOT a metadata view resolves in the
+    // default schema — which IS information_schema here — so it answers
+    // 1146 exactly like DESCRIBE/SHOW COLUMNS already do for data tables
+    // in this state (ADVICE r15: SELECT and DESCRIBE must agree; MySQL
+    // errors the SELECT too). Excluded from the rule: CTE/window shadows,
+    // FROM-position keywords that are not table refs, and table functions
+    // or derived tables (a `(` follows the name). Qualified refs
+    // (`mydb.region`) keep working — only the unqualified spelling lives
+    // in the current schema.
+    val nonTableWords = Set("dual", "lateral", "values", "unnest", "select")
+    def missingHere(lw: String, afterDot: Boolean, beforeDot: Boolean,
+        nextIdx: Int): Boolean =
+      !names(lw) && !shadowed(lw) && !nonTableWords(lw) &&
+        (prevWord == "from" || prevWord == "join") && !afterDot && !beforeDot && {
+          var j = nextIdx
+          while (j < query.length && Character.isWhitespace(query.charAt(j)))
+            j += 1
+          !(j < query.length && query.charAt(j) == '(')
+        }
     while (i < query.length) {
       val c = query.charAt(i)
       if (quote != 0) {
@@ -1880,7 +1902,22 @@ object Engine {
             .append(query.substring(i, close + 1))
           prevWord = lw
           i = close + 1
-        } else { quote = c; out.append(c); i += 1 }
+        } else if (close > 0 && missingHere(lw,
+            afterDot = i > 0 && query.charAt(i - 1) == '.',
+            beforeDot = close + 1 < query.length &&
+              query.charAt(close + 1) == '.',
+            nextIdx = close + 1)) {
+          throw EngineError(1146, "42S02", s"Table '$content' doesn't exist")
+        } else if (close > 0) {
+          // NON-qualifying quoted identifier: consume the whole token and
+          // make it the new prevWord, so a following bare alias that
+          // collides with a metadata-view name (`FROM ``t`` tables`) is
+          // never treated as sitting in table position (ADVICE r15 —
+          // prevWord used to stay 'from'/'join' through the quote)
+          out.append(query.substring(i, close + 1))
+          prevWord = lw
+          i = close + 1
+        } else { quote = c; out.append(c); prevWord = ""; i += 1 }
       } else if (c == '\'' || c == '"') {
         quote = c; out.append(c); i += 1
       } else if (c == '-' && i + 1 < query.length &&
@@ -1904,9 +1941,12 @@ object Engine {
         }) i += 1
         val w = query.substring(start, i)
         val lw = w.toLowerCase
-        if (qualifies(lw, afterDot = start > 0 && query.charAt(start - 1) == '.',
-            beforeDot = i < query.length && query.charAt(i) == '.'))
+        val afterDot = start > 0 && query.charAt(start - 1) == '.'
+        val beforeDot = i < query.length && query.charAt(i) == '.'
+        if (qualifies(lw, afterDot, beforeDot))
           out.append("information_schema.").append(lw)
+        else if (missingHere(lw, afterDot, beforeDot, nextIdx = i))
+          throw EngineError(1146, "42S02", s"Table '$w' doesn't exist")
         else out.append(w)
         prevWord = lw
       } else { out.append(c); i += 1 }

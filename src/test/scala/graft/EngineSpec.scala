@@ -445,6 +445,24 @@ class EngineSpec extends SparkSpec {
     assert(s.sql("DESC tables").collect().map(_.getString(0)).toSet
       .contains("table_name"))
     assert(intercept[Engine.EngineError](s.sql("DESC region")).code == 1146)
+    // ...and bare SELECT agrees with DESC (ADVICE r15): a data table does
+    // not exist in information_schema, so the unqualified read answers the
+    // same 1146 MySQL does — in both spellings — while non-table FROM
+    // shapes (derived tables, VALUES) keep working
+    assert(intercept[Engine.EngineError](
+      s.sql("SELECT * FROM region")).code == 1146)
+    assert(intercept[Engine.EngineError](
+      s.sql("SELECT * FROM `region`")).code == 1146)
+    assert(intercept[Engine.EngineError](
+      s.sql("SELECT * FROM `no such table`")).code == 1146)
+    assert(s.sql("SELECT n FROM (SELECT 7 AS n) d").head().getInt(0) == 7)
+    assert(s.sql("SELECT x FROM VALUES (1), (2) AS v(x) ORDER BY x LIMIT 1")
+      .head().getInt(0) == 1)
+    // a backticked NON-qualifying ref must become prevWord (ADVICE r15):
+    // a bare alias that collides with a metadata-view name after it is an
+    // alias, never a table ref to be rewritten onto information_schema
+    assert(s.sql("WITH t AS (SELECT 42 AS n) " +
+      "SELECT columns.n FROM `t` columns").head().getInt(0) == 42)
     // info-schema identifiers match LIKE case-insensitively (manual
     // §9.2.3), unlike data-namespace table names under l_c_t_n=0
     assert(s.sql("SHOW TABLES LIKE 'tables'").count() == 1)
