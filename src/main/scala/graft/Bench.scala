@@ -72,6 +72,21 @@ object Bench {
     graft.sources.Tables.register(spark, sfDir)
     spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
 
+    // Load sentinel (VERDICT r15 #1): the same fixed-work kernel, timed
+    // min-of-3 at run START and END and carried in both JSON lines. The
+    // kernel's cost is constant across rounds (same fixture, same plan,
+    // post-warm-up), so an inflated reading — against its own history or
+    // between the run's two ends — documents a loaded host INSIDE the
+    // artifact, separating environment from regression (the r15 driver
+    // run read uniformly ~1.3× with no code cause; this field is the
+    // measurement that analysis had to reconstruct from medians).
+    def sentinel(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val sentinelStart = sentinel()
+
     // dev filter: SPARK_GRAFT_ONLY=q110_ppjoin,q73_… times a subset (the
     // committed artifact always comes from an unfiltered run — the driver
     // sets no filter)
@@ -101,6 +116,7 @@ object Bench {
       }
       passTotals += (System.nanoTime() - p0) / 1e9
     }
+    val sentinelEnd = sentinel()
     // (name, min-across-reps or negative sentinel on failure, error)
     val results: Seq[(String, Double, Option[String])] = names.map { n =>
       errors.get(n) match {
@@ -143,7 +159,8 @@ object Bench {
     val detail = results.map { case (k, v, _) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val passes = passTotals.map(s2).mkString("[", ",", "]")
-    println(s"""{"metric":"detail","reps":$reps,"passTotals":$passes,"queries":$detail,"sf":"$sfDir"}""")
+    val sentinelJson = s"[${s3(sentinelStart)},${s3(sentinelEnd)}]"
+    println(s"""{"metric":"detail","reps":$reps,"passTotals":$passes,"sentinel":$sentinelJson,"queries":$detail,"sf":"$sfDir"}""")
     slow.foreach { case (n, v) =>
       System.err.println(f"BENCH TRIPWIRE $n: min-of-$reps ${v}%.2f s > " +
         f"$tripwireFactor%.0fx budget ${budgets(n)}%.2f s")
@@ -165,7 +182,7 @@ object Bench {
         s""","slow":$s"""
       } else ""
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec","reps":$reps,"queries":$m,"failed":$nFail$errField$slowField$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","reps":$reps,"sentinel":$sentinelJson,"queries":$m,"failed":$nFail$errField$slowField$om,"sf":"$sfDir"}"""
     }
     // Budget 1600 chars: drop the cheapest successful queries first; if a
     // failure-heavy run still exceeds it, drop the error MAP as a last

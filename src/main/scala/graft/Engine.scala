@@ -360,7 +360,13 @@ object Engine {
       // (mysqldump's opening/closing sequences) — one seam covers every
       // caller: sql, stream, sqlBatch/streamBatch, the wire COM_QUERY path
       val query0 = preprocess(query)
-      Engine.sessionCommand(this, query0).getOrElse {
+      // interception MATCHES on comment-stripped text (clients prefix
+      // statements with `/* ping */`-style comments; MySQL parses through
+      // them) — but a NON-intercepted statement relays byte-identical,
+      // comments included (Spark parses its own comments; the dialect
+      // layer must never rewrite text it does not handle)
+      Engine.sessionCommand(this, Engine.stripLeadingComments(query0))
+        .getOrElse {
         // tag the calling thread's jobs with this connection's group so a
         // peer's KILL QUERY <connection_id> can cancel them mid-flight
         spark.sparkContext.setJobGroup(jobGroup, query0.take(120),
@@ -379,7 +385,7 @@ object Engine {
       * WHOLE-statement version-conditional comment executes its body, and
       * information_schema references (re)materialize the metadata views
       * and rewrite onto them (token-safe). */
-    private[Engine] def preprocess(query: String): String = {
+    private[graft] def preprocess(query: String): String = {
       val q1 = Engine.unwrapVersionComment(query)
       // after USE information_schema, bare table refs (`FROM TABLES`)
       // resolve in the metadata schema like any default db — qualify them
@@ -395,7 +401,7 @@ object Engine {
       * shared by both protocol paths; the binary path applies it at
       * EXECUTE time, per MySQL (session state is read when the statement
       * RUNS, not when it was prepared). */
-    private[Engine] def substituted(query: String): String =
+    private[graft] def substituted(query: String): String =
       if (query.indexOf('@') >= 0 ||
           Engine.clientFnDetect.findFirstIn(query).isDefined)
         Engine.substituteVars(query, sysVars.toMap, userVars.toMap,
@@ -488,8 +494,8 @@ object Engine {
       Engine.defaultMaxAllowedPacket
     private[Engine] def setUserVar(name: String, value: String): Unit =
       userVars(name) = value
-    private[Engine] def sysVarSnapshot: Map[String, String] = sysVars.toMap
-    private[Engine] def userVar(name: String): Option[String] =
+    private[graft] def sysVarSnapshot: Map[String, String] = sysVars.toMap
+    private[graft] def userVar(name: String): Option[String] =
       userVars.get(name.toLowerCase)
 
     /** Text-protocol prepared statements (`PREPARE name FROM '…?…'`) — the
@@ -847,7 +853,7 @@ object Engine {
       val probe =
         if (paramCount == 0) pq
         else Engine.bindPositional(pq, effective.map(Engine.literalOf))
-      Engine.sessionCommand(s, probe) match {
+      Engine.sessionCommand(s, Engine.stripLeadingComments(probe)) match {
         case Some(df) =>
           longData.clear(); longDataBytes = 0L
           lastSchema = df.schema
@@ -1080,6 +1086,14 @@ object Engine {
     """(?is)^\s*DESC(?:RIBE)?\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*))\s*;?\s*$""".r
   private val showGrantsRe =
     """(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+\S+)?\s*;?\s*$""".r
+  // PyMySQL's show_warnings() and DBeaver's post-query poll; warnings are
+  // not modeled (every OK reports warning_count 0), so the truthful
+  // answer is MySQL's three-column shape, empty — same contract as
+  // SHOW INDEX on an index-less table (r16, VERDICT r15 #5)
+  private val showWarningsRe =
+    """(?is)^\s*SHOW\s+(?:WARNINGS|ERRORS)(?:\s+LIMIT\s+\d+(?:\s*,\s*\d+)?)?\s*;?\s*$""".r
+  private val showCountWarningsRe =
+    """(?is)^\s*SHOW\s+COUNT\(\*\)\s+(WARNINGS|ERRORS)\s*;?\s*$""".r
   private val showTableStatusRe =
     """(?is)^\s*SHOW\s+TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+(?:`([A-Za-z0-9_]+)`|([A-Za-z_]\w*)))?(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val dropTableRe =
@@ -1514,6 +1528,15 @@ object Engine {
         val who = if (s.user.isEmpty) "root" else s.user
         Some(Seq(s"GRANT ALL PRIVILEGES ON *.* TO '$who'@'%'")
           .map(Tuple1(_)).toDF(s"Grants for $who@%"))
+      case showWarningsRe() =>
+        import s.spark.implicits._
+        Some(Seq.empty[(String, Long, String)]
+          .toDF("Level", "Code", "Message"))
+      case showCountWarningsRe(kind) =>
+        import s.spark.implicits._
+        val col = if (kind.equalsIgnoreCase("errors")) "error_count"
+          else "warning_count"
+        Some(Seq(0L).map(Tuple1(_)).toDF(s"@@session.$col"))
       case showEnginesRe() =>
         import s.spark.implicits._
         Some(Seq(("graft", "DEFAULT",
@@ -1840,9 +1863,40 @@ object Engine {
     * ref that is NOT a metadata view answers 1146 — data tables do not
     * exist in information_schema, and SELECT must agree with
     * DESCRIBE/SHOW COLUMNS, which already error there (ADVICE r15). */
+  /** Strip LEADING plain comments and whitespace — slash-star block
+    * comments (but never the semantic slash-star-bang NNNNN versioned
+    * form), `-- ` to end of line (MySQL
+    * requires whitespace or EOL after the dashes; `--x` is an expression),
+    * and `# …` to end of line — so statement interception matches what
+    * MySQL's parser would see. Used for MATCHING only: the relayed text
+    * keeps its comments (Spark strips its own), and an unterminated
+    * comment is left for the downstream parser to reject. */
+  private[graft] def stripLeadingComments(q: String): String = {
+    var i = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      while (i < q.length && Character.isWhitespace(q.charAt(i))) {
+        i += 1; changed = true
+      }
+      if (q.startsWith("/*", i) && !q.startsWith("/*!", i)) {
+        val end = q.indexOf("*/", i + 2)
+        if (end >= 0) { i = end + 2; changed = true }
+      } else if (q.startsWith("--", i) &&
+          (i + 2 >= q.length || Character.isWhitespace(q.charAt(i + 2)))) {
+        while (i < q.length && q.charAt(i) != '\n') i += 1
+        changed = true
+      } else if (i < q.length && q.charAt(i) == '#') {
+        while (i < q.length && q.charAt(i) != '\n') i += 1
+        changed = true
+      }
+    }
+    if (i == 0) q else q.substring(i)
+  }
+
   private[graft] def qualifyBareInfoSchema(query: String): String = {
     if ("""(?is)^\s*(show|desc|describe|use|set)\b""".r
-        .findFirstIn(query).isDefined) return query
+        .findFirstIn(stripLeadingComments(query)).isDefined) return query
     val names = infoSchemaTables.map(_.toLowerCase).toSet
     // CTE / named-window names SHADOW schema tables in MySQL: `WITH tables
     // AS (…) SELECT … FROM tables` must read the CTE, not the metadata
@@ -2022,14 +2076,17 @@ object Engine {
     val fields = schema.fields.toSeq
       .filter(f => re.forall(_.matches(f.name)))
     if (full)
+      // MySQL's FULL column order puts Collation right after Type
+      // (manual §15.7.7.6; r16 — DBeaver reads these by position when
+      // building its tree labels)
       fields.map { f =>
         val coll: Option[String] =
           if (f.dataType == StringType) Some("utf8mb4_bin") else None
-        (f.name, mysqlType(f.dataType),
+        (f.name, mysqlType(f.dataType), coll,
           if (f.nullable) "YES" else "NO", "", Option.empty[String], "",
-          coll, "select,insert,update,references", "")
-      }.toDF("Field", "Type", "Null", "Key", "Default", "Extra",
-        "Collation", "Privileges", "Comment")
+          "select,insert,update,references", "")
+      }.toDF("Field", "Type", "Collation", "Null", "Key", "Default",
+        "Extra", "Privileges", "Comment")
     else
       fields.map { f =>
         (f.name, mysqlType(f.dataType),

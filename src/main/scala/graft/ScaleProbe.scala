@@ -348,16 +348,25 @@ object ScaleProbe {
       }
       def once(fs: Seq[(String, () => Unit)]): Map[String, Double] =
         fs.map { case (k, f) => k -> timed(f()) }.toMap
-      val tBase = { // min-of-2, same JIT-warm-conservative rule as above;
-        // inputs built ONCE per size, both reps share them (the 16× probe's
-        // `val fams = families(base)` pattern — a per-rep rebuild would
-        // leave duplicate checkpointed corpora pinned through the big run)
-        val fs = fams(base)
+      // EVERY cell is min-of-2 with its spread recorded (VERDICT r15 #4:
+      // single-run octave cells at multi-GB scale were spreading 2×
+      // between probe runs — the conclusion survived only because both
+      // runs sat far from the quadratic signature; the ratios must carry
+      // their own error bars). Inputs are built ONCE per size, both reps
+      // share them (the 16× probe's `val fams = families(base)` pattern —
+      // a per-rep rebuild would leave duplicate checkpointed corpora
+      // pinned through the big run). spread = |r1−r2| / min, per family.
+      def cell(fs: Seq[(String, () => Unit)])
+          : (Map[String, Double], Map[String, Double]) = {
         val r1 = once(fs); val r2 = once(fs)
-        r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+        val mins = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+        val spreads = r1.map { case (k, v) =>
+          k -> math.abs(v - r2(k)) / math.max(mins(k), 0.001) }
+        (mins, spreads)
       }
-      val tMid = once(fams(mid))
-      val tBig = once(fams(big))
+      val (tBase, spBase) = cell(fams(base))
+      val (tMid, spMid) = cell(fams(mid))
+      val (tBig, spBig) = cell(fams(big))
       val (s1, s2) = (mid.toDouble / base, big.toDouble / mid)
       // The bar tests each family's DESIGN CLAIM, not a blanket "linear in
       // docs": semdedup's training+assignment work is n·min(k, kMax)
@@ -386,6 +395,7 @@ object ScaleProbe {
         val ok = r1 <= e1 * 1.3 && r2 <= e2 * 1.3
         f""""$k":{"base_s":${tBase(k)}%.2f,"mid_s":${tMid(k)}%.2f,""" +
           f""""big_s":${tBig(k)}%.2f,"step1":$r1%.2f,"step2":$r2%.2f,""" +
+          f""""spread":[${spBase(k)}%.2f,${spMid(k)}%.2f,${spBig(k)}%.2f],""" +
           f""""expected_steps":[$e1%.2f,$e2%.2f],"ok":$ok}"""
       }.mkString(",")
       println(

@@ -1,0 +1,275 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Mechanized adversary for the statement-interception layer (VERDICT r15
+  * #3): the r14/r15 manual review passes kept finding the same bug classes
+  * in the hand-rolled MySQL-dialect parsing — case sensitivity, backticks,
+  * comments, whitespace, string literals containing trigger keywords,
+  * CTE/alias shadowing, state-mutation ordering. This generates statements
+  * across those axes and asserts the three contracts:
+  *
+  *   (a) interception fires exactly when it should (every MySQL-shaped
+  *       session statement is absorbed under any keyword casing,
+  *       whitespace layout, identifier quoting, trailing terminator, and
+  *       leading plain comment);
+  *   (b) non-intercepted statements reach Spark BYTE-IDENTICAL
+  *       (`preprocess`/`substituted` are the identity and `sessionCommand`
+  *       is None — trigger keywords inside string literals or alias
+  *       positions never activate the dialect layer);
+  *   (c) session state mutates only on success (a SET list with any
+  *       non-MySQL assignment relays untouched with NO partial
+  *       application).
+  *
+  * The deterministic anchors at the bottom pin the specific bugs the
+  * r14/r15 manual passes found, so none can regress silently; the broader
+  * corpus (failed-USE ordering, info-schema shadowing, versioned-comment
+  * stitching, LIKE escapes) stays pinned in EngineSpec.
+  */
+object DialectAdversaryProps extends Properties("DialectAdversary") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60) // string-layer cases: no Spark jobs run
+
+  private def spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val backends = Map("prod" -> sfDir)
+  /** Interception probe session — statements here may mutate its state
+    * (BEGIN/SET/USE are the subject under test). */
+  private lazy val sessA = Engine.connect(spark, "prod", backends)
+  /** Relay/identity session — never USE'd, never info-schema-bound, so
+    * byte-identity of the relayed text is exactly `preprocess == id`. */
+  private lazy val sessB = Engine.connect(spark, "prod", backends)
+
+  /** Intercepted = the dialect layer consumed it: answered (Some) or
+    * refused with a structured MySQL error — either way the statement
+    * never reached Spark. */
+  private def intercepted(s: Engine.Session, q: String): Boolean =
+    try Engine.sessionCommand(s, Engine.stripLeadingComments(q)).isDefined
+    catch { case _: Engine.EngineError => true }
+
+  /** Relayed byte-identical: not intercepted, and the preprocessing seams
+    * are the identity on the text Spark would receive. */
+  private def relaysVerbatim(q: String): Boolean =
+    Engine.sessionCommand(sessB, Engine.stripLeadingComments(q)).isEmpty &&
+      sessB.preprocess(q) == q &&
+      (q.contains("@") || sessB.substituted(q) == q)
+
+  // ---- generators ----------------------------------------------------------
+
+  private val ws: Gen[String] =
+    Gen.oneOf(" ", "  ", "\t", "\n", " \t ", " \n  ")
+  private val term: Gen[String] = Gen.oneOf("", ";", " ;", ";\n", "  ; ")
+  private val comment: Gen[String] = Gen.oneOf(
+    "", "/* ping */ ", "/*c*/\n", "-- hi\n", "# note\n", " /*a*/ /*b*/ ")
+
+  private def mixCase(w: String): Gen[String] =
+    Gen.listOfN(w.length, Gen.prob(0.5)).map { flips =>
+      w.zip(flips).map { case (c, up) =>
+        if (up) Character.toUpperCase(c) else Character.toLowerCase(c)
+      }.mkString
+    }
+
+  /** A statement template: (text, caseMutable) tokens. Keywords mutate
+    * case (MySQL keywords are case-insensitive); identifiers/literals
+    * keep their spelling (table names are case-sensitive under
+    * lower_case_table_names=0). */
+  private def render(tokens: Seq[(String, Boolean)]): Gen[String] =
+    for {
+      parts <- Gen.sequence[Seq[String], String](tokens.map {
+        case (t, true) => mixCase(t)
+        case (t, false) => Gen.const(t)
+      })
+      seps <- Gen.listOfN(math.max(parts.size - 1, 0), ws)
+      lead <- comment
+      tail <- term
+    } yield lead + parts.head +
+      seps.zip(parts.tail).map { case (s, p) => s + p }.mkString + tail
+
+  private def kw(s: String): (String, Boolean) = (s, true)
+  private def id(s: String): (String, Boolean) = (s, false)
+
+  /** Every text-protocol session-statement family the engine intercepts,
+    * in its canonical and quoted spellings. */
+  private val families: Seq[Seq[(String, Boolean)]] = Seq(
+    Seq(kw("BEGIN")),
+    Seq(kw("START"), kw("TRANSACTION")),
+    Seq(kw("COMMIT")),
+    Seq(kw("ROLLBACK")),
+    Seq(kw("SET"), kw("NAMES"), id("utf8mb4")),
+    Seq(kw("SET"), kw("NAMES"), id("'utf8mb4'"), kw("COLLATE"),
+      id("'utf8mb4_bin'")),
+    Seq(kw("SET"), id("@adv_u"), id("="), id("42")),
+    Seq(kw("SET"), id("@@max_execution_time"), id("="), id("100")),
+    Seq(kw("SET"), kw("SESSION"), id("sql_mode"), id("="),
+      id("'STRICT_TRANS_TABLES'")),
+    Seq(kw("SET"), kw("TRANSACTION"), kw("ISOLATION"), kw("LEVEL"),
+      kw("READ"), kw("COMMITTED")),
+    Seq(kw("SHOW"), kw("VARIABLES")),
+    Seq(kw("SHOW"), kw("SESSION"), kw("VARIABLES"), kw("LIKE"),
+      id("'max%'")),
+    Seq(kw("SHOW"), kw("STATUS")),
+    Seq(kw("SHOW"), kw("GLOBAL"), kw("STATUS")),
+    Seq(kw("SHOW"), kw("COLLATION")),
+    Seq(kw("SHOW"), kw("COLLATION"), kw("LIKE"), id("'utf8%'")),
+    Seq(kw("SHOW"), kw("CHARACTER"), kw("SET")),
+    Seq(kw("SHOW"), kw("CHARSET")),
+    Seq(kw("SHOW"), kw("ENGINES")),
+    Seq(kw("SHOW"), kw("STORAGE"), kw("ENGINES")),
+    Seq(kw("SHOW"), kw("GRANTS")),
+    Seq(kw("SHOW"), kw("PROCESSLIST")),
+    Seq(kw("SHOW"), kw("FULL"), kw("PROCESSLIST")),
+    Seq(kw("SHOW"), kw("DATABASES")),
+    Seq(kw("SHOW"), kw("SCHEMAS"), kw("LIKE"), id("'%'")),
+    Seq(kw("SHOW"), kw("TABLES")),
+    Seq(kw("SHOW"), kw("FULL"), kw("TABLES")),
+    Seq(kw("SHOW"), kw("TABLES"), kw("LIKE"), id("'reg%'")),
+    Seq(kw("SHOW"), kw("TABLE"), kw("STATUS")),
+    Seq(kw("SHOW"), kw("COLUMNS"), kw("FROM"), id("region")),
+    Seq(kw("SHOW"), kw("FIELDS"), kw("IN"), id("`region`")),
+    Seq(kw("SHOW"), kw("FULL"), kw("COLUMNS"), kw("FROM"), id("region")),
+    Seq(kw("DESC"), id("region")),
+    Seq(kw("DESCRIBE"), id("`region`")),
+    Seq(kw("SHOW"), kw("INDEX"), kw("FROM"), id("region")),
+    Seq(kw("SHOW"), kw("KEYS"), kw("FROM"), id("`region`")),
+    Seq(kw("SHOW"), kw("CREATE"), kw("TABLE"), id("region")),
+    Seq(kw("KILL"), id("424242")),
+    Seq(kw("KILL"), kw("QUERY"), id("424242")),
+    Seq(kw("KILL"), kw("CONNECTION"), id("424242")),
+    Seq(kw("PREPARE"), id("adv_p"), kw("FROM"), id("'SELECT 1 AS one'")),
+    Seq(kw("EXECUTE"), id("adv_p")),
+    Seq(kw("DEALLOCATE"), kw("PREPARE"), id("adv_p")),
+    Seq(kw("LOCK"), kw("TABLES"), id("region"), kw("READ")),
+    Seq(kw("UNLOCK"), kw("TABLES")),
+    Seq(kw("FLUSH"), kw("TABLES")),
+    Seq(kw("ALTER"), kw("TABLE"), id("region"), kw("DISABLE"), kw("KEYS")),
+    Seq(kw("USE"), id("information_schema")),
+    Seq(kw("USE"), id("`information_schema`")))
+
+  private val genIntercepted: Gen[String] =
+    Gen.oneOf(families).flatMap(render)
+
+  property("(a) every session-statement family intercepts under case/" +
+      "whitespace/backtick/terminator/leading-comment mutation") =
+    forAll(genIntercepted) { q => intercepted(sessA, q) }
+
+  // ---- (b) literal immunity / relay byte-identity --------------------------
+
+  private val triggerTexts = Seq(
+    "SHOW TABLES", "SET NAMES latin1", "USE small", "BEGIN", "KILL 5",
+    "COMMIT; SET NAMES latin1", "DEALLOCATE PREPARE x",
+    "LOAD DATA INFILE 'x' INTO TABLE t")
+
+  private val genRelay: Gen[String] = Gen.oneOf(
+    // trigger keywords inside string literals (both quote styles)
+    Gen.oneOf(triggerTexts).flatMap(t =>
+      Gen.oneOf(s"SELECT '$t' AS x", s"""SELECT "$t" AS x""")),
+    // trigger keywords in alias / CTE-name position
+    Gen.oneOf(
+      "SELECT 1 AS begin_marker",
+      "SELECT 1 AS show_tables",
+      "WITH tables AS (SELECT 1 AS n) SELECT n FROM tables",
+      "SELECT kill_count FROM adv_t",
+      "SELECT use_flag, commit_ts FROM adv_t"),
+    // Spark's own SET-conf syntax and unknown bare names must relay
+    Gen.oneOf(
+      "SET spark.sql.adaptive.enabled = true",
+      "SET not_a_known_sysvar = 1",
+      "SET adv.dotted.name = 2"),
+    // `--` without following whitespace is NOT a comment in MySQL
+    Gen.const("--x BEGIN"))
+
+  property("(b) trigger keywords in literals/aliases and Spark-conf SETs " +
+      "relay byte-identical") =
+    forAll(genRelay) { q => relaysVerbatim(q) }
+
+  property("(b) a leading plain comment never changes what relays: the " +
+      "statement still relays with its comment bytes intact") =
+    forAll(comment, Gen.oneOf(triggerTexts)) { (c, t) =>
+      val q = s"${c}SELECT '$t' AS x"
+      relaysVerbatim(q)
+    }
+
+  // ---- (c) state mutates only on success -----------------------------------
+
+  property("(c) a SET list with any non-MySQL assignment relays with NO " +
+      "partial application") =
+    forAll(Gen.oneOf(
+      "SET @adv_q = 1, spark.sql.adaptive.enabled = true",
+      "SET @adv_q = 2, not_a_known_sysvar = 3",
+      "SET spark.x = 1, @adv_q = 4")) { q =>
+      val none = Engine.sessionCommand(sessA, q).isEmpty
+      none && sessA.userVar("adv_q").isEmpty
+    }
+
+  property("(c) EXECUTE/DEALLOCATE of an unknown handler answer ER 1243 " +
+      "and leave the statement store untouched") =
+    forAll(Gen.oneOf("EXECUTE adv_none", "DEALLOCATE PREPARE adv_none"),
+        ws) { (stmt, w) =>
+      val q = stmt.replace(" ", w)
+      try { Engine.sessionCommand(sessA, q); false }
+      catch { case e: Engine.EngineError => e.code == 1243 }
+    }
+
+  // ---- versioned comments --------------------------------------------------
+
+  property("whole-statement versioned comment executes its body at or " +
+      "below the advertised version, ER 1065 above it") =
+    forAll(Gen.choose(40000, 80011), Gen.choose(80012, 99999)) { (lo, hi) =>
+      sessA.sql(s"/*!$lo SET @adv_v = 9 */")
+      val ok = sessA.userVar("adv_v").contains("9")
+      sessA.sql("SET @adv_v = 0")
+      val code =
+        try { sessA.sql(s"/*!$hi SET @adv_v = 1 */"); 0 }
+        catch { case e: Engine.EngineError => e.code }
+      ok && code == 1065 && sessA.userVar("adv_v").contains("0")
+    }
+
+  // ---- deterministic anchors (r14/r15 manual-pass findings) ----------------
+
+  private def rows(s: Engine.Session, q: String) =
+    Engine.sessionCommand(s, Engine.stripLeadingComments(q)).get.collect()
+
+  property("anchors: the r14/r15 manual-pass findings stay fixed") = {
+    // SHOW TABLES LIKE is case-SENSITIVE for table identifiers (ADVICE
+    // r14: lower_case_table_names=0 + utf8mb4_bin compare byte-wise)...
+    val a1 = rows(sessB, "SHOW TABLES LIKE 'REGION'").isEmpty
+    val a2 = rows(sessB, "SHOW TABLES LIKE 'region'").length == 1
+    // ...while SHOW COLUMNS LIKE is case-INsensitive (code-review r15 #1:
+    // MySQL column names compare case-insensitively on every platform)
+    val a3 = rows(sessB, "SHOW COLUMNS FROM region LIKE 'R_NAME'")
+      .length == 1
+    // JDBC-escaped LIKE wildcards match literally (code-review r14):
+    // 'regi\_n' is the literal string, 'regi_n' the single-char wildcard
+    val a4 = rows(sessB, "SHOW TABLES LIKE 'regi\\_n'").isEmpty
+    val a5 = rows(sessB, "SHOW TABLES LIKE 'regi_n'").length == 1
+    // multi-segment versioned comments must NOT stitch (code-review r14:
+    // the lazy body would end at the LAST */ and execute garbage)
+    val multi = "/*!50003 CREATE*/ /*!50017 DEFINER=x*/ /*!50003 TRIGGER t*/"
+    val a6 = Engine.unwrapVersionComment(multi) == multi
+    // SET <var> = NULL stores the NULL value, displayed empty (r14:
+    // connector-j sends `SET character_set_results = NULL` on connect)
+    sessA.sql("SET character_set_results = NULL")
+    val a7 = rows(sessA,
+      "SHOW VARIABLES LIKE 'character_set_results'").head.getString(1) == ""
+    sessA.sql("SET NAMES utf8mb4")
+    // leading comments: MySQL's answer shape, not Spark's (r16 finding —
+    // clients prefix `/* ping */`; Spark's SHOW TABLES answers
+    // `namespace`, breaking clients that read Tables_in_* by name)
+    val a8 = sessB.sql("/* ping */ SHOW TABLES")
+      .schema.fieldNames.head.startsWith("Tables_in")
+    val a9 = intercepted(sessA, "-- hi\nSET NAMES utf8mb4")
+    val a10 = intercepted(sessA, "# note\nBEGIN") && {
+      sessA.sql("COMMIT"); true
+    }
+    // the versioned form is NEVER comment-stripped (it is semantic)
+    val a11 = Engine.stripLeadingComments("/*!40103 SET @x=1 */") ==
+      "/*!40103 SET @x=1 */"
+    val all = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11)
+    all.zipWithIndex.foreach { case (ok, i) =>
+      if (!ok) println(s"DialectAdversary anchor a${i + 1} FAILED")
+    }
+    all.forall(identity)
+  }
+}

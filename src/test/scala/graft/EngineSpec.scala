@@ -629,6 +629,74 @@ class EngineSpec extends SparkSpec {
     assert(s.sql("SELECT 1 AS ping").head().get(0) == 1)
   }
 
+  test("PyMySQL and mysql-connector-python connect bursts round-trip " +
+      "(differ from connector-j's and SQLAlchemy's)") {
+    // r16 conformance (VERDICT r15 #5). PyMySQL (pymysql/connections.py
+    // connect()): the charset rides the handshake — no SET NAMES — then
+    // the optional sql_mode, the init_command followed by COMMIT, and
+    // autocommit(False): PyMySQL's default differs from the server's ON,
+    // so it always sends SET AUTOCOMMIT = 0 on a stock connect.
+    val s = Engine.connect(spark, "prod", backends)
+    s.sql("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    assert(s.sql("SHOW VARIABLES LIKE 'sql_mode'").head().getString(1) ==
+      "STRICT_TRANS_TABLES")
+    s.sql("SET @init_done = 1") // init_command stand-in
+    s.sql("COMMIT")
+    s.sql("SET AUTOCOMMIT = 0")
+    assert((s.statusFlags & Engine.Status.Autocommit) == 0,
+      "status word must track PyMySQL's autocommit probe")
+    // get_autocommit() reads the OK status word; the text probe agrees
+    assert(s.sql("SELECT @@autocommit AS a").head().get(0) == 0)
+    s.sql("SET AUTOCOMMIT = 1")
+    assert((s.statusFlags & Engine.Status.Autocommit) != 0)
+    // show_warnings() — sent whenever an OK reports warnings (ours never
+    // do, but the statement must answer MySQL's 3-column shape)
+    val w = s.sql("SHOW WARNINGS")
+    assert(w.columns.toSeq == Seq("Level", "Code", "Message"))
+    assert(w.count() == 0)
+    assert(s.sql("SHOW COUNT(*) WARNINGS").columns.toSeq ==
+      Seq("@@session.warning_count"))
+    // mysql-connector-python _post_connection(): set_charset_collation →
+    // an explicit SET NAMES ... COLLATE, then the autocommit property
+    // setter's @@session spelling, then optional time_zone
+    s.sql("SET NAMES 'utf8mb4' COLLATE 'utf8mb4_general_ci'")
+    assert(s.sql("SHOW VARIABLES LIKE 'collation_connection'")
+      .head().getString(1) == "utf8mb4_general_ci")
+    s.sql("SET @@session.autocommit = OFF")
+    assert(s.sql("SELECT @@autocommit AS a").head().get(0) == 0)
+    s.sql("SET @@session.autocommit = ON")
+    s.sql("SET @@session.time_zone = '+00:00'")
+    assert(s.sql("SHOW VARIABLES LIKE 'time_zone'").head().getString(1) ==
+      "+00:00")
+    s.sql("SET NAMES utf8mb4") // restore the engine default collation
+  }
+
+  test("DBeaver tree expansion: SHOW DATABASES -> SHOW TABLE STATUS -> " +
+      "SHOW FULL COLUMNS chain in DBeaver's backticked spellings") {
+    // r16 conformance (VERDICT r15 #5): DBeaver expands its database tree
+    // with native SHOW statements (not JDBC metadata), reading several
+    // answers by POSITION — the column ORDER is part of the contract.
+    val dbs = Map("small" -> sf)
+    val s = Engine.connect(spark, "prod", backends, databases = dbs)
+    val dblist = s.sql("SHOW DATABASES").collect().map(_.getString(0))
+    assert(dblist.contains("small"), dblist.toSeq)
+    val st = s.sql("SHOW TABLE STATUS FROM `small`")
+    assert(st.columns.take(5).toSeq ==
+      Seq("Name", "Engine", "Version", "Row_format", "Rows"))
+    assert(st.collect().map(_.getString(0)).contains("region"))
+    val fc = s.sql("SHOW FULL COLUMNS FROM `region` FROM `small`")
+    // MySQL's FULL order (manual §15.7.7.6): Collation sits right after
+    // Type — DBeaver renders its column labels positionally
+    assert(fc.columns.toSeq == Seq("Field", "Type", "Collation", "Null",
+      "Key", "Default", "Extra", "Privileges", "Comment"))
+    val rName = fc.collect().find(_.getString(0) == "r_name").get
+    assert(rName.getString(2) == "utf8mb4_bin") // a string column collates
+    // the config panes probe engines/charsets, the editor polls warnings
+    assert(s.sql("SHOW ENGINES").count() >= 1)
+    assert(s.sql("SHOW CHARSET").count() >= 1)
+    assert(s.sql("SHOW WARNINGS LIMIT 1").count() == 0)
+  }
+
   test("dump RESTORE: a mysqldump table section replays end-to-end " +
       "(DROP/CREATE/LOCK/INSERT with MySQL types and escapes)") {
     // r14: the restore direction of the dump round-trip — the exact
@@ -1440,8 +1508,9 @@ class EngineSpec extends SparkSpec {
       Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate"))
+    // FULL order: Collation right after Type, MySQL §15.7.7.6 (r16)
     val fullCols = s.sql("SHOW FULL COLUMNS FROM nation").collect()
-      .map(r => r.getString(0) -> r.getString(6)).toMap
+      .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(fullCols("n_name") == "utf8mb4_bin", // string cols carry collation
       fullCols.toString)
     val desc = s.sql("DESCRIBE orders").collect()

@@ -1923,4 +1923,197 @@ class MySqlServerSpec extends SparkSpec {
       }
     } finally srv.close()
   }
+
+  // ---- wire-path end-to-end parity (VERDICT r15 #2) ------------------------
+
+  /** Spec-side twin of the server's text-protocol value rendering
+    * (MySqlServer.textValue) — independently written from the same public
+    * protocol rules, so it cross-checks the server's encoder the way the
+    * spec's framing/compression codecs do. */
+  private def renderText(v: Any): String = v match {
+    case b: Boolean => if (b) "1" else "0"
+    case b: Array[Byte] => new String(b, UTF_8)
+    case t: java.sql.Timestamp =>
+      val ldt = java.time.LocalDateTime.ofInstant(t.toInstant,
+        java.time.ZoneOffset.UTC)
+      val base = java.time.format.DateTimeFormatter
+        .ofPattern("uuuu-MM-dd HH:mm:ss").format(ldt)
+      val micros = t.getNanos / 1000
+      if (micros == 0) base else f"$base.$micros%06d"
+    case t: java.time.LocalDateTime => java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd HH:mm:ss").format(t)
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: java.time.LocalDate => d.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case other => other.toString
+  }
+
+  /** Column-level parity: exact text match, or — because the two legs run
+    * the plan independently and a double's last bit can differ between
+    * executions — numeric equality within 1e-6 relative. */
+  private def colAgrees(a: Option[String], b: Option[String]): Boolean =
+    (a == b) || ((a, b) match {
+      case (Some(x), Some(y)) =>
+        (x.toDoubleOption, y.toDoubleOption) match {
+          case (Some(p), Some(q)) =>
+            (p == q) || (p.isNaN && q.isNaN) ||
+              math.abs(p - q) <=
+                1e-6 * math.max(1.0, math.max(math.abs(p), math.abs(q)))
+          case _ => false
+        }
+      case _ => false
+    })
+
+  test("wire parity: every declared query executes through the loopback " +
+      "text protocol and matches Session.sql row-for-row (VERDICT r15 #2)") {
+    // The reference's product promise is THE COMPOSITION — the full
+    // surface, over the wire (/root/reference/gateway/relay.go:17-21).
+    // Until r16 the two halves were verified separately: the 284 declared
+    // queries through Session.sql (Verify/oracle gate) and the wire server
+    // on its own protocol corpus. This drives each declared query's FULL
+    // plan through COM_QUERY → Session.sql → toLocalIterator → text
+    // result-set encode → independent client decode, and compares the
+    // whole decoded multiset against a Session.sql execution of the same
+    // statement (engine-vs-engine parity — the 6 rows-only-by-contract
+    // queries participate like any other; no oracle involved).
+    // SPARK_GRAFT_WIRE_SF overrides the fixture for the logged full-scale
+    // run (SURVEY §6); the in-suite default stays the fast spec fixture.
+    val wsf = sys.env.getOrElse("SPARK_GRAFT_WIRE_SF", sf)
+    val srv = MySqlServer.start(spark, Map("prod" -> wsf))
+    try {
+      val session = Engine.connect(spark, "prod", Map("prod" -> wsf))
+      val c = login(srv.port)
+      val failures = scala.collection.mutable.ListBuffer[String]()
+      var rowsTotal = 0L
+      SparkEntry.allQueries.foreach { gq =>
+        try {
+          // GLOBAL temp view: Engine.connect isolates every connection in
+          // its own newSession() catalog (the per-client namespace), so a
+          // plain temp view would be invisible to both legs — the global
+          // namespace is the one catalog all sessions share
+          gq.run(spark, wsf).createOrReplaceGlobalTempView("graft_wire_parity")
+          val stmt = "SELECT * FROM global_temp.graft_wire_parity"
+          val engine = session.sql(stmt)
+          val engineCols = engine.schema.fieldNames.toSeq
+          val engineRows: Seq[Seq[Option[String]]] = engine.collect()
+            .iterator.map { r =>
+              (0 until r.length).map(i =>
+                if (r.isNullAt(i)) None else Some(renderText(r.get(i)))): Seq[Option[String]]
+            }.toSeq
+          val (wireCols, wireRows) = query(c, stmt)
+          rowsTotal += wireRows.size
+          if (wireCols != engineCols)
+            failures += s"${gq.name}: columns $wireCols != $engineCols"
+          else if (wireRows.size != engineRows.size)
+            failures += s"${gq.name}: ${wireRows.size} wire rows != " +
+              s"${engineRows.size} engine rows"
+          else {
+            // order-insensitive full-multiset compare: both sides sorted by
+            // their canonical rendering, then matched pairwise (queries
+            // with a full ORDER BY arrive already aligned; the sort makes
+            // the check hold for the unordered rows-only set too)
+            def canon(rows: Seq[Seq[Option[String]]]) =
+              rows.sortBy(_.map(_.getOrElse(" ")).mkString(""))
+            val bad = canon(wireRows).zip(canon(engineRows)).zipWithIndex
+              .collectFirst {
+                case ((w, e), idx)
+                    if w.size != e.size ||
+                      !w.zip(e).forall { case (a, b) => colAgrees(a, b) } =>
+                  s"${gq.name}: sorted row #$idx wire=$w engine=$e"
+              }
+            bad.foreach(failures += _.take(300))
+          }
+        } catch { case e: Throwable =>
+          failures += s"${gq.name}: ${e.toString.take(200)}"
+        }
+      }
+      println(s"""{"metric":"wire_parity","sf":"$wsf","queries":${
+        SparkEntry.allQueries.size},"failed":${failures.size},"rows":$rowsTotal}""")
+      assert(failures.isEmpty, failures.mkString("\n"))
+      session.close()
+      c.close()
+    } finally srv.close()
+  }
+
+  // ---- wire concurrency under load (VERDICT r15 #6) ------------------------
+
+  test("concurrency under load: 10 simultaneous connections run mixed " +
+      "traffic with isolated session state and no cross-connection " +
+      "interference") {
+    // The thread-per-connection analog of the reference's goroutine
+    // isolation (/root/reference/gateway/gateway.go:63-64): every
+    // connection's session state (user vars, sysvars, prepared
+    // statements) is its own, concurrent queries and binary prepared
+    // statements interleave freely, a KILL QUERY against a foreign id
+    // harms nobody, and a mid-run LOAD DATA LOCAL upload touches only its
+    // own table — all while 10 threads hammer the shared SparkSession.
+    val srv = MySqlServer.start(spark, backends, databases)
+    try {
+      val n = 10
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val connIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          try {
+            val caps = if (i == 0) 0x80 else 0 // conn 0 uploads LOCAL INFILE
+            val c = login(srv.port, extraCaps = caps)
+            // distinct connection identity per session
+            val (_, idRows) = query(c, "SELECT CONNECTION_ID() AS id")
+            connIds.add(idRows.head.head.get)
+            // per-connection session state: user var + sysvar
+            query(c, s"SET @tag = ${100 + i}")
+            query(c, s"SET @@max_execution_time = ${1000 + i}")
+            if (i == 1) query(c, "KILL QUERY 999999") // foreign id: no-op
+            if (i == 0) {
+              // LOAD DATA LOCAL into this connection's OWN table
+              query(c, "CREATE TABLE conc_t_0 (k bigint, name varchar(20))")
+              val stmt = "LOAD DATA LOCAL INFILE 'c.csv' INTO TABLE " +
+                "conc_t_0 FIELDS TERMINATED BY ','"
+              c.writePacket(0, Array[Byte](0x03) ++ stmt.getBytes(UTF_8))
+              val (reqSeq, req) = c.readPacket()
+              assert((req(0) & 0xFF) == 0xFB)
+              c.writePacket(reqSeq + 1, "1,alpha\n2,beta\n".getBytes(UTF_8))
+              c.writePacket(reqSeq + 2, Array.emptyByteArray)
+              val (_, ok) = c.readPacket()
+              assert((ok(0) & 0xFF) == 0x00, "upload must answer OK")
+            }
+            val (sid, np) = stmtPrepare(c, "SELECT ? + 1 AS v")
+            assert(np == 1)
+            for (rep <- 1 to 4) {
+              // text-protocol reads interleaved with binary executes
+              val (_, t) = query(c, "SELECT @tag AS t")
+              if (t != Seq(Seq(Some((100 + i).toString))))
+                errors.add(s"conn $i rep $rep: @tag read $t")
+              val (_, v) = query(c,
+                "SHOW VARIABLES LIKE 'max_execution_time'")
+              if (v.head(1) != Some((1000 + i).toString))
+                errors.add(s"conn $i rep $rep: sysvar read $v")
+              val (_, nn) = query(c, "SELECT COUNT(*) AS n FROM nation")
+              if (nn != Seq(Seq(Some("25"))))
+                errors.add(s"conn $i rep $rep: nation count $nn")
+              val (_, _, rows, _) = stmtExecute(c, sid,
+                Seq(BParam(0x08, Some(le8(rep * 10 + i)))))
+              if (rows != Seq(Seq(Some((rep * 10 + i + 1).toLong))))
+                errors.add(s"conn $i rep $rep: binary execute $rows")
+            }
+            if (i == 0) {
+              val (_, cnt) = query(c, "SELECT COUNT(*) AS n FROM conc_t_0")
+              assert(cnt == Seq(Seq(Some("2"))), s"upload visibility: $cnt")
+              query(c, "DROP TABLE conc_t_0")
+            }
+            c.close()
+          } catch { case t: Throwable =>
+            errors.add(s"conn $i: ${t.toString.take(200)}")
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(180000))
+      assert(threads.forall(!_.isAlive), "a connection thread hung")
+      assert(errors.isEmpty,
+        errors.toArray.mkString("\n"))
+      assert(connIds.size == n, s"connection ids not distinct: $connIds")
+    } finally srv.close()
+  }
 }
