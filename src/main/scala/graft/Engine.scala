@@ -371,7 +371,7 @@ object Engine {
         // peer's KILL QUERY <connection_id> can cancel them mid-flight
         spark.sparkContext.setJobGroup(jobGroup, query0.take(120),
           interruptOnCancel = true)
-        val q = substituted(query0)
+        val q = Engine.translateHashComments(substituted(query0))
         try spark.sql(q)
         catch {
           case e: org.apache.spark.sql.AnalysisException =>
@@ -386,7 +386,16 @@ object Engine {
       * information_schema references (re)materialize the metadata views
       * and rewrite onto them (token-safe). */
     private[graft] def preprocess(query: String): String = {
-      val q1 = Engine.unwrapVersionComment(query)
+      // a whole-statement versioned comment may arrive BEHIND leading
+      // plain comments (`/* ping */ /*!40101 SET … */`) — MySQL parses
+      // through them; only when the stripped text unwraps (or rejects
+      // with 1065) does the stripped form win, otherwise the original
+      // bytes flow on (code-review r16 #5)
+      val q1 = {
+        val bare = Engine.stripLeadingComments(query)
+        val u = Engine.unwrapVersionComment(bare)
+        if (u ne bare) u else Engine.unwrapVersionComment(query)
+      }
       // after USE information_schema, bare table refs (`FROM TABLES`)
       // resolve in the metadata schema like any default db — qualify them
       // so the single qualified-rewrite path below serves both spellings
@@ -866,7 +875,8 @@ object Engine {
       // stops matching insertion order at ≥5 params — Scala's Map4→HashMap
       // switch — observed scrambling a 6-param bind on Spark 4.1; named
       // binding is order-free by construction.)
-      val (named, names) = Engine.nameParams(s.substituted(pq))
+      val (named, names) = Engine.nameParams(
+        Engine.translateHashComments(s.substituted(pq)))
       val df =
         try s.spark.sql(named, names.zip(effective).toMap)
         catch {
@@ -1346,7 +1356,8 @@ object Engine {
         Some(dbs.map(Tuple1(_)).toDF("Database"))
       case showColumnsRe(full, tQ, tB, dbQ, dbB, like) =>
         // MySQL's SHOW [FULL] COLUMNS/FIELDS shape: Field, Type, Null,
-        // Key, Default, Extra (+ Collation, Privileges, Comment for FULL)
+        // Key, Default, Extra (FULL inserts Collation after Type and
+        // appends Privileges, Comment — manual §15.7.7.6)
         // FROM the currently-bound namespace describes the live view
         // (session-created tables included); FROM a DIFFERENT namespace
         // describes that namespace's SURFACED schema via Tables.table —
@@ -1894,6 +1905,45 @@ object Engine {
     if (i == 0) q else q.substring(i)
   }
 
+  /** MySQL `#` end-of-line comments → `-- ` — Spark's parser has no `#`
+    * form, so a relayed statement carrying one would fail to parse
+    * (code-review r16 #2 fallout; MySQL manual §11.7). Token-safe:
+    * quotes/backticks and existing comment forms pass untouched; a
+    * `#`-free statement returns identically. */
+  private[graft] def translateHashComments(q: String): String = {
+    if (q.indexOf('#') < 0) return q
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && quote != '`' && i + 1 < q.length) {
+          out.append(q.charAt(i + 1)); i += 1
+        }
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
+        while (i < q.length && q.charAt(i) != '\n') {
+          out.append(q.charAt(i)); i += 1
+        }
+      } else if (c == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
+        out.append("/*"); i += 2
+        while (i < q.length && !(q.charAt(i) == '*' &&
+            i + 1 < q.length && q.charAt(i + 1) == '/')) {
+          out.append(q.charAt(i)); i += 1
+        }
+        if (i < q.length) { out.append("*/"); i += 2 }
+      } else if (c == '#') {
+        out.append("-- "); i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   private[graft] def qualifyBareInfoSchema(query: String): String = {
     if ("""(?is)^\s*(show|desc|describe|use|set)\b""".r
         .findFirstIn(stripLeadingComments(query)).isDefined) return query
@@ -1910,22 +1960,48 @@ object Engine {
     var quote: Char = 0
     var prevWord = ""
     var i = 0
+    // expression-level FROM: inside EXTRACT(YEAR FROM ts), TRIM(BOTH ' '
+    // FROM s), SUBSTRING(s FROM 2), OVERLAY(... FROM ...) the FROM is an
+    // argument separator, never a table position (code-review r16 #1).
+    // One stack entry per open paren: true = directly inside such a
+    // function's argument list (a nested subquery pushes false, so its
+    // own FROM keeps qualifying).
+    val exprFnWords = Set("extract", "trim", "substring", "substr",
+      "position", "overlay")
+    var fnDepth = List.empty[Boolean]
+    def inExprFn: Boolean = fnDepth.headOption.getOrElse(false)
+    // dots may carry whitespace on either side (`FROM db . tbl` is valid
+    // MySQL) — a qualified ref is recognized through it (code-review
+    // r16 #3)
+    def prevNonWsIsDot(idx: Int): Boolean = {
+      var j = idx - 1
+      while (j >= 0 && Character.isWhitespace(query.charAt(j))) j -= 1
+      j >= 0 && query.charAt(j) == '.'
+    }
+    def nextNonWsIsDot(idx: Int): Boolean = {
+      var j = idx
+      while (j < query.length && Character.isWhitespace(query.charAt(j)))
+        j += 1
+      j < query.length && query.charAt(j) == '.'
+    }
     def qualifies(lw: String, afterDot: Boolean, beforeDot: Boolean) =
-      names(lw) && !shadowed(lw) &&
+      names(lw) && !shadowed(lw) && !inExprFn &&
         (prevWord == "from" || prevWord == "join") && !afterDot && !beforeDot
     // A bare FROM/JOIN ref that is NOT a metadata view resolves in the
     // default schema — which IS information_schema here — so it answers
     // 1146 exactly like DESCRIBE/SHOW COLUMNS already do for data tables
     // in this state (ADVICE r15: SELECT and DESCRIBE must agree; MySQL
     // errors the SELECT too). Excluded from the rule: CTE/window shadows,
-    // FROM-position keywords that are not table refs, and table functions
-    // or derived tables (a `(` follows the name). Qualified refs
-    // (`mydb.region`) keep working — only the unqualified spelling lives
-    // in the current schema.
-    val nonTableWords = Set("dual", "lateral", "values", "unnest", "select")
+    // FROM-position keywords that are not table refs (incl. a derived
+    // table opening with WITH — MySQL 8.0.19+), expression-level FROMs
+    // (`inExprFn`), and table functions or derived tables (a `(` follows
+    // the name). Qualified refs (`mydb.region`) keep working — only the
+    // unqualified spelling lives in the current schema.
+    val nonTableWords =
+      Set("dual", "lateral", "values", "unnest", "select", "with")
     def missingHere(lw: String, afterDot: Boolean, beforeDot: Boolean,
         nextIdx: Int): Boolean =
-      !names(lw) && !shadowed(lw) && !nonTableWords(lw) &&
+      !names(lw) && !shadowed(lw) && !nonTableWords(lw) && !inExprFn &&
         (prevWord == "from" || prevWord == "join") && !afterDot && !beforeDot && {
           var j = nextIdx
           while (j < query.length && Character.isWhitespace(query.charAt(j)))
@@ -1936,7 +2012,10 @@ object Engine {
       val c = query.charAt(i)
       if (quote != 0) {
         out.append(c)
-        if (c == quote) quote = 0
+        // a closed literal becomes prevWord-clearing: `TRIM(BOTH 'x'
+        // FROM 'xax') AS t` must not leave prevWord=='from' alive for
+        // the word after the literal+paren (code-review r16 #1 fallout)
+        if (c == quote) { quote = 0; prevWord = "" }
         else if (c == '\\' && quote != '`' && i + 1 < query.length) {
           out.append(query.charAt(i + 1)); i += 1
         }
@@ -1949,17 +2028,15 @@ object Engine {
         val content = if (close < 0) "" else query.substring(i + 1, close)
         val lw = content.toLowerCase
         if (close > 0 && qualifies(lw,
-            afterDot = i > 0 && query.charAt(i - 1) == '.',
-            beforeDot = close + 1 < query.length &&
-              query.charAt(close + 1) == '.')) {
+            afterDot = prevNonWsIsDot(i),
+            beforeDot = nextNonWsIsDot(close + 1))) {
           out.append("information_schema.")
             .append(query.substring(i, close + 1))
           prevWord = lw
           i = close + 1
         } else if (close > 0 && missingHere(lw,
-            afterDot = i > 0 && query.charAt(i - 1) == '.',
-            beforeDot = close + 1 < query.length &&
-              query.charAt(close + 1) == '.',
+            afterDot = prevNonWsIsDot(i),
+            beforeDot = nextNonWsIsDot(close + 1),
             nextIdx = close + 1)) {
           throw EngineError(1146, "42S02", s"Table '$content' doesn't exist")
         } else if (close > 0) {
@@ -1995,14 +2072,28 @@ object Engine {
         }) i += 1
         val w = query.substring(start, i)
         val lw = w.toLowerCase
-        val afterDot = start > 0 && query.charAt(start - 1) == '.'
-        val beforeDot = i < query.length && query.charAt(i) == '.'
+        val afterDot = prevNonWsIsDot(start)
+        val beforeDot = nextNonWsIsDot(i)
         if (qualifies(lw, afterDot, beforeDot))
           out.append("information_schema.").append(lw)
         else if (missingHere(lw, afterDot, beforeDot, nextIdx = i))
           throw EngineError(1146, "42S02", s"Table '$w' doesn't exist")
         else out.append(w)
         prevWord = lw
+      } else if (c == '#') {
+        // `#` comments pass untouched like the other comment forms —
+        // commented-out text must never look like a table ref
+        // (code-review r16 #2)
+        while (i < query.length && query.charAt(i) != '\n') {
+          out.append(query.charAt(i)); i += 1
+        }
+      } else if (c == '(') {
+        fnDepth = exprFnWords(prevWord) :: fnDepth
+        out.append(c); i += 1
+      } else if (c == ')') {
+        if (fnDepth.nonEmpty) fnDepth = fnDepth.tail
+        prevWord = "" // what follows ')' is an alias/keyword, never a
+        out.append(c); i += 1 // bare ref in FROM/JOIN position
       } else { out.append(c); i += 1 }
     }
     out.toString
@@ -2060,8 +2151,10 @@ object Engine {
   }
 
   /** SHOW [FULL] COLUMNS / DESCRIBE result in MySQL's column shape —
-    * Field, Type, Null, Key, Default, Extra, plus Collation / Privileges /
-    * Comment under FULL. Unknown tables answer 1146 like SHOW CREATE. */
+    * Field, Type, Null, Key, Default, Extra; FULL inserts Collation right
+    * after Type and appends Privileges, Comment (manual §15.7.7.6 — tools
+    * read these by position). Unknown tables answer 1146 like SHOW
+    * CREATE. */
   private def describeShape(s: Session, table: String, full: Boolean,
       re: Option[scala.util.matching.Regex],
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)

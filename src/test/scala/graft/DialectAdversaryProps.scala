@@ -266,7 +266,15 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
     // the versioned form is NEVER comment-stripped (it is semantic)
     val a11 = Engine.stripLeadingComments("/*!40103 SET @x=1 */") ==
       "/*!40103 SET @x=1 */"
-    val all = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11)
+    // ...but a versioned comment BEHIND leading plain comments still
+    // executes its body, like MySQL (code-review r16 #5)
+    sessA.sql("/* ping */ /*!40101 SET @adv_v = 3 */")
+    val a12 = sessA.userVar("adv_v").contains("3")
+    // MySQL `#` comments translate for Spark's parser on the relay path
+    // (Spark has no `#` form) — literals keep their bytes
+    val a13 = sessB.sql("SELECT '#keep' AS x # trailing note")
+      .head().getString(0) == "#keep"
+    val all = Seq(a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13)
     all.zipWithIndex.foreach { case (ok, i) =>
       if (!ok) println(s"DialectAdversary anchor a${i + 1} FAILED")
     }

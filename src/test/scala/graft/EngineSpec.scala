@@ -463,6 +463,24 @@ class EngineSpec extends SparkSpec {
     // alias, never a table ref to be rewritten onto information_schema
     assert(s.sql("WITH t AS (SELECT 42 AS n) " +
       "SELECT columns.n FROM `t` columns").head().getInt(0) == 42)
+    // expression-level FROM (EXTRACT/TRIM/SUBSTRING) is an argument
+    // separator, never a table position (code-review r16 #1)
+    assert(s.sql("SELECT table_name, EXTRACT(YEAR FROM CAST('2024-01-02' " +
+      "AS DATE)) AS y FROM tables LIMIT 1").head().getInt(1) == 2024)
+    assert(s.sql("SELECT TRIM(BOTH 'x' FROM 'xax') AS t")
+      .head().getString(0) == "a")
+    assert(s.sql("SELECT SUBSTRING('abcdef' FROM 2 FOR 3) AS t")
+      .head().getString(0) == "bcd")
+    // commented-out text never looks like a table ref (code-review r16 #2)
+    assert(s.sql("SELECT COUNT(*) AS n FROM tables # report from yesterday")
+      .head().getLong(0) > 0)
+    // dots recognize through whitespace: the spaced qualified spelling
+    // stays qualified (code-review r16 #3)
+    assert(s.sql("SELECT COUNT(*) AS n FROM information_schema . tables")
+      .head().getLong(0) > 0)
+    // a derived table opening with WITH is not a table ref (r16 #4)
+    assert(s.sql("SELECT d.n FROM (WITH t AS (SELECT 5 AS n) " +
+      "SELECT n FROM t) d").head().getInt(0) == 5)
     // info-schema identifiers match LIKE case-insensitively (manual
     // §9.2.3), unlike data-namespace table names under l_c_t_n=0
     assert(s.sql("SHOW TABLES LIKE 'tables'").count() == 1)

@@ -2013,8 +2013,16 @@ class MySqlServerSpec extends SparkSpec {
             // their canonical rendering, then matched pairwise (queries
             // with a full ORDER BY arrive already aligned; the sort makes
             // the check hold for the unordered rows-only set too)
+            // sort key: NUL marks NULL (collides with no value), SOH
+            // joins columns (no cross-column collisions), and numeric
+            // fields round to 7 significant digits so a double whose
+            // last bit differs between the two executions cannot
+            // reorder one leg only and mispair rows (code-review
+            // r16 #6)
             def canon(rows: Seq[Seq[Option[String]]]) =
-              rows.sortBy(_.map(_.getOrElse(" ")).mkString(""))
+              rows.sortBy(_.map(_.map(x =>
+                x.toDoubleOption.map(d => f"$d%.6e").getOrElse(x))
+                .getOrElse(" ")).mkString(""))
             val bad = canon(wireRows).zip(canon(engineRows)).zipWithIndex
               .collectFirst {
                 case ((w, e), idx)
