@@ -226,6 +226,78 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
       ok && code == 1065 && sessA.userVar("adv_v").contains("0")
     }
 
+  // ---- statement splitting (the sqlBatch seam) ------------------------------
+
+  /** One batch member plus the exact split output it must produce (None =
+    * assert by containment because the text round-trips verbatim). */
+  private val genBatchPart: Gen[(String, String => Boolean)] =
+    Gen.choose(0, 999).flatMap { k =>
+      Gen.oneOf[(String, String => Boolean)](
+        // literal carrying every hazard character — must survive intact
+        (s"SELECT 'a;b--c#d?e' AS s$k",
+          (out: String) => out == s"SELECT 'a;b--c#d?e' AS s$k"),
+        // block comment with semicolons — copied through, never split
+        (s"SELECT $k AS x /* block; with ; semis */",
+          (out: String) => out == s"SELECT $k AS x /* block; with ; semis */"),
+        // line comment: the `;` inside it is comment text (newline ends it)
+        (s"SELECT $k AS x -- trail; SET NAMES latin1\n",
+          (out: String) => out.startsWith(s"SELECT $k AS x") &&
+            out.contains("-- trail; SET NAMES latin1")),
+        // MySQL `#` comment: stripped by the splitter, statement survives
+        (s"SELECT $k AS x # hash; note\n",
+          (out: String) => out == s"SELECT $k AS x"),
+        // double-quoted string with an escaped quote and a semicolon
+        ("SELECT \"q;\\\"uote\" AS s" + k,
+          (out: String) => out == "SELECT \"q;\\\"uote\" AS s" + k))
+    }
+
+  property("splitStatements: semicolons inside literals/comments never " +
+      "split; every batch member round-trips") =
+    forAll(Gen.nonEmptyListOf(genBatchPart).map(_.take(6))) { parts =>
+      val batch = parts.map(_._1).mkString(";")
+      val split = Engine.splitStatements(batch)
+      split.size == parts.size &&
+        split.zip(parts).forall { case (out, (_, check)) => check(out) }
+    }
+
+  // ---- positional-parameter binding (the prepared-statement seam) ----------
+
+  /** Statement fragments: Left = a real `?` marker, Right = text whose
+    * question marks are literal/comment bytes the binder must skip. */
+  private val genStmtPart: Gen[Either[Unit, String]] = Gen.frequency(
+    3 -> Gen.const(Left(())),
+    2 -> Gen.oneOf(
+      Right("'is it? yes??'"): Either[Unit, String],
+      Right("\"what?\""),
+      Right("/* bound? no */"),
+      Right("`odd?col`"),
+      Right("SELECT col ,"),
+      Right("WHERE x =")))
+
+  property("nameParams/bindPositional/countParams: `?` in literals, " +
+      "comments, and quoted identifiers is never a parameter") =
+    forAll(Gen.nonEmptyListOf(genStmtPart).map(_.take(10))) { parts =>
+      val stmt = parts.map {
+        case Left(()) => "?"
+        case Right(t) => t
+      }.mkString(" ")
+      val markers = parts.count(_.isLeft)
+      val litsIntact = (s: String) => parts.collect { case Right(t) => t }
+        .forall(s.contains)
+      val counted = Engine.countParams(stmt) == markers
+      val (named, names) = Engine.nameParams(stmt)
+      val namedOk = names == (0 until markers).map(k => s"_gp_$k") &&
+        litsIntact(named) && Engine.countParams(named) == 0
+      val args = (1 to markers).map(k => (91000 + k).toString)
+      val bound = Engine.bindPositional(stmt, args)
+      val boundOk = litsIntact(bound) && Engine.countParams(bound) == 0 && {
+        // the substituted values appear in marker order
+        val idx = args.map(bound.indexOf(_))
+        idx.forall(_ >= 0) && idx == idx.sorted
+      }
+      counted && namedOk && boundOk
+    }
+
   // ---- deterministic anchors (r14/r15 manual-pass findings) ----------------
 
   private def rows(s: Engine.Session, q: String) =
