@@ -1127,7 +1127,7 @@ object Engine {
     * utf8mb4_bin, under which real MySQL compares those names byte-wise —
     * SHOW TABLES LIKE 'REGION' finds nothing (ADVICE r14). Variable /
     * collation / charset names stay case-insensitive like MySQL's. */
-  private def likeRegex(like: String, caseSensitive: Boolean = false)
+  private[graft] def likeRegex(like: String, caseSensitive: Boolean = false)
       : Option[scala.util.matching.Regex] =
     Option(like).map { p =>
       val out = new StringBuilder(if (caseSensitive) "^" else "(?i)^")

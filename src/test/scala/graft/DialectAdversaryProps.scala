@@ -298,6 +298,64 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
       counted && namedOk && boundOk
     }
 
+  // ---- LIKE-pattern translation (the SHOW-family wildcard seam) -------------
+
+  /** Reference SQL-LIKE matcher, written independently of the engine's
+    * regex translation: `%` any run, `_` any single char, backslash
+    * escapes the next char literally (JDBC's identifier-wildcard escapes),
+    * a trailing backslash is a literal backslash. */
+  private def likeRef(pat: String, s: String): Boolean = {
+    val toks = scala.collection.mutable.ListBuffer[Either[Char, Char]]()
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '\\' if i + 1 < pat.length =>
+          toks += Left(pat.charAt(i + 1)); i += 2
+        case c @ ('%' | '_') => toks += Right(c); i += 1
+        case c => toks += Left(c); i += 1
+      }
+    }
+    def m(ts: List[Either[Char, Char]], si: Int): Boolean = ts match {
+      case Nil => si == s.length
+      case Right('%') :: rest => (si to s.length).exists(j => m(rest, j))
+      case Right(_) :: rest => si < s.length && m(rest, si + 1)
+      case Left(c) :: rest =>
+        si < s.length && s.charAt(si) == c && m(rest, si + 1)
+    }
+    m(toks.toList, 0)
+  }
+
+  private val likeAlphabet = "ab_%\\.*[()^$|+?{"
+  private val genLikePat: Gen[String] =
+    Gen.listOfN(6, Gen.oneOf(likeAlphabet.toSeq)).map(_.mkString)
+  private val genLikeSubject: Gen[String] =
+    Gen.listOfN(6, Gen.oneOf("ab._*%\\".toSeq)).map(_.mkString)
+
+  property("likeRegex == reference SQL-LIKE semantics for patterns full " +
+      "of regex metacharacters, escapes, and wildcards") =
+    forAll(genLikePat, genLikeSubject) { (pat, subj) =>
+      // candidates: an unrelated subject AND the pattern's own literal
+      // rendering (high hit rate for the match=true branch)
+      val literalized = pat.replace("\\", "").replace("%", "x")
+        .replace("_", "y")
+      val re = Engine.likeRegex(pat, caseSensitive = true).get
+      Seq(subj, literalized, pat).forall { s =>
+        re.matches(s) == likeRef(pat, s)
+      }
+    }
+
+  // ---- variable substitution is literal-safe --------------------------------
+
+  property("@@sysvar/@uservar tokens inside string literals never " +
+      "substitute; outside they always do") =
+    forAll(Gen.oneOf("version", "autocommit", "sql_mode"),
+        Gen.oneOf("'", "\"")) { (v, q) =>
+      val lit = s"SELECT $q@@$v, @u$q AS x"
+      val out = sessB.substituted(lit)
+      val open = sessB.substituted(s"SELECT @@$v AS x")
+      out == lit && open != s"SELECT @@$v AS x" && !open.contains("@@")
+    }
+
   // ---- deterministic anchors (r14/r15 manual-pass findings) ----------------
 
   private def rows(s: Engine.Session, q: String) =
