@@ -80,12 +80,23 @@ object Bench {
     // artifact, separating environment from regression (the r15 driver
     // run read uniformly ~1.3× with no code cause; this field is the
     // measurement that analysis had to reconstruct from medians).
-    def sentinel(): Double = (1 to 3).map { _ =>
+    def kernelOnce(): Double = {
       val t0 = System.nanoTime()
       spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    def sentinel(): Double = (1 to 3).map(_ => kernelOnce()).min
     val sentinelStart = sentinel()
+    // Load-robustness (VERDICT r16 #2): two endpoint samples cannot see
+    // mid-run load, so per-query tripwires could not be graded on a loaded
+    // run. The kernel is re-sampled (single-shot) every `sentinelEvery`
+    // queries inside each pass and once at each pass boundary; the series
+    // ships in both JSON lines, so every per-query reading carries a local
+    // load context (sample k of pass p covers queries [k·N, (k+1)·N) of
+    // that pass — positions are reconstructible from the declaration
+    // order, N, and the per-pass sample count sentinelPerPass).
+    val sentinelEvery = 30
+    val sentinelSeries = scala.collection.mutable.ListBuffer[Double]()
 
     // dev filter: SPARK_GRAFT_ONLY=q110_ppjoin,q73_… times a subset (the
     // committed artifact always comes from an unfiltered run — the driver
@@ -100,7 +111,7 @@ object Bench {
     val passTotals = scala.collection.mutable.ListBuffer[Double]()
     for (pass <- 1 to reps) {
       val p0 = System.nanoTime()
-      benchQueries.foreach { gq =>
+      benchQueries.zipWithIndex.foreach { case (gq, qi) =>
         if (!errors.contains(gq.name)) { // a failed query stays failed; don't re-throw per pass
           val t0 = System.nanoTime()
           try {
@@ -113,7 +124,9 @@ object Bench {
             times.remove(gq.name)
           }
         }
+        if ((qi + 1) % sentinelEvery == 0) sentinelSeries += kernelOnce()
       }
+      sentinelSeries += kernelOnce() // pass boundary
       passTotals += (System.nanoTime() - p0) / 1e9
     }
     val sentinelEnd = sentinel()
@@ -160,7 +173,9 @@ object Bench {
       .mkString("{", ",", "}")
     val passes = passTotals.map(s2).mkString("[", ",", "]")
     val sentinelJson = s"[${s3(sentinelStart)},${s3(sentinelEnd)}]"
-    println(s"""{"metric":"detail","reps":$reps,"passTotals":$passes,"sentinel":$sentinelJson,"queries":$detail,"sf":"$sfDir"}""")
+    val sentinelPerPass = benchQueries.size / sentinelEvery + 1
+    val seriesJson = sentinelSeries.map(s2).mkString("[", ",", "]")
+    println(s"""{"metric":"detail","reps":$reps,"passTotals":$passes,"sentinel":$sentinelJson,"sentinelEvery":$sentinelEvery,"sentinelPerPass":$sentinelPerPass,"sentinels":$seriesJson,"queries":$detail,"sf":"$sfDir"}""")
     slow.foreach { case (n, v) =>
       System.err.println(f"BENCH TRIPWIRE $n: min-of-$reps ${v}%.2f s > " +
         f"$tripwireFactor%.0fx budget ${budgets(n)}%.2f s")
@@ -182,7 +197,7 @@ object Bench {
         s""","slow":$s"""
       } else ""
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec","reps":$reps,"sentinel":$sentinelJson,"queries":$m,"failed":$nFail$errField$slowField$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","reps":$reps,"sentinel":$sentinelJson,"sentinels":$seriesJson,"queries":$m,"failed":$nFail$errField$slowField$om,"sf":"$sfDir"}"""
     }
     // Budget 1600 chars: drop the cheapest successful queries first; if a
     // failure-heavy run still exceeds it, drop the error MAP as a last

@@ -1998,7 +1998,18 @@ object Engine {
     // the name). Qualified refs (`mydb.region`) keep working — only the
     // unqualified spelling lives in the current schema.
     val nonTableWords =
-      Set("dual", "lateral", "values", "unnest", "select", "with")
+      Set("dual", "lateral", "values", "unnest", "select", "with", "table")
+    // Words that END a FROM clause's table list: a top-level comma is a
+    // table separator only while the scanner is directly inside FROM
+    // (ADVICE r16 #1 — `FROM tables t, columns c` must qualify BOTH).
+    // Parens save/restore the flag, so commas in argument lists, IN
+    // lists, and OVER clauses never reset table position. Over-inclusion
+    // here merely skips a qualification — the declared-safe direction.
+    val clauseEnders = Set("where", "group", "having", "order", "limit",
+      "union", "except", "intersect", "on", "using", "window", "select",
+      "set", "values", "for", "into", "procedure", "lock")
+    var inFrom = false
+    var fromStack = List.empty[Boolean]
     def missingHere(lw: String, afterDot: Boolean, beforeDot: Boolean,
         nextIdx: Int): Boolean =
       !names(lw) && !shadowed(lw) && !nonTableWords(lw) && !inExprFn &&
@@ -2079,7 +2090,16 @@ object Engine {
         else if (missingHere(lw, afterDot, beforeDot, nextIdx = i))
           throw EngineError(1146, "42S02", s"Table '$w' doesn't exist")
         else out.append(w)
-        prevWord = lw
+        if ((lw == "from" && !inExprFn) || lw == "join" ||
+            lw == "straight_join") inFrom = true
+        else if (clauseEnders(lw)) inFrom = false
+        // LATERAL sits between FROM/JOIN/comma and its derived table
+        // (MySQL 8.0.14+): prevWord-transparent, so the ref after it is
+        // still in table position (ADVICE r16 #4). STRAIGHT_JOIN is a
+        // JOIN spelling and keeps its successor in table position too.
+        if (lw == "lateral" && (prevWord == "from" || prevWord == "join")) ()
+        else if (lw == "straight_join") prevWord = "join"
+        else prevWord = lw
       } else if (c == '#') {
         // `#` comments pass untouched like the other comment forms —
         // commented-out text must never look like a table ref
@@ -2089,11 +2109,29 @@ object Engine {
         }
       } else if (c == '(') {
         fnDepth = exprFnWords(prevWord) :: fnDepth
+        fromStack = inFrom :: fromStack
+        inFrom = false
+        // the pushed flag captured the function context — reset prevWord
+        // so an IMMEDIATELY nested paren pushes false and a subquery
+        // argument's own FROM keeps qualifying (ADVICE r16 #2:
+        // `SUBSTRING((SELECT n FROM tables) FROM 1 FOR 2)`)
+        prevWord = ""
         out.append(c); i += 1
       } else if (c == ')') {
         if (fnDepth.nonEmpty) fnDepth = fnDepth.tail
+        if (fromStack.nonEmpty) {
+          inFrom = fromStack.head; fromStack = fromStack.tail
+        }
         prevWord = "" // what follows ')' is an alias/keyword, never a
         out.append(c); i += 1 // bare ref in FROM/JOIN position
+      } else if (c == ',') {
+        // a top-level comma directly inside FROM separates table refs —
+        // the next word is back in table position (ADVICE r16 #1)
+        if (inFrom) prevWord = "from"
+        out.append(c); i += 1
+      } else if (c == ';') {
+        inFrom = false; prevWord = ""
+        out.append(c); i += 1
       } else { out.append(c); i += 1 }
     }
     out.toString

@@ -356,6 +356,156 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
       out == lit && open != s"SELECT @@$v AS x" && !open.contains("@@")
     }
 
+  // ---- info-schema FROM-position grammar (VERDICT r16 #3) -------------------
+  //
+  // The r16 1146 rule (`qualifyBareInfoSchema`) needed four same-round
+  // code-review fixes, all in the FROM-position token zoo: expression-level
+  // FROM, `#` comments, spaced qualified refs, derived tables opening with
+  // WITH. This generates that zoo — composable FROM items each carrying
+  // the EXACT output the qualifier must produce — and asserts no false
+  // 1146, no missed 1146, and byte-exact qualification.
+
+  /** One FROM-clause item: input spelling, required output spelling, and
+    * whether it is a bare nonexistent ref that must answer 1146. */
+  private case class FromItem(in: String, out: String, missing: Boolean)
+
+  private val genMetaItem: Gen[FromItem] = for {
+    n <- Gen.oneOf("tables", "columns", "schemata", "statistics")
+    cased <- mixCase(n)
+    tick <- Gen.prob(0.3)
+    alias <- Gen.oneOf("", " t0", " t1", " AS t2")
+  } yield
+    if (tick) FromItem(s"`$n`$alias", s"information_schema.`$n`$alias",
+      missing = false)
+    else FromItem(cased + alias, "information_schema." + n + alias,
+      missing = false)
+
+  private val genQualItem: Gen[FromItem] = for {
+    // qualified refs never rewrite — including the spaced-dot spelling
+    // (code-review r16 #3) and a backticked second segment
+    sp <- Gen.oneOf("mydb.region", "mydb . region", "mydb.`region`")
+    alias <- Gen.oneOf("", " r0")
+  } yield FromItem(sp + alias, sp + alias, missing = false)
+
+  private val genDerivedItem: Gen[FromItem] = Gen.oneOf(
+    FromItem("(SELECT 1 AS x) d0", "(SELECT 1 AS x) d0", missing = false),
+    // a derived table may open with WITH (MySQL 8.0.19+; code-review
+    // r16 #4) — and the CTE name shadows any same-named metadata view
+    FromItem("(WITH w0 AS (SELECT 1 AS x) SELECT x FROM w0) d1",
+      "(WITH w0 AS (SELECT 1 AS x) SELECT x FROM w0) d1", missing = false),
+    // Spark's TABLE clause in a derived position must not false-1146
+    // (ADVICE r16 #4)
+    FromItem("(TABLE tables) d2", "(TABLE tables) d2", missing = false),
+    // LATERAL is prevWord-transparent (ADVICE r16 #4)
+    FromItem("LATERAL (SELECT 1 AS z) l0", "LATERAL (SELECT 1 AS z) l0",
+      missing = false))
+
+  private val genMissingItem: Gen[FromItem] =
+    Gen.oneOf("no_such_t", "adv_missing", "tables_x")
+      .map(n => FromItem(n, n, missing = true))
+
+  /** `#`/block comments interleaved at the FROM position pass through
+    * without stealing table position (code-review r16 #2). */
+  private def withItemPrefix(it: FromItem): Gen[FromItem] =
+    Gen.oneOf("", "# c\n", "/*x*/ ").map {
+      case "" => it
+      case p => FromItem(p + it.in, p + it.out, it.missing)
+    }
+
+  /** SELECT heads exercising expression-level FROM (code-review r16 #1:
+    * EXTRACT/TRIM/SUBSTRING argument lists — including ADVICE r16 #2's
+    * nested subquery, whose own FROM must KEEP qualifying). */
+  private val genStmtHead: Gen[(String, String)] = Gen.oneOf(
+    ("SELECT 1", "SELECT 1"),
+    ("SELECT EXTRACT(YEAR FROM ts0) AS y9",
+      "SELECT EXTRACT(YEAR FROM ts0) AS y9"),
+    ("SELECT TRIM(BOTH 'x' FROM 'xax') AS t9",
+      "SELECT TRIM(BOTH 'x' FROM 'xax') AS t9"),
+    ("SELECT SUBSTRING((SELECT table_name FROM tables) FROM 1 FOR 2) AS s9",
+      "SELECT SUBSTRING((SELECT table_name FROM " +
+        "information_schema.tables) FROM 1 FOR 2) AS s9"))
+
+  private val genFromStmt: Gen[(String, String, Boolean)] = for {
+    head <- genStmtHead
+    fromKw <- mixCase("FROM")
+    k <- Gen.choose(1, 3)
+    items0 <- Gen.listOfN(k, Gen.frequency(
+      4 -> genMetaItem, 2 -> genQualItem, 2 -> genDerivedItem,
+      1 -> genMissingItem))
+    items <- Gen.sequence[List[FromItem], FromItem](items0.map(withItemPrefix))
+    joinKw <- mixCase("JOIN")
+    useJoin <- Gen.prob(0.3)
+    tail <- Gen.oneOf("", " WHERE 1 = 1", " LIMIT 1")
+  } yield {
+    val (hin, hout) = head
+    val miss = items.exists(_.missing)
+    if (useJoin && items.size == 2) {
+      (s"$hin $fromKw ${items.head.in} $joinKw ${items(1).in} ON 1 = 1$tail",
+        s"$hout $fromKw ${items.head.out} $joinKw ${items(1).out} ON 1 = 1$tail",
+        miss)
+    } else {
+      (s"$hin $fromKw " + items.map(_.in).mkString(", ") + tail,
+        s"$hout $fromKw " + items.map(_.out).mkString(", ") + tail,
+        miss)
+    }
+  }
+
+  property("info-schema FROM grammar: comma lists, JOINs, derived/WITH/" +
+      "TABLE/LATERAL items, expr-level FROMs, comments — byte-exact " +
+      "qualification, no false 1146, no missed 1146") =
+    forAll(genFromStmt) { case (in, expected, missing) =>
+      if (missing)
+        try { Engine.qualifyBareInfoSchema(in); false }
+        catch { case e: Engine.EngineError => e.code == 1146 }
+      else Engine.qualifyBareInfoSchema(in) == expected
+    }
+
+  /** Executed end-to-end on a session bound by USE information_schema —
+    * the grammar above proven against the live metadata views. */
+  private lazy val sessC = {
+    val s = Engine.connect(spark, "prod", backends)
+    Engine.sessionCommand(s, "USE information_schema")
+    s
+  }
+
+  property("anchors: info-schema FROM grammar executes (comma join, " +
+      "nested-subquery SUBSTRING, LATERAL, derived + comma, missed 1146)") = {
+    // comma join across two metadata views (ADVICE r16 #1): the legacy
+    // comma spelling must agree with the explicit JOIN of the same views
+    val commaN = sessC.sql("SELECT COUNT(*) AS n FROM tables t, columns c " +
+      "WHERE c.table_name = t.table_name AND t.table_name = 'region'")
+      .head().getLong(0)
+    val joinN = sessC.sql("SELECT COUNT(*) AS n FROM tables t JOIN columns c " +
+      "ON c.table_name = t.table_name WHERE t.table_name = 'region'")
+      .head().getLong(0)
+    val b1 = joinN > 0 && commaN == joinN
+    // a subquery nested directly inside SUBSTRING's paren still
+    // qualifies its own FROM (ADVICE r16 #2)
+    val b2 = sessC.sql("SELECT SUBSTRING((SELECT table_name FROM tables " +
+      "WHERE table_name = 'region') FROM 1 FOR 3) AS s")
+      .head().getString(0) == "reg"
+    // the 1146 contract survives a comma list: the bogus SECOND item
+    val b3 = try { sessC.sql("SELECT 1 FROM tables t, adv_nothere"); false }
+      catch { case e: Engine.EngineError => e.code == 1146 }
+    // LATERAL after a comma keeps its correlation AND table position
+    val b5 = sessC.sql("SELECT tn FROM tables t, LATERAL " +
+      "(SELECT t.table_name AS tn) l WHERE t.table_name = 'region'")
+      .head().getString(0) == "region"
+    // derived table then a comma back into table position: the comma's
+    // right side must be the metadata view (count agrees with reading it
+    // directly)
+    val directN = sessC.sql("SELECT COUNT(*) AS n FROM tables " +
+      "WHERE table_name = 'region'").head().getLong(0)
+    val b6 = directN > 0 &&
+      sessC.sql("SELECT COUNT(*) AS n FROM (SELECT 1 AS x) d, " +
+        "tables WHERE table_name = 'region'").head().getLong(0) == directN
+    val all = Seq(b1, b2, b3, b5, b6)
+    all.zipWithIndex.foreach { case (ok, i) =>
+      if (!ok) println(s"info-schema FROM anchor b${i + 1} FAILED")
+    }
+    all.forall(identity)
+  }
+
   // ---- deterministic anchors (r14/r15 manual-pass findings) ----------------
 
   private def rows(s: Engine.Session, q: String) =

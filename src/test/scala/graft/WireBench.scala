@@ -1,0 +1,216 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, EOFException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+
+import graft.server.MySqlServer
+
+/** Wire-path overhead bench (VERDICT r16 #4): the reference's ONLY
+  * performance characteristics are transport-level — two `io.Copy`
+  * goroutines per connection and flush-per-result-set
+  * (/root/reference/gateway/relay.go:16-23,85-93). r16 proved wire-path
+  * CORRECTNESS for all 284 declared queries (MySqlServerSpec wire parity);
+  * this measures the analog of the reference's relay overhead: each
+  * declared query's full plan executed (a) in-process via `Session.sql`
+  * with the rows drained through `toLocalIterator` — exactly the
+  * iteration the server performs — and (b) through a loopback COM_QUERY
+  * with the full text result set drained by an independent client. The
+  * per-query delta is the cost of the wire: text encoding + packet
+  * framing + TCP + client decode.
+  *
+  * Round-robin min-of-reps like graft.Bench (a host hiccup lands in at
+  * most one rep per leg). One JSON line on stdout, sized for a committed
+  * artifact (per-query [inprocess, wire] pairs included).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "Test/runMain graft.WireBench"
+  */
+object WireBench {
+
+  /** Minimal independent text-protocol client: handshake, COM_QUERY,
+    * result-set drain. Written against the public protocol docs only —
+    * value bytes are counted, not decoded (the relay-overhead analog is
+    * moving the bytes, not parsing them). */
+  private final class Wire(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(600000)
+    private val in = new BufferedInputStream(sock.getInputStream)
+    private val out = new BufferedOutputStream(sock.getOutputStream)
+
+    private def readFully(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val k = in.read(b, off, n - off)
+        if (k < 0) throw new EOFException
+        off += k
+      }
+      b
+    }
+
+    def readPacket(): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      var more = true
+      while (more) {
+        val h = readFully(4)
+        val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+        if (len > 0) buf.write(readFully(len), 0, len)
+        more = len == 0xFFFFFF
+      }
+      buf.toByteArray
+    }
+
+    def writePacket(seq0: Int, payload: Array[Byte]): Unit = {
+      var off = 0
+      var seq = seq0
+      var more = true
+      while (more) {
+        val n = math.min(0xFFFFFF, payload.length - off)
+        out.write(n & 0xFF); out.write((n >>> 8) & 0xFF)
+        out.write((n >>> 16) & 0xFF); out.write(seq & 0xFF)
+        out.write(payload, off, n)
+        off += n; seq += 1
+        more = n == 0xFFFFFF
+      }
+      out.flush()
+    }
+
+    /** Read the greeting, answer HandshakeResponse41 (4.1 | secure |
+      * plugin-auth caps, utf8mb4_bin, empty auth), expect OK. */
+    def login(user: String): Unit = {
+      readPacket()
+      val b = new ByteArrayOutputStream()
+      def int4(v: Int): Unit =
+        (0 until 4).foreach(k => b.write((v >>> (8 * k)) & 0xFF))
+      int4(0x00000200 | 0x00008000 | 0x00080000)
+      int4(1 << 24)
+      b.write(46)
+      (1 to 23).foreach(_ => b.write(0))
+      val ub = user.getBytes(UTF_8); b.write(ub, 0, ub.length); b.write(0)
+      b.write(0) // empty auth response
+      val pb = "mysql_native_password".getBytes(UTF_8)
+      b.write(pb, 0, pb.length); b.write(0)
+      writePacket(1, b.toByteArray)
+      val ok = readPacket()
+      require((ok(0) & 0xFF) == 0x00,
+        s"auth failed: first byte 0x${(ok(0) & 0xFF).toHexString}")
+    }
+
+    /** COM_QUERY; drains the EOF-delimited text result set without
+      * decoding values. Returns the data-row count. */
+    def queryDrain(sql: String): Long = {
+      writePacket(0, Array[Byte](0x03) ++ sql.getBytes(UTF_8))
+      val first = readPacket()
+      (first(0) & 0xFF) match {
+        case 0xFF => throw new RuntimeException("wire ERR: " +
+          new String(first, 9, first.length - 9, UTF_8))
+        case 0x00 => 0L
+        case ncols =>
+          require(ncols < 0xFB, s"unexpected lenenc column count $ncols")
+          (1 to ncols).foreach(_ => readPacket()) // column definitions
+          val eof = readPacket()
+          require((eof(0) & 0xFF) == 0xFE && eof.length < 9,
+            "expected EOF after column definitions")
+          var rows = 0L
+          var done = false
+          while (!done) {
+            val p = readPacket()
+            if ((p(0) & 0xFF) == 0xFE && p.length < 9) done = true
+            else rows += 1
+          }
+          rows
+      }
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_WIRE_REPS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.register(spark, sfDir)
+    spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
+
+    val srv = MySqlServer.start(spark, Map("prod" -> sfDir))
+    val session = Engine.connect(spark, "prod", Map("prod" -> sfDir))
+    val wire = new Wire(srv.port)
+    wire.login("prod.alice")
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = SparkEntry.allQueries
+      .filter(q => only.forall(_.contains(q.name)))
+    val inT = scala.collection.mutable.Map[String, List[Double]]()
+    val wiT = scala.collection.mutable.Map[String, List[Double]]()
+    val errors = scala.collection.mutable.Map[String, String]()
+    var rowsPerPass = 0L
+    try {
+      for (pass <- 1 to reps) {
+        rowsPerPass = 0L
+        benchQueries.foreach { gq =>
+          if (!errors.contains(gq.name)) try {
+            // the same global-temp-view plumbing the wire-parity spec
+            // proved (Engine.connect isolates each connection in its own
+            // newSession() catalog; global_temp is the shared namespace)
+            gq.run(spark, sfDir)
+              .createOrReplaceGlobalTempView("graft_wire_bench")
+            val stmt = "SELECT * FROM global_temp.graft_wire_bench"
+            val t0 = System.nanoTime()
+            val it = session.sql(stmt).toLocalIterator()
+            var n = 0L
+            while (it.hasNext) { it.next(); n += 1 }
+            inT(gq.name) = (System.nanoTime() - t0) / 1e9 ::
+              inT.getOrElse(gq.name, Nil)
+            val t1 = System.nanoTime()
+            val wn = wire.queryDrain(stmt)
+            wiT(gq.name) = (System.nanoTime() - t1) / 1e9 ::
+              wiT.getOrElse(gq.name, Nil)
+            require(wn == n, s"${gq.name}: wire rows $wn != in-process $n")
+            rowsPerPass += n
+          } catch { case t: Throwable =>
+            System.err.println(s"WIREBENCH FAIL ${gq.name}: $t")
+            errors(gq.name) = t.getClass.getSimpleName.take(24)
+            inT.remove(gq.name); wiT.remove(gq.name)
+          }
+        }
+      }
+    } finally {
+      wire.close(); session.close(); srv.close()
+    }
+
+    def s3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val perQ = benchQueries.map(_.name).filterNot(errors.contains).map { n =>
+      (n, inT(n).min, wiT(n).min)
+    }
+    val inTotal = perQ.map(_._2).sum
+    val wiTotal = perQ.map(_._3).sum
+    // flag: wire leg > 2x the in-process leg AND a non-trivial absolute
+    // delta (a sub-50 ms query's ratio is dominated by the fixed
+    // per-roundtrip floor, not by a scaling hazard)
+    val flagged = perQ.filter { case (_, i, w) => w > 2 * i && w - i > 0.05 }
+    val qJson = perQ.map { case (n, i, w) =>
+      s"\"$n\":[${s3(i)},${s3(w)}]"
+    }.mkString("{", ",", "}")
+    val fJson = flagged.map { case (n, i, w) =>
+      s"\"$n\":[${s3(i)},${s3(w)}]"
+    }.mkString("{", ",", "}")
+    val eJson = errors.map { case (n, e) => s"\"$n\":\"$e\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"wire_bench","reps":$reps,"sf":"$sfDir","queries_n":${perQ.size},"failed":${errors.size},"rows_per_pass":$rowsPerPass,"inprocess_total":${s3(inTotal)},"wire_total":${s3(wiTotal)},"overhead_ratio":${s3(wiTotal / math.max(inTotal, 1e-9))},"flagged":$fJson,"errors":$eJson,"queries":$qJson}""")
+    spark.stop()
+  }
+}

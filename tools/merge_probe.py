@@ -11,17 +11,27 @@ With metric names given, only those lines are merged (the usual case: a
 targeted re-run must not clobber other probes' committed evidence).
 """
 import json
-import re
+import os
 import sys
 
 log_path = sys.argv[1]
 only = set(sys.argv[2:])
 
+# Parse defensively (ADVICE r16 #3): a greedy regex grabbed to the LAST
+# `}` on a line, so trailing log text after the JSON object (or two
+# objects on one line) aborted the merge. raw_decode consumes exactly one
+# object per anchor; anchors that don't parse are skipped, not fatal.
+decoder = json.JSONDecoder()
 lines = []
 for raw in open(log_path, errors="replace"):
-    m = re.search(r'\{"metric":.*\}', raw)
-    if m:
-        lines.append(json.loads(m.group(0)))
+    idx = raw.find('{"metric":')
+    while idx >= 0:
+        try:
+            obj, end = decoder.raw_decode(raw, idx)
+            lines.append(obj)
+        except ValueError:
+            end = idx + 1
+        idx = raw.find('{"metric":', max(end, idx + 1))
 
 with open("SCALE_PROBE.json") as f:
     doc = json.load(f)
@@ -37,7 +47,11 @@ for obj in lines:
         doc[name] = obj
     merged.append(name)
 
-with open("SCALE_PROBE.json", "w") as f:
+# write-then-rename so a failure mid-dump can never leave the committed
+# artifact half-written (ADVICE r16 #3)
+tmp = "SCALE_PROBE.json.tmp"
+with open(tmp, "w") as f:
     json.dump(doc, f, indent=1)
     f.write("\n")
+os.replace(tmp, "SCALE_PROBE.json")
 print("merged:", merged)
