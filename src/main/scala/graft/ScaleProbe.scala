@@ -352,21 +352,36 @@ object ScaleProbe {
       // single-run octave cells at multi-GB scale were spreading 2×
       // between probe runs — the conclusion survived only because both
       // runs sat far from the quadratic signature; the ratios must carry
-      // their own error bars). Inputs are built ONCE per size, both reps
+      // their own error bars). Inputs are built ONCE per size, all reps
       // share them (the 16× probe's `val fams = families(base)` pattern —
       // a per-rep rebuild would leave duplicate checkpointed corpora
-      // pinned through the big run). spread = |r1−r2| / min, per family.
+      // pinned through the big run). spread = the error bar on the MIN:
+      // (second-smallest − smallest) / smallest, per family. A cell whose
+      // spread exceeds 0.5 escalates to min-of-3 — the bench's own rep
+      // standard (VERDICT r16 #5: the r16 dupspan base cell spread 1.98
+      // at min-of-2; one more rep keeps a loaded rep from false-alarming
+      // a future `ok: false`).
       def cell(fs: Seq[(String, () => Unit)])
-          : (Map[String, Double], Map[String, Double]) = {
+          : (Map[String, Double], Map[String, Double], Int) = {
+        def stats(reps: List[Map[String, Double]]) = {
+          val mins = fs.map { case (k, _) => k -> reps.map(_(k)).min }.toMap
+          val spreads = fs.map { case (k, _) =>
+            val s = reps.map(_(k)).sorted
+            k -> (s(1) - s(0)) / math.max(s(0), 0.001)
+          }.toMap
+          (mins, spreads)
+        }
         val r1 = once(fs); val r2 = once(fs)
-        val mins = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-        val spreads = r1.map { case (k, v) =>
-          k -> math.abs(v - r2(k)) / math.max(mins(k), 0.001) }
-        (mins, spreads)
+        val (m2, sp2) = stats(List(r1, r2))
+        if (sp2.values.exists(_ > 0.5)) {
+          val r3 = once(fs)
+          val (m3, sp3) = stats(List(r1, r2, r3))
+          (m3, sp3, 3)
+        } else (m2, sp2, 2)
       }
-      val (tBase, spBase) = cell(fams(base))
-      val (tMid, spMid) = cell(fams(mid))
-      val (tBig, spBig) = cell(fams(big))
+      val (tBase, spBase, repsBase) = cell(fams(base))
+      val (tMid, spMid, repsMid) = cell(fams(mid))
+      val (tBig, spBig, repsBig) = cell(fams(big))
       val (s1, s2) = (mid.toDouble / base, big.toDouble / mid)
       // The bar tests each family's DESIGN CLAIM, not a blanket "linear in
       // docs": semdedup's training+assignment work is n·min(k, kMax)
@@ -398,8 +413,13 @@ object ScaleProbe {
           f""""spread":[${spBase(k)}%.2f,${spMid(k)}%.2f,${spBig(k)}%.2f],""" +
           f""""expected_steps":[$e1%.2f,$e2%.2f],"ok":$ok}"""
       }.mkString(",")
+      // the heap requirement rides IN the artifact (VERDICT r16 #5: the
+      // 6.4 M-doc cells OOM an 8 GiB fork; 24g was prose-only knowledge)
+      val heapGb = Runtime.getRuntime.maxMemory / (1L << 30).toDouble
       println(
         s"""{"metric":"$metric","sizes":[$base,$mid,$big],""" +
+        f""""heap_gb":$heapGb%.1f,""" +
+        s""""cell_reps":[$repsBase,$repsMid,$repsBig],""" +
         s""""step_ratios":[$s1,$s2],"time_growth":{$entries}}""")
     }
     secondOctaveProbe("SPARK_GRAFT_TIME2_SIZES", "time_probe2")

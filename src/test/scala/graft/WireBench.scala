@@ -168,16 +168,31 @@ object WireBench {
             gq.run(spark, sfDir)
               .createOrReplaceGlobalTempView("graft_wire_bench")
             val stmt = "SELECT * FROM global_temp.graft_wire_bench"
-            val t0 = System.nanoTime()
-            val it = session.sql(stmt).toLocalIterator()
-            var n = 0L
-            while (it.hasNext) { it.next(); n += 1 }
-            inT(gq.name) = (System.nanoTime() - t0) / 1e9 ::
-              inT.getOrElse(gq.name, Nil)
-            val t1 = System.nanoTime()
-            val wn = wire.queryDrain(stmt)
-            wiT(gq.name) = (System.nanoTime() - t1) / 1e9 ::
-              wiT.getOrElse(gq.name, Nil)
+            def inprocLeg(): Long = {
+              val t0 = System.nanoTime()
+              val it = session.sql(stmt).toLocalIterator()
+              var n = 0L
+              while (it.hasNext) { it.next(); n += 1 }
+              inT(gq.name) = (System.nanoTime() - t0) / 1e9 ::
+                inT.getOrElse(gq.name, Nil)
+              n
+            }
+            def wireLeg(): Long = {
+              val t0 = System.nanoTime()
+              val wn = wire.queryDrain(stmt)
+              wiT(gq.name) = (System.nanoTime() - t0) / 1e9 ::
+                wiT.getOrElse(gq.name, Nil)
+              wn
+            }
+            // alternate leg ORDER per pass: the JVM-global codegen cache
+            // makes whichever leg runs second ride the first leg's
+            // compilation warm-up — a fixed order biases the ratio (the
+            // first protocol ran in-process always first and read 0.93,
+            // i.e. "wire faster than no wire"). With alternation each
+            // leg's min comes from a warm position.
+            val (n, wn) =
+              if (pass % 2 == 0) { val w = wireLeg(); (inprocLeg(), w) }
+              else { val i = inprocLeg(); (i, wireLeg()) }
             require(wn == n, s"${gq.name}: wire rows $wn != in-process $n")
             rowsPerPass += n
           } catch { case t: Throwable =>
