@@ -2090,15 +2090,17 @@ object Engine {
         else if (missingHere(lw, afterDot, beforeDot, nextIdx = i))
           throw EngineError(1146, "42S02", s"Table '$w' doesn't exist")
         else out.append(w)
-        if ((lw == "from" && !inExprFn) || lw == "join" ||
-            lw == "straight_join") inFrom = true
+        if ((lw == "from" && !inExprFn) || lw == "join") inFrom = true
         else if (clauseEnders(lw)) inFrom = false
         // LATERAL sits between FROM/JOIN/comma and its derived table
         // (MySQL 8.0.14+): prevWord-transparent, so the ref after it is
         // still in table position (ADVICE r16 #4). STRAIGHT_JOIN is a
-        // JOIN spelling and keeps its successor in table position too.
+        // JOIN spelling — but ONLY inside a FROM clause: the same word is
+        // a SELECT modifier (`SELECT STRAIGHT_JOIN col FROM t`), where
+        // treating it as a join would put the first select-list column in
+        // table position (r17 code-review finding #1).
         if (lw == "lateral" && (prevWord == "from" || prevWord == "join")) ()
-        else if (lw == "straight_join") prevWord = "join"
+        else if (lw == "straight_join" && inFrom) prevWord = "join"
         else prevWord = lw
       } else if (c == '#') {
         // `#` comments pass untouched like the other comment forms —

@@ -491,6 +491,16 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
     val b5 = sessC.sql("SELECT tn FROM tables t, LATERAL " +
       "(SELECT t.table_name AS tn) l WHERE t.table_name = 'region'")
       .head().getString(0) == "region"
+    // STRAIGHT_JOIN both ways (r17 code-review #1): the join-operator
+    // spelling keeps its successor in table position; the SELECT-modifier
+    // spelling must NOT put the first select-list column there
+    val b7 = Engine.qualifyBareInfoSchema(
+      "SELECT 1 FROM tables STRAIGHT_JOIN columns WHERE 1 = 1") ==
+      "SELECT 1 FROM information_schema.tables STRAIGHT_JOIN " +
+        "information_schema.columns WHERE 1 = 1"
+    val b8 = Engine.qualifyBareInfoSchema(
+      "SELECT STRAIGHT_JOIN table_name FROM tables") ==
+      "SELECT STRAIGHT_JOIN table_name FROM information_schema.tables"
     // derived table then a comma back into table position: the comma's
     // right side must be the metadata view (count agrees with reading it
     // directly)
@@ -499,9 +509,9 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
     val b6 = directN > 0 &&
       sessC.sql("SELECT COUNT(*) AS n FROM (SELECT 1 AS x) d, " +
         "tables WHERE table_name = 'region'").head().getLong(0) == directN
-    val all = Seq(b1, b2, b3, b5, b6)
+    val all = Seq(b1, b2, b3, b5, b7, b8, b6)
     all.zipWithIndex.foreach { case (ok, i) =>
-      if (!ok) println(s"info-schema FROM anchor b${i + 1} FAILED")
+      if (!ok) println(s"info-schema FROM anchor #${i + 1} FAILED")
     }
     all.forall(identity)
   }
