@@ -54,6 +54,42 @@ object Bench {
       budgets.get(n).exists(b => v > tripwireFactor * b)
     }
 
+  /** Intra-run sentinel threshold above which a sample reads "loaded"
+    * (VERDICT r17 #1). Calibrated from the r17 record run: the QUIET
+    * intra-run baseline is ~0.15 median / 0.22 max (the bench JVM's own
+    * GC/JIT churn, documented in CLAUDE.md), while every loaded run
+    * observed so far peaks 0.46+ (r17 driver run: 6 samples ≥ 0.5, peaks
+    * 4.57/3.51/3.40). 0.45 sits 2× above the quiet max and below every
+    * loaded excursion on record. */
+  val loadCorrelatedThreshold = 0.45
+
+  /** Self-adjudication of one tripwire against the run's OWN sentinel
+    * series (VERDICT r17 #1 — the load-vs-regression call used to be a
+    * human reading the series after the fact). The flagged value is the
+    * MIN across passes, so it is load-inflated only if load covered the
+    * query's neighborhood in EVERY pass: for each pass, the neighborhood
+    * is the sample taken right after the query's `sentinelEvery`-block
+    * plus the immediately preceding series sample (the previous block's
+    * or previous pass's boundary sample — the series is linear across
+    * passes, so `cover - 1` is exactly that); the verdict takes the MIN
+    * over passes of the per-pass neighborhood MAX. If any pass had a
+    * quiet neighborhood and the min still tripped 3×, it is NOT load.
+    *
+    * Returns (per-pass neighborhood maxima, nbr_min, load_correlated).
+    * Pass 1 block 0 has no preceding sample — its neighborhood is the
+    * covering sample alone (never empty: the covering sample exists for
+    * every executed query position whenever the series is complete). */
+  def loadAdjudication(qi: Int, reps: Int, perPass: Int, every: Int,
+      series: IndexedSeq[Double]): (Seq[Double], Double, Boolean) = {
+    val nbr = (0 until reps).flatMap { p =>
+      val cover = p * perPass + qi / every
+      val cand = Seq(cover - 1, cover).filter(k => k >= 0 && k < series.length)
+      if (cand.isEmpty) None else Some(cand.map(series).max)
+    }
+    if (nbr.isEmpty) (nbr, Double.NaN, false)
+    else (nbr, nbr.min, nbr.min >= loadCorrelatedThreshold)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -111,6 +147,11 @@ object Bench {
     val passTotals = scala.collection.mutable.ListBuffer[Double]()
     for (pass <- 1 to reps) {
       val p0 = System.nanoTime()
+      // sentinel kernel time is accumulated separately and EXCLUDED from
+      // the pass total (ADVICE r17 #3: the r17 series had silently shifted
+      // passTotals high vs pre-r17 rounds on identical code — passTotals
+      // is a drift-analysis field and must stay comparable across rounds)
+      var sentSec = 0.0
       benchQueries.zipWithIndex.foreach { case (gq, qi) =>
         if (!errors.contains(gq.name)) { // a failed query stays failed; don't re-throw per pass
           val t0 = System.nanoTime()
@@ -124,10 +165,12 @@ object Bench {
             times.remove(gq.name)
           }
         }
-        if ((qi + 1) % sentinelEvery == 0) sentinelSeries += kernelOnce()
+        if ((qi + 1) % sentinelEvery == 0) {
+          val s = kernelOnce(); sentinelSeries += s; sentSec += s
+        }
       }
-      sentinelSeries += kernelOnce() // pass boundary
-      passTotals += (System.nanoTime() - p0) / 1e9
+      val s = kernelOnce(); sentinelSeries += s; sentSec += s // pass boundary
+      passTotals += (System.nanoTime() - p0) / 1e9 - sentSec
     }
     val sentinelEnd = sentinel()
     // (name, min-across-reps or negative sentinel on failure, error)
@@ -146,6 +189,18 @@ object Bench {
     val nFail = results.count(_._3.isDefined)
     val slow = slowOnes(
       results.collect { case (n, v, None) => n -> v }.toMap).toSeq.sorted
+    // per-tripwire machine verdict from the run's own series (VERDICT
+    // r17 #1): name -> (min-of-reps, per-pass neighborhood maxima,
+    // min-over-passes of those, load_correlated)
+    val qIndex: Map[String, Int] = names.zipWithIndex.toMap
+    val sentinelPerPass = benchQueries.size / sentinelEvery + 1
+    val seriesIdx = sentinelSeries.toIndexedSeq
+    val slowAdj: Seq[(String, Double, Seq[Double], Double, Boolean)] =
+      slow.map { case (n, v) =>
+        val (nbr, nbrMin, lc) = loadAdjudication(qIndex(n), reps,
+          sentinelPerPass, sentinelEvery, seriesIdx)
+        (n, v, nbr, nbrMin, lc)
+      }
     // Short key = the "qNN[letter]" prefix (unique across SparkEntry); fall
     // back to the full name if a collision ever appears.
     val shortOf: Map[String, String] = {
@@ -173,12 +228,21 @@ object Bench {
       .mkString("{", ",", "}")
     val passes = passTotals.map(s2).mkString("[", ",", "]")
     val sentinelJson = s"[${s3(sentinelStart)},${s3(sentinelEnd)}]"
-    val sentinelPerPass = benchQueries.size / sentinelEvery + 1
     val seriesJson = sentinelSeries.map(s2).mkString("[", ",", "]")
-    println(s"""{"metric":"detail","reps":$reps,"passTotals":$passes,"sentinel":$sentinelJson,"sentinelEvery":$sentinelEvery,"sentinelPerPass":$sentinelPerPass,"sentinels":$seriesJson,"queries":$detail,"sf":"$sfDir"}""")
-    slow.foreach { case (n, v) =>
+    // full adjudication in the detail line (per-pass neighborhood maxima
+    // kept); nbr_min is the grading number — NaN (an empty series) is
+    // emitted as null, never a bare NaN (invalid JSON)
+    def s2n(v: Double): String = if (v.isNaN) "null" else s2(v)
+    val slowDetail = slowAdj.map { case (n, v, nbr, nbrMin, lc) =>
+      s""""$n":{"sec":${s3(v)},"budget":${s3(budgets(n))},"nbr":[${
+        nbr.map(s2).mkString(",")}],"nbr_min":${s2n(nbrMin)},"load_correlated":$lc}"""
+    }.mkString("{", ",", "}")
+    val slowDetailField = if (slowAdj.nonEmpty) s""","slow":$slowDetail""" else ""
+    println(s"""{"metric":"detail","reps":$reps,"passTotals":$passes,"sentinel":$sentinelJson,"sentinelEvery":$sentinelEvery,"sentinelPerPass":$sentinelPerPass,"sentinels":$seriesJson$slowDetailField,"queries":$detail,"sf":"$sfDir"}""")
+    slowAdj.foreach { case (n, v, _, nbrMin, lc) =>
       System.err.println(f"BENCH TRIPWIRE $n: min-of-$reps ${v}%.2f s > " +
-        f"$tripwireFactor%.0fx budget ${budgets(n)}%.2f s")
+        f"$tripwireFactor%.0fx budget ${budgets(n)}%.2f s " +
+        f"[nbr_min $nbrMin%.2f -> ${if (lc) "LOAD-CORRELATED" else "NOT load"}]")
     }
 
     // LAST stdout line: compact JSON sized for the driver's 2000-char tail
@@ -191,9 +255,12 @@ object Bench {
       val errs = results.collect { case (k, _, Some(e)) => s"\"${shortOf(k)}\":\"$e\"" }
         .mkString("{", ",", "}")
       val errField = if (nFail > 0 && !dropErrs) s""","errors":$errs""" else ""
-      val slowField = if (slow.nonEmpty) {
-        val s = slow.map { case (n, v) => s"\"${shortOf(n)}\":${s2(v)}" }
-          .mkString("{", ",", "}")
+      val slowField = if (slowAdj.nonEmpty) {
+        // the compact artifact carries the machine verdict per tripwire
+        // (VERDICT r17 #1): a loaded driver run adjudicates itself
+        val s = slowAdj.map { case (n, v, _, nbrMin, lc) =>
+          s""""${shortOf(n)}":{"sec":${s2(v)},"nbr_min":${s2n(nbrMin)},"load_correlated":$lc}"""
+        }.mkString("{", ",", "}")
         s""","slow":$s"""
       } else ""
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""

@@ -2009,7 +2009,13 @@ object Engine {
       "union", "except", "intersect", "on", "using", "window", "select",
       "set", "values", "for", "into", "procedure", "lock")
     var inFrom = false
-    var fromStack = List.empty[Boolean]
+    // ON/USING SUSPENDS table position without ENDING the FROM clause
+    // (ADVICE r17 #1): `FROM t1 JOIN t2 ON c, tables` is valid MySQL and
+    // the post-comma ref is back in table position — so the comma branch
+    // must be able to restore what ON cleared. Both flags save/restore
+    // through parens together.
+    var inJoinCond = false
+    var fromStack = List.empty[(Boolean, Boolean)]
     def missingHere(lw: String, afterDot: Boolean, beforeDot: Boolean,
         nextIdx: Int): Boolean =
       !names(lw) && !shadowed(lw) && !nonTableWords(lw) && !inExprFn &&
@@ -2090,8 +2096,14 @@ object Engine {
         else if (missingHere(lw, afterDot, beforeDot, nextIdx = i))
           throw EngineError(1146, "42S02", s"Table '$w' doesn't exist")
         else out.append(w)
-        if ((lw == "from" && !inExprFn) || lw == "join") inFrom = true
-        else if (clauseEnders(lw)) inFrom = false
+        if ((lw == "from" && !inExprFn) || lw == "join") {
+          inFrom = true; inJoinCond = false
+        } else if (lw == "on" || lw == "using") {
+          // join condition: table position suspends, the FROM clause
+          // stays open for a later top-level comma (ADVICE r17 #1)
+          if (inFrom) inJoinCond = true
+          inFrom = false
+        } else if (clauseEnders(lw)) { inFrom = false; inJoinCond = false }
         // LATERAL sits between FROM/JOIN/comma and its derived table
         // (MySQL 8.0.14+): prevWord-transparent, so the ref after it is
         // still in table position (ADVICE r16 #4). STRAIGHT_JOIN is a
@@ -2100,8 +2112,11 @@ object Engine {
         // treating it as a join would put the first select-list column in
         // table position (r17 code-review finding #1).
         if (lw == "lateral" && (prevWord == "from" || prevWord == "join")) ()
-        else if (lw == "straight_join" && inFrom) prevWord = "join"
-        else prevWord = lw
+        else if (lw == "straight_join" && (inFrom || inJoinCond)) {
+          // the join-operator spelling is legal mid-clause too
+          // (`… ON c STRAIGHT_JOIN t3`): a suspended FROM re-enters
+          prevWord = "join"; inFrom = true; inJoinCond = false
+        } else prevWord = lw
       } else if (c == '#') {
         // `#` comments pass untouched like the other comment forms —
         // commented-out text must never look like a table ref
@@ -2111,8 +2126,8 @@ object Engine {
         }
       } else if (c == '(') {
         fnDepth = exprFnWords(prevWord) :: fnDepth
-        fromStack = inFrom :: fromStack
-        inFrom = false
+        fromStack = (inFrom, inJoinCond) :: fromStack
+        inFrom = false; inJoinCond = false
         // the pushed flag captured the function context — reset prevWord
         // so an IMMEDIATELY nested paren pushes false and a subquery
         // argument's own FROM keeps qualifying (ADVICE r16 #2:
@@ -2122,17 +2137,25 @@ object Engine {
       } else if (c == ')') {
         if (fnDepth.nonEmpty) fnDepth = fnDepth.tail
         if (fromStack.nonEmpty) {
-          inFrom = fromStack.head; fromStack = fromStack.tail
+          inFrom = fromStack.head._1; inJoinCond = fromStack.head._2
+          fromStack = fromStack.tail
         }
         prevWord = "" // what follows ')' is an alias/keyword, never a
         out.append(c); i += 1 // bare ref in FROM/JOIN position
       } else if (c == ',') {
         // a top-level comma directly inside FROM separates table refs —
         // the next word is back in table position (ADVICE r16 #1)
-        if (inFrom) prevWord = "from"
+        if (inFrom || inJoinCond) {
+          // re-enter table position even when ON/USING had suspended it
+          // (ADVICE r17 #1): a top-level comma inside a join condition is
+          // impossible without parens (expressions parenthesize their
+          // argument/row-constructor commas), so this comma separates
+          // FROM items
+          prevWord = "from"; inFrom = true; inJoinCond = false
+        }
         out.append(c); i += 1
       } else if (c == ';') {
-        inFrom = false; prevWord = ""
+        inFrom = false; inJoinCond = false; prevWord = ""
         out.append(c); i += 1
       } else { out.append(c); i += 1 }
     }

@@ -57,6 +57,39 @@ class BenchSpec extends AnyFunSuite {
     assert(under > 100, s"only $under sub-envelope pins — policy stale?")
   }
 
+  test("tripwire self-adjudication grades against the run's own sentinel " +
+      "neighborhood (VERDICT r17 #1)") {
+    // threshold sits between the quiet intra-run max (0.22, r17 record
+    // run) and every loaded excursion on record (0.46+)
+    assert(Bench.loadCorrelatedThreshold == 0.45)
+    val reps = 3; val perPass = 10; val every = 30
+    val quiet = IndexedSeq.fill(reps * perPass)(0.15)
+    // query 15 sits in block 0: covering samples at series 0 / 10 / 20
+    val (nbrQ, minQ, lcQ) = Bench.loadAdjudication(15, reps, perPass, every, quiet)
+    assert(nbrQ.size == reps && minQ == 0.15 && !lcQ)
+    // loaded in EVERY pass's neighborhood -> load_correlated
+    val loaded = quiet.updated(0, 0.6).updated(10, 0.7).updated(20, 0.5)
+    val (_, minL, lcL) = Bench.loadAdjudication(15, reps, perPass, every, loaded)
+    assert(minL == 0.5 && lcL)
+    // one QUIET pass is enough to refute load: the flagged value is the
+    // min across passes, so a 3x reading beside a quiet neighborhood is a
+    // real regression, not load
+    val twoOfThree = quiet.updated(0, 4.5).updated(10, 3.4)
+    val (_, minT, lcT) = Bench.loadAdjudication(15, reps, perPass, every, twoOfThree)
+    assert(minT == 0.15 && !lcT)
+    // the preceding sample crosses pass boundaries: for query 0 of pass 2
+    // the neighborhood includes pass 1's boundary sample (series index 9)
+    val boundary = quiet.updated(9, 0.9)
+    val (nbrB, _, _) = Bench.loadAdjudication(0, reps, perPass, every, boundary)
+    assert(nbrB == Seq(0.15, 0.9, 0.15))
+    // pass 1 block 0 has no preceding sample: neighborhood = covering only
+    val (nbr0, _, _) = Bench.loadAdjudication(0, reps, perPass, every, quiet)
+    assert(nbr0.size == reps)
+    // an empty series (defensive) adjudicates to NOT load, NaN marker
+    val (nbrE, minE, lcE) = Bench.loadAdjudication(0, reps, perPass, every, IndexedSeq.empty)
+    assert(nbrE.isEmpty && minE.isNaN && !lcE)
+  }
+
   test("tripwire flags an injected slowdown and only that") {
     val name = Bench.budgets.head._1
     val budget = Bench.budgets(name)

@@ -439,7 +439,15 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
   } yield {
     val (hin, hout) = head
     val miss = items.exists(_.missing)
-    if (useJoin && items.size == 2) {
+    if (useJoin && items.size == 3) {
+      // `JOIN … ON …, item` (ADVICE r17 #1): the ON condition SUSPENDS
+      // table position without ending the FROM clause — the top-level
+      // comma must put the third item back in table position (qualify a
+      // metadata view, 1146 a bogus bare ref)
+      (s"$hin $fromKw ${items.head.in} $joinKw ${items(1).in} ON 1 = 1, ${items(2).in}$tail",
+        s"$hout $fromKw ${items.head.out} $joinKw ${items(1).out} ON 1 = 1, ${items(2).out}$tail",
+        miss)
+    } else if (useJoin && items.size == 2) {
       (s"$hin $fromKw ${items.head.in} $joinKw ${items(1).in} ON 1 = 1$tail",
         s"$hout $fromKw ${items.head.out} $joinKw ${items(1).out} ON 1 = 1$tail",
         miss)
@@ -509,7 +517,30 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
     val b6 = directN > 0 &&
       sessC.sql("SELECT COUNT(*) AS n FROM (SELECT 1 AS x) d, " +
         "tables WHERE table_name = 'region'").head().getLong(0) == directN
-    val all = Seq(b1, b2, b3, b5, b7, b8, b6)
+    // JOIN … ON …, item (ADVICE r17 #1): the post-ON comma re-enters
+    // table position — the third item is the metadata view (count = the
+    // two-view join times the schemata cardinality), and a bogus bare
+    // ref after the ON's comma still answers 1146
+    val schemataN = sessC.sql("SELECT COUNT(*) AS n FROM schemata")
+      .head().getLong(0)
+    val b9 = schemataN > 0 && sessC.sql(
+      "SELECT COUNT(*) AS n FROM tables t JOIN columns c " +
+        "ON c.table_name = t.table_name, schemata s " +
+        "WHERE t.table_name = 'region'").head().getLong(0) == joinN * schemataN
+    val b10 = try {
+      sessC.sql("SELECT 1 FROM tables t JOIN columns c " +
+        "ON c.table_name = t.table_name, adv_nothere"); false
+    } catch { case e: Engine.EngineError => e.code == 1146 }
+    // byte-exact qualification through ON and USING suspensions
+    val b11 = Engine.qualifyBareInfoSchema(
+      "SELECT 1 FROM mydb.t1 JOIN mydb.t2 ON a = b, tables WHERE 1 = 1") ==
+      "SELECT 1 FROM mydb.t1 JOIN mydb.t2 ON a = b, " +
+        "information_schema.tables WHERE 1 = 1"
+    val b12 = Engine.qualifyBareInfoSchema(
+      "SELECT 1 FROM mydb.t1 JOIN mydb.t2 USING (k), columns") ==
+      "SELECT 1 FROM mydb.t1 JOIN mydb.t2 USING (k), " +
+        "information_schema.columns"
+    val all = Seq(b1, b2, b3, b5, b7, b8, b6, b9, b10, b11, b12)
     all.zipWithIndex.foreach { case (ok, i) =>
       if (!ok) println(s"info-schema FROM anchor #${i + 1} FAILED")
     }

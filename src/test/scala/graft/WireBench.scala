@@ -131,7 +131,12 @@ object WireBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_WIRE_REPS", "3").toInt.max(1)
+    // default EVEN (ADVICE r17 #2): leg order alternates per pass, so an
+    // odd rep count gives one leg the warm second position in (reps+1)/2
+    // passes vs (reps-1)/2 — a residual bias toward whichever leg the
+    // extra warm pass favors. An even count gives each leg equal
+    // warm-position exposure.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_WIRE_REPS", "4").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -157,10 +162,26 @@ object WireBench {
     val wiT = scala.collection.mutable.Map[String, List[Double]]()
     val errors = scala.collection.mutable.Map[String, String]()
     var rowsPerPass = 0L
+    // intra-run load sentinel (VERDICT r17 #5): the same fixed-work kernel
+    // graft.Bench samples, single-shot every `sentinelEvery` queries plus
+    // each pass boundary, so a loaded wire run self-documents inside its
+    // own artifact (the 0.964 fleet ratio is only credible next to a
+    // quiet series). Same calibration as the main bench: quiet intra-run
+    // baseline ~0.15 median / 0.22 max, loaded excursions 0.46+.
+    def kernelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelEvery = 30
+    val sentinelSeries = scala.collection.mutable.ListBuffer[Double]()
+    // (query, smallDir, (rows, inprocSec, wireSec) @ small, same @ large)
+    var octave: Option[(String, String, (Long, Double, Double),
+      (Long, Double, Double))] = None
     try {
       for (pass <- 1 to reps) {
         rowsPerPass = 0L
-        benchQueries.foreach { gq =>
+        benchQueries.zipWithIndex.foreach { case (gq, qi) =>
           if (!errors.contains(gq.name)) try {
             // the same global-temp-view plumbing the wire-parity spec
             // proved (Engine.connect isolates each connection in its own
@@ -200,6 +221,52 @@ object WireBench {
             errors(gq.name) = t.getClass.getSimpleName.take(24)
             inT.remove(gq.name); wiT.remove(gq.name)
           }
+          // Bench's position convention: sample k covers queries
+          // [k*sentinelEvery, (k+1)*sentinelEvery) of its pass
+          if ((qi + 1) % sentinelEvery == 0) sentinelSeries += kernelOnce()
+        }
+        sentinelSeries += kernelOnce() // pass boundary
+      }
+
+      // Result-set scaling octave (VERDICT r17 #6): the fleet bounds
+      // per-query overhead at ONE size; nothing bounded how the socket's
+      // text encode/framing SCALES with result-set volume. Measure the
+      // fleet's largest text output (q02: the full projected lineitem,
+      // ~600 k rows at sf0.1) at two fixture sizes, both legs, min-of-4
+      // with alternating leg order — if the wire leg's growth ratio
+      // tracks the in-process leg's (the rows), lenenc encode is linear
+      // in output volume with no super-linear framing cost.
+      val octDir = sys.env.getOrElse("SPARK_GRAFT_WIRE_OCTAVE",
+        if (sfDir.endsWith("sf0.1")) "/root/testdata/sf0.01" else "")
+      benchQueries.find(_.name.startsWith("q02_")).foreach { g =>
+        if (octDir.nonEmpty) {
+          def measure(dir: String): (Long, Double, Double) = {
+            g.run(spark, dir).createOrReplaceGlobalTempView("graft_wire_octave")
+            val stmt = "SELECT * FROM global_temp.graft_wire_octave"
+            var rows = 0L
+            var inMin = Double.MaxValue
+            var wiMin = Double.MaxValue
+            for (r <- 1 to 4) {
+              def inLeg(): Unit = {
+                val t0 = System.nanoTime()
+                val it = session.sql(stmt).toLocalIterator()
+                var n = 0L
+                while (it.hasNext) { it.next(); n += 1 }
+                rows = n
+                inMin = math.min(inMin, (System.nanoTime() - t0) / 1e9)
+              }
+              def wiLeg(): Unit = {
+                val t0 = System.nanoTime()
+                val wn = wire.queryDrain(stmt)
+                wiMin = math.min(wiMin, (System.nanoTime() - t0) / 1e9)
+                require(rows == 0L || wn == rows,
+                  s"octave rows $wn != in-process $rows")
+              }
+              if (r % 2 == 0) { wiLeg(); inLeg() } else { inLeg(); wiLeg() }
+            }
+            (rows, inMin, wiMin)
+          }
+          octave = Some((g.name, octDir, measure(octDir), measure(sfDir)))
         }
       }
     } finally {
@@ -225,7 +292,14 @@ object WireBench {
     }.mkString("{", ",", "}")
     val eJson = errors.map { case (n, e) => s"\"$n\":\"$e\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wire_bench","reps":$reps,"sf":"$sfDir","queries_n":${perQ.size},"failed":${errors.size},"rows_per_pass":$rowsPerPass,"inprocess_total":${s3(inTotal)},"wire_total":${s3(wiTotal)},"overhead_ratio":${s3(wiTotal / math.max(inTotal, 1e-9))},"flagged":$fJson,"errors":$eJson,"queries":$qJson}""")
+    def s2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val sentinelPerPass = benchQueries.size / sentinelEvery + 1
+    val seriesJson = sentinelSeries.map(s2).mkString("[", ",", "]")
+    val octJson = octave.map { case (n, smallDir, (rS, iS, wS), (rL, iL, wL)) =>
+      s""","octave":{"query":"$n","small_dir":"$smallDir","small":{"rows":$rS,"inprocess":${s3(iS)},"wire":${s3(wS)}},"large":{"rows":$rL,"inprocess":${s3(iL)},"wire":${s3(wL)}},"rows_ratio":${s2(rL.toDouble / math.max(rS, 1))},"inprocess_ratio":${s2(iL / math.max(iS, 1e-9))},"wire_ratio":${s2(wL / math.max(wS, 1e-9))}}"""
+    }.getOrElse("")
+    println(s"""{"metric":"wire_bench","reps":$reps,"sf":"$sfDir","queries_n":${perQ.size},"failed":${errors.size},"rows_per_pass":$rowsPerPass,"inprocess_total":${s3(inTotal)},"wire_total":${s3(wiTotal)},"overhead_ratio":${s3(wiTotal / math.max(inTotal, 1e-9))},"sentinelEvery":$sentinelEvery,"sentinelPerPass":$sentinelPerPass,"sentinels":$seriesJson$octJson,"flagged":$fJson,"errors":$eJson,"queries":$qJson}""")
     spark.stop()
   }
 }
