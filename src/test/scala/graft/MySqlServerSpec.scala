@@ -843,19 +843,28 @@ class MySqlServerSpec extends SparkSpec {
     (0 until n).map { i =>
       if ((bitmap((i + 2) / 8) & (1 << ((i + 2) % 8))) != 0) None
       else Some(types(i) match {
-        case 0x01 => r.int1()
-        case 0x02 => r.int2()
-        case 0x03 | 0x09 => r.int4()
+        // integer wire types are SIGNED here (columnDefPayload never sets
+        // the UNSIGNED flag): sign-extend what the unsigned Reader returns
+        case 0x01 => r.int1().toByte.toInt
+        case 0x02 => r.int2().toShort.toInt
+        case 0x03 | 0x09 => r.int4().toInt
         case 0x08 => r.int8()
         case 0x04 => java.lang.Float.intBitsToFloat(r.int4().toInt)
         case 0x05 => java.lang.Double.longBitsToDouble(r.int8())
+        case 0x0A => // DATE: length byte 0 (zero date) or 4
+          val len = r.int1()
+          if (len >= 4) f"${r.int2()}%04d-${r.int1()}%02d-${r.int1()}%02d"
+          else "0000-00-00"
         case 0x0C | 0x07 =>
           val len = r.int1()
-          val (y, mo, d) = (r.int2(), r.int1(), r.int1())
-          val (h, mi, s) = if (len >= 7) (r.int1(), r.int1(), r.int1())
-            else (0, 0, 0)
-          val micro = if (len >= 11) r.int4() else 0L
-          f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$micro%06d"
+          if (len == 0) "0000-00-00 00:00:00.000000"
+          else {
+            val (y, mo, d) = (r.int2(), r.int1(), r.int1())
+            val (h, mi, s) = if (len >= 7) (r.int1(), r.int1(), r.int1())
+              else (0, 0, 0)
+            val micro = if (len >= 11) r.int4() else 0L
+            f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$micro%06d"
+          }
         case _ => r.lenencString()
       })
     }
@@ -1965,25 +1974,74 @@ class MySqlServerSpec extends SparkSpec {
       case _ => false
     })
 
-  test("wire parity: every declared query executes through the loopback " +
-      "text protocol and matches Session.sql row-for-row (VERDICT r15 #2)") {
-    // The reference's product promise is THE COMPOSITION — the full
-    // surface, over the wire (/root/reference/gateway/relay.go:17-21).
-    // Until r16 the two halves were verified separately: the 284 declared
-    // queries through Session.sql (Verify/oracle gate) and the wire server
-    // on its own protocol corpus. This drives each declared query's FULL
-    // plan through COM_QUERY → Session.sql → toLocalIterator → text
-    // result-set encode → independent client decode, and compares the
-    // whole decoded multiset against a Session.sql execution of the same
-    // statement (engine-vs-engine parity — the 6 rows-only-by-contract
-    // queries participate like any other; no oracle involved).
-    // SPARK_GRAFT_WIRE_SF overrides the fixture for the logged full-scale
-    // run (SURVEY §6); the in-suite default stays the fast spec fixture.
+  /** COM_STMT_CLOSE (no response, per protocol). */
+  private def stmtClose(c: Client, sid: Long): Unit =
+    c.writePacket(0, Array[Byte](0x19) ++
+      (0 until 4).map(k => ((sid >>> (8 * k)) & 0xFF).toByte))
+
+  /** Canonical text for a binary-decoded value, matching renderText's
+    * conventions (datetime fraction only when non-zero; everything else
+    * already decodes to its text twin). */
+  private def renderBinary(tpe: Int, v: Any): String = v match {
+    case s: String if (tpe == 0x0C || tpe == 0x07) && s.endsWith(".000000") =>
+      s.dropRight(7)
+    case other => other.toString
+  }
+
+  /** Text-protocol wire leg: COM_QUERY + text result-set decode. */
+  private val textLeg: (Client, String) => (Seq[String], Seq[Seq[Option[String]]]) =
+    (c, stmt) => query(c, stmt)
+
+  /** Binary-protocol wire leg: COM_STMT_PREPARE -> EXECUTE -> binary row
+    * decode -> canonical text (VERDICT r17 #2 -- the JDBC/connector-j
+    * default mode; mysql/constants.go:40-66 is the reference's cap list
+    * for it). Closes the handle so a fleet pass doesn't hoard 284 ids. */
+  private val binaryLeg: (Client, String) => (Seq[String], Seq[Seq[Option[String]]]) =
+    (c, stmt) => {
+      val (sid, np) = stmtPrepare(c, stmt)
+      assert(np == 0, s"unexpected parameters in '$stmt'")
+      val (names, types, rows, _) = stmtExecute(c, sid, Nil)
+      stmtClose(c, sid)
+      (names, rows.map(_.zip(types).map { case (ov, tp) =>
+        ov.map(renderBinary(tp, _)) }))
+    }
+
+  /** Engine-vs-engine fleet parity core. The reference's product promise
+    * is THE COMPOSITION -- the full surface, over the wire
+    * (/root/reference/gateway/relay.go:17-21). This drives each declared
+    * query's FULL plan through the loopback server -> result-set encode ->
+    * independent client decode, and compares the whole decoded multiset
+    * against a Session.sql execution of the same statement (engine-vs-
+    * engine parity -- the 6 rows-only-by-contract queries participate like
+    * any other; no oracle involved). Shared by the text legs (plain r16 /
+    * compressed / TLS+compressed, VERDICT r17 #4) and the binary
+    * prepared-statement leg (VERDICT r17 #2).
+    * SPARK_GRAFT_WIRE_SF overrides the fixture for the logged full-scale
+    * run (SURVEY par.6); the in-suite default stays the fast spec fixture. */
+  private def fleetParity(leg: String, tls: Boolean, compress: Boolean,
+      wireLeg: (Client, String) => (Seq[String], Seq[Seq[Option[String]]]))
+      : Unit = {
     val wsf = sys.env.getOrElse("SPARK_GRAFT_WIRE_SF", sf)
-    val srv = MySqlServer.start(spark, Map("prod" -> wsf))
+    val srv =
+      if (tls) MySqlServer.start(spark, Map("prod" -> wsf),
+        ssl = Some(serverSslContext))
+      else MySqlServer.start(spark, Map("prod" -> wsf))
     try {
       val session = Engine.connect(spark, "prod", Map("prod" -> wsf))
-      val c = login(srv.port)
+      val caps = if (compress) 0x20 else 0
+      val c =
+        if (tls) { // SSLRequest -> TLS -> handshake response over TLS
+          val c0 = new Client(srv.port)
+          c0.readPacket() // greeting
+          c0.writePacket(1, sslRequest(extraCaps = caps))
+          c0.upgradeTls()
+          c0.writePacket(2, handshakeResponse("prod.alice", None,
+            extraCaps = caps))
+          val (_, ok) = c0.readPacket()
+          assert((ok(0) & 0xFF) == 0x00, "auth over TLS must succeed")
+          c0
+        } else login(srv.port, extraCaps = caps)
+      if (compress) c.enableCompression()
       val failures = scala.collection.mutable.ListBuffer[String]()
       var rowsTotal = 0L
       SparkEntry.allQueries.foreach { gq =>
@@ -2001,7 +2059,7 @@ class MySqlServerSpec extends SparkSpec {
               (0 until r.length).map(i =>
                 if (r.isNullAt(i)) None else Some(renderText(r.get(i)))): Seq[Option[String]]
             }.toSeq
-          val (wireCols, wireRows) = query(c, stmt)
+          val (wireCols, wireRows) = wireLeg(c, stmt)
           rowsTotal += wireRows.size
           if (wireCols != engineCols)
             failures += s"${gq.name}: columns $wireCols != $engineCols"
@@ -2036,12 +2094,40 @@ class MySqlServerSpec extends SparkSpec {
           failures += s"${gq.name}: ${e.toString.take(200)}"
         }
       }
-      println(s"""{"metric":"wire_parity","sf":"$wsf","queries":${
+      println(s"""{"metric":"wire_parity","leg":"$leg","sf":"$wsf","queries":${
         SparkEntry.allQueries.size},"failed":${failures.size},"rows":$rowsTotal}""")
       assert(failures.isEmpty, failures.mkString("\n"))
       session.close()
       c.close()
     } finally srv.close()
+  }
+  test("wire parity: every declared query executes through the loopback " +
+      "text protocol and matches Session.sql row-for-row (VERDICT r15 #2)") {
+    fleetParity("text", tls = false, compress = false, textLeg)
+  }
+
+  test("wire parity fleet over the compressed protocol: zlib framing sees " +
+      "every result-set shape the fleet produces (VERDICT r17 #4)") {
+    // until r18 the compressed codec's coverage was targeted cases
+    // (>2^24-1 row, LOAD DATA composition); this decompresses the full
+    // 284-query result corpus through the independent spec-side inflater
+    fleetParity("text+zlib", tls = false, compress = true, textLeg)
+  }
+
+  test("wire parity fleet over TLS + compression: the hardest transport " +
+      "composition carries the whole declared surface (VERDICT r17 #4)") {
+    fleetParity("tls+zlib", tls = true, compress = true, textLeg)
+  }
+
+  test("binary-protocol fleet parity: every declared query through " +
+      "COM_STMT_PREPARE/EXECUTE with binary result rows matches " +
+      "Session.sql row-for-row (VERDICT r17 #2)") {
+    // the binary path's per-type row encoders (NULL bitmap, date/datetime
+    // structs, float/double bits, lenenc strings) were pinned only by
+    // targeted unit rows until r18 -- a value-encoding bug in a type no
+    // unit case exercises (e.g. a date/NULL-bitmap interaction on a wide
+    // result) would have passed every gate
+    fleetParity("binary", tls = false, compress = false, binaryLeg)
   }
 
   // ---- wire concurrency under load (VERDICT r15 #6) ------------------------
