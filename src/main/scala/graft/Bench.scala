@@ -257,11 +257,17 @@ object Bench {
       val errField = if (nFail > 0 && !dropErrs) s""","errors":$errs""" else ""
       val slowField = if (slowAdj.nonEmpty) {
         // the compact artifact carries the machine verdict per tripwire
-        // (VERDICT r17 #1): a loaded driver run adjudicates itself
-        val s = slowAdj.map { case (n, v, _, nbrMin, lc) =>
+        // (VERDICT r17 #1): a loaded driver run adjudicates itself.
+        // Capped at the 6 worst by budget ratio — a many-tripwire loaded
+        // run (r18 run 1: 24) must not blow the 1600-char budget and push
+        // every per-query time out of the compact line; slow_n carries
+        // the full count, and the detail line always has every entry
+        val worst = slowAdj.sortBy { case (n, v, _, _, _) =>
+          -v / budgets(n) }.take(6)
+        val s = worst.map { case (n, v, _, nbrMin, lc) =>
           s""""${shortOf(n)}":{"sec":${s2(v)},"nbr_min":${s2n(nbrMin)},"load_correlated":$lc}"""
         }.mkString("{", ",", "}")
-        s""","slow":$s"""
+        s""","slow_n":${slowAdj.size},"slow":$s"""
       } else ""
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":${s2(total)},"unit":"sec","reps":$reps,"sentinel":$sentinelJson,"sentinels":$seriesJson,"queries":$m,"failed":$nFail$errField$slowField$om,"sf":"$sfDir"}"""
