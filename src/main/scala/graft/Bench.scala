@@ -63,6 +63,11 @@ object Bench {
     * loaded excursion on record. */
   val loadCorrelatedThreshold = 0.45
 
+  /** Intra-run sentinel sampling cadence (queries per single-shot kernel
+    * sample). Object-level so WireBench shares the cadence — position
+    * reconstruction in both artifacts assumes the same convention. */
+  val sentinelEvery = 30
+
   /** Self-adjudication of one tripwire against the run's OWN sentinel
     * series (VERDICT r17 #1 — the load-vs-regression call used to be a
     * human reading the series after the fact). The flagged value is the
@@ -131,7 +136,6 @@ object Bench {
     // load context (sample k of pass p covers queries [k·N, (k+1)·N) of
     // that pass — positions are reconstructible from the declaration
     // order, N, and the per-pass sample count sentinelPerPass).
-    val sentinelEvery = 30
     val sentinelSeries = scala.collection.mutable.ListBuffer[Double]()
 
     // dev filter: SPARK_GRAFT_ONLY=q110_ppjoin,q73_… times a subset (the

@@ -2005,9 +2005,15 @@ object Engine {
     // Parens save/restore the flag, so commas in argument lists, IN
     // lists, and OVER clauses never reset table position. Over-inclusion
     // here merely skips a qualification — the declared-safe direction.
+    // "update" ends the suspended join-condition state too: in `INSERT …
+    // SELECT … FROM t1 JOIN t2 ON a = b ON DUPLICATE KEY UPDATE p = 1,
+    // q = 2` the assignment-list comma must NOT re-enter table position
+    // (r18 code-review #1 — without this the comma after `p = 1` put `q`
+    // in table position: bogus 1146, or mis-qualification of an
+    // assignment target named like a metadata view).
     val clauseEnders = Set("where", "group", "having", "order", "limit",
       "union", "except", "intersect", "on", "using", "window", "select",
-      "set", "values", "for", "into", "procedure", "lock")
+      "set", "values", "for", "into", "procedure", "lock", "update")
     var inFrom = false
     // ON/USING SUSPENDS table position without ENDING the FROM clause
     // (ADVICE r17 #1): `FROM t1 JOIN t2 ON c, tables` is valid MySQL and

@@ -540,7 +540,14 @@ object DialectAdversaryProps extends Properties("DialectAdversary") {
       "SELECT 1 FROM mydb.t1 JOIN mydb.t2 USING (k), columns") ==
       "SELECT 1 FROM mydb.t1 JOIN mydb.t2 USING (k), " +
         "information_schema.columns"
-    val all = Seq(b1, b2, b3, b5, b7, b8, b6, b9, b10, b11, b12)
+    // ON DUPLICATE KEY UPDATE ends the suspended join-condition state
+    // (r18 code-review #1): the assignment-list comma must not re-enter
+    // table position — byte-exact passthrough, even for an assignment
+    // target named like a metadata view
+    val odku = "INSERT INTO v SELECT 1 FROM mydb.t1 JOIN mydb.t2 " +
+      "ON a = b ON DUPLICATE KEY UPDATE tables = 1, q = 2"
+    val b13 = Engine.qualifyBareInfoSchema(odku) == odku
+    val all = Seq(b1, b2, b3, b5, b7, b8, b6, b9, b10, b11, b12, b13)
     all.zipWithIndex.foreach { case (ok, i) =>
       if (!ok) println(s"info-schema FROM anchor #${i + 1} FAILED")
     }

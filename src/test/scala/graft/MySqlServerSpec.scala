@@ -2026,10 +2026,16 @@ class MySqlServerSpec extends SparkSpec {
       if (tls) MySqlServer.start(spark, Map("prod" -> wsf),
         ssl = Some(serverSslContext))
       else MySqlServer.start(spark, Map("prod" -> wsf))
+    // session/client cleanup in finally too: a failing leg must not leak
+    // an Engine session catalog or socket into later suite tests (r18
+    // code-review #4 -- the assert throws before the happy-path closes,
+    // and this harness now runs four times per suite)
+    var session: Engine.Session = null
+    var c: Client = null
     try {
-      val session = Engine.connect(spark, "prod", Map("prod" -> wsf))
+      session = Engine.connect(spark, "prod", Map("prod" -> wsf))
       val caps = if (compress) 0x20 else 0
-      val c =
+      c =
         if (tls) { // SSLRequest -> TLS -> handshake response over TLS
           val c0 = new Client(srv.port)
           c0.readPacket() // greeting
@@ -2097,10 +2103,13 @@ class MySqlServerSpec extends SparkSpec {
       println(s"""{"metric":"wire_parity","leg":"$leg","sf":"$wsf","queries":${
         SparkEntry.allQueries.size},"failed":${failures.size},"rows":$rowsTotal}""")
       assert(failures.isEmpty, failures.mkString("\n"))
-      session.close()
-      c.close()
-    } finally srv.close()
+    } finally {
+      if (c != null) scala.util.Try(c.close())
+      if (session != null) scala.util.Try(session.close())
+      srv.close()
+    }
   }
+
   test("wire parity: every declared query executes through the loopback " +
       "text protocol and matches Session.sql row-for-row (VERDICT r15 #2)") {
     fleetParity("text", tls = false, compress = false, textLeg)

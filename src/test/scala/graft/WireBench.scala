@@ -173,7 +173,11 @@ object WireBench {
       spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val sentinelEvery = 30
+    // cadence shared with the main bench (Bench.sentinelEvery): position
+    // reconstruction in both artifacts assumes the same convention, and a
+    // recalibration must not have to be edited in two places (r18
+    // code-review #7)
+    val sentinelEvery = Bench.sentinelEvery
     val sentinelSeries = scala.collection.mutable.ListBuffer[Double]()
     // (query, smallDir, (rows, inprocSec, wireSec) @ small, same @ large)
     var octave: Option[(String, String, (Long, Double, Double),
@@ -266,7 +270,14 @@ object WireBench {
             }
             (rows, inMin, wiMin)
           }
-          octave = Some((g.name, octDir, measure(octDir), measure(sfDir)))
+          val small = measure(octDir)
+          val large = measure(sfDir)
+          // the labels and growth ratios assume octDir is the SMALLER
+          // fixture — fail loudly on an inverted configuration instead of
+          // committing backwards linear-scaling evidence (r18 code-review)
+          require(small._1 > 0 && small._1 < large._1,
+            s"octave inverted: small-dir rows ${small._1} !< ${large._1}")
+          octave = Some((g.name, octDir, small, large))
         }
       }
     } finally {

@@ -77,13 +77,25 @@ def main():
     for p, d in zip(sys.argv[1:], runs):
         if any(v < 0 for v in d["queries"].values()):
             sys.exit(f"{p}: run contains failed queries")
+        # an aux run captured at a different scale factor would silently
+        # drag every pin to that fixture's minima through min()
+        if d.get("sf") != anchor.get("sf"):
+            sys.exit(f"{p}: sf {d.get('sf')!r} != anchor sf "
+                     f"{anchor.get('sf')!r} - refusing cross-sf min()")
     old = json.load(open(BUDGET))
+    # the declared set is the ANCHOR run's query list (a full bench run
+    # covers every declared query) - iterating only old-budget keys would
+    # silently leave a newly added query unpinned forever
+    declared = set(anchor["queries"]) | set(old)
     new = {}
-    for q in old:
+    for q in sorted(declared):
         vals = [d["queries"].get(q) for d in runs]
         if any(v is None for v in vals):
             sys.exit(f"{q}: missing from a run - refusing partial refresh")
         new[q] = min(vals)
+        if q not in old:
+            print(f"  {q}: NEW pin {new[q]:.3f} (no previous entry)")
+            old[q] = new[q]
     moved = {q: (old[q], new[q]) for q in old
              if new[q] > old[q] * 1.25 or new[q] < old[q] * 0.75}
     for q, (o, n) in sorted(moved.items(), key=lambda kv: -kv[1][1] / kv[1][0]):
@@ -91,8 +103,11 @@ def main():
     print(f"{len(moved)}/{len(old)} pins moved >25%; "
           f"budget sum {sum(old.values()):.1f} -> {sum(new.values()):.1f} s")
     with open(BUDGET, "w", encoding="utf-8") as f:
+        # indent=0 already emits one newline per item; the default ","
+        # item separator keeps it one entry per line (",\n" doubled every
+        # line - r18 code-review #6)
         json.dump({q: round(v, 3) for q, v in sorted(new.items())}, f,
-                  indent=0, separators=(",\n", ": "))
+                  indent=0, separators=(",", ": "))
         f.write("\n")
     print(f"wrote {BUDGET}")
 
