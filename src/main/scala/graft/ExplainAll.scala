@@ -11,6 +11,8 @@ import org.apache.spark.sql.execution.ExplainMode
 object ExplainAll {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional query-name filter (r18: per-query before/after plan diffs)
+    val only = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,10 +24,13 @@ object ExplainAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.allQueries.foreach { gq =>
+      if (only.nonEmpty && !only(gq.name)) ()
+      else {
       println(s"== ${gq.name}")
       try println(gq.run(spark, sfDir).queryExecution
         .explainString(ExplainMode.fromString("formatted")))
       catch { case t: Throwable => println(s"EXPLAIN FAILED: $t") }
+      }
     }
     spark.stop()
   }

@@ -2303,25 +2303,26 @@ object DedupQueries extends QueryModule {
         .select($"doc_id", explode(shingles($"toks")).as("shingle"))
         .localCheckpoint() // feeds every round's anti-join and the fold
       var covered: DataFrame = null // shingle set of the selected docs
-      var selIds: DataFrame = null
       var out: DataFrame = null
       for (r <- 1 to rounds) {
-        val fresh0 = if (covered == null) tok
+        // no selected-doc anti-join (r18): a selected doc's every shingle
+        // is in `covered` after its round, so the shingle anti-join leaves
+        // it ZERO rows and the groupBy can never emit it again — the
+        // oracle's NOT EXISTS (sel) clause is equally vacuous, so dropping
+        // the join (and its per-round broadcast + checkpoint) cannot move
+        // the trajectory
+        val fresh = if (covered == null) tok
           else tok.join(broadcast(covered), Seq("shingle"), "left_anti")
-        val fresh = if (selIds == null) fresh0
-          else fresh0.join(broadcast(selIds), Seq("doc_id"), "left_anti")
         val m = fresh.groupBy($"doc_id")
           .agg(count(lit(1)).cast(LongType).as("gain"))
           .orderBy($"gain".desc, $"doc_id").limit(1)
-          .localCheckpoint() // feeds the output row, the covered fold, selIds
+          .localCheckpoint() // feeds the output row AND the covered fold
         val row = m.select(lit(r).as("sel_round"), $"doc_id", $"gain")
         out = if (out == null) row else out.unionByName(row)
         val won = tok.join(broadcast(m.select($"doc_id")), Seq("doc_id"))
           .select($"shingle").distinct()
         covered = (if (covered == null) won
           else covered.unionByName(won).distinct()).localCheckpoint()
-        selIds = (if (selIds == null) m.select($"doc_id")
-          else selIds.unionByName(m.select($"doc_id"))).localCheckpoint()
       }
       out
   }

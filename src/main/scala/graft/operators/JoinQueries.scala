@@ -420,13 +420,18 @@ object JoinQueries extends QueryModule {
         .agg(sum($"s").cast(LongType).as("c"))
       // spread before the ×5 explode + per-row md5 (generator-heavy-base
       // rule): the one-row-group fixtures would otherwise build each
-      // relation's sketch in a single task (measured 2.4 s/relation)
+      // relation's sketch in a single task (measured 2.4 s/relation).
+      // lineitem is spread ONCE carrying both key columns (r18): the two
+      // sketch branches then share one identical round-robin exchange
+      // (ReuseExchange dedupes it), so lineitem is scanned and shuffled
+      // once instead of twice.
+      val li = Tables.spread(spark.table("lineitem")
+        .select($"l_orderkey".cast("string").as("ko"),
+          $"l_partkey".cast("string").as("kp")))
       val co = cells(Tables.spread(spark.table("orders"))
         .select($"o_orderkey".cast("string").as("k")))
-      val cl = cells(Tables.spread(spark.table("lineitem"))
-        .select($"l_orderkey".cast("string").as("k")))
-      val cp = cells(Tables.spread(spark.table("lineitem"))
-        .select($"l_partkey".cast("string").as("k")))
+      val cl = cells(li.select($"ko".as("k")))
+      val cp = cells(li.select($"kp".as("k")))
       def medianIp(ips: org.apache.spark.sql.DataFrame) = ips
         .agg(expr("cast(percentile_disc(0.5) within group (order by ip) " +
           "as long)").as("est"))

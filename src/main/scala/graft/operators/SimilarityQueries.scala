@@ -1330,32 +1330,46 @@ object SimilarityQueries extends QueryModule {
   private[graft] def kcenterCoresetOf(normed: DataFrame,
       rounds: Int): DataFrame = {
     import normed.sparkSession.implicits._
-    val e = normed.localCheckpoint() // scanned every round
-    var cents = e.orderBy($"vec_id").limit(1)
+    val e = normed.localCheckpoint() // feeds the seed pick + the state init
+    val seed = e.orderBy($"vec_id").limit(1)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"n".as("cn"))
-      .localCheckpoint()
+      .localCheckpoint() // feeds the state init AND the exclusion list
+    // Gonzalez incremental form (r18): carry each point's running min
+    // distance to the chosen centers and score only the NEW center per
+    // round — O(k·n) distance evals instead of O(k²·n), and no per-round
+    // corpus exchange (the old shape exploded corpus×centers rows into a
+    // groupBy(vec_id)). Bit-identical to the unrolled oracle: per-center
+    // distances are r4-rounded before the min on both engines, and min
+    // over a set equals the running pairwise min exactly (no accumulation
+    // error in MIN). Center points stay in the state with d(x,x) = 0 —
+    // they are excluded at pick time by the anti-join, exactly like the
+    // oracle's NOT EXISTS, so the argmax trajectory cannot diverge even
+    // on a degenerate all-ties corpus.
+    def dTo(cemb: Column, cn: Column): Column =
+      lit(1.0) - graft.api.Canon.r4(dot($"embedding", cemb) / ($"n" * cn))
+    var state = e.crossJoin(broadcast(seed))
+      .select($"vec_id", $"embedding", $"n",
+        dTo($"cemb", $"cn").as("dmin"))
+      .localCheckpoint() // feeds the pick AND the next round's update
+    var centIds = seed.select($"cid")
     var out: DataFrame = null
     for (r <- 1 to rounds) {
-      // group by vec_id ONLY (keying the hash aggregate on the 64-float
-      // embedding array measured ~10% slower); the winner's embedding is
-      // re-fetched with a 1-row broadcast join — per-round cost is the
-      // fixed job overhead of scan+TakeOrdered+checkpoint, linear in k
-      val dmin = e.join(broadcast(cents), $"vec_id" =!= $"cid")
-        .join(broadcast(cents.select($"cid".as("xcid"))),
+      val m = state
+        .join(broadcast(centIds.select($"cid".as("xcid"))),
           $"vec_id" === $"xcid", "left_anti")
-        .select($"vec_id",
-          (lit(1.0) - graft.api.Canon.r4(
-            dot($"embedding", $"cemb") / ($"n" * $"cn"))).as("d"))
-        .groupBy($"vec_id").agg(min($"d").as("dmin"))
-      val m = dmin.orderBy($"dmin".desc, $"vec_id").limit(1)
-        .localCheckpoint() // feeds the output row AND the center fold
+        .orderBy($"dmin".desc, $"vec_id").limit(1)
+        .localCheckpoint() // feeds the output row AND the state update
       val row = m.select(lit(r).as("sel_round"), $"vec_id",
         graft.api.Canon.r4($"dmin").as("radius"))
       out = if (out == null) row else out.unionByName(row)
-      cents = cents.unionByName(
-        e.join(broadcast(m.select($"vec_id")), Seq("vec_id"))
-          .select($"vec_id".as("cid"), $"embedding".as("cemb"),
-            $"n".as("cn"))).localCheckpoint()
+      centIds = centIds.unionByName(m.select($"vec_id".as("cid")))
+      if (r < rounds) // the last winner needs no state refresh
+        state = state
+          .crossJoin(broadcast(m.select($"embedding".as("cemb"),
+            $"n".as("cn"))))
+          .select($"vec_id", $"embedding", $"n",
+            least($"dmin", dTo($"cemb", $"cn")).as("dmin"))
+          .localCheckpoint() // feeds the pick AND the next update
     }
     out
   }
