@@ -1689,33 +1689,47 @@ object EventAnalyticsQueries extends QueryModule {
       val p = tc.join(ni, Seq("chain", "src"))
         .select($"chain", $"src", $"dst",
           ($"n".cast(DoubleType) / $"ntot").as("p"))
-        .localCheckpoint() // feeds all 8 rounds
-      val states = markovStates.toDF("state")
-      val grid = chains.crossJoin(states).localCheckpoint()
-      var v = grid.select($"chain", $"state",
-          when($"state" === "conv", 1.0).otherwise(0.0).as("v"))
-        .localCheckpoint()
-      for (_ <- 1 to markovRounds) {
-        val f = p.as("tr").join(v.as("vv"),
-            $"vv.chain" === $"tr.chain" && $"vv.state" === $"tr.dst")
-          .groupBy($"tr.chain".as("chain"), $"tr.src".as("state"))
-          .agg(sort_array(collect_list(struct($"tr.dst".as("dst"),
-            ($"tr.p" * $"vv.v").as("t")))).as("l"))
-          .select($"chain", $"state", aggregate($"l", lit(0.0),
-            (a, x) => a + x.getField("t")).as("val"))
-        // v has exactly ONE consumer per round (the next round's join), so
-        // the 8 rounds form a linear plan chain — no per-round
-        // materialization needed (unlike q189, where the selection fed two
-        // consumers and skipping the checkpoint doubled the replay per
-        // round); p and grid, consumed every round, ARE checkpointed
-        v = grid.join(f, Seq("chain", "state"), "left")
-          .select($"chain", $"state",
-            when($"state" === "conv", 1.0)
-              .when($"state" === "null", 0.0)
-              .otherwise(coalesce($"val", lit(0.0))).as("v"))
+      // r18: the 8 value-iteration rounds run INSIDE one row per chain.
+      // The ≤35-row matrix collapses to a per-chain (src → sorted successor
+      // list) map and each round becomes one projection over the 5 chain
+      // rows — zero exchanges and zero joins per round, where the old shape
+      // paid a join + groupBy exchange per round (8 extra plan stages;
+      // measured 2.8 → ~1 s at sf0.1). Bit-identical to the relational
+      // rounds: the successor fold still runs in dst order (succ is
+      // sort_array'd and dst is unique per (chain, src), exactly the order
+      // the oracle's list_sort fixes), same 0.0 seed, same a + p·v step,
+      // and dst values absent from the previous round's value map are
+      // dropped from the fold exactly like the oracle's join.
+      // Per-round withColumn keeps each round's map a named attribute —
+      // referenced 2× per state by the next round — so CollapseProject
+      // cannot inline the rounds into one exploded expression (the
+      // HOF-no-CSE rule).
+      val statesArr = array(markovStates.map(lit(_)): _*)
+      var it = p.groupBy($"chain", $"src")
+        .agg(sort_array(collect_list(struct($"dst", $"p"))).as("succ"))
+        .groupBy($"chain")
+        .agg(map_from_entries(collect_list(struct($"src", $"succ")))
+          .as("adj"))
+        .withColumn("v0", map_from_entries(transform(statesArr, s =>
+          struct(s, when(s === "conv", lit(1.0)).otherwise(lit(0.0))))))
+      for (r <- 1 to markovRounds) {
+        val prev = col(s"v${r - 1}")
+        it = it.withColumn(s"v$r", map_from_entries(transform(statesArr,
+          s => struct(s,
+            when(s === "conv", lit(1.0))
+              .when(s === "null", lit(0.0))
+              .otherwise(coalesce(
+                aggregate(
+                  filter(element_at($"adj", s),
+                    x => map_contains_key(prev, x.getField("dst"))),
+                  lit(0.0),
+                  (a, x) => a + x.getField("p") *
+                    element_at(prev, x.getField("dst"))),
+                lit(0.0)))))))
       }
       // the finished iteration feeds both the base row and the channel rows
-      val sv = v.filter($"state" === "start").select($"chain", $"v")
+      val sv = it.select($"chain",
+          element_at(col(s"v$markovRounds"), lit("start")).as("v"))
         .localCheckpoint()
       val vb = sv.filter($"chain" === "base").select($"v".as("vb"))
       val re = sv.filter($"chain" =!= "base")
