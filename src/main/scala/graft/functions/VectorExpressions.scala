@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, NullType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector-similarity hot path
@@ -335,4 +335,140 @@ object VectorExpressions {
   /** Column API: 16-hex-char perceptual aHash of an ASCII frame string. */
   def ahash16(c: Column): Column =
     Bridge.column(Ahash16(Bridge.expression(c)))
+
+  /** q247's whole sample-side anisotropy diagnostic in ONE compiled fold:
+    * input is the vec_id-sorted sample `array<struct<id, array<double|float>>>`
+    * (sort_array(collect_list(...)) — the caller establishes the order),
+    * output is struct(tr, nrm, mu2) = (covariance trace, round-4
+    * power-iteration norm = λ₁ estimate, ‖μ‖²).
+    *
+    * Every accumulation is the oracle's exact double sequence — a strict
+    * 0.0-seeded left fold in the same element order DuckDB's
+    * `list_reduce(list_prepend(0.0, list_transform(list_sort(...), …)))`
+    * replays: sample mean per dim over vec_id-ascending rows, centered
+    * covariance cell (i,j) over the same row order, per-round matvec over
+    * j-ascending, norm over i-ascending, trace over i-ascending, ‖μ‖² over
+    * dim-ascending. Divisions are double/long exactly like the oracle's
+    * `/ CAST(COUNT(*) AS BIGINT)`. Replaces a ~15-job chain (5
+    * localCheckpoints + 4 rounds × 2 jobs) with one expression eval on a
+    * single collected row — the sample is bounded (512×d), so this is
+    * driver-scale work by design at any corpus size.
+    *
+    * Float elements widen to double before any arithmetic (exact), so the
+    * raw parquet `array<float>` column feeds it without a per-row cast
+    * over the corpus. Evaluated once per query on one row: interpreted
+    * eval (CodegenFallback) is the right cost point, no codegen needed. */
+  case class AnisotropyDiag(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+
+    private def embType: DataType = child.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 2 =>
+        fields(1).dataType
+      case _ => NullType
+    }
+    private def isFloat: Boolean = embType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = embType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<id, array<double|float>>>, got " +
+          child.dataType.simpleString)
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("tr", DoubleType, nullable = false),
+      StructField("nrm", DoubleType, nullable = false),
+      StructField("mu2", DoubleType, nullable = false)))
+    override def prettyName: String = "graft_anisotropy_diag"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val flt = isFloat
+      // centered sample matrix, rows in the caller's (vec_id) order
+      val first = if (n == 0) null else arr.getStruct(0, 2).getArray(1)
+      val d = if (first == null) 0 else first.numElements()
+      val x = Array.ofDim[Double](n, d)
+      var r = 0
+      while (r < n) {
+        val e = arr.getStruct(r, 2).getArray(1)
+        var j = 0
+        while (j < d) {
+          x(r)(j) = if (flt) e.getFloat(j).toDouble else e.getDouble(j)
+          j += 1
+        }
+        r += 1
+      }
+      // mean per dim: left fold over rows, then / n (double / long)
+      val mu = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        var s = 0.0
+        r = 0
+        while (r < n) { s += x(r)(j); r += 1 }
+        mu(j) = s / n
+        j += 1
+      }
+      // center in place
+      r = 0
+      while (r < n) {
+        j = 0
+        while (j < d) { x(r)(j) -= mu(j); j += 1 }
+        r += 1
+      }
+      // covariance cell (i,j): left fold of products over rows, / n
+      val cov = Array.ofDim[Double](d, d)
+      var i = 0
+      while (i < d) {
+        j = 0
+        while (j < d) {
+          var s = 0.0
+          r = 0
+          while (r < n) { s += x(r)(i) * x(r)(j); r += 1 }
+          cov(i)(j) = s / n
+          j += 1
+        }
+        i += 1
+      }
+      // 4 power-iteration rounds from the all-ones start
+      val v = Array.fill(d)(1.0)
+      val w = new Array[Double](d)
+      var nrm = 0.0
+      var round = 0
+      while (round < 4) {
+        i = 0
+        while (i < d) {
+          var s = 0.0
+          j = 0
+          while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+          w(i) = s
+          i += 1
+        }
+        var s2 = 0.0
+        i = 0
+        while (i < d) { s2 += w(i) * w(i); i += 1 }
+        nrm = math.sqrt(s2)
+        j = 0
+        while (j < d) { v(j) = w(j) / nrm; j += 1 }
+        round += 1
+      }
+      var tr = 0.0
+      i = 0
+      while (i < d) { tr += cov(i)(i); i += 1 }
+      var mu2 = 0.0
+      j = 0
+      while (j < d) { mu2 += mu(j) * mu(j); j += 1 }
+      new GenericInternalRow(Array[Any](tr, nrm, mu2))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: the q247 diagnostic fold over a vec-sorted sample array. */
+  def anisotropyDiag(c: Column): Column =
+    Bridge.column(AnisotropyDiag(Bridge.expression(c)))
 }

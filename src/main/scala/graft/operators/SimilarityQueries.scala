@@ -1230,8 +1230,12 @@ object SimilarityQueries extends QueryModule {
          |FROM cnt, ns, tr, nr4, mu2""".stripMargin
     }) { spark =>
       import spark.implicits._
-      anisotropyOf(Tables.spread(spark.table("embeddings"))
-        .select($"vec_id", toD($"embedding").as("emb")))
+      // raw float[] straight into the sampler: AnisotropyDiag widens
+      // float→double exactly AFTER sampling, so the per-corpus-row toD
+      // cast (and the spread shuffle that parallelized it) are gone — the
+      // corpus pass is now just md5(vec_id) + a bounded TakeOrdered.
+      anisotropyOf(spark.table("embeddings")
+        .select($"vec_id", $"embedding".as("emb")))
     },
 
     // Matryoshka truncation-fidelity eval (Kusupati et al., NeurIPS'22 —
@@ -1899,12 +1903,19 @@ object SimilarityQueries extends QueryModule {
     * d²-cell covariance cost are corpus-independent. */
   private[graft] val anisotropySample = 512
 
-  /** q247's full computation over any (vec_id, emb double[]) corpus —
-    * deterministic bounded sample, sample mean + centered d² covariance
-    * via single-level vec-ordered folds, 4 power-iteration rounds, the
-    * readouts. Exposed for the planted-collapse liveness spec (the
-    * fixture is isotropic, so the spiking direction needs crafted
-    * vectors). */
+  /** q247's full computation over any (vec_id, emb double[]|float[])
+    * corpus — deterministic bounded sample, then the ENTIRE diagnostic
+    * (sample mean, centered d² covariance, 4 power-iteration rounds,
+    * trace/‖μ‖²) as ONE compiled fold over the collected vec-sorted sample
+    * ([[graft.functions.VectorExpressions.AnisotropyDiag]], r19 — the q197
+    * in-row technique; every double sequence matches the oracle's sorted
+    * left folds exactly, see the expression's scaladoc). Replaces the
+    * r12-r18 shape of 5 localCheckpoints + 4 rounds × 2 jobs (~15 Spark
+    * jobs, 4.6 s at sf0.1) with 2 jobs: the TakeOrdered sample+collect and
+    * the corpus count. The sample is bounded at [[anisotropySample]]×d, so
+    * the single-row fold is corpus-independent by design. Exposed for the
+    * planted-collapse liveness spec (the fixture is isotropic, so the
+    * spiking direction needs crafted vectors). */
   private[graft] def anisotropyOf(eall: DataFrame): DataFrame = {
     import eall.sparkSession.implicits._
     // one corpus pass: the TakeOrdered hash sample (bounded at any scale)
@@ -1912,74 +1923,19 @@ object SimilarityQueries extends QueryModule {
       .withColumn("h", md5($"vec_id".cast("string").cast(BinaryType)))
       .orderBy($"h", $"vec_id").limit(anisotropySample)
       .select($"vec_id", $"emb")
-      .localCheckpoint() // feeds the explode AND the n_sample count —
-      // without this the corpus-sized TakeOrdered pass runs twice
-    val ex = smp
-      .select($"vec_id", posexplode($"emb").as(Seq("dim", "x")))
-      .localCheckpoint() // feeds the mean AND the centering join
-    def xfold(ps: Column): Column =
-      aggregate(ps, lit(0.0), (acc, s) => acc + s.getField("x"))
-    def foldP(ps: Column): Column =
-      aggregate(ps, lit(0.0), (acc, s) => acc + s.getField("p"))
-    val mu = ex.groupBy($"dim")
-      .agg(sort_array(collect_list(
-        struct($"vec_id".as("v"), $"x"))).as("ps"),
-        count(lit(1)).cast(LongType).as("cn"))
-      .select($"dim".as("md"), (xfold($"ps") / $"cn").as("m"))
-      .localCheckpoint() // feeds centering AND the mean-norm readout
-    val cent = ex.join(broadcast(mu), $"dim" === $"md")
-      .select($"vec_id", $"dim", ($"x" - $"m").as("cx"))
-      .localCheckpoint() // feeds both sides of the dim-pair product
-    val cov = cent.as("a").join(cent.as("b"), "vec_id")
-      .select($"a.dim".as("i"), $"b.dim".as("j"),
-        struct($"vec_id".as("v"), ($"a.cx" * $"b.cx").as("x")).as("vx"))
-      .groupBy($"i", $"j")
-      .agg(sort_array(collect_list($"vx")).as("ps"),
-        count(lit(1)).cast(LongType).as("cn"))
-      .select($"i", $"j", (xfold($"ps") / $"cn").as("c"))
-      .localCheckpoint() // the d²-row matrix every round re-joins
-    var v = cov.select($"i".as("j")).distinct()
-      .select($"j", lit(1.0).as("vj"))
-    var lambda: DataFrame = null
-    for (_ <- 1 to 4) {
-      // w/nrm materialized per round (the fixpoint rule): the norm rides a
-      // broadcast consumer beside v, so lazy rounds double lineage per
-      // round — measured 16.5 s vs ~3 s solo at sf0.1 on the first shape
-      val w = cov.join(v, "j")
-        .groupBy($"i")
-        .agg(sort_array(collect_list(
-          struct($"j", ($"c" * $"vj").as("p")))).as("ps"))
-        .select($"i", foldP($"ps").as("w"))
-        .localCheckpoint()
-      // nrm stays lazy: it derives from the CHECKPOINTED w, so its
-      // broadcast adds depth-1 lineage, not a doubling
-      val nrm = w
-        .agg(sort_array(collect_list(
-          struct($"i", ($"w" * $"w").as("p")))).as("ps"))
-        .select(sqrt(foldP($"ps")).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select($"i".as("j"), ($"w" / $"nrm").as("vj"))
-      lambda = nrm
-    }
-    val tr = cov.filter($"i" === $"j")
-      .agg(sort_array(collect_list(struct($"i", $"c".as("p")))).as("ps"))
-      .select(foldP($"ps").as("tr"))
-    val mu2 = mu
-      .agg(sort_array(collect_list(
-        struct($"md", ($"m" * $"m").as("p")))).as("ps"))
-      .select(foldP($"ps").as("mu2"))
+    val diag = smp
+      .agg(sort_array(collect_list(struct($"vec_id", $"emb"))).as("rows"))
+      .select(size($"rows").cast(LongType).as("n_sample"),
+        graft.functions.VectorExpressions.anisotropyDiag($"rows").as("g"))
     eall.agg(count(lit(1)).cast(LongType).as("n_corpus"))
-      .crossJoin(broadcast(
-        smp.agg(count(lit(1)).cast(LongType).as("n_sample"))))
-      .crossJoin(broadcast(tr))
-      .crossJoin(broadcast(lambda))
-      .crossJoin(broadcast(mu2))
+      .crossJoin(broadcast(diag))
       .select($"n_corpus", $"n_sample",
-        (floor($"tr" * 1000000 + 0.5) / 1000000).as("trace_var"),
-        (floor($"nrm" * 1000000 + 0.5) / 1000000).as("lambda1"),
-        (floor($"nrm" / $"tr" * 10000 + 0.5) / 10000).as("var_explained"),
-        (floor($"mu2" * 1000000 + 0.5) / 1000000).as("mean_sq_norm"),
-        (floor($"mu2" / ($"tr" + $"mu2") * 10000 + 0.5) / 10000)
+        (floor($"g.tr" * 1000000 + 0.5) / 1000000).as("trace_var"),
+        (floor($"g.nrm" * 1000000 + 0.5) / 1000000).as("lambda1"),
+        (floor($"g.nrm" / $"g.tr" * 10000 + 0.5) / 10000)
+          .as("var_explained"),
+        (floor($"g.mu2" * 1000000 + 0.5) / 1000000).as("mean_sq_norm"),
+        (floor($"g.mu2" / ($"g.tr" + $"g.mu2") * 10000 + 0.5) / 10000)
           .as("anisotropy"))
   }
 
