@@ -162,6 +162,11 @@ object IngestQueries extends QueryModule {
         .unionByName(withMonth.filter($"o_orderkey" % 89 === 0)
           .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
           .withColumn("o_orderstatus", lit("N")))
+        // the batch feeds three consumers inside the upsert (affected-
+        // partition list, superseding-key broadcast, the union itself) —
+        // materialize its ~2% of orders once instead of re-scanning the
+        // source per consumer (multi-consumer rule)
+        .localCheckpoint()
       upsertPartitioned(spark, layout, base + "/staging", corrections,
         keyCol = "o_orderkey", partCol = "om")
       spark.read.parquet(layout)
@@ -367,12 +372,15 @@ object IngestQueries extends QueryModule {
     * partition list prunes the existing-side scan (left-semi on the
     * partition column over a partitioned layout ⇒ partition pruning), and
     * the key anti-join drops superseded rows without shuffling the corpus.
-    * The merged affected partitions are STAGED to a sibling directory and
-    * then swapped in via dynamic partition overwrite — two distributed
-    * writes of just the affected partitions, never a read-and-overwrite of
-    * the same files in one job and never a driver-side materialization.
-    * Untouched partitions' files are never opened (MergeSpec asserts their
-    * files survive byte-identical). */
+    * The merged affected partitions are STAGED to a sibling directory, then
+    * COMMITTED by a per-partition directory move (r19, guide §6: the swap
+    * used to be a second full distributed read+shuffle+write of the staged
+    * bytes through dynamic partition overwrite — pure duplicated I/O, since
+    * dynamic overwrite's own commit is exactly this file-level swap). The
+    * affected-partition list is discovered from staging's directory names —
+    * driver-side METADATA only, bounded by the partition count; no row ever
+    * reaches the driver. Untouched partitions' files are never opened
+    * (MergeSpec asserts their files survive byte-identical). */
   private[graft] def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
       layout: String, staging: String, corrections: org.apache.spark.sql.DataFrame,
       keyCol: String, partCol: String): Unit = {
@@ -385,13 +393,19 @@ object IngestQueries extends QueryModule {
       .unionByName(survivors.select(existing.columns.map(col): _*))
       .repartition(col(partCol)) // one writer task per affected partition
       .write.mode("overwrite").partitionBy(partCol).parquet(staging)
-    val prev = spark.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode").getOrElse("STATIC")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      spark.read.parquet(staging)
-        .repartition(col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(layout)
-    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // commit: swap each staged partition directory into the layout (the
+    // file-level operation dynamic partition overwrite performs internally)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stPath.getFileSystem(hconf)
+    fs.listStatus(stPath).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(partCol + "=")) {
+        val dst = new org.apache.hadoop.fs.Path(layout, st.getPath.getName)
+        fs.delete(dst, true)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"upsertPartitioned: failed to move ${st.getPath} -> $dst")
+      }
+    }
   }
 }
