@@ -336,6 +336,84 @@ object VectorExpressions {
   def ahash16(c: Column): Column =
     Bridge.column(Ahash16(Bridge.expression(c)))
 
+  /** In-bucket verified pair enumeration for packed 64-bit signatures:
+    * input is one salt chunk's member list `array<struct<id:long, pk:long>>`
+    * (sorted by the caller — id-ascending, so emitted pairs satisfy
+    * id_a < id_b exactly like the oracle's `a.doc_id < b.doc_id`), output
+    * is `array<struct<id_a, id_b, hamming>>` of ONLY the pairs whose
+    * popcount(pk_a XOR pk_b) ≤ tau.
+    *
+    * Replaces the enumerate-everything shape (interpreted HOF pair build →
+    * distinct exchange over EVERY in-bucket pair → two joins back to the
+    * signature relation → popcount filter) with one compiled double loop
+    * per bucket: the C(chunk,2) combinations are scanned at compiled-loop
+    * speed and only verified survivors are ever materialized, shuffled, or
+    * deduped. q244's fixture volume: 1.24M candidate combinations → the
+    * handful of true ≤τ pairs; the 1.24M-row distinct + two verify joins
+    * disappear from the plan. The emitted hamming is the same
+    * `bit_count(xor(...))` the join-based verify computed, so downstream
+    * filters/aggregations are unchanged. `tau` must be foldable. */
+  case class HammingClosePairs(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    private def memberOk: Boolean = left.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 2 =>
+        fields(0).dataType == LongType && fields(1).dataType == LongType
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (memberOk && right.dataType == org.apache.spark.sql.types.IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<struct<long, long>>, int), got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("hamming", org.apache.spark.sql.types.IntegerType,
+        nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_hamming_close_pairs"
+
+    override def nullSafeEval(a: Any, t: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val tau = t.asInstanceOf[Int]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val pks = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getStruct(i, 2)
+        ids(i) = s.getLong(0)
+        pks(i) = s.getLong(1)
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val h = java.lang.Long.bitCount(pks(i) ^ pks(j))
+          if (h <= tau)
+            out += new GenericInternalRow(Array[Any](ids(i), ids(j), h))
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column API: verified (id_a, id_b, hamming ≤ tau) pairs of one sorted
+    * salt-chunk member list of packed signatures. */
+  def hammingClosePairs(members: Column, tau: Column): Column =
+    Bridge.column(HammingClosePairs(
+      Bridge.expression(members), Bridge.expression(tau)))
+
   /** q247's whole sample-side anisotropy diagnostic in ONE compiled fold:
     * input is the vec_id-sorted sample `array<struct<id, array<double|float>>>`
     * (sort_array(collect_list(...)) — the caller establishes the order),

@@ -628,17 +628,41 @@ object MultimodalQueries extends QueryModule {
 
   private[graft] def frameAhashPairsFromSigs(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
-    val bands = frameAhashBandRows(sig)
-    val packs = sig.select($"fid",
-      graft.functions.VectorExpressions.hexPack16($"ahash").as("pk"))
-    DedupQueries.saltedBucketPairs(bands, DedupQueries.defaultBucketCap)
-      .join(packs.select($"fid".as("id_a"), $"pk".as("pa")), "id_a")
-      .join(packs.select($"fid".as("id_b"), $"pk".as("pb")), "id_b")
-      .select(expr("id_a div 4096").as("da"),
-        expr("id_b div 4096").as("db"),
-        bit_count($"pa".bitwiseXOR($"pb")).cast(IntegerType).as("hamming"))
-      .filter($"hamming" <= 3 && $"da" =!= $"db")
-      .groupBy($"da".as("id_a"), $"db".as("id_b"))
+    // The r18 shape enumerated EVERY in-bucket pair (1.24M at sf0.1 — the
+    // word-soup corpus has a 3702-frame hot band bucket), pushed them
+    // through a distinct exchange and two verify joins back to the packed
+    // signatures, and only then applied the ≤3-bit filter. r19: carry the
+    // packed signature INTO the salt chunk and verify in-bucket with the
+    // compiled HammingClosePairs loop — only true near-dup pairs are ever
+    // materialized, so the distinct and the two joins operate on the
+    // handful of survivors instead of 1.24M candidates. Same salted cap
+    // (identical window → identical chunks → identical dropped-pair
+    // accounting), same id_a < id_b order (members sorted by fid), same
+    // hamming value — the pair SET is provably unchanged because hamming
+    // is a function of the pair and distinct commutes with the filter.
+    val cap = DedupQueries.defaultBucketCap
+    val bandsPk = sig.select($"fid",
+      graft.functions.VectorExpressions.hexPack16($"ahash").as("pk"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring($"ahash", 4 * b + 1, 4).as("bh"))): _*)).as("s"))
+      .select($"s.band".as("band"), $"s.bh".as("bh"), $"fid", $"pk")
+    val w = Window.partitionBy($"band", $"bh").orderBy($"fid")
+    bandsPk
+      .withColumn("salt",
+        floor((row_number().over(w) - 1) / lit(cap)).cast(IntegerType))
+      .groupBy($"band", $"bh", $"salt")
+      .agg(sort_array(collect_list(struct($"fid", $"pk"))).as("ms"))
+      .filter(size($"ms") > 1)
+      .select(explode(graft.functions.VectorExpressions
+        .hammingClosePairs($"ms", lit(3))).as("p"))
+      .select($"p.id_a", $"p.id_b", $"p.hamming")
+      // fid = doc_id·4096 + i with i < 4096 asserted at build time, so
+      // shiftright 12 is the oracle's `fid // 4096` on these nonnegative ids
+      .filter(shiftright($"id_a", 12) =!= shiftright($"id_b", 12))
+      .distinct()
+      .groupBy(shiftright($"id_a", 12).as("id_a"),
+        shiftright($"id_b", 12).as("id_b"))
       .agg(count(lit(1)).cast(LongType).as("n_near_frames"),
         min($"hamming").as("min_hamming"))
       .orderBy($"id_a", $"id_b")
