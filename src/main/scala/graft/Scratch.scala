@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage profiler (never committed — deleted before gate). */
+/** Dev stage profiler (ExplainAll's timing sibling): rewritten freely per
+  * investigation to time one query family's stages with the noop sink —
+  * never part of any query path or gate. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,28 +31,25 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // ---- q244 stage profile ----
-    val sig = graft.operators.MultimodalQueries.frameSigs(spark)
-    timed("frameSigs (memo build, 1st)") { noop(sig) }
-    timed("frameSigs (memo, 2nd)") { noop(sig) }
-    println(s"[scratch] n frames = ${sig.count()}")
-    val bands = graft.operators.MultimodalQueries.frameAhashBandRows(sig)
-    timed("bands") { noop(bands) }
-    val pairs = graft.operators.DedupQueries.saltedBucketPairs(
-      bands, graft.operators.DedupQueries.defaultBucketCap)
-    println(s"[scratch] n candidate pairs = ${pairs.count()}")
-    timed("saltedBucketPairs") { noop(pairs) }
-    timed("full q244 (rep1)") {
-      noop(graft.operators.MultimodalQueries.frameAhashPairsFromSigs(sig))
+    // ---- q140 stage profile ----
+    val w = graft.operators.DedupQueries.tfidfPostingsShared(spark)
+    timed("tfidfPostings (memo build)") { noop(w) }
+    timed("tfidfPostings (memo)") { noop(w) }
+    println(s"[scratch] postings rows = ${w.count()}")
+    val pairProd = w.as("a")
+      .join(w.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+    println(s"[scratch] pair-join rows = ${pairProd.count()}")
+    val grouped = pairProd
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"a.df".as("df"))
+      .agg(sum($"a.tf" * $"b.tf").as("ip"))
+    println(s"[scratch] grouped (pair,df) rows = ${grouped.count()}")
+    timed("pair join + group") { noop(grouped) }
+    val gq = graft.SparkEntry.allQueries.filter(q =>
+      Set("q140_tfidf_cosine_pairs")(q.name))
+    gq.foreach { g =>
+      timed(g.name + " rep1") { g.run(spark, sfDir).count(): Unit }
+      timed(g.name + " rep2") { g.run(spark, sfDir).count(): Unit }
     }
-    timed("full q244 (rep2)") {
-      noop(graft.operators.MultimodalQueries.frameAhashPairsFromSigs(sig))
-    }
-    // bucket size distribution
-    bands.groupBy($"band", $"bh").count()
-      .agg(max($"count").as("max"), expr("percentile(count, 0.5)").as("med"),
-        count(lit(1)).as("n_buckets"), sum($"count").as("rows"))
-      .show()
     spark.stop()
   }
 }

@@ -414,6 +414,67 @@ object VectorExpressions {
     Bridge.column(HammingClosePairs(
       Bridge.expression(members), Bridge.expression(tau)))
 
+  /** q140's deterministic idf² fold in ONE compiled pass: input is a
+    * `(d, s)`-sorted `array<struct<d:long, s:long>>` of per-shingle integer
+    * products tagged with the shingle's df, plus the corpus size n; output
+    * is Σ over df runs (ascending) of `(Σ s in run)·ln²(n/d)`, accumulated
+    * left-to-right from 0.0.
+    *
+    * Bit-identical to the oracle's two-level spelling (exact BIGINT partial
+    * sums per df via `SUM(...)`, then `list_reduce(list_transform(
+    * list_sort(...)))` over one struct per df): long addition inside a run
+    * is order-independent and exact, the run sum is cast to double exactly
+    * like `CAST(x.s AS DOUBLE)`, each term is `(s·ln(n/d))·ln(n/d)` in the
+    * same association, and runs are visited df-ascending because the caller
+    * sorts by (d, s). Replaces a per-df HashAggregate + second exchange +
+    * interpreted HOF fold over ~1.1M pair arrays with one collect per pair
+    * and this compiled walk. */
+  case class IdfRunFold(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    private def memberOk: Boolean = left.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 2 =>
+        fields(0).dataType == LongType && fields(1).dataType == LongType
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (memberOk && right.dataType == DoubleType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<struct<long, long>>, double), got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_idf_run_fold"
+
+    override def nullSafeEval(a: Any, nAny: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = nAny.asInstanceOf[Double]
+      val m = arr.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val d = arr.getStruct(i, 2).getLong(0)
+        var run = 0L
+        while (i < m && arr.getStruct(i, 2).getLong(0) == d) {
+          run += arr.getStruct(i, 2).getLong(1)
+          i += 1
+        }
+        val l = java.lang.Math.log(n / d)
+        acc = acc + run.toDouble * l * l
+      }
+      acc
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column API: df-run idf² fold of a (d, s)-sorted product array. */
+  def idfRunFold(arr: Column, n: Column): Column =
+    Bridge.column(IdfRunFold(Bridge.expression(arr), Bridge.expression(n)))
+
   /** q247's whole sample-side anisotropy diagnostic in ONE compiled fold:
     * input is the vec_id-sorted sample `array<struct<id, array<double|float>>>`
     * (sort_array(collect_list(...)) — the caller establishes the order),

@@ -642,34 +642,43 @@ object DedupQueries extends QueryModule {
       // materialize the tokenize+tf+df pipeline once. The float work is
       // deferred past EXACT integer partial sums grouped by df — the df
       // cap leaves ≤ $hotShingleDfCap distinct idf values, so every dot
-      // product / norm is an integer Σtf·tf per df bucket (map-side
-      // combinable, order-independent) followed by a ≤cap-element sorted
-      // fold — the q64c determinism pattern shrunk from per-shingle arrays
-      // to per-df-bucket arrays.
+      // product / norm is an integer Σtf·tf per df run (order-independent
+      // long adds) followed by a df-ascending ln² walk with one
+      // association per engine. r19: the per-df HashAggregate + second
+      // (id_a,id_b) exchange + interpreted per-pair HOF fold collapsed
+      // into ONE collect per pair and the compiled IdfRunFold walk — the
+      // run sums are the same exact integers the two-level spelling
+      // produced, so the double sequence is unchanged.
       val w = tfidfPostingsShared(spark)
-      // fold term: ss · ln(n/df)² with identical association on both engines
-      def idfFold(arr: Column, n: Column): Column =
-        aggregate(sort_array(arr), lit(0.0), (a, x) =>
-          a + x.getField("s").cast(DoubleType) * log(n / x.getField("d")) *
-            log(n / x.getField("d")))
-      val nm = w.groupBy($"doc_id", $"df")
+      def fold(arr: Column, n: Column): Column =
+        graft.functions.VectorExpressions.idfRunFold(sort_array(arr), n)
+      val nm = w
+        .repartition($"doc_id") // one exchange shared by both agg levels
+        .groupBy($"doc_id", $"df")
         .agg(sum($"tf" * $"tf").cast(LongType).as("ss"))
-        .crossJoin(broadcast(nn))
-        .groupBy($"doc_id", $"n")
+        .groupBy($"doc_id")
         .agg(collect_list(struct($"df".as("d"), $"ss".as("s"))).as("arr"))
-        .select($"doc_id", sqrt(idfFold($"arr", $"n")).as("nrm"))
+        .crossJoin(broadcast(nn))
+        .select($"doc_id", sqrt(fold($"arr", $"n")).as("nrm"))
+        // one small relation (one row per doc), two join consumers below
+        .localCheckpoint()
       val dot = w.as("a")
         .join(w.as("b"), $"a.shingle" === $"b.shingle" &&
           $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-          $"a.df".as("df"))
-        .agg(sum($"a.tf" * $"b.tf").cast(LongType).as("ip"))
-        .crossJoin(broadcast(nn))
-        .groupBy($"id_a", $"id_b", $"n")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"a.df",
+          ($"a.tf" * $"b.tf").as("p"))
+        // hash(id_a, id_b) clusters (id_a, id_b, df) too, so the integer
+        // pre-sum AND the per-pair collect run on ONE exchange (the r18
+        // shape paid a second full exchange to regroup by pair)
+        .repartition($"id_a", $"id_b")
+        .groupBy($"id_a", $"id_b", $"df")
+        .agg(sum($"p").cast(LongType).as("ip"))
+        .groupBy($"id_a", $"id_b")
         .agg(collect_list(struct($"df".as("d"), $"ip".as("s"))).as("arr"))
-        .select($"id_a", $"id_b", idfFold($"arr", $"n").as("d"))
-      dot.join(nm.as("na"), $"id_a" === $"na.doc_id")
-        .join(nm.as("nb"), $"id_b" === $"nb.doc_id")
+        .crossJoin(broadcast(nn))
+        .select($"id_a", $"id_b", fold($"arr", $"n").as("d"))
+      dot.join(broadcast(nm.as("na")), $"id_a" === $"na.doc_id")
+        .join(broadcast(nm.as("nb")), $"id_b" === $"nb.doc_id")
         .filter($"d" / ($"na.nrm" * $"nb.nrm") >= 0.6)
         .select($"id_a", $"id_b",
           Canon.r4($"d" / ($"na.nrm" * $"nb.nrm")).as("cosine"))
