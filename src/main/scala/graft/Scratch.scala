@@ -31,24 +31,43 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // ---- q140 stage profile ----
-    val w = graft.operators.DedupQueries.tfidfPostingsShared(spark)
-    timed("tfidfPostings (memo build)") { noop(w) }
-    timed("tfidfPostings (memo)") { noop(w) }
-    println(s"[scratch] postings rows = ${w.count()}")
-    val pairProd = w.as("a")
-      .join(w.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-    println(s"[scratch] pair-join rows = ${pairProd.count()}")
-    val grouped = pairProd
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"), $"a.df".as("df"))
-      .agg(sum($"a.tf" * $"b.tf").as("ip"))
-    println(s"[scratch] grouped (pair,df) rows = ${grouped.count()}")
-    timed("pair join + group") { noop(grouped) }
-    val gq = graft.SparkEntry.allQueries.filter(q =>
-      Set("q140_tfidf_cosine_pairs")(q.name))
+    // ---- q180 component profile (r18 shape) ----
+    val li = spark.table("lineitem")
+    val cmsW = 256
+    def md5j(k: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      md5(concat(k, lit("#"), j.cast("string"))
+        .cast(org.apache.spark.sql.types.BinaryType))
+    def cells(keys: org.apache.spark.sql.DataFrame) = keys
+      .select($"k", explode(array((0 to 4).map(lit(_)): _*)).as("j"))
+      .select($"j", md5j($"k", $"j").as("h"))
+      .select($"j",
+        (conv(substring($"h", 1, 8), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType) % cmsW).as("b"),
+        (lit(1) - lit(2) * (conv(substring($"h", 9, 1), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType) % 2)).as("s"))
+      .groupBy($"j", $"b")
+      .agg(sum($"s").cast(org.apache.spark.sql.types.LongType).as("c"))
+    val liSp = graft.sources.Tables.spread(li
+      .select($"l_orderkey".cast("string").as("ko"),
+        $"l_partkey".cast("string").as("kp")))
+    println(s"[scratch] lineitem rows = ${li.count()}, orders = ${spark.table("orders").count()}")
+    timed("cells(cl) l_orderkey") { noop(cells(liSp.select($"ko".as("k")))) }
+    timed("cells(cp) l_partkey") { noop(cells(liSp.select($"kp".as("k")))) }
+    timed("cells(co) orders") { noop(cells(graft.sources.Tables.spread(
+      spark.table("orders")).select($"o_orderkey".cast("string").as("k")))) }
+    timed("eol exact join count") {
+      noop(spark.table("orders").join(li, $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1))))
+    }
+    timed("epp exact groupBy partkey") {
+      noop(li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+        .agg(sum($"c" * $"c")))
+    }
+    val gq = graft.SparkEntry.allQueries.filter(_.name == "q180_join_size_sketch")
     gq.foreach { g =>
       timed(g.name + " rep1") { g.run(spark, sfDir).count(): Unit }
       timed(g.name + " rep2") { g.run(spark, sfDir).count(): Unit }
+      timed(g.name + " rep3") { g.run(spark, sfDir).count(): Unit }
     }
     spark.stop()
   }

@@ -2228,14 +2228,22 @@ object TextQueries extends QueryModule {
       def bucket(token: Column, j: Column): Column =
         conv(substring(md5(concat(token, lit("#"), j.cast("string"))
           .cast(BinaryType)), 1, 8), 16, 10).cast(LongType) % cmsW
-      val tok = spark.table("documents")
+      // r19: the sketch used to hash every token OCCURRENCE ×4 rows (16M
+      // md5+conv at sf0.1, inside the unspread scan task). A CMS cell
+      // count is Σ over tokens in the bucket of that token's exact count,
+      // so build the cells from the per-token count relation instead —
+      // md5 per DISTINCT token ×4 (the corpus vocabulary), not per
+      // occurrence; the corpus-sized pass is ONE spread groupBy(token).
+      // sum(n) over the bucket == the occurrence count(*) exactly (long
+      // integers), so the oracle's per-occurrence spelling is unchanged.
+      val tok = Tables.spread(spark.table("documents"))
         .select(explode(split(lower($"text"), " ")).as("token"))
-      val withJ = tok.select($"token",
-        explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
-      val cells = withJ
-        .groupBy($"j", bucket($"token", $"j").as("b"))
-        .agg(count(lit(1)).as("c"))
       val ex = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // vocabulary-sized; feeds cells AND the probes
+      val cells = ex.select($"token", $"n",
+          explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+        .groupBy($"j", bucket($"token", $"j").as("b"))
+        .agg(sum($"n").as("c"))
       // Probe selection must never rank the whole vocabulary through an
       // unpartitioned window (single task over 10⁸⁺ distinct tokens at
       // 100 TB): orderBy+limit is TakeOrdered — per-partition top-10, merge
