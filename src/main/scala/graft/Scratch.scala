@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Dev stage profiler (ExplainAll's timing sibling): rewritten freely per
   * investigation to time one query family's stages with the noop sink —
@@ -26,49 +27,37 @@ object Scratch {
     def timed(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
-      println(f"[scratch] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[scratch] $label%-44s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // ---- q180 component profile (r18 shape) ----
-    val li = spark.table("lineitem")
-    val cmsW = 256
-    def md5j(k: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
-      md5(concat(k, lit("#"), j.cast("string"))
-        .cast(org.apache.spark.sql.types.BinaryType))
-    def cells(keys: org.apache.spark.sql.DataFrame) = keys
-      .select($"k", explode(array((0 to 4).map(lit(_)): _*)).as("j"))
-      .select($"j", md5j($"k", $"j").as("h"))
-      .select($"j",
-        (conv(substring($"h", 1, 8), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType) % cmsW).as("b"),
-        (lit(1) - lit(2) * (conv(substring($"h", 9, 1), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType) % 2)).as("s"))
-      .groupBy($"j", $"b")
-      .agg(sum($"s").cast(org.apache.spark.sql.types.LongType).as("c"))
-    val liSp = graft.sources.Tables.spread(li
-      .select($"l_orderkey".cast("string").as("ko"),
-        $"l_partkey".cast("string").as("kp")))
-    println(s"[scratch] lineitem rows = ${li.count()}, orders = ${spark.table("orders").count()}")
-    timed("cells(cl) l_orderkey") { noop(cells(liSp.select($"ko".as("k")))) }
-    timed("cells(cp) l_partkey") { noop(cells(liSp.select($"kp".as("k")))) }
-    timed("cells(co) orders") { noop(cells(graft.sources.Tables.spread(
-      spark.table("orders")).select($"o_orderkey".cast("string").as("k")))) }
-    timed("eol exact join count") {
-      noop(spark.table("orders").join(li, $"l_orderkey" === $"o_orderkey")
-        .agg(count(lit(1))))
-    }
-    timed("epp exact groupBy partkey") {
-      noop(li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
-        .agg(sum($"c" * $"c")))
-    }
-    val gq = graft.SparkEntry.allQueries.filter(_.name == "q180_join_size_sketch")
-    gq.foreach { g =>
-      timed(g.name + " rep1") { g.run(spark, sfDir).count(): Unit }
-      timed(g.name + " rep2") { g.run(spark, sfDir).count(): Unit }
-      timed(g.name + " rep3") { g.run(spark, sfDir).count(): Unit }
-    }
+    // ---- q109b stage profile ----
+    val bg = graft.sources.Tables.spread(spark.table("documents"))
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+      .select($"doc_id", explode(transform(
+        graft.api.Canon.seq1(size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
+        .as("bigram"))
+    println(s"[scratch] bigram instances = ${bg.count()}")
+    println(s"[scratch] distinct (doc,bigram) = ${bg.distinct().count()}")
+    timed("bg explode alone") { noop(bg) }
+    val c12 = bg.groupBy($"bigram").agg(count(lit(1)).as("n12"))
+    timed("c12") { noop(c12) }
+    val c1 = bg.select(split($"bigram", " ").getItem(0).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("n1"))
+    timed("c1") { noop(c1) }
+    val joined = bg.join(broadcast(c12), "bigram")
+      .join(broadcast(c1), split(bg("bigram"), " ").getItem(0) === c1("w1"))
+    timed("joined (bg + both broadcasts)") { noop(joined) }
+    val grouped = joined.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"bigram", $"n12", $"n1"))).as("tl"))
+    timed("grouped collect+sort") { noop(grouped) }
+    val folded = grouped.select($"doc_id", size($"tl").cast(LongType).as("n_bigrams"),
+      (floor((graft.functions.VectorExpressions.logRatioFold($"tl")
+        / size($"tl")) * 10000 + 0.5) / 10000).as("nll"))
+    timed("folded full (rep1)") { noop(folded) }
+    timed("folded full (rep2)") { noop(folded) }
     spark.stop()
   }
 }

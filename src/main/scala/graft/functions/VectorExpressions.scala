@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -474,6 +474,172 @@ object VectorExpressions {
   /** Column API: df-run idf² fold of a (d, s)-sorted product array. */
   def idfRunFold(arr: Column, n: Column): Column =
     Bridge.column(IdfRunFold(Bridge.expression(arr), Bridge.expression(n)))
+
+  /** q189's greedy MMR selection over ONE probe's bounded candidate set,
+    * compiled: inputs are the cid-sorted candidates
+    * `array<struct<cid:long, rel:double>>` (rel already r4-rounded — the
+    * cosine invariant), the candidate-pair sims
+    * `array<struct<a:long, b:long, sim:double>>` (also r4-rounded), and k;
+    * output is `array<struct<sel_rank:int, cid:long, sc:double>>` in
+    * selection order.
+    *
+    * Exactly the unrolled relational greedy the oracle replays: round 1
+    * scores every candidate `0.7·rel − 0.3·0.0` (spelled with the
+    * multiply-by-zero so the doubles match the CTE bit-for-bit), rounds
+    * 2..k score unselected candidates `0.7·rel − 0.3·max_sim_to_selected`
+    * (MAX over doubles — order-independent), and each round picks by
+    * (sc DESC, cid ASC) — iterating cid-ascending and updating only on
+    * strictly-greater sc reproduces the row_number tie-break. Replaces the
+    * per-round checkpoint + window + anti-join/max-join chain (k Spark job
+    * rounds over ≤ |probes|·16 rows) with one expression eval per probe. */
+  case class MmrGreedy(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression with CodegenFallback {
+
+    private def candsOk: Boolean = first.dataType match {
+      case ArrayType(StructType(f), _) if f.length == 2 =>
+        f(0).dataType == LongType && f(1).dataType == DoubleType
+      case _ => false
+    }
+    private def pairsOk: Boolean = second.dataType match {
+      case ArrayType(StructType(f), _) if f.length == 3 =>
+        f(0).dataType == LongType && f(1).dataType == LongType &&
+          f(2).dataType == DoubleType
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (candsOk && pairsOk &&
+          third.dataType == org.apache.spark.sql.types.IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<struct<long, double>>, " +
+          s"array<struct<long, long, double>>, int), got " +
+          s"${first.dataType.simpleString} / ${second.dataType.simpleString}" +
+          s" / ${third.dataType.simpleString}")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("sel_rank", org.apache.spark.sql.types.IntegerType,
+        nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("sc", DoubleType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_mmr_greedy"
+
+    override def nullSafeEval(c: Any, p: Any, kAny: Any): Any = {
+      val cArr = c.asInstanceOf[ArrayData]
+      val pArr = p.asInstanceOf[ArrayData]
+      val k = kAny.asInstanceOf[Int]
+      val n = cArr.numElements()
+      val cids = new Array[Long](n)
+      val rels = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val s = cArr.getStruct(i, 2)
+        cids(i) = s.getLong(0)
+        rels(i) = s.getDouble(1)
+        i += 1
+      }
+      val idxOf = scala.collection.mutable.LongMap.empty[Int]
+      i = 0
+      while (i < n) { idxOf(cids(i)) = i; i += 1 }
+      val sim = Array.ofDim[Double](n, n)
+      val m = pArr.numElements()
+      i = 0
+      while (i < m) {
+        val s = pArr.getStruct(i, 3)
+        sim(idxOf(s.getLong(0)))(idxOf(s.getLong(1))) = s.getDouble(2)
+        i += 1
+      }
+      val picked = new Array[Boolean](n)
+      val out = new Array[Any](math.min(k, n))
+      var t = 0
+      while (t < out.length) {
+        var bestIdx = -1
+        var bestSc = 0.0
+        i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            var msim = 0.3 * 0.0 // round 1's literal zero term
+            if (t > 0) {
+              var mx = Double.NegativeInfinity
+              var j = 0
+              while (j < n) {
+                if (picked(j) && sim(i)(j) > mx) mx = sim(i)(j)
+                j += 1
+              }
+              msim = 0.3 * mx
+            }
+            val sc = 0.7 * rels(i) - msim
+            // cid-ascending scan + strictly-greater update == row_number
+            // over (sc DESC, cid ASC)
+            if (bestIdx < 0 || sc > bestSc) { bestIdx = i; bestSc = sc }
+          }
+          i += 1
+        }
+        picked(bestIdx) = true
+        out(t) = new GenericInternalRow(
+          Array[Any](t + 1, cids(bestIdx), bestSc))
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** Column API: greedy MMR selection over one probe's candidate arrays. */
+  def mmrGreedy(cands: Column, pairs: Column, k: Column): Column =
+    Bridge.column(MmrGreedy(Bridge.expression(cands),
+      Bridge.expression(pairs), Bridge.expression(k)))
+
+  /** q109b's per-document NLL fold, compiled: input is the sorted
+    * `array<struct<bigram:string, c:long, n12:long, n1:long>>` of the
+    * doc's DISTINCT bigrams with their in-doc instance count c; output
+    * replays the per-instance interpreted HOF spelling exactly —
+    * `acc = (acc + ln(n1)) − ln(n12)` left-to-right from 0.0, applied c
+    * times per element (instances of one bigram are adjacent in the
+    * instance-sorted order and carry identical counts, so the repeat loop
+    * reproduces the same double sequence), the same java.lang.Math.log
+    * Catalyst's log() calls — at compiled-loop speed. */
+  case class LogRatioFold(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StructType(f), _) if f.length == 4 &&
+          f(1).dataType == LongType && f(2).dataType == LongType &&
+          f(3).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<_, long, long, long>>, got " +
+          other.simpleString)
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_log_ratio_fold"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val s = arr.getStruct(i, 4)
+        val l1 = java.lang.Math.log(s.getLong(3).toDouble)
+        val l12 = java.lang.Math.log(s.getLong(2).toDouble)
+        var r = s.getLong(1)
+        while (r > 0) { acc = (acc + l1) - l12; r -= 1 }
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API: (acc + ln n1) − ln n12 left fold, c repeats per element. */
+  def logRatioFold(arr: Column): Column =
+    Bridge.column(LogRatioFold(Bridge.expression(arr)))
 
   /** q247's whole sample-side anisotropy diagnostic in ONE compiled fold:
     * input is the vec_id-sorted sample `array<struct<id, array<double|float>>>`

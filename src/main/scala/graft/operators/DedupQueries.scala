@@ -1450,17 +1450,31 @@ object DedupQueries extends QueryModule {
          |ORDER BY id_a, id_b""".stripMargin
     }) { spark =>
       import spark.implicits._
-      // The 64-vote signature aggregate feeds both the band explode and the
-      // packed-XOR verify join: materialize it once (multi-consumer rule).
+      // r19 (the q244 move): carry the packed signature INTO the salt chunk
+      // and verify with the compiled HammingClosePairs loop — the full
+      // candidate enumeration, its distinct exchange, and the two verify
+      // joins back to sig collapse into one in-bucket pass that only ever
+      // materializes ≤3-bit survivors. Same window → same salt chunks →
+      // same candidate universe; hamming is a function of the pair, so
+      // filter-then-distinct equals the old distinct-then-filter.
       val sig = simhashes(spark) // memoized + checkpointed
-      val packs = sig.select($"doc_id",
-        graft.functions.VectorExpressions.hexPack16($"simhash").as("pk"))
-      saltedBucketPairs(bandsFromSimhashes(sig), defaultBucketCap)
-        .join(packs.select($"doc_id".as("id_a"), $"pk".as("pa")), "id_a")
-        .join(packs.select($"doc_id".as("id_b"), $"pk".as("pb")), "id_b")
-        .select($"id_a", $"id_b",
-          bit_count($"pa".bitwiseXOR($"pb")).cast(IntegerType).as("hamming"))
-        .filter($"hamming" <= 3)
+      val cap = defaultBucketCap
+      val bandsPk = sig.select($"doc_id",
+        graft.functions.VectorExpressions.hexPack16($"simhash").as("pk"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          substring($"simhash", 4 * b + 1, 4).as("bh"))): _*)).as("bs"))
+        .select($"bs.band".as("band"), $"bs.bh".as("bh"), $"doc_id", $"pk")
+      val w = Window.partitionBy($"band", $"bh").orderBy($"doc_id")
+      bandsPk
+        .withColumn("salt",
+          floor((row_number().over(w) - 1) / lit(cap)).cast(IntegerType))
+        .groupBy($"band", $"bh", $"salt")
+        .agg(sort_array(collect_list(struct($"doc_id", $"pk"))).as("ms"))
+        .filter(size($"ms") > 1)
+        .select(explode(graft.functions.VectorExpressions
+          .hammingClosePairs($"ms", lit(3))).as("p"))
+        .select($"p.id_a", $"p.id_b", $"p.hamming")
+        .distinct()
         .orderBy($"id_a", $"id_b")
     },
 

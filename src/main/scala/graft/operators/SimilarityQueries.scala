@@ -1002,42 +1002,28 @@ object SimilarityQueries extends QueryModule {
       val cands = sc.withColumn("rn", row_number().over(wTop))
         .filter($"rn" <= 16)
         .select($"qid", $"cid", $"emb", $"n", $"rel")
-        .localCheckpoint() // feeds pairs + every greedy round
+        .localCheckpoint() // one corpus scoring pass; feeds pairs + greedy
       val pairs = cands.as("x").join(cands.as("y"),
           $"x.qid" === $"y.qid" && $"x.cid" =!= $"y.cid")
         .select($"x.qid".as("qid"), $"x.cid".as("a"), $"y.cid".as("b"),
           graft.api.Canon.r4(dot($"x.emb", $"y.emb") / ($"x.n" * $"y.n"))
             .as("sim"))
-        .localCheckpoint() // feeds rounds 2..5
-      val slim = cands.select($"qid", $"cid", $"rel")
-      val wPick = Window.partitionBy($"qid").orderBy($"sc".desc, $"cid".asc)
-      // each round references the previous selection TWICE (the left_anti
-      // remainder and the max-sim join) — left unmaterialized that doubles
-      // the replayed plan per round (the CLAUDE.md fixpoint rule; measured
-      // 5.0 s vs 1.0 s). The selection is ≤ |probes|·k rows: checkpoint it
-      // every round.
-      var sel = slim
-        .withColumn("sc", lit(0.7) * $"rel" - lit(0.3) * lit(0.0))
-        .withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
-        .select($"qid", $"cid", $"sc", lit(1).as("sel_rank"))
-        .localCheckpoint()
-      for (t <- 2 to mmrK) {
-        val selIds = sel.select($"qid".as("sqid"), $"cid".as("scid"))
-        val rem = slim.join(selIds,
-          $"qid" === $"sqid" && $"cid" === $"scid", "left_anti")
-        val ms = pairs.join(selIds, $"qid" === $"sqid" && $"b" === $"scid")
-          .groupBy($"qid", $"a").agg(max($"sim").as("msim"))
-        val r = rem.as("r").join(ms.as("m"),
-            $"r.qid" === $"m.qid" && $"r.cid" === $"m.a")
-          .select($"r.qid".as("qid"), $"r.cid".as("cid"),
-            (lit(0.7) * $"rel" - lit(0.3) * $"msim").as("sc"))
-        val pick = r.withColumn("rn", row_number().over(wPick))
-          .filter($"rn" === 1)
-          .select($"qid", $"cid", $"sc", lit(t).as("sel_rank"))
-        sel = sel.unionByName(pick).localCheckpoint()
-      }
-      sel.select($"qid", $"sel_rank", $"cid",
-          graft.api.Canon.r4($"sc").as("mmr_score"))
+      // r19 (the q197/q247 in-row technique): the k greedy rounds used to
+      // run as k checkpointed Spark rounds (window + anti-join + max-join
+      // each) over ≤ |probes|·16 rows — pure fixed cost. The bounded
+      // candidate/pair arrays now collect per probe and the compiled
+      // MmrGreedy replays the identical unrolled greedy (same r4-rounded
+      // rel/sim inputs, same 0.7·rel − 0.3·max_sim doubles, same
+      // (sc DESC, cid ASC) pick) in one expression eval.
+      val candsG = cands.groupBy($"qid")
+        .agg(sort_array(collect_list(struct($"cid", $"rel"))).as("cs"))
+      val pairsG = pairs.groupBy($"qid")
+        .agg(collect_list(struct($"a", $"b", $"sim")).as("ps"))
+      candsG.join(pairsG, Seq("qid"))
+        .select($"qid", explode(graft.functions.VectorExpressions
+          .mmrGreedy($"cs", $"ps", lit(mmrK))).as("g"))
+        .select($"qid", $"g.sel_rank".as("sel_rank"), $"g.cid".as("cid"),
+          graft.api.Canon.r4($"g.sc").as("mmr_score"))
         .orderBy($"qid", $"sel_rank")
     },
 

@@ -940,18 +940,33 @@ object TextQueries extends QueryModule {
           Canon.seq1(size($"toks") - 1),
           i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1))))
           .as("bigram"))
-      val c12 = bg.groupBy($"bigram").agg(count(lit(1)).as("n12"))
-      val c1 = bg.select(split($"bigram", " ").getItem(0).as("w1"))
-        .groupBy($"w1").agg(count(lit(1)).as("n1"))
-      bg.join(c12, "bigram")
-        .join(c1, split(bg("bigram"), " ").getItem(0) === c1("w1"))
+      // r19 single-pass shape: the bigram explode used to run THREE times
+      // (both count trainings + the scoring join) and the counts were
+      // sort-merge-joined back onto every instance. Now ONE explode pass
+      // feeds a (doc_id)-repartitioned per-(doc, bigram) count — the
+      // exchange both aggregation levels AND the final per-doc collect
+      // share (hash(doc_id) clusters them all) — checkpointed once
+      // (multi-consumer rule; it feeds both trainings + the score), with
+      // vocab²-bounded c12/c1 derived FROM it as sums of c and broadcast.
+      // The fold replays the per-INSTANCE double sequence exactly: the
+      // instance-sorted list groups equal bigrams adjacently, so folding
+      // each distinct bigram's term c times left-to-right is the identical
+      // arithmetic (LogRatioFold's repeat loop).
+      val dd = bg.repartition($"doc_id")
+        .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val c12 = dd.groupBy($"bigram").agg(sum($"c").as("n12"))
+      val c1 = dd.select(split($"bigram", " ").getItem(0).as("w1"), $"c")
+        .groupBy($"w1").agg(sum($"c").as("n1"))
+      dd.join(broadcast(c12), "bigram")
+        .join(broadcast(c1), split(dd("bigram"), " ").getItem(0) === c1("w1"))
         .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"bigram", $"n12", $"n1"))).as("tl"))
-        .select($"doc_id", size($"tl").cast(LongType).as("n_bigrams"),
-          (floor((aggregate($"tl", lit(0.0), (acc, x) =>
-            acc + log(x.getField("n1").cast(DoubleType)) -
-              log(x.getField("n12").cast(DoubleType))) / size($"tl"))
-            * 10000 + 0.5) / 10000).as("nll"))
+        .agg(sort_array(collect_list(
+          struct($"bigram", $"c", $"n12", $"n1"))).as("tl"),
+          sum($"c").cast(LongType).as("n_bigrams"))
+        .select($"doc_id", $"n_bigrams",
+          (floor((graft.functions.VectorExpressions.logRatioFold($"tl")
+            / $"n_bigrams") * 10000 + 0.5) / 10000).as("nll"))
         .orderBy($"doc_id")
     },
 
