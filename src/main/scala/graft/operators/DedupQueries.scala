@@ -1945,15 +1945,21 @@ object DedupQueries extends QueryModule {
       import spark.implicits._
       val toks = Tables.spread(spark.table("documents"))
         .select($"source", split(lower($"text"), " ").as("toks"))
-      val sh = toks
+      // r19: collect_set dedupes by itself, so the separate DISTINCT pass
+      // (a full second exchange) and the (source, shingle)-grained
+      // checkpoint are gone — raw shingle instances flow straight into the
+      // map-side-combinable set build, and the per-source totals derive
+      // FROM the vocabulary-sized source-set relation (a shingle's set
+      // contains a source exactly once ⇔ one distinct (source, shingle)
+      // row), which is what gets checkpointed for its two consumers.
+      val ssets = toks
         .select($"source", explode(shingles($"toks")).as("shingle"))
-        .distinct()
-        // feeds both the totals and the source-set build
-        .localCheckpoint()
-      val tot = sh.groupBy($"source").agg(count(lit(1)).as("shingles_a"))
-        .withColumnRenamed("source", "source_a")
-      val pairs = sh.groupBy($"shingle")
+        .groupBy($"shingle")
         .agg(collect_set($"source").as("ss"))
+        .localCheckpoint()
+      val tot = ssets.select(explode($"ss").as("source_a"))
+        .groupBy($"source_a").agg(count(lit(1)).as("shingles_a"))
+      val pairs = ssets
         .filter(size($"ss") >= 2)
         .select(explode($"ss").as("source_a"), $"ss")
         .select($"source_a", explode($"ss").as("source_b"))
@@ -2876,10 +2882,19 @@ object DedupQueries extends QueryModule {
     import shf.sparkSession.implicits._
     val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val cont = $"i".cast(DoubleType) / $"sa.n".cast(DoubleType)
+    // intersections are symmetric (i(a,b) = i(b,a)): enumerate each
+    // unordered pair ONCE (a < b — halves the in-bucket product and the
+    // pair-keyed exchange vs the oracle's a ≠ b spelling) and emit both
+    // orientations after the count; the per-direction containment then
+    // divides by its own side's size exactly as before (r19)
     shf.as("a").join(shf.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" =!= $"b.doc_id")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
       .agg(count(lit(1)).as("i"))
+      .select(explode(array(
+        struct($"da".as("id_a"), $"db".as("id_b"), $"i"),
+        struct($"db".as("id_a"), $"da".as("id_b"), $"i"))).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"), $"p.i".as("i"))
       .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
       .filter(cont >= tau)
       .select($"id_a", $"id_b", Canon.r4(cont).as("containment"))
