@@ -660,8 +660,10 @@ object DedupQueries extends QueryModule {
         .agg(collect_list(struct($"df".as("d"), $"ss".as("s"))).as("arr"))
         .crossJoin(broadcast(nn))
         .select($"doc_id", sqrt(fold($"arr", $"n")).as("nrm"))
-        // one small relation (one row per doc), two join consumers below
-        .localCheckpoint()
+      // NOT checkpointed: the two join consumers re-run this one cheap
+      // aggregate off the memoized postings — a per-rep checkpoint job
+      // here measured ~0.5 s WORSE in-fleet (materialization + job
+      // serialization) than the duplicated subtree
       val dot = w.as("a")
         .join(w.as("b"), $"a.shingle" === $"b.shingle" &&
           $"a.doc_id" < $"b.doc_id")
